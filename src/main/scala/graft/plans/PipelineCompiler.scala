@@ -1,0 +1,127 @@
+package graft.plans
+
+import graft.operators.Transforms
+import graft.sources.{Sources, Sinks}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Operator registry + spec→DataFrame compiler — the Spark-native
+  * counterpart of the reference's config registry and task wiring
+  * (mycelial `config_registry/src/lib.rs:26-39`,
+  * `myceliald/src/scheduler.rs:189-324`).
+  *
+  * Where the reference spawns one tokio task per section connected by
+  * depth-1 channels, we compile the whole chain into ONE declarative
+  * DataFrame: Catalyst then fuses the narrow transforms into a single
+  * whole-stage-codegen pass and handles pushdown/pruning — strictly better
+  * than per-section channel hops at any scale, and the only design that
+  * survives 1000 executors.
+  */
+object SectionRegistry {
+  import SectionIO._
+
+  type Compile = (SparkSession, Map[String, String], Option[DataFrame]) => Option[DataFrame]
+
+  final case class Entry(io: SectionIOSpec, compile: Compile)
+
+  private def cfg(c: Map[String, String], k: String): String =
+    c.getOrElse(k, throw new IllegalArgumentException(s"missing config key '$k'"))
+
+  private def in(df: Option[DataFrame]): DataFrame =
+    df.getOrElse(throw new IllegalArgumentException("section requires an input"))
+
+  /** Registered sections. Source/transform/destination names follow the
+    * reference registry (`config_registry/src/lib.rs:26-39`). */
+  val entries: Map[String, Entry] = Map(
+    // ---- sources (SURVEY §2.1) ----
+    "parquet_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some(Sources.parquet(s, cfg(c, "path"), c.get("origin")))),
+    "dir_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some(Sources.dir(s, cfg(c, "path"),
+        c.getOrElse("pattern", ".*"), c.getOrElse("stream_binary", "false").toBoolean,
+        c.getOrElse("start_after", "")))),
+    "file_source" -> Entry(SectionIOSpec(None, Bin),
+      (s, c, _) => Some(Sources.fileBinary(s, cfg(c, "path")))),
+    "csv_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some(Sources.csv(s, cfg(c, "path"), c.get("origin")))),
+    "excel_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some(Sources.excelAsCsv(s, cfg(c, "path"),
+        c.getOrElse("stringify", "true").toBoolean))),
+    "sqlite_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some(Sources.jdbc(s, cfg(c, "url"), cfg(c, "query"), c.get("origin")))),
+    "postgres_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some(Sources.jdbc(s, cfg(c, "url"), cfg(c, "query"), c.get("origin")))),
+    "mysql_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some(Sources.jdbc(s, cfg(c, "url"), cfg(c, "query"), c.get("origin")))),
+    "kafka_source" -> Entry(SectionIOSpec(None, BinOrDataFrame),
+      (s, c, _) => Some(Sources.kafka(s, cfg(c, "brokers"), cfg(c, "topic")))),
+    "sql_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some(s.sql(cfg(c, "query")))),
+
+    // ---- transforms (SURVEY §2.2) ----
+    "typecast" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(Transforms.typecast(
+        c.getOrElse("column", "*"), cfg(c, "target"))(in(df)))),
+    "tagging" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(Transforms.tagging(cfg(c, "column"), cfg(c, "text"))(in(df)))),
+    "origin_regex" -> Entry(SectionIOSpec(BinOrDataFrame, BinOrDataFrame),
+      (_, c, df) => Some(Transforms.originRegex(
+        cfg(c, "pattern"), cfg(c, "replacement"))(in(df)))),
+    "origin_time_nanos" -> Entry(SectionIOSpec(BinOrDataFrame, BinOrDataFrame),
+      (_, c, df) => Some(Transforms.originTimeNanos(cfg(c, "pattern"))(in(df)))),
+    "from_csv" -> Entry(SectionIOSpec(Bin, DataFrameIO),
+      (_, c, df) => Some(Transforms.fromCsv(cfg(c, "header").split(",").toSeq)(in(df)))),
+    "to_csv" -> Entry(SectionIOSpec(DataFrameIO, Bin),
+      (_, _, df) => Some(Transforms.toCsv(in(df)))),
+    "inspect" -> Entry(SectionIOSpec(BinOrDataFrame, BinOrDataFrame),
+      (_, _, df) => Some(Transforms.inspect(in(df)))),
+    "exec" -> Entry(SectionIOSpec(BinOrDataFrame, Bin),
+      (_, c, df) => Some(Transforms.execPipe(cfg(c, "command").split(" ").toSeq)(in(df)))),
+    "stub" -> Entry(SectionIOSpec(BinOrDataFrame, None),
+      (_, _, df) => Some(Transforms.stub(in(df)))),
+    "sql" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(Transforms.sql(cfg(c, "query"))(in(df)))),
+
+    // ---- destinations (SURVEY §2.3) ----
+    "parquet_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => { Sinks.parquet(in(df), cfg(c, "path"),
+        c.getOrElse("truncate", "false").toBoolean); scala.None }),
+    "csv_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => { Sinks.csv(in(df), cfg(c, "path"),
+        c.getOrElse("truncate", "false").toBoolean); scala.None }),
+    "jdbc_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => { Sinks.jdbc(in(df), cfg(c, "url"), cfg(c, "table"),
+        c.getOrElse("truncate", "false").toBoolean); scala.None }),
+    "kafka_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => { Sinks.kafkaJson(in(df), cfg(c, "brokers"), cfg(c, "topic")); scala.None }),
+    "file_destination" -> Entry(SectionIOSpec(Bin, None),
+      (_, c, df) => { Sinks.fileBinary(in(df), cfg(c, "dir")); scala.None })
+  )
+
+  def ioOf(name: String): SectionIOSpec = entries.getOrElse(name,
+    throw new IllegalArgumentException(s"unknown section type '$name'")).io
+}
+
+object PipelineCompiler {
+
+  /** Compile one connected component to its terminal DataFrame (before any
+    * destination write). Walks topologically; each section's compile fn
+    * receives its upstream frame. Returns the last non-sink frame — useful
+    * for tests and for running a pipeline without its destination. */
+  def compileFrame(spark: SparkSession, spec: PipelineSpec): DataFrame = {
+    spec.validate()
+    var frames = Map.empty[String, Option[DataFrame]]
+    var last: Option[DataFrame] = scala.None
+    spec.topoOrder.foreach { id =>
+      val sec = spec.section(id)
+      val upstreamFrame = spec.upstream.getOrElse(id, Nil).headOption.flatMap(frames(_))
+      val out = SectionRegistry.entries(sec.name).compile(spark, sec.config, upstreamFrame)
+      frames += id -> out
+      if (out.isDefined) last = out
+    }
+    last.getOrElse(throw new IllegalStateException("pipeline produced no frame"))
+  }
+
+  /** Run every connected component of a spec, sinks included. */
+  def run(spark: SparkSession, spec: PipelineSpec): Unit =
+    spec.components.foreach { comp => compileFrame(spark, comp) }
+}

@@ -1,0 +1,167 @@
+package graft.plans
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import java.security.MessageDigest
+import scala.jdk.CollectionConverters._
+
+/** Declarative pipeline specification — the Spark-native equivalent of the
+  * reference's control-plane pipe configs
+  * (mycelial `config/src/lib.rs:14-91`, `graph/src/lib.rs:18-22`).
+  *
+  * A spec is a DAG of sections; each section has a `name` (operator type
+  * from the registry), an `id`, and a free-form string config map. Edges
+  * are single-output links; cycles are rejected; a disconnected forest is
+  * split into connected components, each compiled to one Spark job/query
+  * (mycelial `graph/src/lib.rs:177-247`, `myceliald/src/scheduler.rs:403-485`).
+  */
+final case class SectionSpec(id: String, name: String, config: Map[String, String])
+
+final case class PipelineSpec(sections: Seq[SectionSpec], edges: Seq[(String, String)]) {
+
+  def section(id: String): SectionSpec = sections.find(_.id == id).getOrElse(
+    throw new IllegalArgumentException(s"unknown section id $id"))
+
+  /** Adjacency: section id → downstream ids. The reference allows one
+    * output edge per node (`graph/src/lib.rs:75-109`); we keep that
+    * invariant for parity. */
+  lazy val downstream: Map[String, Seq[String]] =
+    edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+  lazy val upstream: Map[String, Seq[String]] =
+    edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+
+  def validate(): Unit = {
+    val ids = sections.map(_.id)
+    require(ids.distinct.size == ids.size, "duplicate section ids")
+    edges.foreach { case (f, t) =>
+      require(ids.contains(f) && ids.contains(t), s"edge ($f,$t) names unknown section")
+    }
+    downstream.foreach { case (f, ts) =>
+      require(ts.size <= 1, s"section $f has ${ts.size} outputs; single-output links only")
+    }
+    // cycle rejection via DFS (reference rejects loops: graph/src/lib.rs:90-109)
+    val visiting = scala.collection.mutable.Set[String]()
+    val done = scala.collection.mutable.Set[String]()
+    def dfs(n: String): Unit = {
+      require(!visiting.contains(n), s"cycle through section $n")
+      if (!done.contains(n)) {
+        visiting += n
+        downstream.getOrElse(n, Nil).foreach(dfs)
+        visiting -= n; done += n
+      }
+    }
+    ids.foreach(dfs)
+    // IO-kind wiring check (reference type-checks SectionIO: config/src/lib.rs:29-91)
+    edges.foreach { case (f, t) =>
+      val out = SectionRegistry.ioOf(section(f).name).output
+      val in = SectionRegistry.ioOf(section(t).name).input
+      require(SectionIO.compatible(out, in),
+        s"section $f output '$out' incompatible with $t input '$in'")
+    }
+  }
+
+  /** Split into connected components (undirected), each a standalone
+    * pipeline task (`graph/src/lib.rs:177-247`). Components are returned in
+    * deterministic (min section id) order. */
+  def components: Seq[PipelineSpec] = {
+    val parent = scala.collection.mutable.Map(sections.map(s => s.id -> s.id): _*)
+    def find(x: String): String =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (f, t) => parent(find(f)) = find(t) }
+    sections.groupBy(s => find(s.id)).toSeq
+      .map { case (_, ss) =>
+        val ids = ss.map(_.id).toSet
+        PipelineSpec(ss.sortBy(_.id), edges.filter(e => ids.contains(e._1)))
+      }
+      .sortBy(_.sections.head.id)
+  }
+
+  /** Stable SHA-256 of ids + configs + edges — the reconciliation key
+    * (`myceliald/src/scheduler.rs:403-485` hashes sorted node ids, config
+    * fields, and edges the same way). */
+  def specHash: String = {
+    val md = MessageDigest.getInstance("SHA-256")
+    sections.sortBy(_.id).foreach { s =>
+      md.update(s.id.getBytes("UTF-8"))
+      md.update(s.name.getBytes("UTF-8"))
+      s.config.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        md.update(k.getBytes("UTF-8")); md.update(v.getBytes("UTF-8"))
+      }
+    }
+    edges.sorted.foreach { case (f, t) =>
+      md.update(f.getBytes("UTF-8")); md.update(t.getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Topological order of section ids (sources first). */
+  def topoOrder: Seq[String] = {
+    val indeg = scala.collection.mutable.Map(
+      sections.map(s => s.id -> upstream.getOrElse(s.id, Nil).size): _*)
+    val queue = scala.collection.mutable.PriorityQueue[String]()(
+      Ordering[String].reverse)
+    indeg.filter(_._2 == 0).keys.foreach(queue.enqueue(_))
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      out += n
+      downstream.getOrElse(n, Nil).foreach { d =>
+        indeg(d) -= 1; if (indeg(d) == 0) queue.enqueue(d)
+      }
+    }
+    out.toSeq
+  }
+}
+
+object PipelineSpec {
+  private val mapper = new ObjectMapper()
+
+  /** Parse the JSON wire form:
+    * {"sections":[{"id":..,"name":..,"config":{..}}],
+    *  "edges":[["a","b"],..]}                                            */
+  def fromJson(json: String): PipelineSpec = {
+    val root = mapper.readTree(json)
+    val sections = root.path("sections").elements().asScala.map { n =>
+      val cfg = Option(n.get("config")).map { c =>
+        c.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+      }.getOrElse(Map.empty[String, String])
+      SectionSpec(n.path("id").asText(), n.path("name").asText(), cfg)
+    }.toSeq
+    val edges = root.path("edges").elements().asScala.map { e =>
+      val it = e.elements().asScala.toSeq
+      (it(0).asText(), it(1).asText())
+    }.toSeq
+    val spec = PipelineSpec(sections, edges)
+    spec.validate()
+    spec
+  }
+
+  def toJson(spec: PipelineSpec): String = {
+    val root = mapper.createObjectNode()
+    val secs = root.putArray("sections")
+    spec.sections.foreach { s =>
+      val n = secs.addObject()
+      n.put("id", s.id); n.put("name", s.name)
+      val c = n.putObject("config")
+      s.config.toSeq.sortBy(_._1).foreach { case (k, v) => c.put(k, v) }
+    }
+    val es = root.putArray("edges")
+    spec.edges.foreach { case (f, t) =>
+      val a = es.addArray(); a.add(f); a.add(t)
+    }
+    mapper.writeValueAsString(root)
+  }
+}
+
+/** Section IO kinds (mycelial `config/src/lib.rs` SectionIO:
+  * none / bin / dataframe / bin_or_dataframe) — used to type-check wiring
+  * before compilation. */
+object SectionIO extends Enumeration {
+  val None, Bin, DataFrameIO, BinOrDataFrame = Value
+  def compatible(out: Value, in: Value): Boolean = (out, in) match {
+    case (None, _) | (_, None) => false
+    case (BinOrDataFrame, _) | (_, BinOrDataFrame) => true
+    case (a, b) => a == b
+  }
+}
+
+final case class SectionIOSpec(input: SectionIO.Value, output: SectionIO.Value)

@@ -1,0 +1,138 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch sources — Spark-native re-expression of the reference's source
+  * sections (SURVEY.md §2.1). All return DataFrames that optionally carry
+  * the `origin: string` metadata column (mycelial `section/src/message.rs:522`).
+  *
+  * Scans stay declarative: Catalyst pushes filters/projections into the
+  * file source, and file listing/splitting is distributed — the 100 TB
+  * version of the reference's single-daemon polling loops.
+  */
+object Sources {
+
+  private def withOrigin(df: DataFrame, origin: Option[String]): DataFrame =
+    origin.fold(df)(o => df.withColumn("origin", lit(o)))
+
+  /** Parquet scan (the data-lake counterpart of S1-S4's "run a query on the
+    * source system"). */
+  def parquet(spark: SparkSession, path: String, origin: Option[String] = None): DataFrame =
+    withOrigin(spark.read.parquet(path), origin)
+
+  /** S7 dir source (`sections/dir/src/source.rs:131-300`): walk a directory
+    * tree, filter by regex pattern, resume after a lexicographic cursor.
+    * `streamBinary=false` → one row per file `{origin, path}` (reference
+    * path-dataframe mode); `streamBinary=true` → binaryFile rows
+    * `{origin, path, value}`. Listing and reads are distributed by Spark's
+    * file index — at 100 TB this is a metadata-only scan for path mode. */
+  def dir(spark: SparkSession, path: String, pattern: String = ".*",
+          streamBinary: Boolean = false, startAfter: String = ""): DataFrame = {
+    val base = spark.read.format("binaryFile").load(path)
+    val named = base
+      .withColumn("origin", input_file_name())
+      .withColumn("path", input_file_name())
+      .filter(col("path").rlike(pattern))
+      .filter(col("path") > lit(startAfter))
+    if (streamBinary) named.select(col("origin"), col("path"), col("content").as("value"))
+    else named.select(col("origin"), col("path"))
+  }
+
+  /** S6 file source (`sections/file/src/source.rs:83-150`): one file's bytes
+    * as a binary payload `(origin, value)`. */
+  def fileBinary(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("binaryFile").load(path)
+      .select(input_file_name().as("origin"), col("content").as("value"))
+
+  /** CSV with header (csv_transform FromCsv semantics at the source edge:
+    * all columns string — reference parses every field as Str,
+    * `sections/csv_transform/src/source.rs:117-174`). */
+  def csv(spark: SparkSession, path: String, origin: Option[String] = None): DataFrame =
+    withOrigin(
+      spark.read.option("header", "true").option("inferSchema", "false").csv(path),
+      origin)
+
+  /** S5 excel source: the container has no xlsx codec; the reference's
+    * semantics (header row = schema, stringify → all Str, else typed) are
+    * honored for CSV-exported sheets. `stringify=false` applies Spark
+    * schema inference (reference `Any` columns ≈ inferred types). */
+  def excelAsCsv(spark: SparkSession, path: String, stringify: Boolean): DataFrame =
+    spark.read.option("header", "true")
+      .option("inferSchema", (!stringify).toString).csv(path)
+
+  /** S1-S3 JDBC sources: full user-query pushdown — the entire SQL string
+    * executes on the source database, exactly the reference's model
+    * (`sections/sqlite_connector/src/source.rs:100`). Incremental/stateful
+    * ingestion composes this with [[graft.plans.StatefulQuery]]. */
+  def jdbc(spark: SparkSession, url: String, query: String,
+           origin: Option[String] = None): DataFrame =
+    withOrigin(spark.read.format("jdbc")
+      .option("url", url).option("query", query).load(), origin)
+
+  /** Parallel JDBC scan for large source tables: numPartitions concurrent
+    * connections each reading a key range — the scale-out upgrade the
+    * single-connection reference cannot express. */
+  def jdbcPartitioned(spark: SparkSession, url: String, table: String,
+                      partitionColumn: String, lower: Long, upper: Long,
+                      numPartitions: Int): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lower).option("upperBound", upper)
+      .option("numPartitions", numPartitions).load()
+
+  /** S9 kafka source (reference stub, `sections/kafka_connector/src/lib.rs`):
+    * binary payload stream; batch mode reads the full retained topic. */
+  def kafka(spark: SparkSession, brokers: String, topic: String): DataFrame =
+    spark.read.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic).load()
+      .select(col("topic").as("origin"), col("value"))
+}
+
+/** Destinations (SURVEY.md §2.3). Writes route by the `origin` column where
+  * the reference routes messages by origin → table/file name. */
+object Sinks {
+
+  private def mode(truncate: Boolean) = if (truncate) "overwrite" else "append"
+
+  /** D6-ish parquet lake sink; partitions by origin when present so each
+    * logical table lands in its own directory tree
+    * (reference: one table per origin, `sections/sqlite_connector/src/destination.rs:67`). */
+  def parquet(df: DataFrame, path: String, truncate: Boolean = false): Unit = {
+    val w = df.write.mode(mode(truncate))
+    if (df.columns.contains("origin")) w.partitionBy("origin").parquet(path)
+    else w.parquet(path)
+  }
+
+  def csv(df: DataFrame, path: String, truncate: Boolean = false): Unit =
+    df.write.mode(mode(truncate)).option("header", "true").csv(path)
+
+  /** D1-D3 JDBC sink: per-batch transactional append/overwrite. Idempotency
+    * (reference `INSERT OR IGNORE`) is achieved by exact dedup on a key
+    * before write + at-least-once replay (SURVEY §3.2). */
+  def jdbc(df: DataFrame, url: String, table: String, truncate: Boolean = false): Unit =
+    df.write.mode(mode(truncate)).format("jdbc")
+      .option("url", url).option("dbtable", table).save()
+
+  /** D7 kafka sink (`sections/kafka_connector/src/destination.rs:21-131`):
+    * each row JSON-encoded `{col: value}`, key = origin. */
+  def kafkaJson(df: DataFrame, brokers: String, topic: String): Unit = {
+    val dataCols = df.columns.filterNot(_ == "origin")
+    val key = if (df.columns.contains("origin")) col("origin") else lit("origin")
+    df.select(key.cast("string").as("key"),
+        to_json(struct(dataCols.map(col).toIndexedSeq: _*)).as("value"))
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic).save()
+  }
+
+  /** D8 file sink (`sections/file/src/destination.rs:24-87`): binary payload
+    * → one file per origin under `dir`; atomicity via Spark's commit
+    * protocol (temp + rename), same contract as the reference's
+    * tmp-file + rename. */
+  def fileBinary(df: DataFrame, dir: String): Unit =
+    df.select(col("origin"), col("value"))
+      .write.mode("append").partitionBy("origin").format("parquet").save(dir)
+}

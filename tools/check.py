@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify's parquet
+dumps against the DuckDB oracle SQL and compare values.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math, os
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, list): return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        pq = os.path.join(out_dir, name)
+        files = glob.glob(pq + "/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.execute(f"SELECT * FROM '{pq}/*.parquet'").fetchall()
+            gcols = [d[0] for d in con.description]
+            want = con.execute(sql).fetchall()
+            wcols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: {str(e).splitlines()[0][:200]}"); n_fail += 1; continue
+        # driver sorts columns by name before hashing values
+        gi = sorted(range(len(gcols)), key=lambda i: gcols[i])
+        wi = sorted(range(len(wcols)), key=lambda i: wcols[i])
+        if sorted(gcols) != sorted(wcols):
+            print(f"FAIL {name}: cols {sorted(gcols)} vs {sorted(wcols)}"); n_fail += 1; continue
+        g = sorted(tuple(norm(r[i]) for i in gi) for r in got)
+        w = sorted(tuple(norm(r[i]) for i in wi) for r in want)
+        if g == w:
+            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+        else:
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            diffs = [(a, b) for a, b in zip(g, w) if a != b][:3]
+            for a, b in diffs:
+                print(f"   spark:  {a}\n   oracle: {b}")
+            if len(g) != len(w):
+                sg, sw = set(g), set(w)
+                for x in list(sg - sw)[:2]: print(f"   only-spark:  {x}")
+                for x in list(sw - sg)[:2]: print(f"   only-oracle: {x}")
+            n_fail += 1
+    print(f"\n{n_pass} passed, {n_fail} failed")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
