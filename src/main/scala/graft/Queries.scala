@@ -711,6 +711,52 @@ object Queries {
     Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
       md5(text) AS content_md5 FROM documents ORDER BY doc_id"""))
 
+  /** Stubbed multimodal decode: payload → fixed-length feature vector
+    * (see [[graft.operators.Multimodal.stubDecodeFeatures]]); exercises the
+    * binary → features flow with a portable deterministic stand-in. */
+  private val mmDecode = Q(
+    (s, dir) => {
+      import s.implicits._
+      val withPayload = Tables.documents(s, dir)
+        .select($"doc_id", encode($"text", "UTF-8").as("payload"))
+      val feats = graft.operators.Multimodal.stubDecodeFeatures($"payload", 4)
+      withPayload
+        .select($"doc_id",
+          round(feats.getItem(0), 6).as("f0"), round(feats.getItem(1), 6).as("f1"),
+          round(feats.getItem(2), 6).as("f2"), round(feats.getItem(3), 6).as("f3"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+      round(('0x' || substr(md5(md5(text) || '0'), 1, 15))::BIGINT / 1152921504606846976.0, 6) AS f0,
+      round(('0x' || substr(md5(md5(text) || '1'), 1, 15))::BIGINT / 1152921504606846976.0, 6) AS f1,
+      round(('0x' || substr(md5(md5(text) || '2'), 1, 15))::BIGINT / 1152921504606846976.0, 6) AS f2,
+      round(('0x' || substr(md5(md5(text) || '3'), 1, 15))::BIGINT / 1152921504606846976.0, 6) AS f3
+      FROM documents ORDER BY doc_id"""))
+
+  /** REAL Structured Streaming query (AvailableNow over the events parquet)
+    * verified against the same DuckDB oracle as the batch window agg —
+    * stream/batch parity on identical input. */
+  private val stTumbling = Q(
+    (s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      // file stream source needs a directory; glob-filter to the one table
+      val stream = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .groupBy(window($"ts", "5 minutes").getField("start").cast("string").as("window_start"),
+                 $"event_type")
+        .agg(count(lit(1)).as("n"))
+      graft.streaming.StreamingPipelines
+        .collectStream(s, agg, s"st_tumbling_${System.nanoTime()}")
+        .orderBy($"window_start", $"event_type")
+    },
+    Some("""SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS window_start,
+      event_type, count(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
+
   // -------------------------------------------------------------- registry
 
   /** Insertion-ordered so Verify/Bench output is stable. */
@@ -750,5 +796,7 @@ object Queries {
     "ta_quality" -> taQuality,
     "ta_tokens" -> taTokens,
     "ta_fingerprint" -> taFingerprint,
-    "mm_binary_meta" -> mmBinaryMeta)
+    "mm_binary_meta" -> mmBinaryMeta,
+    "mm_decode_features" -> mmDecode,
+    "st_tumbling_window" -> stTumbling)
 }

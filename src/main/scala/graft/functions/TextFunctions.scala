@@ -62,7 +62,7 @@ object TextFunctions {
   def charShingles(text: Column, k: Int): Column =
     when(length(text) < k, array().cast("array<string>")).otherwise(
       transform(sequence(lit(1), length(text) - (k - 1)),
-        i => substring(text, lit(1), lit(0)).substr(i, lit(k))))
+        i => text.substr(i, lit(k))))
 
   /** Word n-grams from whitespace tokens, joined with a single space. */
   def wordNgrams(text: Column, n: Int): Column = {

@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling for training-data pipelines: image/audio/video
+  * payloads ride as opaque `binary` columns with a typed metadata struct;
+  * decode / feature-extract / resize / frame-sample are per-row narrow ops
+  * over the bytes.
+  *
+  * The container ships no media codecs, so the DECODE STEP IS A STUB — a
+  * deterministic function of the bytes, clearly marked below. Everything
+  * around it is the real engineering: schema convention, batch shaping,
+  * partition sizing so a 100 TB binary corpus flows through executors
+  * without OOM (size-capped partitions, no driver collection, metadata
+  * pruned independently of payloads).
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: payload + metadata struct. `kind` ∈
+    * image|audio|video|text; byte_len/content hash computed once at ingest
+    * so later stages can filter/dedup on metadata without touching bytes
+    * (column pruning keeps the binary out of the scan entirely). */
+  def withMeta(df: DataFrame, payload: String, kind: String): DataFrame =
+    df.withColumn("meta", struct(
+      lit(kind).as("kind"),
+      octet_length(col(payload)).cast("long").as("byte_len"),
+      md5(col(payload)).as("content_md5")))
+
+  /** Metadata-only projection — MUST prune the binary column from the scan
+    * (verify with .explain: ReadSchema excludes the payload). */
+  def metaOnly(df: DataFrame): DataFrame =
+    df.drop(df.columns.filter(c => c == "payload" || c == "value"): _*)
+
+  /** STUB decode: a real pipeline would decode image bytes here (e.g. JPEG
+    * → HxWxC tensor) inside mapPartitions with a native codec. The
+    * deterministic stand-in derives a fixed-length feature vector from the
+    * md5 of the bytes — same shape, same batching, same partition flow as
+    * the real thing, and reproducible for the oracle. */
+  def stubDecodeFeatures(payload: Column, dims: Int = 4): Column =
+    array((0 until dims).map { i =>
+      // feature_i = hash60(md5(payload) || i) scaled to [0,1)
+      (TextFunctions.hash60(concat(md5(payload), lit(i.toString))).cast("double")
+        / lit(1152921504606846976.0 /* 2^60 */))
+    }: _*)
+
+  /** STUB resize: real impl re-encodes pixels; stand-in truncates bytes to
+    * `targetBytes` preserving the "smaller payload out" contract. */
+  def stubResize(payload: Column, targetBytes: Int): Column =
+    substring(payload, 1, targetBytes)
+
+  /** Frame sampling plumbing: one row per sampled frame index — the explode
+    * pattern that turns a video row into frame rows without driver
+    * involvement; the byte-slicing stands in for frame extraction. */
+  def stubFrameSample(df: DataFrame, payload: String, nFrames: Int): DataFrame =
+    df.withColumn("frame_idx", explode(sequence(lit(0), lit(nFrames - 1))))
+      .withColumn("frame_bytes",
+        substring(col(payload),
+          (col("frame_idx") * (octet_length(col(payload)) / nFrames) + 1).cast("int"),
+          greatest((octet_length(col(payload)) / nFrames).cast("int"), lit(1))))
+
+  /** Size-balanced repartition for binary corpora: target ~`targetMB` of
+    * payload per partition so executors never hold multi-GB tasks. Uses a
+    * count+avg estimate — one cheap metadata pass — then range-partitions
+    * by a hash for even spread. */
+  def repartitionBySize(df: DataFrame, payload: String, targetMB: Int): DataFrame = {
+    val stats = df.agg(
+      count(lit(1)).as("n"),
+      avg(octet_length(col(payload))).as("avg_bytes")).head()
+    val n = stats.getLong(0)
+    val avgBytes = Option(stats.get(1)).map(_.toString.toDouble).getOrElse(0.0)
+    val totalMB = n * avgBytes / 1e6
+    val parts = math.max(1, math.ceil(totalMB / targetMB).toInt)
+    df.repartition(parts)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+
+/** Streaming mode (SURVEY §7.2 step 7): the same pipeline semantics compiled
+  * to Structured Streaming. The reference's runtime IS a streaming system —
+  * sources poll/notify, messages flow through transforms, sinks ack, state
+  * persists across restarts (SURVEY §3.2). Structured Streaming gives the
+  * same contract natively: checkpointed offsets ≙ section state, micro-batch
+  * ≙ message, epoch commit ≙ ack, `foreachBatch` txn ≙ sink-commit-then-ack
+  * ordering.
+  *
+  * At scale: file-source listing is incremental (only new files), state is
+  * bounded by watermarks, and every transform below is a narrow op or a
+  * keyed aggregation with map-side partials.
+  */
+object StreamingPipelines {
+
+  /** File-watch source (reference S6/S7 dir/file watchers,
+    * `sections/dir/src/source.rs:235-300`): Spark's file stream source
+    * tracks processed files in the checkpoint — the `start_after` cursor
+    * generalized. `maxFilesPerTrigger` ≙ the reference's depth-1
+    * backpressure channel. */
+  def fileSource(spark: SparkSession, path: String, schema: StructType,
+                 format: String = "parquet", maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .format(format).load(path)
+
+  /** Kafka stream source (reference S9 stub made real). */
+  def kafkaSource(spark: SparkSession, brokers: String, topic: String): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic).load()
+      .select(col("topic").as("origin"), col("value"))
+
+  /** Tumbling event-time window aggregation with late-data bound. */
+  def tumblingCounts(events: DataFrame, tsCol: String, windowLen: String,
+                     watermark: String, groupCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy((window(col(tsCol), windowLen).getField("start").as("window_start")
+        +: groupCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows via the built-in session_window (gap-based). */
+  def sessionCounts(events: DataFrame, tsCol: String, gap: String,
+                    watermark: String, keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gap).getField("start").as("session_start")
+        +: keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"))
+
+  /** Streaming exact dedup: drop duplicates on key within the watermark
+    * horizon — the streaming form of the reference's INSERT OR IGNORE
+    * idempotent sink (D1). State size bounded by the watermark. */
+  def dedup(events: DataFrame, tsCol: String, watermark: String,
+            keyCols: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Transactional sink with ack-after-commit ordering: `foreachBatch`
+    * runs the write txn, and only when it returns does Spark commit the
+    * epoch to the checkpoint — the reference's ack protocol
+    * (`section/src/command_channel.rs:68-80`) with exactly-once upgrade
+    * when the write is idempotent (dedup key / overwrite-by-partition). */
+  def ackSink(df: DataFrame, checkpoint: String)
+             (write: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, epochId: Long) => write(batch, epochId) }
+
+  /** Run a streaming query over a static directory to completion — used by
+    * tests and the Verify harness to prove stream/batch parity on the same
+    * inputs. */
+  def runToCompletion(writer: DataStreamWriter[Row]): Unit = {
+    val q = writer.trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  /** Memory-sink helper: materialize a streaming frame synchronously and
+    * return the result table. */
+  def collectStream(spark: SparkSession, df: DataFrame, name: String,
+                    mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,125 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tokens: whitespace split, empty-safe") {
+    val df = Seq("a  b\tc", "", "  ").toDF("t")
+    val sizes = df.select(size(TextFunctions.tokens($"t"))).as[Int].collect()
+    assert(sizes.toSeq == Seq(3, 0, 0))
+  }
+
+  test("charShingles") {
+    val out = Seq("abcd").toDF("t")
+      .select(TextFunctions.charShingles($"t", 3)).as[Seq[String]].head()
+    assert(out == Seq("abc", "bcd"))
+    val short = Seq("ab").toDF("t")
+      .select(TextFunctions.charShingles($"t", 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("wordNgrams") {
+    val out = Seq("a b c d").toDF("t")
+      .select(TextFunctions.wordNgrams($"t", 3)).as[Seq[String]].head()
+    assert(out == Seq("a b c", "b c d"))
+  }
+
+  test("minhash: identical docs get identical signatures; sig length k") {
+    val df = Seq("the quick brown fox jumps", "the quick brown fox jumps", "completely different words here now")
+      .toDF("t").withColumn("sig",
+        TextFunctions.minhashSignature(TextFunctions.wordNgrams($"t", 2), 16))
+    val sigs = df.select("sig").as[Seq[Long]].collect()
+    assert(sigs(0).length == 16)
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("minhash signature similarity tracks jaccard") {
+    // 90% overlapping shingle sets should agree on most slots
+    val a = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val b = (3 to 22).map(i => s"tok$i").mkString(" ")
+    val df = Seq(a, b).toDF("t").withColumn("sig",
+      TextFunctions.minhashSignature(TextFunctions.wordNgrams($"t", 1), 64))
+    val Array(sa, sb) = df.select("sig").as[Seq[Long]].collect()
+    val agree = sa.zip(sb).count { case (x, y) => x == y }
+    assert(agree > 32, s"expected >50% slot agreement, got $agree/64")
+  }
+
+  test("simhash: identical → distance 0, similar → small, disjoint → large") {
+    val df = Seq("alpha beta gamma delta", "alpha beta gamma delta epsilon",
+      "zz yy xx ww vv uu").toDF("t")
+      .withColumn("sh", TextFunctions.simhash(TextFunctions.tokens($"t"), 48))
+    val v = df.select("sh").as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(v(0), v(0)) == 0)
+    assert(ham(v(0), v(1)) < ham(v(0), v(2)))
+  }
+
+  test("fingerprint is deterministic and order-sensitive") {
+    val df = Seq("a b c", "a b c", "c b a").toDF("t")
+      .withColumn("fp", TextFunctions.fingerprint(TextFunctions.tokens($"t")))
+    val v = df.select("fp").as[Long].collect()
+    assert(v(0) == v(1) && v(0) != v(2))
+    assert(v.forall(x => x >= 0 && x < 2147483647L))
+  }
+
+  test("languageId picks the stopword-dominant language") {
+    val df = Seq(
+      "the cat sat of the mat and it is that",
+      "der hund ist nicht ein der das und",
+      "xyzzy qwerty plugh").toDF("t")
+      .withColumn("lang", TextFunctions.languageId($"t"))
+    assert(df.select("lang").as[String].collect().toSeq == Seq("en", "de", "und"))
+  }
+
+  test("quality features are in range") {
+    val f = TextFunctions.qualityFeatures($"t")
+    val row = Seq("The quick brown fox, it is a good dog! 123")
+      .toDF("t").select(f.getField("quality_score"), f.getField("punct_ratio")).head()
+    assert(row.getDouble(0) >= 0.0 && row.getDouble(0) <= 1.0)
+    assert(row.getDouble(1) > 0.0 && row.getDouble(1) < 0.2)
+  }
+
+  test("cosine: identity 1, orthogonal 0, zero-norm safe") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 3.0f)),
+      (Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosine($"a", $"b").as("c"))
+    val v = df.as[Double].collect()
+    assert(math.abs(v(0) - 1.0) < 1e-12)
+    assert(math.abs(v(1)) < 1e-12)
+    assert(v(2) == 0.0)
+  }
+
+  test("lshBucket: identical vectors share a bucket; buckets within range") {
+    // dims (1,2,4): no ±1-combination sums to zero, so every projection is
+    // nonzero and the antipodal vector complements every sign bit
+    val df = Seq(Seq(1.0f, 2.0f, 4.0f), Seq(1.0f, 2.0f, 4.0f), Seq(-1.0f, -2.0f, -4.0f))
+      .toDF("v").select(VectorFunctions.lshBucket($"v", 6).as("b"))
+    val v = df.as[Long].collect()
+    assert(v(0) == v(1))
+    assert(v.forall(x => x >= 0 && x < 64))
+    // antipodal vector flips every sign bit
+    assert(v(2) == (~v(0) & 63))
+  }
+
+  test("ann lsh recall vs brute force at sf0.001") {
+    val brute = graft.Queries.all.toMap.apply("ann_topk")
+      .fn(spark, TestSpark.sf).select("q_id", "n_id")
+      .as[(Long, Long)].collect().toSet
+    val lsh = graft.Queries.all.toMap.apply("ann_lsh_topk")
+      .fn(spark, TestSpark.sf).select("q_id", "n_id")
+      .as[(Long, Long)].collect().toSet
+    // 4-bit LSH over RANDOM synthetic vectors (near-neighbors at cosine
+    // ~0.3-0.5): same-bucket probability is inherently low; this checks the
+    // bucketing does better than nothing, not production recall.
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.05, s"LSH recall $recall too low")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TransformsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("typecast single column to long") {
+    val df = Seq(("1", 2.0), ("3", 4.5)).toDF("a", "b")
+    val out = Transforms.typecast("a", "int")(df)
+    assert(out.schema("a").dataType == LongType)
+    assert(out.select("a").as[Long].collect().sorted.sameElements(Array(1L, 3L)))
+  }
+
+  test("typecast * casts every column") {
+    val df = Seq((1, 2L)).toDF("a", "b")
+    val out = Transforms.typecast("*", "string")(df)
+    assert(out.schema.fields.forall(_.dataType == StringType))
+  }
+
+  test("typecast rejects unknown target") {
+    intercept[IllegalArgumentException] {
+      Transforms.typecast("a", "bogus")(Seq(1).toDF("a"))
+    }
+  }
+
+  test("tagging appends constant column; collision is a no-op") {
+    val df = Seq(1, 2).toDF("x")
+    val out = Transforms.tagging("tag", "hello")(df)
+    assert(out.select("tag").as[String].collect().forall(_ == "hello"))
+    val collided = Transforms.tagging("x", "boom")(df)
+    assert(collided.schema("x").dataType == IntegerType) // untouched
+  }
+
+  test("originRegex rewrites the origin column (replace-all)") {
+    val df = Seq(("a_src_src", 1)).toDF("origin", "v")
+    val out = Transforms.originRegex("src", "dst")(df)
+    assert(out.select("origin").as[String].head() == "a_dst_dst")
+  }
+
+  test("toCsv then fromCsv round-trips values as strings") {
+    val df = Seq((1, "alpha"), (2, "beta")).toDF("id", "name")
+    val csv = Transforms.toCsv(df)
+    assert(csv.columns.toSeq == Seq("origin", "value"))
+    val back = Transforms.fromCsv(Seq("id", "name"))(csv)
+    val rows = back.select("id", "name").as[(String, String)].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq(("1", "alpha"), ("2", "beta")))
+  }
+
+  test("fromCsv drops header lines and handles multi-line binary payloads") {
+    val payload = "id,name\n1,alpha\n2,beta"
+    val df = Seq(("f.csv", payload.getBytes("UTF-8"))).toDF("origin", "value")
+    val out = Transforms.fromCsv(Seq("id", "name"))(df)
+    assert(out.count() == 2)
+  }
+
+  test("stub drains everything") {
+    assert(Transforms.stub(Seq(1, 2, 3).toDF("x")).count() == 0)
+  }
+
+  test("execPipe pipes rows through an external process") {
+    val out = Transforms.execPipe(Seq("cat"))(Seq("a", "b").toDF("v"))
+    assert(out.as[String].collect().sorted.sameElements(Array("a", "b")))
+  }
+
+  test("sql section runs against the input view") {
+    val df = Seq((1, "x"), (2, "y")).toDF("id", "s")
+    val out = Transforms.sql("SELECT count(*) AS n FROM input")(df)
+    assert(out.as[Long].head() == 2L)
+  }
+
+  test("dedupExact keeps one row per key") {
+    val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
+    assert(Transforms.dedupExact(Seq("k"))(df).count() == 2)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming tumbling window equals batch on the same input") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"${TestSpark.sf}/events.parquet"
+    val raw = spark.read.parquet(path)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(TestSpark.sf)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream.groupBy(
+        window($"ts", "5 minutes").getField("start").as("ws"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val got = StreamingPipelines.collectStream(spark, agg, "st_test")
+      .orderBy("ws", "event_type").collect()
+
+    val batch = Tables.events(spark, TestSpark.sf).groupBy(
+        window($"ts", "5 minutes").getField("start").as("ws"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("ws", "event_type").collect()
+    assert(got.sameElements(batch))
+  }
+
+  test("ackSink foreachBatch commits before checkpoint epoch advances") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"${TestSpark.sf}/events.parquet"
+    val raw = spark.read.parquet(path)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val stream = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(TestSpark.sf)
+    var batches = 0
+    val writer = StreamingPipelines.ackSink(stream, ckpt) { (batch, epoch) =>
+      batches += 1
+      batch.write.mode("append").parquet(s"$out/data")
+    }
+    StreamingPipelines.runToCompletion(writer)
+    assert(batches >= 1)
+    assert(spark.read.parquet(s"$out/data").count() == raw.count())
+    // restart from checkpoint: no new data → no new batches, no duplicates
+    val writer2 = StreamingPipelines.ackSink(
+      spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(TestSpark.sf), ckpt) { (b, e) =>
+      b.write.mode("append").parquet(s"$out/data")
+    }
+    StreamingPipelines.runToCompletion(writer2)
+    assert(spark.read.parquet(s"$out/data").count() == raw.count(),
+      "checkpoint must prevent reprocessing")
+  }
+
+  test("streaming dedup within watermark") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val data = Seq(("k1", ts), ("k1", ts), ("k2", ts)).toDF("k", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    data.write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(data.schema).parquet(s"$dir/in")
+    val dd = StreamingPipelines.dedup(stream, "ts", "1 hour", Seq("k"))
+    val got = StreamingPipelines.collectStream(spark, dd, "st_dedup",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(got.count() == 2)
+  }
+}
