@@ -446,66 +446,96 @@ object Queries {
     Some("""SELECT min(doc_id) AS doc_id, md5(text) AS text_hash,
       count(*) AS n_copies FROM documents GROUP BY md5(text) ORDER BY doc_id"""))
 
-  /** MinHash-LSH near-dup pipeline: shingle → 32-slot signature → 8 bands
-    * of 4 → band-bucket self-join for candidates → exact Jaccard verify.
-    * Only (doc_id, band) pairs shuffle — signatures are 256 bytes/doc
-    * regardless of document size, which is the property that makes this
-    * run at 100 TB. */
-  private val ddMinhash = Q(
-    (s, dir) => {
-      import s.implicits._
-      val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-      val sh = docs.select($"doc_id",
-        array_distinct(TF.wordNgrams($"text", 3)).as("shingles"))
-      val sig = sh.select($"doc_id", $"shingles",
-        TF.minhashSignature($"shingles", 32).as("sig"))
-      val bands = sig.select($"doc_id",
-        explode(TF.minhashBands($"sig", 4, 8)).as("band"))
-      val cand = bands.as("a").join(bands.as("b"),
-          $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
-      val withSets = cand
-        .join(sh.select($"doc_id".as("a_id"), $"shingles".as("sa")), "a_id")
-        .join(sh.select($"doc_id".as("b_id"), $"shingles".as("sb")), "b_id")
-      withSets
-        .withColumn("jaccard", round(
-          size(array_intersect($"sa", $"sb")).cast("double") /
-          size(array_union($"sa", $"sb")), 6))
-        .filter($"jaccard" >= 0.2)
-        .select($"a_id", $"b_id", $"jaccard")
-        .orderBy($"a_id", $"b_id")
-    },
-    Some("""WITH toks AS (
+  /** MinHash-LSH near-dup pipeline, one-hash construction: each shingle is
+    * md5-hashed ONCE, the 32 signature slots are linear permutations
+    * (a_i·h + b_i) mod P folded as min-aggregates over exploded
+    * (doc, shingle-hash) rows — fully codegen'd hash aggregation with
+    * map-side partials. Then 8 bands of 4 → band-bucket self-join for
+    * candidates → exact Jaccard verify. Only (doc_id, band) pairs shuffle —
+    * signatures are 256 bytes/doc regardless of document size, which is
+    * what makes MinHash dedup feasible at 100 TB. */
+  private val ddMinhash = {
+    val perms = (0 until 32).map(TF.minhashPerm)
+    val P = TF.MinhashP
+    Q(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+        // (doc_id, shingle-hash) rows: the ONLY pass that touches text.
+        // Persisted because three branches consume it (signatures, and the
+        // two sides of the Jaccard verify) and Spark does no cross-branch
+        // CSE — at 100 TB this cache is hashes only, ~1% of corpus size.
+        val hv = docs
+          .select($"doc_id", explode(array_distinct(TF.wordNgrams($"text", 3))).as("sgl"))
+          .select($"doc_id", (TF.hash60($"sgl") % P).as("h"))
+          .persist()
+        val sig = hv.groupBy($"doc_id").agg(
+          min((lit(perms.head._1) * $"h" + lit(perms.head._2)) % P).as("s0"),
+          perms.toIndexedSeq.zipWithIndex.tail.map { case ((a, b), i) =>
+            min((lit(a) * $"h" + lit(b)) % P).as(s"s$i")
+          }: _*)
+        val sigArr = sig.select($"doc_id",
+          array((0 until 32).map(i => col(s"s$i")): _*).as("sig"))
+        val bands = sigArr.select($"doc_id",
+          explode(TF.minhashBands($"sig", 4, 8)).as("band"))
+        val cand = bands.as("a").join(bands.as("b"),
+            $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
+        // Jaccard over the shingle-HASH sets — identical values to string
+        // jaccard on both engines (same md5-derived hashes), far cheaper.
+        val sets = hv.groupBy($"doc_id").agg(collect_set($"h").as("hs"))
+        val withSets = cand
+          .join(sets.select($"doc_id".as("a_id"), $"hs".as("sa")), "a_id")
+          .join(sets.select($"doc_id".as("b_id"), $"hs".as("sb")), "b_id")
+        withSets
+          .withColumn("jaccard", round(
+            size(array_intersect($"sa", $"sb")).cast("double") /
+            size(array_union($"sa", $"sb")), 6))
+          .filter($"jaccard" >= 0.2)
+          .select($"a_id", $"b_id", $"jaccard")
+          .orderBy($"a_id", $"b_id")
+      },
+      Some {
+        val slotDefs = perms.zipWithIndex.map { case ((a, b), i) =>
+          s"min(($a * h + $b) % $P) AS s$i"
+        }.mkString(",\n          ")
+        val slotList = (0 until 32).map(i => s"s$i").mkString("[", ", ", "]")
+        s"""WITH toks AS (
         SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-          ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+          ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
         FROM documents),
       sh AS (
         SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
           ELSE list_transform(range(0, len(ts) - 2),
             i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]) END) AS shingles
         FROM toks),
-      sig AS (
-        SELECT doc_id, shingles,
-          list_transform(range(0, 32), s -> coalesce(
-            list_min(list_transform(shingles,
-              x -> ('0x' || substr(md5(s::VARCHAR || '|' || x), 1, 15))::BIGINT)),
-            9223372036854775807)) AS sig
+      hv AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT % $P AS h
         FROM sh),
+      sig AS (
+        SELECT doc_id,
+          $slotDefs
+        FROM hv GROUP BY doc_id),
+      sigarr AS (SELECT doc_id, $slotList AS sig FROM sig),
       bands AS (
         SELECT doc_id, unnest(list_transform(range(0, 8),
           b -> ('0x' || substr(md5(b::VARCHAR || ',' ||
             array_to_string(sig[b*4+1 : b*4+4], '_')), 1, 15))::BIGINT)) AS band
-        FROM sig),
+        FROM sigarr),
       cand AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+      sets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM hv GROUP BY doc_id)
       SELECT a_id, b_id,
-        round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-          len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
-      FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id
-      WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-        len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) >= 0.2
-      ORDER BY a_id, b_id"""))
+        round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
+          len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
+      FROM cand JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id
+      WHERE round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
+        len(list_distinct(list_concat(sa.hs, sb.hs))), 6) >= 0.2
+      ORDER BY a_id, b_id"""
+      })
+  }
 
   private val ddSimhash = Q(
     (s, dir) => {
@@ -528,13 +558,16 @@ object Queries {
   private val ddEmbedCosine = Q(
     (s, dir) => {
       import s.implicits._
+      // label blocking bounds the pair count; norms are computed once per
+      // vector BEFORE the self-join (not once per pair), and the pair dot
+      // is a single codegen'd expression.
       val e = Tables.embeddings(s, dir).select($"vec_id", $"label", $"embedding")
-      // label blocking bounds the pair count; within a block the join is a
-      // broadcast-able self-join at any realistic block size.
+        .withColumn("nrm", VF.norm2($"embedding"))
       e.as("a").join(e.as("b"),
           $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
-          round(VF.cosine($"a.embedding", $"b.embedding"), 6).as("cosine"))
+          round(VF.cosineWithNorms(
+            VF.dot($"a.embedding", $"b.embedding"), $"a.nrm", $"b.nrm"), 6).as("cosine"))
         .filter($"cosine" >= 0.35)
         .orderBy($"a_id", $"b_id")
     },
@@ -548,14 +581,15 @@ object Queries {
   private val annTopk = Q(
     (s, dir) => {
       import s.implicits._
-      val e = Tables.embeddings(s, dir)
+      val e = Tables.embeddings(s, dir).withColumn("nrm", VF.norm2($"embedding"))
       val q = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"nrm".as("q_nrm"))
       // brute-force baseline: broadcast the query set, scan the corpus once;
       // at 100 TB this is the one-pass exact scorer (queries ≪ corpus).
       val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id".as("n_id"),
-          round(VF.cosine($"q_vec", $"embedding"), 6).as("cosine"))
+          round(VF.cosineWithNorms(
+            VF.dot($"q_vec", $"embedding"), $"q_nrm", $"nrm"), 6).as("cosine"))
       val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
       scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
         .orderBy($"q_id", $"rk")
@@ -579,12 +613,15 @@ object Queries {
       import s.implicits._
       val e = Tables.embeddings(s, dir)
         .select($"vec_id", $"label", $"embedding",
-                VF.lshBucket($"embedding", 4).as("bucket"))
+                VF.lshBucket($"embedding", 4, dims = 64).as("bucket"),
+                VF.norm2($"embedding").as("nrm"))
       val q = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"bucket")
+        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+                $"bucket", $"nrm".as("q_nrm"))
       val scored = e.join(q, Seq("bucket")).filter($"vec_id" =!= $"q_id")
         .select($"q_id", $"vec_id".as("n_id"),
-          round(VF.cosine($"q_vec", $"embedding"), 6).as("cosine"))
+          round(VF.cosineWithNorms(
+            VF.dot($"q_vec", $"embedding"), $"q_nrm", $"nrm"), 6).as("cosine"))
       val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
       scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
         .orderBy($"q_id", $"rk")

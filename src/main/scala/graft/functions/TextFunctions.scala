@@ -27,6 +27,28 @@ object TextFunctions {
   def hash60(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** JVM-side twin of [[hash60]] for deriving plan-time constants (LSH
+    * hyperplanes, MinHash permutation coefficients) that must agree with
+    * SQL-side md5 arithmetic. */
+  def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  /** MinHash universe modulus: 2^31-1 (Mersenne prime) — products of two
+    * sub-2^31 values stay within Long. */
+  val MinhashP = 2147483647L
+
+  /** Deterministic linear-permutation coefficients (a_i, b_i) for one-hash
+    * MinHash: slot_i = min over shingles of (a_i·h + b_i) mod P, where h is
+    * the single md5-derived base hash of the shingle. One md5 per shingle
+    * total (vs one per shingle per slot in the naive construction) — at
+    * 100 TB the hashing cost is the whole game. */
+  def minhashPerm(i: Int): (Long, Long) =
+    (md5Long60(s"mh_a_$i") % (MinhashP - 1) + 1, md5Long60(s"mh_b_$i") % MinhashP)
+
   /** Seeded variant for MinHash permutations. */
   def hash60Seeded(c: Column, seed: Int): Column =
     hash60(concat_ws("|", lit(seed.toString), c.cast("string")))

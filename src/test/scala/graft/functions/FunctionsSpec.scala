@@ -101,7 +101,7 @@ class FunctionsSpec extends AnyFunSuite {
     // dims (1,2,4): no ±1-combination sums to zero, so every projection is
     // nonzero and the antipodal vector complements every sign bit
     val df = Seq(Seq(1.0f, 2.0f, 4.0f), Seq(1.0f, 2.0f, 4.0f), Seq(-1.0f, -2.0f, -4.0f))
-      .toDF("v").select(VectorFunctions.lshBucket($"v", 6).as("b"))
+      .toDF("v").select(VectorFunctions.lshBucket($"v", 6, dims = 3).as("b"))
     val v = df.as[Long].collect()
     assert(v(0) == v(1))
     assert(v.forall(x => x >= 0 && x < 64))
