@@ -135,4 +135,29 @@ object Sinks {
   def fileBinary(df: DataFrame, dir: String): Unit =
     df.select(col("origin"), col("value"))
       .write.mode("append").partitionBy("origin").format("parquet").save(dir)
+
+  /** Origin multiplexing — SURVEY §7.3 "hard part #2": one stream carries
+    * many logical tables, distinguished by the `origin` column; table sinks
+    * must route each origin to its own target (the reference creates/inserts
+    * a table named by the message origin per batch,
+    * `sections/sqlite_connector/src/destination.rs:67`).
+    *
+    * For lake sinks `partitionBy("origin")` does this for free (see
+    * [[parquet]]). For table sinks (JDBC et al.) the fan-out is explicit:
+    * the distinct-origin list is collected (it is O(#logical tables), tiny
+    * by construction — never O(rows)) and each origin's slice is written by
+    * `writeOne`. Slices are filtered scans of the same frame, so with the
+    * frame persisted by the caller this is one pass per origin over
+    * partition-pruned data. */
+  def routeByOrigin(df: DataFrame)(writeOne: (String, DataFrame) => Unit): Unit = {
+    val origins = df.select("origin").distinct().collect().map(_.getString(0)).sorted
+    origins.foreach { o =>
+      writeOne(o, df.filter(col("origin") === o).drop("origin"))
+    }
+  }
+
+  /** JDBC table-per-origin sink: the Spark shape of the reference's
+    * `CREATE TABLE IF NOT EXISTS "<origin>"` + insert loop (D1-D3). */
+  def jdbcByOrigin(df: DataFrame, url: String, truncate: Boolean = false): Unit =
+    routeByOrigin(df) { (origin, slice) => jdbc(slice, url, origin, truncate) }
 }
