@@ -1,0 +1,66 @@
+package graft
+
+import graft.plans.{Orchestrator, PipelineSpec}
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** CLI runner — the engine's equivalent of the reference's control plane +
+  * daemon (SURVEY §2.4: "our equivalent = JSON pipeline-spec files + CLI
+  * runner"). Desired state is a directory of spec files; every invocation
+  * reconciles running pipelines against it (hash-diff), exactly like a
+  * control-plane push to `myceliald`.
+  *
+  *   graft run <spec.json> [<spec2.json> ...]   run pipelines once
+  *   graft reconcile <specDir>                  reconcile *.json in a dir
+  *   graft validate <spec.json>                 parse + validate only
+  */
+object Main {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "run" :: files if files.nonEmpty =>
+      val spark = session()
+      try {
+        val orch = new Orchestrator(spark)
+        val specs = files.map(f => PipelineSpec.fromJson(readFile(Paths.get(f))))
+        val (started, kept, stopped) = orch.reconcile(specs)
+        println(s"started=${started.size} kept=${kept.size} stopped=${stopped.size}")
+      } finally spark.stop()
+
+    case "reconcile" :: dir :: Nil =>
+      val spark = session()
+      try {
+        val orch = new Orchestrator(spark)
+        val specs = Files.list(Paths.get(dir)).iterator().asScala
+          .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+          .map(p => PipelineSpec.fromJson(readFile(p)))
+        val (started, kept, stopped) = orch.reconcile(specs)
+        println(s"started=${started.size} kept=${kept.size} stopped=${stopped.size}")
+      } finally spark.stop()
+
+    case "validate" :: file :: Nil =>
+      val spec = PipelineSpec.fromJson(readFile(Paths.get(file)))
+      println(s"ok components=${spec.components.size} hash=${spec.specHash.take(12)}")
+
+    case _ =>
+      System.err.println("usage: graft run <spec.json>... | reconcile <dir> | validate <spec.json>")
+      sys.exit(2)
+  }
+
+  private def readFile(p: Path): String =
+    new String(Files.readAllBytes(p), "UTF-8")
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -748,6 +748,94 @@ object Queries {
     Some("""SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
       md5(text) AS content_md5 FROM documents ORDER BY doc_id"""))
 
+  /** Deterministic hash-based train/valid/test split — reproducible across
+    * engines, runs, and cluster sizes (pure function of the key, no RNG
+    * state, no shuffle). */
+  private val taSplit = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bucket = TF.hash60($"doc_id") % 100
+      Tables.documents(s, dir).select($"doc_id",
+          when(bucket < 80, "train").when(bucket < 90, "valid")
+            .otherwise("test").as("split"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+      CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+           WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90 THEN 'valid'
+           ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""))
+
+  /** Corpus vocabulary: token frequencies, top 100. Explode → map-side
+    * partial count → final count: the canonical scalable wordcount. */
+  private val taVocab = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select(explode(TF.tokens($"text")).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("freq"))
+        .orderBy($"freq".desc, $"token").limit(100)
+    },
+    Some("""SELECT token, count(*) AS freq FROM (
+        SELECT unnest(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+          ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        FROM documents)
+      GROUP BY token ORDER BY freq DESC, token LIMIT 100"""))
+
+  /** Near-dup clusters: connected components over the cosine near-dup pair
+    * graph, by iterative min-label propagation (bounded driver loop with
+    * per-iteration localCheckpoint to cap lineage). The edge set is only
+    * the near-dup pairs — tiny relative to the corpus — so each iteration
+    * is a small join regardless of corpus size; at extreme component
+    * counts the same algorithm runs on GraphX unchanged. */
+  private val ddClusters = Q(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"label", $"embedding")
+        .withColumn("nrm", VF.norm2($"embedding"))
+      val pairs = e.as("a").join(e.as("b"),
+          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
+          round(VF.cosineWithNorms(
+            VF.dot($"a.embedding", $"b.embedding"), $"a.nrm", $"b.nrm"), 6).as("cosine"))
+        .filter($"cosine" >= 0.35)
+      val edges = pairs.select($"a_id".as("src"), $"b_id".as("dst"))
+        .union(pairs.select($"b_id".as("src"), $"a_id".as("dst"))).persist()
+      var labels = e.select($"vec_id".as("id"), $"vec_id".as("cluster"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val nbrMin = edges.join(labels, $"dst" === $"id")
+          .groupBy($"src").agg(min($"cluster").as("nbr_min"))
+        val next = labels.join(nbrMin, $"id" === $"src", "left")
+          .select($"id",
+            least($"cluster", coalesce($"nbr_min", $"cluster")).as("cluster"))
+          .localCheckpoint(true)
+        changed = next.as("n")
+          .join(labels.as("o"), $"n.id" === $"o.id")
+          .filter($"n.cluster" =!= $"o.cluster").count()
+        labels = next
+        iter += 1
+      }
+      labels.select($"id".as("vec_id"), $"cluster".as("cluster_id"))
+        .orderBy($"vec_id")
+    },
+    Some("""WITH RECURSIVE pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35),
+      edges AS (
+        SELECT a_id AS s, b_id AS d FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s)
+      SELECT id AS vec_id, min(r) AS cluster_id FROM reach
+      GROUP BY id ORDER BY vec_id"""))
+
   /** Stubbed multimodal decode: payload → fixed-length feature vector
     * (see [[graft.operators.Multimodal.stubDecodeFeatures]]); exercises the
     * binary → features flow with a portable deterministic stand-in. */
@@ -827,12 +915,15 @@ object Queries {
     "dd_minhash_lsh" -> ddMinhash,
     "dd_simhash" -> ddSimhash,
     "dd_embed_cosine" -> ddEmbedCosine,
+    "dd_dup_clusters" -> ddClusters,
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLsh,
     "ta_langid" -> taLangId,
     "ta_quality" -> taQuality,
     "ta_tokens" -> taTokens,
     "ta_fingerprint" -> taFingerprint,
+    "ta_split" -> taSplit,
+    "ta_vocab" -> taVocab,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecode,
     "st_tumbling_window" -> stTumbling)

@@ -135,14 +135,22 @@ object PipelineSpec {
     spec
   }
 
-  def toJson(spec: PipelineSpec): String = {
+  /** Config keys treated as secrets — stripped from display serialization,
+    * mirroring the reference's `#[derive(Configuration)]` secret handling
+    * (mycelial `config/src/lib.rs:14-26`). */
+  private val SecretKey = "(?i).*(password|secret|token|key)$".r
+
+  def toJson(spec: PipelineSpec, redactSecrets: Boolean = false): String = {
     val root = mapper.createObjectNode()
     val secs = root.putArray("sections")
     spec.sections.foreach { s =>
       val n = secs.addObject()
       n.put("id", s.id); n.put("name", s.name)
       val c = n.putObject("config")
-      s.config.toSeq.sortBy(_._1).foreach { case (k, v) => c.put(k, v) }
+      s.config.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        val out = if (redactSecrets && SecretKey.matches(k)) "***" else v
+        c.put(k, out)
+      }
     }
     val es = root.putArray("edges")
     spec.edges.foreach { case (f, t) =>
