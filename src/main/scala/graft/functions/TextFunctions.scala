@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Deterministic 60-bit hash: int(md5(s)[0:15], 16). Portable across
-    * engines (DuckDB: `('0x' || substr(md5(s),1,15))::BIGINT`). */
-  def hash60(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    * engines (DuckDB: `('0x' || substr(md5(s),1,15))::BIGINT`). Computed by
+    * the native [[Hash60]] expression — identical values, no hex-string
+    * round trip. */
+  def hash60(c: Column): Column = Hash60(c.cast("string"))
 
   /** JVM-side twin of [[hash60]] for deriving plan-time constants (LSH
     * hyperplanes, MinHash permutation coefficients) that must agree with

@@ -93,6 +93,16 @@ object Transforms {
     * debug tap, prints up to 64 rows. */
   def inspect(df: DataFrame): DataFrame = { df.show(64, truncate = false); df }
 
+  /** Inspect, production form: zero-cost pass-through that attaches named
+    * metrics (row count, null count of a key column) to the running query
+    * via `observe` — readable from QueryExecutionListener / streaming
+    * progress without a second scan, unlike show(). */
+  def observed(name: String, keyCol: Option[String] = None)(df: DataFrame): DataFrame = {
+    val metrics = Seq(count(lit(1)).as("rows")) ++
+      keyCol.map(c => sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_nulls"))
+    df.observe(name, metrics.head, metrics.tail: _*)
+  }
+
   /** T8/T9 exec (`sections/exec/src/section/{df,bin}.rs`): pipe rows through
     * an external command, one line in → one line out, executed per
     * partition (distributed; the reference runs one process per daemon —
