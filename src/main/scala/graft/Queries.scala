@@ -353,6 +353,86 @@ object Queries {
         ON p.user_id = e.user_id AND p.ts > e.ts
       ORDER BY p.event_id"""))
 
+  /** Correlated scalar subquery (decimal-exact threshold so the boundary
+    * comparison is deterministic across engines/partitionings). */
+  private val q18 = Q(
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o.o_orderkey, o.o_totalprice FROM orders o
+        WHERE o.o_totalprice > 1.5 * (
+          SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o.o_orderkey""")
+    },
+    Some("""SELECT o.o_orderkey, o.o_totalprice FROM orders o
+      WHERE o.o_totalprice > 1.5 * (
+        SELECT CAST(sum(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o.o_orderkey"""))
+
+  private val q19 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir).groupBy($"o_orderstatus")
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+             round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95_price"),
+             count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    },
+    Some("""SELECT o_orderstatus,
+      round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+      round(quantile_cont(o_totalprice, 0.95), 4) AS p95_price,
+      count(*) AS n
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  private val q20 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir).select($"p_partkey",
+          upper($"p_name").as("uname"),
+          lpad($"p_brand", 12, "_").as("padded"),
+          regexp_replace($"p_type", "[aeiou]", "").as("devoweled"),
+          levenshtein(substring($"p_name", 1, 8), $"p_brand").as("edit_dist"),
+          reverse($"p_type").as("rtype"))
+        .orderBy($"p_partkey")
+    },
+    Some("""SELECT p_partkey, upper(p_name) AS uname,
+      lpad(p_brand, 12, '_') AS padded,
+      regexp_replace(p_type, '[aeiou]', '', 'g') AS devoweled,
+      levenshtein(substr(p_name, 1, 8), p_brand) AS edit_dist,
+      reverse(p_type) AS rtype
+      FROM part ORDER BY p_partkey"""))
+
+  private val q21 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy(year($"o_orderdate").as("y"), month($"o_orderdate").as("m"))
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("revenue"))
+        .orderBy($"y", $"m")
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+      count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders GROUP BY 1, 2 ORDER BY y, m"""))
+
+  private val q22 = Q(
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY o_orderstatus, o_orderpriority""")
+    },
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+      coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+      count(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      ORDER BY o_orderstatus, o_orderpriority"""))
+
   // ------------------------------------------------------- operator parity
 
   private val opTypecast = Q(
@@ -903,6 +983,11 @@ object Queries {
     "q16_json_extract" -> q16,
     "q17_asof_join" -> q17,
     "q13_cust_dist" -> q13,
+    "q18_corr_subquery" -> q18,
+    "q19_percentiles" -> q19,
+    "q20_string_funcs" -> q20,
+    "q21_date_parts" -> q21,
+    "q22_grouping_sets" -> q22,
     "op_typecast" -> opTypecast,
     "op_tagging" -> opTagging,
     "op_origin_regex" -> opOriginRegex,
