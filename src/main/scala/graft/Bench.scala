@@ -18,8 +18,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one warm-up action so JVM/codegen startup isn't billed to the first query
+    // warm-up actions so JVM/codegen/streaming-machinery startup isn't
+    // billed to the first query that happens to hit each engine path
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    locally {
+      import org.apache.spark.sql.streaming.Trigger
+      val raw = spark.read.parquet(s"$sfDir/region.parquet")
+      val q = spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "region.parquet").parquet(sfDir)
+        .groupBy("r_name").count()
+        .writeStream.format("memory").queryName("bench_warm")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     val results = Queries.all.map { case (name, q) =>
       val t0 = System.nanoTime()
       try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -945,6 +945,13 @@ object Queries {
     (s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Streaming state partitioning: each shuffle partition carries an
+      // HDFS-backed state store whose per-batch snapshot cost dwarfs the
+      // ~40k window keys here; 8 stores is plenty at this key cardinality
+      // (state partitions are fixed per checkpoint, so this is a per-query
+      // choice, restored after).
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val raw = s.read.parquet(s"$dir/events.parquet")
       // file stream source needs a directory; glob-filter to the one table
       val stream = s.readStream.schema(raw.schema)
@@ -954,9 +961,11 @@ object Queries {
         .groupBy(window($"ts", "5 minutes").getField("start").cast("string").as("window_start"),
                  $"event_type")
         .agg(count(lit(1)).as("n"))
-      graft.streaming.StreamingPipelines
+      val out = graft.streaming.StreamingPipelines
         .collectStream(s, agg, s"st_tumbling_${System.nanoTime()}")
         .orderBy($"window_start", $"event_type")
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      out
     },
     Some("""SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS window_start,
       event_type, count(*) AS n
