@@ -541,13 +541,15 @@ object Queries {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-        // (doc_id, shingle-hash) rows: the ONLY pass that touches text.
-        // Persisted because three branches consume it (signatures, and the
-        // two sides of the Jaccard verify) and Spark does no cross-branch
-        // CSE — at 100 TB this cache is hashes only, ~1% of corpus size.
+        // (doc_id, shingle-hash) rows: the ONLY pass that touches text —
+        // tokenize+shingle+hash fused into one native expression. Persisted
+        // because three branches consume it (signatures, and the two sides
+        // of the Jaccard verify) and Spark does no cross-branch CSE — at
+        // 100 TB this cache is hashes only, ~1% of corpus size.
         val hv = docs
-          .select($"doc_id", explode(array_distinct(TF.wordNgrams($"text", 3))).as("sgl"))
-          .select($"doc_id", (TF.hash60($"sgl") % P).as("h"))
+          .select($"doc_id",
+            explode(graft.functions.WordNgramHashes($"text", 3)).as("h60"))
+          .select($"doc_id", ($"h60" % P).as("h"))
           .persist()
         val sig = hv.groupBy($"doc_id").agg(
           min((lit(perms.head._1) * $"h" + lit(perms.head._2)) % P).as("s0"),

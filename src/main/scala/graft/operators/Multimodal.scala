@@ -60,6 +60,26 @@ object Multimodal {
           (col("frame_idx") * (octet_length(col(payload)) / nFrames) + 1).cast("int"),
           greatest((octet_length(col(payload)) / nFrames).cast("int"), lit(1))))
 
+  /** The shape a REAL codec integration takes: iterator-to-iterator
+    * mapPartitions (the JVM analog of mapInPandas) — the codec is
+    * initialized once per partition, rows stream through without
+    * materializing the partition, and the output is a typed Dataset. The
+    * decode body is the same clearly-marked stub as
+    * [[stubDecodeFeatures]]. */
+  def stubDecodePartitions(df: DataFrame, payload: String, dims: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(payload)).as[Array[Byte]].mapPartitions { rows =>
+      // real pipeline: val codec = NativeCodec.open() — once per partition
+      rows.map { bytes =>
+        // STUB: md5-derived features standing in for decoded tensor stats
+        val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+        (bytes.length.toLong,
+         (0 until dims).map(i => (d(i) & 0xff) / 255.0).toArray)
+      }
+    }.toDF("byte_len", "features")
+  }
+
   /** Size-balanced repartition for binary corpora: target ~`targetMB` of
     * payload per partition so executors never hold multi-GB tasks. Uses a
     * count+avg estimate — one cheap metadata pass — then range-partitions

@@ -109,6 +109,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(v(2) == (~v(0) & 63))
   }
 
+  test("WordNgramHashes equals hash60 over array_distinct(wordNgrams)") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "a a a a a", "one two", "", "  spaced   out   tokens here  ")
+    val df = texts.toDF("t")
+    val native = df.select(graft.functions.WordNgramHashes($"t", 3).as("h"))
+      .as[Seq[Long]].collect().map(_.toSet)
+    val composed = df.select(
+        transform(array_distinct(TextFunctions.wordNgrams($"t", 3)),
+          s => TextFunctions.hash60(s)).as("h"))
+      .as[Seq[Long]].collect().map(_.toSet)
+    assert(native.sameElements(composed))
+  }
+
+  test("stubDecodePartitions streams binary rows to typed features") {
+    val df = Seq("alpha", "beta").toDF("t")
+      .select(encode($"t", "UTF-8").as("payload"))
+    val out = graft.operators.Multimodal.stubDecodePartitions(df, "payload", dims = 4)
+    val rows = out.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[Seq[Double]]("features").length == 4))
+    assert(rows.map(_.getAs[Long]("byte_len")).sorted.sameElements(Array(4L, 5L)))
+  }
+
   test("ann lsh recall vs brute force at sf0.001") {
     val brute = graft.Queries.all.toMap.apply("ann_topk")
       .fn(spark, TestSpark.sf).select("q_id", "n_id")
