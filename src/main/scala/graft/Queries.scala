@@ -433,6 +433,35 @@ object Queries {
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
       ORDER BY o_orderstatus, o_orderpriority"""))
 
+  /** Native session_window operator (gap-merge), verified against a
+    * first-principles lag/cumsum sessionization oracle — proves Spark's
+    * built-in session semantics equal the manual construction. */
+  private val q23 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"w.start".cast("string").as("session_start"),
+                $"n_events")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+            THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      sess AS (
+        SELECT user_id, ts,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM ev)
+      SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start,
+        count(*) AS n_events
+      FROM sess GROUP BY user_id, sess_id
+      ORDER BY user_id, session_start"""))
+
   // ------------------------------------------------------- operator parity
 
   private val opTypecast = Q(
@@ -999,6 +1028,7 @@ object Queries {
     "q20_string_funcs" -> q20,
     "q21_date_parts" -> q21,
     "q22_grouping_sets" -> q22,
+    "q23_session_window" -> q23,
     "op_typecast" -> opTypecast,
     "op_tagging" -> opTagging,
     "op_origin_regex" -> opOriginRegex,

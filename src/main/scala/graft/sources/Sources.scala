@@ -160,4 +160,26 @@ object Sinks {
     * `CREATE TABLE IF NOT EXISTS "<origin>"` + insert loop (D1-D3). */
   def jdbcByOrigin(df: DataFrame, url: String, truncate: Boolean = false): Unit =
     routeByOrigin(df) { (origin, slice) => jdbc(slice, url, origin, truncate) }
+
+  /** Idempotent append — the reference's `INSERT OR IGNORE` (D1,
+    * `sections/sqlite_connector/src/destination.rs:91`): rows whose key
+    * already exists in the target are dropped before the write, so
+    * at-least-once replay (crash between sink commit and state write)
+    * becomes effectively-once. The existing-keys scan is column-pruned to
+    * the key columns and the anti-join broadcasts when the batch is small —
+    * at lake scale, partition the target by a batch/date column so the
+    * existence scan prunes to one partition. */
+  def idempotentParquetAppend(df: DataFrame, path: String, keyCols: Seq[String]): Unit = {
+    val fresh =
+      try {
+        val existingKeys = df.sparkSession.read.parquet(path)
+          .select(keyCols.map(col): _*).distinct()
+        df.join(existingKeys, keyCols, "left_anti")
+      } catch {
+        case e: Exception if e.getMessage != null &&
+          (e.getMessage.contains("Path does not exist") ||
+           e.getMessage.contains("PATH_NOT_FOUND")) => df
+      }
+    fresh.write.mode("append").parquet(path)
+  }
 }

@@ -31,6 +31,18 @@ class SinksSpec extends AnyFunSuite {
     assert(written == Map("orders" -> 2L, "users" -> 1L))
   }
 
+  test("idempotentParquetAppend makes replayed batches effectively-once") {
+    val dir = Files.createTempDirectory("graft_idem").toString
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.idempotentParquetAppend(batch, s"$dir/t", Seq("id"))
+    // at-least-once replay: same batch again, plus one genuinely new row
+    val replay = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    Sinks.idempotentParquetAppend(replay, s"$dir/t", Seq("id"))
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 3, "replayed keys must not duplicate")
+    assert(back.select("id").as[Long].collect().sorted.sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("dir source lists files with pattern + cursor semantics") {
     val df = Sources.dir(spark, TestSpark.sf, pattern = ".*\\.parquet$")
     val files = df.select("path").as[String].collect()
