@@ -32,6 +32,8 @@ final case class PipelineSpec(sections: Seq[SectionSpec], edges: Seq[(String, St
   def validate(): Unit = {
     val ids = sections.map(_.id)
     require(ids.distinct.size == ids.size, "duplicate section ids")
+    // every section type must exist in the registry (not just the wired ones)
+    sections.foreach(s => SectionRegistry.ioOf(s.name))
     edges.foreach { case (f, t) =>
       require(ids.contains(f) && ids.contains(t), s"edge ($f,$t) names unknown section")
     }

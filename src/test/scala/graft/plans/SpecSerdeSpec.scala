@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spec ser/de goldens — mirrors the reference's config JSON shape tests
+  * (mycelial `config/tests/test_ser_de.rs`): the wire form is stable
+  * (sorted config keys), and secret-looking keys are redacted from display
+  * serialization but never from the spec hash (reconciliation must see
+  * real values change). */
+class SpecSerdeSpec extends AnyFunSuite {
+
+  private val spec = PipelineSpec(
+    Seq(
+      SectionSpec("src", "postgres_source", Map(
+        "url" -> "jdbc:postgresql://h/db",
+        "password" -> "hunter2",
+        "api_key" -> "k-123",
+        "query" -> "select 1")),
+      SectionSpec("sink", "stub", Map.empty)),
+    Seq(("src", "sink")))
+
+  test("golden wire form: sorted keys, stable shape") {
+    val json = PipelineSpec.toJson(spec)
+    val expected =
+      """{"sections":[{"id":"src","name":"postgres_source","config":{""" +
+      """"api_key":"k-123","password":"hunter2","query":"select 1",""" +
+      """"url":"jdbc:postgresql://h/db"}},""" +
+      """{"id":"sink","name":"stub","config":{}}],""" +
+      """"edges":[["src","sink"]]}"""
+    assert(json == expected)
+  }
+
+  test("redaction strips password/key values, keeps others") {
+    val json = PipelineSpec.toJson(spec, redactSecrets = true)
+    assert(!json.contains("hunter2"))
+    assert(!json.contains("k-123"))
+    assert(json.contains("\"password\":\"***\""))
+    assert(json.contains("select 1"))
+  }
+
+  test("redaction does not change the reconciliation hash") {
+    val h1 = spec.specHash
+    val rotated = PipelineSpec(
+      spec.sections.updated(0, spec.sections.head.copy(
+        config = spec.sections.head.config + ("password" -> "NEW"))),
+      spec.edges)
+    assert(rotated.specHash != h1, "secret rotation must trigger redeploy")
+  }
+
+  test("parse rejects unknown section names at validation") {
+    intercept[IllegalArgumentException] {
+      PipelineSpec.fromJson(
+        """{"sections":[{"id":"a","name":"no_such_section","config":{}}],"edges":[]}""")
+    }
+  }
+}
