@@ -166,8 +166,14 @@ object Queries {
       val rev = l.join(broadcast(p), $"l_partkey" === $"p_partkey")
         .groupBy($"p_brand", $"p_partkey")
         .agg(sum(dec($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)).cast("double").as("revenue"))
+      // custom TopKPerKey operator prunes to k rows/key with bounded heaps
+      // (partial map-side + final), instead of sorting whole partitions;
+      // row_number then ranks only the pruned k·#keys rows.
+      val topk = graft.plans.TopKPerKey(rev, Seq("p_brand"),
+        Seq(graft.plans.TopKPerKey.desc("revenue"),
+            graft.plans.TopKPerKey.asc("p_partkey")), 3)
       val w = Window.partitionBy($"p_brand").orderBy($"revenue".desc, $"p_partkey")
-      rev.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      topk.withColumn("rk", row_number().over(w))
         .select($"p_brand", $"p_partkey", $"revenue", $"rk")
         .orderBy($"p_brand", $"rk")
     },
@@ -701,8 +707,11 @@ object Queries {
         .select($"q_id", $"vec_id".as("n_id"),
           round(VF.cosineWithNorms(
             VF.dot($"q_vec", $"embedding"), $"q_nrm", $"nrm"), 6).as("cosine"))
+      val topk = graft.plans.TopKPerKey(scored, Seq("q_id"),
+        Seq(graft.plans.TopKPerKey.desc("cosine"),
+            graft.plans.TopKPerKey.asc("n_id")), 5)
       val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
-      scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      topk.withColumn("rk", row_number().over(w))
         .orderBy($"q_id", $"rk")
     },
     Some("""SELECT q_id, n_id, cosine, rk FROM (
