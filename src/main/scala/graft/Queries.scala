@@ -468,6 +468,96 @@ object Queries {
       FROM sess GROUP BY user_id, sess_id
       ORDER BY user_id, session_start"""))
 
+  private val q24 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val buyers = Tables.orders(s, dir).groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      val c = Tables.customer(s, dir)
+        .filter($"c_mktsegment" === "MACHINERY").select($"c_custkey", $"c_name")
+      c.join(buyers, $"c_custkey" === $"o_custkey", "full_outer")
+        .filter($"c_custkey".isNull || $"o_custkey".isNull)
+        .select(
+          coalesce($"c_custkey", $"o_custkey").as("custkey"),
+          $"c_name", coalesce($"n_orders", lit(0L)).as("n_orders"))
+        .orderBy($"custkey")
+    },
+    Some("""SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+      coalesce(n_orders, 0) AS n_orders
+      FROM (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'MACHINERY') c
+      FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+        ON c_custkey = o_custkey
+      WHERE c_custkey IS NULL OR o_custkey IS NULL
+      ORDER BY custkey"""))
+
+  /** Non-equi (range) join: price-band lookup via BETWEEN predicates. */
+  private val q25 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("low", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+        ("high", 150000.0, 1.0e18)).toDF("band", "lo", "hi")
+      Tables.orders(s, dir)
+        .join(broadcast(bands),
+          $"o_totalprice" >= $"lo" && $"o_totalprice" < $"hi")
+        .groupBy($"band").agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("revenue"))
+        .orderBy($"band")
+    },
+    Some("""SELECT band, count(*) AS n,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN (VALUES ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+        ('high', 150000.0, 1e18)) bands(band, lo, hi)
+        ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY band ORDER BY band"""))
+
+  /** Aggregate FILTER clause. */
+  private val q26 = Q(
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT l_returnflag,
+        count(*) FILTER (WHERE l_discount > 0.05) AS discounted,
+        count(*) FILTER (WHERE l_tax = 0) AS untaxed,
+        count(*) AS total
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    },
+    Some("""SELECT l_returnflag,
+      count(*) FILTER (WHERE l_discount > 0.05) AS discounted,
+      count(*) FILTER (WHERE l_tax = 0) AS untaxed,
+      count(*) AS total
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Ordered string aggregation. */
+  private val q27 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.nation(s, dir)
+        .groupBy($"n_regionkey")
+        .agg(array_join(sort_array(collect_list($"n_name")), ",").as("nations"))
+        .orderBy($"n_regionkey")
+    },
+    Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  /** Array/list analytics over the embedding column. */
+  private val q28 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val v = $"embedding".cast("array<double>")
+      Tables.embeddings(s, dir).select($"vec_id",
+          round(array_min(v), 6).as("vmin"),
+          round(array_max(v), 6).as("vmax"),
+          round(aggregate(v, lit(0.0), (a, x) => a + x) / size(v), 6).as("vmean"),
+          size(filter(v, x => x > 0.0)).as("n_pos"))
+        .orderBy($"vec_id")
+    },
+    Some("""SELECT vec_id,
+      round(list_min(embedding::DOUBLE[]), 6) AS vmin,
+      round(list_max(embedding::DOUBLE[]), 6) AS vmax,
+      round(list_reduce(list_prepend(0.0, embedding::DOUBLE[]), (a, x) -> a + x)
+        / len(embedding), 6) AS vmean,
+      len(list_filter(embedding::DOUBLE[], x -> x > 0.0)) AS n_pos
+      FROM embeddings ORDER BY vec_id"""))
+
   // ------------------------------------------------------- operator parity
 
   private val opTypecast = Q(
@@ -1070,6 +1160,11 @@ object Queries {
     "q21_date_parts" -> q21,
     "q22_grouping_sets" -> q22,
     "q23_session_window" -> q23,
+    "q24_full_outer" -> q24,
+    "q25_range_join" -> q25,
+    "q26_agg_filter" -> q26,
+    "q27_string_agg" -> q27,
+    "q28_array_stats" -> q28,
     "op_typecast" -> opTypecast,
     "op_tagging" -> opTagging,
     "op_origin_regex" -> opOriginRegex,
