@@ -44,7 +44,8 @@ object SectionRegistry {
     "csv_source" -> Entry(SectionIOSpec(None, DataFrameIO),
       (s, c, _) => Some(Sources.csv(s, cfg(c, "path"), c.get("origin")))),
     "excel_source" -> Entry(SectionIOSpec(None, DataFrameIO),
-      (s, c, _) => Some(Sources.excelAsCsv(s, cfg(c, "path"),
+      (s, c, _) => Some(graft.sources.ExcelSource.read(s, cfg(c, "path"),
+        c.getOrElse("sheet", "*"),
         c.getOrElse("stringify", "true").toBoolean))),
     "sqlite_source" -> Entry(SectionIOSpec(None, DataFrameIO),
       (s, c, _) => Some(Sources.jdbc(s, cfg(c, "url"), cfg(c, "query"), c.get("origin")))),
