@@ -49,6 +49,9 @@ object SectionRegistry {
         c.getOrElse("stringify", "true").toBoolean))),
     "sqlite_source" -> Entry(SectionIOSpec(None, DataFrameIO),
       (s, c, _) => Some(Sources.jdbc(s, cfg(c, "url"), cfg(c, "query"), c.get("origin")))),
+    "sqlite_file_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some(graft.sources.SqliteFile.read(s, cfg(c, "path"),
+        cfg(c, "table"), c.getOrElse("stringify", "true").toBoolean))),
     "postgres_source" -> Entry(SectionIOSpec(None, DataFrameIO),
       (s, c, _) => Some(Sources.jdbc(s, cfg(c, "url"), cfg(c, "query"), c.get("origin")))),
     "mysql_source" -> Entry(SectionIOSpec(None, DataFrameIO),
