@@ -63,18 +63,21 @@ object Transforms {
 
   /** T5 csv_transform::FromCsv (`sections/csv_transform/src/source.rs:60-174`):
     * binary/string CSV payload → columns, header row defines names, every
-    * column Str. Operates on a `(origin, value)` frame where `value` holds
-    * one CSV document per row. Header is taken from the first line of each
-    * value; split is plain-comma (reference uses the csv crate defaults —
-    * quoting handled by from_csv fallback below when `quoted=true`). */
+    * column Str (reference parses all fields as Str). Operates on a
+    * `(origin, value)` frame where `value` holds one CSV document per row.
+    * Lines parse through Spark's `from_csv` (RFC-4180 quoting/escapes, like
+    * the reference's csv crate), header lines dropped. */
   def fromCsv(header: Seq[String])(df: DataFrame): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(
+      header.map(h => org.apache.spark.sql.types.StructField(
+        h, org.apache.spark.sql.types.StringType)))
     val lines = df.select(col(OriginCol),
       explode(split(col("value").cast("string"), "\r?\n")).as("_line"))
       .filter(length(col("_line")) > 0)
       .filter(col("_line") =!= lit(header.mkString(",")))
-    val parts = split(col("_line"), ",")
-    val cols = header.zipWithIndex.map { case (h, i) => parts.getItem(i).as(h) }
-    lines.select(col(OriginCol) +: cols: _*)
+    lines
+      .withColumn("_rec", from_csv(col("_line"), schema, Map.empty[String, String]))
+      .select(col(OriginCol) +: header.map(h => col(s"_rec.`$h`").as(h)): _*)
   }
 
   /** T6 csv_transform::ToCsv (`sections/csv_transform/src/destination.rs:17-61`):
@@ -128,9 +131,13 @@ object Transforms {
     df.sparkSession.sql(query)
   }
 
-  /** Extension: exact deduplication on a key expression, keeping the row
-    * with the smallest tie-break key. Hash-partitions by the dedup key —
-    * one shuffle of (key, tiebreak) pairs; scales linearly. */
-  def dedupExact(keyCols: Seq[String])(df: DataFrame): DataFrame =
-    df.dropDuplicates(keyCols)
+  /** Extension: exact deduplication on key columns. With `tieBreak` given,
+    * the kept row is DETERMINISTIC — the minimum under the tie-break
+    * ordering — via the custom TopKPerKey operator with k=1 (bounded-heap,
+    * map-side partial, one shuffle of the survivors). Without it, falls
+    * back to `dropDuplicates` (arbitrary survivor, cheapest plan). */
+  def dedupExact(keyCols: Seq[String], tieBreak: Seq[String] = Nil)(df: DataFrame): DataFrame =
+    if (tieBreak.isEmpty) df.dropDuplicates(keyCols)
+    else graft.plans.TopKPerKey(df, keyCols,
+      tieBreak.map(graft.plans.TopKPerKey.asc), 1)
 }

@@ -77,4 +77,19 @@ class TransformsSpec extends AnyFunSuite {
     val df = Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v")
     assert(Transforms.dedupExact(Seq("k"))(df).count() == 2)
   }
+
+  test("dedupExact with tie-break keeps the deterministic minimum") {
+    val df = Seq((1, "b"), (1, "a"), (2, "c"), (2, "a")).toDF("k", "v")
+    val kept = Transforms.dedupExact(Seq("k"), tieBreak = Seq("v"))(df)
+      .as[(Int, String)].collect().sortBy(_._1)
+    assert(kept.toSeq == Seq((1, "a"), (2, "a")))
+  }
+
+  test("fromCsv handles quoted fields with embedded commas") {
+    val payload = "id,name\n1,\"alpha, the first\"\n2,plain"
+    val df = Seq(("f.csv", payload.getBytes("UTF-8"))).toDF("origin", "value")
+    val out = Transforms.fromCsv(Seq("id", "name"))(df)
+      .select("id", "name").as[(String, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("1", "alpha, the first"), ("2", "plain")))
+  }
 }
