@@ -3,6 +3,7 @@ package graft.plans
 import graft.operators.Transforms
 import graft.sources.{Sources, Sinks}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 /** Operator registry + spec→DataFrame compiler — the Spark-native
   * counterpart of the reference's config registry and task wiring
@@ -60,6 +61,12 @@ object SectionRegistry {
       (s, c, _) => Some(Sources.kafka(s, cfg(c, "brokers"), cfg(c, "topic")))),
     "sql_source" -> Entry(SectionIOSpec(None, DataFrameIO),
       (s, c, _) => Some(s.sql(cfg(c, "query")))),
+    "json_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some {
+        val df = s.read.option("multiLine", c.getOrElse("multiline", "false"))
+          .json(cfg(c, "path"))
+        c.get("origin").fold(df)(o => df.withColumn("origin", lit(o)))
+      }),
 
     // ---- transforms (SURVEY §2.2) ----
     "typecast" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
@@ -92,6 +99,12 @@ object SectionRegistry {
     "csv_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => { Sinks.csv(in(df), cfg(c, "path"),
         c.getOrElse("truncate", "false").toBoolean); scala.None }),
+    "json_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        in(df).write.mode(if (c.getOrElse("truncate", "false").toBoolean)
+          "overwrite" else "append").json(cfg(c, "path"))
+        scala.None
+      }),
     "jdbc_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => { Sinks.jdbc(in(df), cfg(c, "url"), cfg(c, "table"),
         c.getOrElse("truncate", "false").toBoolean); scala.None }),
