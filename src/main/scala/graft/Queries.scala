@@ -629,6 +629,28 @@ object Queries {
     },
     None) // filesystem listing — no tabular oracle; driver rows-only check
 
+  /** S1 real SQLite file ingestion (rows-only check: DuckDB has no sqlite
+    * reader in this offline container; correctness is covered by
+    * SqliteFileSpec against a stock-SQLite fixture). */
+  private val opSqliteFile = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.sources.SqliteFile.read(s,
+          "/root/repo/src/test/resources/fixture.db", "test", stringify = true)
+        .drop("origin").orderBy($"id")
+    },
+    None)
+
+  /** S5 real xlsx ingestion (rows-only; ExcelSourceSpec covers parsing). */
+  private val opExcel = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.sources.ExcelSource.read(s,
+          "/root/repo/src/test/resources/fixture.xlsx", stringify = false)
+        .drop("origin").orderBy($"city")
+    },
+    None)
+
   private val opExecPipe = Q(
     (s, dir) => {
       import s.implicits._
@@ -1173,6 +1195,8 @@ object Queries {
     "op_stateful_slice" -> opStatefulSlice,
     "op_dir_source" -> opDirSource,
     "op_exec_pipe" -> opExecPipe,
+    "op_sqlite_file" -> opSqliteFile,
+    "op_excel" -> opExcel,
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhash,
     "dd_simhash" -> ddSimhash,
