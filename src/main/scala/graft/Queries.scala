@@ -1100,6 +1100,75 @@ object Queries {
       SELECT id AS vec_id, min(r) AS cluster_id FROM reach
       GROUP BY id ORDER BY vec_id"""))
 
+  /** Doc-internal repetition ratio (duplicate bigram share) — the C4-style
+    * "repetitive document" quality filter. */
+  private val taRepetition = Q(
+    (s, dir) => {
+      import s.implicits._
+      val grams = TF.wordNgrams($"text", 2)
+      val n = size(grams)
+      val nd = size(array_distinct(grams))
+      Tables.documents(s, dir).select($"doc_id",
+          n.cast("long").as("n_bigrams"),
+          nd.cast("long").as("n_distinct"),
+          when(n > 0, round(lit(1.0) - nd.cast("double") / n, 6))
+            .otherwise(0.0).as("dup_ratio"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+        FROM documents),
+      g AS (
+        SELECT doc_id, CASE WHEN len(ts) < 2 THEN []::VARCHAR[]
+          ELSE list_transform(range(0, len(ts) - 1),
+            i -> ts[i+1] || ' ' || ts[i+2]) END AS grams
+        FROM t)
+      SELECT doc_id, len(grams)::BIGINT AS n_bigrams,
+        len(list_distinct(grams))::BIGINT AS n_distinct,
+        CASE WHEN len(grams) > 0
+          THEN round(1.0 - len(list_distinct(grams))::DOUBLE / len(grams), 6)
+          ELSE 0.0 END AS dup_ratio
+      FROM g ORDER BY doc_id"""))
+
+  /** PII redaction: email scrubbing over a deterministically-constructed
+    * contaminated column (the synthetic corpus has no PII, so each doc gets
+    * one injected address — exercises detection + replacement for real). */
+  private val taRedact = Q(
+    (s, dir) => {
+      import s.implicits._
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val contaminated = concat($"text", lit(" contact: user"), $"doc_id",
+        lit("@example.com"))
+      Tables.documents(s, dir).select($"doc_id",
+          regexp_count(contaminated, lit(emailRe)).cast("long").as("n_emails"),
+          md5(regexp_replace(contaminated, emailRe, "<EMAIL>")).as("redacted_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id,
+      len(regexp_extract_all(text || ' contact: user' || doc_id || '@example.com',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+      md5(regexp_replace(text || ' contact: user' || doc_id || '@example.com',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS redacted_md5
+      FROM documents ORDER BY doc_id"""))
+
+  /** Sliding (overlapping) event-time windows: 10-minute windows every
+    * 5 minutes — each event lands in two windows. */
+  private val q29 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir)
+        .groupBy(window($"ts", "10 minutes", "5 minutes")
+          .getField("start").cast("string").as("window_start"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"window_start")
+    },
+    Some("""SELECT CAST(ws AS VARCHAR) AS window_start, count(*) AS n FROM (
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS ws FROM events
+        UNION ALL
+        SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' FROM events)
+      GROUP BY ws ORDER BY window_start"""))
+
   /** Stubbed multimodal decode: payload → fixed-length feature vector
     * (see [[graft.operators.Multimodal.stubDecodeFeatures]]); exercises the
     * binary → features flow with a portable deterministic stand-in. */
@@ -1210,6 +1279,9 @@ object Queries {
     "ta_fingerprint" -> taFingerprint,
     "ta_split" -> taSplit,
     "ta_vocab" -> taVocab,
+    "ta_repetition" -> taRepetition,
+    "ta_redact" -> taRedact,
+    "q29_sliding_window" -> q29,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecode,
     "st_tumbling_window" -> stTumbling)
