@@ -651,6 +651,24 @@ object Queries {
     },
     None)
 
+  /** One-pass data profiling over `part` (production form of inspect). */
+  private val opProfile = Q(
+    (s, dir) => {
+      graft.operators.Profile.summarize(
+        Tables.part(s, dir), Seq("p_brand", "p_size", "p_retailprice"))
+    },
+    Some("""SELECT count(*) AS n_rows,
+      sum(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS p_brand_nulls,
+      count(DISTINCT p_brand) AS p_brand_distinct,
+      max(length(p_brand)) AS p_brand_maxlen,
+      sum(CASE WHEN p_size IS NULL THEN 1 ELSE 0 END) AS p_size_nulls,
+      count(DISTINCT p_size) AS p_size_distinct,
+      min(p_size) AS p_size_min, max(p_size) AS p_size_max,
+      sum(CASE WHEN p_retailprice IS NULL THEN 1 ELSE 0 END) AS p_retailprice_nulls,
+      count(DISTINCT p_retailprice) AS p_retailprice_distinct,
+      min(p_retailprice) AS p_retailprice_min, max(p_retailprice) AS p_retailprice_max
+      FROM part"""))
+
   private val opExecPipe = Q(
     (s, dir) => {
       import s.implicits._
@@ -1264,6 +1282,7 @@ object Queries {
     "op_stateful_slice" -> opStatefulSlice,
     "op_dir_source" -> opDirSource,
     "op_exec_pipe" -> opExecPipe,
+    "op_profile" -> opProfile,
     "op_sqlite_file" -> opSqliteFile,
     "op_excel" -> opExcel,
     "dd_exact" -> ddExact,
