@@ -67,6 +67,20 @@ object SectionRegistry {
           .json(cfg(c, "path"))
         c.get("origin").fold(df)(o => df.withColumn("origin", lit(o)))
       }),
+    // Streaming file source (SURVEY §7.2 step 7: same specs, streaming
+    // mode): schema probed from a batch read of the same location, files
+    // tracked in the checkpoint, rate-limited by maxFilesPerTrigger.
+    // Narrow transforms downstream work unchanged on the streaming frame.
+    "stream_parquet_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some {
+        val dir = cfg(c, "path")
+        val schema = s.read.format("parquet")
+          .load(dir).schema
+        var rdr = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", c.getOrElse("max_files_per_trigger", "16"))
+        c.get("glob").foreach(g => rdr = rdr.option("pathGlobFilter", g))
+        rdr.parquet(dir)
+      }),
 
     // ---- transforms (SURVEY §2.2) ----
     "typecast" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
@@ -111,7 +125,21 @@ object SectionRegistry {
     "kafka_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => { Sinks.kafkaJson(in(df), cfg(c, "brokers"), cfg(c, "topic")); scala.None }),
     "file_destination" -> Entry(SectionIOSpec(Bin, None),
-      (_, c, df) => { Sinks.fileBinary(in(df), cfg(c, "dir")); scala.None })
+      (_, c, df) => { Sinks.fileBinary(in(df), cfg(c, "dir")); scala.None }),
+    // Streaming parquet sink: ack-ordered foreachBatch append (epoch
+    // commits strictly after the write — the reference's ack contract),
+    // drained to completion with AvailableNow so a spec "run" processes
+    // everything currently available and checkpoints its position.
+    "stream_parquet_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        val path = cfg(c, "path")
+        val writer = graft.streaming.StreamingPipelines.ackSink(
+          in(df), cfg(c, "checkpoint")) { (batch, _) =>
+          batch.write.mode("append").parquet(path)
+        }
+        graft.streaming.StreamingPipelines.runToCompletion(writer)
+        scala.None
+      })
   )
 
   def ioOf(name: String): SectionIOSpec = entries.getOrElse(name,
