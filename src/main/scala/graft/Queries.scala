@@ -173,7 +173,7 @@ object Queries {
         Seq(graft.plans.TopKPerKey.desc("revenue"),
             graft.plans.TopKPerKey.asc("p_partkey")), 3)
       val w = Window.partitionBy($"p_brand").orderBy($"revenue".desc, $"p_partkey")
-      topk.withColumn("rk", row_number().over(w))
+      topk.withColumn("rk", row_number().over(w).cast("long"))
         .select($"p_brand", $"p_partkey", $"revenue", $"rk")
         .orderBy($"p_brand", $"rk")
     },
@@ -256,8 +256,8 @@ object Queries {
         .orderBy($"day")
     },
     Some("""SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS VARCHAR) AS day,
-      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+      CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY day"""))
 
@@ -322,7 +322,8 @@ object Queries {
         FROM ev),
       per AS (SELECT user_id, sess_id, count(*) AS n_events
               FROM sess GROUP BY user_id, sess_id)
-      SELECT user_id, max(sess_id) AS n_sessions, max(n_events) AS max_session_events
+      SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions,
+        max(n_events) AS max_session_events
       FROM per GROUP BY user_id ORDER BY user_id"""))
 
   private val q16 = Q(
@@ -334,7 +335,8 @@ object Queries {
         .agg(sum($"k").as("sum_k"), count(lit(1)).as("n"))
         .orderBy($"event_type")
     },
-    Some("""SELECT event_type, sum(json_extract(props, '$.k')::BIGINT) AS sum_k,
+    Some("""SELECT event_type,
+      CAST(sum(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
       count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"""))
 
   private val q17 = Q(
@@ -398,7 +400,7 @@ object Queries {
           upper($"p_name").as("uname"),
           lpad($"p_brand", 12, "_").as("padded"),
           regexp_replace($"p_type", "[aeiou]", "").as("devoweled"),
-          levenshtein(substring($"p_name", 1, 8), $"p_brand").as("edit_dist"),
+          levenshtein(substring($"p_name", 1, 8), $"p_brand").cast("long").as("edit_dist"),
           reverse($"p_type").as("rtype"))
         .orderBy($"p_partkey")
     },
@@ -547,7 +549,7 @@ object Queries {
           round(array_min(v), 6).as("vmin"),
           round(array_max(v), 6).as("vmax"),
           round(aggregate(v, lit(0.0), (a, x) => a + x) / size(v), 6).as("vmean"),
-          size(filter(v, x => x > 0.0)).as("n_pos"))
+          size(filter(v, x => x > 0.0)).cast("long").as("n_pos"))
         .orderBy($"vec_id")
     },
     Some("""SELECT vec_id,
@@ -658,13 +660,13 @@ object Queries {
         Tables.part(s, dir), Seq("p_brand", "p_size", "p_retailprice"))
     },
     Some("""SELECT count(*) AS n_rows,
-      sum(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS p_brand_nulls,
+      CAST(sum(CASE WHEN p_brand IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_brand_nulls,
       count(DISTINCT p_brand) AS p_brand_distinct,
       max(length(p_brand)) AS p_brand_maxlen,
-      sum(CASE WHEN p_size IS NULL THEN 1 ELSE 0 END) AS p_size_nulls,
+      CAST(sum(CASE WHEN p_size IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_size_nulls,
       count(DISTINCT p_size) AS p_size_distinct,
       min(p_size) AS p_size_min, max(p_size) AS p_size_max,
-      sum(CASE WHEN p_retailprice IS NULL THEN 1 ELSE 0 END) AS p_retailprice_nulls,
+      CAST(sum(CASE WHEN p_retailprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_retailprice_nulls,
       count(DISTINCT p_retailprice) AS p_retailprice_distinct,
       min(p_retailprice) AS p_retailprice_min, max(p_retailprice) AS p_retailprice_max
       FROM part"""))
@@ -841,7 +843,7 @@ object Queries {
         Seq(graft.plans.TopKPerKey.desc("cosine"),
             graft.plans.TopKPerKey.asc("n_id")), 5)
       val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
-      topk.withColumn("rk", row_number().over(w))
+      topk.withColumn("rk", row_number().over(w).cast("long"))
         .orderBy($"q_id", $"rk")
     },
     Some("""SELECT q_id, n_id, cosine, rk FROM (
@@ -873,7 +875,7 @@ object Queries {
           round(VF.cosineWithNorms(
             VF.dot($"q_vec", $"embedding"), $"q_nrm", $"nrm"), 6).as("cosine"))
       val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
-      scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      scored.withColumn("rk", row_number().over(w).cast("long")).filter($"rk" <= 5)
         .orderBy($"q_id", $"rk")
     },
     None)

@@ -64,19 +64,24 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // acc must be freshName'd too: with non-nullable children the body is
+      // emitted without an enclosing block scope, so a fixed name collides
+      // when several ArrayDotProduct calls land in one codegen'd projection
+      // (e.g. l2Distance computes three) and kills whole-stage codegen.
+      val acc = ctx.freshName("acc")
       val getL = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)"
                  else s"$a.getDouble($i)"
       val getR = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)"
                  else s"$b.getDouble($i)"
       s"""
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double acc = 0.0;
+        double $acc = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
-            acc += ($getL) * ($getR);
+            $acc += ($getL) * ($getR);
           }
         }
-        ${ev.value} = acc;
+        ${ev.value} = $acc;
       """
     })
 

@@ -23,7 +23,8 @@ object Profile {
       fields(c) match {
         case _: NumericType => base ++ Seq(
           min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
-        case StringType => base :+ max(length(col(c))).as(s"${c}_maxlen")
+        // long, matching SQL engines where length() is BIGINT
+        case StringType => base :+ max(length(col(c)).cast("long")).as(s"${c}_maxlen")
         case _ => base
       }
     }

@@ -28,9 +28,9 @@ object ExcelSource {
       .select(input_file_name().as("origin"), col("content"))
     // schema probe: header row of the first file (driver-side, one file)
     val first = bin.select("content").head().getAs[Array[Byte]](0)
-    val firstRows = parseWorkbook(first, sheet)
-    val header = firstRows.headOption.getOrElse(
-      throw new IllegalArgumentException(s"no rows in first workbook at $path"))
+    val header = parseWorkbookSheets(first, sheet)
+      .flatMap(_.headOption).headOption.getOrElse(
+        throw new IllegalArgumentException(s"no rows in first workbook at $path"))
     val nCols = header.length
     val schema = StructType(
       StructField("origin", StringType, nullable = false) +:
@@ -38,9 +38,10 @@ object ExcelSource {
     val sheetLocal = sheet
     val rowRdd = bin.select("origin", "content").rdd.flatMap { r =>
       val origin = r.getString(0)
-      val rows = parseWorkbook(r.getAs[Array[Byte]](1), sheetLocal)
-      // every workbook re-states the header; drop it (reference semantics)
-      rows.drop(1).map { cells =>
+      val sheets = parseWorkbookSheets(r.getAs[Array[Byte]](1), sheetLocal)
+      // every SHEET re-states the header; drop the first row of each sheet,
+      // not just the first sheet's (multi-sheet "*" reads)
+      sheets.flatMap(_.drop(1)).map { cells =>
         val padded = cells.padTo(nCols, null).take(nCols)
         Row.fromSeq(origin +: padded)
       }
@@ -51,21 +52,27 @@ object ExcelSource {
       df.columns.filterNot(_ == "origin").toSeq)
   }
 
-  /** Parse one workbook's bytes → rows of the selected sheet(s), cells as
-    * strings (shared-string and inline-string resolved, numerics raw). */
-  def parseWorkbook(bytes: Array[Byte], sheet: String): Seq[Seq[String]] = {
+  /** Parse one workbook's bytes → rows of the selected sheet(s) concatenated,
+    * cells as strings (shared/inline strings resolved, numerics raw). */
+  def parseWorkbook(bytes: Array[Byte], sheet: String): Seq[Seq[String]] =
+    parseWorkbookSheets(bytes, sheet).flatten
+
+  /** Same, but one row-group per sheet so callers can drop headers per sheet. */
+  def parseWorkbookSheets(bytes: Array[Byte], sheet: String): Seq[Seq[Seq[String]]] = {
     val parts = readZip(bytes)
     val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings)
       .getOrElse(Vector.empty)
+    val entries = sheetEntries(parts)
     val sheetTargets: Seq[String] =
-      if (sheet == "*")
-        parts.keys.filter(_.matches("xl/worksheets/sheet\\d+\\.xml")).toSeq.sorted
-      else {
-        val idx = sheetIndex(parts, sheet).getOrElse(
-          throw new IllegalArgumentException(s"sheet '$sheet' not found"))
-        Seq(s"xl/worksheets/sheet${idx + 1}.xml")
-      }
-    sheetTargets.flatMap { t =>
+      if (sheet == "*") {
+        if (entries.nonEmpty)
+          entries.flatMap { case (name, _) => resolveSheetPart(parts, name) }
+        else // no workbook.xml: fall back to part enumeration
+          parts.keys.filter(_.matches("xl/worksheets/sheet\\d+\\.xml")).toSeq.sorted
+      } else
+        Seq(resolveSheetPart(parts, sheet).getOrElse(
+          throw new IllegalArgumentException(s"sheet '$sheet' not found")))
+    sheetTargets.map { t =>
       parts.get(t).map(b => parseSheet(b, shared)).getOrElse(Nil)
     }
   }
@@ -81,21 +88,58 @@ object ExcelSource {
     out.toMap
   }
 
-  private def sheetIndex(parts: Map[String, Array[Byte]], name: String): Option[Int] = {
-    parts.get("xl/workbook.xml").flatMap { wb =>
+  /** `<sheet>` entries of workbook.xml in workbook order: (name, r:id). */
+  private def sheetEntries(parts: Map[String, Array[Byte]]): Seq[(String, Option[String])] =
+    parts.get("xl/workbook.xml").map { wb =>
       val rdr = XMLInputFactory.newInstance()
         .createXMLStreamReader(new ByteArrayInputStream(wb))
-      var i = 0
-      var found: Option[Int] = None
-      while (rdr.hasNext && found.isEmpty) {
+      val out = Seq.newBuilder[(String, Option[String])]
+      while (rdr.hasNext) {
         if (rdr.next() == XMLStreamConstants.START_ELEMENT &&
             rdr.getLocalName == "sheet") {
-          if (Option(rdr.getAttributeValue(null, "name")).contains(name))
-            found = Some(i)
-          i += 1
+          val name = Option(rdr.getAttributeValue(null, "name")).getOrElse("")
+          // r:id lives in the relationships namespace; scan attrs by local name
+          val rid = (0 until rdr.getAttributeCount)
+            .find(i => rdr.getAttributeLocalName(i) == "id")
+            .map(rdr.getAttributeValue)
+          out += name -> rid
         }
       }
-      found
+      out.result()
+    }.getOrElse(Nil)
+
+  /** rId → normalized zip part name, from xl/_rels/workbook.xml.rels. */
+  private def relTargets(parts: Map[String, Array[Byte]]): Map[String, String] =
+    parts.get("xl/_rels/workbook.xml.rels").map { rels =>
+      val rdr = XMLInputFactory.newInstance()
+        .createXMLStreamReader(new ByteArrayInputStream(rels))
+      val out = Map.newBuilder[String, String]
+      while (rdr.hasNext) {
+        if (rdr.next() == XMLStreamConstants.START_ELEMENT &&
+            rdr.getLocalName == "Relationship") {
+          val id = Option(rdr.getAttributeValue(null, "Id"))
+          val target = Option(rdr.getAttributeValue(null, "Target"))
+          for (i <- id; t <- target) {
+            // targets are relative to xl/ unless absolute ("/xl/...")
+            val norm = if (t.startsWith("/")) t.stripPrefix("/") else s"xl/$t"
+            out += i -> norm
+          }
+        }
+      }
+      out.result()
+    }.getOrElse(Map.empty)
+
+  /** Resolve a sheet NAME to its worksheet part. The real mapping goes
+    * workbook.xml `<sheet r:id>` → workbook.xml.rels Target — positional
+    * sheetN.xml numbering is wrong for workbooks with deleted/reordered
+    * sheets. Falls back to position only when the rels part is absent. */
+  private def resolveSheetPart(parts: Map[String, Array[Byte]], name: String): Option[String] = {
+    val entries = sheetEntries(parts)
+    val idx = entries.indexWhere(_._1 == name)
+    if (idx < 0) None
+    else {
+      val viaRels = entries(idx)._2.flatMap(relTargets(parts).get)
+      viaRels.orElse(Some(s"xl/worksheets/sheet${idx + 1}.xml"))
     }
   }
 

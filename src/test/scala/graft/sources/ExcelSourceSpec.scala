@@ -56,6 +56,57 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(types("score").typeName == "double") // 9.5, 7
   }
 
+  /** Two-sheet workbook with non-sequential part numbering: names resolve
+    * through r:id + workbook.xml.rels ("a"→sheet7.xml, "b"→sheet2.xml). */
+  private def writeXlsxMulti(path: java.nio.file.Path): Unit = {
+    val zos = new ZipOutputStream(Files.newOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns:r="http://x"><sheets>
+        <sheet name="a" sheetId="1" r:id="rId9"/>
+        <sheet name="b" sheetId="2" r:id="rId3"/>
+        </sheets></workbook>""")
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships>
+        <Relationship Id="rId9" Type="http://x/worksheet" Target="worksheets/sheet7.xml"/>
+        <Relationship Id="rId3" Type="http://x/worksheet" Target="/xl/worksheets/sheet2.xml"/>
+        </Relationships>""")
+    def sheetXml(rows: Seq[(String, String)]): String = {
+      val body = rows.zipWithIndex.map { case ((a, b), i) =>
+        s"""<row r="${i + 1}"><c r="A${i + 1}" t="inlineStr"><is><t>$a</t></is></c>
+            <c r="B${i + 1}" t="inlineStr"><is><t>$b</t></is></c></row>"""
+      }.mkString
+      s"""<?xml version="1.0"?><worksheet><sheetData>$body</sheetData></worksheet>"""
+    }
+    put("xl/worksheets/sheet7.xml",
+      sheetXml(Seq("k" -> "v", "a1" -> "x", "a2" -> "y")))
+    put("xl/worksheets/sheet2.xml",
+      sheetXml(Seq("k" -> "v", "b1" -> "z")))
+    zos.close()
+  }
+
+  test("sheet='*' drops each sheet's header row, not just the first sheet's") {
+    val dir = Files.createTempDirectory("graft_xlsx4")
+    writeXlsxMulti(dir.resolve("multi.xlsx"))
+    val df = ExcelSource.read(spark, s"$dir/multi.xlsx", stringify = true)
+    assert(df.columns.toSeq == Seq("origin", "k", "v"))
+    val ks = df.select("k").as[String].collect().sorted.toSeq
+    assert(ks == Seq("a1", "a2", "b1")) // no stray "k" header rows
+  }
+
+  test("sheet names resolve via r:id rels, not positional sheetN numbering") {
+    val dir = Files.createTempDirectory("graft_xlsx5")
+    writeXlsxMulti(dir.resolve("multi.xlsx"))
+    val a = ExcelSource.read(spark, s"$dir/multi.xlsx", sheet = "a")
+    val b = ExcelSource.read(spark, s"$dir/multi.xlsx", sheet = "b")
+    assert(a.select("k").as[String].collect().sorted.toSeq == Seq("a1", "a2"))
+    assert(b.select("k").as[String].collect().toSeq == Seq("b1"))
+  }
+
   test("named sheet selection and missing sheet error") {
     val dir = Files.createTempDirectory("graft_xlsx3")
     writeXlsx(dir.resolve("book.xlsx"))

@@ -34,6 +34,13 @@ def main(sf_dir, out_dir):
             gcols = [d[0] for d in con.description]
             want = con.execute(sql).fetchall()
             wcols = [d[0] for d in con.description]
+            # Type-sensitive: the driver hashes typed values, so a DuckDB
+            # HUGEINT (e.g. bare integer sum) vs Spark BIGINT mismatches even
+            # when the string forms agree. DESCRIBE both sides and compare.
+            gtypes = dict((r[0], r[1]) for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{pq}/*.parquet'").fetchall())
+            wtypes = dict((r[0], r[1]) for r in con.execute(
+                f"DESCRIBE ({sql})").fetchall())
         except Exception as e:
             print(f"FAIL {name}: {str(e).splitlines()[0][:200]}"); n_fail += 1; continue
         # driver sorts columns by name before hashing values
@@ -41,6 +48,12 @@ def main(sf_dir, out_dir):
         wi = sorted(range(len(wcols)), key=lambda i: wcols[i])
         if sorted(gcols) != sorted(wcols):
             print(f"FAIL {name}: cols {sorted(gcols)} vs {sorted(wcols)}"); n_fail += 1; continue
+        badtypes = [(c, gtypes.get(c), wtypes.get(c)) for c in sorted(gcols)
+                    if gtypes.get(c) != wtypes.get(c)]
+        if badtypes:
+            print(f"FAIL {name}: type mismatch " +
+                  ", ".join(f"{c}: spark={a} oracle={b}" for c, a, b in badtypes))
+            n_fail += 1; continue
         g = sorted(tuple(norm(r[i]) for i in gi) for r in got)
         w = sorted(tuple(norm(r[i]) for i in wi) for r in want)
         if g == w:
