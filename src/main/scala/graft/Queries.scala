@@ -629,11 +629,20 @@ object Queries {
         .select(regexp_extract($"path", "([^/]+)$", 1).as("file"))
         .orderBy($"file")
     },
-    None) // filesystem listing — no tabular oracle; driver rows-only check
+    // deterministic manifest: the sf dir always holds exactly the 10 tables
+    Some("""SELECT file FROM (VALUES ('customer.parquet'),('documents.parquet'),
+      ('embeddings.parquet'),('events.parquet'),('lineitem.parquet'),
+      ('nation.parquet'),('orders.parquet'),('part.parquet'),
+      ('region.parquet'),('supplier.parquet')) t(file) ORDER BY file"""))
 
-  /** S1 real SQLite file ingestion (rows-only check: DuckDB has no sqlite
-    * reader in this offline container; correctness is covered by
-    * SqliteFileSpec against a stock-SQLite fixture). */
+  /** S1 real SQLite file ingestion. DuckDB has no sqlite reader in this
+    * offline container, so the oracle is the fixture's KNOWN content as a
+    * VALUES literal — the content was dumped with stock SQLite and is
+    * byte-stable, so the hand-written B-tree/record parser gets hash-level
+    * verification (stringify canonical forms: ints decimal, blobs lowercase
+    * hex; note sqlite stores fraction-free REALs as integers on disk, hence
+    * `1` not `1.0`). Structural parsing (overflow chains, interior pages)
+    * is additionally covered by SqliteFileSpec. */
   private val opSqliteFile = Q(
     (s, dir) => {
       import s.implicits._
@@ -641,9 +650,15 @@ object Queries {
           "/root/repo/src/test/resources/fixture.db", "test", stringify = true)
         .drop("origin").orderBy($"id")
     },
-    None)
+    Some("""SELECT id, text, bin, float, some_null FROM (VALUES
+      ('1','foo','foo','1',CAST(NULL AS VARCHAR)),
+      ('2','bar',NULL,'0.2',CAST(NULL AS VARCHAR)),
+      ('3','is','not','strict',CAST(NULL AS VARCHAR)),
+      ('4','bin','incoming','62696e',CAST(NULL AS VARCHAR)))
+      t(id, text, bin, float, some_null) ORDER BY id"""))
 
-  /** S5 real xlsx ingestion (rows-only; ExcelSourceSpec covers parsing). */
+  /** S5 real xlsx ingestion; oracle = the fixture workbook's known content
+    * (shared strings resolved, AnyColumns LUB promotes `pop` to BIGINT). */
   private val opExcel = Q(
     (s, dir) => {
       import s.implicits._
@@ -651,7 +666,9 @@ object Queries {
           "/root/repo/src/test/resources/fixture.xlsx", stringify = false)
         .drop("origin").orderBy($"city")
     },
-    None)
+    Some("""SELECT city, pop FROM (VALUES ('paris', 2100000::BIGINT),
+      ('rome', 2800000::BIGINT), ('tokyo', 14000000::BIGINT)) t(city, pop)
+      ORDER BY city"""))
 
   /** One-pass data profiling over `part` (production form of inspect). */
   private val opProfile = Q(
@@ -671,13 +688,19 @@ object Queries {
       min(p_retailprice) AS p_retailprice_min, max(p_retailprice) AS p_retailprice_max
       FROM part"""))
 
+  /** T8 exec df-mode: every row spawns the command with `--col=val` args and
+    * the frame passes through unchanged (reference
+    * `sections/exec/src/section/df.rs:66-127`) — so the external-process
+    * plumbing gets a FULL hash oracle: output ≡ input selection. `true`(1)
+    * ignores its args and exits 0; arg-expansion semantics are covered by
+    * TransformsSpec against a recording script. */
   private val opExecPipe = Q(
     (s, dir) => {
       import s.implicits._
-      Transforms.execPipe(Seq("cat"))(
-        Tables.region(s, dir).select($"r_name")).orderBy($"value")
+      Transforms.execDf(Seq("true"))(
+        Tables.region(s, dir).select($"r_name".as("value"))).orderBy($"value")
     },
-    None) // external process — rows-only check
+    Some("SELECT r_name AS value FROM region ORDER BY value"))
 
   // ----------------------------------------------- training-data pipeline
 
@@ -878,7 +901,35 @@ object Queries {
       scored.withColumn("rk", row_number().over(w).cast("long")).filter($"rk" <= 5)
         .orderBy($"q_id", $"rk")
     },
-    None)
+    // The bucket IS oracle-expressible: hyperplane signs derive from the
+    // same md5Long60 parity as VectorFunctions.lshBucket, and the projection
+    // is written as an explicit left-to-right ± chain, so DuckDB's double
+    // accumulation order matches ArrayDotProduct's sequential loop
+    // bit-for-bit (each term is ±emb[i], multiplication by ±1 is exact).
+    Some {
+      def proj(b: Int): String = (0 until 64).map { i =>
+        val pos = (TF.md5Long60(s"${b}_$i") & 1L) == 0L
+        if (i == 0) { if (pos) "emb[1]" else "(-emb[1])" }
+        else s" ${if (pos) "+" else "-"} emb[${i + 1}]"
+      }.mkString
+      s"""WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+            (CASE WHEN (${proj(0)}) >= 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN (${proj(1)}) >= 0 THEN 2 ELSE 0 END)
+          + (CASE WHEN (${proj(2)}) >= 0 THEN 4 ELSE 0 END)
+          + (CASE WHEN (${proj(3)}) >= 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, emb AS q_vec, bucket FROM b WHERE vec_id < 10),
+      scored AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+          round(list_cosine_similarity(q.q_vec, e.emb), 6) AS cosine
+        FROM q JOIN b e USING (bucket) WHERE e.vec_id != q.q_id)
+      SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q_id, n_id, cosine,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+        FROM scored)
+      WHERE rk <= 5 ORDER BY q_id, rk"""
+    })
 
   private val taLangId = Q(
     (s, dir) => {
@@ -1216,29 +1267,28 @@ object Queries {
     * stream/batch parity on identical input. */
   private val stTumbling = Q(
     (s, dir) => {
-      import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Streaming state partitioning: each shuffle partition carries an
       // HDFS-backed state store whose per-batch snapshot cost dwarfs the
-      // ~40k window keys here; 8 stores is plenty at this key cardinality
-      // (state partitions are fixed per checkpoint, so this is a per-query
-      // choice, restored after).
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val raw = s.read.parquet(s"$dir/events.parquet")
+      // ~40k window keys here; 8 stores is plenty at this key cardinality.
+      // State partitions are fixed per checkpoint, so this is a per-QUERY
+      // choice — made on a cloned session (shared SparkContext, isolated
+      // SQLConf) so concurrent queries on `s` never see mutated global conf.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import ss.implicits._
+      val raw = ss.read.parquet(s"$dir/events.parquet")
       // file stream source needs a directory; glob-filter to the one table
-      val stream = s.readStream.schema(raw.schema)
+      val stream = ss.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val agg = stream
         .groupBy(window($"ts", "5 minutes").getField("start").cast("string").as("window_start"),
                  $"event_type")
         .agg(count(lit(1)).as("n"))
-      val out = graft.streaming.StreamingPipelines
-        .collectStream(s, agg, s"st_tumbling_${System.nanoTime()}")
+      graft.streaming.StreamingPipelines
+        .collectStream(ss, agg, s"st_tumbling_${System.nanoTime()}")
         .orderBy($"window_start", $"event_type")
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      out
     },
     Some("""SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS window_start,
       event_type, count(*) AS n

@@ -71,10 +71,13 @@ object Transforms {
     val schema = org.apache.spark.sql.types.StructType(
       header.map(h => org.apache.spark.sql.types.StructField(
         h, org.apache.spark.sql.types.StringType)))
+    // Drop ONLY a leading header line (position 0 of its document) — a data
+    // row that happens to equal the header string must survive (the
+    // reference's csv reader is positional, not content-matching).
     val lines = df.select(col(OriginCol),
-      explode(split(col("value").cast("string"), "\r?\n")).as("_line"))
+      posexplode(split(col("value").cast("string"), "\r?\n")).as(Seq("_pos", "_line")))
       .filter(length(col("_line")) > 0)
-      .filter(col("_line") =!= lit(header.mkString(",")))
+      .filter(!(col("_pos") === 0 && col("_line") === lit(header.mkString(","))))
     lines
       .withColumn("_rec", from_csv(col("_line"), schema, Map.empty[String, String]))
       .select(col(OriginCol) +: header.map(h => col(s"_rec.`$h`").as(h)): _*)
@@ -106,15 +109,52 @@ object Transforms {
     df.observe(name, metrics.head, metrics.tail: _*)
   }
 
-  /** T8/T9 exec (`sections/exec/src/section/{df,bin}.rs`): pipe rows through
-    * an external command, one line in → one line out, executed per
-    * partition (distributed; the reference runs one process per daemon —
-    * we run one per partition which is the scale-out generalization). */
+  /** T8 exec, df mode (`sections/exec/src/section/df.rs:66-127`): the
+    * reference runs the command once per row with the row expanded to
+    * `--col=val` arguments, then passes the MESSAGE THROUGH unchanged --
+    * output frame = input frame; the child's stdout is drained/logged, not
+    * emitted. `ack_passthrough` (ack deferred to the downstream section) is
+    * Spark's native contract here: a pass-through stage never commits
+    * anything; the sink's epoch/write commit is the ack. A nonzero exit
+    * fails the task -> at-least-once replay, matching the reference's error
+    * path. One process per ROW (reference semantics), rows streamed per
+    * partition -- distributed across executors. */
+  def execDf(command: Seq[String])(df: DataFrame): DataFrame = {
+    val schema = df.schema
+    val cols = df.columns
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val args = command ++ cols.zipWithIndex.map { case (c, i) =>
+          val v = row.get(i)
+          s"--$c=${if (v == null) "" else v.toString}"
+        }
+        val p = new ProcessBuilder(args: _*).redirectErrorStream(true).start()
+        p.getOutputStream.close()
+        // drain stdout so the child can never block on a full pipe
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val code = p.waitFor()
+        if (code != 0) throw new RuntimeException(
+          s"exec '${args.mkString(" ")}' exited $code: ${out.take(200)}")
+        row
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** T9 exec, bin mode (`sections/exec/src/section/bin.rs`): pipe a binary/
+    * string payload column through an external command, one line in -> one
+    * line out, one process per partition (the scale-out generalization of
+    * the reference's one process per daemon). Takes a SINGLE-column frame --
+    * multi-column frames have no defined bin-mode wire format; use
+    * [[execDf]] for row frames. */
   def execPipe(command: Seq[String])(df: DataFrame): DataFrame = {
+    require(df.columns.length == 1,
+      s"execPipe (bin mode) takes a single-column frame, got ${df.columns.mkString(",")}; " +
+      "use execDf for row frames")
     val spark = df.sparkSession
     import spark.implicits._
-    val piped = df.select(concat_ws("",
-        df.columns.map(c => col(c).cast("string")).toIndexedSeq: _*))
+    val piped = df.select(col(df.columns.head).cast("string"))
       .as[String].rdd.pipe(command)
     piped.toDF("value")
   }

@@ -99,8 +99,15 @@ object SectionRegistry {
       (_, _, df) => Some(Transforms.toCsv(in(df)))),
     "inspect" -> Entry(SectionIOSpec(BinOrDataFrame, BinOrDataFrame),
       (_, _, df) => Some(Transforms.inspect(in(df)))),
-    "exec" -> Entry(SectionIOSpec(BinOrDataFrame, Bin),
-      (_, c, df) => Some(Transforms.execPipe(cfg(c, "command").split(" ").toSeq)(in(df)))),
+    // exec df mode (reference default): one process per row, --col=val arg
+    // expansion, frame passes through (ack deferred to the sink). Bin mode
+    // ("mode": "bin") pipes a single payload column line-by-line.
+    "exec" -> Entry(SectionIOSpec(BinOrDataFrame, BinOrDataFrame),
+      (_, c, df) => {
+        val cmd = cfg(c, "command").split(" ").toSeq
+        if (c.getOrElse("mode", "df") == "bin") Some(Transforms.execPipe(cmd)(in(df)))
+        else Some(Transforms.execDf(cmd)(in(df)))
+      }),
     "stub" -> Entry(SectionIOSpec(BinOrDataFrame, None),
       (_, _, df) => Some(Transforms.stub(in(df)))),
     "sql" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),

@@ -132,6 +132,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("byte_len")).sorted.sameElements(Array(4L, 5L)))
   }
 
+  test("multiple ArrayDotProducts in one projection survive CODEGEN_ONLY") {
+    // l2Distance computes three dot products → three accumulator vars in one
+    // generated method; a hard-coded local name would fail janino compile.
+    // CODEGEN_ONLY + fallback=false turns that failure into an exception.
+    val conf = spark.conf
+    val prevMode = conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = conf.getOption("spark.sql.codegen.fallback")
+    conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+                   (Seq(0.5f, -1.0f), Seq(2.0f, 2.0f))).toDF("a", "b")
+      val rows = df.select(
+        VectorFunctions.dot($"a", $"b").as("d"),
+        VectorFunctions.l2Distance($"a", $"b").as("l2"),
+        VectorFunctions.dot($"a", $"a").as("aa")).collect()
+      assert(rows.length == 2)
+      assert(math.abs(rows(0).getDouble(0) - 11.0) < 1e-12)  // 1*3 + 2*4
+      assert(math.abs(rows(0).getDouble(2) - 5.0) < 1e-12)   // 1 + 4
+      assert(math.abs(rows(1).getDouble(1) - math.sqrt(1.5 * 1.5 + 3.0 * 3.0)) < 1e-12)
+    } finally {
+      prevMode.fold(conf.unset("spark.sql.codegen.factoryMode"))(
+        conf.set("spark.sql.codegen.factoryMode", _))
+      prevFallback.fold(conf.unset("spark.sql.codegen.fallback"))(
+        conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
   test("ann lsh recall vs brute force at sf0.001") {
     val brute = graft.Queries.all.toMap.apply("ann_topk")
       .fn(spark, TestSpark.sf).select("q_id", "n_id")

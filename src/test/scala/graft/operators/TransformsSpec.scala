@@ -67,6 +67,35 @@ class TransformsSpec extends AnyFunSuite {
     assert(out.as[String].collect().sorted.sameElements(Array("a", "b")))
   }
 
+  test("execPipe rejects multi-column frames (bin mode is single-payload)") {
+    intercept[IllegalArgumentException] {
+      Transforms.execPipe(Seq("cat"))(Seq((1, "a")).toDF("id", "v"))
+    }
+  }
+
+  test("execDf expands rows to --col=val args and passes the frame through") {
+    val dir = java.nio.file.Files.createTempDirectory("execdf")
+    val log = dir.resolve("log.txt")
+    val script = dir.resolve("rec.sh")
+    java.nio.file.Files.writeString(script,
+      s"#!/bin/sh\necho \"$$@\" >> $log\n")
+    script.toFile.setExecutable(true)
+    val df = Seq((1, "a"), (2, null: String)).toDF("id", "name").coalesce(1)
+    val out = Transforms.execDf(Seq(script.toString))(df)
+    val rows = out.collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq((1, "a"), (2, null)))  // pass-through, schema intact
+    val logged = scala.jdk.CollectionConverters
+      .ListHasAsScala(java.nio.file.Files.readAllLines(log)).asScala.sorted
+    assert(logged == Seq("--id=1 --name=a", "--id=2 --name="))
+  }
+
+  test("execDf fails the task on nonzero exit (at-least-once error path)") {
+    val e = intercept[org.apache.spark.SparkException] {
+      Transforms.execDf(Seq("false"))(Seq(1).toDF("x")).collect()
+    }
+    assert(e.getMessage.contains("exited") || e.getCause != null)
+  }
+
   test("sql section runs against the input view") {
     val df = Seq((1, "x"), (2, "y")).toDF("id", "s")
     val out = Transforms.sql("SELECT count(*) AS n FROM input")(df)
@@ -83,6 +112,15 @@ class TransformsSpec extends AnyFunSuite {
     val kept = Transforms.dedupExact(Seq("k"), tieBreak = Seq("v"))(df)
       .as[(Int, String)].collect().sortBy(_._1)
     assert(kept.toSeq == Seq((1, "a"), (2, "a")))
+  }
+
+  test("fromCsv keeps a data row identical to the header (positional drop only)") {
+    // "id,name" appears both as the pos-0 header AND as a legitimate record
+    val payload = "id,name\n1,alpha\nid,name\n2,beta"
+    val df = Seq(("f.csv", payload.getBytes("UTF-8"))).toDF("origin", "value")
+    val out = Transforms.fromCsv(Seq("id", "name"))(df)
+      .select("id", "name").as[(String, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("1", "alpha"), ("2", "beta"), ("id", "name")))
   }
 
   test("fromCsv handles quoted fields with embedded commas") {
