@@ -750,9 +750,10 @@ object Queries {
           array((0 until 32).map(i => col(s"s$i")): _*).as("sig"))
         val bands = sigArr.select($"doc_id",
           explode(TF.minhashBands($"sig", 4, 8)).as("band"))
-        val cand = bands.as("a").join(bands.as("b"),
-            $"a.band" === $"b.band" && $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id")).distinct()
+        // degenerate-bucket cap: one mass-duplicate band bucket would make
+        // this self-join quadratic; capped buckets are dropped WITH a log
+        // line (cap never bites at test SF — oracle results unchanged)
+        val cand = graft.operators.Blocking.cappedBandCandidates(bands)
         // Jaccard over the shingle-HASH sets — identical values to string
         // jaccard on both engines (same md5-derived hashes), far cheaper.
         val sets = hv.groupBy($"doc_id").agg(collect_set($"h").as("hs"))
@@ -832,14 +833,12 @@ object Queries {
       import s.implicits._
       // label blocking bounds the pair count; norms are computed once per
       // vector BEFORE the self-join (not once per pair), and the pair dot
-      // is a single codegen'd expression.
+      // is a single codegen'd expression. Blocks past the Blocking cap are
+      // LSH-sub-bucketed so a hot label can't go quadratic at 100 TB (cap
+      // never bites at test SF — results stay exactly the all-pairs ones).
       val e = Tables.embeddings(s, dir).select($"vec_id", $"label", $"embedding")
         .withColumn("nrm", VF.norm2($"embedding"))
-      e.as("a").join(e.as("b"),
-          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
-          round(VF.cosineWithNorms(
-            VF.dot($"a.embedding", $"b.embedding"), $"a.nrm", $"b.nrm"), 6).as("cosine"))
+      graft.operators.Blocking.boundedCosinePairs(e)
         .filter($"cosine" >= 0.35)
         .orderBy($"a_id", $"b_id")
     },
@@ -1096,11 +1095,8 @@ object Queries {
       import s.implicits._
       val e = Tables.embeddings(s, dir).select($"vec_id", $"label", $"embedding")
         .withColumn("nrm", VF.norm2($"embedding"))
-      val pairs = e.as("a").join(e.as("b"),
-          $"a.label" === $"b.label" && $"a.vec_id" < $"b.vec_id")
-        .select($"a.vec_id".as("a_id"), $"b.vec_id".as("b_id"),
-          round(VF.cosineWithNorms(
-            VF.dot($"a.embedding", $"b.embedding"), $"a.nrm", $"b.nrm"), 6).as("cosine"))
+      // same bounded pair generator as dd_embed_cosine (hot-label guard)
+      val pairs = graft.operators.Blocking.boundedCosinePairs(e)
         .filter($"cosine" >= 0.35)
       // Hybrid connected components. The dup-pair graph is pairs, not
       // corpus — orders of magnitude smaller than the input by

@@ -36,12 +36,23 @@ object ExcelSource {
       StructField("origin", StringType, nullable = false) +:
       header.map(h => StructField(h, StringType, nullable = true)))
     val sheetLocal = sheet
+    val headerLocal: Seq[String] = header
     val rowRdd = bin.select("origin", "content").rdd.flatMap { r =>
       val origin = r.getString(0)
       val sheets = parseWorkbookSheets(r.getAs[Array[Byte]](1), sheetLocal)
       // every SHEET re-states the header; drop the first row of each sheet,
-      // not just the first sheet's (multi-sheet "*" reads)
-      sheets.flatMap(_.drop(1)).map { cells =>
+      // not just the first sheet's (multi-sheet "*" reads). A glob that
+      // mixes workbooks with DIFFERENT headers would silently position-
+      // align unrelated columns — fail loudly instead (schema drift is a
+      // restart-the-pipeline event, SURVEY §7.4.2).
+      sheets.flatMap { rows =>
+        rows.headOption.foreach { h =>
+          if (h != headerLocal) throw new IllegalStateException(
+            s"xlsx schema drift in $origin: sheet header [${h.mkString(",")}] " +
+            s"does not match the probed header [${headerLocal.mkString(",")}]")
+        }
+        rows.drop(1)
+      }.map { cells =>
         val padded = cells.padTo(nCols, null).take(nCols)
         Row.fromSeq(origin +: padded)
       }

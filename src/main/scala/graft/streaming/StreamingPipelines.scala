@@ -74,6 +74,26 @@ object StreamingPipelines {
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, epochId: Long) => write(batch, epochId) }
 
+  /** Origin-multiplexed streaming sink: one stream carries many logical
+    * tables distinguished by the `origin` column; each micro-batch fans out
+    * to one write per origin (the reference routes messages to a table
+    * named by the message origin inside a running pipeline,
+    * `sections/sqlite_connector/src/destination.rs:67` — this is its
+    * streaming counterpart; [[graft.sources.Sinks.routeByOrigin]] is the
+    * batch one). The batch is persisted so the distinct-origin scan and the
+    * per-origin filtered writes are one materialization, and ack ordering
+    * holds: the epoch commits only after EVERY origin's write returned —
+    * a crash mid-fan-out replays the whole batch (at-least-once; pair with
+    * idempotent per-origin writes for effectively-once). */
+  def ackSinkByOrigin(df: DataFrame, checkpoint: String)
+                     (writeOne: (String, DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    ackSink(df, checkpoint) { (batch, epochId) =>
+      batch.persist()
+      try graft.sources.Sinks.routeByOrigin(batch)(
+        (origin, slice) => writeOne(origin, slice, epochId))
+      finally batch.unpersist()
+    }
+
   /** Run a streaming query over a static directory to completion — used by
     * tests and the Verify harness to prove stream/batch parity on the same
     * inputs. */

@@ -107,6 +107,54 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(b.select("k").as[String].collect().toSeq == Seq("b1"))
   }
 
+  /** Single-sheet workbook with an arbitrary inline-string header+rows. */
+  private def writeXlsxSimple(path: java.nio.file.Path, rows: Seq[Seq[String]]): Unit = {
+    val zos = new ZipOutputStream(Files.newOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets>
+        <sheet name="data" sheetId="1"/></sheets></workbook>""")
+    val body = rows.zipWithIndex.map { case (cells, i) =>
+      val cs = cells.zipWithIndex.map { case (v, j) =>
+        val ref = s"${('A' + j).toChar}${i + 1}"
+        s"""<c r="$ref" t="inlineStr"><is><t>$v</t></is></c>"""
+      }.mkString
+      s"""<row r="${i + 1}">$cs</row>"""
+    }.mkString
+    put("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData>$body</sheetData></worksheet>""")
+    zos.close()
+  }
+
+  test("globbed workbooks with mismatched headers fail loudly, not position-align") {
+    val dir = Files.createTempDirectory("graft_xlsx6")
+    writeXlsxSimple(dir.resolve("one.xlsx"),
+      Seq(Seq("id", "name"), Seq("1", "a")))
+    writeXlsxSimple(dir.resolve("two.xlsx"),
+      Seq(Seq("id", "price"), Seq("2", "9.99")))
+    val e = intercept[org.apache.spark.SparkException] {
+      ExcelSource.read(spark, s"$dir/*.xlsx", stringify = true).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("schema drift")),
+      s"expected schema-drift error, got: ${msgs(e).mkString(" | ")}")
+  }
+
+  test("globbed workbooks with identical headers read together") {
+    val dir = Files.createTempDirectory("graft_xlsx7")
+    writeXlsxSimple(dir.resolve("one.xlsx"),
+      Seq(Seq("id", "name"), Seq("1", "a")))
+    writeXlsxSimple(dir.resolve("two.xlsx"),
+      Seq(Seq("id", "name"), Seq("2", "b")))
+    val df = ExcelSource.read(spark, s"$dir/*.xlsx", stringify = true)
+    assert(df.select("id").as[String].collect().sorted.toSeq == Seq("1", "2"))
+  }
+
   test("named sheet selection and missing sheet error") {
     val dir = Files.createTempDirectory("graft_xlsx3")
     writeXlsx(dir.resolve("book.xlsx"))

@@ -55,6 +55,31 @@ class StreamingSpec extends AnyFunSuite {
       "checkpoint must prevent reprocessing")
   }
 
+  test("ackSinkByOrigin fans a multiplexed stream out to per-origin targets") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fanout").toString
+    Seq(("t1", 1), ("t2", 2), ("t1", 3), ("t2", 4), ("t2", 5))
+      .toDF("origin", "v").write.parquet(s"$root/in")
+    val schema = spark.read.parquet(s"$root/in").schema
+    var writes = 0
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$root/in")
+      val w = StreamingPipelines.ackSinkByOrigin(stream, s"$root/ckpt") {
+        (origin, slice, _) =>
+          writes += 1
+          slice.write.mode("append").parquet(s"$root/out/$origin")
+      }
+      StreamingPipelines.runToCompletion(w)
+    }
+    run()
+    assert(writes == 2, "one write per origin")
+    assert(spark.read.parquet(s"$root/out/t1").as[Int].collect().sorted.toSeq == Seq(1, 3))
+    assert(spark.read.parquet(s"$root/out/t2").as[Int].collect().sorted.toSeq == Seq(2, 4, 5))
+    // ack ordering: the committed epoch is never refanned on restart
+    run()
+    assert(writes == 2, "restart from checkpoint must not reprocess")
+    assert(spark.read.parquet(s"$root/out/t1").count() == 2)
+  }
+
   test("streaming dedup within watermark") {
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val data = Seq(("k1", ts), ("k1", ts), ("k2", ts)).toDF("k", "ts")
