@@ -930,6 +930,75 @@ object Queries {
       WHERE rk <= 5 ORDER BY q_id, rk"""
     })
 
+  /** Multi-table LSH ANN — the recall upgrade over [[annLsh]]: L
+    * independent hyperplane tables; a pair is a candidate if ANY table
+    * buckets them together (hit probability 1-(1-p^k)^L vs p^k for one
+    * table). Candidates dedup to (q_id, n_id) long pairs BEFORE any vector
+    * is touched, then scoring joins the vectors back (query side
+    * broadcast) — at 100 TB the expensive arrays never ride the candidate
+    * shuffle. Oracle: same md5-parity sign chains per (table, bit),
+    * sequential ± sums matching ArrayDotProduct bit-for-bit. */
+  private val annLshMulti = {
+    val L = 4; val bits = 4; val dims = 64
+    Q(
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+        val buck = e.select($"vec_id", explode(array((0 until L).map(l =>
+            struct(lit(l).as("tbl"),
+              VF.lshBucket($"embedding", bits, dims, s"t$l").as("bucket"))): _*)).as("tb"))
+          .select($"vec_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+        val qb = buck.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"tbl", $"bucket")
+        val cand = buck.join(qb, Seq("tbl", "bucket"))
+          .filter($"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id".as("n_id")).distinct()
+        val ev = e.withColumn("nrm", VF.norm2($"embedding"))
+        val qv = ev.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"nrm".as("q_nrm"))
+        val scored = cand
+          .join(broadcast(qv), "q_id")
+          .join(ev.select($"vec_id".as("n_id"), $"embedding", $"nrm"), "n_id")
+          .select($"q_id", $"n_id",
+            round(VF.cosineWithNorms(
+              VF.dot($"q_vec", $"embedding"), $"q_nrm", $"nrm"), 6).as("cosine"))
+        val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
+        scored.withColumn("rk", row_number().over(w).cast("long"))
+          .filter($"rk" <= 5)
+          .select($"q_id", $"n_id", $"cosine", $"rk")
+          .orderBy($"q_id", $"rk")
+      },
+      Some {
+        def proj(seed: String, b: Int): String = (0 until dims).map { i =>
+          val pos = (TF.md5Long60(s"${seed}_${b}_$i") & 1L) == 0L
+          if (i == 0) { if (pos) "emb[1]" else "(-emb[1])" }
+          else s" ${if (pos) "+" else "-"} emb[${i + 1}]"
+        }.mkString
+        def bucketExpr(seed: String): String = (0 until bits).map { b =>
+          s"(CASE WHEN (${proj(seed, b)}) >= 0 THEN ${1 << b} ELSE 0 END)"
+        }.mkString(" + ")
+        val tableSelects = (0 until L).map { l =>
+          s"SELECT vec_id, $l AS tbl, ${bucketExpr(s"t$l")} AS bucket FROM e"
+        }.mkString("\n        UNION ALL ")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        b AS ($tableSelects),
+        q AS (SELECT vec_id AS q_id, tbl, bucket FROM b WHERE vec_id < 10),
+        cand AS (
+          SELECT DISTINCT q.q_id, n.vec_id AS n_id
+          FROM q JOIN b n USING (tbl, bucket) WHERE n.vec_id != q.q_id),
+        scored AS (
+          SELECT c.q_id, c.n_id,
+            round(list_cosine_similarity(qe.emb, ne.emb), 6) AS cosine
+          FROM cand c JOIN e qe ON qe.vec_id = c.q_id
+                      JOIN e ne ON ne.vec_id = c.n_id)
+        SELECT q_id, n_id, cosine, rk FROM (
+          SELECT q_id, n_id, cosine,
+            row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+          FROM scored)
+        WHERE rk <= 5 ORDER BY q_id, rk"""
+      })
+  }
+
   private val taLangId = Q(
     (s, dir) => {
       import s.implicits._
@@ -1340,6 +1409,7 @@ object Queries {
     "dd_dup_clusters" -> ddClusters,
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLsh,
+    "ann_lsh_multi" -> annLshMulti,
     "ta_langid" -> taLangId,
     "ta_quality" -> taQuality,
     "ta_tokens" -> taTokens,

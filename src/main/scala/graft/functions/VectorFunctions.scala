@@ -43,10 +43,11 @@ object VectorFunctions {
     * dimensions — each projection is one codegen'd dot product. Vectors in
     * the same bucket are cosine-similar candidates; this cuts ANN search
     * from O(N·Q) to per-bucket work. */
-  def lshBucket(v: Column, nBits: Int, dims: Int): Column = {
+  def lshBucket(v: Column, nBits: Int, dims: Int, seed: String = ""): Column = {
+    val prefix = if (seed.isEmpty) "" else s"${seed}_"
     val bits = (0 until nBits).map { b =>
       val plane = array((0 until dims).map { i =>
-        lit(if ((TextFunctions.md5Long60(s"${b}_$i") & 1L) == 0L) 1.0 else -1.0)
+        lit(if ((TextFunctions.md5Long60(s"$prefix${b}_$i") & 1L) == 0L) 1.0 else -1.0)
       }: _*)
       when(ArrayDotProduct(v, plane) >= 0.0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }

@@ -71,11 +71,19 @@ object SectionRegistry {
     // mode): schema probed from a batch read of the same location, files
     // tracked in the checkpoint, rate-limited by maxFilesPerTrigger.
     // Narrow transforms downstream work unchanged on the streaming frame.
+    // Schema drift between runs (SURVEY §7.4.2 — the reference restarts
+    // the task on per-chunk schema change): the probed schema is recorded
+    // next to the checkpoint and compared on every compile. On drift,
+    // `on_schema_drift: widen` (default) restarts the query with the
+    // merged schema — old files are not replayed (checkpoint keeps file
+    // offsets), new files carry the wider shape; `fail` raises instead.
     "stream_parquet_source" -> Entry(SectionIOSpec(None, DataFrameIO),
       (s, c, _) => Some {
         val dir = cfg(c, "path")
-        val schema = s.read.format("parquet")
-          .load(dir).schema
+        val schema = SchemaDrift.resolve(s,
+          probe = s.read.option("mergeSchema", "true").format("parquet").load(dir).schema,
+          recordPath = c.get("checkpoint").orElse(c.get("schema_record")),
+          policy = c.getOrElse("on_schema_drift", "widen"))
         var rdr = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", c.getOrElse("max_files_per_trigger", "16"))
         c.get("glob").foreach(g => rdr = rdr.option("pathGlobFilter", g))
@@ -137,14 +145,36 @@ object SectionRegistry {
     // commits strictly after the write — the reference's ack contract),
     // drained to completion with AvailableNow so a spec "run" processes
     // everything currently available and checkpoints its position.
+    // Runs SUPERVISED: a mid-run failure restarts the query with backoff
+    // from the checkpoint (the reference scheduler's failed-task loop,
+    // `myceliald/src/scheduler.rs:79-187`). `route_by_origin: true` fans
+    // each micro-batch out to one parquet tree per origin value — the
+    // reference's per-origin table routing inside a running stream.
     "stream_parquet_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
-      (_, c, df) => {
+      (s, c, df) => {
         val path = cfg(c, "path")
-        val writer = graft.streaming.StreamingPipelines.ackSink(
-          in(df), cfg(c, "checkpoint")) { (batch, _) =>
-          batch.write.mode("append").parquet(path)
-        }
-        graft.streaming.StreamingPipelines.runToCompletion(writer)
+        val ckpt = cfg(c, "checkpoint")
+        val frame = in(df)
+        def writer =
+          if (c.getOrElse("route_by_origin", "false").toBoolean)
+            graft.streaming.StreamingPipelines.ackSinkByOrigin(frame, ckpt) {
+              (origin, slice, _) =>
+                slice.write.mode("append").parquet(s"$path/$origin")
+            }
+          else
+            graft.streaming.StreamingPipelines.ackSink(frame, ckpt) {
+              (batch, _) => batch.write.mode("append").parquet(path)
+            }
+        val sup = new graft.streaming.StreamingSupervisor(s,
+          restartBackoffMs = c.getOrElse("restart_backoff_ms", "3000").toLong,
+          maxRestarts = c.getOrElse("max_restarts", "3").toInt)
+        try {
+          val handle = sup.supervise { () =>
+            writer.trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          }
+          handle.await()
+        } finally sup.close()
         scala.None
       })
   )

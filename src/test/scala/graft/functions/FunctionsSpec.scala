@@ -172,5 +172,13 @@ class FunctionsSpec extends AnyFunSuite {
     // bucketing does better than nothing, not production recall.
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall >= 0.05, s"LSH recall $recall too low")
+    // the multi-table variant must dominate the single-table recall
+    val multi = graft.Queries.all.toMap.apply("ann_lsh_multi")
+      .fn(spark, TestSpark.sf).select("q_id", "n_id")
+      .as[(Long, Long)].collect().toSet
+    val recallMulti = (brute & multi).size.toDouble / brute.size
+    assert(recallMulti >= recall,
+      s"multi-table recall $recallMulti below single-table $recall")
+    assert(recallMulti >= 0.2, s"multi-table recall $recallMulti too low")
   }
 }

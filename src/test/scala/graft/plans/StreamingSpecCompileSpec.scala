@@ -35,4 +35,72 @@ class StreamingSpecCompileSpec extends AnyFunSuite {
     PipelineCompiler.run(spark, spec)
     assert(spark.read.parquet(s"$tmp/out").count() == 4)
   }
+
+  test("schema drift between runs widens the stream schema without replay") {
+    val tmp = Files.createTempDirectory("graft_drift").toString
+    Seq((1, "a"), (2, "b")).toDF("id", "v").write.parquet(s"$tmp/in")
+    def specJson(policy: String) =
+      s"""{"sections":[
+        {"id":"src","name":"stream_parquet_source",
+         "config":{"path":"$tmp/in","schema_record":"$tmp/ckpt",
+                   "on_schema_drift":"$policy"}},
+        {"id":"sink","name":"stream_parquet_destination",
+         "config":{"path":"$tmp/out","checkpoint":"$tmp/ckpt"}}],
+        "edges":[["src","sink"]]}"""
+    PipelineCompiler.run(spark, PipelineSpec.fromJson(specJson("widen")))
+    assert(spark.read.parquet(s"$tmp/out").count() == 2)
+    // a new file arrives with an ADDED column
+    Seq((3, "c", 9.5)).toDF("id", "v", "extra")
+      .write.mode("append").parquet(s"$tmp/in")
+    PipelineCompiler.run(spark, PipelineSpec.fromJson(specJson("widen")))
+    val out = spark.read.option("mergeSchema", "true").parquet(s"$tmp/out")
+    assert(out.count() == 3, "drift must not replay processed files")
+    assert(out.columns.contains("extra"))
+    assert(out.filter($"id" === 3).select("extra").as[Double].head() == 9.5)
+    // fail policy: the NEXT drift raises (recorded schema now has `extra`)
+    Seq((4, "d", 1.0, true)).toDF("id", "v", "extra", "flag")
+      .write.mode("append").parquet(s"$tmp/in")
+    val e = intercept[IllegalStateException] {
+      PipelineCompiler.run(spark, PipelineSpec.fromJson(specJson("fail")))
+    }
+    assert(e.getMessage.contains("schema drift"))
+  }
+
+  test("widen rejects a same-column type change") {
+    import org.apache.spark.sql.types._
+    val old = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val nu = StructType(Seq(StructField("id", StringType), StructField("v", StringType)))
+    val e = intercept[IllegalStateException] { SchemaDrift.widen(old, nu) }
+    assert(e.getMessage.contains("not widenable"))
+    // pure additions/removals widen fine, everything nullable
+    val added = StructType(old.fields :+ StructField("extra", DoubleType))
+    val w = SchemaDrift.widen(old, added)
+    assert(w.fieldNames.toSeq == Seq("id", "v", "extra"))
+    val removedSide = StructType(Seq(StructField("id", LongType)))
+    val w2 = SchemaDrift.widen(old, removedSide)
+    assert(w2.fieldNames.toSeq == Seq("id", "v")) // dropped column kept, nullable
+    assert(w2.forall(_.nullable))
+  }
+
+  test("spec-level route_by_origin fans the stream out to per-origin trees") {
+    val tmp = Files.createTempDirectory("graft_stream_fan").toString
+    Seq(("t1", 1), ("t2", 2), ("t1", 3)).toDF("origin", "v")
+      .write.parquet(s"$tmp/in")
+    val specJson =
+      s"""{"sections":[
+        {"id":"src","name":"stream_parquet_source","config":{"path":"$tmp/in"}},
+        {"id":"sink","name":"stream_parquet_destination",
+         "config":{"path":"$tmp/out","checkpoint":"$tmp/ckpt",
+                   "route_by_origin":"true"}}],
+        "edges":[["src","sink"]]}"""
+    val spec = PipelineSpec.fromJson(specJson)
+    PipelineCompiler.run(spark, spec)
+    assert(spark.read.parquet(s"$tmp/out/t1").select("v")
+      .as[Int].collect().sorted.toSeq == Seq(1, 3))
+    assert(spark.read.parquet(s"$tmp/out/t2").select("v")
+      .as[Int].collect().toSeq == Seq(2))
+    // replay protection holds through the fan-out path
+    PipelineCompiler.run(spark, spec)
+    assert(spark.read.parquet(s"$tmp/out/t1").count() == 2)
+  }
 }
