@@ -999,6 +999,75 @@ object Queries {
       })
   }
 
+  /** IVF ANN — the coarse-quantizer scale path (the other one the brief
+    * names next to LSH): K centroids partition the corpus into cells once;
+    * each query probes only its nProbe nearest cells, so query cost is
+    * O(K + corpus/K · nProbe) instead of O(corpus). Centroids are a
+    * deterministic sample (vec_id < K) so the index is reproducible and
+    * oracle-checkable — a production build plugs k-means centroids into
+    * the same plan. Cell assignment shuffles only (vec_id, c_id, score)
+    * triples — embeddings never ride the assignment shuffle; vectors join
+    * back by key afterwards. Argmax decisions use round(6) + id tiebreak
+    * so both engines agree bit-for-bit. */
+  private val annIvf = {
+    val K = 16; val nProbe = 2
+    Q(
+      (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding", VF.norm2($"embedding").as("nrm"))
+        val cent = e.filter($"vec_id" < K)
+          .select($"vec_id".as("c_id"), $"embedding".as("c_vec"), $"nrm".as("c_nrm"))
+        // centroid scores: only (vec_id, c_id, cscore) ever shuffles
+        val scored = e.join(broadcast(cent))
+          .select($"vec_id", $"c_id",
+            round(VF.cosineWithNorms(
+              VF.dot($"embedding", $"c_vec"), $"nrm", $"c_nrm"), 6).as("cscore"))
+        val wAssign = Window.partitionBy($"vec_id").orderBy($"cscore".desc, $"c_id")
+        val ranked = scored.withColumn("crk", row_number().over(wAssign))
+        val assigned = ranked.filter($"crk" === 1)
+          .select($"vec_id", $"c_id".as("cell"))
+          .join(e, "vec_id")
+        val qprobe = ranked.filter($"vec_id" < 10 && $"crk" <= nProbe)
+          .select($"vec_id".as("q_id"), $"c_id".as("cell"))
+          .join(e.select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
+            $"nrm".as("q_nrm")), "q_id")
+        val cand = assigned.join(broadcast(qprobe), Seq("cell"))
+          .filter($"vec_id" =!= $"q_id")
+          .select($"q_id", $"vec_id".as("n_id"),
+            round(VF.cosineWithNorms(
+              VF.dot($"q_vec", $"embedding"), $"q_nrm", $"nrm"), 6).as("cosine"))
+        val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
+        cand.withColumn("rk", row_number().over(w).cast("long"))
+          .filter($"rk" <= 5)
+          .select($"q_id", $"n_id", $"cosine", $"rk")
+          .orderBy($"q_id", $"rk")
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        cent AS (SELECT vec_id AS c_id, emb AS c_vec FROM e WHERE vec_id < $K),
+        scored AS (SELECT e.vec_id, c.c_id,
+            round(list_cosine_similarity(e.emb, c.c_vec), 6) AS cscore
+          FROM e CROSS JOIN cent c),
+        ranked AS (SELECT vec_id, c_id,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, c_id) AS crk
+          FROM scored),
+        assigned AS (
+          SELECT r.vec_id, r.c_id AS cell, e.emb FROM ranked r
+          JOIN e ON e.vec_id = r.vec_id WHERE r.crk = 1),
+        qprobe AS (
+          SELECT r.vec_id AS q_id, r.c_id AS cell, e.emb AS q_vec FROM ranked r
+          JOIN e ON e.vec_id = r.vec_id WHERE r.vec_id < 10 AND r.crk <= $nProbe),
+        cand AS (
+          SELECT q.q_id, a.vec_id AS n_id,
+            round(list_cosine_similarity(q.q_vec, a.emb), 6) AS cosine
+          FROM qprobe q JOIN assigned a USING (cell) WHERE a.vec_id != q.q_id)
+        SELECT q_id, n_id, cosine, rk FROM (
+          SELECT q_id, n_id, cosine,
+            row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+          FROM cand)
+        WHERE rk <= 5 ORDER BY q_id, rk"""))
+  }
+
   private val taLangId = Q(
     (s, dir) => {
       import s.implicits._
@@ -1410,6 +1479,7 @@ object Queries {
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLsh,
     "ann_lsh_multi" -> annLshMulti,
+    "ann_ivf_topk" -> annIvf,
     "ta_langid" -> taLangId,
     "ta_quality" -> taQuality,
     "ta_tokens" -> taTokens,

@@ -180,5 +180,12 @@ class FunctionsSpec extends AnyFunSuite {
     assert(recallMulti >= recall,
       s"multi-table recall $recallMulti below single-table $recall")
     assert(recallMulti >= 0.2, s"multi-table recall $recallMulti too low")
+    // IVF probes 2 of 16 cells — sanity: returns candidates and overlaps
+    // the brute-force set at all (exactness is the sf0.01 oracle's job)
+    val ivf = graft.Queries.all.toMap.apply("ann_ivf_topk")
+      .fn(spark, TestSpark.sf).select("q_id", "n_id")
+      .as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    assert((brute & ivf).nonEmpty, "IVF found no true neighbors at all")
   }
 }
