@@ -1,0 +1,71 @@
+package graft.plans
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the scale-critical physical-plan properties so they cannot silently
+  * regress: filter pushdown reaching the parquet scans, custom operators
+  * actually selected, bounded-path metrics present, and shuffle-freeness
+  * where the design promises it. String-level assertions over the
+  * pre-execution plan (AQE's initial plan) — the properties checked here
+  * are decided at planning time, not at runtime.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val queries = graft.Queries.all.toMap
+
+  private def plan(name: String): String =
+    queries(name).fn(spark, TestSpark.sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+
+  test("q3: filters pushed to scans, top-20 never fully sorts") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), "limit+sort must not global-sort")
+    assert(p.contains("PushedFilters: [IsNotNull"), "scan-level filter pushdown lost")
+  }
+
+  test("q6: predicate pushdown reaches the lineitem scan") {
+    val p = plan("q6_filtered_agg")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan"),
+      "range predicates must reach the parquet reader")
+  }
+
+  test("q7: custom TopKPerKeyExec is selected before the ranking window") {
+    assert(plan("q7_window_topk").contains("TopKPerKey"),
+      "custom bounded-heap operator not planned")
+  }
+
+  test("ann_lsh_multi: rank pruning via WindowGroupLimit, query filter pushed") {
+    val p = plan("ann_lsh_multi")
+    assert(p.contains("WindowGroupLimit"), "top-k rank must prune before the window")
+    assert(p.contains("(vec_id") && p.contains("< 10)"),
+      "query-side vec_id filter must be pushed")
+  }
+
+  test("dd_embed_cosine: bounded path rides the plan (cap metrics present)") {
+    val p = plan("dd_embed_cosine")
+    assert(p.contains("CollectMetrics graft_block_cap"),
+      "hot-block cap accounting missing from the plan")
+    assert(p.contains("arraydotproduct"), "native dot product not in use")
+  }
+
+  test("dd_minhash_lsh: text is scanned with a pruned schema, hashes shuffle") {
+    val p = plan("dd_minhash_lsh")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "document scan must prune to (doc_id, text)")
+    assert(p.contains("CollectMetrics graft_band_cap"),
+      "degenerate-bucket cap accounting missing")
+  }
+
+  test("ta_split is shuffle-free (hash-bucket split, no Exchange)") {
+    val p = plan("ta_split")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"deterministic split must not shuffle:\n$p")
+  }
+
+  test("ann_topk: query side broadcasts, corpus scans once") {
+    val p = plan("ann_topk")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "query set must broadcast — a corpus shuffle here is the wrong plan")
+  }
+}
