@@ -1236,59 +1236,14 @@ object Queries {
       // same bounded pair generator as dd_embed_cosine (hot-label guard)
       val pairs = graft.operators.Blocking.boundedCosinePairs(e)
         .filter($"cosine" >= 0.35)
-      // Hybrid connected components. The dup-pair graph is pairs, not
-      // corpus — orders of magnitude smaller than the input by
-      // construction. Below a comfortable driver bound, collect the edge
-      // list and union-find in memory (micro-seconds, zero extra jobs),
-      // then broadcast-join the labels back. Past the bound, fall back to
-      // distributed min-label iteration. Both produce min-id-per-component.
-      val edgeRows = pairs.select($"a_id", $"b_id").persist()
-      val nEdges = edgeRows.count()
-      if (nEdges <= 1000000L) {
-        val parent = scala.collection.mutable.Map[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        edgeRows.collect().foreach { row =>
-          val (a, b) = (row.getLong(0), row.getLong(1))
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-        }
-        val clusterOf = parent.keys.map(x => x -> find(x)).toMap
-        val labels = s.createDataset(clusterOf.toSeq)(
-          org.apache.spark.sql.Encoders.product[(Long, Long)])
-          .toDF("id", "cluster")
-        e.select($"vec_id").join(broadcast(labels), $"vec_id" === $"id", "left")
-          .select($"vec_id",
-            coalesce($"cluster", $"vec_id").as("cluster_id"))
-          .orderBy($"vec_id")
-      } else {
-        val edges = edgeRows.select($"a_id".as("src"), $"b_id".as("dst"))
-          .union(edgeRows.select($"b_id".as("src"), $"a_id".as("dst"))).persist()
-        var labels = e.select($"vec_id".as("id"), $"vec_id".as("cluster"))
-          .localCheckpoint(true)
-        var changed = 1L
-        var iter = 0
-        while (changed > 0 && iter < 20) {
-          val nbrMin = edges.join(labels, $"dst" === $"id")
-            .groupBy($"src").agg(min($"cluster").as("nbr_min"))
-          val next = labels.join(nbrMin, $"id" === $"src", "left")
-            .select($"id",
-              least($"cluster", coalesce($"nbr_min", $"cluster")).as("cluster"))
-            .localCheckpoint(true)
-          changed = next.as("n")
-            .join(labels.as("o"), $"n.id" === $"o.id")
-            .filter($"n.cluster" =!= $"o.cluster").count()
-          labels = next
-          iter += 1
-        }
-        labels.select($"id".as("vec_id"), $"cluster".as("cluster_id"))
-          .orderBy($"vec_id")
-      }
+      // Hybrid connected components over the (bounded) dup-pair graph —
+      // see [[graft.operators.Clustering.connectedComponents]]: driver
+      // union-find under the edge bound, distributed min-label past it,
+      // converge-or-fail (never a silently mislabeled component).
+      graft.operators.Clustering.connectedComponents(
+          e.select($"vec_id".as("id")), pairs.select($"a_id", $"b_id"))
+        .select($"id".as("vec_id"), $"cluster_id")
+        .orderBy($"vec_id")
     },
     Some("""WITH RECURSIVE pairs AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id

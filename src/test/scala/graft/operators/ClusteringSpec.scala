@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class ClusteringSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                 maxDriverEdges: Long): Map[Long, Long] =
+    Clustering.connectedComponents(
+        nodes.toDF("id"), edges.toDF("a", "b"), maxDriverEdges)
+      .as[(Long, Long)].collect().toMap
+
+  private val nodes = (0L to 40L)
+  // a 31-node path (diameter 30 — beyond any small iteration cap), a
+  // triangle, an extra edge with multiplicity, and isolated nodes 36-40
+  private val edges =
+    (0L until 30L).map(i => (i, i + 1)) ++
+    Seq((33L, 34L), (34L, 35L), (35L, 33L), (33L, 34L))
+
+  private val expected =
+    (0L to 30L).map(_ -> 0L) ++
+    Seq(31L -> 31L, 32L -> 32L) ++
+    (33L to 35L).map(_ -> 33L) ++
+    (36L to 40L).map(i => i -> i)
+
+  test("driver union-find path labels min-id per component") {
+    assert(cc(nodes, edges, maxDriverEdges = 1000000L) == expected.toMap)
+  }
+
+  test("distributed min-label path agrees, beyond a 20-round diameter") {
+    assert(cc(nodes, edges, maxDriverEdges = 0L) == expected.toMap)
+  }
+
+  test("distributed path fails loudly instead of returning unconverged labels") {
+    val e = intercept[IllegalStateException] {
+      Clustering.connectedComponents(
+        (0L to 10L).toDF("id"),
+        (0L until 10L).map(i => (i, i + 1)).toDF("a", "b"),
+        maxDriverEdges = 0L, maxIters = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+}
