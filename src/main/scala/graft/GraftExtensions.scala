@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Cluster-deploy entry point for graft's custom planner surface — the
+  * idiomatic registration path the ad-hoc API can't give you:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * injects [[graft.plans.TopKStrategy]] at session build on every node of
+  * the cluster, so `TopKPerKeyPlan` nodes plan to their bounded-heap
+  * physical operator without any runtime session mutation.
+  * ([[graft.plans.TopKPerKey.apply]] also self-registers through
+  * `experimental.extraStrategies` for ad-hoc sessions; both paths are
+  * idempotent and coexist.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+}

@@ -30,6 +30,34 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(out.count() == 3)
   }
 
+  test("GraftExtensions injects TopKStrategy at session build (spark.sql.extensions path)") {
+    import org.apache.spark.sql.SparkSession
+    // build a SECOND session over the same SparkContext with the extensions
+    // conf: clear the active/default session so getOrCreate constructs a
+    // fresh one (instead of returning the shared test session), restore
+    // after; never stop s2 — the SparkContext is shared
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions = what spark.sql.extensions does after instantiating
+      // the class (the conf itself is static and fixed at SparkContext
+      // creation, so it can't be exercised on the shared test context)
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne spark, "expected a fresh session")
+      assert(s2.sessionState.planner.strategies.contains(TopKStrategy),
+        "injected strategy not visible in the session planner")
+      assert(!spark.sessionState.planner.strategies.contains(TopKStrategy) ||
+             spark.experimental.extraStrategies.contains(TopKStrategy),
+        "strategy must come from the extension, not leak from elsewhere")
+    } finally {
+      prev.foreach(SparkSession.setDefaultSession)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("physical plan contains partial and final TopKPerKeyExec with one exchange between") {
     val df = graft.Tables.orders(spark, TestSpark.sf)
       .select($"o_custkey", $"o_orderkey", $"o_totalprice")
