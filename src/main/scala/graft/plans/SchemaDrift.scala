@@ -47,7 +47,12 @@ object SchemaDrift {
           case _ => probe
         }
         Files.createDirectories(p.getParent)
-        Files.writeString(p, resolved.json)
+        // atomic tmp+rename, same contract as StateStore: a crash mid-write
+        // must never leave a truncated record that poisons the next compile
+        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+        Files.writeString(tmp, resolved.json)
+        Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         resolved
     }
 
