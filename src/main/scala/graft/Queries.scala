@@ -723,57 +723,61 @@ object Queries {
     * map-side partials. Then 8 bands of 4 → band-bucket self-join for
     * candidates → exact Jaccard verify. Only (doc_id, band) pairs shuffle —
     * signatures are 256 bytes/doc regardless of document size, which is
-    * what makes MinHash dedup feasible at 100 TB. */
-  private val ddMinhash = {
+    * what makes MinHash dedup feasible at 100 TB. Shared by the pair
+    * report (dd_minhash_lsh) and the corpus dedup (dd_dedup_corpus). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val perms = (0 until 32).map(TF.minhashPerm)
     val P = TF.MinhashP
-    Q(
-      (s, dir) => {
-        import s.implicits._
-        val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-        // (doc_id, shingle-hash) rows: the ONLY pass that touches text —
-        // tokenize+shingle+hash fused into one native expression. Persisted
-        // because three branches consume it (signatures, and the two sides
-        // of the Jaccard verify) and Spark does no cross-branch CSE — at
-        // 100 TB this cache is hashes only, ~1% of corpus size.
-        val hv = docs
-          .select($"doc_id",
-            explode(graft.functions.WordNgramHashes($"text", 3)).as("h60"))
-          .select($"doc_id", ($"h60" % P).as("h"))
-          .persist()
-        val sig = hv.groupBy($"doc_id").agg(
-          min((lit(perms.head._1) * $"h" + lit(perms.head._2)) % P).as("s0"),
-          perms.toIndexedSeq.zipWithIndex.tail.map { case ((a, b), i) =>
-            min((lit(a) * $"h" + lit(b)) % P).as(s"s$i")
-          }: _*)
-        val sigArr = sig.select($"doc_id",
-          array((0 until 32).map(i => col(s"s$i")): _*).as("sig"))
-        val bands = sigArr.select($"doc_id",
-          explode(TF.minhashBands($"sig", 4, 8)).as("band"))
-        // degenerate-bucket cap: one mass-duplicate band bucket would make
-        // this self-join quadratic; capped buckets are dropped WITH a log
-        // line (cap never bites at test SF — oracle results unchanged)
-        val cand = graft.operators.Blocking.cappedBandCandidates(bands)
-        // Jaccard over the shingle-HASH sets — identical values to string
-        // jaccard on both engines (same md5-derived hashes), far cheaper.
-        val sets = hv.groupBy($"doc_id").agg(collect_set($"h").as("hs"))
-        val withSets = cand
-          .join(sets.select($"doc_id".as("a_id"), $"hs".as("sa")), "a_id")
-          .join(sets.select($"doc_id".as("b_id"), $"hs".as("sb")), "b_id")
-        withSets
-          .withColumn("jaccard", round(
-            size(array_intersect($"sa", $"sb")).cast("double") /
-            size(array_union($"sa", $"sb")), 6))
-          .filter($"jaccard" >= 0.2)
-          .select($"a_id", $"b_id", $"jaccard")
-          .orderBy($"a_id", $"b_id")
-      },
-      Some {
-        val slotDefs = perms.zipWithIndex.map { case ((a, b), i) =>
-          s"min(($a * h + $b) % $P) AS s$i"
-        }.mkString(",\n          ")
-        val slotList = (0 until 32).map(i => s"s$i").mkString("[", ", ", "]")
-        s"""WITH toks AS (
+    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
+    // (doc_id, shingle-hash) rows: the ONLY pass that touches text —
+    // tokenize+shingle+hash fused into one native expression. Persisted
+    // because three branches consume it (signatures, and the two sides
+    // of the Jaccard verify) and Spark does no cross-branch CSE — at
+    // 100 TB this cache is hashes only, ~1% of corpus size.
+    val hv = docs
+      .select($"doc_id",
+        explode(graft.functions.WordNgramHashes($"text", 3)).as("h60"))
+      .select($"doc_id", ($"h60" % P).as("h"))
+      .persist()
+    val sig = hv.groupBy($"doc_id").agg(
+      min((lit(perms.head._1) * $"h" + lit(perms.head._2)) % P).as("s0"),
+      perms.toIndexedSeq.zipWithIndex.tail.map { case ((a, b), i) =>
+        min((lit(a) * $"h" + lit(b)) % P).as(s"s$i")
+      }: _*)
+    val sigArr = sig.select($"doc_id",
+      array((0 until 32).map(i => col(s"s$i")): _*).as("sig"))
+    val bands = sigArr.select($"doc_id",
+      explode(TF.minhashBands($"sig", 4, 8)).as("band"))
+    // degenerate-bucket cap: one mass-duplicate band bucket would make
+    // this self-join quadratic; capped buckets are dropped WITH a log
+    // line (cap never bites at test SF — oracle results unchanged)
+    val cand = graft.operators.Blocking.cappedBandCandidates(bands)
+    // Jaccard over the shingle-HASH sets — identical values to string
+    // jaccard on both engines (same md5-derived hashes), far cheaper.
+    val sets = hv.groupBy($"doc_id").agg(collect_set($"h").as("hs"))
+    val withSets = cand
+      .join(sets.select($"doc_id".as("a_id"), $"hs".as("sa")), "a_id")
+      .join(sets.select($"doc_id".as("b_id"), $"hs".as("sb")), "b_id")
+    withSets
+      .withColumn("jaccard", round(
+        size(array_intersect($"sa", $"sb")).cast("double") /
+        size(array_union($"sa", $"sb")), 6))
+      .filter($"jaccard" >= 0.2)
+      .select($"a_id", $"b_id", $"jaccard")
+  }
+
+  /** WITH-clause body shared by the minhash oracles: `pairs` = verified
+    * near-dup pairs at jaccard >= 0.2, same permutation constants as the
+    * Spark side. */
+  private lazy val minhashPairsCte: String = {
+    val perms = (0 until 32).map(TF.minhashPerm)
+    val P = TF.MinhashP
+    val slotDefs = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $P) AS s$i"
+    }.mkString(",\n          ")
+    val slotList = (0 until 32).map(i => s"s$i").mkString("[", ", ", "]")
+    s"""toks AS (
         SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
           ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
         FROM documents),
@@ -799,16 +803,48 @@ object Queries {
       cand AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
-      sets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM hv GROUP BY doc_id)
-      SELECT a_id, b_id,
-        round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
-          len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
-      FROM cand JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id
-      WHERE round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
-        len(list_distinct(list_concat(sa.hs, sb.hs))), 6) >= 0.2
-      ORDER BY a_id, b_id"""
-      })
+      sets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM hv GROUP BY doc_id),
+      pairs AS (
+        SELECT a_id, b_id,
+          round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
+            len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
+        FROM cand JOIN sets sa ON sa.doc_id = a_id JOIN sets sb ON sb.doc_id = b_id
+        WHERE round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
+          len(list_distinct(list_concat(sa.hs, sb.hs))), 6) >= 0.2)"""
   }
+
+  private val ddMinhash = Q(
+    (s, dir) => {
+      import s.implicits._
+      minhashPairs(s, dir).orderBy($"a_id", $"b_id")
+    },
+    Some(s"WITH $minhashPairsCte\n      SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id"))
+
+  /** Corpus-level near-dup DEDUP — the user-facing end of the pipeline:
+    * documents in, one survivor per near-dup cluster out. MinHash pairs →
+    * connected components ([[graft.operators.Clustering]]) → survivor =
+    * min doc_id per cluster, with the merged-count per survivor. Exact
+    * duplicates land in the same cluster for free (jaccard 1). */
+  private val ddDedupCorpus = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id".as("id"))
+      val pairs = minhashPairs(s, dir).select($"a_id", $"b_id")
+      graft.operators.Clustering.connectedComponents(docs, pairs)
+        .groupBy($"cluster_id").agg(count(lit(1)).as("n_merged"))
+        .select($"cluster_id".as("doc_id"), $"n_merged")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE $minhashPairsCte,
+      edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+      comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT cluster_id AS doc_id, count(*) AS n_merged FROM comp
+      GROUP BY cluster_id ORDER BY doc_id"""))
 
   private val ddSimhash = Q(
     (s, dir) => {
@@ -1428,6 +1464,7 @@ object Queries {
     "op_excel" -> opExcel,
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhash,
+    "dd_dedup_corpus" -> ddDedupCorpus,
     "dd_simhash" -> ddSimhash,
     "dd_embed_cosine" -> ddEmbedCosine,
     "dd_dup_clusters" -> ddClusters,
