@@ -716,56 +716,12 @@ object Queries {
     Some("""SELECT min(doc_id) AS doc_id, md5(text) AS text_hash,
       count(*) AS n_copies FROM documents GROUP BY md5(text) ORDER BY doc_id"""))
 
-  /** MinHash-LSH near-dup pipeline, one-hash construction: each shingle is
-    * md5-hashed ONCE, the 32 signature slots are linear permutations
-    * (a_i·h + b_i) mod P folded as min-aggregates over exploded
-    * (doc, shingle-hash) rows — fully codegen'd hash aggregation with
-    * map-side partials. Then 8 bands of 4 → band-bucket self-join for
-    * candidates → exact Jaccard verify. Only (doc_id, band) pairs shuffle —
-    * signatures are 256 bytes/doc regardless of document size, which is
-    * what makes MinHash dedup feasible at 100 TB. Shared by the pair
-    * report (dd_minhash_lsh) and the corpus dedup (dd_dedup_corpus). */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val perms = (0 until 32).map(TF.minhashPerm)
-    val P = TF.MinhashP
-    val docs = Tables.documents(s, dir).select($"doc_id", $"text")
-    // (doc_id, shingle-hash) rows: the ONLY pass that touches text —
-    // tokenize+shingle+hash fused into one native expression. Persisted
-    // because three branches consume it (signatures, and the two sides
-    // of the Jaccard verify) and Spark does no cross-branch CSE — at
-    // 100 TB this cache is hashes only, ~1% of corpus size.
-    val hv = docs
-      .select($"doc_id",
-        explode(graft.functions.WordNgramHashes($"text", 3)).as("h60"))
-      .select($"doc_id", ($"h60" % P).as("h"))
-      .persist()
-    val sig = hv.groupBy($"doc_id").agg(
-      min((lit(perms.head._1) * $"h" + lit(perms.head._2)) % P).as("s0"),
-      perms.toIndexedSeq.zipWithIndex.tail.map { case ((a, b), i) =>
-        min((lit(a) * $"h" + lit(b)) % P).as(s"s$i")
-      }: _*)
-    val sigArr = sig.select($"doc_id",
-      array((0 until 32).map(i => col(s"s$i")): _*).as("sig"))
-    val bands = sigArr.select($"doc_id",
-      explode(TF.minhashBands($"sig", 4, 8)).as("band"))
-    // degenerate-bucket cap: one mass-duplicate band bucket would make
-    // this self-join quadratic; capped buckets are dropped WITH a log
-    // line (cap never bites at test SF — oracle results unchanged)
-    val cand = graft.operators.Blocking.cappedBandCandidates(bands)
-    // Jaccard over the shingle-HASH sets — identical values to string
-    // jaccard on both engines (same md5-derived hashes), far cheaper.
-    val sets = hv.groupBy($"doc_id").agg(collect_set($"h").as("hs"))
-    val withSets = cand
-      .join(sets.select($"doc_id".as("a_id"), $"hs".as("sa")), "a_id")
-      .join(sets.select($"doc_id".as("b_id"), $"hs".as("sb")), "b_id")
-    withSets
-      .withColumn("jaccard", round(
-        size(array_intersect($"sa", $"sb")).cast("double") /
-        size(array_union($"sa", $"sb")), 6))
-      .filter($"jaccard" >= 0.2)
-      .select($"a_id", $"b_id", $"jaccard")
-  }
+  /** MinHash-LSH near-dup pipeline — see [[graft.operators.NearDup]] for
+    * the full construction (one md5 per shingle, codegen'd min-agg slots,
+    * capped band buckets, exact-Jaccard verify; only (id, band) longs
+    * shuffle). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.NearDup.pairs(Tables.documents(s, dir))
 
   /** WITH-clause body shared by the minhash oracles: `pairs` = verified
     * near-dup pairs at jaccard >= 0.2, same permutation constants as the
@@ -828,11 +784,7 @@ object Queries {
   private val ddDedupCorpus = Q(
     (s, dir) => {
       import s.implicits._
-      val docs = Tables.documents(s, dir).select($"doc_id".as("id"))
-      val pairs = minhashPairs(s, dir).select($"a_id", $"b_id")
-      graft.operators.Clustering.connectedComponents(docs, pairs)
-        .groupBy($"cluster_id").agg(count(lit(1)).as("n_merged"))
-        .select($"cluster_id".as("doc_id"), $"n_merged")
+      graft.operators.NearDup.survivors(Tables.documents(s, dir))
         .orderBy($"doc_id")
     },
     Some(s"""WITH RECURSIVE $minhashPairsCte,
@@ -888,20 +840,11 @@ object Queries {
   private val annTopk = Q(
     (s, dir) => {
       import s.implicits._
-      val e = Tables.embeddings(s, dir).withColumn("nrm", VF.norm2($"embedding"))
-      val q = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"nrm".as("q_nrm"))
-      // brute-force baseline: broadcast the query set, scan the corpus once;
-      // at 100 TB this is the one-pass exact scorer (queries ≪ corpus).
-      val scored = e.join(broadcast(q), $"vec_id" =!= $"q_id")
-        .select($"q_id", $"vec_id".as("n_id"),
-          round(VF.cosineWithNorms(
-            VF.dot($"q_vec", $"embedding"), $"q_nrm", $"nrm"), 6).as("cosine"))
-      val topk = graft.plans.TopKPerKey(scored, Seq("q_id"),
-        Seq(graft.plans.TopKPerKey.desc("cosine"),
-            graft.plans.TopKPerKey.asc("n_id")), 5)
-      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
-      topk.withColumn("rk", row_number().over(w).cast("long"))
+      // brute-force baseline — see [[graft.operators.Ann.bruteForceTopK]]:
+      // broadcast query set, one corpus scan, bounded-heap TopKPerKey
+      graft.operators.Ann.bruteForceTopK(
+          Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
+          $"vec_id" < 10, k = 5)
         .orderBy($"q_id", $"rk")
     },
     Some("""SELECT q_id, n_id, cosine, rk FROM (
@@ -921,19 +864,9 @@ object Queries {
   private val annLsh = Q(
     (s, dir) => {
       import s.implicits._
-      val e = Tables.embeddings(s, dir)
-        .select($"vec_id", $"label", $"embedding",
-                VF.lshBucket($"embedding", 4, dims = 64).as("bucket"),
-                VF.norm2($"embedding").as("nrm"))
-      val q = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
-                $"bucket", $"nrm".as("q_nrm"))
-      val scored = e.join(q, Seq("bucket")).filter($"vec_id" =!= $"q_id")
-        .select($"q_id", $"vec_id".as("n_id"),
-          round(VF.cosineWithNorms(
-            VF.dot($"q_vec", $"embedding"), $"q_nrm", $"nrm"), 6).as("cosine"))
-      val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
-      scored.withColumn("rk", row_number().over(w).cast("long")).filter($"rk" <= 5)
+      graft.operators.Ann.lshTopK(
+          Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
+          $"vec_id" < 10, k = 5)
         .orderBy($"q_id", $"rk")
     },
     // The bucket IS oracle-expressible: hyperplane signs derive from the
@@ -979,28 +912,9 @@ object Queries {
     Q(
       (s, dir) => {
         import s.implicits._
-        val e = Tables.embeddings(s, dir)
-        val buck = e.select($"vec_id", explode(array((0 until L).map(l =>
-            struct(lit(l).as("tbl"),
-              VF.lshBucket($"embedding", bits, dims, s"t$l").as("bucket"))): _*)).as("tb"))
-          .select($"vec_id", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
-        val qb = buck.filter($"vec_id" < 10)
-          .select($"vec_id".as("q_id"), $"tbl", $"bucket")
-        val cand = buck.join(qb, Seq("tbl", "bucket"))
-          .filter($"vec_id" =!= $"q_id")
-          .select($"q_id", $"vec_id".as("n_id")).distinct()
-        val ev = e.withColumn("nrm", VF.norm2($"embedding"))
-        val qv = ev.filter($"vec_id" < 10)
-          .select($"vec_id".as("q_id"), $"embedding".as("q_vec"), $"nrm".as("q_nrm"))
-        val scored = cand
-          .join(broadcast(qv), "q_id")
-          .join(ev.select($"vec_id".as("n_id"), $"embedding", $"nrm"), "n_id")
-          .select($"q_id", $"n_id",
-            round(VF.cosineWithNorms(
-              VF.dot($"q_vec", $"embedding"), $"q_nrm", $"nrm"), 6).as("cosine"))
-        val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
-        scored.withColumn("rk", row_number().over(w).cast("long"))
-          .filter($"rk" <= 5)
+        graft.operators.Ann.lshMultiTopK(
+            Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
+            $"vec_id" < 10, k = 5, nBits = bits, dims = dims, tables = L)
           .select($"q_id", $"n_id", $"cosine", $"rk")
           .orderBy($"q_id", $"rk")
       },
@@ -1050,32 +964,10 @@ object Queries {
     Q(
       (s, dir) => {
         import s.implicits._
-        val e = Tables.embeddings(s, dir)
-          .select($"vec_id", $"embedding", VF.norm2($"embedding").as("nrm"))
-        val cent = e.filter($"vec_id" < K)
-          .select($"vec_id".as("c_id"), $"embedding".as("c_vec"), $"nrm".as("c_nrm"))
-        // centroid scores: only (vec_id, c_id, cscore) ever shuffles
-        val scored = e.join(broadcast(cent))
-          .select($"vec_id", $"c_id",
-            round(VF.cosineWithNorms(
-              VF.dot($"embedding", $"c_vec"), $"nrm", $"c_nrm"), 6).as("cscore"))
-        val wAssign = Window.partitionBy($"vec_id").orderBy($"cscore".desc, $"c_id")
-        val ranked = scored.withColumn("crk", row_number().over(wAssign))
-        val assigned = ranked.filter($"crk" === 1)
-          .select($"vec_id", $"c_id".as("cell"))
-          .join(e, "vec_id")
-        val qprobe = ranked.filter($"vec_id" < 10 && $"crk" <= nProbe)
-          .select($"vec_id".as("q_id"), $"c_id".as("cell"))
-          .join(e.select($"vec_id".as("q_id"), $"embedding".as("q_vec"),
-            $"nrm".as("q_nrm")), "q_id")
-        val cand = assigned.join(broadcast(qprobe), Seq("cell"))
-          .filter($"vec_id" =!= $"q_id")
-          .select($"q_id", $"vec_id".as("n_id"),
-            round(VF.cosineWithNorms(
-              VF.dot($"q_vec", $"embedding"), $"q_nrm", $"nrm"), 6).as("cosine"))
-        val w = Window.partitionBy($"q_id").orderBy($"cosine".desc, $"n_id")
-        cand.withColumn("rk", row_number().over(w).cast("long"))
-          .filter($"rk" <= 5)
+        graft.operators.Ann.ivfTopK(
+            Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
+            isQuery = $"vec_id" < 10, isCentroid = $"vec_id" < K,
+            k = 5, nProbe = nProbe)
           .select($"q_id", $"n_id", $"cosine", $"rk")
           .orderBy($"q_id", $"rk")
       },

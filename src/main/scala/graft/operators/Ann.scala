@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{VectorFunctions => VF}
+
+/** Approximate-nearest-neighbor search as reusable operators — the library
+  * form of the `ann_*` queries. Input convention: a corpus frame with
+  * `vec_id: long` and `embedding: array<float|double>`; `isQuery` marks the
+  * query rows. All variants emit `(q_id, n_id, cosine, rk)` with
+  * cosine rounded to 6 places and rk 1..k per query.
+  *
+  * Scale shapes: the query set always broadcasts (queries ≪ corpus); the
+  * exact scorer reads the corpus once; the LSH/IVF variants shuffle only
+  * id/bucket/score scalars — embeddings never ride a candidate shuffle,
+  * they join back by key at scoring time.
+  */
+object Ann {
+
+  private def rank(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
+  /** Exact brute-force top-k: broadcast query set × one corpus scan, the
+    * one-pass exact scorer. Ranking runs through the custom bounded-heap
+    * [[graft.plans.TopKPerKey]] (map-side partials, ≤k·queries rows
+    * shuffle) with the final row_number ranking only pruned rows. */
+  def bruteForceTopK(corpus: DataFrame, isQuery: Column, k: Int): DataFrame = {
+    val e = corpus.withColumn("nrm", VF.norm2(col("embedding")))
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("nrm").as("q_nrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(VF.cosineWithNorms(
+          VF.dot(col("q_vec"), col("embedding")), col("q_nrm"), col("nrm")), 6)
+          .as("cosine"))
+    val topk = graft.plans.TopKPerKey(scored, Seq("q_id"),
+      Seq(graft.plans.TopKPerKey.desc("cosine"),
+          graft.plans.TopKPerKey.asc("n_id")), k)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    topk.withColumn("rk", row_number().over(w).cast("long"))
+  }
+
+  /** Single-table LSH: candidates share a random-hyperplane sign bucket
+    * ([[VF.lshBucket]]) — per-query work drops from O(corpus) to the
+    * bucket's share. */
+  def lshTopK(corpus: DataFrame, isQuery: Column, k: Int,
+              nBits: Int = 4, dims: Int = 64): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"),
+      VF.lshBucket(col("embedding"), nBits, dims).as("bucket"),
+      VF.norm2(col("embedding")).as("nrm"))
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("bucket"), col("nrm").as("q_nrm"))
+    val scored = e.join(q, Seq("bucket")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(VF.cosineWithNorms(
+          VF.dot(col("q_vec"), col("embedding")), col("q_nrm"), col("nrm")), 6)
+          .as("cosine"))
+    rank(scored, k)
+  }
+
+  /** Multi-table LSH — the recall upgrade: `tables` independent hyperplane
+    * sets; a pair is a candidate if ANY table buckets them together
+    * (hit probability 1-(1-p^nBits)^tables). Candidates dedup as LONG pairs
+    * before any vector moves. */
+  def lshMultiTopK(corpus: DataFrame, isQuery: Column, k: Int,
+                   nBits: Int = 4, dims: Int = 64, tables: Int = 4): DataFrame = {
+    val buck = corpus.select(col("vec_id"), explode(array((0 until tables).map(l =>
+        struct(lit(l).as("tbl"),
+          VF.lshBucket(col("embedding"), nBits, dims, s"t$l").as("bucket"))): _*))
+        .as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // isQuery must be a predicate over vec_id (it is applied to derived
+    // frames that carry only the id)
+    val qb = buck.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val cand = buck.join(qb, Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+    val ev = corpus.withColumn("nrm", VF.norm2(col("embedding")))
+    val qv = ev.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("nrm").as("q_nrm"))
+    val scored = cand
+      .join(broadcast(qv), "q_id")
+      .join(ev.select(col("vec_id").as("n_id"), col("embedding"), col("nrm")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(VF.cosineWithNorms(
+          VF.dot(col("q_vec"), col("embedding")), col("q_nrm"), col("nrm")), 6)
+          .as("cosine"))
+    rank(scored, k)
+  }
+
+  /** IVF — coarse-quantizer cells: `isCentroid` rows partition the corpus
+    * (one-time assignment; only id/cell/score triples shuffle), queries
+    * probe their `nProbe` nearest cells: O(K + corpus/K·nProbe) per query.
+    * Argmax decisions use round(6) + id tiebreak so results are
+    * deterministic and oracle-reproducible. */
+  def ivfTopK(corpus: DataFrame, isQuery: Column, isCentroid: Column,
+              k: Int, nProbe: Int = 2): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"),
+      VF.norm2(col("embedding")).as("nrm"))
+    val cent = e.filter(isCentroid)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        col("nrm").as("c_nrm"))
+    val scored = e.join(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+        round(VF.cosineWithNorms(
+          VF.dot(col("embedding"), col("c_vec")), col("nrm"), col("c_nrm")), 6)
+          .as("cscore"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("c_id"))
+    val ranked = scored.withColumn("crk", row_number().over(wAssign))
+    val assigned = ranked.filter(col("crk") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+      .join(e, "vec_id")
+    val qprobe = ranked.filter(isQuery && col("crk") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("nrm").as("q_nrm")), "q_id")
+    val cand = assigned.join(broadcast(qprobe), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(VF.cosineWithNorms(
+          VF.dot(col("q_vec"), col("embedding")), col("q_nrm"), col("nrm")), 6)
+          .as("cosine"))
+    rank(cand, k)
+  }
+}

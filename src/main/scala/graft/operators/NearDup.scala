@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, WordNgramHashes}
+
+/** MinHash-LSH near-duplicate detection as a reusable operator — the
+  * library form of the `dd_minhash_lsh` / `dd_dedup_corpus` queries.
+  *
+  * One-hash construction: each shingle is md5-hashed ONCE; the `slots`
+  * signature positions are linear permutations (a_i·h + b_i) mod P folded
+  * as min-aggregates over exploded (id, shingle-hash) rows — fully
+  * codegen'd hash aggregation with map-side partials. Bands of the
+  * signature bucket candidates ([[Blocking.cappedBandCandidates]] guards
+  * the degenerate buckets), then exact Jaccard over the shingle-hash sets
+  * verifies. Only (id, band) longs shuffle — signatures are
+  * `8·slots` bytes per document regardless of document size, which is what
+  * makes MinHash dedup feasible at 100 TB.
+  */
+object NearDup {
+
+  /** Verified near-dup pairs `(a_id, b_id, jaccard)` with a_id < b_id.
+    *
+    * @param docs       frame with `idCol` (long) and `textCol` (string)
+    * @param ngram      words per shingle
+    * @param slots      minhash signature length
+    * @param rowsPerBand slots/rowsPerBand bands — more bands = higher
+    *                    candidate recall at lower precision
+    * @param threshold  exact-Jaccard verification floor
+    * @param maxBucket  degenerate band-bucket cap (logged, never silent)
+    */
+  def pairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            ngram: Int = 3, slots: Int = 32, rowsPerBand: Int = 4,
+            threshold: Double = 0.2, maxBucket: Long = 1000): DataFrame = {
+    require(slots % rowsPerBand == 0, "slots must divide into bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perms = (0 until slots).map(TF.minhashPerm)
+    val P = TF.MinhashP
+    // the ONLY pass that touches text — tokenize+shingle+hash fused into
+    // one native expression; persisted because three branches consume it
+    // and the cache is hashes only, ~1% of corpus size
+    val hv = docs
+      .select(col(idCol).as("doc_id"),
+        explode(WordNgramHashes(col(textCol), ngram)).as("h60"))
+      .select($"doc_id", ($"h60" % P).as("h"))
+      .persist()
+    val sig = hv.groupBy($"doc_id").agg(
+      min((lit(perms.head._1) * $"h" + lit(perms.head._2)) % P).as("s0"),
+      perms.toIndexedSeq.zipWithIndex.tail.map { case ((a, b), i) =>
+        min((lit(a) * $"h" + lit(b)) % P).as(s"s$i")
+      }: _*)
+    val sigArr = sig.select($"doc_id",
+      array((0 until slots).map(i => col(s"s$i")): _*).as("sig"))
+    val bands = sigArr.select($"doc_id",
+      explode(TF.minhashBands($"sig", rowsPerBand, slots / rowsPerBand)).as("band"))
+    val cand = Blocking.cappedBandCandidates(bands, maxBucket)
+    // Jaccard over the shingle-HASH sets — identical values to string
+    // jaccard (same md5-derived hashes), far cheaper
+    val sets = hv.groupBy($"doc_id").agg(collect_set($"h").as("hs"))
+    cand
+      .join(sets.select($"doc_id".as("a_id"), $"hs".as("sa")), "a_id")
+      .join(sets.select($"doc_id".as("b_id"), $"hs".as("sb")), "b_id")
+      .withColumn("jaccard", round(
+        size(array_intersect($"sa", $"sb")).cast("double") /
+        size(array_union($"sa", $"sb")), 6))
+      .filter($"jaccard" >= threshold)
+      .select($"a_id", $"b_id", $"jaccard")
+  }
+
+  /** One survivor (min id) per near-dup cluster, with the cluster size:
+    * `(doc_id, n_merged)` — the user-facing dedup output. Exact duplicates
+    * land in the same cluster for free (jaccard 1). Clustering is the
+    * hybrid [[Clustering.connectedComponents]]. */
+  def survivors(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", threshold: Double = 0.2): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = pairs(docs, idCol, textCol, threshold = threshold)
+      .select($"a_id", $"b_id")
+    Clustering.connectedComponents(docs.select(col(idCol).as("id")), p)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("n_merged"))
+      .select($"cluster_id".as("doc_id"), $"n_merged")
+  }
+}
