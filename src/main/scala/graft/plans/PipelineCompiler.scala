@@ -3,7 +3,7 @@ package graft.plans
 import graft.operators.Transforms
 import graft.sources.{Sources, Sinks}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, expr, lit}
 
 /** Operator registry + spec→DataFrame compiler — the Spark-native
   * counterpart of the reference's config registry and task wiring
@@ -120,6 +120,47 @@ object SectionRegistry {
       (_, _, df) => Some(Transforms.stub(in(df)))),
     "sql" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => Some(Transforms.sql(cfg(c, "query"))(in(df)))),
+
+    // ---- training-data pipeline sections (spec-accessible forms of the
+    // graft.operators library; SURVEY extensions, first-class) ----
+    "dedup_exact" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(Transforms.dedupExact(
+        cfg(c, "keys").split(",").toSeq,
+        c.get("tie_break").map(_.split(",").toSeq).getOrElse(Nil))(in(df)))),
+    // near-dup survivors: (id, n_merged) — one row per kept document
+    "dedup_near" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.NearDup.survivors(in(df),
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text"),
+        threshold = c.getOrElse("threshold", "0.2").toDouble))),
+    // verified near-dup pairs: (a_id, b_id, jaccard)
+    "near_dup_pairs" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.NearDup.pairs(in(df),
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text"),
+        threshold = c.getOrElse("threshold", "0.2").toDouble))),
+    // ANN top-k over (vec_id, embedding): variant = brute|lsh|lsh_multi;
+    // query_where = SQL predicate over vec_id selecting the query rows
+    // (vec_id only: it is evaluated on derived frames that carry just the id)
+    "ann_topk" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val frame = in(df).select(col("vec_id"), col("embedding"))
+        val isQuery = expr(cfg(c, "query_where"))
+        val k = c.getOrElse("k", "5").toInt
+        val out = c.getOrElse("variant", "brute") match {
+          case "brute" => graft.operators.Ann.bruteForceTopK(frame, isQuery, k)
+          case "lsh" => graft.operators.Ann.lshTopK(frame, isQuery, k,
+            nBits = c.getOrElse("bits", "4").toInt,
+            dims = c.getOrElse("dims", "64").toInt)
+          case "lsh_multi" => graft.operators.Ann.lshMultiTopK(frame, isQuery, k,
+            nBits = c.getOrElse("bits", "4").toInt,
+            dims = c.getOrElse("dims", "64").toInt,
+            tables = c.getOrElse("tables", "4").toInt)
+          case other => throw new IllegalArgumentException(
+            s"ann_topk variant must be brute|lsh|lsh_multi, got $other")
+        }
+        Some(out.select("q_id", "n_id", "cosine", "rk"))
+      }),
 
     // ---- destinations (SURVEY §2.3) ----
     "parquet_destination" -> Entry(SectionIOSpec(DataFrameIO, None),

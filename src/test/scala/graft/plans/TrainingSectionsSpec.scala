@@ -1,0 +1,72 @@
+package graft.plans
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The training-data operators as declarative pipeline SECTIONS: the same
+  * JSON spec surface that drives the reference's transforms drives dedup
+  * and ANN here. */
+class TrainingSectionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val sf = TestSpark.sf
+
+  test("dedup_near section: documents in, survivors out, via JSON spec") {
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"dd","name":"dedup_near","config":{"threshold":"0.2"}}],
+        "edges":[["src","dd"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    assert(out.columns.toSeq == Seq("doc_id", "n_merged"))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    val survivors = out.count()
+    assert(survivors > 0 && survivors <= total)
+    // merged counts account for every document exactly once
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_merged"))
+      .head().getLong(0) == total)
+  }
+
+  test("near_dup_pairs section emits verified (a_id, b_id, jaccard)") {
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"p","name":"near_dup_pairs","config":{"threshold":"0.5"}}],
+        "edges":[["src","p"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    assert(out.columns.toSeq == Seq("a_id", "b_id", "jaccard"))
+    val rows = out.collect()
+    assert(rows.forall(r => r.getDouble(2) >= 0.5 && r.getLong(0) < r.getLong(1)))
+  }
+
+  test("ann_topk section runs each variant from a spec") {
+    for (variant <- Seq("brute", "lsh", "lsh_multi")) {
+      val json =
+        s"""{"sections":[
+          {"id":"src","name":"parquet_source","config":{"path":"$sf/embeddings.parquet"}},
+          {"id":"ann","name":"ann_topk","config":{
+            "variant":"$variant","k":"3","query_where":"vec_id < 4"}}],
+          "edges":[["src","ann"]]}"""
+      val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+      assert(out.columns.toSeq == Seq("q_id", "n_id", "cosine", "rk"), variant)
+      val rows = out.collect()
+      assert(rows.nonEmpty, s"$variant returned nothing")
+      assert(rows.forall(r => r.getLong(0) < 4 && r.getLong(3) <= 3), variant)
+    }
+  }
+
+  test("dedup_exact section with deterministic tie-break") {
+    val dir = java.nio.file.Files.createTempDirectory("dedup_exact").toString
+    Seq((1L, "a", "z"), (1L, "a", "y"), (2L, "b", "x"))
+      .toDF("k", "g", "v").write.parquet(s"$dir/in")
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$dir/in"}},
+        {"id":"dd","name":"dedup_exact","config":{"keys":"k","tie_break":"v"}}],
+        "edges":[["src","dd"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "y"), (2L, "x")))
+  }
+}
