@@ -798,6 +798,20 @@ object Queries {
       SELECT cluster_id AS doc_id, count(*) AS n_merged FROM comp
       GROUP BY cluster_id ORDER BY doc_id"""))
 
+  /** CTE producing `sims(doc_id, simhash)` — shared by the signature dump
+    * and the banded pair query. */
+  private val simhashCte: String = """hs AS (
+        SELECT doc_id, list_transform(
+          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(text), '\s+') END,
+          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
+        FROM documents),
+      sims AS (
+        SELECT doc_id, list_sum(list_transform(range(0, 32),
+          j -> CASE WHEN 2 * len(list_filter(h, x -> (x >> j) & 1 = 1)) > len(h)
+            THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
+        FROM hs)"""
+
   private val ddSimhash = Q(
     (s, dir) => {
       import s.implicits._
@@ -805,16 +819,44 @@ object Queries {
         .select($"doc_id", TF.simhash(TF.tokens($"text"), 32).as("simhash"))
         .orderBy($"doc_id")
     },
-    Some("""WITH hs AS (
-        SELECT doc_id, list_transform(
-          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-            ELSE regexp_split_to_array(trim(text), '\s+') END,
-          t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
-        FROM documents)
-      SELECT doc_id, list_sum(list_transform(range(0, 32),
-        j -> CASE WHEN 2 * len(list_filter(h, x -> (x >> j) & 1 = 1)) > len(h)
-          THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
-      FROM hs ORDER BY doc_id"""))
+    Some(s"WITH $simhashCte SELECT doc_id, simhash FROM sims ORDER BY doc_id"))
+
+  /** SimHash near-dup pairs via byte-band blocking: 4 bands of 8 bits over
+    * the 32-bit signature. Pigeonhole makes this EXACT for the hamming<=3
+    * threshold — any pair within distance 3 differs in at most 3 bands, so
+    * it must share at least one; no candidate is missed. Only (doc_id, band
+    * byte) longs shuffle; signatures join back by id for the verify. */
+  private val ddSimhashPairs = Q(
+    (s, dir) => {
+      import s.implicits._
+      val sh = Tables.documents(s, dir)
+        .select($"doc_id", TF.simhash(TF.tokens($"text"), 32).as("sh"))
+      val bands = sh.select($"doc_id", $"sh",
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("b"),
+            shiftrightunsigned($"sh", 8 * b).bitwiseAND(lit(255L)).as("v"))): _*))
+          .as("tb"))
+        .select($"doc_id", $"sh", $"tb.b".as("b"), $"tb.v".as("v"))
+      val cand = bands.as("a").join(bands.as("b"),
+          $"a.b" === $"b.b" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
+          $"a.sh".as("sha"), $"b.sh".as("shb"))
+        .distinct()
+      cand.select($"a_id", $"b_id",
+          bit_count($"sha".bitwiseXOR($"shb")).cast("long").as("hamming"))
+        .filter($"hamming" <= 3)
+        .orderBy($"a_id", $"b_id")
+    },
+    Some(s"""WITH $simhashCte,
+      bands AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS b FROM sims),
+      bv AS (SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS v FROM bands),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+          a.simhash AS sha, b.simhash AS shb
+        FROM bv a JOIN bv b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+      SELECT a_id, b_id, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+      ORDER BY a_id, b_id"""))
 
   private val ddEmbedCosine = Q(
     (s, dir) => {
@@ -1358,6 +1400,7 @@ object Queries {
     "dd_minhash_lsh" -> ddMinhash,
     "dd_dedup_corpus" -> ddDedupCorpus,
     "dd_simhash" -> ddSimhash,
+    "dd_simhash_pairs" -> ddSimhashPairs,
     "dd_embed_cosine" -> ddEmbedCosine,
     "dd_dup_clusters" -> ddClusters,
     "ann_topk" -> annTopk,
