@@ -829,22 +829,26 @@ object Queries {
   private val ddSimhashPairs = Q(
     (s, dir) => {
       import s.implicits._
+      // persisted: 16 bytes/doc; both self-join sides read the cache
+      // instead of re-tokenizing the corpus
       val sh = Tables.documents(s, dir)
         .select($"doc_id", TF.simhash(TF.tokens($"text"), 32).as("sh"))
+        .persist()
       val bands = sh.select($"doc_id", $"sh",
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("b"),
             shiftrightunsigned($"sh", 8 * b).bitwiseAND(lit(255L)).as("v"))): _*))
           .as("tb"))
         .select($"doc_id", $"sh", $"tb.b".as("b"), $"tb.v".as("v"))
-      val cand = bands.as("a").join(bands.as("b"),
+      // hamming filter BEFORE the multi-band dedup: candidates are
+      // dominated by false positives (dense byte bands), so the distinct
+      // runs on the ~5% that verify, not the raw candidate set
+      bands.as("a").join(bands.as("b"),
           $"a.b" === $"b.b" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
-          $"a.sh".as("sha"), $"b.sh".as("shb"))
-        .distinct()
-      cand.select($"a_id", $"b_id",
-          bit_count($"sha".bitwiseXOR($"shb")).cast("long").as("hamming"))
+          bit_count($"a.sh".bitwiseXOR($"b.sh")).cast("long").as("hamming"))
         .filter($"hamming" <= 3)
+        .distinct()
         .orderBy($"a_id", $"b_id")
     },
     Some(s"""WITH $simhashCte,
