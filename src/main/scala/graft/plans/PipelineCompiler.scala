@@ -3,7 +3,7 @@ package graft.plans
 import graft.operators.Transforms
 import graft.sources.{Sources, Sinks}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit}
+import org.apache.spark.sql.functions.{col, expr, lit, regexp_replace}
 
 /** Operator registry + spec→DataFrame compiler — the Spark-native
   * counterpart of the reference's config registry and task wiring
@@ -139,6 +139,38 @@ object SectionRegistry {
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text"),
         threshold = c.getOrElse("threshold", "0.2").toDouble))),
+    // text analysis over a text column: append language/quality/token
+    // columns (narrow, codegen'd — no shuffle)
+    "text_analysis" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val textCol = col(c.getOrElse("text_column", "text"))
+        val frame = in(df)
+        val feats = c.getOrElse("features", "lang,quality,tokens").split(",").toSeq
+        Some(feats.foldLeft(frame) { (d, f) => f.trim match {
+          case "lang" => d.withColumn("pred_lang",
+            graft.functions.TextFunctions.languageId(textCol))
+          case "quality" => d.withColumn("quality_score",
+            graft.functions.TextFunctions.qualityFeatures(textCol)
+              .getField("quality_score"))
+          case "tokens" => d.withColumn("n_tokens",
+            graft.functions.TextFunctions.tokenCount(textCol).cast("long"))
+          case "fingerprint" => d.withColumn("fingerprint",
+            graft.functions.TextFunctions.fingerprint(
+              graft.functions.TextFunctions.tokens(textCol)))
+          case other => throw new IllegalArgumentException(
+            s"text_analysis feature must be lang|quality|tokens|fingerprint, got $other")
+        }})
+      }),
+    // PII redaction: regex detect+replace over a text column
+    "pii_redact" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val textCol = c.getOrElse("text_column", "text")
+        val pattern = c.getOrElse("pattern",
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+        val replacement = c.getOrElse("replacement", "<PII>")
+        Some(in(df).withColumn(textCol,
+          regexp_replace(col(textCol), pattern, replacement)))
+      }),
     // ANN top-k over (vec_id, embedding): variant = brute|lsh|lsh_multi;
     // query_where = SQL predicate over vec_id selecting the query rows
     // (vec_id only: it is evaluated on derived frames that carry just the id)

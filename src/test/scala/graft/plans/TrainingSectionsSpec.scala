@@ -56,6 +56,39 @@ class TrainingSectionsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_analysis section appends narrow feature columns") {
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"ta","name":"text_analysis",
+         "config":{"features":"lang,quality,tokens,fingerprint"}}],
+        "edges":[["src","ta"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    assert(Seq("pred_lang", "quality_score", "n_tokens", "fingerprint")
+      .forall(out.columns.contains))
+    // narrow: no shuffle in the plan
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    val r = out.select("quality_score", "n_tokens").head()
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0 && r.getLong(1) >= 0L)
+  }
+
+  test("pii_redact section strips emails from the text column") {
+    val dir = java.nio.file.Files.createTempDirectory("pii").toString
+    Seq((1L, "write to alice@example.com today"), (2L, "no pii here"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in")
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$dir/in"}},
+        {"id":"rx","name":"pii_redact","config":{"replacement":"<EMAIL>"}}],
+        "edges":[["src","rx"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(out(0) == "write to <EMAIL> today")
+    assert(out(1) == "no pii here")
+  }
+
   test("dedup_exact section with deterministic tie-break") {
     val dir = java.nio.file.Files.createTempDirectory("dedup_exact").toString
     Seq((1L, "a", "z"), (1L, "a", "y"), (2L, "b", "x"))
