@@ -32,8 +32,12 @@ object Blocking {
   private[operators] val BlockCapMetric = "graft_block_cap"
   private[operators] val BandCapMetric = "graft_band_cap"
 
-  private val installedSessions =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  // weakly-keyed: a per-query cloned session (spark.newSession pattern)
+  // must stay GC-able — a strong static set would pin every session and
+  // its registered listener forever
+  private val installedSessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   /** Idempotent per-session listener: surfaces the observe() cap metrics on
     * every successful action over a plan that contains them. (Under a
@@ -99,10 +103,14 @@ object Blocking {
   /** Candidate pairs from MinHash band buckets, degenerate-bucket capped:
     * a bucket holding more than `maxBucket` members (mass duplicates, or
     * many near-empty documents sharing a signature) would make the
-    * self-join quadratic in that bucket; such buckets are dropped from
-    * candidate generation, with the drop observed and logged. Standard LSH
-    * buckets pass through untouched, so results are exact until the cap
-    * bites.
+    * self-join quadratic in that bucket. Such buckets switch to STAR
+    * compression — every member pairs with the bucket's min doc_id, O(n)
+    * edges instead of O(n²) — which preserves connected-components
+    * connectivity, so mass-duplicated content (the content dedup exists
+    * for) still collapses into one cluster instead of silently escaping.
+    * Pair-level recall inside a starred bucket is reduced (only hub pairs
+    * are emitted for verification); the switch is observed and logged.
+    * Standard buckets are exact.
     *
     * Input frame: `(doc_id, band)`; output: distinct `(a_id, b_id)` with
     * a_id < b_id.
@@ -110,13 +118,18 @@ object Blocking {
   def cappedBandCandidates(bands: DataFrame, maxBucket: Long = 1000): DataFrame = {
     ensureCapListener(bands.sparkSession)
     val m = capMetrics("_bsz", maxBucket)
-    val kept = bands
-      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(col("band"))))
+    val w = Window.partitionBy(col("band"))
+    val sized = bands
+      .withColumn("_bsz", count(lit(1)).over(w))
+      .withColumn("_hub", min(col("doc_id")).over(w))
       .observe(BandCapMetric, m.head, m.tail: _*)
-      .filter(col("_bsz") <= maxBucket)
-    kept.as("a").join(kept.as("b"),
+    val small = sized.filter(col("_bsz") <= maxBucket)
+    val exact = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .distinct()
+    val starred = sized
+      .filter(col("_bsz") > maxBucket && col("doc_id") =!= col("_hub"))
+      .select(col("_hub").as("a_id"), col("doc_id").as("b_id"))
+    exact.union(starred).distinct()
   }
 }

@@ -39,7 +39,9 @@ object NearDup {
     val P = TF.MinhashP
     // the ONLY pass that touches text — tokenize+shingle+hash fused into
     // one native expression; persisted because three branches consume it
-    // and the cache is hashes only, ~1% of corpus size
+    // and the cache is hashes only, ~1% of corpus size. Cache lifecycle is
+    // session-managed (LRU-evicted): callers invoking this repeatedly in a
+    // long-lived session should spark.catalog.clearCache() between corpora.
     val hv = docs
       .select(col(idCol).as("doc_id"),
         explode(WordNgramHashes(col(textCol), ngram)).as("h60"))
@@ -69,7 +71,7 @@ object NearDup {
   }
 
   /** One survivor (min id) per near-dup cluster, with the cluster size:
-    * `(doc_id, n_merged)` — the user-facing dedup output. Exact duplicates
+    * `(<idCol>, n_merged)` — the user-facing dedup output. Exact duplicates
     * land in the same cluster for free (jaccard 1). Clustering is the
     * hybrid [[Clustering.connectedComponents]]. */
   def survivors(docs: DataFrame, idCol: String = "doc_id",
@@ -80,6 +82,6 @@ object NearDup {
       .select($"a_id", $"b_id")
     Clustering.connectedComponents(docs.select(col(idCol).as("id")), p)
       .groupBy($"cluster_id").agg(count(lit(1)).as("n_merged"))
-      .select($"cluster_id".as("doc_id"), $"n_merged")
+      .select($"cluster_id".as(idCol), $"n_merged")
   }
 }

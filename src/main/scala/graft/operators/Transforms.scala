@@ -120,9 +120,11 @@ object Transforms {
     * path. One process per ROW (reference semantics), rows streamed per
     * partition -- distributed across executors. */
   def execDf(command: Seq[String])(df: DataFrame): DataFrame = {
-    val schema = df.schema
     val cols = df.columns
-    val rdd = df.rdd.mapPartitions { it =>
+    // Dataset.mapPartitions (not df.rdd): keeps the operator usable on
+    // STREAMING frames — the ack-passthrough contract is exactly the
+    // mid-stream case — and avoids an RDD boundary in batch plans.
+    df.mapPartitions { it =>
       it.map { row =>
         val args = command ++ cols.zipWithIndex.map { case (c, i) =>
           val v = row.get(i)
@@ -138,8 +140,7 @@ object Transforms {
           s"exec '${args.mkString(" ")}' exited $code: ${out.take(200)}")
         row
       }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
+    }(org.apache.spark.sql.Encoders.row(df.schema))
   }
 
   /** T9 exec, bin mode (`sections/exec/src/section/bin.rs`): pipe a binary/

@@ -80,9 +80,17 @@ object SectionRegistry {
     "stream_parquet_source" -> Entry(SectionIOSpec(None, DataFrameIO),
       (s, c, _) => Some {
         val dir = cfg(c, "path")
+        // drift detection needs a record location ON THE SOURCE section
+        // ("schema_record", typically the sink's checkpoint dir) — an
+        // explicit policy without one would be silently inert, so reject it
+        val recordPath = c.get("schema_record").orElse(c.get("checkpoint"))
+        if (c.contains("on_schema_drift") && recordPath.isEmpty)
+          throw new IllegalArgumentException(
+            "stream_parquet_source: on_schema_drift is set but there is no " +
+            "schema_record location to compare against — add \"schema_record\"")
         val schema = SchemaDrift.resolve(s,
           probe = s.read.option("mergeSchema", "true").format("parquet").load(dir).schema,
-          recordPath = c.get("checkpoint").orElse(c.get("schema_record")),
+          recordPath = recordPath,
           policy = c.getOrElse("on_schema_drift", "widen"))
         var rdr = s.readStream.schema(schema)
           .option("maxFilesPerTrigger", c.getOrElse("max_files_per_trigger", "16"))
@@ -113,7 +121,10 @@ object SectionRegistry {
     "exec" -> Entry(SectionIOSpec(BinOrDataFrame, BinOrDataFrame),
       (_, c, df) => {
         val cmd = cfg(c, "command").split(" ").toSeq
-        if (c.getOrElse("mode", "df") == "bin") Some(Transforms.execPipe(cmd)(in(df)))
+        // bin mode pipes the PAYLOAD column of the canonical (origin, value)
+        // binary frame; df mode passes the whole row frame through
+        if (c.getOrElse("mode", "df") == "bin")
+          Some(Transforms.execPipe(cmd)(in(df).select(col("value"))))
         else Some(Transforms.execDf(cmd)(in(df)))
       }),
     "stub" -> Entry(SectionIOSpec(BinOrDataFrame, None),

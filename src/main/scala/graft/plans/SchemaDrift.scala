@@ -1,6 +1,6 @@
 package graft.plans
 
-import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -17,6 +17,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *    (checkpoint keeps offsets). A TYPE change for an existing column is
   *    never widenable for an in-flight stream and fails regardless.
   *  - `fail`: any drift raises, for pipelines where shape is a contract.
+  *
+  * The sidecar goes through the checkpoint's Hadoop [[FileSystem]] (local,
+  * hdfs://, s3a://, ...) so it genuinely lives NEXT TO the checkpoint —
+  * a driver-local java.nio write would reset the record on every new
+  * driver host. Written tmp-then-rename; a crash between delete and
+  * rename at worst loses the record (next compile re-records the probe),
+  * never leaves a truncated one.
   */
 object SchemaDrift {
 
@@ -27,11 +34,15 @@ object SchemaDrift {
     recordPath match {
       case None => probe // no record location: run with the probe as-is
       case Some(base) =>
-        val p = Paths.get(base, RecordFile)
+        val p = new HPath(base, RecordFile)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
         val prev =
-          if (Files.exists(p))
-            Some(DataType.fromJson(Files.readString(p)).asInstanceOf[StructType])
-          else None
+          if (fs.exists(p)) {
+            val in = fs.open(p)
+            try Some(DataType.fromJson(new String(in.readAllBytes(), "UTF-8"))
+              .asInstanceOf[StructType])
+            finally in.close()
+          } else None
         val resolved = prev match {
           case Some(old) if old != probe =>
             policy match {
@@ -46,13 +57,11 @@ object SchemaDrift {
             }
           case _ => probe
         }
-        Files.createDirectories(p.getParent)
-        // atomic tmp+rename, same contract as StateStore: a crash mid-write
-        // must never leave a truncated record that poisons the next compile
-        val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-        Files.writeString(tmp, resolved.json)
-        Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        val tmp = new HPath(base, RecordFile + ".tmp")
+        val out = fs.create(tmp, true)
+        try out.write(resolved.json.getBytes("UTF-8")) finally out.close()
+        if (fs.exists(p)) fs.delete(p, false)
+        fs.rename(tmp, p)
         resolved
     }
 

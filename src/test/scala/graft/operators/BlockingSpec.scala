@@ -50,13 +50,17 @@ class BlockingSpec extends AnyFunSuite {
     assert(math.abs(out - 1.0) < 1e-9)
   }
 
-  test("cappedBandCandidates drops degenerate buckets, keeps normal ones") {
+  test("cappedBandCandidates star-compresses degenerate buckets (O(n), connectivity kept)") {
     val degenerate = (1L to 20L).map(i => (i, 111L))
     val normal = (21L to 23L).map(i => (i, 222L))
     val bands = (degenerate ++ normal).toDF("doc_id", "band")
     val cand = Blocking.cappedBandCandidates(bands, maxBucket = 10)
       .as[(Long, Long)].collect().toSet
-    assert(cand == Set((21L, 22L), (21L, 23L), (22L, 23L)))
+    // over-cap bucket: every member pairs with the hub (min doc_id) ONLY —
+    // 19 edges, not 190 — so a mass-duplicate cluster still becomes one
+    // connected component instead of silently escaping dedup
+    val star = (2L to 20L).map(i => (1L, i)).toSet
+    assert(cand == star ++ Set((21L, 22L), (21L, 23L), (22L, 23L)))
   }
 
   test("cappedBandCandidates is exact when no bucket exceeds the cap") {
