@@ -470,6 +470,38 @@ object Queries {
       FROM sess GROUP BY user_id, sess_id
       ORDER BY user_id, session_start"""))
 
+  /** CUSTOM per-key state (`flatMapGroupsWithState`,
+    * [[graft.streaming.StatefulSessions]]) producing the same sessions the
+    * built-in session_window (q23) produces — verified against the same
+    * first-principles lag/cumsum oracle. The custom operator is the escape
+    * hatch for session semantics session_window can't express; this entry
+    * proves its close rule is exactly right. */
+  private val stSessionsCustom = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.streaming.StatefulSessions.sessionizeBatchComplete(
+          Tables.events(s, dir).select($"user_id", $"ts"), "user_id", "ts", 1800L)
+        .select($"key".cast("long").as("user_id"),
+          $"session_start".cast("string").as("session_start"),
+          $"n".as("n_events"))
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+            THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      sess AS (
+        SELECT user_id, ts,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM ev)
+      SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start,
+        count(*) AS n_events
+      FROM sess GROUP BY user_id, sess_id
+      ORDER BY user_id, session_start"""))
+
   private val q24 = Q(
     (s, dir) => {
       import s.implicits._
@@ -1422,5 +1454,6 @@ object Queries {
     "q29_sliding_window" -> q29,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecode,
-    "st_tumbling_window" -> stTumbling)
+    "st_tumbling_window" -> stTumbling,
+    "st_sessions_custom" -> stSessionsCustom)
 }
