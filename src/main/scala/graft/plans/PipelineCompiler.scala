@@ -182,9 +182,9 @@ object SectionRegistry {
         Some(in(df).withColumn(textCol,
           regexp_replace(col(textCol), pattern, replacement)))
       }),
-    // ANN top-k over (vec_id, embedding): variant = brute|lsh|lsh_multi;
-    // query_where = SQL predicate over vec_id selecting the query rows
-    // (vec_id only: it is evaluated on derived frames that carry just the id)
+    // ANN top-k over (vec_id, embedding): variant = brute|lsh|lsh_multi|ivf;
+    // query_where (and ivf's centroid_where) = SQL predicates over vec_id
+    // (vec_id only: they are evaluated on derived frames carrying just the id)
     "ann_topk" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {
         val frame = in(df).select(col("vec_id"), col("embedding"))
@@ -199,10 +199,35 @@ object SectionRegistry {
             nBits = c.getOrElse("bits", "4").toInt,
             dims = c.getOrElse("dims", "64").toInt,
             tables = c.getOrElse("tables", "4").toInt)
+          case "ivf" => graft.operators.Ann.ivfTopK(frame, isQuery,
+            isCentroid = expr(cfg(c, "centroid_where")), k,
+            nProbe = c.getOrElse("probes", "2").toInt)
           case other => throw new IllegalArgumentException(
-            s"ann_topk variant must be brute|lsh|lsh_multi, got $other")
+            s"ann_topk variant must be brute|lsh|lsh_multi|ivf, got $other")
         }
         Some(out.select("q_id", "n_id", "cosine", "rk"))
+      }),
+    // deterministic hash-bucket train/valid/test split: RNG-free,
+    // shuffle-free, stable across runs and engines
+    "dataset_split" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val idCol = col(c.getOrElse("id_column", "doc_id"))
+        val trainPct = c.getOrElse("train_pct", "80").toInt
+        val validPct = c.getOrElse("valid_pct", "10").toInt
+        val bucket = graft.functions.TextFunctions.hash60(idCol) % 100
+        Some(in(df).withColumn("split",
+          org.apache.spark.sql.functions.when(bucket < trainPct, "train")
+            .when(bucket < trainPct + validPct, "valid")
+            .otherwise("test")))
+      }),
+    // multimodal decode: binary payload column -> fixed-length feature
+    // vector (deterministic stub codec; the Spark-side plumbing is real)
+    "mm_decode" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val payload = c.getOrElse("payload_column", "payload")
+        val dims = c.getOrElse("dims", "4").toInt
+        Some(in(df).withColumn("features",
+          graft.operators.Multimodal.stubDecodeFeatures(col(payload), dims)))
       }),
 
     // ---- destinations (SURVEY §2.3) ----

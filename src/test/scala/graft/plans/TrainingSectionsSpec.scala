@@ -41,12 +41,13 @@ class TrainingSectionsSpec extends AnyFunSuite {
   }
 
   test("ann_topk section runs each variant from a spec") {
-    for (variant <- Seq("brute", "lsh", "lsh_multi")) {
+    for (variant <- Seq("brute", "lsh", "lsh_multi", "ivf")) {
+      val extra = if (variant == "ivf") ""","centroid_where":"vec_id < 8"""" else ""
       val json =
         s"""{"sections":[
           {"id":"src","name":"parquet_source","config":{"path":"$sf/embeddings.parquet"}},
           {"id":"ann","name":"ann_topk","config":{
-            "variant":"$variant","k":"3","query_where":"vec_id < 4"}}],
+            "variant":"$variant","k":"3","query_where":"vec_id < 4"$extra}}],
           "edges":[["src","ann"]]}"""
       val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
       assert(out.columns.toSeq == Seq("q_id", "n_id", "cosine", "rk"), variant)
@@ -54,6 +55,24 @@ class TrainingSectionsSpec extends AnyFunSuite {
       assert(rows.nonEmpty, s"$variant returned nothing")
       assert(rows.forall(r => r.getLong(0) < 4 && r.getLong(3) <= 3), variant)
     }
+  }
+
+  test("dataset_split and mm_decode sections compose in one pipeline") {
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"sp","name":"dataset_split","config":{"train_pct":"70","valid_pct":"20"}},
+        {"id":"sq","name":"sql","config":{
+          "query":"SELECT doc_id, split, encode(text, 'UTF-8') AS payload FROM input"}},
+        {"id":"mm","name":"mm_decode","config":{"dims":"3"}}],
+        "edges":[["src","sp"],["sp","sq"],["sq","mm"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    val splits = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "valid", "test"))
+    val total = splits.values.sum
+    assert(splits("train") > total * 5 / 10, s"train share off: $splits")
+    assert(out.select("features").head().getSeq[Double](0).length == 3)
   }
 
   test("text_analysis section appends narrow feature columns") {
