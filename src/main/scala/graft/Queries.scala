@@ -457,7 +457,7 @@ object Queries {
     Some("""WITH ev AS (
         SELECT user_id, ts,
           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-            OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
             THEN 1 ELSE 0 END AS new_sess
         FROM events),
       sess AS (
@@ -489,7 +489,7 @@ object Queries {
     Some("""WITH ev AS (
         SELECT user_id, ts,
           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-            OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
             THEN 1 ELSE 0 END AS new_sess
         FROM events),
       sess AS (
@@ -1200,10 +1200,8 @@ object Queries {
   private val taSplit = Q(
     (s, dir) => {
       import s.implicits._
-      val bucket = TF.hash60($"doc_id") % 100
       Tables.documents(s, dir).select($"doc_id",
-          when(bucket < 80, "train").when(bucket < 90, "valid")
-            .otherwise("test").as("split"))
+          Transforms.splitColumn($"doc_id").as("split"))
         .orderBy($"doc_id")
     },
     Some("""SELECT doc_id,

@@ -172,6 +172,20 @@ object Transforms {
     df.sparkSession.sql(query)
   }
 
+  /** Extension: deterministic hash-bucket train/valid/test split column —
+    * md5-derived bucket in [0, 100), RNG-free and shuffle-free, stable
+    * across runs and engines. Single source of truth for the `ta_split`
+    * query and the `dataset_split` section. */
+  def splitColumn(id: Column, trainPct: Int = 80, validPct: Int = 10): Column = {
+    require(trainPct >= 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"split percentages must be non-negative and sum to <= 100, " +
+      s"got train=$trainPct valid=$validPct")
+    val bucket = graft.functions.TextFunctions.hash60(id) % 100
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + validPct, "valid")
+      .otherwise("test")
+  }
+
   /** Extension: exact deduplication on key columns. With `tieBreak` given,
     * the kept row is DETERMINISTIC — the minimum under the tie-break
     * ordering — via the custom TopKPerKey operator with k=1 (bounded-heap,

@@ -208,18 +208,12 @@ object SectionRegistry {
         Some(out.select("q_id", "n_id", "cosine", "rk"))
       }),
     // deterministic hash-bucket train/valid/test split: RNG-free,
-    // shuffle-free, stable across runs and engines
+    // shuffle-free, stable across runs and engines (validates percentages)
     "dataset_split" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
-      (_, c, df) => {
-        val idCol = col(c.getOrElse("id_column", "doc_id"))
-        val trainPct = c.getOrElse("train_pct", "80").toInt
-        val validPct = c.getOrElse("valid_pct", "10").toInt
-        val bucket = graft.functions.TextFunctions.hash60(idCol) % 100
-        Some(in(df).withColumn("split",
-          org.apache.spark.sql.functions.when(bucket < trainPct, "train")
-            .when(bucket < trainPct + validPct, "valid")
-            .otherwise("test")))
-      }),
+      (_, c, df) => Some(in(df).withColumn("split",
+        Transforms.splitColumn(col(c.getOrElse("id_column", "doc_id")),
+          trainPct = c.getOrElse("train_pct", "80").toInt,
+          validPct = c.getOrElse("valid_pct", "10").toInt)))),
     // multimodal decode: binary payload column -> fixed-length feature
     // vector (deterministic stub codec; the Spark-side plumbing is real)
     "mm_decode" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),

@@ -8,15 +8,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Custom per-key session state via `flatMapGroupsWithState` — the escape
   * hatch for session semantics the built-in `session_window` cannot express
   * (emit-on-close with arbitrary per-session accumulators, length caps,
-  * custom merge rules). State is ONE small record per OPEN session key,
-  * dropped the moment the session closes (event-time timeout) — bounded by
-  * concurrently-active keys, never by history, which is what keeps custom
-  * state viable at 100 TB/day ingest.
+  * custom merge rules). State is the short sorted list of OPEN sessions per
+  * key — more than one only while late data within the watermark horizon
+  * can still arrive between them — and every session is dropped the moment
+  * the watermark passes its close edge. Bounded by concurrently-active
+  * keys, never by history, which is what keeps custom state viable at
+  * 100 TB/day ingest.
   *
-  * The gap-based close rule intentionally matches `session_window`, so the
-  * operator verifies against the built-in on identical input
-  * (StatefulSessionsSpec); production variants extend [[SessionState]] and
-  * the fold inside [[sessionize]].
+  * The merge rule matches `session_window` exactly, INCLUDING late events:
+  * an event merges into any open session whose window `(start-gap,
+  * last+gap)` covers it (extending `start` backwards when the event
+  * precedes it), adjacent sessions coalesce when a bridging event arrives,
+  * and an event at exactly `last + gap` starts a NEW session (the window
+  * is half-open). Verified against the built-in and a first-principles
+  * oracle (StatefulSessionsSpec, `st_sessions_custom`).
   */
 object StatefulSessions {
 
@@ -32,15 +37,43 @@ object StatefulSessions {
     t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
     t
   }
+
   final case class SessionState(startMicros: Long, lastMicros: Long, n: Long)
   final case class ClosedSession(key: String, session_start: Timestamp, n: Long)
 
-  /** Sessionize `events` (must carry `keyCol` and a timestamp `tsCol`) with
-    * a `gapSeconds` inactivity close rule. Emits one row per CLOSED
-    * session: `(key, session_start, n)`. On a streaming frame, open
-    * sessions close via event-time timeout once the watermark passes
-    * last + gap; on a batch frame timeouts never fire (use
-    * [[sessionizeBatchComplete]] for end-of-input closure). */
+  /** Fold one event into the sorted open-session list: merge into the
+    * session whose (start-gap, last+gap) window covers ts — extending the
+    * start backwards for a late preceding event — else insert a new
+    * session; then coalesce neighbours the event may have bridged. */
+  private def fold(sessions: List[SessionState], ts: Long,
+                   gapMicros: Long): List[SessionState] = {
+    val idx = sessions.indexWhere(s =>
+      ts > s.startMicros - gapMicros && ts < s.lastMicros + gapMicros)
+    val merged =
+      if (idx >= 0) {
+        val s = sessions(idx)
+        sessions.updated(idx, s.copy(
+          startMicros = math.min(s.startMicros, ts),
+          lastMicros = math.max(s.lastMicros, ts), n = s.n + 1))
+      } else {
+        (SessionState(ts, ts, 1) :: sessions).sortBy(_.startMicros)
+      }
+    // coalesce adjacent sessions the new/extended one now overlaps
+    merged.foldRight(List.empty[SessionState]) {
+      case (cur, next :: rest) if next.startMicros < cur.lastMicros + gapMicros =>
+        SessionState(cur.startMicros, math.max(cur.lastMicros, next.lastMicros),
+          cur.n + next.n) :: rest
+      case (cur, acc) => cur :: acc
+    }
+  }
+
+  /** Sessionize `events` (must carry `keyCol` and a timestamp `tsCol`;
+    * null timestamps are dropped) with a `gapSeconds` inactivity close
+    * rule. Emits one row per CLOSED session: `(key, session_start, n)`.
+    * On a streaming frame, a session closes — and its state is dropped —
+    * once the event-time watermark passes last + gap; on a batch frame
+    * every session except each key's trailing open one closes at
+    * end-of-input (use [[sessionizeBatchComplete]] to close those too). */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String,
                  gapSeconds: Long, watermark: String = "0 seconds"): Dataset[ClosedSession] = {
     val spark = events.sparkSession
@@ -51,50 +84,54 @@ object StatefulSessions {
     // operator — EventTimeTimeout is rejected without it — so the typed
     // Dataset carries the raw timestamp and converts to micros per row
     val typed = events
+      .filter(col(tsCol).isNotNull)
       .select(col(keyCol).cast("string").as("key"), col(tsCol).as("ts"))
       .withWatermark("ts", watermark)
       .as[Event]
 
     typed.groupByKey(_.key)
-      .flatMapGroupsWithState[SessionState, ClosedSession](
+      .flatMapGroupsWithState[List[SessionState], ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        (key: String, it: Iterator[Event], state: GroupState[SessionState]) => {
-          if (state.hasTimedOut) {
-            // watermark passed last + gap: the open session is closed
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(key, tsFromMicros(s.startMicros), s.n))
-          } else {
-            // events within one batch arrive unordered: sort, then fold
-            // with session_window's close rule (gap measured from the last
-            // event; the session covers [start, last + gap))
-            val sorted = it.map(e => microsOf(e.ts)).toArray.sorted
-            var open = state.getOption
-            val closed = List.newBuilder[ClosedSession]
-            sorted.foreach { ts =>
-              open match {
-                case Some(s) if ts < s.lastMicros + gapMicros =>
-                  open = Some(s.copy(lastMicros = math.max(s.lastMicros, ts), n = s.n + 1))
-                case Some(s) =>
-                  closed += ClosedSession(key, tsFromMicros(s.startMicros), s.n)
-                  open = Some(SessionState(ts, ts, 1))
-                case None =>
-                  open = Some(SessionState(ts, ts, 1))
+        (key: String, it: Iterator[Event], state: GroupState[List[SessionState]]) => {
+          def finish(open: List[SessionState],
+                     closed: Seq[SessionState]): Iterator[ClosedSession] = {
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
+              if (streaming) {
+                // next close edge; micros round UP to millis so the
+                // timeout can never fire early, and it must stay strictly
+                // ahead of the current watermark
+                val nextMicros = open.map(_.lastMicros + gapMicros).min
+                state.setTimeoutTimestamp(math.max(
+                  Math.floorDiv(nextMicros + 999, 1000),
+                  state.getCurrentWatermarkMs() + 1))
               }
             }
-            open match {
-              case Some(s) =>
-                state.update(s)
-                if (streaming) {
-                  // close once the watermark passes last + gap (must stay
-                  // strictly ahead of the current watermark)
-                  val timeoutMs = s.lastMicros / 1000 + gapSeconds * 1000
-                  state.setTimeoutTimestamp(
-                    math.max(timeoutMs, state.getCurrentWatermarkMs() + 1))
-                }
-              case None => state.remove()
+            closed.map(s =>
+              ClosedSession(key, tsFromMicros(s.startMicros), s.n)).iterator
+          }
+          val sessions = state.getOption.getOrElse(Nil)
+          if (state.hasTimedOut) {
+            val wmMicros = state.getCurrentWatermarkMs() * 1000L
+            val (done, open) = sessions.partition(_.lastMicros + gapMicros <= wmMicros)
+            finish(open, done)
+          } else {
+            val sorted = it.map(e => microsOf(e.ts)).toArray.sorted
+            val folded = sorted.foldLeft(sessions)((acc, ts) => fold(acc, ts, gapMicros))
+            if (streaming) {
+              // sessions already behind the watermark can never change
+              // (later events arrive above the watermark, beyond their
+              // close edge): emit eagerly instead of waiting for a
+              // timeout batch
+              val wmMicros = state.getCurrentWatermarkMs() * 1000L
+              val (done, open) = folded.partition(_.lastMicros + gapMicros <= wmMicros)
+              finish(open, done)
+            } else {
+              // batch: single group call sees all events — everything
+              // except the trailing open session is definitively closed
+              finish(folded.takeRight(1), folded.dropRight(1))
             }
-            closed.result().iterator
           }
         })
   }
@@ -106,10 +143,11 @@ object StatefulSessions {
     * when the pass ends). */
   def sessionizeBatchComplete(events: DataFrame, keyCol: String, tsCol: String,
                               gapSeconds: Long): DataFrame = {
-    val sentinel = events.select(col(keyCol), col(tsCol))
+    val nonNull = events.filter(col(tsCol).isNotNull)
+    val sentinel = nonNull.select(col(keyCol), col(tsCol))
       .groupBy(col(keyCol)).agg(max(col(tsCol)).as(tsCol))
       .withColumn(tsCol, col(tsCol) + expr("INTERVAL 3650 DAYS"))
-    val withSentinel = events.select(col(keyCol), col(tsCol))
+    val withSentinel = nonNull.select(col(keyCol), col(tsCol))
       .unionByName(sentinel)
     sessionize(withSentinel, keyCol, tsCol, gapSeconds).toDF()
   }

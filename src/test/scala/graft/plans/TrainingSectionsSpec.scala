@@ -108,6 +108,14 @@ class TrainingSectionsSpec extends AnyFunSuite {
     assert(out(1) == "no pii here")
   }
 
+  test("dataset_split rejects degenerate percentages") {
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Transforms.splitColumn(
+        org.apache.spark.sql.functions.col("id"), trainPct = 80, validPct = 30)
+    }
+    assert(e.getMessage.contains("sum to <= 100"))
+  }
+
   test("dedup_exact section with deterministic tie-break") {
     val dir = java.nio.file.Files.createTempDirectory("dedup_exact").toString
     Seq((1L, "a", "z"), (1L, "a", "y"), (2L, "b", "x"))

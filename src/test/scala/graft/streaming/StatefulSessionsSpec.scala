@@ -31,6 +31,63 @@ class StatefulSessionsSpec extends AnyFunSuite {
       s"onlyCustom=${(custom -- ref).take(3)} onlyRef=${(ref -- custom).take(3)}")
   }
 
+  test("late event BEFORE an open session forms its own session (session_window parity)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_late").toString
+    def write(sub: String, ts: String): Unit =
+      Seq(("u1", java.sql.Timestamp.valueOf(ts))).toDF("user_id", "ts")
+        .coalesce(1).write.parquet(s"$root/in/$sub")
+    def run(): Unit = {
+      val schema = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$root/in").schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).option("recursiveFileLookup", "true")
+        .parquet(s"$root/in")
+      // flatMapGroupsWithState(Append) requires an Append-mode sink
+      val w = StatefulSessions.sessionize(stream, "user_id", "ts", 1800L,
+          watermark = "2 hours").toDF()
+        .writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$root/out")
+        }
+      StreamingPipelines.runToCompletion(w)
+    }
+    write("a", "2024-01-01 10:00:00")
+    run()
+    // late but within the 2h lateness horizon, 30+ min BEFORE the open
+    // session: must become its own session, not be absorbed
+    write("b", "2024-01-01 09:00:00")
+    run()
+    // far-future event pushes the watermark past both close edges
+    write("c", "2024-01-01 23:00:00")
+    run()
+    val got = spark.read.parquet(s"$root/out")
+      .select("session_start", "n")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).toSet
+    assert(got == Set(("2024-01-01 09:00:00.0", 1L), ("2024-01-01 10:00:00.0", 1L)),
+      s"got $got")
+  }
+
+  test("late event just before an open session EXTENDS its start backwards") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // batch path exercises the same fold: 10:00 then late 09:45 merge
+    // (gap 30min), and the session start extends to 09:45
+    val events = Seq(("u1", ts("2024-01-01 10:00:00")), ("u1", ts("2024-01-01 09:45:00")))
+      .toDF("user_id", "ts")
+    val out = StatefulSessions.sessionizeBatchComplete(events, "user_id", "ts", 1800L)
+      .collect().map(r => (r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(out == Set(("2024-01-01 09:45:00.0", 2L)), s"got $out")
+  }
+
+  test("null timestamps are dropped, not crashed on") {
+    val events = Seq(("u1", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        ("u1", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("user_id", "ts")
+    val out = StatefulSessions.sessionizeBatchComplete(events, "user_id", "ts", 1800L)
+    assert(out.count() == 1)
+  }
+
   test("streaming: sessions close via event-time timeout, state stays bounded") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
