@@ -27,18 +27,40 @@ object SqliteFile {
 
   def read(spark: SparkSession, path: String, table: String,
            stringify: Boolean = true): DataFrame = {
-    val bin = spark.read.format("binaryFile").load(path)
+    val main = spark.read.format("binaryFile").load(path)
       .select(input_file_name().as("origin"), col("content"))
-    val first = bin.select("content").head().getAs[Array[Byte]](0)
+    // sibling -wal files carry commits not yet checkpointed into the main
+    // file — the normal state of a LIVE database, which is exactly what
+    // the reference watches (`sections/sqlite_connector/src/source.rs`
+    // watches db + WAL mtime). Joined by stripping the -wal suffix;
+    // absent-wal is the common case and joins to null.
+    val wal =
+      try spark.read.format("binaryFile").load(path + "-wal")
+        .select(regexp_replace(input_file_name(), "-wal$", "").as("origin"),
+          col("content").as("wal"))
+      catch {
+        case e: Exception if e.getMessage != null &&
+            (e.getMessage.contains("Path does not exist") ||
+             e.getMessage.contains("PATH_NOT_FOUND")) =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row],
+            StructType(Seq(StructField("origin", StringType),
+              StructField("wal", org.apache.spark.sql.types.BinaryType))))
+      }
+    val bin = main.join(wal, Seq("origin"), "left")
+    val firstRow = bin.select("content", "wal").head()
+    val first = applyWal(firstRow.getAs[Array[Byte]](0),
+      Option(firstRow.getAs[Array[Byte]](1)))
     val cols = tableColumns(first, table)
     val schema = StructType(
       StructField("origin", StringType, nullable = false) +:
       cols.map(c => StructField(c, StringType, nullable = true)))
     val nCols = cols.length
     val tableLocal = table
-    val rowRdd = bin.select("origin", "content").rdd.flatMap { r =>
+    val rowRdd = bin.select("origin", "content", "wal").rdd.flatMap { r =>
       val origin = r.getString(0)
-      readTable(r.getAs[Array[Byte]](1), tableLocal).map { cells =>
+      val eff = applyWal(r.getAs[Array[Byte]](1), Option(r.getAs[Array[Byte]](2)))
+      readTable(eff, tableLocal).map { cells =>
         Row.fromSeq(origin +: cells.padTo(nCols, null).take(nCols))
       }
     }
@@ -46,6 +68,84 @@ object SqliteFile {
     if (stringify) df
     else graft.operators.AnyColumns.resolve(df,
       df.columns.filterNot(_ == "origin").toSeq)
+  }
+
+  /** Overlay the COMMITTED frames of a write-ahead log onto the main file
+    * bytes (sqlite.org/walformat.html): frames are validated against the
+    * header salts and the cumulative checksum chain and applied only up to
+    * the last commit frame — exactly SQLite's own recovery rule, so an
+    * in-flight or torn transaction is never surfaced. Returns the main
+    * bytes untouched when there is no (valid) WAL. */
+  private[sources] def applyWal(main: Array[Byte], wal: Option[Array[Byte]]): Array[Byte] =
+    wal match {
+      case Some(w) if w.length >= 32 + 24 => overlay(main, w)
+      case _ => main
+    }
+
+  private def overlay(main: Array[Byte], w: Array[Byte]): Array[Byte] = {
+    def be32(o: Int): Long =
+      ((w(o) & 0xffL) << 24) | ((w(o + 1) & 0xffL) << 16) |
+      ((w(o + 2) & 0xffL) << 8) | (w(o + 3) & 0xffL)
+    def le32(o: Int): Long =
+      ((w(o + 3) & 0xffL) << 24) | ((w(o + 2) & 0xffL) << 16) |
+      ((w(o + 1) & 0xffL) << 8) | (w(o) & 0xffL)
+    val magic = be32(0)
+    if (magic != 0x377f0682L && magic != 0x377f0683L) return main
+    // magic low bit selects the WORD order the checksum is computed over;
+    // stored checksum values are always big-endian
+    val word: Int => Long = if (magic == 0x377f0683L) be32 else le32
+    val pageSize = be32(8).toInt
+    if (pageSize < 512 || pageSize > 65536) return main
+    val salt1 = be32(16)
+    val salt2 = be32(20)
+    var s0 = 0L
+    var s1 = 0L
+    def cksum(off: Int, len: Int): Unit = {
+      var i = off
+      while (i < off + len) {
+        s0 = (s0 + word(i) + s1) & 0xffffffffL
+        s1 = (s1 + word(i + 4) + s0) & 0xffffffffL
+        i += 8
+      }
+    }
+    cksum(0, 24)
+    if (be32(24) != s0 || be32(28) != s1) return main // corrupt header
+    val frameSize = 24 + pageSize
+    val pending = scala.collection.mutable.LinkedHashMap[Long, Array[Byte]]()
+    val committed = scala.collection.mutable.LinkedHashMap[Long, Array[Byte]]()
+    var dbPagesAfter = 0L
+    var off = 32
+    var ok = true
+    while (ok && off + frameSize <= w.length) {
+      val pageNo = be32(off)
+      val commitPages = be32(off + 4)
+      if (be32(off + 8) != salt1 || be32(off + 12) != salt2) ok = false // stale
+      else {
+        cksum(off, 8)
+        cksum(off + 24, pageSize)
+        if (be32(off + 16) != s0 || be32(off + 20) != s1) ok = false // torn
+        else {
+          pending.put(pageNo,
+            java.util.Arrays.copyOfRange(w, off + 24, off + 24 + pageSize))
+          if (commitPages != 0) {
+            committed ++= pending
+            pending.clear()
+            dbPagesAfter = commitPages
+          }
+          off += frameSize
+        }
+      }
+    }
+    if (committed.isEmpty) main
+    else {
+      val mainPages = main.length / pageSize
+      val nPages = math.max(mainPages.toLong, dbPagesAfter)
+      val out = java.util.Arrays.copyOf(main, (nPages * pageSize).toInt)
+      committed.foreach { case (p, data) =>
+        System.arraycopy(data, 0, out, ((p - 1) * pageSize).toInt, pageSize)
+      }
+      out
+    }
   }
 
   // ---------------------------------------------------------------- format
