@@ -40,6 +40,11 @@ final case class PipelineSpec(sections: Seq[SectionSpec], edges: Seq[(String, St
     downstream.foreach { case (f, ts) =>
       require(ts.size <= 1, s"section $f has ${ts.size} outputs; single-output links only")
     }
+    // a section consumes ONE input stream (reference channel model) — the
+    // compiler would otherwise silently use only the first upstream
+    upstream.foreach { case (t, fs) =>
+      require(fs.size <= 1, s"section $t has ${fs.size} inputs; single-input sections only")
+    }
     // cycle rejection via DFS (reference rejects loops: graph/src/lib.rs:90-109)
     val visiting = scala.collection.mutable.Set[String]()
     val done = scala.collection.mutable.Set[String]()

@@ -50,6 +50,15 @@ class PipelineSpecSpec extends AnyFunSuite {
          "edges":[["a","b"],["a","c"]]}"""))
   }
 
+  test("multi-input rejected (a section consumes one stream; no silent drop)") {
+    val e = intercept[IllegalArgumentException](spec(
+      """{"sections":[{"id":"a","name":"parquet_source","config":{"path":"/x"}},
+          {"id":"b","name":"parquet_source","config":{"path":"/y"}},
+          {"id":"c","name":"stub","config":{}}],
+         "edges":[["a","c"],["b","c"]]}"""))
+    assert(e.getMessage.contains("single-input"))
+  }
+
   test("IO-kind mismatch rejected") {
     val e = intercept[IllegalArgumentException](spec(
       """{"sections":[{"id":"f","name":"file_source","config":{"path":"/x"}},
