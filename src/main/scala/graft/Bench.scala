@@ -31,15 +31,23 @@ object Bench {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
+    val failed = Seq.newBuilder[String]
     val results = Queries.all.map { case (name, q) =>
       val t0 = System.nanoTime()
-      try { q.fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try q.fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        // a query that dies must be VISIBLE in the bench line, not just a
+        // fast-looking number
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
+    val fl = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
