@@ -9,16 +9,19 @@ import org.apache.spark.sql.SparkSession
   * the stale, keeps the unchanged, and starts the new. Failure → restart
   * with backoff (`scheduler.rs:79-187`, 3 s backoff / bounded retries).
   */
-final class Orchestrator(spark: SparkSession,
-                         restartBackoffMs: Long = 3000,
-                         maxRestarts: Int = 3) {
-
+object Orchestrator {
   sealed trait RunState
   case object Succeeded extends RunState
   final case class Failed(error: Throwable) extends RunState
 
   final case class RunningPipeline(hash: String, spec: PipelineSpec,
                                    state: RunState, restarts: Int)
+}
+
+final class Orchestrator(spark: SparkSession,
+                         restartBackoffMs: Long = 3000,
+                         maxRestarts: Int = 3) {
+  import Orchestrator._
 
   private var running = Map.empty[String, RunningPipeline]
 
