@@ -56,21 +56,22 @@ object Clustering {
           .select(col("id"), col("id").as("cluster")).localCheckpoint(true)
         var changed = 1L
         var iter = 0
-        while (changed > 0 && iter < maxIters) {
-          val nbrMin = sym.join(labels, col("dst") === col("id"))
-            .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-          val next = labels.join(nbrMin, col("id") === col("src"), "left")
-            .select(col("id"),
-              least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-                .as("cluster"))
-            .localCheckpoint(true)
-          changed = next.as("n")
-            .join(labels.as("o"), col("n.id") === col("o.id"))
-            .filter(col("n.cluster") =!= col("o.cluster")).count()
-          labels = next
-          iter += 1
-        }
-        sym.unpersist()
+        try {
+          while (changed > 0 && iter < maxIters) {
+            val nbrMin = sym.join(labels, col("dst") === col("id"))
+              .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+            val next = labels.join(nbrMin, col("id") === col("src"), "left")
+              .select(col("id"),
+                least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+                  .as("cluster"))
+              .localCheckpoint(true)
+            changed = next.as("n")
+              .join(labels.as("o"), col("n.id") === col("o.id"))
+              .filter(col("n.cluster") =!= col("o.cluster")).count()
+            labels = next
+            iter += 1
+          }
+        } finally sym.unpersist()
         // never return a silently-unconverged labeling: a component with
         // diameter beyond maxIters must fail loudly, not mislabel
         if (changed > 0) throw new IllegalStateException(

@@ -121,14 +121,22 @@ object Transforms {
     * partition -- distributed across executors. */
   def execDf(command: Seq[String])(df: DataFrame): DataFrame = {
     val cols = df.columns
+    // binary columns must render as a stable text form — Array.toString
+    // would pass a JVM identity reference like "[B@1f2a3b" as the arg
+    val isBinary: Array[Boolean] =
+      df.schema.fields.map(_.dataType == BinaryType)
+    def render(v: Any, i: Int): String = v match {
+      case null => ""
+      case b: Array[Byte] if isBinary(i) => b.map("%02x".format(_)).mkString
+      case other => other.toString
+    }
     // Dataset.mapPartitions (not df.rdd): keeps the operator usable on
     // STREAMING frames — the ack-passthrough contract is exactly the
     // mid-stream case — and avoids an RDD boundary in batch plans.
     df.mapPartitions { it =>
       it.map { row =>
         val args = command ++ cols.zipWithIndex.map { case (c, i) =>
-          val v = row.get(i)
-          s"--$c=${if (v == null) "" else v.toString}"
+          s"--$c=${render(row.get(i), i)}"
         }
         val p = new ProcessBuilder(args: _*).redirectErrorStream(true).start()
         p.getOutputStream.close()

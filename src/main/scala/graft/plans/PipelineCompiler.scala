@@ -88,8 +88,12 @@ object SectionRegistry {
           throw new IllegalArgumentException(
             "stream_parquet_source: on_schema_drift is set but there is no " +
             "schema_record location to compare against — add \"schema_record\"")
+        // the probe must see exactly the files the STREAM will read — same
+        // glob — or a multi-table directory merges unrelated schemas
+        var probeRdr = s.read.option("mergeSchema", "true")
+        c.get("glob").foreach(g => probeRdr = probeRdr.option("pathGlobFilter", g))
         val schema = SchemaDrift.resolve(s,
-          probe = s.read.option("mergeSchema", "true").format("parquet").load(dir).schema,
+          probe = probeRdr.format("parquet").load(dir).schema,
           recordPath = recordPath,
           policy = c.getOrElse("on_schema_drift", "widen"))
         var rdr = s.readStream.schema(schema)

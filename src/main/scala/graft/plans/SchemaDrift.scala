@@ -30,7 +30,9 @@ object SchemaDrift {
   val RecordFile = "_graft_schema.json"
 
   def resolve(spark: SparkSession, probe: StructType,
-              recordPath: Option[String], policy: String): StructType =
+              recordPath: Option[String], policy: String): StructType = {
+    require(policy == "widen" || policy == "fail",
+      s"on_schema_drift must be widen|fail, got '$policy'")
     recordPath match {
       case None => probe // no record location: run with the probe as-is
       case Some(base) =>
@@ -64,6 +66,7 @@ object SchemaDrift {
         fs.rename(tmp, p)
         resolved
     }
+  }
 
   /** Union of columns; a same-name type change is not widenable. Probe
     * order first, then columns that disappeared from the files (kept so

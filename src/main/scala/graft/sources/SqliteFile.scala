@@ -138,11 +138,15 @@ object SqliteFile {
     }
     if (committed.isEmpty) main
     else {
-      val mainPages = main.length / pageSize
-      val nPages = math.max(mainPages.toLong, dbPagesAfter)
+      // SQLite recovery truncates the database to the LAST commit's size:
+      // an earlier transaction may have grown pages a later one removed
+      // (vacuum) — those frames must be dropped, not written past the end
+      val mainPages = (main.length / pageSize).toLong
+      val nPages = if (dbPagesAfter > 0) dbPagesAfter else mainPages
       val out = java.util.Arrays.copyOf(main, (nPages * pageSize).toInt)
       committed.foreach { case (p, data) =>
-        System.arraycopy(data, 0, out, ((p - 1) * pageSize).toInt, pageSize)
+        if (p >= 1 && p <= nPages)
+          System.arraycopy(data, 0, out, ((p - 1) * pageSize).toInt, pageSize)
       }
       out
     }

@@ -144,9 +144,11 @@ object StatefulSessions {
   def sessionizeBatchComplete(events: DataFrame, keyCol: String, tsCol: String,
                               gapSeconds: Long): DataFrame = {
     val nonNull = events.filter(col(tsCol).isNotNull)
+    // the sentinel must sit BEYOND the gap of every trailing session or it
+    // would merge into it — derive the offset from the gap itself
     val sentinel = nonNull.select(col(keyCol), col(tsCol))
       .groupBy(col(keyCol)).agg(max(col(tsCol)).as(tsCol))
-      .withColumn(tsCol, col(tsCol) + expr("INTERVAL 3650 DAYS"))
+      .withColumn(tsCol, col(tsCol) + expr(s"INTERVAL ${gapSeconds + 1} SECONDS"))
     val withSentinel = nonNull.select(col(keyCol), col(tsCol))
       .unionByName(sentinel)
     sessionize(withSentinel, keyCol, tsCol, gapSeconds).toDF()

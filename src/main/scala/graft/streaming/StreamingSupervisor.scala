@@ -46,9 +46,14 @@ final class StreamingSupervisor(spark: SparkSession,
   private val byRunId = new ConcurrentHashMap[UUID, Handle]()
   // termination events that raced ahead of register()'s put: the listener
   // stashes them by runId and register() replays the decision after the put.
-  // Stashing only happens while a register() is in flight, so terminations
-  // of queries this supervisor never started are not accumulated.
-  private val earlyTerm = new ConcurrentHashMap[UUID, Option[String]]()
+  // Stashing only happens while a register() is in flight; foreign entries
+  // (other queries terminating in that window) age out via the FIFO cap so
+  // the map never grows with session lifetime.
+  private val earlyTerm = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[UUID, Option[String]]() {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[UUID, Option[String]]): Boolean = size > 64
+    })
   private val registering = new AtomicInteger(0)
 
   private def onTerminated(h: Handle, exception: Option[String]): Unit =
