@@ -1074,6 +1074,46 @@ object Queries {
         WHERE rk <= 5 ORDER BY q_id, rk"""))
   }
 
+  /** Int8 scalar-quantized ANN — the memory/bandwidth lever at 100 TB:
+    * embeddings quantize to 8-bit codes plus one scale per vector (4x
+    * smaller at rest and on the wire); search runs over the DEQUANTIZED
+    * values so the scorer — and the oracle — is the plain cosine
+    * machinery. Floor-based half-up rounding (`floor(x/scale + 0.5)`)
+    * keeps the quantization bit-identical across engines (both engines'
+    * `round` tie rules differ; floor does not). */
+  private val annQuantized = Q(
+    (s, dir) => {
+      import s.implicits._
+      val maxabs = array_max(transform($"embedding", x => abs(x.cast("double"))))
+      val scale = maxabs / lit(127.0)
+      val deq = when(maxabs === lit(0.0),
+          transform($"embedding", _ => lit(0.0)))
+        .otherwise(transform($"embedding",
+          x => floor(x.cast("double") / scale + lit(0.5)) * scale))
+      val e = Tables.embeddings(s, dir).select($"vec_id", deq.as("embedding"))
+      graft.operators.Ann.bruteForceTopK(e, $"vec_id" < 10, k = 5)
+        .select($"q_id", $"n_id", $"cosine", $"rk")
+        .orderBy($"q_id", $"rk")
+    },
+    Some("""WITH raw AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+          list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS maxabs
+        FROM embeddings),
+      dq AS (
+        SELECT vec_id, CASE WHEN maxabs = 0 THEN list_transform(emb, x -> 0.0)
+          ELSE list_transform(emb,
+            x -> floor(x / (maxabs/127.0) + 0.5) * (maxabs/127.0)) END AS emb
+        FROM raw),
+      q AS (SELECT vec_id AS q_id, emb AS q_vec FROM dq WHERE vec_id < 10)
+      SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q.q_id, e.vec_id AS n_id,
+          round(list_cosine_similarity(q.q_vec, e.emb), 6) AS cosine,
+          row_number() OVER (PARTITION BY q.q_id
+            ORDER BY round(list_cosine_similarity(q.q_vec, e.emb), 6) DESC,
+                     e.vec_id) AS rk
+        FROM q JOIN dq e ON e.vec_id != q.q_id)
+      WHERE rk <= 5 ORDER BY q_id, rk"""))
+
   private val taLangId = Q(
     (s, dir) => {
       import s.implicits._
@@ -1441,6 +1481,7 @@ object Queries {
     "ann_lsh_topk" -> annLsh,
     "ann_lsh_multi" -> annLshMulti,
     "ann_ivf_topk" -> annIvf,
+    "ann_quantized_topk" -> annQuantized,
     "ta_langid" -> taLangId,
     "ta_quality" -> taQuality,
     "ta_tokens" -> taTokens,

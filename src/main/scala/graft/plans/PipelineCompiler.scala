@@ -211,6 +211,23 @@ object SectionRegistry {
         }
         Some(out.select("q_id", "n_id", "cosine", "rk"))
       }),
+    // custom-state sessionization (flatMapGroupsWithState): one row per
+    // closed session (key, session_start, n); batch frames close at
+    // end-of-input, streaming frames via event-time timeout
+    "sessionize" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val frame = in(df)
+        val key = c.getOrElse("key_column", "user_id")
+        val ts = c.getOrElse("ts_column", "ts")
+        val gap = c.getOrElse("gap_seconds", "1800").toLong
+        if (frame.isStreaming)
+          Some(graft.streaming.StatefulSessions.sessionize(
+            frame, key, ts, gap,
+            watermark = c.getOrElse("watermark", "0 seconds")).toDF())
+        else
+          Some(graft.streaming.StatefulSessions.sessionizeBatchComplete(
+            frame, key, ts, gap))
+      }),
     // deterministic hash-bucket train/valid/test split: RNG-free,
     // shuffle-free, stable across runs and engines (validates percentages)
     "dataset_split" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),

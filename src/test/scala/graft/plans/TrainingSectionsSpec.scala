@@ -108,6 +108,25 @@ class TrainingSectionsSpec extends AnyFunSuite {
     assert(out(1) == "no pii here")
   }
 
+  test("sessionize section closes gap-based sessions from a spec") {
+    val dir = java.nio.file.Files.createTempDirectory("sess_sec").toString
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    Seq(("u1", ts("2024-01-01 10:00:00")), ("u1", ts("2024-01-01 10:10:00")),
+        ("u1", ts("2024-01-01 12:00:00")), ("u2", ts("2024-01-01 09:00:00")))
+      .toDF("user_id", "ts").write.parquet(s"$dir/in")
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$dir/in"}},
+        {"id":"ss","name":"sessionize","config":{"gap_seconds":"1800"}}],
+        "edges":[["src","ss"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(out == Set(
+      ("u1", "2024-01-01 10:00:00.0", 2L),
+      ("u1", "2024-01-01 12:00:00.0", 1L),
+      ("u2", "2024-01-01 09:00:00.0", 1L)))
+  }
+
   test("dataset_split rejects degenerate percentages") {
     val e = intercept[IllegalArgumentException] {
       graft.operators.Transforms.splitColumn(
