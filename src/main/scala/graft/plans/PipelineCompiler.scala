@@ -119,6 +119,12 @@ object SectionRegistry {
       (_, _, df) => Some(Transforms.toCsv(in(df)))),
     "inspect" -> Entry(SectionIOSpec(BinOrDataFrame, BinOrDataFrame),
       (_, _, df) => Some(Transforms.inspect(in(df)))),
+    // production inspect: zero-cost observe() metrics (row count + null
+    // count of an optional key column) readable from query listeners —
+    // no second scan, unlike show()
+    "observe" -> Entry(SectionIOSpec(BinOrDataFrame, BinOrDataFrame),
+      (_, c, df) => Some(Transforms.observed(
+        c.getOrElse("name", "observe"), c.get("key_column"))(in(df)))),
     // exec df mode (reference default): one process per row, --col=val arg
     // expansion, frame passes through (ack deferred to the sink). Bin mode
     // ("mode": "bin") pipes a single payload column line-by-line.

@@ -127,6 +127,24 @@ class TrainingSectionsSpec extends AnyFunSuite {
       ("u2", "2024-01-01 09:00:00.0", 1L)))
   }
 
+  test("observe section attaches metrics without a second scan") {
+    val dir = java.nio.file.Files.createTempDirectory("obs_sec").toString
+    Seq((1, "a"), (2, null: String), (3, "c")).toDF("id", "v")
+      .write.parquet(s"$dir/in")
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$dir/in"}},
+        {"id":"ob","name":"observe","config":{"name":"tap","key_column":"v"}}],
+        "edges":[["src","ob"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    // metrics land on the QueryExecution that actually ran — drive THIS
+    // frame's execution, not a derived count() plan
+    assert(out.collect().length == 3) // pass-through
+    val metrics = out.queryExecution.observedMetrics.get("tap")
+    assert(metrics.exists(r => r.getAs[Long]("rows") == 3L &&
+      r.getAs[Long]("v_nulls") == 1L), s"metrics: $metrics")
+  }
+
   test("dataset_split rejects degenerate percentages") {
     val e = intercept[IllegalArgumentException] {
       graft.operators.Transforms.splitColumn(
