@@ -63,6 +63,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"deterministic split must not shuffle:\n$p")
   }
 
+  test("ann_quantized_topk: dequantization stays in the scan projection, TopK prunes") {
+    val p = plan("ann_quantized_topk")
+    assert(p.contains("TopKPerKey"), "bounded-heap ranking not planned")
+    assert(p.contains("arraydotproduct"), "native dot product not in use")
+  }
+
+  test("dd_simhash_pairs: hamming verify precedes the dedup aggregate") {
+    val p = plan("dd_simhash_pairs")
+    val filterAt = p.indexOf("bit_count")
+    val dedupAt = p.indexOf("HashAggregate")
+    assert(filterAt >= 0 && dedupAt >= 0, "expected hamming filter + distinct")
+    // plans print top-down: the dedup aggregate must sit ABOVE the join
+    // that computes hamming, i.e. distinct consumes already-filtered rows
+    assert(p.indexOf("Join") > dedupAt,
+      "distinct must run on the post-filter candidate set")
+  }
+
   test("ann_topk: query side broadcasts, corpus scans once") {
     val p = plan("ann_topk")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
