@@ -839,7 +839,7 @@ object Queries {
           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS h
         FROM documents),
       sims AS (
-        SELECT doc_id, list_sum(list_transform(range(0, 32),
+        SELECT doc_id, list_sum(list_transform(range(0, 60),
           j -> CASE WHEN 2 * len(list_filter(h, x -> (x >> j) & 1 = 1)) > len(h)
             THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
         FROM hs)"""
@@ -847,49 +847,32 @@ object Queries {
   private val ddSimhash = Q(
     (s, dir) => {
       import s.implicits._
-      Tables.documents(s, dir)
-        .select($"doc_id", TF.simhash(TF.tokens($"text"), 32).as("simhash"))
+      graft.operators.NearDup.simhashSignatures(Tables.documents(s, dir))
+        .select($"doc_id", $"sh".as("simhash"))
         .orderBy($"doc_id")
     },
     Some(s"WITH $simhashCte SELECT doc_id, simhash FROM sims ORDER BY doc_id"))
 
-  /** SimHash near-dup pairs via byte-band blocking: 4 bands of 8 bits over
-    * the 32-bit signature. Pigeonhole makes this EXACT for the hamming<=3
-    * threshold — any pair within distance 3 differs in at most 3 bands, so
-    * it must share at least one; no candidate is missed. Only (doc_id, band
-    * byte) longs shuffle; signatures join back by id for the verify. */
+  /** SimHash near-dup pairs — [[graft.operators.NearDup.simhashPairs]]:
+    * 60-bit signature, 4 bands × 15 bits (131,072 buckets, so band
+    * population grows linearly with corpus instead of the old 8-bit bands'
+    * fixed 1,024 buckets going quadratic), candidates through the capped
+    * generator with observed star compression. Pigeonhole keeps the
+    * hamming<=3 result exact while every bucket stays under the cap. */
   private val ddSimhashPairs = Q(
     (s, dir) => {
       import s.implicits._
-      // persisted: 16 bytes/doc; both self-join sides read the cache
-      // instead of re-tokenizing the corpus
-      val sh = Tables.documents(s, dir)
-        .select($"doc_id", TF.simhash(TF.tokens($"text"), 32).as("sh"))
-        .persist()
-      val bands = sh.select($"doc_id", $"sh",
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("b"),
-            shiftrightunsigned($"sh", 8 * b).bitwiseAND(lit(255L)).as("v"))): _*))
-          .as("tb"))
-        .select($"doc_id", $"sh", $"tb.b".as("b"), $"tb.v".as("v"))
-      // hamming filter BEFORE the multi-band dedup: candidates are
-      // dominated by false positives (dense byte bands), so the distinct
-      // runs on the ~5% that verify, not the raw candidate set
-      bands.as("a").join(bands.as("b"),
-          $"a.b" === $"b.b" && $"a.v" === $"b.v" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"),
-          bit_count($"a.sh".bitwiseXOR($"b.sh")).cast("long").as("hamming"))
-        .filter($"hamming" <= 3)
-        .distinct()
+      graft.operators.NearDup.simhashPairs(Tables.documents(s, dir))
         .orderBy($"a_id", $"b_id")
     },
     Some(s"""WITH $simhashCte,
       bands AS (SELECT doc_id, simhash, unnest([0, 1, 2, 3]) AS b FROM sims),
-      bv AS (SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS v FROM bands),
+      bv AS (SELECT doc_id, simhash,
+          ((simhash >> (15 * b)) & 32767) + b * 32768 AS band FROM bands),
       cand AS (
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
           a.simhash AS sha, b.simhash AS shb
-        FROM bv a JOIN bv b ON a.b = b.b AND a.v = b.v AND a.doc_id < b.doc_id)
+        FROM bv a JOIN bv b ON a.band = b.band AND a.doc_id < b.doc_id)
       SELECT a_id, b_id, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
       FROM cand WHERE bit_count(xor(sha, shb)) <= 3
       ORDER BY a_id, b_id"""))

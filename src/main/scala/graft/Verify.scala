@@ -22,6 +22,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operator-internal persist()s (minhash/simhash signature caches) are
+      // per-corpus; queries run once each here, so drop them eagerly rather
+      // than letting 64 caches accumulate until LRU eviction
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -112,24 +112,41 @@ object Blocking {
     * are emitted for verification); the switch is observed and logged.
     * Standard buckets are exact.
     *
-    * Input frame: `(doc_id, band)`; output: distinct `(a_id, b_id)` with
-    * a_id < b_id.
+    * Input frame: `(doc_id, band, carry...)`; output: distinct `(a_id,
+    * b_id, a_<carry>..., b_<carry>...)` with a_id < b_id.
+    *
+    * @param carry    input columns to ride along with each side of a pair
+    *                 (e.g. the signature a hamming verify needs) — saves the
+    *                 verify's join-back at the cost of widening the band
+    *                 shuffle rows
+    * @param preDedup filter applied to the raw (pre-distinct) pair stream.
+    *                 Band candidates are mostly false positives, so a cheap
+    *                 verify here means the dedup aggregate runs on the few
+    *                 rows that pass, not the raw candidate set
     */
-  def cappedBandCandidates(bands: DataFrame, maxBucket: Long = 1000): DataFrame = {
+  def cappedBandCandidates(bands: DataFrame, maxBucket: Long = 1000,
+                           carry: Seq[String] = Nil,
+                           preDedup: DataFrame => DataFrame = identity): DataFrame = {
     ensureCapListener(bands.sparkSession)
     val m = capMetrics("_bsz", maxBucket)
     val w = Window.partitionBy(col("band"))
+    // hub = min by doc_id WITH its carry columns: struct comparison orders
+    // by the leading id field, so this window is the hub row itself
     val sized = bands
       .withColumn("_bsz", count(lit(1)).over(w))
-      .withColumn("_hub", min(col("doc_id")).over(w))
+      .withColumn("_hub", min(struct(col("doc_id") +: carry.map(col): _*)).over(w))
       .observe(BandCapMetric, m.head, m.tail: _*)
     val small = sized.filter(col("_bsz") <= maxBucket)
     val exact = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .select(col("a.doc_id").as("a_id") +: col("b.doc_id").as("b_id") +:
+        (carry.map(c => col(s"a.$c").as(s"a_$c")) ++
+         carry.map(c => col(s"b.$c").as(s"b_$c"))): _*)
     val starred = sized
-      .filter(col("_bsz") > maxBucket && col("doc_id") =!= col("_hub"))
-      .select(col("_hub").as("a_id"), col("doc_id").as("b_id"))
-    exact.union(starred).distinct()
+      .filter(col("_bsz") > maxBucket && col("doc_id") =!= col("_hub.doc_id"))
+      .select(col("_hub.doc_id").as("a_id") +: col("doc_id").as("b_id") +:
+        (carry.map(c => col(s"_hub.$c").as(s"a_$c")) ++
+         carry.map(c => col(c).as(s"b_$c"))): _*)
+    preDedup(exact.union(starred)).distinct()
   }
 }

@@ -70,6 +70,76 @@ object NearDup {
       .select($"a_id", $"b_id", $"jaccard")
   }
 
+  /** SimHash signatures `(doc_id, sh)` as a codegen'd aggregation: tokens
+    * explode to (id, hash) rows — each token md5-hashed ONCE — then one
+    * hash aggregate folds `bits` per-bit set-counts (map-side partials) and
+    * a final projection assembles the signature. Bit-identical to the
+    * column-level [[TF.simhash]]`(`[[TF.tokens]]`)`, but ~10× faster: the
+    * column form nests `bits` interpreted ArrayAggregates that each re-hash
+    * the token array (higher-order functions are CodegenFallback, so
+    * common-subexpression elimination never kicks in). */
+  def simhashSignatures(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text", bits: Int = 60): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // explode_outer keeps empty/whitespace-only docs (null hash rows):
+    // count(h)=0 → all-zero signature, matching the column form
+    val hv = docs
+      .select(col(idCol).as("doc_id"),
+        explode_outer(TF.tokens(col(textCol))).as("t"))
+      .select($"doc_id", TF.hash60($"t").as("h"))
+    hv.groupBy($"doc_id").agg(
+        count($"h").as("_n"),
+        (0 until bits).map(j =>
+          sum(shiftright($"h", j).bitwiseAND(lit(1L))).as(s"_c$j")): _*)
+      .select($"doc_id",
+        (0 until bits).map { j =>
+          when(coalesce(col(s"_c$j"), lit(0L)) * 2 > $"_n",
+            shiftleft(lit(1L), j)).otherwise(lit(0L))
+        }.reduce(_ bitwiseOR _).as("sh"))
+  }
+
+  /** SimHash near-dup pairs `(a_id, b_id, hamming)` with a_id < b_id via
+    * banded blocking over a 60-bit signature.
+    *
+    * Pigeonhole exactness: a pair within hamming distance `hammingMax`
+    * differs in at most `hammingMax` of the `nBands` bands, so with
+    * `hammingMax < nBands` it must agree on at least one band and is never
+    * missed. The defaults (4 bands × 15 bits = 131,072 distinct buckets)
+    * keep bucket population ~n/32k per band — at 100× corpus the buckets
+    * grow linearly but stay small, unlike an 8-bit band space (1,024
+    * buckets total) where the band self-join goes quadratic. Degenerate
+    * buckets (mass-identical signatures) are additionally guarded by
+    * [[Blocking.cappedBandCandidates]] star compression, observed + logged.
+    *
+    * Single pass, no cache: signatures flow straight into the band explode
+    * with the 8-byte signature carried alongside each (doc_id, band) row,
+    * and the hamming verify runs BEFORE the candidate dedup (band
+    * candidates are mostly false positives), so neither a persist nor a
+    * join-back by id is ever needed. */
+  def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", bits: Int = 60, nBands: Int = 4,
+                   hammingMax: Int = 3, maxBucket: Long = 1000): DataFrame = {
+    require(bits % nBands == 0, "bits must divide into bands")
+    require(hammingMax < nBands,
+      "pigeonhole exactness needs hammingMax < nBands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bandBits = bits / nBands
+    val bandSpace = 1L << bandBits
+    val sh = simhashSignatures(docs, idCol, textCol, bits)
+    // band key ranges are disjoint per band index (b·2^bandBits + value)
+    val bands = sh.select($"doc_id", $"sh",
+      explode(array((0 until nBands).map(b =>
+        shiftrightunsigned($"sh", bandBits * b)
+          .bitwiseAND(lit(bandSpace - 1)) + lit(b * bandSpace)): _*)).as("band"))
+    Blocking.cappedBandCandidates(bands, maxBucket, carry = Seq("sh"),
+        preDedup = _.filter(
+          bit_count(col("a_sh").bitwiseXOR(col("b_sh"))) <= hammingMax))
+      .select($"a_id", $"b_id",
+        bit_count($"a_sh".bitwiseXOR($"b_sh")).cast("long").as("hamming"))
+  }
+
   /** One survivor (min id) per near-dup cluster, with the cluster size:
     * `(<idCol>, n_merged)` — the user-facing dedup output. Exact duplicates
     * land in the same cluster for free (jaccard 1). Clustering is the

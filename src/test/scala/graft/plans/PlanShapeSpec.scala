@@ -69,15 +69,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("arraydotproduct"), "native dot product not in use")
   }
 
-  test("dd_simhash_pairs: hamming verify precedes the dedup aggregate") {
+  test("dd_simhash_pairs: candidates come from the capped band generator") {
     val p = plan("dd_simhash_pairs")
-    val filterAt = p.indexOf("bit_count")
-    val dedupAt = p.indexOf("HashAggregate")
-    assert(filterAt >= 0 && dedupAt >= 0, "expected hamming filter + distinct")
-    // plans print top-down: the dedup aggregate must sit ABOVE the join
-    // that computes hamming, i.e. distinct consumes already-filtered rows
-    assert(p.indexOf("Join") > dedupAt,
-      "distinct must run on the post-filter candidate set")
+    assert(p.contains("bit_count"), "expected hamming verify in plan")
+    // the cap's observe() metric rides the candidate frame — its presence
+    // proves candidates route through Blocking.cappedBandCandidates
+    // rather than a raw (unbounded) band self-join
+    assert(p.contains("graft_band_cap"),
+      s"candidate generation must be the capped/observed path:\n$p")
   }
 
   test("ann_topk: query side broadcasts, corpus scans once") {
