@@ -109,6 +109,61 @@ object Transforms {
     df.observe(name, metrics.head, metrics.tail: _*)
   }
 
+  /** Parse the reference's exec `env` config string — comma-separated
+    * `K=V` pairs, a bare `K` maps to the empty string
+    * (`sections/exec/src/section/mod.rs:16-26`). */
+  def parseEnv(s: String): Map[String, String] =
+    s.split(',').iterator.map(_.trim).filter(_.nonEmpty).map { pair =>
+      pair.split("=", 2) match {
+        case Array(k)    => k -> ""
+        case Array(k, v) => k -> v
+      }
+    }.toMap
+
+  // per-executor watchdog for exec timeouts: readAllBytes blocks until the
+  // child closes stdout, so the deadline must be enforced by killing the
+  // child from the outside, not by waitFor(timeout) after the read
+  private lazy val execWatchdog =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+      val t = new Thread(r, "graft-exec-watchdog"); t.setDaemon(true); t
+    }
+
+  /** Spawn `command` with `env`, stream `payload` to stdin from a writer
+    * thread (a single-threaded write-then-read deadlocks once both pipe
+    * buffers fill), return the child's full stdout. stderr inherits the
+    * executor's log stream (the reference line-logs stderr). Nonzero exit
+    * or a blown `timeoutMs` deadline fails the task → at-least-once
+    * replay. */
+  private def runChild(command: Seq[String], env: Map[String, String],
+                       timeoutMs: Long, payload: Array[Byte]): Array[Byte] = {
+    val pb = new ProcessBuilder(command: _*)
+      .redirectError(ProcessBuilder.Redirect.INHERIT)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    val p = pb.start()
+    val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val kill = if (timeoutMs > 0) Some(execWatchdog.schedule(
+        new Runnable {
+          def run(): Unit = { timedOut.set(true); p.destroyForcibly(); () }
+        }, timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+      else None
+    val writer = new Thread(() =>
+      // EPIPE when the child exits without draining stdin is the child's
+      // business — surfaced via its exit code, not a writer crash
+      try { val os = p.getOutputStream; os.write(payload); os.close() }
+      catch { case _: java.io.IOException => () })
+    writer.setDaemon(true)
+    writer.start()
+    val out = p.getInputStream.readAllBytes()
+    val code = p.waitFor()
+    kill.foreach(_.cancel(false))
+    writer.join()
+    if (timedOut.get) throw new RuntimeException(
+      s"exec '${command.mkString(" ")}' timed out after ${timeoutMs} ms")
+    if (code != 0) throw new RuntimeException(
+      s"exec '${command.mkString(" ")}' exited $code")
+    out
+  }
+
   /** T8 exec, df mode (`sections/exec/src/section/df.rs:66-127`): the
     * reference runs the command once per row with the row expanded to
     * `--col=val` arguments, then passes the MESSAGE THROUGH unchanged --
@@ -118,8 +173,11 @@ object Transforms {
     * anything; the sink's epoch/write commit is the ack. A nonzero exit
     * fails the task -> at-least-once replay, matching the reference's error
     * path. One process per ROW (reference semantics), rows streamed per
-    * partition -- distributed across executors. */
-  def execDf(command: Seq[String])(df: DataFrame): DataFrame = {
+    * partition -- distributed across executors. `env` and `timeoutMs`
+    * follow the reference's child-environment config
+    * (`sections/exec/src/section/mod.rs:16-26`). */
+  def execDf(command: Seq[String], env: Map[String, String] = Map.empty,
+             timeoutMs: Long = 0L)(df: DataFrame): DataFrame = {
     val cols = df.columns
     // binary columns must render as a stable text form — Array.toString
     // would pass a JVM identity reference like "[B@1f2a3b" as the arg
@@ -138,28 +196,53 @@ object Transforms {
         val args = command ++ cols.zipWithIndex.map { case (c, i) =>
           s"--$c=${render(row.get(i), i)}"
         }
-        val p = new ProcessBuilder(args: _*).redirectErrorStream(true).start()
-        p.getOutputStream.close()
-        // drain stdout so the child can never block on a full pipe
-        val out = new String(p.getInputStream.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val code = p.waitFor()
-        if (code != 0) throw new RuntimeException(
-          s"exec '${args.mkString(" ")}' exited $code: ${out.take(200)}")
+        runChild(args, env, timeoutMs, Array.emptyByteArray)
         row
       }
     }(org.apache.spark.sql.Encoders.row(df.schema))
   }
 
-  /** T9 exec, bin mode (`sections/exec/src/section/bin.rs`): pipe a binary/
-    * string payload column through an external command, one line in -> one
-    * line out, one process per partition (the scale-out generalization of
-    * the reference's one process per daemon). Takes a SINGLE-column frame --
-    * multi-column frames have no defined bin-mode wire format; use
-    * [[execDf]] for row frames. */
+  /** T9 exec, bin mode (`sections/exec/src/section/bin.rs:72-166`): one
+    * child process PER MESSAGE — the payload bytes stream RAW to the
+    * child's stdin and the child's full stdout becomes the output payload,
+    * origin preserved. No line framing anywhere: payloads containing
+    * newlines or arbitrary bytes (0x00, invalid UTF-8) round-trip exactly,
+    * matching the reference's chunk-wise byte pipe. Operates on the
+    * canonical binary frame `(origin, value)`; a missing origin column
+    * defaults to "exec". Distribution: messages stream per partition, one
+    * short-lived process each — across executors this is the scale-out
+    * form of the reference's per-daemon child. */
+  def execBin(command: Seq[String], env: Map[String, String] = Map.empty,
+              timeoutMs: Long = 0L)(df: DataFrame): DataFrame = {
+    require(df.columns.contains("value"),
+      s"execBin takes the canonical (origin, value) binary frame, got ${df.columns.mkString(",")}")
+    val src =
+      if (df.columns.contains(OriginCol))
+        df.select(col(OriginCol).cast("string"), col("value").cast("binary"))
+      else df.select(lit("exec").as(OriginCol), col("value").cast("binary"))
+    val schema = StructType(Seq(
+      StructField(OriginCol, StringType, nullable = true),
+      StructField("value", BinaryType, nullable = true)))
+    src.mapPartitions { it =>
+      it.map { row =>
+        val payload = Option(row.getAs[Array[Byte]](1))
+          .getOrElse(Array.emptyByteArray)
+        org.apache.spark.sql.Row(
+          row.getString(0), runChild(command, env, timeoutMs, payload))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Text-line pipe: payload column cast to string, one line in -> one
+    * line out, one process per PARTITION via `rdd.pipe`. This is a
+    * line-oriented TEXT transport — embedded newlines split records and
+    * non-UTF-8 bytes are not preserved; for raw binary payloads use
+    * [[execBin]] (the reference's bin mode). Takes a SINGLE-column frame --
+    * multi-column frames have no defined line wire format; use [[execDf]]
+    * for row frames. */
   def execPipe(command: Seq[String])(df: DataFrame): DataFrame = {
     require(df.columns.length == 1,
-      s"execPipe (bin mode) takes a single-column frame, got ${df.columns.mkString(",")}; " +
+      s"execPipe (text-line mode) takes a single-column frame, got ${df.columns.mkString(",")}; " +
       "use execDf for row frames")
     val spark = df.sparkSession
     import spark.implicits._

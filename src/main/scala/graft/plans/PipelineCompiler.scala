@@ -127,15 +127,19 @@ object SectionRegistry {
         c.getOrElse("name", "observe"), c.get("key_column"))(in(df)))),
     // exec df mode (reference default): one process per row, --col=val arg
     // expansion, frame passes through (ack deferred to the sink). Bin mode
-    // ("mode": "bin") pipes a single payload column line-by-line.
+    // ("mode": "bin") pipes the raw payload bytes of the canonical
+    // (origin, value) frame through one child per message. "env" is the
+    // reference's comma-separated K=V child-environment string
+    // (`sections/exec/src/section/mod.rs:16-26`); "timeout_ms" bounds each
+    // child's wall clock.
     "exec" -> Entry(SectionIOSpec(BinOrDataFrame, BinOrDataFrame),
       (_, c, df) => {
         val cmd = cfg(c, "command").split(" ").toSeq
-        // bin mode pipes the PAYLOAD column of the canonical (origin, value)
-        // binary frame; df mode passes the whole row frame through
+        val env = c.get("env").map(Transforms.parseEnv).getOrElse(Map.empty)
+        val timeoutMs = c.get("timeout_ms").map(_.toLong).getOrElse(0L)
         if (c.getOrElse("mode", "df") == "bin")
-          Some(Transforms.execPipe(cmd)(in(df).select(col("value"))))
-        else Some(Transforms.execDf(cmd)(in(df)))
+          Some(Transforms.execBin(cmd, env, timeoutMs)(in(df)))
+        else Some(Transforms.execDf(cmd, env, timeoutMs)(in(df)))
       }),
     "stub" -> Entry(SectionIOSpec(BinOrDataFrame, None),
       (_, _, df) => Some(Transforms.stub(in(df)))),

@@ -96,6 +96,60 @@ class TransformsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("exited") || e.getCause != null)
   }
 
+  test("execBin round-trips raw bytes (newlines, 0x00, invalid UTF-8) through cat") {
+    // line-oriented transports mangle every one of these payloads
+    val payloads: Seq[Array[Byte]] = Seq(
+      "line1\nline2\n".getBytes("UTF-8"),
+      Array[Byte](0, 1, 2, 0, -1, 10, 13, 0),
+      Array[Byte](-2, -1, -40, -1), // invalid UTF-8 lead bytes
+      Array.emptyByteArray)
+    val df = payloads.zipWithIndex
+      .map { case (b, i) => (s"p$i", b) }.toDF("origin", "value")
+    val out = Transforms.execBin(Seq("cat"))(df)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    payloads.zipWithIndex.foreach { case (b, i) =>
+      assert(java.util.Arrays.equals(out(s"p$i"), b),
+        s"payload p$i corrupted in transit")
+    }
+  }
+
+  test("execBin emits the child's stdout as the new payload, origin preserved") {
+    val df = Seq(("src_a", "hello world".getBytes("UTF-8"))).toDF("origin", "value")
+    val out = Transforms.execBin(Seq("tr", "a-z", "A-Z"))(df).collect()
+    assert(out.head.getString(0) == "src_a")
+    assert(new String(out.head.getAs[Array[Byte]](1), "UTF-8") == "HELLO WORLD")
+  }
+
+  test("execBin passes the env map to the child (reference env config parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("execenv")
+    val script = dir.resolve("env.sh")
+    java.nio.file.Files.writeString(script,
+      "#!/bin/sh\nprintf '%s' \"$GRAFT_MARKER\"\n")
+    script.toFile.setExecutable(true)
+    val df = Seq(("o", Array.emptyByteArray)).toDF("origin", "value")
+    val out = Transforms.execBin(Seq(script.toString),
+      env = Map("GRAFT_MARKER" -> "mark-42"))(df).collect()
+    assert(new String(out.head.getAs[Array[Byte]](1), "UTF-8") == "mark-42")
+  }
+
+  test("parseEnv follows the reference's comma-separated K=V form") {
+    assert(Transforms.parseEnv("A=1, B=x=y ,C,") ==
+      Map("A" -> "1", "B" -> "x=y", "C" -> ""))
+    assert(Transforms.parseEnv("") == Map.empty[String, String])
+  }
+
+  test("execBin kills the child and fails the task on timeout") {
+    val df = Seq(("o", Array.emptyByteArray)).toDF("origin", "value")
+    val t0 = System.nanoTime()
+    val e = intercept[org.apache.spark.SparkException] {
+      Transforms.execBin(Seq("sleep", "30"), timeoutMs = 500)(df).collect()
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(elapsedMs < 15000, s"timeout did not fire promptly ($elapsedMs ms)")
+    assert(e.getMessage.contains("timed out") ||
+      Option(e.getCause).exists(_.getMessage.contains("timed out")))
+  }
+
   test("sql section runs against the input view") {
     val df = Seq((1, "x"), (2, "y")).toDF("id", "s")
     val out = Transforms.sql("SELECT count(*) AS n FROM input")(df)
