@@ -47,13 +47,12 @@ object NearDup {
         explode(WordNgramHashes(col(textCol), ngram)).as("h60"))
       .select($"doc_id", ($"h60" % P).as("h"))
       .persist()
-    val sig = hv.groupBy($"doc_id").agg(
-      min((lit(perms.head._1) * $"h" + lit(perms.head._2)) % P).as("s0"),
-      perms.toIndexedSeq.zipWithIndex.tail.map { case ((a, b), i) =>
-        min((lit(a) * $"h" + lit(b)) % P).as(s"s$i")
-      }: _*)
-    val sigArr = sig.select($"doc_id",
-      array((0 until slots).map(i => col(s"s$i")): _*).as("sig"))
+    // all slot minima in ONE compact aggregate (MinhashSigAgg): value-
+    // identical to 32 separate min() columns but the plan stays small —
+    // the 32-agg declarative form codegen'd a class whose one-time compile
+    // dominated a cold run
+    val sigArr = hv.groupBy($"doc_id")
+      .agg(graft.functions.MinhashSigAgg($"h", perms, P).as("sig"))
     val bands = sigArr.select($"doc_id",
       explode(TF.minhashBands($"sig", rowsPerBand, slots / rowsPerBand)).as("band"))
     val cand = Blocking.cappedBandCandidates(bands, maxBucket)
@@ -88,15 +87,11 @@ object NearDup {
       .select(col(idCol).as("doc_id"),
         explode_outer(TF.tokens(col(textCol))).as("t"))
       .select($"doc_id", TF.hash60($"t").as("h"))
-    hv.groupBy($"doc_id").agg(
-        count($"h").as("_n"),
-        (0 until bits).map(j =>
-          sum(shiftright($"h", j).bitwiseAND(lit(1L))).as(s"_c$j")): _*)
-      .select($"doc_id",
-        (0 until bits).map { j =>
-          when(coalesce(col(s"_c$j"), lit(0L)) * 2 > $"_n",
-            shiftleft(lit(1L), j)).otherwise(lit(0L))
-        }.reduce(_ bitwiseOR _).as("sh"))
+    // one compact aggregate (SimhashAgg) instead of `bits` sum() columns:
+    // same majority-vote values, but the plan (and its one-time codegen
+    // compile on a cold run) stays constant-size in `bits`
+    hv.groupBy($"doc_id")
+      .agg(graft.functions.SimhashAgg($"h", bits).as("sh"))
   }
 
   /** SimHash near-dup pairs `(a_id, b_id, hamming)` with a_id < b_id via

@@ -27,31 +27,46 @@ object SqliteFile {
 
   def read(spark: SparkSession, path: String, table: String,
            stringify: Boolean = true): DataFrame = {
-    val main = spark.read.format("binaryFile").load(path)
-      .select(input_file_name().as("origin"), col("content"))
     // sibling -wal files carry commits not yet checkpointed into the main
     // file — the normal state of a LIVE database, which is exactly what
     // the reference watches (`sections/sqlite_connector/src/source.rs`
-    // watches db + WAL mtime). Joined by stripping the -wal suffix;
-    // absent-wal is the common case and joins to null.
-    val wal =
-      try spark.read.format("binaryFile").load(path + "-wal")
-        .select(regexp_replace(input_file_name(), "-wal$", "").as("origin"),
-          col("content").as("wal"))
-      catch {
-        case e: Exception if e.getMessage != null &&
-            (e.getMessage.contains("Path does not exist") ||
-             e.getMessage.contains("PATH_NOT_FOUND")) =>
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row],
-            StructType(Seq(StructField("origin", StringType),
-              StructField("wal", org.apache.spark.sql.types.BinaryType))))
-      }
-    val bin = main.join(wal, Seq("origin"), "left")
-    val firstRow = bin.select("content", "wal").head()
-    val first = applyWal(firstRow.getAs[Array[Byte]](0),
-      Option(firstRow.getAs[Array[Byte]](1)))
+    // watches db + WAL mtime). Existence is probed through the Hadoop
+    // FileSystem API (one driver-side RPC, works on any FS scheme) —
+    // exception-message matching on a failed load is driver-version
+    // dependent and was observed to break between Spark releases.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val mainFiles = Option(fs.globStatus(hPath)).getOrElse(Array.empty)
+      .filter(_.isFile)
+    require(mainFiles.nonEmpty, s"no sqlite file matches $path")
+    val walFiles = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(path + "-wal"))).getOrElse(Array.empty)
+      .filter(_.isFile)
+    // schema probe: ONE database's bytes read directly on the driver —
+    // no Spark job, no cluster round-trip for what is a local decode of
+    // sqlite_master (the probe db + its wal stream through fs.open)
+    def slurp(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+      val in = fs.open(p)
+      try in.readAllBytes() finally in.close()
+    }
+    val probeMain = mainFiles.head.getPath
+    val probeWal = new org.apache.hadoop.fs.Path(probeMain.toString + "-wal")
+    val first = applyWal(slurp(probeMain),
+      if (fs.exists(probeWal)) Some(slurp(probeWal)) else None)
     val cols = tableColumns(first, table)
+    val main = spark.read.format("binaryFile").load(path)
+      .select(input_file_name().as("origin"), col("content"))
+    // absent-wal is the common case: skip the second scan and the join
+    // entirely instead of left-joining an empty frame
+    val bin =
+      if (walFiles.isEmpty)
+        main.withColumn("wal", lit(null).cast(org.apache.spark.sql.types.BinaryType))
+      else {
+        val wal = spark.read.format("binaryFile").load(path + "-wal")
+          .select(regexp_replace(input_file_name(), "-wal$", "").as("origin"),
+            col("content").as("wal"))
+        main.join(wal, Seq("origin"), "left")
+      }
     val schema = StructType(
       StructField("origin", StringType, nullable = false) +:
       cols.map(c => StructField(c, StringType, nullable = true)))
