@@ -689,6 +689,25 @@ object Queries {
       ('4','bin','incoming','62696e',CAST(NULL AS VARCHAR)))
       t(id, text, bin, float, some_null) ORDER BY id"""))
 
+  /** D7 kafka wire shape without a broker: the encode half of the kafka
+    * sink (`sections/kafka_connector/src/destination.rs:21-131`) is pure
+    * DataFrame code — key = origin, value = row JSON-encoded in column
+    * order — so it gets full hash verification; only the final
+    * `.format("kafka")` write needs a broker. The oracle rebuilds the
+    * exact JSON text by concatenation (nation columns are non-null and
+    * JSON-safe, so quoting/escaping questions don't arise). */
+  private val opKafkaEncode = Q(
+    (s, dir) => {
+      import s.implicits._
+      val n = Tables.nation(s, dir).select(lit("nation").as("origin"),
+        $"n_nationkey", $"n_name", $"n_regionkey")
+      graft.sources.Sinks.kafkaEncode(n).orderBy($"value")
+    },
+    Some("""SELECT 'nation' AS key,
+      '{"n_nationkey":' || n_nationkey || ',"n_name":"' || n_name ||
+        '","n_regionkey":' || n_regionkey || '}' AS value
+      FROM nation ORDER BY value"""))
+
   /** S5 real xlsx ingestion; oracle = the fixture workbook's known content
     * (shared strings resolved, AnyColumns LUB promotes `pop` to BIGINT). */
   private val opExcel = Q(
@@ -1453,6 +1472,7 @@ object Queries {
     "op_profile" -> opProfile,
     "op_sqlite_file" -> opSqliteFile,
     "op_excel" -> opExcel,
+    "op_kafka_encode" -> opKafkaEncode,
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhash,
     "dd_dedup_corpus" -> ddDedupCorpus,

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.operators.Transforms
-import graft.sources.{Sources, Sinks}
+import graft.sources.{Sources, Sinks, WarehouseSinks}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, lit, regexp_replace}
 
@@ -273,6 +273,23 @@ object SectionRegistry {
         c.getOrElse("truncate", "false").toBoolean); scala.None }),
     "kafka_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => { Sinks.kafkaJson(in(df), cfg(c, "brokers"), cfg(c, "topic")); scala.None }),
+    // stage-and-COPY warehouse sinks: the statement sequence goes through
+    // a JDBC url ("url") — in tests MemJdbc, in production the warehouse
+    "snowflake_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        WarehouseSinks.snowflake(in(df),
+          new WarehouseSinks.JdbcExec(cfg(c, "url")), cfg(c, "stage_dir"),
+          c.getOrElse("truncate", "false").toBoolean)
+        scala.None
+      }),
+    "redshift_loader_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        WarehouseSinks.redshiftLoad(in(df),
+          new WarehouseSinks.JdbcExec(cfg(c, "url")), cfg(c, "iam_role"),
+          cfg(c, "region"), c.getOrElse("data_format", "CSV"),
+          c.getOrElse("ignore_header", "false").toBoolean)
+        scala.None
+      }),
     "file_destination" -> Entry(SectionIOSpec(Bin, None),
       (_, c, df) => { Sinks.fileBinary(in(df), cfg(c, "dir")); scala.None }),
     // Streaming parquet sink: ack-ordered foreachBatch append (epoch

@@ -116,17 +116,24 @@ object Sinks {
     df.write.mode(mode(truncate)).format("jdbc")
       .option("url", url).option("dbtable", table).save()
 
-  /** D7 kafka sink (`sections/kafka_connector/src/destination.rs:21-131`):
-    * each row JSON-encoded `{col: value}`, key = origin. */
-  def kafkaJson(df: DataFrame, brokers: String, topic: String): Unit = {
+  /** D7 kafka wire encode (`sections/kafka_connector/src/destination.rs:21-131`):
+    * each row JSON-encoded `{col: value}` in column order, key = origin.
+    * Pure DataFrame → DataFrame so the wire shape is testable (and
+    * oracle-verifiable) without a broker — [[kafkaJson]] is this encode
+    * plus the `.format("kafka")` write. */
+  def kafkaEncode(df: DataFrame): DataFrame = {
     val dataCols = df.columns.filterNot(_ == "origin")
     val key = if (df.columns.contains("origin")) col("origin") else lit("origin")
     df.select(key.cast("string").as("key"),
-        to_json(struct(dataCols.map(col).toIndexedSeq: _*)).as("value"))
+      to_json(struct(dataCols.map(col).toIndexedSeq: _*)).as("value"))
+  }
+
+  /** D7 kafka sink: [[kafkaEncode]] written to a topic. */
+  def kafkaJson(df: DataFrame, brokers: String, topic: String): Unit =
+    kafkaEncode(df)
       .write.format("kafka")
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic).save()
-  }
 
   /** D8 file sink (`sections/file/src/destination.rs:24-87`): binary payload
     * → one file per origin under `dir`; atomicity via Spark's commit

@@ -21,7 +21,11 @@ object MemDb {
 
   val tables = new TrieMap[String, Table]()
 
-  def reset(): Unit = tables.clear()
+  /** Every DDL/DML statement text, in execution order — lets specs assert
+    * a sink's exact statement SEQUENCE (the stage-and-COPY contracts). */
+  val journal = new ArrayBuffer[String]()
+
+  def reset(): Unit = { tables.clear(); journal.synchronized(journal.clear()) }
 
   def create(name: String, cols: Seq[Col]): Unit =
     tables.put(name.toLowerCase, Table(cols, ArrayBuffer.empty))
@@ -144,11 +148,11 @@ object MemJdbc {
   }
 
   private val createRe =
-    """(?is)\s*create\s+table\s+"?([A-Za-z_][A-Za-z0-9_]*)"?\s*\((.*)\)\s*""".r
+    """(?is)\s*create\s+table\s+(?:if\s+not\s+exists\s+)?"?([A-Za-z_][A-Za-z0-9_]*)"?\s*\((.*)\)\s*;?\s*""".r
   private val insertRe =
     """(?is)\s*insert\s+into\s+"?([A-Za-z_][A-Za-z0-9_]*)"?\s*(?:\(([^)]*)\))?\s*values\s*\(.*""".r
   private val truncateRe =
-    """(?is)\s*truncate\s+table\s+"?([A-Za-z_][A-Za-z0-9_]*)"?\s*""".r
+    """(?is)\s*truncate\s+table\s+"?([A-Za-z_][A-Za-z0-9_]*)"?\s*;?\s*""".r
   private val dropRe =
     """(?is)\s*drop\s+table\s+"?([A-Za-z_][A-Za-z0-9_]*)"?\s*""".r
 
@@ -164,7 +168,22 @@ object MemJdbc {
     case _ => Types.VARCHAR // TEXT, VARCHAR, CLOB, CHAR...
   }
 
-  private def executeUpdate(sql: String): Int = sql match {
+  private def executeUpdate(sql: String): Int = {
+    MemDb.journal.synchronized(MemDb.journal += sql)
+    executeUpdate0(sql)
+  }
+
+  /** Warehouse statement shapes (snowflake PUT / file format / COPY INTO,
+    * redshift COPY FROM) are journaled and accepted as no-ops — the fake
+    * has no stage or object store; the SEQUENCE is what specs assert. */
+  private def isWarehouseStmt(sql: String): Boolean = {
+    val t = sql.trim.toUpperCase
+    t.startsWith("PUT ") || t.startsWith("COPY ") ||
+    t.startsWith("CREATE OR REPLACE TEMPORARY FILE FORMAT")
+  }
+
+  private def executeUpdate0(sql: String): Int = sql match {
+    case s if isWarehouseStmt(s) => 0
     case createRe(name, colsDdl) =>
       // split on top-level commas (no nested parens in spark-generated DDL
       // beyond DECIMAL(p,s) — handle depth)
@@ -182,7 +201,10 @@ object MemJdbc {
         val ddl = p.split("\\s+").drop(1).mkString(" ")
         MemDb.Col(name, sqlTypeOf(ddl))
       }
-      MemDb.create(name, cols)
+      // IF NOT EXISTS must not clobber an existing table's rows
+      if (!("""(?is).*if\s+not\s+exists.*""".r.matches(sql) &&
+            MemDb.tables.contains(name.toLowerCase)))
+        MemDb.create(name, cols)
       0
     case truncateRe(name) =>
       MemDb.tables.get(name.toLowerCase).foreach(_.rows.clear()); 0
