@@ -32,9 +32,9 @@ object Bench {
       q.awaitTermination()
     }
     val failed = Seq.newBuilder[String]
-    val results = Queries.all.map { case (name, q) =>
+    def timed(name: String, action: () => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).count()
+      try action()
       catch { case e: Throwable =>
         // a query that dies must be VISIBLE in the bench line, not just a
         // fast-looking number
@@ -47,6 +47,14 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
+    val results =
+      Queries.all.map { case (name, q) =>
+        timed(name, () => { q.fn(spark, sfDir).count(); () }) } ++
+      // scale rehearsal: worst-case skewed corpora through the capped pair
+      // generators — each skewed_* line should stay within ~2x of its
+      // uniform twin above, or a cap has stopped doing its job
+      operators.SkewRehearsal.queries(spark, sfDir).map { case (name, f) =>
+        timed(name, () => { f(); () }) }
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val fl = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")

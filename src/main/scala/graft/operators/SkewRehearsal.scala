@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => VF}
+
+/** Deterministic worst-case corpora for the capped pair generators —
+  * the scale rehearsal the bench runs next to the uniform queries
+  * (VERDICT r3 ask #9).
+  *
+  * A 100 TB corpus is never uniform: web scrapes carry mass-duplicated
+  * boilerplate (one template page repeated millions of times → ONE band
+  * bucket holding the whole replica set) and metadata labels collapse
+  * (one "en" label over 80% of the corpus → one giant cosine block).
+  * These generators rebuild exactly those shapes from the test tables, so
+  * "the cap machinery keeps the skewed case within ~2× of the uniform
+  * one" is a measured bench line (`skewed_*` vs its uniform twin), not a
+  * spec-sized claim. Everything is derived deterministically from the
+  * input — no RNG, same rows every run.
+  */
+object SkewRehearsal {
+
+  /** One third of documents replaced by copies of ONE template text —
+    * every replica shares every MinHash/SimHash signature, so each band
+    * bucket gains a member set of n/3 replicas: the degenerate bucket
+    * [[Blocking.cappedBandCandidates]] star-compresses. The template rides
+    * a broadcast (no shuffle added by the rehearsal itself). */
+  def hotCorpus(docs: DataFrame): DataFrame = {
+    val tpl = broadcast(docs.orderBy(col("doc_id")).limit(1)
+      .select(col("text").as("_tpl")))
+    docs.crossJoin(tpl)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0, col("_tpl")).otherwise(col("text")))
+      .drop("_tpl")
+  }
+
+  /** Every embedding forced into ONE label block — the hot-label case
+    * [[Blocking.boundedCosinePairs]] LSH-sub-buckets past its cap. */
+  def hotLabel(emb: DataFrame): DataFrame =
+    emb.withColumn("label", lit("hot"))
+
+  /** The skewed twins of the capped dedup/similarity queries, keyed like
+    * the bench expects. Caps are LOWERED to test-scale numbers so the
+    * guarded path actually executes (at sf0.1 the production caps don't
+    * bite even on the hot corpus — the point is to measure the machinery,
+    * not to pass uniform data through an untouched fast path). */
+  def queries(spark: SparkSession, dir: String): Seq[(String, () => Long)] = Seq(
+    "skewed_dd_minhash_lsh" -> (() =>
+      NearDup.pairs(hotCorpus(graft.Tables.documents(spark, dir)),
+        maxBucket = 200).count()),
+    "skewed_dd_simhash_pairs" -> (() =>
+      NearDup.simhashPairs(hotCorpus(graft.Tables.documents(spark, dir)),
+        maxBucket = 200).count()),
+    "skewed_dd_embed_cosine" -> (() =>
+      Blocking.boundedCosinePairs(
+        hotLabel(graft.Tables.embeddings(spark, dir))
+          .select(col("vec_id"), col("label"), col("embedding"))
+          .withColumn("nrm", VF.norm2(col("embedding"))),
+        maxBlock = 500)
+        .filter(col("cosine") >= 0.35).count())
+  )
+}

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch sources — Spark-native re-expression of the reference's source
@@ -173,20 +173,42 @@ object Sinks {
     * already exists in the target are dropped before the write, so
     * at-least-once replay (crash between sink commit and state write)
     * becomes effectively-once. The existing-keys scan is column-pruned to
-    * the key columns and the anti-join broadcasts when the batch is small —
-    * at lake scale, partition the target by a batch/date column so the
-    * existence scan prunes to one partition. */
-  def idempotentParquetAppend(df: DataFrame, path: String, keyCols: Seq[String]): Unit = {
+    * the key columns and the anti-join broadcasts when the batch is small.
+    *
+    * At lake scale the existence scan MUST prune: partition the target by
+    * a batch/date column and pass `existingFilter` so only the partitions
+    * a replay could collide with are read. The pruning assumption is
+    * guarded, not silent: without a filter, a target that has grown past
+    * `fullScanWarnFiles` data files logs a per-path warning that every
+    * append is now re-scanning the whole table. */
+  def idempotentParquetAppend(df: DataFrame, path: String, keyCols: Seq[String],
+                              existingFilter: Option[Column] = None,
+                              fullScanWarnFiles: Int = 1000): Unit = {
+    val spark = df.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val fresh =
-      try {
-        val existingKeys = df.sparkSession.read.parquet(path)
-          .select(keyCols.map(col): _*).distinct()
-        df.join(existingKeys, keyCols, "left_anti")
-      } catch {
-        case e: Exception if e.getMessage != null &&
-          (e.getMessage.contains("Path does not exist") ||
-           e.getMessage.contains("PATH_NOT_FOUND")) => df
+      if (!fs.exists(hPath)) df
+      else {
+        val existing = spark.read.parquet(path)
+        if (existingFilter.isEmpty && warnedPaths.add(path)) {
+          // the file list is already materialized in the relation's file
+          // index — counting it costs no extra listing
+          val nFiles = existing.inputFiles.length
+          if (nFiles > fullScanWarnFiles) System.err.println(
+            s"[sinks] idempotentParquetAppend($path): $nFiles data files " +
+            s"scanned per batch with no existingFilter — partition the " +
+            s"target and pass a pruning predicate before this grows further")
+        }
+        val scanned = existingFilter.fold(existing)(existing.filter)
+        df.join(scanned.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
       }
     fresh.write.mode("append").parquet(path)
   }
+
+  /** Paths already warned about unpruned existence scans (once per path
+    * per JVM — the warning is a capacity signal, not a per-batch nag). */
+  private val warnedPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 }

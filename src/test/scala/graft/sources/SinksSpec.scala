@@ -43,6 +43,38 @@ class SinksSpec extends AnyFunSuite {
     assert(back.select("id").as[Long].collect().sorted.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("idempotentParquetAppend existingFilter prunes the existence scan") {
+    val dir = Files.createTempDirectory("graft_idem2").toString
+    val day1 = Seq((1L, "d1"), (2L, "d1")).toDF("id", "day")
+    Sinks.idempotentParquetAppend(day1, s"$dir/t", Seq("id", "day"))
+    // replay day1 + new day2 rows, existence scan restricted to day1:
+    // result must still be exactly-once for the replayed keys
+    val replay = Seq((1L, "d1"), (3L, "d2")).toDF("id", "day")
+    Sinks.idempotentParquetAppend(replay, s"$dir/t", Seq("id", "day"),
+      existingFilter = Some(org.apache.spark.sql.functions.col("day") === "d1"))
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 3)
+  }
+
+  test("idempotentParquetAppend warns once when an unpruned target is large") {
+    val dir = Files.createTempDirectory("graft_idem3").toString
+    val batch = Seq((1L, "a")).toDF("id", "v")
+    Sinks.idempotentParquetAppend(batch, s"$dir/t", Seq("id"))
+    val err = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(err))
+    try {
+      // warn threshold 0 -> any existing file trips the capacity signal
+      Sinks.idempotentParquetAppend(batch, s"$dir/t", Seq("id"),
+        fullScanWarnFiles = 0)
+      Sinks.idempotentParquetAppend(batch, s"$dir/t", Seq("id"),
+        fullScanWarnFiles = 0)
+    } finally System.setErr(old)
+    val warnings = err.toString.linesIterator
+      .filter(_.contains("idempotentParquetAppend")).toSeq
+    assert(warnings.size == 1, s"expected exactly one warning, got $warnings")
+  }
+
   test("dir source lists files with pattern + cursor semantics") {
     val df = Sources.dir(spark, TestSpark.sf, pattern = ".*\\.parquet$")
     val files = df.select("path").as[String].collect()
