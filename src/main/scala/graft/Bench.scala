@@ -1,14 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: runs every declared query against SPARK_GRAFT_SF_DIR and
   * prints one JSON line of per-query wall seconds. Each query executes as a
   * full action (count), so scan+shuffle+sink costs are all inside the
-  * measurement. */
+  * measurement.
+  *
+  * Each query runs `SPARK_GRAFT_BENCH_ITERS` times (default 3) and the
+  * line reports the MEDIAN per query (plus the min, in `queries_min`):
+  * single-sample timings on a shared machine carry multi-second roving
+  * stalls that read as phantom 3-6× regressions — the median of three is
+  * stable against one stall, and the min bounds the query's true cost.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,21 +40,28 @@ object Bench {
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    val failed = Seq.newBuilder[String]
-    def timed(name: String, action: () => Unit): (String, Double) = {
-      val t0 = System.nanoTime()
-      try action()
-      catch { case e: Throwable =>
-        // a query that dies must be VISIBLE in the bench line, not just a
-        // fast-looking number
-        failed += name
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // (name, median, min) over `iters` samples; a failing query is not
+    // retried — it must be VISIBLE in the bench line, not averaged away
+    def timed(name: String, action: () => Unit): (String, Double, Double) = {
+      val samples = Seq.newBuilder[Double]
+      var i = 0
+      while (i < iters && !failed.contains(name)) {
+        val t0 = System.nanoTime()
+        try action()
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
+        // cache drop INSIDE the measurement: a query that persists pays to
+        // build AND to drop its cache, and no iteration or successor query
+        // ever rides a predecessor's persisted frame
+        spark.catalog.clearCache()
+        samples += (System.nanoTime() - t0) / 1e9
+        i += 1
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop operator-internal caches INSIDE the measurement: a query that
-      // persists pays for its own cache, and no query reads a predecessor's
-      spark.catalog.clearCache()
-      name -> dt
+      val s = samples.result().sorted
+      (name, s(s.size / 2), s.head)
     }
     val results =
       Queries.all.map { case (name, q) =>
@@ -55,11 +71,50 @@ object Bench {
       // uniform twin above, or a cap has stopped doing its job
       operators.SkewRehearsal.queries(spark, sfDir).map { case (name, f) =>
         timed(name, () => { f(); () }) }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    // approximation-quality audit: recall@10 of each ANN variant against
+    // the exact scorer on the same corpus/query split the ann_* queries
+    // use. lsh_multi should dominate lsh (more tables = higher hit
+    // probability); a recall collapse here is a quality regression the
+    // latency lines can't see.
+    val recall: Seq[(String, Double)] = try {
+      val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      val isQuery = col("vec_id") < 10
+      val k = 10
+      val exact = operators.Ann.bruteForceTopK(e, isQuery, k).persist()
+      exact.count()
+      val out = Seq(
+        "ann_lsh_topk" -> operators.Ann.lshTopK(e, isQuery, k),
+        "ann_lsh_multi" -> operators.Ann.lshMultiTopK(e, isQuery, k),
+        "ann_ivf_topk" -> operators.Ann.ivfTopK(e, isQuery, col("vec_id") < 16, k),
+        "ann_quantized_topk" -> {
+          val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+          val scale = maxabs / lit(127.0)
+          val deq = when(maxabs === lit(0.0),
+              transform(col("embedding"), _ => lit(0.0)))
+            .otherwise(transform(col("embedding"),
+              x => floor(x.cast("double") / scale + lit(0.5)) * scale))
+          operators.Ann.bruteForceTopK(
+            Tables.embeddings(spark, sfDir).select(col("vec_id"), deq.as("embedding")),
+            isQuery, k)
+        }
+      ).map { case (n, approx) => n -> operators.Ann.recallAtK(exact, approx) }
+      exact.unpersist()
+      spark.catalog.clearCache()
+      out
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] recall harness FAILED: ${e.getMessage}")
+      failed += "recall"
+      Seq.empty
+    }
+    val qs = results.map { case (k, med, _) => "\"" + k + f"""\":$med%.3f""" }
       .mkString("{", ",", "}")
-    val fl = failed.result().map("\"" + _ + "\"").mkString("[", ",", "]")
+    val mins = results.map { case (k, _, mn) => "\"" + k + f"""\":$mn%.3f""" }
+      .mkString("{", ",", "}")
+    val rc = recall.map { case (k, r) => "\"" + k + f"""\":$r%.4f""" }
+      .mkString("{", ",", "}")
+    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"queries":$qs,"queries_min":$mins,"recall_at_10":$rc,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

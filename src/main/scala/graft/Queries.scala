@@ -708,6 +708,29 @@ object Queries {
         '","n_regionkey":' || n_regionkey || '}' AS value
       FROM nation ORDER BY value"""))
 
+  /** S9/D7 kafka DECODE half without a broker — the inverse projection:
+    * rows round-trip through the exact wire bytes ([[opKafkaEncode]]'s
+    * key/value shape, cast to binary as a kafka read delivers them) back
+    * to typed columns, origin recovered from the message key. Oracle = the
+    * source table itself: decode(encode(x)) must equal x. Leaves only the
+    * broker socket unexercised. */
+  private val opKafkaDecode = Q(
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      val n = Tables.nation(s, dir).select(lit("nation").as("origin"),
+        $"n_nationkey", $"n_name", $"n_regionkey")
+      val wire = graft.sources.Sinks.kafkaEncode(n)
+        .select($"key".cast("binary").as("key"), $"value".cast("binary").as("value"))
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      graft.sources.Sources.kafkaDecode(wire, schema).orderBy($"n_nationkey")
+    },
+    Some("""SELECT 'nation' AS origin, n_nationkey, n_name, n_regionkey
+      FROM nation ORDER BY n_nationkey"""))
+
   /** S5 real xlsx ingestion; oracle = the fixture workbook's known content
     * (shared strings resolved, AnyColumns LUB promotes `pop` to BIGINT). */
   private val opExcel = Q(
@@ -1473,6 +1496,7 @@ object Queries {
     "op_sqlite_file" -> opSqliteFile,
     "op_excel" -> opExcel,
     "op_kafka_encode" -> opKafkaEncode,
+    "op_kafka_decode" -> opKafkaDecode,
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhash,
     "dd_dedup_corpus" -> ddDedupCorpus,

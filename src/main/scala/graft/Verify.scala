@@ -42,6 +42,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // enforce the operator cache-lifecycle contract (NearDup and friends
+    // persist() internally and document session-managed cleanup): if any
+    // query leaked a cached frame past its clearCache(), fail the run —
+    // at 100 TB a leaked cache is executor memory gone for the session
+    if (!spark.sharedState.cacheManager.isEmpty) {
+      System.err.println("[verify] FATAL: cache manager non-empty at exit " +
+        "— an operator leaked a persisted frame past its lifecycle")
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

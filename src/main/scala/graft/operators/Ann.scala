@@ -95,6 +95,20 @@ object Ann {
     rank(scored, k)
   }
 
+  /** Recall@k of an approximate result against the exact one: the fraction
+    * of true top-k neighbors the approximate variant returned, averaged
+    * over queries. Both frames carry `(q_id, n_id)`; the join and counts
+    * shuffle only id pairs — O(k·queries) rows, never vectors — so the
+    * measurement is safe to run at any corpus scale alongside the search
+    * itself. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): Double = {
+    val t = exact.select(col("q_id"), col("n_id"))
+    val denom = t.count()
+    if (denom == 0) 1.0
+    else t.join(approx.select(col("q_id"), col("n_id")),
+      Seq("q_id", "n_id")).count().toDouble / denom
+  }
+
   /** IVF — coarse-quantizer cells: `isCentroid` rows partition the corpus
     * (one-time assignment; only id/cell/score triples shuffle), queries
     * probe their `nProbe` nearest cells: O(K + corpus/K·nProbe) per query.

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.util.QueryExecutionListener
@@ -15,11 +14,16 @@ import graft.functions.VectorFunctions
   * here keep the exact semantics while the blocks are small and switch to a
   * bounded strategy only past an explicit cap.
   *
-  * Shape: the group size rides along as a WINDOW count over the blocking
-  * key — one shuffle, already the self-join's distribution, and the two
-  * join sides are identical subtrees so the exchange is computed once and
-  * reused (measured within ~15% of the uncapped direct self-join; the
-  * aggregate-and-join-back alternative re-scans the input three times).
+  * Shape: group sizes come from a partial+final AGGREGATE over the
+  * blocking key, joined back onto the rows — NOT a window count. A window
+  * `count().over(partitionBy(key))` buffers each group on one task, so the
+  * very skew these caps exist for (one hot label/bucket) would concentrate
+  * the whole hot group on a single straggler task *before* the bounded
+  * path could split it — and a constant-foldable key (`lit("hot")`) is
+  * folded out of a window spec entirely, collapsing to ONE partition. The
+  * aggregate form ships only (key, count) rows; the two self-join sides
+  * remain identical subtrees so their exchange is computed once and
+  * reused.
   *
   * Cap accounting is NOT silent and costs no extra pass: `observe()`
   * metrics ride the same window frame and a per-session
@@ -84,8 +88,12 @@ object Blocking {
                          lshBits: Int = 4, dims: Int = 64): DataFrame = {
     ensureCapListener(e.sparkSession)
     val m = capMetrics("_blk", maxBlock)
+    // label cardinality is O(#labels) — tiny by construction — so the size
+    // frame broadcasts: no shuffle of the rows at all for the sizing pass,
+    // and a hot label never lands on one task just to be counted
+    val sizes = e.groupBy(col("label")).agg(count(lit(1)).as("_blk"))
     val sized = e
-      .withColumn("_blk", count(lit(1)).over(Window.partitionBy(col("label"))))
+      .join(broadcast(sizes), Seq("label"))
       .observe(BlockCapMetric, m.head, m.tail: _*)
       .withColumn("_bkt",
         when(col("_blk") > maxBlock,
@@ -128,22 +136,44 @@ object Blocking {
                            carry: Seq[String] = Nil,
                            preDedup: DataFrame => DataFrame = identity): DataFrame = {
     ensureCapListener(bands.sparkSession)
-    val m = capMetrics("_bsz", maxBucket)
-    val w = Window.partitionBy(col("band"))
-    // hub = min by doc_id WITH its carry columns: struct comparison orders
-    // by the leading id field, so this window is the hub row itself
-    val sized = bands
-      .withColumn("_bsz", count(lit(1)).over(w))
-      .withColumn("_hub", min(struct(col("doc_id") +: carry.map(col): _*)).over(w))
+    // Three consumers read `bands` (bucket stats, the exact path, the
+    // starred path), and upstream of it usually sits an expensive
+    // signature aggregation — persist so that work runs once, not per
+    // branch. Rows are compact (ids + band + carry scalars, ~1% of the
+    // text they derive from). Lifecycle is session-managed like
+    // [[NearDup.pairs]]' hash cache: long-lived sessions should
+    // `spark.catalog.clearCache()` between corpora.
+    val b = bands.persist()
+    // Bucket sizing is a partial+final AGGREGATE, never a window: a window
+    // over `band` would buffer each bucket on one task — the degenerate
+    // hot bucket this cap exists for becoming the straggler — while the
+    // aggregate ships only (band, count, hub) rows. hub = min by doc_id
+    // WITH its carry columns: struct comparison orders by the leading id
+    // field, so the min-aggregate is the hub row itself. The cap metrics
+    // ride this (small) frame: capped_rows = member rows in over-cap
+    // buckets, same accounting as before.
+    val m = Seq(
+      sum(when(col("_bsz") > maxBucket, col("_bsz")).otherwise(0L)).as("capped_rows"),
+      coalesce(max(col("_bsz")), lit(0L)).as("max_group"))
+    val stats = b.groupBy(col("band")).agg(
+        count(lit(1)).as("_bsz"),
+        min(struct(col("doc_id") +: carry.map(col): _*)).as("_hub"))
       .observe(BandCapMetric, m.head, m.tail: _*)
-    val small = sized.filter(col("_bsz") <= maxBucket)
+    // over-cap buckets are O(#degenerate templates) — tiny by construction
+    // (that degeneracy is what the cap detects), so BOTH joins against
+    // them resolve as broadcasts under AQE: the exact path's anti-join
+    // passes the band rows through WITHOUT shuffling them for sizing, and
+    // the band shuffle happens exactly once, in the self-join below
+    // (identical subtrees — the exchange is computed once and reused).
+    val big = stats.filter(col("_bsz") > maxBucket)
+    val small = b.join(big.select(col("band")), Seq("band"), "left_anti")
     val exact = small.as("a").join(small.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id") +: col("b.doc_id").as("b_id") +:
         (carry.map(c => col(s"a.$c").as(s"a_$c")) ++
          carry.map(c => col(s"b.$c").as(s"b_$c"))): _*)
-    val starred = sized
-      .filter(col("_bsz") > maxBucket && col("doc_id") =!= col("_hub.doc_id"))
+    val starred = b.join(big.select(col("band"), col("_hub")), Seq("band"))
+      .filter(col("doc_id") =!= col("_hub.doc_id"))
       .select(col("_hub.doc_id").as("a_id") +: col("doc_id").as("b_id") +:
         (carry.map(c => col(s"_hub.$c").as(s"a_$c")) ++
          carry.map(c => col(c).as(s"b_$c"))): _*)

@@ -107,11 +107,13 @@ object NearDup {
     * buckets (mass-identical signatures) are additionally guarded by
     * [[Blocking.cappedBandCandidates]] star compression, observed + logged.
     *
-    * Single pass, no cache: signatures flow straight into the band explode
-    * with the 8-byte signature carried alongside each (doc_id, band) row,
-    * and the hamming verify runs BEFORE the candidate dedup (band
-    * candidates are mostly false positives), so neither a persist nor a
-    * join-back by id is ever needed. */
+    * Signatures are computed in ONE pass: they flow into the band explode
+    * with the 8-byte signature carried alongside each (doc_id, band) row
+    * — [[Blocking.cappedBandCandidates]] persists that compact band frame
+    * so its two consumers (bucket-stats aggregate, candidate join) don't
+    * re-run the signature aggregation — and the hamming verify runs
+    * BEFORE the candidate dedup (band candidates are mostly false
+    * positives), so a join-back by id is never needed. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
                    textCol: String = "text", bits: Int = 60, nBands: Int = 4,
                    hammingMax: Int = 3, maxBucket: Long = 1000): DataFrame = {

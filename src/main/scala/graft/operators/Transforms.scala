@@ -143,7 +143,11 @@ object Transforms {
     val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
     val kill = if (timeoutMs > 0) Some(execWatchdog.schedule(
         new Runnable {
-          def run(): Unit = { timedOut.set(true); p.destroyForcibly(); () }
+          // only claim a timeout if the kill interrupts a LIVE child — a
+          // child that exited 0 just as the deadline fired must not have
+          // its successful output discarded by a race with the watchdog
+          def run(): Unit =
+            if (p.isAlive) { timedOut.set(true); p.destroyForcibly(); () }
         }, timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS))
       else None
     val writer = new Thread(() =>
@@ -159,8 +163,16 @@ object Transforms {
     writer.join()
     if (timedOut.get) throw new RuntimeException(
       s"exec '${command.mkString(" ")}' timed out after ${timeoutMs} ms")
-    if (code != 0) throw new RuntimeException(
-      s"exec '${command.mkString(" ")}' exited $code")
+    if (code != 0) {
+      // per-row failures surface on executors — carry a tail of the child's
+      // stdout so the failure is attributable from the task error alone
+      // (stderr is inherited and lands in the executor log stream)
+      val tail = new String(out.takeRight(200),
+        java.nio.charset.StandardCharsets.UTF_8)
+      throw new RuntimeException(
+        s"exec '${command.mkString(" ")}' exited $code" +
+        (if (tail.nonEmpty) s"; stdout tail: $tail" else ""))
+    }
     out
   }
 

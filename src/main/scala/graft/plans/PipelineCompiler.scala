@@ -305,15 +305,29 @@ object SectionRegistry {
       (s, c, df) => {
         val path = cfg(c, "path")
         val ckpt = cfg(c, "checkpoint")
+        // "state_store": "rocksdb" moves stateful-operator state off the
+        // executor heap (disk-backed per executor) — the 100×-active-keys
+        // path; default keeps Spark's HDFS-backed in-memory store
+        c.get("state_store").foreach(p =>
+          graft.streaming.StreamingPipelines.useStateStore(s, p))
         val frame = in(df)
+        // "output_mode": "append" for upstream operators that REQUIRE
+        // Append (flatMapGroupsWithState sessions); default Update keeps
+        // per-epoch delta semantics for plain/aggregating streams
+        val mode = c.getOrElse("output_mode", "update") match {
+          case "append" => org.apache.spark.sql.streaming.OutputMode.Append()
+          case "update" => org.apache.spark.sql.streaming.OutputMode.Update()
+          case other => throw new IllegalArgumentException(
+            s"output_mode must be append|update, got $other")
+        }
         def writer =
           if (c.getOrElse("route_by_origin", "false").toBoolean)
-            graft.streaming.StreamingPipelines.ackSinkByOrigin(frame, ckpt) {
+            graft.streaming.StreamingPipelines.ackSinkByOrigin(frame, ckpt, mode) {
               (origin, slice, _) =>
                 slice.write.mode("append").parquet(s"$path/$origin")
             }
           else
-            graft.streaming.StreamingPipelines.ackSink(frame, ckpt) {
+            graft.streaming.StreamingPipelines.ackSink(frame, ckpt, mode) {
               (batch, _) => batch.write.mode("append").parquet(path)
             }
         val sup = new graft.streaming.StreamingSupervisor(s,

@@ -89,6 +89,19 @@ object Sources {
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic).load()
       .select(col("topic").as("origin"), col("value"))
+
+  /** Kafka wire DECODE — the exact inverse of [[Sinks.kafkaEncode]] (the
+    * reference sink's row→JSON shape, `sections/kafka_connector/src/
+    * destination.rs:21-131`): a kafka `(key, value)` byte frame back to
+    * typed columns via `from_json` under the caller's schema, origin = the
+    * message key (the encode writes the origin there). Pure DataFrame
+    * code, so the wire contract is verifiable without a broker; only the
+    * socket read itself ([[kafka]]) needs one. */
+  def kafkaDecode(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(col("key").cast("string").as("origin"),
+        from_json(col("value").cast("string"), schema).as("_rec"))
+      .select(col("origin") +:
+        schema.fieldNames.toIndexedSeq.map(f => col(s"_rec.`$f`").as(f)): _*)
 }
 
 /** Destinations (SURVEY.md §2.3). Writes route by the `origin` column where
@@ -191,14 +204,18 @@ object Sinks {
       if (!fs.exists(hPath)) df
       else {
         val existing = spark.read.parquet(path)
-        if (existingFilter.isEmpty && warnedPaths.add(path)) {
+        if (existingFilter.isEmpty) {
           // the file list is already materialized in the relation's file
-          // index — counting it costs no extra listing
+          // index — counting it costs no extra listing. Check the size
+          // BEFORE consuming the once-per-path warning slot: a target that
+          // is small today must still warn on the append that finds it
+          // grown past the threshold (the long-lived-JVM growth case).
           val nFiles = existing.inputFiles.length
-          if (nFiles > fullScanWarnFiles) System.err.println(
-            s"[sinks] idempotentParquetAppend($path): $nFiles data files " +
-            s"scanned per batch with no existingFilter — partition the " +
-            s"target and pass a pruning predicate before this grows further")
+          if (nFiles > fullScanWarnFiles && warnedPaths.add(path))
+            System.err.println(
+              s"[sinks] idempotentParquetAppend($path): $nFiles data files " +
+              s"scanned per batch with no existingFilter — partition the " +
+              s"target and pass a pruning predicate before this grows further")
         }
         val scanned = existingFilter.fold(existing)(existing.filter)
         df.join(scanned.select(keyCols.map(col): _*).distinct(),

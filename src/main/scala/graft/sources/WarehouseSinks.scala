@@ -20,16 +20,26 @@ object WarehouseSinks {
   /** One warehouse SQL statement executor. */
   trait SqlExec { def exec(sql: String): Unit }
 
-  /** Production executor: one autocommitted statement per exec over a
-    * pooled-by-driver JDBC url (snowflake/redshift JDBC drivers both
-    * speak this shape). */
-  final class JdbcExec(url: String) extends SqlExec {
+  /** Production executor: every exec runs on ONE lazily-opened connection,
+    * because the statement sequences are SESSION-SCOPED — snowflake's
+    * `CREATE OR REPLACE TEMPORARY FILE FORMAT` is visible only to the
+    * session that created it, so the COPY referencing it must share that
+    * session (the reference likewise issues the whole sequence on one
+    * SnowflakeApi session, `destination.rs:126-177`). Autocommit stays on:
+    * each statement commits individually, as in the reference. Close after
+    * the load. */
+  final class JdbcExec(url: String) extends SqlExec with AutoCloseable {
+    private var conn: java.sql.Connection = _
+    private def connection(): java.sql.Connection = synchronized {
+      if (conn == null || conn.isClosed) conn = java.sql.DriverManager.getConnection(url)
+      conn
+    }
     override def exec(sql: String): Unit = {
-      val c = java.sql.DriverManager.getConnection(url)
-      try {
-        val st = c.createStatement()
-        try { st.execute(sql); () } finally st.close()
-      } finally c.close()
+      val st = connection().createStatement()
+      try { st.execute(sql); () } finally st.close()
+    }
+    override def close(): Unit = synchronized {
+      if (conn != null && !conn.isClosed) conn.close()
     }
   }
 
@@ -76,9 +86,22 @@ object WarehouseSinks {
     * single-threads a single temp file per batch; a glob PUT is the same
     * statement contract without the single-writer bottleneck). Frame must
     * carry an `origin` column (the reference keys tables by message
-    * origin). */
+    * origin).
+    *
+    * STAGE LOCALITY: internal-stage mode (`externalStage = None`) issues
+    * `PUT file://` — the staged files must be readable from the host
+    * running the JDBC session, so `stageDir` must be a DRIVER-LOCAL path
+    * (fine for the reference's single-daemon model; on a cluster the
+    * executors' parts must land on a filesystem the driver also sees).
+    * The cluster-scale path is `externalStage = Some(stageName)`: point
+    * `stageDir` at the object-store location an external stage (`CREATE
+    * STAGE <stageName> URL='s3://…'`) is defined over; executors write
+    * parquet straight to it (the existing s3a sink path) and the COPY
+    * reads `@<stageName>/<table>/` — no PUT, no driver-locality
+    * assumption, no single-host staging bottleneck. */
   def snowflake(df: DataFrame, api: SqlExec, stageDir: String,
-                truncate: Boolean = false): Unit = {
+                truncate: Boolean = false,
+                externalStage: Option[String] = None): Unit = {
     // reject unmappable columns BEFORE any staging happens, like the
     // reference's per-chunk Any check
     df.schema.fields.filterNot(_.name == "origin")
@@ -90,11 +113,21 @@ object WarehouseSinks {
       val dir = s"$stageDir/$table"
       slice.write.mode("overwrite").parquet(dir)
       api.exec(s"CREATE TABLE IF NOT EXISTS $table($ddl);")
-      api.exec(s"PUT file://$dir/*.parquet @%$table;")
-      api.exec(SnowflakeFileFormat)
-      if (truncate) api.exec(s"TRUNCATE TABLE $table;")
-      api.exec(s"COPY INTO $table FILE_FORMAT = CUSTOM_PARQUET_FORMAT " +
-        "PURGE = TRUE MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE;")
+      externalStage match {
+        case None =>
+          api.exec(s"PUT file://$dir/*.parquet @%$table;")
+          api.exec(SnowflakeFileFormat)
+          if (truncate) api.exec(s"TRUNCATE TABLE $table;")
+          api.exec(s"COPY INTO $table FILE_FORMAT = CUSTOM_PARQUET_FORMAT " +
+            "PURGE = TRUE MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE;")
+        case Some(stage) =>
+          api.exec(SnowflakeFileFormat)
+          if (truncate) api.exec(s"TRUNCATE TABLE $table;")
+          api.exec(s"COPY INTO $table FROM @$stage/$table/ " +
+            "FILE_FORMAT = CUSTOM_PARQUET_FORMAT PURGE = TRUE " +
+            "PATTERN = '.*[.]parquet' " +
+            "MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE;")
+      }
     }
   }
 

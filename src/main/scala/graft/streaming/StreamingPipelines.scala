@@ -62,16 +62,40 @@ object StreamingPipelines {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Select the streaming state-store provider for queries started on this
+    * session. The default HDFS-backed store keeps every active key's state
+    * ON THE EXECUTOR HEAP — fine at test scale, an OOM ceiling at 100×
+    * active-key cardinality (sessions/dedup keys). `rocksdb` switches to
+    * Spark's RocksDB provider: state lives off-heap/on-disk per executor
+    * with the same checkpoint contract, so state capacity scales with disk,
+    * not heap. Takes effect for queries STARTED after the call (the
+    * provider is captured at query start; restarts from the same
+    * checkpoint keep their store format). */
+  def useStateStore(spark: SparkSession, provider: String): Unit = {
+    val cls = provider match {
+      case "hdfs" =>
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      case "rocksdb" =>
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      // explicit provider class pass-through (custom stores)
+      case other if other.contains(".") => other
+      case other => throw new IllegalArgumentException(
+        s"state_store must be hdfs|rocksdb|<provider class>, got $other")
+    }
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", cls)
+  }
+
   /** Transactional sink with ack-after-commit ordering: `foreachBatch`
     * runs the write txn, and only when it returns does Spark commit the
     * epoch to the checkpoint — the reference's ack protocol
     * (`section/src/command_channel.rs:68-80`) with exactly-once upgrade
     * when the write is idempotent (dedup key / overwrite-by-partition). */
-  def ackSink(df: DataFrame, checkpoint: String)
+  def ackSink(df: DataFrame, checkpoint: String,
+              mode: OutputMode = OutputMode.Update())
              (write: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     df.writeStream
       .option("checkpointLocation", checkpoint)
-      .outputMode(OutputMode.Update())
+      .outputMode(mode)
       .foreachBatch { (batch: DataFrame, epochId: Long) => write(batch, epochId) }
 
   /** Origin-multiplexed streaming sink: one stream carries many logical
@@ -85,9 +109,10 @@ object StreamingPipelines {
     * holds: the epoch commits only after EVERY origin's write returned —
     * a crash mid-fan-out replays the whole batch (at-least-once; pair with
     * idempotent per-origin writes for effectively-once). */
-  def ackSinkByOrigin(df: DataFrame, checkpoint: String)
+  def ackSinkByOrigin(df: DataFrame, checkpoint: String,
+                      mode: OutputMode = OutputMode.Update())
                      (writeOne: (String, DataFrame, Long) => Unit): DataStreamWriter[Row] =
-    ackSink(df, checkpoint) { (batch, epochId) =>
+    ackSink(df, checkpoint, mode) { (batch, epochId) =>
       batch.persist()
       try graft.sources.Sinks.routeByOrigin(batch)(
         (origin, slice) => writeOne(origin, slice, epochId))

@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Approximation QUALITY, not latency: the ann_* oracle rows prove the
+  * variants compute what they claim, but recall against the exact scorer
+  * is what a user actually trades for the speedup. Deterministic: the
+  * hyperplanes/centroids derive from salted hashes, so these numbers are
+  * stable across runs. The bench logs the same metric at sf0.1
+  * (`recall_at_10` in the BENCH json line). */
+class AnnRecallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("recall@10: multi-table LSH dominates single-table, all variants bounded") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    val isQuery = col("vec_id") < 10
+    val exact = Ann.bruteForceTopK(e, isQuery, 10).persist()
+    try {
+      assert(Ann.recallAtK(exact, exact) == 1.0)
+      val lsh = Ann.recallAtK(exact, Ann.lshTopK(e, isQuery, 10))
+      val multi = Ann.recallAtK(exact, Ann.lshMultiTopK(e, isQuery, 10))
+      val ivf = Ann.recallAtK(exact,
+        Ann.ivfTopK(e, isQuery, col("vec_id") < 16, 10))
+      assert(Seq(lsh, multi, ivf).forall(r => r >= 0.0 && r <= 1.0))
+      // 4 independent tables strictly widen the candidate set vs any
+      // single table's bucket share — recall must not degrade
+      assert(multi >= lsh, s"multi-table recall $multi < single-table $lsh")
+    } finally { exact.unpersist(); () }
+  }
+}

@@ -59,6 +59,25 @@ class WarehouseSinksSpec extends AnyFunSuite {
     assert(rec.stmts(3) == "TRUNCATE TABLE t;")
   }
 
+  test("snowflake external stage: no PUT, COPY FROM @stage/<table>/ (cluster path)") {
+    val rec = new Recorder
+    val stage = java.nio.file.Files.createTempDirectory("sfext").toString
+    val df = Seq(("t", 1L, "a"), ("t", 2L, "b")).toDF("origin", "id", "name")
+    WarehouseSinks.snowflake(df, rec, stage, truncate = true,
+      externalStage = Some("graft_ext"))
+    val kinds = rec.stmts.map(_.takeWhile(_ != ' ')).toSeq
+    assert(kinds == Seq("CREATE", "CREATE", "TRUNCATE", "COPY"),
+      s"external stage must not PUT: ${rec.stmts}")
+    assert(rec.stmts.last ==
+      "COPY INTO t FROM @graft_ext/t/ " +
+      "FILE_FORMAT = CUSTOM_PARQUET_FORMAT PURGE = TRUE " +
+      "PATTERN = '.*[.]parquet' " +
+      "MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE;")
+    // executors still stage the slice (to the path the external stage
+    // points at) — written via the ordinary distributed parquet path
+    assert(spark.read.parquet(s"$stage/t").count() == 2)
+  }
+
   test("snowflake rejects unmappable column types BEFORE staging (Any parity)") {
     val rec = new Recorder
     val stage = java.nio.file.Files.createTempDirectory("sfstage").toString

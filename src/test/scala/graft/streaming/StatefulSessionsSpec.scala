@@ -88,6 +88,48 @@ class StatefulSessionsSpec extends AnyFunSuite {
     assert(out.count() == 1)
   }
 
+  test("sessionize pipeline on the RocksDB state store: same sessions as the default store") {
+    // the default HDFS-backed store holds all active-key state on the
+    // executor heap; RocksDB is the disk-backed option for 100× key
+    // cardinality — wired through the section config, results must be
+    // identical
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rocks").toString
+    Tables.events(spark, TestSpark.sf).select($"user_id", $"ts")
+      .write.parquet(s"$tmp/in")
+    def run(sub: String, extraCfg: String): Set[(String, java.sql.Timestamp, Long)] = {
+      val spec = graft.plans.PipelineSpec.fromJson(s"""{"sections":[
+        {"id":"src","name":"stream_parquet_source","config":{"path":"$tmp/in"}},
+        {"id":"sess","name":"sessionize",
+         "config":{"key_column":"user_id","ts_column":"ts","gap_seconds":"$gapSec"}},
+        {"id":"sink","name":"stream_parquet_destination",
+         "config":{"path":"$tmp/out_$sub","checkpoint":"$tmp/ckpt_$sub",
+                   "output_mode":"append"$extraCfg}}],
+        "edges":[["src","sess"],["sess","sink"]]}""")
+      graft.plans.PipelineCompiler.run(spark, spec)
+      spark.read.parquet(s"$tmp/out_$sub")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    }
+    val default = run("hdfs", "")
+    val rocks = try run("rocks", ""","state_store":"rocksdb"""")
+      finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    assert(rocks.nonEmpty, "no sessions closed — the parity check proved nothing")
+    assert(rocks == default,
+      s"provider changed results: onlyRocks=${(rocks -- default).take(3)} " +
+      s"onlyDefault=${(default -- rocks).take(3)}")
+    // the RocksDB provider actually ran: its checkpoint state files are
+    // zip snapshots / changelogs, never the HDFS provider's .delta
+    def stateFiles(sub: String): Seq[String] = {
+      val d = new java.io.File(s"$tmp/ckpt_$sub/state")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(d).map(_.getName)
+    }
+    assert(stateFiles("hdfs").exists(_.endsWith(".delta")))
+    assert(stateFiles("rocks").exists(n =>
+      n.endsWith(".zip") || n.endsWith(".changelog")))
+    assert(!stateFiles("rocks").exists(_.endsWith(".delta")))
+  }
+
   test("streaming: sessions close via event-time timeout, state stays bounded") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
