@@ -41,15 +41,20 @@ object Bench {
       q.awaitTermination()
     }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    // (name, median, min) over `iters` samples; a failing query is not
-    // retried — it must be VISIBLE in the bench line, not averaged away
-    def timed(name: String, action: () => Unit): (String, Double, Double) = {
+    // (name, median, min) over `iters` SUCCESSFUL samples; a failing query
+    // is not retried — it lands in `failed` (visible in the bench line) and
+    // its elapsed time is never mixed into the stats, so a fast failure
+    // can't read as a speedup. A query with zero successful samples is
+    // omitted from the per-query maps entirely.
+    def timed(name: String, action: () => Unit): Option[(String, Double, Double)] = {
       val samples = Seq.newBuilder[Double]
       var i = 0
       while (i < iters && !failed.contains(name)) {
         val t0 = System.nanoTime()
+        var ok = true
         try action()
         catch { case e: Throwable =>
+          ok = false
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         }
@@ -57,19 +62,19 @@ object Bench {
         // build AND to drop its cache, and no iteration or successor query
         // ever rides a predecessor's persisted frame
         spark.catalog.clearCache()
-        samples += (System.nanoTime() - t0) / 1e9
+        if (ok) samples += (System.nanoTime() - t0) / 1e9
         i += 1
       }
       val s = samples.result().sorted
-      (name, s(s.size / 2), s.head)
+      if (s.isEmpty) scala.None else Some((name, s(s.size / 2), s.head))
     }
     val results =
-      Queries.all.map { case (name, q) =>
+      Queries.all.flatMap { case (name, q) =>
         timed(name, () => { q.fn(spark, sfDir).count(); () }) } ++
       // scale rehearsal: worst-case skewed corpora through the capped pair
       // generators — each skewed_* line should stay within ~2x of its
       // uniform twin above, or a cap has stopped doing its job
-      operators.SkewRehearsal.queries(spark, sfDir).map { case (name, f) =>
+      operators.SkewRehearsal.queries(spark, sfDir).flatMap { case (name, f) =>
         timed(name, () => { f(); () }) }
     // approximation-quality audit: recall@10 of each ANN variant against
     // the exact scorer on the same corpus/query split the ann_* queries

@@ -88,12 +88,13 @@ object Blocking {
                          lshBits: Int = 4, dims: Int = 64): DataFrame = {
     ensureCapListener(e.sparkSession)
     val m = capMetrics("_blk", maxBlock)
-    // label cardinality is O(#labels) — tiny by construction — so the size
-    // frame broadcasts: no shuffle of the rows at all for the sizing pass,
-    // and a hot label never lands on one task just to be counted
+    // label cardinality is usually O(#labels) — tiny — so the size frame
+    // broadcasts and the rows never shuffle just to be counted; but the
+    // choice is left to AQE (no forced hint): a pathological label space
+    // would otherwise be collected to the driver regardless of size
     val sizes = e.groupBy(col("label")).agg(count(lit(1)).as("_blk"))
     val sized = e
-      .join(broadcast(sizes), Seq("label"))
+      .join(sizes, Seq("label"))
       .observe(BlockCapMetric, m.head, m.tail: _*)
       .withColumn("_bkt",
         when(col("_blk") > maxBlock,

@@ -277,17 +277,21 @@ object SectionRegistry {
     // a JDBC url ("url") — in tests MemJdbc, in production the warehouse
     "snowflake_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => {
-        WarehouseSinks.snowflake(in(df),
-          new WarehouseSinks.JdbcExec(cfg(c, "url")), cfg(c, "stage_dir"),
+        // the exec holds ONE session-scoped warehouse connection; close it
+        // when the load ends or every section run leaks a live connection
+        val exec = new WarehouseSinks.JdbcExec(cfg(c, "url"))
+        try WarehouseSinks.snowflake(in(df), exec, cfg(c, "stage_dir"),
           c.getOrElse("truncate", "false").toBoolean)
+        finally exec.close()
         scala.None
       }),
     "redshift_loader_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => {
-        WarehouseSinks.redshiftLoad(in(df),
-          new WarehouseSinks.JdbcExec(cfg(c, "url")), cfg(c, "iam_role"),
+        val exec = new WarehouseSinks.JdbcExec(cfg(c, "url"))
+        try WarehouseSinks.redshiftLoad(in(df), exec, cfg(c, "iam_role"),
           cfg(c, "region"), c.getOrElse("data_format", "CSV"),
           c.getOrElse("ignore_header", "false").toBoolean)
+        finally exec.close()
         scala.None
       }),
     "file_destination" -> Entry(SectionIOSpec(Bin, None),
@@ -307,7 +311,13 @@ object SectionRegistry {
         val ckpt = cfg(c, "checkpoint")
         // "state_store": "rocksdb" moves stateful-operator state off the
         // executor heap (disk-backed per executor) — the 100×-active-keys
-        // path; default keeps Spark's HDFS-backed in-memory store
+        // path; default keeps Spark's HDFS-backed in-memory store. The
+        // provider is captured at query START, so it only needs to be set
+        // for the duration of this section's run — restore the prior value
+        // afterwards so later pipelines on the same session don't silently
+        // inherit it
+        val providerKey = "spark.sql.streaming.stateStore.providerClass"
+        val priorProvider = s.conf.getOption(providerKey)
         c.get("state_store").foreach(p =>
           graft.streaming.StreamingPipelines.useStateStore(s, p))
         val frame = in(df)
@@ -339,7 +349,13 @@ object SectionRegistry {
               org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
           }
           handle.await()
-        } finally sup.close()
+        } finally {
+          sup.close()
+          if (c.contains("state_store")) priorProvider match {
+            case Some(v) => s.conf.set(providerKey, v)
+            case scala.None => s.conf.unset(providerKey)
+          }
+        }
         scala.None
       })
   )

@@ -30,11 +30,13 @@ object WarehouseSinks {
     * the load. */
   final class JdbcExec(url: String) extends SqlExec with AutoCloseable {
     private var conn: java.sql.Connection = _
-    private def connection(): java.sql.Connection = synchronized {
+    private def connection(): java.sql.Connection = {
       if (conn == null || conn.isClosed) conn = java.sql.DriverManager.getConnection(url)
       conn
     }
-    override def exec(sql: String): Unit = {
+    // fully synchronized: the one shared connection means two concurrent
+    // exec()s would otherwise interleave statements mid-sequence
+    override def exec(sql: String): Unit = synchronized {
       val st = connection().createStatement()
       try { st.execute(sql); () } finally st.close()
     }
