@@ -89,6 +89,7 @@ object Bench {
       exact.count()
       val out = Seq(
         "ann_lsh_topk" -> operators.Ann.lshTopK(e, isQuery, k),
+        "ann_lsh_probe" -> operators.Ann.lshMultiProbeTopK(e, isQuery, k),
         "ann_lsh_multi" -> operators.Ann.lshMultiTopK(e, isQuery, k),
         "ann_ivf_topk" -> operators.Ann.ivfTopK(e, isQuery, col("vec_id") < 16, k),
         "ann_quantized_topk" -> {

@@ -1002,6 +1002,45 @@ object Queries {
       WHERE rk <= 5 ORDER BY q_id, rk"""
     })
 
+  /** Multi-probe LSH ANN — [[annLsh]]'s recall problem fixed without a
+    * second table: the query probes its own bucket plus every bucket one
+    * sign-bit away, recovering neighbors that fell across a single
+    * hyperplane. Oracle: identical bucket derivation, join condition
+    * `hamming(bucket_a, bucket_q) <= 1` via bit_count(xor(...)). */
+  private val annLshProbe = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Ann.lshMultiProbeTopK(
+          Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
+          $"vec_id" < 10, k = 5)
+        .orderBy($"q_id", $"rk")
+    },
+    Some {
+      def proj(b: Int): String = (0 until 64).map { i =>
+        val pos = (TF.md5Long60(s"${b}_$i") & 1L) == 0L
+        if (i == 0) { if (pos) "emb[1]" else "(-emb[1])" }
+        else s" ${if (pos) "+" else "-"} emb[${i + 1}]"
+      }.mkString
+      s"""WITH b AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+            (CASE WHEN (${proj(0)}) >= 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN (${proj(1)}) >= 0 THEN 2 ELSE 0 END)
+          + (CASE WHEN (${proj(2)}) >= 0 THEN 4 ELSE 0 END)
+          + (CASE WHEN (${proj(3)}) >= 0 THEN 8 ELSE 0 END) AS bucket
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, emb AS q_vec, bucket FROM b WHERE vec_id < 10),
+      scored AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+          round(list_cosine_similarity(q.q_vec, e.emb), 6) AS cosine
+        FROM q JOIN b e ON bit_count(xor(e.bucket::BIGINT, q.bucket::BIGINT)) <= 1
+        WHERE e.vec_id != q.q_id)
+      SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q_id, n_id, cosine,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+        FROM scored)
+      WHERE rk <= 5 ORDER BY q_id, rk"""
+    })
+
   /** Multi-table LSH ANN — the recall upgrade over [[annLsh]]: L
     * independent hyperplane tables; a pair is a candidate if ANY table
     * buckets them together (hit probability 1-(1-p^k)^L vs p^k for one
@@ -1452,6 +1491,39 @@ object Queries {
       event_type, count(*) AS n
       FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""))
 
+  /** REAL Structured Streaming exact dedup: `dropDuplicates` over a
+    * key pair emits each key once ever (append mode), so the collected
+    * output equals DISTINCT over the same input — stream/batch parity on
+    * identical data, like [[stTumbling]]. Only the key columns are
+    * selected, so the result is deterministic regardless of which
+    * physical row arrives first.
+    *
+    * State note: plain dropDuplicates keeps one state row per distinct
+    * key forever — right for a bounded key space (user × event_type
+    * here). The unbounded-key variant at 100 TB is
+    * `dropDuplicatesWithinWatermark`, which evicts state past the
+    * watermark at the cost of re-admitting keys that reappear later;
+    * its eviction/re-admit semantics are pinned in `StreamingDedupSpec`
+    * (order-dependent output makes it a spec, not an oracle query). */
+  private val stDedup = Q(
+    (s, dir) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import ss.implicits._
+      val raw = ss.read.parquet(s"$dir/events.parquet")
+      val stream = ss.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val deduped = stream.select($"user_id", $"event_type")
+        .dropDuplicates("user_id", "event_type")
+      graft.streaming.StreamingPipelines
+        .collectStream(ss, deduped, s"st_dedup_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy($"user_id", $"event_type")
+    },
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+      ORDER BY user_id, event_type"""))
+
   // -------------------------------------------------------------- registry
 
   /** Insertion-ordered so Verify/Bench output is stable. */
@@ -1506,6 +1578,7 @@ object Queries {
     "dd_dup_clusters" -> ddClusters,
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLsh,
+    "ann_lsh_probe" -> annLshProbe,
     "ann_lsh_multi" -> annLshMulti,
     "ann_ivf_topk" -> annIvf,
     "ann_quantized_topk" -> annQuantized,
@@ -1521,5 +1594,6 @@ object Queries {
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecode,
     "st_tumbling_window" -> stTumbling,
-    "st_sessions_custom" -> stSessionsCustom)
+    "st_sessions_custom" -> stSessionsCustom,
+    "st_dedup" -> stDedup)
 }

@@ -63,6 +63,37 @@ object Ann {
     rank(scored, k)
   }
 
+  /** Multi-probe LSH — recall at one table's storage cost: each query
+    * probes its own bucket PLUS the `nBits` buckets at hamming distance 1
+    * (one sign bit flipped). A near neighbor that lands across one
+    * hyperplane — by far the most likely miss — is recovered, so recall
+    * approaches the multi-table variant's without building or storing any
+    * second table (at 100 TB the corpus index is the dominant cost; the
+    * probe fan-out only multiplies the tiny query side). Buckets of the
+    * probe set are pairwise distinct, so no candidate dedup is needed:
+    * each (query, neighbor) pair can match on at most one probe row. */
+  def lshMultiProbeTopK(corpus: DataFrame, isQuery: Column, k: Int,
+                        nBits: Int = 4, dims: Int = 64): DataFrame = {
+    val e = corpus.select(col("vec_id"), col("embedding"),
+      VF.lshBucket(col("embedding"), nBits, dims).as("bucket"),
+      VF.norm2(col("embedding")).as("nrm"))
+    val q = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("bucket"), col("nrm").as("q_nrm"))
+    // fan the query side out to its nBits+1 probe buckets; the corpus side
+    // keeps exactly one row per vector
+    val probes = q.select(col("q_id"), col("q_vec"), col("q_nrm"),
+      explode(array(col("bucket") +: (0 until nBits).map(b =>
+        col("bucket").bitwiseXOR(lit(1L << b))): _*)).as("bucket"))
+    val scored = e.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(VF.cosineWithNorms(
+          VF.dot(col("q_vec"), col("embedding")), col("q_nrm"), col("nrm")), 6)
+          .as("cosine"))
+    rank(scored, k)
+  }
+
   /** Multi-table LSH — the recall upgrade: `tables` independent hyperplane
     * sets; a pair is a candidate if ANY table buckets them together
     * (hit probability 1-(1-p^nBits)^tables). Candidates dedup as LONG pairs

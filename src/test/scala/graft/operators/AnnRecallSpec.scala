@@ -21,13 +21,17 @@ class AnnRecallSpec extends AnyFunSuite {
     try {
       assert(Ann.recallAtK(exact, exact) == 1.0)
       val lsh = Ann.recallAtK(exact, Ann.lshTopK(e, isQuery, 10))
+      val probe = Ann.recallAtK(exact, Ann.lshMultiProbeTopK(e, isQuery, 10))
       val multi = Ann.recallAtK(exact, Ann.lshMultiTopK(e, isQuery, 10))
       val ivf = Ann.recallAtK(exact,
         Ann.ivfTopK(e, isQuery, col("vec_id") < 16, 10))
-      assert(Seq(lsh, multi, ivf).forall(r => r >= 0.0 && r <= 1.0))
+      assert(Seq(lsh, probe, multi, ivf).forall(r => r >= 0.0 && r <= 1.0))
       // 4 independent tables strictly widen the candidate set vs any
       // single table's bucket share — recall must not degrade
       assert(multi >= lsh, s"multi-table recall $multi < single-table $lsh")
+      // multi-probe's candidate set is a strict superset of single-table's
+      // (own bucket plus the hamming-1 shell), so recall must not degrade
+      assert(probe >= lsh, s"multi-probe recall $probe < single-table $lsh")
     } finally { exact.unpersist(); () }
   }
 }

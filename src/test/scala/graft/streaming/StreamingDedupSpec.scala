@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins `dropDuplicatesWithinWatermark`'s bounded-state contract — the
+  * 100 TB companion to the `st_dedup` query's plain `dropDuplicates`:
+  * state is evicted once the event-time watermark passes a key's expiry
+  * (event ts + delay), so state size tracks the ACTIVE key window, not
+  * the full key history — at the cost of re-admitting a key that
+  * reappears after eviction. That re-admit makes the output
+  * order-dependent, which is why this is a spec with hand-controlled
+  * batch boundaries rather than a DuckDB-oracle query. */
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("watermarked dedup suppresses within the horizon, re-admits after eviction") {
+    val root = java.nio.file.Files.createTempDirectory("graft_streamdedup").toString
+    def write(sub: String, rows: Seq[(String, String)]): Unit =
+      rows.map { case (k, ts) => (k, java.sql.Timestamp.valueOf(ts)) }
+        .toDF("key", "ts").coalesce(1).write.parquet(s"$root/in/$sub")
+    // each run() drains only the files that appeared since the last run —
+    // one run = one micro-batch, so watermark advancement is deterministic
+    def run(): Unit = {
+      val schema = spark.read.option("recursiveFileLookup", "true")
+        .parquet(s"$root/in").schema
+      val deduped = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(s"$root/in")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("key")
+      val w = deduped.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").parquet(s"$root/out")
+        }
+      StreamingPipelines.runToCompletion(w)
+    }
+    write("a", Seq("k1" -> "2024-01-01 10:00:00", "k2" -> "2024-01-01 10:00:30"))
+    run()
+    // k1 again, within the 1h horizon → suppressed; k3 at 13:00 pushes the
+    // watermark to 12:00 at this batch's end
+    write("b", Seq("k1" -> "2024-01-01 10:05:00", "k3" -> "2024-01-01 13:00:00"))
+    run()
+    // k1's state expired at 11:00 (< the 12:00 watermark), so it was
+    // evicted — the key is re-admitted and emitted AGAIN
+    write("c", Seq("k1" -> "2024-01-01 13:05:00"))
+    run()
+    val out = spark.read.parquet(s"$root/out").collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString)).toSet
+    assert(out == Set(
+      ("k1", "2024-01-01 10:00:00.0"),
+      ("k2", "2024-01-01 10:00:30.0"),
+      ("k3", "2024-01-01 13:00:00.0"),
+      ("k1", "2024-01-01 13:05:00.0")),
+      s"unexpected output: $out")
+  }
+}
