@@ -800,13 +800,11 @@ object Queries {
   /** WITH-clause body shared by the minhash oracles: `pairs` = verified
     * near-dup pairs at jaccard >= 0.2, same permutation constants as the
     * Spark side. */
-  private lazy val minhashPairsCte: String = {
-    val perms = (0 until 32).map(TF.minhashPerm)
+  /** toks→shingles→hv CTE prefix: per-document distinct 3-gram shingle
+    * hashes, the same md5-derived values as [[graft.functions.WordNgramHashes]]
+    * mod [[TF.MinhashP]]. Shared by the minhash AND n-gram-jaccard oracles. */
+  private lazy val shingleHvCte: String = {
     val P = TF.MinhashP
-    val slotDefs = perms.zipWithIndex.map { case ((a, b), i) =>
-      s"min(($a * h + $b) % $P) AS s$i"
-    }.mkString(",\n          ")
-    val slotList = (0 until 32).map(i => s"s$i").mkString("[", ", ", "]")
     s"""toks AS (
         SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
           ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
@@ -819,7 +817,17 @@ object Queries {
       hv AS (
         SELECT doc_id,
           ('0x' || substr(md5(unnest(shingles)), 1, 15))::BIGINT % $P AS h
-        FROM sh),
+        FROM sh)"""
+  }
+
+  private lazy val minhashPairsCte: String = {
+    val perms = (0 until 32).map(TF.minhashPerm)
+    val P = TF.MinhashP
+    val slotDefs = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % $P) AS s$i"
+    }.mkString(",\n          ")
+    val slotList = (0 until 32).map(i => s"s$i").mkString("[", ", ", "]")
+    s"""$shingleHvCte,
       sig AS (
         SELECT doc_id,
           $slotDefs
@@ -849,6 +857,34 @@ object Queries {
       minhashPairs(s, dir).orderBy($"a_id", $"b_id")
     },
     Some(s"WITH $minhashPairsCte\n      SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id"))
+
+  /** Exact n-gram Jaccard pairs via inverted-index candidates — the
+    * no-signature member of the dedup family: candidates share a shingle
+    * (necessary for jaccard > 0), stop-shingles past the posting cap are
+    * excluded from candidate generation (deterministic rule, mirrored
+    * below) but kept in the verify sets. See
+    * [[graft.operators.NearDup.ngramJaccardPairs]]. */
+  private val ddNgramJaccard = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.NearDup.ngramJaccardPairs(Tables.documents(s, dir))
+        .orderBy($"a_id", $"b_id")
+    },
+    Some(s"""WITH $shingleHvCte,
+      dfreq AS (SELECT h, count(*) AS df FROM hv GROUP BY h),
+      posts AS (SELECT hv.doc_id, hv.h FROM hv
+        JOIN dfreq USING (h) WHERE df <= 1000),
+      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id),
+      sets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM hv GROUP BY doc_id)
+      SELECT a_id, b_id,
+        round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
+          len(list_distinct(list_concat(sa.hs, sb.hs))), 6) AS jaccard
+      FROM cand JOIN sets sa ON sa.doc_id = a_id
+        JOIN sets sb ON sb.doc_id = b_id
+      WHERE round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
+        len(list_distinct(list_concat(sa.hs, sb.hs))), 6) >= 0.2
+      ORDER BY a_id, b_id"""))
 
   /** Corpus-level near-dup DEDUP — the user-facing end of the pipeline:
     * documents in, one survivor per near-dup cluster out. MinHash pairs →
@@ -1571,6 +1607,7 @@ object Queries {
     "op_kafka_decode" -> opKafkaDecode,
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhash,
+    "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_dedup_corpus" -> ddDedupCorpus,
     "dd_simhash" -> ddSimhash,
     "dd_simhash_pairs" -> ddSimhashPairs,

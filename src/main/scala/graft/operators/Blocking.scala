@@ -35,6 +35,7 @@ object Blocking {
 
   private[operators] val BlockCapMetric = "graft_block_cap"
   private[operators] val BandCapMetric = "graft_band_cap"
+  private[operators] val PostingCapMetric = "graft_posting_cap"
 
   // weakly-keyed: a per-query cloned session (spark.newSession pattern)
   // must stay GC-able — a strong static set would pin every session and
@@ -48,7 +49,7 @@ object Blocking {
     * self-join without exchange reuse the member-row counter can be
     * evaluated per branch and overstate; it is a did-the-cap-bite signal,
     * not an exact audit count.) */
-  private def ensureCapListener(spark: SparkSession): Unit =
+  private[operators] def ensureCapListener(spark: SparkSession): Unit =
     if (installedSessions.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {
         private def report(qe: QueryExecution, metric: String, what: String): Unit =
@@ -62,6 +63,8 @@ object Blocking {
         override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit = {
           report(qe, BlockCapMetric, "routed through LSH sub-buckets")
           report(qe, BandCapMetric, "dropped from band candidates")
+          report(qe, PostingCapMetric,
+            "in stop-shingle postings excluded from candidate generation")
         }
         override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
       })
