@@ -259,6 +259,18 @@ object SectionRegistry {
     "parquet_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => { Sinks.parquet(in(df), cfg(c, "path"),
         c.getOrElse("truncate", "false").toBoolean); scala.None }),
+    // co-located-join sink: hash-pre-partition a table on its join key at
+    // write time so every later equi-join/agg on that key skips its
+    // shuffle (see Sinks.bucketedParquet / BucketedJoinSpec)
+    "bucketed_parquet_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        Sinks.bucketedParquet(in(df), cfg(c, "table"),
+          cfg(c, "bucket_by").split(",").map(_.trim).toIndexedSeq,
+          cfg(c, "num_buckets").toInt,
+          c.getOrElse("truncate", "false").toBoolean,
+          c.get("path"))
+        scala.None
+      }),
     "csv_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => { Sinks.csv(in(df), cfg(c, "path"),
         c.getOrElse("truncate", "false").toBoolean); scala.None }),

@@ -122,6 +122,29 @@ object Sinks {
   def csv(df: DataFrame, path: String, truncate: Boolean = false): Unit =
     df.write.mode(mode(truncate)).option("header", "true").csv(path)
 
+  /** Bucketed parquet TABLE sink — the co-located-join path at 100 TB: a
+    * fact table written `bucketBy(join key)` is hash-pre-partitioned on
+    * disk, so every later equi-join or aggregation on that key reads the
+    * buckets back WITHOUT a shuffle (Spark's scan reports the bucket
+    * spec as its output partitioning and the exchange is elided — pinned
+    * in `BucketedJoinSpec`). `sortBy` the same key additionally elides
+    * the sort-merge join's per-partition sorts. Goes through the session
+    * catalog (`saveAsTable`): bucket metadata must live somewhere the
+    * reader consults — a bare `.parquet(path)` write has nowhere to
+    * record it. */
+  def bucketedParquet(df: DataFrame, table: String, bucketCols: Seq[String],
+                      nBuckets: Int, truncate: Boolean = false,
+                      location: Option[String] = None): Unit = {
+    require(bucketCols.nonEmpty, "bucketBy needs at least one column")
+    val w = df.write.mode(mode(truncate))
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+    // explicit location → external table (lake layout under the caller's
+    // control); default → the session warehouse dir
+    location.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
   /** D1-D3 JDBC sink: per-batch transactional append/overwrite. Idempotency
     * (reference `INSERT OR IGNORE`) is achieved by exact dedup on a key
     * before write + at-least-once replay (SURVEY §3.2). */
