@@ -1560,6 +1560,50 @@ object Queries {
     Some("""SELECT DISTINCT user_id, event_type FROM events
       ORDER BY user_id, event_type"""))
 
+  /** REAL stream-stream interval join (the last big streaming operator
+    * class): views and clicks are two watermarked streams over the same
+    * events source; a click joins every view by the same user within the
+    * preceding 10 minutes. Inner joins emit on match, so with one
+    * AvailableNow pass the output equals the batch join — stream/batch
+    * parity again. The watermark + time-range condition is what BOUNDS
+    * the join state at 100 TB: each side buffers only rows younger than
+    * watermark + interval, so state is O(rows in the lateness window),
+    * not O(stream history). */
+  private val stStreamJoin = Q(
+    (s, dir) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import ss.implicits._
+      val raw = ss.read.parquet(s"$dir/events.parquet")
+      def stream = ss.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val views = stream.filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"ts".as("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+      val clicks = stream.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val joined = views.join(clicks,
+          $"v_user" === $"c_user" &&
+          $"click_ts" >= $"view_ts" &&
+          $"click_ts" <= $"view_ts" + expr("INTERVAL 10 MINUTES"))
+        .select($"v_user".as("user_id"),
+          $"view_ts".cast("string").as("view_ts"),
+          $"click_ts".cast("string").as("click_ts"))
+      graft.streaming.StreamingPipelines
+        .collectStream(ss, joined, s"st_stream_join_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy($"user_id", $"view_ts", $"click_ts")
+    },
+    Some("""SELECT v.user_id, CAST(v.ts AS VARCHAR) AS view_ts,
+        CAST(c.ts AS VARCHAR) AS click_ts
+      FROM events v JOIN events c ON v.user_id = c.user_id
+      WHERE v.event_type = 'view' AND c.event_type = 'click'
+        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+      ORDER BY 1, 2, 3"""))
+
   // -------------------------------------------------------------- registry
 
   /** Insertion-ordered so Verify/Bench output is stable. */
@@ -1632,5 +1676,6 @@ object Queries {
     "mm_decode_features" -> mmDecode,
     "st_tumbling_window" -> stTumbling,
     "st_sessions_custom" -> stSessionsCustom,
-    "st_dedup" -> stDedup)
+    "st_dedup" -> stDedup,
+    "st_stream_join" -> stStreamJoin)
 }

@@ -79,6 +79,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"candidate generation must be the capped/observed path:\n$p")
   }
 
+  test("dd_ngram_jaccard: posting-cap accounting present, sizing is aggregate not window") {
+    val p = plan("dd_ngram_jaccard")
+    assert(p.contains("CollectMetrics graft_posting_cap"),
+      "stop-shingle cap accounting missing from the plan")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "document scan must prune to (doc_id, text)")
+    assert(!p.contains("Window"),
+      "posting df sizing must be a partial+final aggregate, never a window")
+  }
+
   test("ann_topk: query side broadcasts, corpus scans once") {
     val p = plan("ann_topk")
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
