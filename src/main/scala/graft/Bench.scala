@@ -18,6 +18,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // comma-separated allowlist for micro-benching one query while tuning
+    // (skips the recall harness too unless an ann_* name is listed)
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -69,19 +74,21 @@ object Bench {
       if (s.isEmpty) scala.None else Some((name, s(s.size / 2), s.head))
     }
     val results =
-      Queries.all.flatMap { case (name, q) =>
+      Queries.all.filter(q => wanted(q._1)).flatMap { case (name, q) =>
         timed(name, () => { q.fn(spark, sfDir).count(); () }) } ++
       // scale rehearsal: worst-case skewed corpora through the capped pair
       // generators — each skewed_* line should stay within ~2x of its
       // uniform twin above, or a cap has stopped doing its job
-      operators.SkewRehearsal.queries(spark, sfDir).flatMap { case (name, f) =>
+      operators.SkewRehearsal.queries(spark, sfDir)
+        .filter(q => wanted(q._1)).flatMap { case (name, f) =>
         timed(name, () => { f(); () }) }
     // approximation-quality audit: recall@10 of each ANN variant against
     // the exact scorer on the same corpus/query split the ann_* queries
     // use. lsh_multi should dominate lsh (more tables = higher hit
     // probability); a recall collapse here is a quality regression the
     // latency lines can't see.
-    val recall: Seq[(String, Double)] = try {
+    val recall: Seq[(String, Double)] = if (
+      only.exists(s => !s.exists(_.startsWith("ann_")))) Seq.empty else try {
       val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
       val isQuery = col("vec_id") < 10
       val k = 10

@@ -1604,6 +1604,125 @@ object Queries {
         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
       ORDER BY 1, 2, 3"""))
 
+  // -------------------------------------------------- corpus preparation
+  // Training-data assembly beyond dedup: benchmark decontamination,
+  // boilerplate removal, sequence packing, weighted mixing, BM25 scoring.
+  // See [[graft.operators.Corpus]] for the scale shapes.
+
+  /** toks CTE shared by the corpus-prep oracles. */
+  private val toksCte: String = """toks AS (
+        SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+        FROM documents)"""
+
+  /** Benchmark decontamination: training docs sharing any word 5-gram
+    * with the held-out "benchmark" slice (doc_id % 7 = 0 here). The
+    * benchmark n-gram set broadcasts; the corpus never shuffles on text. */
+  private val cpDecon = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.operators.Corpus.deconOverlap(
+          docs.filter($"doc_id" % 7 =!= 0), docs.filter($"doc_id" % 7 === 0), n = 5)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $toksCte,
+      grams AS (
+        SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) < 5 THEN []::VARCHAR[]
+          ELSE list_transform(range(0, len(ts) - 4),
+            i -> array_to_string(ts[i+1:i+5], ' ')) END)) AS g
+        FROM toks),
+      bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0),
+      corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 7 <> 0)
+      SELECT c.doc_id, count(*) AS n_hits
+      FROM corpus c JOIN bench USING (g)
+      GROUP BY c.doc_id ORDER BY doc_id"""))
+
+  /** Falcon-style boilerplate removal at 8-word segment granularity:
+    * segments in >2 distinct docs are dropped, docs reassembled in order. */
+  private val cpSegDedup = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.segmentDedup(Tables.documents(s, dir),
+          segWords = 8, maxDf = 2)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $toksCte,
+      seg0 AS (SELECT doc_id, ts, unnest(CASE WHEN len(ts) = 0 THEN []::BIGINT[]
+          ELSE range(0, CAST(ceil(len(ts) / 8.0) AS BIGINT)) END) AS i FROM toks),
+      segs AS (SELECT doc_id, i AS seg_idx,
+          array_to_string(ts[i*8+1:i*8+8], ' ') AS seg FROM seg0),
+      boiler AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) > 2),
+      kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)),
+      agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+          count(*) AS nkept FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        CAST(ceil(len(t.ts) / 8.0) AS BIGINT) - coalesce(a.nkept, 0) AS n_removed
+      FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""))
+
+  /** Token-budget sequence packing: deterministic greedy fill in doc_id
+    * order, seq_id = floor(exclusive-prefix-tokens / 256). The oracle is
+    * the textbook global window; the Spark side computes the same number
+    * with two-pass per-partition prefix sums (no single-task window). */
+  private val cpPack = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.packSequences(Tables.documents(s, dir), budget = 256)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tk AS (SELECT doc_id, CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok
+      FROM documents)
+      SELECT doc_id, tok,
+        CAST(floor(coalesce(sum(tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0) AS BIGINT) AS seq_id
+      FROM tk ORDER BY doc_id"""))
+
+  /** Deterministic weighted corpus mixing: per-language keep rates via
+    * md5(doc_id) — reproducible across runs, partitionings, and engines. */
+  private val cpMix = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.mixWeighted(Tables.documents(s, dir),
+          Seq("en" -> 0.8, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.5, "zh" -> 0.1))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH rates(lang, _rate) AS (VALUES
+        ('en', 0.8), ('de', 0.5), ('es', 0.25), ('fr', 0.5), ('zh', 0.1))
+      SELECT doc_id, lang FROM documents JOIN rates USING (lang)
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+        < CAST(_rate * 10000 AS BIGINT)
+      ORDER BY doc_id"""))
+
+  /** BM25 top-20 for terms (table, query, spark), Lucene idf floor,
+    * k1=1.2 b=0.75. Stats reduce to one broadcast row; tie-break by
+    * rounded score then doc_id so the cut is deterministic. */
+  private val cpBm25 = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.bm25(Tables.documents(s, dir),
+        Seq("table", "query", "spark"), k = 20)
+    },
+    Some(s"""WITH $toksCte,
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+          CAST(avg(len(ts)) AS DOUBLE) AS avgdl,
+          CAST(sum(CASE WHEN list_contains(ts, 'table') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+          CAST(sum(CASE WHEN list_contains(ts, 'query') THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+          CAST(sum(CASE WHEN list_contains(ts, 'spark') THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        FROM toks),
+      tf AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+          CAST(len(list_filter(ts, x -> x = 'table')) AS DOUBLE) AS tf0,
+          CAST(len(list_filter(ts, x -> x = 'query')) AS DOUBLE) AS tf1,
+          CAST(len(list_filter(ts, x -> x = 'spark')) AS DOUBLE) AS tf2
+        FROM toks),
+      scored AS (SELECT doc_id,
+          ((ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5)) * (tf0 * 2.2) / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+           + (ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))))
+           + (ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+        FROM tf, stats)
+      SELECT doc_id, round(score, 6) AS score FROM scored WHERE score > 0
+      ORDER BY round(score, 6) DESC, doc_id LIMIT 20"""))
+
   // -------------------------------------------------------------- registry
 
   /** Insertion-ordered so Verify/Bench output is stable. */
@@ -1677,5 +1796,10 @@ object Queries {
     "st_tumbling_window" -> stTumbling,
     "st_sessions_custom" -> stSessionsCustom,
     "st_dedup" -> stDedup,
-    "st_stream_join" -> stStreamJoin)
+    "st_stream_join" -> stStreamJoin,
+    "cp_decon_overlap" -> cpDecon,
+    "cp_segment_dedup" -> cpSegDedup,
+    "cp_pack_sequences" -> cpPack,
+    "cp_mix_weighted" -> cpMix,
+    "cp_bm25_topk" -> cpBm25)
 }

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF}
+
+/** Corpus-preparation operators a large-scale training-data pipeline needs
+  * beyond dedup/ANN: benchmark decontamination, boilerplate-segment
+  * removal, token-budget sequence packing, deterministic weighted corpus
+  * mixing, and BM25 relevance scoring. All are beyond-reference surface
+  * (the reference's `sections/` stop at movement + pushdown); each is
+  * designed around what survives 100 TB — broadcast the small side, keep
+  * the corpus pass narrow, never collect more than O(#partitions) or
+  * O(#over-cap keys) to the driver.
+  */
+object Corpus {
+
+  /** Benchmark decontamination by exact n-gram overlap — the standard
+    * train/eval hygiene pass (flag training documents sharing any word
+    * n-gram with an evaluation benchmark).
+    *
+    * Shape: the BENCHMARK side is tiny by construction (eval sets are
+    * thousands of documents, the corpus is billions), so its distinct
+    * n-gram set broadcasts and the corpus pass stays narrow — tokenize,
+    * per-doc-distinct n-grams, broadcast-hash-join, partial+final count.
+    * The corpus never shuffles on n-gram text; nothing scales with corpus
+    * size except the one scan.
+    *
+    * @return `(doc_id, n_hits)` — contaminated corpus docs only, with the
+    *         count of DISTINCT overlapping n-grams.
+    */
+  def deconOverlap(corpus: DataFrame, bench: DataFrame, n: Int = 8,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchGrams = bench
+      .select(explode(array_distinct(TF.wordNgrams(col(textCol), n))).as("g"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(TF.wordNgrams(col(textCol), n))).as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Boilerplate-segment removal — line-level dedup (RefinedWeb/Falcon
+    * style) generalized to fixed word segments for corpora without line
+    * structure: a document is cut into consecutive `segWords`-word
+    * segments; segments appearing in more than `maxDf` DISTINCT documents
+    * are boilerplate and are removed from every document; survivors are
+    * reassembled in order.
+    *
+    * Shape: one narrow segmentation pass; document frequency is a
+    * partial+final aggregate over segment text (the word-count shuffle
+    * shape); the boilerplate set (df > maxDf) is O(#boilerplate
+    * templates) — tiny, that degeneracy is what makes it boilerplate — so
+    * the removal is a BROADCAST anti-join: the full df frame is never
+    * joined back onto the corpus, and reassembly groups by doc_id (the
+    * original partitioning) with ≤ doc-length arrays per group.
+    *
+    * @return `(doc_id, clean_text, n_removed)` for every input document
+    *         (clean_text = '' when everything was boilerplate).
+    */
+  def segmentDedup(docs: DataFrame, segWords: Int = 8, maxDf: Long = 2,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ts = TF.tokens(col(textCol))
+    val nSeg = ceil(size(ts) / lit(segWords.toDouble)).cast("int")
+    // guard: sequence(0, -1) is a DESCENDING sequence in Spark, not empty
+    val segArr = when(nSeg > 0,
+        transform(sequence(lit(0), nSeg - 1),
+          i => concat_ws(" ", slice(ts, i * segWords + 1, lit(segWords)))))
+      .otherwise(array().cast("array<string>"))
+    val segs = docs.select(col(idCol).as("doc_id"), posexplode(segArr))
+      .withColumnRenamed("pos", "seg_idx").withColumnRenamed("col", "seg")
+    val boiler = segs.groupBy(col("seg"))
+      .agg(countDistinct(col("doc_id")).as("_df"))
+      .filter(col("_df") > maxDf)
+      .select(col("seg"))
+    val kept = segs.join(broadcast(boiler), Seq("seg"), "left_anti")
+    val docsAll = docs.select(col(idCol).as("doc_id"),
+      size(ts).as("_ntok"))
+    docsAll.join(
+        kept.groupBy(col("doc_id"))
+          .agg(
+            concat_ws(" ", transform(
+              array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+              s => s("seg"))).as("clean_text"),
+            count(lit(1)).as("_nkept")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (ceil(col("_ntok") / lit(segWords.toDouble)).cast("long") -
+          coalesce(col("_nkept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Token-budget sequence packing — assign documents to fixed-budget
+    * training sequences by deterministic greedy fill in doc_id order:
+    * `seq_id = floor(exclusive-prefix-sum(tokens) / budget)`. The global
+    * prefix sum is computed SCALE-SAFELY in two passes: range-partition by
+    * doc_id, aggregate one (partition, token-sum) row per partition,
+    * prefix those O(#partitions) numbers on the driver, and finish with a
+    * per-partition window (each window partition is one range partition —
+    * bounded by maxPartitionBytes — never the whole corpus on one task,
+    * which is what a bare `Window.orderBy(doc_id)` would do; Spark warns
+    * "moving all data to a single partition" on exactly that shape).
+    *
+    * @return `(doc_id, tok, seq_id)` per document.
+    */
+  def packSequences(docs: DataFrame, budget: Long = 256, partitions: Int = 32,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // persisted: freezes the pid assignment between the offsets pass and
+    // the scoring pass (and the rows are 3 longs each — ~24 bytes/doc,
+    // MEMORY_AND_DISK spillable). Lifecycle is session-managed like
+    // [[NearDup.pairs]]' hash cache.
+    val toks = docs
+      .select(col(idCol).as("doc_id"), TF.tokenCount(col(textCol)).cast("long").as("tok"))
+      .repartitionByRange(partitions, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    // O(#partitions) rows to the driver — the ONLY driver-side step
+    val perPart = toks.groupBy(col("_pid")).agg(sum(col("tok")).as("_t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offBefore = perPart.map { case (p, t) => val o = (p, acc); acc += t; o }
+    val offDf = toks.sparkSession.createDataFrame(offBefore.toSeq)
+      .toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("_cum", coalesce(sum(col("tok")).over(w), lit(0L)) + col("_off"))
+      .select(col("doc_id"), col("tok"),
+        floor(col("_cum") / budget).cast("long").as("seq_id"))
+  }
+
+  /** Deterministic weighted corpus mixing — per-domain sampling at exactly
+    * reproducible rates, the "mix 30% web + 60% books + …" step of
+    * training-data assembly. A document survives iff
+    * `md5(doc_id) mod 10000 < rate(domain)·10000`: pure function of the
+    * id, so the sample is stable across runs/partitionings/engines and
+    * re-running on an updated corpus keeps previously-kept documents kept.
+    *
+    * Shape: the rates table is O(#domains) → broadcast; the corpus pass is
+    * scan + hash + filter, fully narrow, no shuffle at all.
+    *
+    * @param rates (domain, keep-rate in [0,1]) pairs, joined on `byCol`
+    * @return surviving `(doc_id, <byCol>)` rows.
+    */
+  def mixWeighted(docs: DataFrame, rates: Seq[(String, Double)],
+                  byCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val ratesDf = spark.createDataFrame(rates).toDF(byCol, "_rate")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000L
+    docs.join(broadcast(ratesDf), Seq(byCol))
+      .filter(u < (col("_rate") * 10000L).cast("long"))
+      .select(col(idCol), col(byCol))
+  }
+
+  /** BM25 relevance scoring of the corpus against a fixed term set —
+    * quality-filtering / topic-selection by retrieval score. Classic
+    * Robertson/Sparck-Jones BM25 with the +1 idf floor (Lucene's form, so
+    * idf is never negative): for each document,
+    * `score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`.
+    *
+    * Shape: corpus statistics (N, avgdl, df per term) reduce to ONE row by
+    * partial+final aggregation and ride a broadcast cross-join back onto
+    * the scan; term frequencies are narrow per-row array ops over the
+    * token list (terms are a compile-time-small set). Top-k is a global
+    * sort of only score-positive docs with limit pushdown (TakeOrdered).
+    *
+    * @return top-`k` `(doc_id, score)` by `round(score, 6)` desc, doc_id asc.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 20,
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one term")
+    val ts = TF.tokens(col(textCol))
+    def tf(t: String): Column =
+      size(filter(ts, x => x === lit(t))).cast("double")
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("_n"),
+      avg(size(ts).cast("double")).as("_avgdl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(ts, t), 1L).otherwise(0L))
+            .cast("double").as(s"_df$i") }: _*)
+    val scored = docs.crossJoin(broadcast(stats))
+      .withColumn("_dl", size(ts).cast("double"))
+      .withColumn("score",
+        terms.zipWithIndex.map { case (t, i) =>
+          val idf = log(lit(1.0) +
+            (col("_n") - col(s"_df$i") + lit(0.5)) / (col(s"_df$i") + lit(0.5)))
+          val tfv = tf(t)
+          idf * (tfv * (k1 + 1.0)) /
+            (tfv + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl")))
+        }.reduce(_ + _))
+      .filter(col("score") > 0.0)
+      .select(col(idCol).as("doc_id"), round(col("score"), 6).as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit-level checks for the corpus-preparation operators; the
+  * whole-corpus results are oracle-verified as the cp_* queries. */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("deconOverlap: flags exactly the docs sharing an n-gram with the benchmark") {
+    val bench = docs(100L -> "the quick brown fox jumps over the lazy dog")
+    val corpus = docs(
+      1L -> "she saw the quick brown fox jumps over a fence", // 2 distinct 5-grams overlap
+      2L -> "completely unrelated text with no shared phrases at all",
+      3L -> "quick brown fox jumps over the lazy dog again")  // 4 overlap
+    val got = Corpus.deconOverlap(corpus, bench, n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 3L))
+    assert(got(1L) == 2L && got(3L) == 4L)
+  }
+
+  test("deconOverlap: duplicate n-grams count once per doc") {
+    val bench = docs(9L -> "a b c d e")
+    val corpus = docs(1L -> "a b c d e a b c d e") // "a b c d e" appears twice
+    val got = Corpus.deconOverlap(corpus, bench, n = 5).as[(Long, Long)].collect()
+    // 5-grams of corpus doc: distinct set includes the bench's only 5-gram once
+    assert(got.map(_._1).toSet == Set(1L))
+    assert(got.head._2 >= 1L)
+  }
+
+  test("segmentDedup: removes over-frequent segments, keeps order, handles empty docs") {
+    val common = "w1 w2 w3 w4 w5 w6 w7 w8" // one full 8-word segment
+    val d = docs(
+      1L -> s"$common u1 u2 u3",
+      2L -> s"$common v1 v2",
+      3L -> s"$common x1",
+      4L -> "solo y1 y2",
+      5L -> "")
+    val got = Corpus.segmentDedup(d, segWords = 8, maxDf = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // `common` appears in 3 docs > maxDf=2 → removed everywhere
+    assert(got(0) == ((1L, "u1 u2 u3", 1L)))
+    assert(got(1) == ((2L, "v1 v2", 1L)))
+    assert(got(2) == ((3L, "x1", 1L)))
+    assert(got(3) == ((4L, "solo y1 y2", 0L)))
+    assert(got(4) == ((5L, "", 0L)))
+  }
+
+  test("segmentDedup: identical segment twice in ONE doc does not count as boilerplate") {
+    val seg = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val d = docs(1L -> s"$seg $seg", 2L -> "other words here")
+    val got = Corpus.segmentDedup(d, segWords = 8, maxDf = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // df counts DISTINCT docs (1), not occurrences (2) → kept, both copies
+    assert(got(0) == ((1L, s"$seg $seg", 0L)))
+  }
+
+  test("packSequences: bins match the global prefix-sum rule for any partition count") {
+    val d = (1L to 100L).map(i => (i, ("w " * ((i % 7).toInt + 1)).trim))
+      .toDF("doc_id", "text")
+    def expected: Map[Long, Long] = {
+      var cum = 0L
+      (1L to 100L).map { i =>
+        val tok = i % 7 + 1
+        val bin = cum / 10
+        cum += tok
+        i -> bin
+      }.toMap
+    }
+    for (p <- Seq(1, 3, 32)) {
+      val got = Corpus.packSequences(d, budget = 10, partitions = p)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      assert(got == expected, s"partitions=$p")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("packSequences: empty docs pack as zero-token members of the current bin") {
+    val d = docs(1L -> "a b c", 2L -> "", 3L -> "d e f g")
+    val got = Corpus.packSequences(d, budget = 4, partitions = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 3L, 0L), (2L, 0L, 0L), (3L, 4L, 0L)))
+    spark.catalog.clearCache()
+  }
+
+  test("mixWeighted: deterministic across runs and honors rate 0 and 1") {
+    val d = (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang").withColumn("text", org.apache.spark.sql.functions.lit("x"))
+    val rates = Seq("en" -> 1.0, "zh" -> 0.0)
+    val a = Corpus.mixWeighted(d, rates).as[(Long, String)].collect().toSet
+    val b = Corpus.mixWeighted(d, rates).as[(Long, String)].collect().toSet
+    assert(a == b)
+    assert(a.map(_._1) == (2L to 200L by 2).toSet) // all en kept, no zh
+  }
+
+  test("mixWeighted: sampled fraction tracks the rate") {
+    val d = (1L to 1000L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val kept = Corpus.mixWeighted(d, Seq("en" -> 0.5)).count()
+    assert(kept > 400 && kept < 600, s"kept=$kept for rate 0.5")
+  }
+
+  test("bm25: doc with more query-term hits outranks, absent terms score zero") {
+    val d = docs(
+      1L -> "apple banana apple cherry apple",
+      2L -> "apple banana date egg fig",
+      3L -> "grape kiwi lemon mango nut")
+    val got = Corpus.bm25(d, Seq("apple"), k = 10)
+      .as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 has no hits → excluded
+    assert(got(0)._2 > got(1)._2)
+  }
+}
