@@ -94,4 +94,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
       "query set must broadcast — a corpus shuffle here is the wrong plan")
   }
+
+  test("cp_decon_overlap: benchmark n-gram set broadcasts, corpus never shuffles on text") {
+    val p = plan("cp_decon_overlap")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark side must broadcast — shuffling the corpus n-grams is the wrong plan")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "document scan must prune to (doc_id, text)")
+  }
+
+  test("cp_segment_dedup: boilerplate removal is a broadcast anti-join") {
+    val p = plan("cp_segment_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      "over-cap segment set must broadcast into an anti-join — joining the " +
+      "full df frame back onto the corpus is the wrong plan")
+  }
+
+  test("cp_pack_sequences: prefix-sum window is per range partition, never global") {
+    val p = plan("cp_pack_sequences")
+    assert(p.contains("Window") && p.contains("_pid"),
+      "prefix sums must window WITHIN a range partition (_pid)")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      "the range-partitioned token frame must be the persisted pass-1 frame")
+  }
+
+  test("cp_mix_weighted: rates broadcast; the corpus pass is shuffle-free") {
+    val p = plan("cp_mix_weighted")
+    assert(p.contains("BroadcastHashJoin"), "rates dim must broadcast")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"per-domain sampling must not shuffle the corpus:\n$p")
+  }
+
+  test("cp_bm25_topk: corpus stats ride a broadcast, top-k never fully sorts") {
+    val p = plan("cp_bm25_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "one-row stats frame must broadcast onto the scan")
+    assert(p.contains("TakeOrderedAndProject"), "limit+sort must not global-sort")
+  }
 }
