@@ -254,6 +254,54 @@ object SectionRegistry {
         Some(in(df).withColumn("features",
           graft.operators.Multimodal.stubDecodeFeatures(col(payload), dims)))
       }),
+    // benchmark decontamination: bench_where splits the input frame into
+    // benchmark (matching) and corpus (rest); output = contaminated corpus
+    // docs with distinct-overlap counts
+    "decon_overlap" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val frame = in(df)
+        val isBench = expr(cfg(c, "bench_where"))
+        Some(graft.operators.Corpus.deconOverlap(
+          frame.filter(!isBench), frame.filter(isBench),
+          n = c.getOrElse("ngram", "8").toInt,
+          idCol = c.getOrElse("id_column", "doc_id"),
+          textCol = c.getOrElse("text_column", "text")))
+      }),
+    // boilerplate-segment removal (line dedup at word-segment granularity)
+    "segment_dedup" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.segmentDedup(in(df),
+        segWords = c.getOrElse("seg_words", "8").toInt,
+        maxDf = c.getOrElse("max_df", "2").toLong,
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text")))),
+    // token-budget sequence packing: (doc_id, tok, seq_id)
+    "pack_sequences" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.packSequences(in(df),
+        budget = c.getOrElse("budget", "256").toLong,
+        partitions = c.getOrElse("partitions", "32").toInt,
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text")))),
+    // deterministic weighted mixing: rates = "en:0.8,de:0.5,..."
+    "mix_weighted" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val rates = cfg(c, "rates").split(",").toSeq.map { kv =>
+          kv.split(":") match {
+            case Array(k, v) => (k.trim, v.trim.toDouble)
+            case _ => throw new IllegalArgumentException(
+              s"mix_weighted rates must be domain:rate pairs, got '$kv'")
+          }
+        }
+        Some(graft.operators.Corpus.mixWeighted(in(df), rates,
+          byCol = c.getOrElse("by_column", "lang"),
+          idCol = c.getOrElse("id_column", "doc_id")))
+      }),
+    // BM25 top-k against fixed terms: (doc_id, score)
+    "bm25_topk" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.bm25(in(df),
+        cfg(c, "terms").split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+        k = c.getOrElse("k", "20").toInt,
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text")))),
 
     // ---- destinations (SURVEY §2.3) ----
     "parquet_destination" -> Entry(SectionIOSpec(DataFrameIO, None),

@@ -166,4 +166,45 @@ class TrainingSectionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
     assert(out.toSeq == Seq((1L, "y"), (2L, "x")))
   }
+
+  test("corpus-prep sections: decon, segment_dedup, pack, mix, bm25 from specs") {
+    def run(section: String, config: String) = {
+      val json =
+        s"""{"sections":[
+          {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+          {"id":"op","name":"$section","config":{$config}}],
+          "edges":[["src","op"]]}"""
+      PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    }
+    val decon = run("decon_overlap", """"bench_where":"doc_id % 7 = 0","ngram":"5"""")
+    assert(decon.columns.toSeq == Seq("doc_id", "n_hits") && decon.count() > 0)
+
+    val seg = run("segment_dedup", """"seg_words":"8","max_df":"2"""")
+    assert(seg.columns.toSeq == Seq("doc_id", "clean_text", "n_removed"))
+    assert(seg.count() == spark.read.parquet(s"$sf/documents.parquet").count())
+
+    val pack = run("pack_sequences", """"budget":"256"""")
+    assert(pack.columns.toSeq == Seq("doc_id", "tok", "seq_id"))
+    assert(pack.filter(org.apache.spark.sql.functions.col("seq_id") < 0).count() == 0)
+    spark.catalog.clearCache()
+
+    val mix = run("mix_weighted", """"rates":"en:1.0,de:0.0,es:0.0,fr:0.0,zh:0.0"""")
+    assert(mix.columns.toSeq == Seq("doc_id", "lang"))
+    assert(mix.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
+
+    val bm = run("bm25_topk", """"terms":"table,query","k":"5"""")
+    assert(bm.columns.toSeq == Seq("doc_id", "score") && bm.count() == 5)
+  }
+
+  test("mix_weighted section rejects malformed rates") {
+    val e = intercept[IllegalArgumentException] {
+      val json =
+        s"""{"sections":[
+          {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+          {"id":"op","name":"mix_weighted","config":{"rates":"en=0.5"}}],
+          "edges":[["src","op"]]}"""
+      PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    }
+    assert(e.getMessage.contains("domain:rate"))
+  }
 }
