@@ -908,6 +908,33 @@ object Queries {
       SELECT cluster_id AS doc_id, count(*) AS n_merged FROM comp
       GROUP BY cluster_id ORDER BY doc_id"""))
 
+  /** Incremental dedup against a REFERENCE corpus — the daily-crawl
+    * workflow: reference = doc_id % 3 = 0, incoming = the rest; incoming
+    * docs that exact- or near-dup any reference doc are dropped. The
+    * oracle reuses the all-pairs minhash CTE restricted to MIXED pairs
+    * (one side reference), plus the exact-md5 guard. See
+    * [[graft.operators.NearDup.dedupAgainstReference]]. */
+  private val ddRefDedup = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.operators.NearDup.dedupAgainstReference(
+          docs.filter($"doc_id" % 3 === 0), docs.filter($"doc_id" % 3 =!= 0))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $minhashPairsCte,
+      exact AS (
+        SELECT DISTINCT i.doc_id FROM documents i JOIN documents r
+          ON i.doc_id % 3 <> 0 AND r.doc_id % 3 = 0
+          AND md5(i.text) = md5(r.text)),
+      near AS (
+        SELECT CASE WHEN a_id % 3 = 0 THEN b_id ELSE a_id END AS doc_id
+        FROM pairs WHERE (a_id % 3 = 0) <> (b_id % 3 = 0)),
+      dropped AS (SELECT doc_id FROM exact UNION SELECT doc_id FROM near)
+      SELECT doc_id FROM documents
+      WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+      ORDER BY doc_id"""))
+
   /** CTE producing `sims(doc_id, simhash)` — shared by the signature dump
     * and the banded pair query. */
   private val simhashCte: String = """hs AS (
@@ -1136,20 +1163,14 @@ object Queries {
     * the same plan. Cell assignment shuffles only (vec_id, c_id, score)
     * triples — embeddings never ride the assignment shuffle; vectors join
     * back by key afterwards. Argmax decisions use round(6) + id tiebreak
-    * so both engines agree bit-for-bit. */
-  private val annIvf = {
+    * so both engines agree bit-for-bit.
+    *
+    * The oracle is shared by the in-memory (`ann_ivf_topk`) and on-disk
+    * (`ann_ivf_disk`) variants — the disk index answers queries
+    * identically, that being the point. */
+  private lazy val ivfOracleSql: String = {
     val K = 16; val nProbe = 2
-    Q(
-      (s, dir) => {
-        import s.implicits._
-        graft.operators.Ann.ivfTopK(
-            Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
-            isQuery = $"vec_id" < 10, isCentroid = $"vec_id" < K,
-            k = 5, nProbe = nProbe)
-          .select($"q_id", $"n_id", $"cosine", $"rk")
-          .orderBy($"q_id", $"rk")
-      },
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         cent AS (SELECT vec_id AS c_id, emb AS c_vec FROM e WHERE vec_id < $K),
         scored AS (SELECT e.vec_id, c.c_id,
             round(list_cosine_similarity(e.emb, c.c_vec), 6) AS cscore
@@ -1171,8 +1192,37 @@ object Queries {
           SELECT q_id, n_id, cosine,
             row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
           FROM cand)
-        WHERE rk <= 5 ORDER BY q_id, rk"""))
+        WHERE rk <= 5 ORDER BY q_id, rk"""
   }
+
+  private val annIvf = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Ann.ivfTopK(
+          Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
+          isQuery = $"vec_id" < 10, isCentroid = $"vec_id" < 16,
+          k = 5, nProbe = 2)
+        .select($"q_id", $"n_id", $"cosine", $"rk")
+        .orderBy($"q_id", $"rk")
+    },
+    Some(ivfOracleSql))
+
+  /** IVF with the index ON DISK — cells written `partitionBy(cell)`, the
+    * probe filter becomes a partition prune (only nProbe/K of the files
+    * are opened; see [[graft.operators.Ann.ivfIndexWrite]]). Same oracle
+    * as `ann_ivf_topk`: the disk index must answer identically. */
+  private val annIvfDisk = Q(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+      graft.operators.Ann.ivfIndexWrite(e, isCentroid = $"vec_id" < 16, path)
+      graft.operators.Ann.ivfIndexTopK(e.filter($"vec_id" < 10), path,
+          k = 5, nProbe = 2)
+        .select($"q_id", $"n_id", $"cosine", $"rk")
+        .orderBy($"q_id", $"rk")
+    },
+    Some(ivfOracleSql))
 
   /** Int8 scalar-quantized ANN — the memory/bandwidth lever at 100 TB:
     * embeddings quantize to 8-bit codes plus one scale per vector (4x
@@ -1628,9 +1678,9 @@ object Queries {
     },
     Some(s"""WITH $toksCte,
       grams AS (
-        SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) < 5 THEN []::VARCHAR[]
+        SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) < 5 THEN []::BIGINT[]
           ELSE list_transform(range(0, len(ts) - 4),
-            i -> array_to_string(ts[i+1:i+5], ' ')) END)) AS g
+            i -> ('0x' || substr(md5(array_to_string(ts[i+1:i+5], ' ')), 1, 15))::BIGINT) END)) AS g
         FROM toks),
       bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0),
       corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 7 <> 0)
@@ -1776,11 +1826,13 @@ object Queries {
     "dd_simhash_pairs" -> ddSimhashPairs,
     "dd_embed_cosine" -> ddEmbedCosine,
     "dd_dup_clusters" -> ddClusters,
+    "dd_ref_dedup" -> ddRefDedup,
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLsh,
     "ann_lsh_probe" -> annLshProbe,
     "ann_lsh_multi" -> annLshMulti,
     "ann_ivf_topk" -> annIvf,
+    "ann_ivf_disk" -> annIvfDisk,
     "ann_quantized_topk" -> annQuantized,
     "ta_langid" -> taLangId,
     "ta_quality" -> taQuality,

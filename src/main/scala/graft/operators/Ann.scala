@@ -174,4 +174,73 @@ object Ann {
           .as("cosine"))
     rank(cand, k)
   }
+
+  /** Materialize the IVF index ON DISK: every vector assigned to its
+    * nearest centroid cell, written parquet PARTITIONED BY cell (plus the
+    * small centroid table beside it). This is the piece that makes IVF
+    * pay at 100 TB: [[ivfIndexTopK]]'s cell filter becomes a PARTITION
+    * prune, so a query scans nProbe/K of the files — the un-probed cells'
+    * parquet is never opened, instead of "read everything and filter".
+    * Assignment is the same round(6)+id-tiebreak argmax as [[ivfTopK]],
+    * so the on-disk index answers queries identically to the in-memory
+    * path. */
+  def ivfIndexWrite(corpus: DataFrame, isCentroid: Column, path: String): Unit = {
+    val e = corpus.select(col("vec_id"), col("embedding"),
+      VF.norm2(col("embedding")).as("nrm"))
+    val cent = e.filter(isCentroid)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
+        col("nrm").as("c_nrm"))
+    val scored = e.join(broadcast(cent))
+      .select(col("vec_id"), col("c_id"),
+        round(VF.cosineWithNorms(
+          VF.dot(col("embedding"), col("c_vec")), col("nrm"), col("c_nrm")), 6)
+          .as("cscore"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("c_id"))
+    val assigned = scored.withColumn("crk", row_number().over(wAssign))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+      .join(e, "vec_id")
+    assigned.select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    cent.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Query a [[ivfIndexWrite]] index: probe cells are decided against the
+    * broadcast centroid table, the O(queries·nProbe) probed-cell id set is
+    * collected (tiny, by construction), and the cells scan is filtered by
+    * that LITERAL list — which Spark turns into partition pruning, the
+    * point of the on-disk layout. Query vectors need not be index members
+    * (self-matches are excluded by id). Emits `(q_id, n_id, cosine, rk)`
+    * like every other variant. */
+  def ivfIndexTopK(queries: DataFrame, path: String, k: Int,
+                   nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val cent = spark.read.parquet(s"$path/centroids")
+    val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+      VF.norm2(col("embedding")).as("q_nrm"))
+    val qscored = q.join(broadcast(cent))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("c_id"),
+        round(VF.cosineWithNorms(
+          VF.dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")), 6)
+          .as("cscore"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cscore").desc, col("c_id"))
+    val probes = qscored.withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("c_id").as("cell"))
+    // O(queries·nProbe) longs to the driver — makes the cell predicate a
+    // literal IN-list the parquet source prunes partitions with
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(cells: _*))
+    val scored = idx.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        round(VF.cosineWithNorms(
+          VF.dot(col("q_vec"), col("embedding")), col("q_nrm"), col("nrm")), 6)
+          .as("cosine"))
+    rank(scored, k)
+  }
 }

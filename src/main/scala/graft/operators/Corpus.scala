@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{TextFunctions => TF}
+import graft.functions.{TextFunctions => TF, WordNgramHashes}
 
 /** Corpus-preparation operators a large-scale training-data pipeline needs
   * beyond dedup/ANN: benchmark decontamination, boilerplate-segment
@@ -23,9 +23,11 @@ object Corpus {
     * Shape: the BENCHMARK side is tiny by construction (eval sets are
     * thousands of documents, the corpus is billions), so its distinct
     * n-gram set broadcasts and the corpus pass stays narrow — tokenize,
-    * per-doc-distinct n-grams, broadcast-hash-join, partial+final count.
-    * The corpus never shuffles on n-gram text; nothing scales with corpus
-    * size except the one scan.
+    * per-doc-distinct n-gram HASHES (the fused 60-bit
+    * [[WordNgramHashes]], 8 bytes each — n-gram strings never leave the
+    * expression, never get broadcast or compared), broadcast-hash-join,
+    * partial+final count. The corpus never shuffles on text; nothing
+    * scales with corpus size except the one scan.
     *
     * @return `(doc_id, n_hits)` — contaminated corpus docs only, with the
     *         count of DISTINCT overlapping n-grams.
@@ -33,11 +35,11 @@ object Corpus {
   def deconOverlap(corpus: DataFrame, bench: DataFrame, n: Int = 8,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val benchGrams = bench
-      .select(explode(array_distinct(TF.wordNgrams(col(textCol), n))).as("g"))
+      .select(explode(WordNgramHashes(col(textCol), n)).as("g"))
       .distinct()
     corpus
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(TF.wordNgrams(col(textCol), n))).as("g"))
+        explode(WordNgramHashes(col(textCol), n)).as("g"))
       .join(broadcast(benchGrams), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))

@@ -58,6 +58,13 @@ object SkewRehearsal {
           .select(col("vec_id"), col("label"), col("embedding"))
           .withColumn("nrm", VF.norm2(col("embedding"))),
         maxBlock = 500)
-        .filter(col("cosine") >= 0.35).count())
+        .filter(col("cosine") >= 0.35).count()),
+    // mass-duplicated boilerplate: a third of the corpus becomes ONE
+    // template, so that template's segments hit df = n/3 — the broadcast
+    // anti-join must stay tiny (O(#boilerplate templates)), never a
+    // shuffle of the corpus against a huge removal list
+    "skewed_cp_segment_dedup" -> (() =>
+      Corpus.segmentDedup(hotCorpus(graft.Tables.documents(spark, dir)),
+        segWords = 8, maxDf = 2).count())
   )
 }

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The on-disk IVF index: cell-partitioned layout, partition-pruned query
+  * scans, and answer parity with the in-memory ivfTopK (which is itself
+  * oracle-verified as `ann_ivf_topk`). */
+class AnnIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = graft.Tables.embeddings(spark, TestSpark.sf)
+    .select($"vec_id", $"embedding")
+
+  test("ivfIndexWrite lays out one directory per cell, all vectors present") {
+    val path = java.nio.file.Files.createTempDirectory("ivfw").toString
+    Ann.ivfIndexWrite(corpus, isCentroid = $"vec_id" < 16, path)
+    val cellDirs = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 16)
+    assert(spark.read.parquet(s"$path/cells").count() == corpus.count())
+    assert(spark.read.parquet(s"$path/centroids").count() == 16)
+  }
+
+  test("disk index answers exactly like the in-memory IVF path") {
+    val path = java.nio.file.Files.createTempDirectory("ivfq").toString
+    Ann.ivfIndexWrite(corpus, isCentroid = $"vec_id" < 16, path)
+    val mem = Ann.ivfTopK(corpus, isQuery = $"vec_id" < 10,
+        isCentroid = $"vec_id" < 16, k = 5, nProbe = 2)
+      .select($"q_id", $"n_id", $"cosine", $"rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val disk = Ann.ivfIndexTopK(corpus.filter($"vec_id" < 10), path,
+        k = 5, nProbe = 2)
+      .select($"q_id", $"n_id", $"cosine", $"rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(disk == mem)
+  }
+
+  test("query scan PRUNES to the probed cells' partitions") {
+    val path = java.nio.file.Files.createTempDirectory("ivfp").toString
+    Ann.ivfIndexWrite(corpus, isCentroid = $"vec_id" < 16, path)
+    val p = Ann.ivfIndexTopK(corpus.filter($"vec_id" < 2), path,
+        k = 3, nProbe = 2)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // the literal IN-list over the partition column must land in
+    // PartitionFilters — that is the "only open nProbe/K of the files"
+    // property the on-disk layout exists for
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"cells scan must carry a partition filter:\n$p")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pf.contains("cell") && (pf.contains("IN") || pf.contains("in(")),
+      s"partition filter must be the probed-cell IN-list: $pf")
+  }
+}

@@ -40,4 +40,35 @@ class NearDupSpec extends AnyFunSuite {
     // a stop shingle for candidate purposes
     assert(got.head._3 == 1.0)
   }
+
+  test("dedupAgainstReference: exact + near dups of the reference dropped, fresh kept") {
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val longVariant = (1 to 30).map(i => if (i == 15) "CHANGED" else s"w$i").mkString(" ")
+    val ref = docs(
+      1L -> long,
+      2L -> "x") // shorter than one shingle: only the md5 guard can catch it
+    val inc = docs(
+      10L -> long,         // exact dup
+      11L -> longVariant,  // near dup: 25/31 shingles shared, jaccard ~0.81
+      12L -> "p q r s t u v w completely fresh content here",
+      13L -> "x",          // exact dup of the short reference doc
+      14L -> "y")          // fresh short doc
+    val got = NearDup.dedupAgainstReference(ref, inc)
+      .as[Long].collect().toSet
+    assert(got == Set(12L, 14L))
+    spark.catalog.clearCache()
+  }
+
+  test("dedupAgainstReference: mass-duplicated reference template handled once") {
+    // 50 identical reference docs (boilerplate) — pre-dedup collapses them
+    // to one representative, so the band join sees ONE ref row per band
+    val ref = (1L to 50L).map(i => (i, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"))
+      .toDF("doc_id", "text")
+    val inc = docs(
+      100L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", // dup of the template
+      101L -> "fresh a b c d e f g h i j")
+    val got = NearDup.dedupAgainstReference(ref, inc).as[Long].collect().toSet
+    assert(got == Set(101L))
+    spark.catalog.clearCache()
+  }
 }
