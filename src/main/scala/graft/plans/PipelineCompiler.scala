@@ -302,6 +302,30 @@ object SectionRegistry {
         k = c.getOrElse("k", "20").toInt,
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text")))),
+    // incremental dedup against a reference corpus: reference_where splits
+    // the input frame; output = surviving incoming ids
+    "dedup_against" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val frame = in(df)
+        val isRef = expr(cfg(c, "reference_where"))
+        Some(graft.operators.NearDup.dedupAgainstReference(
+          frame.filter(isRef), frame.filter(!isRef),
+          idCol = c.getOrElse("id_column", "doc_id"),
+          textCol = c.getOrElse("text_column", "text"),
+          threshold = c.getOrElse("threshold", "0.2").toDouble))
+      }),
+    // on-disk IVF index build (destination) and query (source-shaped
+    // transform: input frame = the query vectors)
+    "ann_index_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        graft.operators.Ann.ivfIndexWrite(in(df),
+          isCentroid = expr(cfg(c, "centroid_where")), cfg(c, "path"))
+        scala.None
+      }),
+    "ann_index_query" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Ann.ivfIndexTopK(in(df),
+        cfg(c, "path"), k = c.getOrElse("k", "5").toInt,
+        nProbe = c.getOrElse("probes", "2").toInt))),
 
     // ---- destinations (SURVEY §2.3) ----
     "parquet_destination" -> Entry(SectionIOSpec(DataFrameIO, None),

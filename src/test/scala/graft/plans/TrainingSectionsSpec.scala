@@ -196,6 +196,42 @@ class TrainingSectionsSpec extends AnyFunSuite {
     assert(bm.columns.toSeq == Seq("doc_id", "score") && bm.count() == 5)
   }
 
+  test("dedup_against section: reference_where splits, survivors out") {
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"dd","name":"dedup_against","config":{"reference_where":"doc_id % 3 = 0"}}],
+        "edges":[["src","dd"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    assert(out.columns.toSeq == Seq("doc_id"))
+    val incoming = spark.read.parquet(s"$sf/documents.parquet")
+      .filter("doc_id % 3 <> 0").count()
+    val survivors = out.count()
+    assert(survivors > 0 && survivors < incoming) // some dups dropped
+    spark.catalog.clearCache()
+  }
+
+  test("ann index sections: build via destination spec, query via transform spec") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_sec").toString
+    val build =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/embeddings.parquet"}},
+        {"id":"ix","name":"ann_index_destination","config":{
+          "path":"$path","centroid_where":"vec_id < 16"}}],
+        "edges":[["src","ix"]]}"""
+    PipelineCompiler.run(spark, PipelineSpec.fromJson(build))
+    assert(new java.io.File(s"$path/cells").exists())
+    val query =
+      s"""{"sections":[
+        {"id":"q","name":"parquet_source","config":{"path":"$sf/embeddings.parquet"}},
+        {"id":"f","name":"sql","config":{"query":"SELECT vec_id, embedding FROM input WHERE vec_id < 4"}},
+        {"id":"ann","name":"ann_index_query","config":{"path":"$path","k":"3"}}],
+        "edges":[["q","f"],["f","ann"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(query))
+    assert(out.columns.toSeq == Seq("q_id", "n_id", "cosine", "rk"))
+    assert(out.count() == 12) // 4 queries x k=3
+  }
+
   test("mix_weighted section rejects malformed rates") {
     val e = intercept[IllegalArgumentException] {
       val json =

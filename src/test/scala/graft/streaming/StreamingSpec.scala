@@ -28,6 +28,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(batch))
   }
 
+  test("narrow corpus ops (weighted mix, decon prefilter) run unchanged on streams") {
+    // mixWeighted is stateless scan+hash+filter — the SAME operator code
+    // must compile into a streaming plan (micro-batched crawl ingestion
+    // mixing domains on the fly), with results identical to batch
+    val path = s"${TestSpark.sf}/documents.parquet"
+    val raw = spark.read.parquet(path)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(TestSpark.sf)
+    val rates = Seq("en" -> 0.8, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.5, "zh" -> 0.1)
+    val got = StreamingPipelines.collectStream(spark,
+        graft.operators.Corpus.mixWeighted(stream, rates), "st_mix",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("doc_id").collect()
+    val batch = graft.operators.Corpus.mixWeighted(raw, rates)
+      .orderBy("doc_id").collect()
+    assert(got.sameElements(batch) && batch.nonEmpty)
+  }
+
   test("ackSink foreachBatch commits before checkpoint epoch advances") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"${TestSpark.sf}/events.parquet"
