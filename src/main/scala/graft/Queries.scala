@@ -802,13 +802,15 @@ object Queries {
     * Spark side. */
   /** toks→shingles→hv CTE prefix: per-document distinct 3-gram shingle
     * hashes, the same md5-derived values as [[graft.functions.WordNgramHashes]]
-    * mod [[TF.MinhashP]]. Shared by the minhash AND n-gram-jaccard oracles. */
-  private lazy val shingleHvCte: String = {
+    * mod [[TF.MinhashP]]. Shared by the minhash AND n-gram-jaccard oracles.
+    * `src` lets the assembly oracle run the same construction over a
+    * derived CTE instead of the raw table. */
+  private def shingleHvCteFrom(src: String): String = {
     val P = TF.MinhashP
     s"""toks AS (
         SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
           ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
-        FROM documents),
+        FROM $src),
       sh AS (
         SELECT doc_id, list_distinct(CASE WHEN len(ts) < 3 THEN []::VARCHAR[]
           ELSE list_transform(range(0, len(ts) - 2),
@@ -820,14 +822,16 @@ object Queries {
         FROM sh)"""
   }
 
-  private lazy val minhashPairsCte: String = {
+  private lazy val shingleHvCte: String = shingleHvCteFrom("documents")
+
+  private def minhashPairsCteFrom(src: String): String = {
     val perms = (0 until 32).map(TF.minhashPerm)
     val P = TF.MinhashP
     val slotDefs = perms.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % $P) AS s$i"
     }.mkString(",\n          ")
     val slotList = (0 until 32).map(i => s"s$i").mkString("[", ", ", "]")
-    s"""$shingleHvCte,
+    s"""${shingleHvCteFrom(src)},
       sig AS (
         SELECT doc_id,
           $slotDefs
@@ -850,6 +854,8 @@ object Queries {
         WHERE round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
           len(list_distinct(list_concat(sa.hs, sb.hs))), 6) >= 0.2)"""
   }
+
+  private lazy val minhashPairsCte: String = minhashPairsCteFrom("documents")
 
   private val ddMinhash = Q(
     (s, dir) => {
@@ -1773,6 +1779,74 @@ object Queries {
       SELECT doc_id, round(score, 6) AS score FROM scored WHERE score > 0
       ORDER BY round(score, 6) DESC, doc_id LIMIT 20"""))
 
+  /** End-to-end training-data ASSEMBLY — the whole corpus-prep pipeline as
+    * ONE oracle-verified composition: boilerplate-segment removal → MinHash
+    * near-dup survivors over the CLEANED text → deterministic weighted mix
+    * by language → token-budget sequence packing of what's left. Each stage
+    * is individually verified (cp_segment_dedup, dd_dedup_corpus,
+    * cp_mix_weighted, cp_pack_sequences); this query pins the COMPOSITION —
+    * one declarative plan end to end, no materialization between stages. */
+  private val cpAssembly = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      // three consumers read the cleaned corpus (survivor detection, the
+      // mix candidate join, the packing pass) — persist so the segment
+      // dedup runs once; lifecycle session-managed like the operator
+      // caches
+      val cleaned = graft.operators.Corpus.segmentDedup(docs,
+          segWords = 8, maxDf = 2)
+        .select($"doc_id", $"clean_text".as("text"))
+        .persist()
+      val surv = graft.operators.NearDup.survivors(cleaned).select($"doc_id")
+      val candidates = cleaned.join(surv, "doc_id")
+        .join(docs.select($"doc_id", $"lang"), "doc_id")
+      val mixedIds = graft.operators.Corpus.mixWeighted(candidates,
+          Seq("en" -> 0.8, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.5, "zh" -> 0.1))
+        .select($"doc_id")
+      graft.operators.Corpus.packSequences(cleaned.join(mixedIds, "doc_id"),
+          budget = 256)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH RECURSIVE
+      toks0 AS (
+        SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+          ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+        FROM documents),
+      sg0 AS (SELECT doc_id, ts, unnest(CASE WHEN len(ts) = 0 THEN []::BIGINT[]
+          ELSE range(0, CAST(ceil(len(ts) / 8.0) AS BIGINT)) END) AS i FROM toks0),
+      sgs AS (SELECT doc_id, i AS seg_idx,
+          array_to_string(ts[i*8+1:i*8+8], ' ') AS seg FROM sg0),
+      boiler AS (SELECT seg FROM sgs GROUP BY seg HAVING count(DISTINCT doc_id) > 2),
+      kept0 AS (SELECT * FROM sgs WHERE seg NOT IN (SELECT seg FROM boiler)),
+      reagg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+          FROM kept0 GROUP BY doc_id),
+      cleaned AS (SELECT t.doc_id, coalesce(a.clean_text, '') AS text
+        FROM toks0 t LEFT JOIN reagg a USING (doc_id)),
+      ${minhashPairsCteFrom("cleaned")},
+      edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM cleaned
+        UNION
+        SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+      comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      surv AS (SELECT id AS doc_id FROM comp WHERE id = cluster_id),
+      rates(lang, _rate) AS (VALUES
+        ('en', 0.8), ('de', 0.5), ('es', 0.25), ('fr', 0.5), ('zh', 0.1)),
+      mixed AS (
+        SELECT s.doc_id FROM surv s
+        JOIN documents d USING (doc_id) JOIN rates r ON d.lang = r.lang
+        WHERE ('0x' || substr(md5(s.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+          < CAST(r._rate * 10000 AS BIGINT)),
+      tk AS (SELECT c.doc_id, CAST(CASE WHEN len(trim(c.text)) = 0 THEN 0
+          ELSE len(regexp_split_to_array(trim(c.text), '\\s+')) END AS BIGINT) AS tok
+        FROM cleaned c JOIN mixed USING (doc_id))
+      SELECT doc_id, tok,
+        CAST(floor(coalesce(sum(tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0) AS BIGINT) AS seq_id
+      FROM tk ORDER BY doc_id"""))
+
   // -------------------------------------------------------------- registry
 
   /** Insertion-ordered so Verify/Bench output is stable. */
@@ -1853,5 +1927,6 @@ object Queries {
     "cp_segment_dedup" -> cpSegDedup,
     "cp_pack_sequences" -> cpPack,
     "cp_mix_weighted" -> cpMix,
-    "cp_bm25_topk" -> cpBm25)
+    "cp_bm25_topk" -> cpBm25,
+    "cp_assembly" -> cpAssembly)
 }
