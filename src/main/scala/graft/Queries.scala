@@ -1779,6 +1779,26 @@ object Queries {
       SELECT doc_id, round(score, 6) AS score FROM scored WHERE score > 0
       ORDER BY round(score, 6) DESC, doc_id LIMIT 20"""))
 
+  /** Sliding token-window chunking (64-token windows, stride 32) — the
+    * embedding/retrieval prep step; narrow explode, no shuffle. */
+  private val cpChunk = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.chunkTokens(Tables.documents(s, dir),
+          window = 64, stride = 32)
+        .orderBy($"doc_id", $"chunk_idx")
+    },
+    Some(s"""WITH $toksCte,
+      ch AS (
+        SELECT doc_id, ts, unnest(CASE WHEN len(ts) = 0 THEN []::BIGINT[]
+          ELSE range(0, greatest(CAST(ceil((len(ts) - 64) / 32.0) AS BIGINT), 0) + 1)
+          END) AS i
+        FROM toks)
+      SELECT doc_id, i AS chunk_idx,
+        array_to_string(ts[i*32+1:i*32+64], ' ') AS chunk_text,
+        CAST(len(ts[i*32+1:i*32+64]) AS BIGINT) AS n_tokens
+      FROM ch ORDER BY doc_id, chunk_idx"""))
+
   /** End-to-end training-data ASSEMBLY — the whole corpus-prep pipeline as
     * ONE oracle-verified composition: boilerplate-segment removal → MinHash
     * near-dup survivors over the CLEANED text → deterministic weighted mix
@@ -1928,5 +1948,6 @@ object Queries {
     "cp_pack_sequences" -> cpPack,
     "cp_mix_weighted" -> cpMix,
     "cp_bm25_topk" -> cpBm25,
+    "cp_chunk" -> cpChunk,
     "cp_assembly" -> cpAssembly)
 }

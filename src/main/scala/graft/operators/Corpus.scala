@@ -159,6 +159,40 @@ object Corpus {
       .select(col(idCol), col(byCol))
   }
 
+  /** Sliding token-window chunking — the embedding/retrieval prep step:
+    * each document becomes overlapping chunks of `window` tokens advancing
+    * by `stride` (stride < window overlaps, = window tiles). The last
+    * chunk is the final partial window, and a document shorter than one
+    * window is one chunk; empty docs emit nothing.
+    *
+    * Shape: pure narrow per-row explode — no shuffle at all; chunk count
+    * per doc is ceil(max(0, n-window)/stride)+1 so output size is
+    * predictable from token counts.
+    *
+    * @return `(doc_id, chunk_idx, chunk_text, n_tokens)` per chunk.
+    */
+  def chunkTokens(docs: DataFrame, window: Int = 64, stride: Int = 32,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window")
+    val ts = TF.tokens(col(textCol))
+    val n = size(ts)
+    // starts: 0, stride, 2·stride, … last start <= n-1 and the final
+    // window reaches the end: nChunks = floor((n-1)/stride)+1 capped so a
+    // start beyond n-window only appears once (the final partial window
+    // starting at the last stride multiple below n)
+    val nChunks = when(n === 0, lit(0))
+      .otherwise(greatest(ceil((n - window) / lit(stride.toDouble)).cast("int"), lit(0)) + 1)
+    val chunks = when(n === 0, array().cast("array<struct<i:int,c:string>>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1), i =>
+        struct(i.cast("int").as("i"),
+          concat_ws(" ", slice(ts, i * stride + 1, lit(window))).as("c"))))
+    docs.select(col(idCol).as("doc_id"), explode(chunks).as("ch"))
+      .select(col("doc_id"), col("ch.i").cast("long").as("chunk_idx"),
+        col("ch.c").as("chunk_text"),
+        TF.tokenCount(col("ch.c")).cast("long").as("n_tokens"))
+  }
+
   /** BM25 relevance scoring of the corpus against a fixed term set —
     * quality-filtering / topic-selection by retrieval score. Classic
     * Robertson/Sparck-Jones BM25 with the +1 idf floor (Lucene's form, so

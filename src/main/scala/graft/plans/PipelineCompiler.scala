@@ -302,6 +302,13 @@ object SectionRegistry {
         k = c.getOrElse("k", "20").toInt,
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text")))),
+    // sliding token-window chunking: (doc_id, chunk_idx, chunk_text, n_tokens)
+    "chunk_tokens" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.chunkTokens(in(df),
+        window = c.getOrElse("window", "64").toInt,
+        stride = c.getOrElse("stride", "32").toInt,
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text")))),
     // incremental dedup against a reference corpus: reference_where splits
     // the input frame; output = surviving incoming ids
     "dedup_against" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),

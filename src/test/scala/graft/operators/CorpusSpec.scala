@@ -103,6 +103,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept > 400 && kept < 600, s"kept=$kept for rate 0.5")
   }
 
+  test("chunkTokens: overlap, final partial window, short and empty docs") {
+    val twelve = (1 to 12).map(i => s"t$i").mkString(" ")
+    val d = docs(1L -> twelve, 2L -> "a b c", 3L -> "")
+    val got = Corpus.chunkTokens(d, window = 8, stride = 4)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.map(r => (r._1, r._2, r._4)).toSeq ==
+      Seq((1L, 0L, 8L), (1L, 1L, 8L), (2L, 0L, 3L)))
+    assert(got(0)._3 == (1 to 8).map(i => s"t$i").mkString(" "))
+    assert(got(1)._3 == (5 to 12).map(i => s"t$i").mkString(" ")) // stride-4 overlap
+  }
+
+  test("chunkTokens: stride = window tiles without overlap") {
+    val nine = (1 to 9).map(i => s"w$i").mkString(" ")
+    val got = Corpus.chunkTokens(docs(1L -> nine), window = 4, stride = 4)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(got.map(_._4).toSeq == Seq(4L, 4L, 1L)) // 4+4+1 tokens, no overlap
+    assert(got.map(_._3).mkString(" ") == nine)
+  }
+
   test("bm25: doc with more query-term hits outranks, absent terms score zero") {
     val d = docs(
       1L -> "apple banana apple cherry apple",

@@ -194,6 +194,10 @@ class TrainingSectionsSpec extends AnyFunSuite {
 
     val bm = run("bm25_topk", """"terms":"table,query","k":"5"""")
     assert(bm.columns.toSeq == Seq("doc_id", "score") && bm.count() == 5)
+
+    val ch = run("chunk_tokens", """"window":"16","stride":"8"""")
+    assert(ch.columns.toSeq == Seq("doc_id", "chunk_idx", "chunk_text", "n_tokens"))
+    assert(ch.count() >= spark.read.parquet(s"$sf/documents.parquet").count())
   }
 
   test("dedup_against section: reference_where splits, survivors out") {
