@@ -61,6 +61,13 @@ object SectionRegistry {
       (s, c, _) => Some(Sources.kafka(s, cfg(c, "brokers"), cfg(c, "topic")))),
     "sql_source" -> Entry(SectionIOSpec(None, DataFrameIO),
       (s, c, _) => Some(s.sql(cfg(c, "query")))),
+    // ORC rides Spark's native reader: same pushdown/pruning guarantees as
+    // parquet (PushedFilters/ReadSchema reach the OrcScan)
+    "orc_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some {
+        val df = s.read.orc(cfg(c, "path"))
+        c.get("origin").fold(df)(o => df.withColumn("origin", lit(o)))
+      }),
     "json_source" -> Entry(SectionIOSpec(None, DataFrameIO),
       (s, c, _) => Some {
         val df = s.read.option("multiLine", c.getOrElse("multiline", "false"))
@@ -353,6 +360,12 @@ object SectionRegistry {
     "csv_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => { Sinks.csv(in(df), cfg(c, "path"),
         c.getOrElse("truncate", "false").toBoolean); scala.None }),
+    "orc_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        in(df).write.mode(if (c.getOrElse("truncate", "false").toBoolean)
+          "overwrite" else "append").orc(cfg(c, "path"))
+        scala.None
+      }),
     "json_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => {
         in(df).write.mode(if (c.getOrElse("truncate", "false").toBoolean)

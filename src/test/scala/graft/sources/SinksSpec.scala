@@ -105,4 +105,31 @@ class SinksSpec extends AnyFunSuite {
     assert(df.count() == 2)
     assert(df.select("origin").distinct().as[String].head() == "t")
   }
+
+  test("orc sections round-trip through Spark's native ORC path with pushdown") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    val write =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"${TestSpark.sf}/region.parquet"}},
+        {"id":"dst","name":"orc_destination","config":{"path":"$dir/t","truncate":"true"}}],
+        "edges":[["src","dst"]]}"""
+    graft.plans.PipelineCompiler.run(spark,
+      graft.plans.PipelineSpec.fromJson(write))
+    val read =
+      s"""{"sections":[
+        {"id":"src","name":"orc_source","config":{"path":"$dir/t"}},
+        {"id":"f","name":"sql","config":{"query":"SELECT r_regionkey, r_name FROM input WHERE r_regionkey > 1"}}],
+        "edges":[["src","f"]]}"""
+    val back = graft.plans.PipelineCompiler.compileFrame(spark,
+      graft.plans.PipelineSpec.fromJson(read))
+    val want = spark.read.parquet(s"${TestSpark.sf}/region.parquet")
+      .filter("r_regionkey > 1").select("r_regionkey", "r_name")
+      .collect().map(_.toSeq).toSet
+    assert(back.collect().map(_.toSeq).toSet == want)
+    // the predicate must reach the ORC scan, same as parquet
+    val plan = back.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"orc scan must receive pushed filters:\n$plan")
+  }
 }
