@@ -1779,6 +1779,22 @@ object Queries {
       SELECT doc_id, round(score, 6) AS score FROM scored WHERE score > 0
       ORDER BY round(score, 6) DESC, doc_id LIMIT 20"""))
 
+  /** Quality-weighted importance sampling: keep probability scales with
+    * document length capped at 1 (`least(1, n_chars/400)`) — longer docs
+    * kept preferentially, decided by the reproducible md5(doc_id) draw. */
+  private val cpSample = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.sampleByRate(
+          Tables.documents(s, dir).select($"doc_id", $"n_chars"),
+          least(lit(1.0), $"n_chars" / lit(400.0)))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, n_chars FROM documents
+      WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+        < CAST(floor(least(1.0, n_chars / 400.0) * 10000) AS BIGINT)
+      ORDER BY doc_id"""))
+
   /** Sliding token-window chunking (64-token windows, stride 32) — the
     * embedding/retrieval prep step; narrow explode, no shuffle. */
   private val cpChunk = Q(
@@ -1949,5 +1965,6 @@ object Queries {
     "cp_mix_weighted" -> cpMix,
     "cp_bm25_topk" -> cpBm25,
     "cp_chunk" -> cpChunk,
+    "cp_sample_quality" -> cpSample,
     "cp_assembly" -> cpAssembly)
 }

@@ -193,6 +193,23 @@ object Corpus {
         TF.tokenCount(col("ch.c")).cast("long").as("n_tokens"))
   }
 
+  /** Per-row importance sampling — quality-weighted corpus thinning: each
+    * document survives with probability `rate` (any per-row Column in
+    * [0,1], e.g. a quality score), decided by the same md5(doc_id)
+    * construction as [[mixWeighted]] so the sample is deterministic,
+    * engine-reproducible, and monotone in the rate (raising a doc's rate
+    * can only ADD it to the sample — stable re-runs as scores improve).
+    * Fully narrow: scan + hash + filter, no shuffle.
+    *
+    * @return surviving rows, original columns.
+    */
+  def sampleByRate(docs: DataFrame, rate: Column,
+                   idCol: String = "doc_id"): DataFrame = {
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000L
+    docs.filter(u < (rate * 10000L).cast("long"))
+  }
+
   /** BM25 relevance scoring of the corpus against a fixed term set —
     * quality-filtering / topic-selection by retrieval score. Classic
     * Robertson/Sparck-Jones BM25 with the +1 idf floor (Lucene's form, so

@@ -122,6 +122,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.map(_._3).mkString(" ") == nine)
   }
 
+  test("sampleByRate: monotone in the rate — raising a score only adds docs") {
+    import org.apache.spark.sql.functions.{col, lit, least}
+    val d = (1L to 500L).map(i => (i, i % 100)).toDF("doc_id", "score")
+    val low = Corpus.sampleByRate(d, least(lit(1.0), col("score") / lit(200.0)))
+      .select("doc_id").as[Long].collect().toSet
+    val high = Corpus.sampleByRate(d, least(lit(1.0), col("score") / lit(100.0)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(low.subsetOf(high)) // doubling every rate never evicts a kept doc
+    assert(high.size > low.size)
+    // rate 0 drops, rate 1 keeps
+    assert(Corpus.sampleByRate(d, lit(0.0)).count() == 0)
+    assert(Corpus.sampleByRate(d, lit(1.0)).count() == 500)
+  }
+
   test("bm25: doc with more query-term hits outranks, absent terms score zero") {
     val d = docs(
       1L -> "apple banana apple cherry apple",
