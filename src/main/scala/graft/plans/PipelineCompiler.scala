@@ -309,6 +309,11 @@ object SectionRegistry {
         k = c.getOrElse("k", "20").toInt,
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text")))),
+    // per-row importance sampling: rate = SQL expression over the row
+    "sample_by_rate" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.sampleByRate(in(df),
+        expr(cfg(c, "rate")),
+        idCol = c.getOrElse("id_column", "doc_id")))),
     // sliding token-window chunking: (doc_id, chunk_idx, chunk_text, n_tokens)
     "chunk_tokens" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => Some(graft.operators.Corpus.chunkTokens(in(df),

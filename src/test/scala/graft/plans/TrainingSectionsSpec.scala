@@ -198,6 +198,10 @@ class TrainingSectionsSpec extends AnyFunSuite {
     val ch = run("chunk_tokens", """"window":"16","stride":"8"""")
     assert(ch.columns.toSeq == Seq("doc_id", "chunk_idx", "chunk_text", "n_tokens"))
     assert(ch.count() >= spark.read.parquet(s"$sf/documents.parquet").count())
+
+    val sm = run("sample_by_rate", """"rate":"least(1.0, n_chars / 400.0)"""")
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(sm.count() > 0 && sm.count() < total)
   }
 
   test("dedup_against section: reference_where splits, survivors out") {
