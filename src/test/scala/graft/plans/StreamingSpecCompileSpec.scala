@@ -103,4 +103,35 @@ class StreamingSpecCompileSpec extends AnyFunSuite {
     PipelineCompiler.run(spark, spec)
     assert(spark.read.parquet(s"$tmp/out/t1").count() == 2)
   }
+
+  test("streaming corpus-prep pipeline: mix -> chunk sections on a stream, batch parity") {
+    val tmp = Files.createTempDirectory("graft_stream_corpus").toString
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("doc_id", "text", "lang")
+    docs.write.parquet(s"$tmp/in")
+    // the SAME declarative sections that run in batch compile into a
+    // checkpointed streaming job: micro-batched crawl ingestion that mixes
+    // domains and chunks for embedding on the fly
+    val specJson =
+      s"""{"sections":[
+        {"id":"src","name":"stream_parquet_source","config":{"path":"$tmp/in"}},
+        {"id":"mix","name":"mix_weighted","config":{
+          "rates":"en:1.0,de:0.5,es:0.0,fr:0.5,zh:0.1"}},
+        {"id":"back","name":"sql","config":{
+          "query":"SELECT i.doc_id, d.text FROM input i JOIN parquet.`$tmp/in` d USING (doc_id)"}},
+        {"id":"ch","name":"chunk_tokens","config":{"window":"32","stride":"16"}},
+        {"id":"sink","name":"stream_parquet_destination",
+         "config":{"path":"$tmp/out","checkpoint":"$tmp/ckpt"}}],
+        "edges":[["src","mix"],["mix","back"],["back","ch"],["ch","sink"]]}"""
+    PipelineCompiler.run(spark, PipelineSpec.fromJson(specJson))
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .orderBy("doc_id", "chunk_idx").collect()
+    val batch = graft.operators.Corpus.chunkTokens(
+        graft.operators.Corpus.mixWeighted(docs,
+            Seq("en" -> 1.0, "de" -> 0.5, "es" -> 0.0, "fr" -> 0.5, "zh" -> 0.1))
+          .join(docs.select("doc_id", "text"), "doc_id"),
+        window = 32, stride = 16)
+      .orderBy("doc_id", "chunk_idx").collect()
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
 }
