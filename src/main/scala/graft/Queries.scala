@@ -1529,6 +1529,31 @@ object Queries {
         SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' FROM events)
       GROUP BY ws ORDER BY window_start"""))
 
+  /** RANGE-frame window — value-based frames, the window feature ROWS
+    * frames can't express: each order's sum of its customer's order value
+    * within ±30 DAYS of it (by order-date day number), however many rows
+    * that is. Spark `rangeBetween` over a day column ≡ SQL
+    * `RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING`. */
+  private val q30 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_custkey")
+        .orderBy(datediff($"o_orderdate", lit("1992-01-01").cast("date")).cast("long"))
+        .rangeBetween(-30, 30)
+      Tables.orders(s, dir)
+        .withColumn("nearby_value",
+          sum(dec($"o_totalprice")).over(w).cast("double"))
+        .select($"o_orderkey", $"o_custkey", $"nearby_value")
+        .orderBy($"o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey
+          ORDER BY date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+          RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING) AS DOUBLE) AS nearby_value
+      FROM orders ORDER BY o_orderkey"""))
+
   /** Stubbed multimodal decode: payload → fixed-length feature vector
     * (see [[graft.operators.Multimodal.stubDecodeFeatures]]); exercises the
     * binary → features flow with a portable deterministic stand-in. */
@@ -1953,6 +1978,7 @@ object Queries {
     "ta_repetition" -> taRepetition,
     "ta_redact" -> taRedact,
     "q29_sliding_window" -> q29,
+    "q30_range_frame" -> q30,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecode,
     "st_tumbling_window" -> stTumbling,
