@@ -65,6 +65,17 @@ object SkewRehearsal {
     // shuffle of the corpus against a huge removal list
     "skewed_cp_segment_dedup" -> (() =>
       Corpus.segmentDedup(hotCorpus(graft.Tables.documents(spark, dir)),
-        segWords = 8, maxDf = 2).count())
+        segWords = 8, maxDf = 2).count()),
+    // mass-duplicated REFERENCE corpus: every third reference doc is the
+    // same template, so its band buckets would hold n/3 members — the
+    // exact-text pre-dedup inside dedupAgainstReference must collapse
+    // them to ONE representative before the band join (candidates stay
+    // O(n_incoming), never O(n_incoming · n_replicas))
+    "skewed_dd_ref_dedup" -> (() => {
+      val docs = hotCorpus(graft.Tables.documents(spark, dir))
+      NearDup.dedupAgainstReference(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0)).count()
+    })
   )
 }
