@@ -42,8 +42,17 @@ object Main {
       val spec = PipelineSpec.fromJson(readFile(Paths.get(file)))
       println(s"ok components=${spec.components.size} hash=${spec.specHash.take(12)}")
 
+    // the reference exposes section names + IO kinds for UI forms
+    // (`config_registry/src/lib.rs:26-39`); this is the CLI equivalent
+    case "sections" :: Nil =>
+      graft.plans.SectionRegistry.entries.toSeq.sortBy(_._1)
+        .foreach { case (name, e) =>
+          println(f"$name%-32s ${e.io.input}%-16s -> ${e.io.output}")
+        }
+
     case _ =>
-      System.err.println("usage: graft run <spec.json>... | reconcile <dir> | validate <spec.json>")
+      System.err.println("usage: graft run <spec.json>... | reconcile <dir> | " +
+        "validate <spec.json> | sections")
       sys.exit(2)
   }
 
