@@ -1529,6 +1529,29 @@ object Queries {
         SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' FROM events)
       GROUP BY ws ORDER BY window_start"""))
 
+  /** Multiset set ops — EXCEPT ALL / INTERSECT ALL preserve duplicate
+    * COUNTS (q9 covers the distinct forms): a customer with 3 open orders
+    * and 1 urgent order keeps 2 rows in the difference and 1 in the
+    * intersection. */
+  private val q31 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+      val a = o.filter($"o_orderstatus" === "O").select($"o_custkey")
+      val b = o.filter($"o_orderpriority".startsWith("1")).select($"o_custkey")
+      a.exceptAll(b).withColumn("op", lit("except_all"))
+        .union(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+        .orderBy($"op", $"o_custkey")
+    },
+    Some("""WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+      b AS (SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1%')
+      SELECT o_custkey, 'except_all' AS op FROM
+        (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+      UNION ALL
+      SELECT o_custkey, 'intersect_all' AS op FROM
+        (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+      ORDER BY op, o_custkey"""))
+
   /** RANGE-frame window — value-based frames, the window feature ROWS
     * frames can't express: each order's sum of its customer's order value
     * within ±30 DAYS of it (by order-date day number), however many rows
@@ -1979,6 +2002,7 @@ object Queries {
     "ta_redact" -> taRedact,
     "q29_sliding_window" -> q29,
     "q30_range_frame" -> q30,
+    "q31_set_ops_all" -> q31,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecode,
     "st_tumbling_window" -> stTumbling,
