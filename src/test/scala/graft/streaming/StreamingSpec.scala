@@ -46,6 +46,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(batch) && batch.nonEmpty)
   }
 
+  test("stream-static join enriches a stream against a dimension table") {
+    // the lookup-enrichment shape: dimension stays a static frame (re-read
+    // per micro-batch, broadcast by AQE), facts stream past it
+    val path = s"${TestSpark.sf}/documents.parquet"
+    val raw = spark.read.parquet(path)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(TestSpark.sf)
+      .select($"doc_id", $"lang")
+    val dim = Seq(("en", "english"), ("de", "german"), ("es", "spanish"),
+      ("fr", "french"), ("zh", "chinese")).toDF("lang", "lang_name")
+    val got = StreamingPipelines.collectStream(spark,
+        stream.join(dim, "lang"), "st_static_join",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("doc_id").collect()
+    val batch = raw.select($"doc_id", $"lang").join(dim, "lang")
+      .orderBy("doc_id").collect()
+    assert(got.sameElements(batch) && batch.length == raw.count())
+  }
+
   test("ackSink foreachBatch commits before checkpoint epoch advances") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"${TestSpark.sf}/events.parquet"
