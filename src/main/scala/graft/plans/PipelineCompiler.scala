@@ -365,6 +365,15 @@ object SectionRegistry {
     "csv_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => { Sinks.csv(in(df), cfg(c, "path"),
         c.getOrElse("truncate", "false").toBoolean); scala.None }),
+    // keyed parquet UPSERT (MERGE): version-wins, bucket-scoped rewrites
+    "upsert_parquet_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        Sinks.upsertParquetByKey(in(df), cfg(c, "path"),
+          cfg(c, "keys").split(",").toSeq.map(_.trim),
+          cfg(c, "version_column"),
+          c.getOrElse("buckets", "64").toInt)
+        scala.None
+      }),
     "orc_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => {
         in(df).write.mode(if (c.getOrElse("truncate", "false").toBoolean)

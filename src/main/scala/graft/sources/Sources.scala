@@ -251,4 +251,60 @@ object Sinks {
     * per JVM — the warning is a capacity signal, not a per-batch nag). */
   private val warnedPaths =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Keyed UPSERT on plain parquet — the MERGE upgrade of
+    * [[idempotentParquetAppend]]: incoming rows REPLACE existing rows with
+    * the same key (last write wins) instead of being dropped. The table
+    * is laid out as `_bkt = pmod(hash(key), buckets)` partitions and
+    * merged with DYNAMIC partition overwrite, so one batch rewrites ONLY
+    * the buckets its keys hash into: the target scan partition-prunes to
+    * those buckets, untouched buckets' files are never read or
+    * re-written, and the per-batch cost is O(table/buckets · touched
+    * buckets), not O(table) — the property that keeps keyed merge viable
+    * on a 100 TB table without a table format.
+    *
+    * Conflict resolution is by VERSION, not by arrival: per key the max
+    * `versionCol` wins (tie → greatest row by struct order — no
+    * `first()` nondeterminism). That makes the merge convergent under
+    * at-least-once replay: re-delivering an OLD batch after a newer one
+    * is a no-op, because the existing newer version out-ranks it.
+    */
+  def upsertParquetByKey(df: DataFrame, path: String, keyCols: Seq[String],
+                         versionCol: String, buckets: Int = 64): Unit = {
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    val spark = df.sparkSession
+    val dataCols = df.columns.filterNot(_ == "_bkt").toSeq
+    val bkt = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(keyCols.map(col): _*),
+      org.apache.spark.sql.functions.lit(buckets))
+    val incoming = df.withColumn("_bkt", bkt)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (!fs.exists(hPath)) incoming
+      else {
+        // O(batch) distinct bucket ids — a literal IN-list the target scan
+        // partition-prunes with (same shape as the IVF index probe)
+        val touched = incoming.select(col("_bkt")).distinct()
+          .collect().map(_.getInt(0)).sorted
+        spark.read.parquet(path)
+          .filter(col("_bkt").isin(touched.map(Integer.valueOf): _*))
+          .select(dataCols.map(col) :+ col("_bkt"): _*)
+          .unionByName(incoming.select(dataCols.map(col) :+ col("_bkt"): _*))
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc,
+        org.apache.spark.sql.functions.struct(dataCols.map(col): _*).desc)
+    val resolved = merged
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try resolved.write.mode("overwrite").partitionBy("_bkt").parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case scala.None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
 }

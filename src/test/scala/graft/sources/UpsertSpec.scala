@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Keyed parquet upsert: version-wins merge, bucket-scoped rewrites
+  * (untouched partitions' files survive byte-identical), and convergence
+  * under stale replay. */
+class UpsertSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def table(path: String) =
+    spark.read.parquet(path).select("k", "v", "ver")
+      .as[(Long, String, Long)].collect().toSet
+
+  test("upsert replaces by key, inserts new keys, one row per key") {
+    val path = Files.createTempDirectory("ups").toString + "/t"
+    val b1 = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("k", "v", "ver")
+    Sinks.upsertParquetByKey(b1, path, Seq("k"), "ver", buckets = 8)
+    val b2 = Seq((2L, "B", 2L), (4L, "d", 2L)).toDF("k", "v", "ver")
+    Sinks.upsertParquetByKey(b2, path, Seq("k"), "ver", buckets = 8)
+    assert(table(path) == Set((1L, "a", 1L), (2L, "B", 2L), (3L, "c", 1L), (4L, "d", 2L)))
+  }
+
+  test("stale replay is a no-op: older versions never regress newer rows") {
+    val path = Files.createTempDirectory("ups_replay").toString + "/t"
+    val v1 = Seq((1L, "old", 1L)).toDF("k", "v", "ver")
+    val v2 = Seq((1L, "new", 2L)).toDF("k", "v", "ver")
+    Sinks.upsertParquetByKey(v1, path, Seq("k"), "ver", buckets = 4)
+    Sinks.upsertParquetByKey(v2, path, Seq("k"), "ver", buckets = 4)
+    Sinks.upsertParquetByKey(v1, path, Seq("k"), "ver", buckets = 4) // replay
+    assert(table(path) == Set((1L, "new", 2L)))
+  }
+
+  test("within-batch duplicate keys resolve to the max version deterministically") {
+    val path = Files.createTempDirectory("ups_dup").toString + "/t"
+    val b = Seq((1L, "x", 1L), (1L, "y", 3L), (1L, "z", 2L)).toDF("k", "v", "ver")
+    Sinks.upsertParquetByKey(b, path, Seq("k"), "ver", buckets = 4)
+    assert(table(path) == Set((1L, "y", 3L)))
+  }
+
+  test("upsert_parquet_destination section drives the merge from a spec") {
+    val tmp = Files.createTempDirectory("ups_sec").toString
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver")
+      .write.parquet(s"$tmp/in1")
+    Seq((2L, "B", 2L)).toDF("k", "v", "ver").write.parquet(s"$tmp/in2")
+    def spec(in: String) =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$in"}},
+        {"id":"up","name":"upsert_parquet_destination","config":{
+          "path":"$tmp/t","keys":"k","version_column":"ver","buckets":"4"}}],
+        "edges":[["src","up"]]}"""
+    graft.plans.PipelineCompiler.run(spark,
+      graft.plans.PipelineSpec.fromJson(spec(s"$tmp/in1")))
+    graft.plans.PipelineCompiler.run(spark,
+      graft.plans.PipelineSpec.fromJson(spec(s"$tmp/in2")))
+    assert(table(s"$tmp/t") == Set((1L, "a", 1L), (2L, "B", 2L)))
+  }
+
+  test("a batch rewrites ONLY the buckets its keys hash into") {
+    val path = Files.createTempDirectory("ups_prune").toString + "/t"
+    val big = (1L to 200L).map(i => (i, s"v$i", 1L)).toDF("k", "v", "ver")
+    Sinks.upsertParquetByKey(big, path, Seq("k"), "ver", buckets = 16)
+    // snapshot per-partition file lists + mtimes
+    def files(): Map[String, Long] = {
+      val base = new java.io.File(path)
+      base.listFiles().filter(_.getName.startsWith("_bkt=")).flatMap { d =>
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getPath -> f.lastModified())
+      }.toMap
+    }
+    val before = files()
+    // single-key batch → exactly one bucket touched
+    Sinks.upsertParquetByKey(Seq((7L, "V7", 2L)).toDF("k", "v", "ver"),
+      path, Seq("k"), "ver", buckets = 16)
+    val after = files()
+    val survivors = before.keySet intersect after.keySet
+    // untouched buckets: same files, same mtimes (never re-written)
+    assert(survivors.nonEmpty)
+    assert(survivors.forall(f => before(f) == after(f)))
+    // at least one bucket was replaced (7's bucket)
+    assert(before.keySet != after.keySet)
+    // and the merge is correct
+    val got = spark.read.parquet(path).filter($"k" === 7L)
+      .select("v", "ver").as[(String, Long)].head()
+    assert(got == (("V7", 2L)))
+    assert(spark.read.parquet(path).count() == 200)
+  }
+}
