@@ -119,6 +119,26 @@ object Bench {
       failed += "recall"
       Seq.empty
     }
+    // dedup-quality audit: MinHash-LSH pair recall against the EXACT
+    // n-gram Jaccard pairs (same shingles, same threshold — the inverted
+    // index is ground truth). The latency lines can't see a recall
+    // collapse from a bad band/slot config; this line can.
+    val dedupRecall: Option[Double] = if (
+      only.exists(s => !s.contains("dd_minhash_lsh"))) scala.None else try {
+      val docs = Tables.documents(spark, sfDir)
+      val exact = operators.NearDup.ngramJaccardPairs(docs)
+        .select(col("a_id"), col("b_id"))
+      val approx = operators.NearDup.pairs(docs)
+        .select(col("a_id"), col("b_id"))
+      val denom = exact.count()
+      val hit = exact.join(approx, Seq("a_id", "b_id")).count()
+      spark.catalog.clearCache()
+      Some(if (denom == 0) 1.0 else hit.toDouble / denom)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] dedup recall harness FAILED: ${e.getMessage}")
+      failed += "dedup_recall"
+      scala.None
+    }
     val qs = results.map { case (k, med, _) => "\"" + k + f"""\":$med%.3f""" }
       .mkString("{", ",", "}")
     val mins = results.map { case (k, _, mn) => "\"" + k + f"""\":$mn%.3f""" }
@@ -126,8 +146,9 @@ object Bench {
     val rc = recall.map { case (k, r) => "\"" + k + f"""\":$r%.4f""" }
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val dr = dedupRecall.map(v => f""","dedup_pair_recall":$v%.4f""").getOrElse("")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"queries":$qs,"queries_min":$mins,"recall_at_10":$rc,"failed":$fl,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"queries":$qs,"queries_min":$mins,"recall_at_10":$rc$dr,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
