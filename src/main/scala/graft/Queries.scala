@@ -1827,6 +1827,35 @@ object Queries {
       SELECT doc_id, round(score, 6) AS score FROM scored WHERE score > 0
       ORDER BY round(score, 6) DESC, doc_id LIMIT 20"""))
 
+  /** Exact duplicated-span scrubbing at sliding 8-token windows — every
+    * occurrence of a corpus-duplicated span is removed from the text
+    * (composes with survivor-keeping dedup; see
+    * [[graft.operators.Corpus.scrubDuplicateSpans]]). */
+  private val cpScrub = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.scrubDuplicateSpans(Tables.documents(s, dir), k = 8)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $toksCte,
+      tk AS (SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS p
+        FROM toks),
+      w0 AS (SELECT doc_id, ts, unnest(CASE WHEN len(ts) < 8 THEN []::BIGINT[]
+          ELSE range(0, len(ts) - 7) END) AS i FROM toks),
+      wins AS (SELECT doc_id, i,
+          ('0x' || substr(md5(array_to_string(ts[i+1:i+8], ' ')), 1, 15))::BIGINT AS h
+        FROM w0),
+      dup AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+      cov AS (SELECT DISTINCT w.doc_id, w.i + t.u AS p0
+        FROM wins w JOIN dup USING (h), range(0, 8) t(u)),
+      kp AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk
+        ANTI JOIN cov ON (cov.doc_id = tk.doc_id AND cov.p0 = tk.p - 1)),
+      agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+          count(*) AS kept FROM kp GROUP BY doc_id)
+      SELECT t.doc_id, coalesce(a.clean_text, '') AS clean_text,
+        CAST(len(t.ts) AS BIGINT) - coalesce(a.kept, 0) AS n_removed
+      FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""))
+
   /** Quality-weighted importance sampling: keep probability scales with
     * document length capped at 1 (`least(1, n_chars/400)`) — longer docs
     * kept preferentially, decided by the reproducible md5(doc_id) draw. */
@@ -2016,5 +2045,6 @@ object Queries {
     "cp_bm25_topk" -> cpBm25,
     "cp_chunk" -> cpChunk,
     "cp_sample_quality" -> cpSample,
+    "cp_scrub_spans" -> cpScrub,
     "cp_assembly" -> cpAssembly)
 }

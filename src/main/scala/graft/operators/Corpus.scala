@@ -159,6 +159,59 @@ object Corpus {
       .select(col(idCol), col(byCol))
   }
 
+  /** Exact duplicated-span scrubbing — the sliding-window form of exact
+    * substring dedup (the "dedup the TEXT, not just the documents" pass):
+    * every k-token window whose hash occurs MORE THAN ONCE in the corpus
+    * (across documents or within one) marks its k positions as
+    * duplicated; marked tokens are removed and documents reassembled.
+    * ALL occurrences of a duplicated span are scrubbed — by design: this
+    * removes boilerplate/repeated passages from surviving documents and
+    * composes with [[NearDup.survivors]]/[[segmentDedup]], which keep a
+    * canonical copy of whole documents. Windows slide (stride 1), so
+    * duplicated passages are caught at ANY alignment — unlike
+    * [[segmentDedup]]'s fixed segments.
+    *
+    * Shape: window hashes are the word-count shuffle (partial+final df
+    * agg); duplicated-window hashes join back by hash (NOT broadcast —
+    * at corpus scale the duplicated set is large; AQE picks the
+    * strategy); coverage explodes to (doc_id, pos) longs and anti-joins
+    * the token stream on (doc_id, pos). Nothing wider than (longs,
+    * token) ever shuffles.
+    *
+    * @return `(doc_id, clean_text, n_removed)` — n_removed in TOKENS.
+    */
+  def scrubDuplicateSpans(docs: DataFrame, k: Int = 8,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val ts = TF.tokens(col(textCol))
+    val base = docs.select(col(idCol).as("doc_id"), ts.as("ts"))
+    val toks = base.select(col("doc_id"), posexplode(col("ts")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+    val wins = base.select(col("doc_id"),
+        posexplode(when(size(col("ts")) < k, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("ts")) - k),
+            i => concat_ws(" ", slice(col("ts"), i + 1, lit(k)))))))
+      .select(col("doc_id"), col("pos").as("i"),
+        TF.hash60(col("col")).as("h"))
+    val dup = wins.groupBy(col("h")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).select(col("h"))
+    val covered = wins.join(dup, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("p"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "p"), "left_anti")
+    base.select(col("doc_id"), size(col("ts")).cast("long").as("_n"))
+      .join(kept.groupBy(col("doc_id"))
+          .agg(concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("p"), col("tok")))),
+            s => s("tok"))).as("clean_text"),
+            count(lit(1)).as("_k")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("_n") - coalesce(col("_k"), lit(0L))).as("n_removed"))
+  }
+
   /** Sliding token-window chunking — the embedding/retrieval prep step:
     * each document becomes overlapping chunks of `window` tokens advancing
     * by `stride` (stride < window overlaps, = window tiles). The last

@@ -309,6 +309,12 @@ object SectionRegistry {
         k = c.getOrElse("k", "20").toInt,
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text")))),
+    // exact duplicated-span scrubbing (sliding k-token windows)
+    "scrub_spans" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.scrubDuplicateSpans(in(df),
+        k = c.getOrElse("window", "8").toInt,
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text")))),
     // per-row importance sampling: rate = SQL expression over the row
     "sample_by_rate" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => Some(graft.operators.Corpus.sampleByRate(in(df),

@@ -122,6 +122,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.map(_._3).mkString(" ") == nine)
   }
 
+  test("scrubDuplicateSpans: removes every occurrence at any alignment, keeps unique text") {
+    val span = "d1 d2 d3 d4 d5 d6 d7 d8"
+    val d = docs(
+      1L -> s"u1 u2 $span u3 u4",     // span at offset 2
+      2L -> s"$span v1 v2 v3",        // same span at offset 0 (different alignment)
+      3L -> "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10") // unique → untouched
+    val got = Corpus.scrubDuplicateSpans(d, k = 8)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "u1 u2 u3 u4", 8L)))
+    assert(got(1) == ((2L, "v1 v2 v3", 8L)))
+    assert(got(2) == ((3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10", 0L)))
+  }
+
+  test("scrubDuplicateSpans: overlapping duplicated windows cover the whole repeated run") {
+    // doc repeats an 8-token phrase back to back WITHIN one document: the
+    // duplicated windows overlap and the union of covered positions is the
+    // entire run
+    val span = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val d = docs(1L -> s"$span $span tail1 tail2", 2L -> "x1 x2 x3")
+    val got = Corpus.scrubDuplicateSpans(d, k = 8)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got(0)._2 == "tail1 tail2" && got(0)._3 == 16L)
+    assert(got(1) == ((2L, "x1 x2 x3", 0L))) // shorter than one window → untouched
+  }
+
   test("sampleByRate: monotone in the rate — raising a score only adds docs") {
     import org.apache.spark.sql.functions.{col, lit, least}
     val d = (1L to 500L).map(i => (i, i % 100)).toDF("doc_id", "score")
