@@ -234,7 +234,7 @@ object Ann {
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
     val idx = spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(cells: _*))
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
     val scored = idx.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),

@@ -31,7 +31,7 @@ object Multimodal {
   /** Metadata-only projection — MUST prune the binary column from the scan
     * (verify with .explain: ReadSchema excludes the payload). */
   def metaOnly(df: DataFrame): DataFrame =
-    df.drop(df.columns.filter(c => c == "payload" || c == "value"): _*)
+    df.drop(df.columns.filter(c => c == "payload" || c == "value").toIndexedSeq: _*)
 
   /** STUB decode: a real pipeline would decode image bytes here (e.g. JPEG
     * → HxWxC tensor) inside mapPartitions with a native codec. The

@@ -141,7 +141,8 @@ object Transforms {
     env.foreach { case (k, v) => pb.environment().put(k, v) }
     val p = pb.start()
     val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val kill = if (timeoutMs > 0) Some(execWatchdog.schedule(
+    val kill: Option[java.util.concurrent.ScheduledFuture[_]] =
+      if (timeoutMs > 0) Some(execWatchdog.schedule(
         new Runnable {
           // only claim a timeout if the kill interrupts a LIVE child — a
           // child that exited 0 just as the deadline fired must not have

@@ -288,7 +288,7 @@ object Sinks {
         val touched = incoming.select(col("_bkt")).distinct()
           .collect().map(_.getInt(0)).sorted
         spark.read.parquet(path)
-          .filter(col("_bkt").isin(touched.map(Integer.valueOf): _*))
+          .filter(col("_bkt").isin(touched.map(Integer.valueOf).toIndexedSeq: _*))
           .select(dataCols.map(col) :+ col("_bkt"): _*)
           .unionByName(incoming.select(dataCols.map(col) :+ col("_bkt"): _*))
       }
