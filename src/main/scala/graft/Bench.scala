@@ -23,6 +23,23 @@ object Bench {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     def wanted(name: String): Boolean = only.forall(_.contains(name))
+    // environment self-diagnosis, captured at run START: a contaminated run
+    // (another sbt/test JVM stealing the 32 cores) shows up as loadavg ≫ 0
+    // and java_procs > 1, so a phantom 3-7x per-query regression is
+    // machine-attributable to contention instead of burning a round on it
+    val loadavgStart: String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+").take(3).mkString(",")
+      catch { case _: Throwable => "" }
+    val javaProcs: Int =
+      try new java.io.File("/proc").listFiles()
+        .filter(f => f.isDirectory && f.getName.forall(_.isDigit))
+        .count { d =>
+          try scala.io.Source.fromFile(s"${d.getPath}/comm").mkString.trim
+            .contains("java")
+          catch { case _: Throwable => false }
+        }
+      catch { case _: Throwable => -1 }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -148,7 +165,7 @@ object Bench {
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val dr = dedupRecall.map(v => f""","dedup_pair_recall":$v%.4f""").getOrElse("")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"queries":$qs,"queries_min":$mins,"recall_at_10":$rc$dr,"failed":$fl,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"loadavg_start":"$loadavgStart","java_procs":$javaProcs,"queries":$qs,"queries_min":$mins,"recall_at_10":$rc$dr,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -233,7 +233,17 @@ object Ann {
     // literal IN-list the parquet source prunes partitions with
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val idx = spark.read.parquet(s"$path/cells")
+    // pin the inferred partition column `cell` to LONG at the source: type
+    // inference yields IntegerType when the ids happen to fit an int, and
+    // the join keys / IN-list literals are LongType — pruning today rides
+    // an implicit up-cast that a Spark upgrade could stop pushing. With the
+    // schema pinned, both sides are exactly LongType and the prune is not
+    // at the mercy of cast-insertion rules.
+    val inferred = spark.read.parquet(s"$path/cells").schema
+    val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == "cell") f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
+    val idx = spark.read.schema(pinned).parquet(s"$path/cells")
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
     val scored = idx.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

@@ -54,11 +54,16 @@ object Corpus {
     *
     * Shape: one narrow segmentation pass; document frequency is a
     * partial+final aggregate over segment text (the word-count shuffle
-    * shape); the boilerplate set (df > maxDf) is O(#boilerplate
-    * templates) — tiny, that degeneracy is what makes it boilerplate — so
-    * the removal is a BROADCAST anti-join: the full df frame is never
-    * joined back onto the corpus, and reassembly groups by doc_id (the
-    * original partitioning) with ≤ doc-length arrays per group.
+    * shape); the boilerplate set (df > maxDf) is usually O(#boilerplate
+    * templates), but it is DATA-DEPENDENT and unbounded (maxDf=2 on a web
+    * crawl flags far more than a handful of templates), so the anti-join
+    * deliberately carries NO broadcast hint — AQE picks broadcast when the
+    * set is small and a shuffled join when it is not, the same policy as
+    * [[scrubDuplicateSpans]]' dup-hash join. The boilerplate-set size is
+    * observed (`graft_boiler_cap`) so an unexpectedly huge set is visible
+    * in metrics rather than inferred from a slow join. Reassembly groups
+    * by doc_id (the original partitioning) with ≤ doc-length arrays per
+    * group.
     *
     * @return `(doc_id, clean_text, n_removed)` for every input document
     *         (clean_text = '' when everything was boilerplate).
@@ -78,7 +83,8 @@ object Corpus {
       .agg(countDistinct(col("doc_id")).as("_df"))
       .filter(col("_df") > maxDf)
       .select(col("seg"))
-    val kept = segs.join(broadcast(boiler), Seq("seg"), "left_anti")
+      .observe("graft_boiler_cap", count(lit(1)).as("n_boiler_segments"))
+    val kept = segs.join(boiler, Seq("seg"), "left_anti")
     val docsAll = docs.select(col(idCol).as("doc_id"),
       size(ts).as("_ntok"))
     docsAll.join(

@@ -164,4 +164,30 @@ class ExcelSourceSpec extends AnyFunSuite {
         Files.readAllBytes(dir.resolve("book.xlsx")), "nope")
     }
   }
+
+  test("legacy BIFF .xls (CFB container) fails with the format named") {
+    // a minimal OLE2/CFB header — what a real 97-2003 .xls starts with
+    // (reference auto-detects and reads these via calamine,
+    // sections/excel_connector/src/source.rs:325; here they must be
+    // REJECTED loudly, never parsed as an empty zip)
+    val cfb = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
+      .map(_.toByte) ++ Array.fill[Byte](504)(0)
+    val e = intercept[IllegalArgumentException] {
+      ExcelSource.parseWorkbook(cfb, "*")
+    }
+    assert(e.getMessage.contains(".xls") && e.getMessage.contains("xlsx"),
+      s"error must name the BIFF format and the supported one: ${e.getMessage}")
+    // and through the Spark read path (driver-side schema probe)
+    val dir = Files.createTempDirectory("graft_xls_reject")
+    Files.write(dir.resolve("legacy.xls"), cfb)
+    val e2 = intercept[IllegalArgumentException] {
+      ExcelSource.read(spark, s"$dir/legacy.xls")
+    }
+    assert(e2.getMessage.contains(".xls"))
+    // arbitrary non-zip bytes get the unknown-format error
+    val e3 = intercept[IllegalArgumentException] {
+      ExcelSource.parseWorkbook("not a workbook at all".getBytes, "*")
+    }
+    assert(e3.getMessage.contains("xlsx"))
+  }
 }
