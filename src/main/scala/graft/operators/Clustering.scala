@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   * magnitude smaller than the input by construction (bounded further by
   * [[Blocking]]'s caps). Below `maxDriverEdges` the edge list is collected
   * and union-found in memory (micro-seconds, zero extra jobs), labels
-  * broadcast back. Past the bound, distributed min-label iteration: each
-  * round every node takes the min label among itself and its neighbors,
-  * converging in O(component diameter) rounds over shuffles that carry
-  * only (id, label) longs. Both paths produce min-id-per-component.
+  * broadcast back. Past the bound, alternating LARGE-STAR / SMALL-STAR
+  * rounds (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond"): each round rewires every node toward its neighborhood
+  * minimum, halving component height, so convergence is O(log n) ROUNDS —
+  * not the O(diameter) of naive min-label propagation, the difference
+  * between ~40 and ~millions of shuffles on a 100 TB corpus whose dup
+  * graph contains a long chain. Every shuffle carries only (long, long)
+  * edge pairs. Both paths produce min-id-per-component.
   */
 object Clustering {
 
@@ -50,35 +54,72 @@ object Clustering {
           .join(broadcast(labels), col("id") === col("lid"), "left")
           .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster_id"))
       } else {
-        val sym = edgeRows.select(col("a").as("src"), col("b").as("dst"))
-          .union(edgeRows.select(col("b").as("src"), col("a").as("dst"))).persist()
-        var labels = nodes.toDF("id")
-          .select(col("id"), col("id").as("cluster")).localCheckpoint(true)
-        var changed = 1L
-        var iter = 0
-        try {
-          while (changed > 0 && iter < maxIters) {
-            val nbrMin = sym.join(labels, col("dst") === col("id"))
-              .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-            val next = labels.join(nbrMin, col("id") === col("src"), "left")
-              .select(col("id"),
-                least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-                  .as("cluster"))
-              .localCheckpoint(true)
-            changed = next.as("n")
-              .join(labels.as("o"), col("n.id") === col("o.id"))
-              .filter(col("n.cluster") =!= col("o.cluster")).count()
-            labels = next
-            iter += 1
-          }
-        } finally sym.unpersist()
-        // never return a silently-unconverged labeling: a component with
-        // diameter beyond maxIters must fail loudly, not mislabel
-        if (changed > 0) throw new IllegalStateException(
-          s"connected components did not converge after $maxIters rounds " +
-          s"($changed labels still moving) — raise maxIters")
-        labels.select(col("id"), col("cluster").as("cluster_id"))
+        val (labels, _) = largeSmallStarCC(nodes, edgeRows, maxIters)
+        labels
       }
     } finally edgeRows.unpersist()
+  }
+
+  /** Distributed connected components by alternating large-star/small-star.
+    * One round = large-star (every node's strictly-larger neighbors rewire
+    * to its neighborhood minimum) + small-star (every node's smaller
+    * neighbors and itself rewire to that minimum). Both steps emit
+    * (bigger, smaller) pairs, so the edge frame is canonically ordered
+    * `hi > lo` throughout; at the fixpoint the edges ARE the answer — one
+    * star per component, every node pointing at the component's min id.
+    * Fixpoint detection compares (count, xor of edge hashes) across a
+    * round: two cheap aggregates over checkpointed (long, long) rows, no
+    * join against the previous round.
+    *
+    * Returns (labels, rounds). Fails loudly if `maxIters` rounds don't
+    * reach the fixpoint — a silently-unconverged labeling is a wrong
+    * dedup, not a slow one.
+    */
+  private[graft] def largeSmallStarCC(nodes: DataFrame, edges: DataFrame,
+                                      maxIters: Int): (DataFrame, Int) = {
+    var e = edges.filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("hi"),
+        least(col("a"), col("b")).as("lo"))
+      .distinct().localCheckpoint(true)
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var fp = fingerprint(e)
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged && rounds < maxIters) {
+      // large-star: u's neighborhood min m(u) = min(u ∪ Γ(u)); every
+      // strictly-larger neighbor v > u re-attaches as (v, m(u))
+      val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+        .union(e.select(col("lo").as("u"), col("hi").as("v")))
+      val m = sym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct().localCheckpoint(true)
+      // small-star on (hi, lo) pairs: per hi, m = min(lo); each other lo
+      // and hi itself re-attach to m
+      val m2 = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val ss = ls.join(m2, "hi").filter(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(m2.select(col("hi"), col("m").as("lo")))
+        .distinct().localCheckpoint(true)
+      val fp2 = fingerprint(ss)
+      converged = fp2 == fp
+      fp = fp2
+      e = ss
+      rounds += 1
+    }
+    // never return a silently-unconverged labeling: a pathological graph
+    // beyond maxIters must fail loudly, not mislabel
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge after $maxIters rounds — " +
+      s"raise maxIters")
+    val labels = nodes.toDF("id")
+      .join(e.select(col("hi").as("id"), col("lo").as("root")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
+    (labels, rounds)
   }
 }

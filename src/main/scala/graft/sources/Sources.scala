@@ -268,6 +268,23 @@ object Sinks {
     * `first()` nondeterminism). That makes the merge convergent under
     * at-least-once replay: re-delivering an OLD batch after a newer one
     * is a no-op, because the existing newer version out-ranks it.
+    *
+    * Crash safety: the merged buckets are STAGED to a side directory and
+    * swapped in per bucket (rename old → hidden `.graftbak_bkt=N`, rename
+    * staged in, drop the bak) — never overwritten in place, so no point of
+    * failure destroys committed rows. A crash mid-swap leaves either the
+    * old bucket, the bak (auto-restored on the next upsert), or the new
+    * bucket — and a partially-applied batch converges on replay because
+    * the merge is version-idempotent. Readers may observe a torn batch
+    * (some buckets new, some old) during the swap; this sink trades
+    * snapshot isolation for table-format-free storage, it never trades
+    * away committed data.
+    *
+    * The bucket count is part of the table layout: it is persisted to
+    * `_graft_upsert_meta.json` on first write and VERIFIED on every later
+    * upsert — merging with a different modulus would leave old rows in
+    * buckets the new hash never reads, silently duplicating keys, so a
+    * mismatch fails fast instead.
     */
   def upsertParquetByKey(df: DataFrame, path: String, keyCols: Seq[String],
                          versionCol: String, buckets: Int = 64): Unit = {
@@ -280,8 +297,25 @@ object Sinks {
     val incoming = df.withColumn("_bkt", bkt)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val metaPath = new org.apache.hadoop.fs.Path(hPath, "_graft_upsert_meta.json")
+    val exists = fs.exists(hPath)
+    if (exists) {
+      // layout guard: the modulus must match the table's
+      if (fs.exists(metaPath)) {
+        val metaIn = fs.open(metaPath)
+        val meta = try new String(metaIn.readAllBytes(), "UTF-8")
+          finally metaIn.close()
+        val written = "\"buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(meta)
+          .map(_.group(1).toInt)
+        if (!written.contains(buckets)) throw new IllegalArgumentException(
+          s"upsert bucket count $buckets does not match the table's " +
+          s"${written.getOrElse("?")} at $path — a different modulus would " +
+          s"leave stale rows in buckets the merge never rewrites")
+      }
+      recoverBakBuckets(fs, hPath)
+    }
     val merged =
-      if (!fs.exists(hPath)) incoming
+      if (!exists) incoming
       else {
         // O(batch) distinct bucket ids — a literal IN-list the target scan
         // partition-prunes with (same shape as the IVF index probe)
@@ -299,12 +333,53 @@ object Sinks {
     val resolved = merged
       .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try resolved.write.mode("overwrite").partitionBy("_bkt").parquet(path)
-    finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case scala.None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    if (!exists) {
+      resolved.write.mode("overwrite").partitionBy("_bkt").parquet(path)
+      writeMeta(fs, metaPath, buckets)
+    } else {
+      // stage the merged buckets beside the table (hidden from readers:
+      // leading underscore), then swap each in with renames
+      val staging = new org.apache.hadoop.fs.Path(hPath, "_graft_staging")
+      if (fs.exists(staging)) fs.delete(staging, true) // stale partial stage
+      resolved.write.mode("overwrite").partitionBy("_bkt").parquet(staging.toString)
+      val stagedBuckets = fs.listStatus(staging)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bkt="))
+        .map(_.getPath.getName).sorted
+      stagedBuckets.foreach { name =>
+        val live = new org.apache.hadoop.fs.Path(hPath, name)
+        val bak = new org.apache.hadoop.fs.Path(hPath, s".graftbak$name")
+        if (fs.exists(live) && !fs.rename(live, bak))
+          throw new java.io.IOException(s"could not retire $live")
+        if (!fs.rename(new org.apache.hadoop.fs.Path(staging, name), live))
+          throw new java.io.IOException(s"could not commit $live")
+        if (fs.exists(bak)) fs.delete(bak, true)
+      }
+      fs.delete(staging, true)
+      if (!fs.exists(metaPath)) writeMeta(fs, metaPath, buckets) // legacy table
     }
+  }
+
+  /** Restore any bucket whose swap crashed between "retire old" and
+    * "commit new": the hidden `.graftbak_bkt=N` still holds the committed
+    * rows; if the live bucket is missing, rename it back, otherwise the
+    * new bucket committed and the bak is leftover garbage. */
+  private def recoverBakBuckets(fs: org.apache.hadoop.fs.FileSystem,
+                                table: org.apache.hadoop.fs.Path): Unit =
+    fs.listStatus(table)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".graftbak_bkt="))
+      .foreach { s =>
+        val live = new org.apache.hadoop.fs.Path(table,
+          s.getPath.getName.stripPrefix(".graftbak"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(s.getPath, live)) throw new java.io.IOException(
+            s"could not restore interrupted bucket swap at ${s.getPath}")
+        } else fs.delete(s.getPath, true)
+      }
+
+  private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
+                        metaPath: org.apache.hadoop.fs.Path, buckets: Int): Unit = {
+    val out = fs.create(metaPath, true)
+    try out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
+    finally out.close()
   }
 }

@@ -30,15 +30,28 @@ class ClusteringSpec extends AnyFunSuite {
     assert(cc(nodes, edges, maxDriverEdges = 1000000L) == expected.toMap)
   }
 
-  test("distributed min-label path agrees, beyond a 20-round diameter") {
+  test("distributed large/small-star path agrees, beyond a 20-round diameter") {
     assert(cc(nodes, edges, maxDriverEdges = 0L) == expected.toMap)
+  }
+
+  test("large/small-star converges in O(log n) rounds on the 31-node path") {
+    val (labels, rounds) = Clustering.largeSmallStarCC(
+      (0L to 30L).toDF("id"),
+      (0L until 30L).map(i => (i, i + 1)).toDF("a", "b"),
+      maxIters = 100)
+    assert(labels.as[(Long, Long)].collect().toMap ==
+      (0L to 30L).map(_ -> 0L).toMap)
+    // diameter 30 would cost ~30 min-label rounds; star alternation must
+    // do it in ~log2(31)+2 = 7 — the property that makes long chains
+    // affordable at corpus scale
+    assert(rounds <= 7, s"expected <= ~ceil(log2 31)+2 rounds, took $rounds")
   }
 
   test("distributed path fails loudly instead of returning unconverged labels") {
     val e = intercept[IllegalStateException] {
       Clustering.connectedComponents(
-        (0L to 10L).toDF("id"),
-        (0L until 10L).map(i => (i, i + 1)).toDF("a", "b"),
+        (0L to 400L).toDF("id"),
+        (0L until 400L).map(i => (i, i + 1)).toDF("a", "b"),
         maxDriverEdges = 0L, maxIters = 2)
     }
     assert(e.getMessage.contains("did not converge"))

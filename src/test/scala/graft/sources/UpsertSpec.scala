@@ -89,4 +89,42 @@ class UpsertSpec extends AnyFunSuite {
     assert(got == (("V7", 2L)))
     assert(spark.read.parquet(path).count() == 200)
   }
+
+  test("bucket-count mismatch fails fast (layout persisted in meta)") {
+    val path = Files.createTempDirectory("ups_meta").toString + "/t"
+    val b1 = Seq((1L, "a", 1L)).toDF("k", "v", "ver")
+    Sinks.upsertParquetByKey(b1, path, Seq("k"), "ver", buckets = 8)
+    assert(new java.io.File(path, "_graft_upsert_meta.json").exists(),
+      "bucket count must be persisted on first write")
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertParquetByKey(Seq((2L, "b", 1L)).toDF("k", "v", "ver"),
+        path, Seq("k"), "ver", buckets = 16)
+    }
+    assert(e.getMessage.contains("8") && e.getMessage.contains("16"))
+    // same modulus still works
+    Sinks.upsertParquetByKey(Seq((2L, "b", 1L)).toDF("k", "v", "ver"),
+      path, Seq("k"), "ver", buckets = 8)
+    assert(table(path) == Set((1L, "a", 1L), (2L, "b", 1L)))
+  }
+
+  test("interrupted bucket swap (bak left, live missing) is auto-restored") {
+    val path = Files.createTempDirectory("ups_bak").toString + "/t"
+    val rows = (1L to 50L).map(i => (i, s"v$i", 1L)).toDF("k", "v", "ver")
+    Sinks.upsertParquetByKey(rows, path, Seq("k"), "ver", buckets = 4)
+    val total = spark.read.parquet(path).count()
+    // simulate a crash between "retire old" and "commit new": one live
+    // bucket renamed to its bak, nothing staged in its place
+    val base = new java.io.File(path)
+    val victim = base.listFiles().filter(_.getName.startsWith("_bkt=")).head
+    val bak = new java.io.File(base, s".graftbak${victim.getName}")
+    assert(victim.renameTo(bak))
+    // next upsert must first restore the committed rows, then merge
+    Sinks.upsertParquetByKey(Seq((1L, "V1", 2L)).toDF("k", "v", "ver"),
+      path, Seq("k"), "ver", buckets = 4)
+    assert(!bak.exists(), "bak must be consumed by recovery")
+    assert(spark.read.parquet(path).count() == total,
+      "no committed rows may be lost to the interrupted swap")
+    assert(spark.read.parquet(path).filter($"k" === 1L)
+      .select("v").as[String].head() == "V1")
+  }
 }
