@@ -115,7 +115,30 @@ object Bench {
         "ann_lsh_topk" -> operators.Ann.lshTopK(e, isQuery, k),
         "ann_lsh_probe" -> operators.Ann.lshMultiProbeTopK(e, isQuery, k),
         "ann_lsh_multi" -> operators.Ann.lshMultiTopK(e, isQuery, k),
-        "ann_ivf_topk" -> operators.Ann.ivfTopK(e, isQuery, col("vec_id") < 16, k),
+        // the `lsh` SECTION default resolves to the multi-table variant —
+        // this line pins the default path's recall by name (>= 0.5 gate)
+        "ann_lsh_default" -> operators.Ann.lshMultiTopK(e, isQuery, k),
+        // TRAINED quantizer at the oracle query's config (K=16, probe 2).
+        // NOTE a correction vs rounds <= 6: the old `ann_ivf_topk` recall
+        // (~0.97) used `vec_id < 16` centroids, which CONTAIN the query
+        // set — each query's own Voronoi cell held its neighbors by
+        // construction, inflating recall. `ann_ivf_untrained` below is the
+        // honest untrained baseline (centroid rows disjoint from queries);
+        // training must beat it at the same K/probe cost. On this
+        // synthetic corpus (near-zero cosine structure) recall tracks the
+        // probed fraction for ANY quantizer — clustered real embeddings
+        // are where the trained cells pull further ahead.
+        "ann_ivf_topk" -> operators.Ann.ivfTopKTrained(e, isQuery, k,
+          nProbe = 2, kCentroids = 16),
+        "ann_ivf_untrained" -> operators.Ann.ivfTopK(e, isQuery,
+          col("vec_id") >= 100 && col("vec_id") < 116, k),
+        // the API default: K ~ sqrt(n) TRAINED cells, probes scaled so the
+        // probed fraction stays ~1/4 as the corpus grows
+        "ann_ivf_default" -> {
+          val kDef = math.max(2, math.round(math.sqrt(e.count().toDouble)).toInt)
+          operators.Ann.ivfTopKTrained(e, isQuery, k,
+            nProbe = math.max(2, (kDef + 3) / 4))
+        },
         "ann_quantized_topk" -> {
           val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
           val scale = maxabs / lit(127.0)
@@ -134,6 +157,35 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] recall harness FAILED: ${e.getMessage}")
       failed += "recall"
+      Seq.empty
+    }
+    // quantizer-balance audit: max/mean cell population of the TRAINED
+    // IVF quantizer (default K ~ sqrt(n)) on the uniform corpus and on a
+    // mass-duplicated one (a third of the vectors collapse to one
+    // embedding). Probe cost is proportional to the hottest cell, so a
+    // lopsided quantizer is a 100x risk the latency lines can't see at
+    // test scale; the skewed twin shows the duplicate mass concentrating
+    // into its own cell(s) instead of silently bloating every probe.
+    val cellBalance: Seq[(String, Double)] = if (
+      only.exists(s => !s.exists(_.startsWith("ann_")))) Seq.empty else try {
+      val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      def balance(df: org.apache.spark.sql.DataFrame): Double = {
+        val r = operators.Ann.ivfCellCounts(df)
+          .agg(max(col("n")).cast("double"), avg(col("n"))).head()
+        val b = r.getDouble(0) / r.getDouble(1)
+        spark.catalog.clearCache()
+        b
+      }
+      val tpl = e.orderBy(col("vec_id")).limit(1)
+        .select(col("embedding").as("_tpl"))
+      val skew = e.crossJoin(broadcast(tpl))
+        .withColumn("embedding",
+          when(col("vec_id") % 3 === 0, col("_tpl")).otherwise(col("embedding")))
+        .drop("_tpl")
+      Seq("uniform" -> balance(e), "skewed" -> balance(skew))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] cell-balance harness FAILED: ${e.getMessage}")
+      failed += "ivf_cell_balance"
       Seq.empty
     }
     // dedup-quality audit: MinHash-LSH pair recall against the EXACT
@@ -163,9 +215,11 @@ object Bench {
     val rc = recall.map { case (k, r) => "\"" + k + f"""\":$r%.4f""" }
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val cb = cellBalance.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
     val dr = dedupRecall.map(v => f""","dedup_pair_recall":$v%.4f""").getOrElse("")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"loadavg_start":"$loadavgStart","java_procs":$javaProcs,"queries":$qs,"queries_min":$mins,"recall_at_10":$rc$dr,"failed":$fl,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"loadavg_start":"$loadavgStart","java_procs":$javaProcs,"queries":$qs,"queries_min":$mins,"recall_at_10":$rc$dr,"ivf_cell_balance":$cb,"failed":$fl,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

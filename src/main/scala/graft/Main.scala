@@ -1,6 +1,6 @@
 package graft
 
-import graft.plans.{Orchestrator, PipelineSpec}
+import graft.plans.{Orchestrator, PipelineSpec, SpecDirWatcher}
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -13,6 +13,7 @@ import scala.jdk.CollectionConverters._
   *
   *   graft run <spec.json> [<spec2.json> ...]   run pipelines once
   *   graft reconcile <specDir>                  reconcile *.json in a dir
+  *   graft watch <specDir> [intervalMs]         reconcile in a LOOP (daemon)
   *   graft validate <spec.json>                 parse + validate only
   */
 object Main {
@@ -36,6 +37,20 @@ object Main {
           .map(p => PipelineSpec.fromJson(readFile(p)))
         val (started, kept, stopped) = orch.reconcile(specs)
         println(s"started=${started.size} kept=${kept.size} stopped=${stopped.size}")
+      } finally spark.stop()
+
+    // the daemon mode (reference `myceliald/src/scheduler.rs:403-485`):
+    // poll the dir, hash-diff reconcile, supervise, loop — vs `reconcile`,
+    // which applies desired state once per invocation. GRAFT_WATCH_ROUNDS
+    // bounds the loop (tests / cron-style supervision); default = forever.
+    case "watch" :: dir :: rest if rest.size <= 1 =>
+      val intervalMs = rest.headOption.map(_.toLong).getOrElse(5000L)
+      val spark = session()
+      try {
+        val watcher = new SpecDirWatcher(new Orchestrator(spark), Paths.get(dir))
+        val rounds = sys.env.get("GRAFT_WATCH_ROUNDS").map(_.toInt)
+          .getOrElse(Int.MaxValue)
+        watcher.watch(intervalMs, maxRounds = rounds)
       } finally spark.stop()
 
     case "validate" :: file :: Nil =>

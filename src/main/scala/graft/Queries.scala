@@ -1163,68 +1163,98 @@ object Queries {
   /** IVF ANN — the coarse-quantizer scale path (the other one the brief
     * names next to LSH): K centroids partition the corpus into cells once;
     * each query probes only its nProbe nearest cells, so query cost is
-    * O(K + corpus/K · nProbe) instead of O(corpus). Centroids are a
-    * deterministic sample (vec_id < K) so the index is reproducible and
-    * oracle-checkable — a production build plugs k-means centroids into
-    * the same plan. Cell assignment shuffles only (vec_id, c_id, score)
-    * triples — embeddings never ride the assignment shuffle; vectors join
-    * back by key afterwards. Argmax decisions use round(6) + id tiebreak
-    * so both engines agree bit-for-bit.
+    * O(K + corpus/K · nProbe) instead of O(corpus).
+    *
+    * The quantizer is TRAINED — spherical k-means (Lloyd, seeded
+    * hash-sample init, exact-DECIMAL centroid sums; see
+    * [[graft.operators.Ann.trainCentroids]]) — and still fully
+    * oracle-checkable: every training decision is deterministic and
+    * engine-portable, so the oracle REPRODUCES THE TRAINING as an
+    * unrolled CTE chain (one assign+update pair per Lloyd iteration)
+    * before asking the trained index the same top-k question. Cell
+    * assignment shuffles only (vec_id, cell, score) triples — embeddings
+    * never ride the assignment shuffle; vectors join back by key
+    * afterwards. Argmax decisions use round(6) + cell tiebreak so both
+    * engines agree bit-for-bit.
     *
     * The oracle is shared by the in-memory (`ann_ivf_topk`) and on-disk
     * (`ann_ivf_disk`) variants — the disk index answers queries
-    * identically, that being the point. */
+    * identically, that being the point. K is pinned (=16) here for the
+    * oracle; the operator API defaults to ~√n. */
   private lazy val ivfOracleSql: String = {
-    val K = 16; val nProbe = 2
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        cent AS (SELECT vec_id AS c_id, emb AS c_vec FROM e WHERE vec_id < $K),
-        scored AS (SELECT e.vec_id, c.c_id,
-            round(list_cosine_similarity(e.emb, c.c_vec), 6) AS cscore
-          FROM e CROSS JOIN cent c),
-        ranked AS (SELECT vec_id, c_id,
-            row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, c_id) AS crk
-          FROM scored),
-        assigned AS (
-          SELECT r.vec_id, r.c_id AS cell, e.emb FROM ranked r
-          JOIN e ON e.vec_id = r.vec_id WHERE r.crk = 1),
-        qprobe AS (
-          SELECT r.vec_id AS q_id, r.c_id AS cell, e.emb AS q_vec FROM ranked r
-          JOIN e ON e.vec_id = r.vec_id WHERE r.vec_id < 10 AND r.crk <= $nProbe),
-        cand AS (
-          SELECT q.q_id, a.vec_id AS n_id,
-            round(list_cosine_similarity(q.q_vec, a.emb), 6) AS cosine
-          FROM qprobe q JOIN assigned a USING (cell) WHERE a.vec_id != q.q_id)
-        SELECT q_id, n_id, cosine, rk FROM (
-          SELECT q_id, n_id, cosine,
-            row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
-          FROM cand)
-        WHERE rk <= 5 ORDER BY q_id, rk"""
+    val K = 16; val iters = 5; val nProbe = 2; val seed = "ivf"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      c0 AS (
+        SELECT row_number() OVER (ORDER BY md5('${seed}_' || vec_id), vec_id) - 1 AS cell,
+          emb AS c_vec
+        FROM e ORDER BY md5('${seed}_' || vec_id), vec_id LIMIT $K),"""
+    for (i <- 1 to iters) sb ++= s"""
+      s$i AS (SELECT e.vec_id, c.cell,
+          round(list_cosine_similarity(e.emb, c.c_vec), 6) AS cscore
+        FROM e CROSS JOIN c${i - 1} c),
+      a$i AS (SELECT vec_id, cell FROM (
+          SELECT vec_id, cell,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) AS rk
+          FROM s$i) WHERE rk = 1),
+      n$i AS (SELECT cell, list(s ORDER BY dim) AS c_vec FROM (
+          SELECT a.cell AS cell, u.dim AS dim,
+            CAST(SUM(CAST(u.val AS DECIMAL(38,12))) AS DOUBLE) AS s
+          FROM a$i a JOIN e ON e.vec_id = a.vec_id,
+            LATERAL (SELECT UNNEST(e.emb) AS val, generate_subscripts(e.emb, 1) AS dim) u
+          GROUP BY a.cell, u.dim) GROUP BY cell),
+      c$i AS (SELECT p.cell, coalesce(n.c_vec, p.c_vec) AS c_vec
+        FROM c${i - 1} p LEFT JOIN n$i n USING (cell)),"""
+    sb ++= s"""
+      sf AS (SELECT e.vec_id, c.cell,
+          round(list_cosine_similarity(e.emb, c.c_vec), 6) AS cscore
+        FROM e CROSS JOIN c$iters c),
+      rf AS (SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) AS crk
+        FROM sf),
+      assigned AS (SELECT r.vec_id, r.cell, e.emb FROM rf r
+        JOIN e ON e.vec_id = r.vec_id WHERE r.crk = 1),
+      qprobe AS (SELECT r.vec_id AS q_id, r.cell, e.emb AS q_vec FROM rf r
+        JOIN e ON e.vec_id = r.vec_id WHERE r.vec_id < 10 AND r.crk <= $nProbe),
+      cand AS (SELECT q.q_id, a.vec_id AS n_id,
+          round(list_cosine_similarity(q.q_vec, a.emb), 6) AS cosine
+        FROM qprobe q JOIN assigned a USING (cell) WHERE a.vec_id != q.q_id)
+      SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q_id, n_id, cosine,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+        FROM cand)
+      WHERE rk <= 5 ORDER BY q_id, rk"""
+    sb.result()
   }
 
   private val annIvf = Q(
     (s, dir) => {
       import s.implicits._
-      graft.operators.Ann.ivfTopK(
+      graft.operators.Ann.ivfTopKTrained(
           Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
-          isQuery = $"vec_id" < 10, isCentroid = $"vec_id" < 16,
-          k = 5, nProbe = 2)
+          isQuery = $"vec_id" < 10, k = 5, nProbe = 2,
+          kCentroids = 16, iters = 5, seed = "ivf")
         .select($"q_id", $"n_id", $"cosine", $"rk")
         .orderBy($"q_id", $"rk")
     },
     Some(ivfOracleSql))
 
-  /** IVF with the index ON DISK — cells written `partitionBy(cell)`, the
-    * probe filter becomes a partition prune (only nProbe/K of the files
-    * are opened; see [[graft.operators.Ann.ivfIndexWrite]]). Same oracle
-    * as `ann_ivf_topk`: the disk index must answer identically. */
+  /** IVF with the TRAINED index ON DISK — cells written
+    * `partitionBy(cell)`, the probe filter becomes a partition prune
+    * (only nProbe/K of the files are opened; see
+    * [[graft.operators.Ann.ivfIndexWriteTrained]]). Same oracle as
+    * `ann_ivf_topk`: the disk index must answer identically. */
   private val annIvfDisk = Q(
     (s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
       val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
-      graft.operators.Ann.ivfIndexWrite(e, isCentroid = $"vec_id" < 16, path)
-      graft.operators.Ann.ivfIndexTopK(e.filter($"vec_id" < 10), path,
-          k = 5, nProbe = 2)
+      graft.operators.Ann.ivfIndexWriteTrained(e, path,
+        kCentroids = 16, iters = 5, seed = "ivf")
+      graft.operators.Ann.ivfIndexTopK(
+          e.filter($"vec_id" < 10)
+            .select($"vec_id", $"embedding".cast("array<double>").as("embedding")),
+          path, k = 5, nProbe = 2)
         .select($"q_id", $"n_id", $"cosine", $"rk")
         .orderBy($"q_id", $"rk")
     },
@@ -1708,6 +1738,38 @@ object Queries {
         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
       ORDER BY 1, 2, 3"""))
 
+  /** REAL stream-STATIC join — the dimension-enrichment shape that
+    * completes the streaming-join matrix next to [[stStreamJoin]]: facts
+    * stream past a static dimension frame (re-read per micro-batch,
+    * broadcast by size), no watermark or state needed because the static
+    * side is not append-only. With one AvailableNow pass the output
+    * equals the batch join — stream/batch parity like the other st_*
+    * queries. */
+  private val stStaticJoin = Q(
+    (s, dir) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      import ss.implicits._
+      val raw = ss.read.parquet(s"$dir/documents.parquet")
+      val stream = ss.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .select($"doc_id", $"lang")
+      val dim = Seq(("en", "english"), ("de", "german"), ("es", "spanish"),
+        ("fr", "french"), ("zh", "chinese")).toDF("lang", "lang_name")
+      val joined = stream.join(dim, "lang")
+        .select($"doc_id", $"lang", $"lang_name")
+      graft.streaming.StreamingPipelines
+        .collectStream(ss, joined, s"st_static_join_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy($"doc_id")
+    },
+    Some("""WITH dim(lang, lang_name) AS (VALUES
+        ('en', 'english'), ('de', 'german'), ('es', 'spanish'),
+        ('fr', 'french'), ('zh', 'chinese'))
+      SELECT d.doc_id, d.lang, dim.lang_name
+      FROM documents d JOIN dim USING (lang)
+      ORDER BY d.doc_id"""))
+
   // -------------------------------------------------- corpus preparation
   // Training-data assembly beyond dedup: benchmark decontamination,
   // boilerplate removal, sequence packing, weighted mixing, BM25 scoring.
@@ -1899,29 +1961,33 @@ object Queries {
     * is individually verified (cp_segment_dedup, dd_dedup_corpus,
     * cp_mix_weighted, cp_pack_sequences); this query pins the COMPOSITION —
     * one declarative plan end to end, no materialization between stages. */
-  private val cpAssembly = Q(
-    (s, dir) => {
-      import s.implicits._
-      val docs = Tables.documents(s, dir)
-      // three consumers read the cleaned corpus (survivor detection, the
-      // mix candidate join, the packing pass) — persist so the segment
-      // dedup runs once; lifecycle session-managed like the operator
-      // caches
-      val cleaned = graft.operators.Corpus.segmentDedup(docs,
-          segWords = 8, maxDf = 2)
-        .select($"doc_id", $"clean_text".as("text"))
-        .persist()
-      val surv = graft.operators.NearDup.survivors(cleaned).select($"doc_id")
-      val candidates = cleaned.join(surv, "doc_id")
-        .join(docs.select($"doc_id", $"lang"), "doc_id")
-      val mixedIds = graft.operators.Corpus.mixWeighted(candidates,
-          Seq("en" -> 0.8, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.5, "zh" -> 0.1))
-        .select($"doc_id")
-      graft.operators.Corpus.packSequences(cleaned.join(mixedIds, "doc_id"),
-          budget = 256)
-        .orderBy($"doc_id")
-    },
-    Some(s"""WITH RECURSIVE
+  private def assemblyPlan(s: SparkSession, dir: String,
+                           stageDir: Option[String]): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    // three consumers read the cleaned corpus (survivor detection, the
+    // mix candidate join, the packing pass) — materialize so the segment
+    // dedup runs once. Default: persist (session-managed lifecycle like
+    // the operator caches). With a stage dir: the corpus-sized TEXT frame
+    // goes to the LAKE instead of executor storage ([[operators.Staging]])
+    // — the `cp_assembly_staged` variant proves the same result with zero
+    // text-schema frames in the cache manager.
+    val cleaned = graft.operators.Staging.stageOrPersist(
+      graft.operators.Corpus.segmentDedup(docs, segWords = 8, maxDf = 2)
+        .select($"doc_id", $"clean_text".as("text")),
+      stageDir, "cleaned")
+    val surv = graft.operators.NearDup.survivors(cleaned).select($"doc_id")
+    val candidates = cleaned.join(surv, "doc_id")
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    val mixedIds = graft.operators.Corpus.mixWeighted(candidates,
+        Seq("en" -> 0.8, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.5, "zh" -> 0.1))
+      .select($"doc_id")
+    graft.operators.Corpus.packSequences(cleaned.join(mixedIds, "doc_id"),
+        budget = 256, stageDir = stageDir)
+      .orderBy($"doc_id")
+  }
+
+  private lazy val assemblyOracleSql: String = s"""WITH RECURSIVE
       toks0 AS (
         SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
           ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
@@ -1958,7 +2024,23 @@ object Queries {
       SELECT doc_id, tok,
         CAST(floor(coalesce(sum(tok) OVER (ORDER BY doc_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0) AS BIGINT) AS seq_id
-      FROM tk ORDER BY doc_id"""))
+      FROM tk ORDER BY doc_id"""
+
+  private val cpAssembly = Q(
+    (s, dir) => assemblyPlan(s, dir, stageDir = scala.None),
+    Some(assemblyOracleSql))
+
+  /** The LAKE-STAGED assembly — identical pipeline, identical oracle, but
+    * the corpus-sized text intermediates ship to parquet stages instead
+    * of executor storage ([[graft.operators.Staging]]): the mode a 100 TB
+    * assembly actually runs in. `StagedAssemblySpec` pins that this
+    * variant leaves NO text-schema frame in the cache manager. */
+  private val cpAssemblyStaged = Q(
+    (s, dir) => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_stage").toString
+      assemblyPlan(s, dir, stageDir = Some(stage))
+    },
+    Some(assemblyOracleSql))
 
   // -------------------------------------------------------------- registry
 
@@ -2038,6 +2120,7 @@ object Queries {
     "st_sessions_custom" -> stSessionsCustom,
     "st_dedup" -> stDedup,
     "st_stream_join" -> stStreamJoin,
+    "st_static_join" -> stStaticJoin,
     "cp_decon_overlap" -> cpDecon,
     "cp_segment_dedup" -> cpSegDedup,
     "cp_pack_sequences" -> cpPack,
@@ -2046,5 +2129,6 @@ object Queries {
     "cp_chunk" -> cpChunk,
     "cp_sample_quality" -> cpSample,
     "cp_scrub_spans" -> cpScrub,
-    "cp_assembly" -> cpAssembly)
+    "cp_assembly" -> cpAssembly,
+    "cp_assembly_staged" -> cpAssemblyStaged)
 }

@@ -140,6 +140,133 @@ object Ann {
       Seq("q_id", "n_id")).count().toDouble / denom
   }
 
+  /** Train the IVF coarse quantizer: spherical k-means over a
+    * deterministic sample, Lloyd iterations with exact-decimal centroid
+    * updates so the trained centroids are bit-identical across engines
+    * and runs (the property that keeps the trained index
+    * oracle-checkable).
+    *
+    * Design, piece by piece:
+    *  - SAMPLE: the md5(vec_id)-rate draw (same construction as
+    *    [[Corpus.mixWeighted]]) — deterministic, partition-independent.
+    *    At 100 TB nobody trains on the full corpus; `sampleRate` bounds
+    *    the training set while assignment still covers every vector.
+    *  - INIT: the `k` vectors with the smallest md5(seed_vec_id) — a
+    *    seeded uniform draw (hash order is independent of insertion or
+    *    partition order), the "sampled init, fixed seed" half of
+    *    k-means‖ without its weighted rounds, which cannot be reproduced
+    *    portably in the SQL oracle.
+    *  - K: `kCentroids`, defaulting to ~√n when 0 — cells hold ~√n
+    *    vectors each, the classic balance between probe fan-out (O(K))
+    *    and cell scan cost (O(n/K)).
+    *  - LLOYD step: assign every sampled vector to its nearest centroid
+    *    by round(cosine,6) with cell-id tiebreak (a partial+final
+    *    aggregate, not a window — only (vec_id, cell, score) triples
+    *    shuffle); the new centroid is the elementwise SUM of its
+    *    members, accumulated in DECIMAL(38,12). Cosine is
+    *    scale-invariant, so the sum IS the spherical-k-means mean
+    *    direction — and unlike a double sum or a mean it is exact and
+    *    order-independent, so Spark and the SQL oracle agree
+    *    bit-for-bit. Empty cells keep their previous centroid.
+    *  - Driver traffic per iteration: K·dims decimal sums — the model,
+    *    not the data (same O(K·dims) cost as broadcasting the centroids
+    *    back out each round).
+    *
+    * Returns the centroids as (cell 0..k-1, vector) in init-hash order. */
+  def trainCentroids(corpus: DataFrame, kCentroids: Int = 0, iters: Int = 5,
+                     seed: String = "ivf",
+                     sampleRate: Double = 1.0): Array[Array[Double]] = {
+    require(iters >= 1, "need at least one Lloyd iteration")
+    val base0 = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val base = (if (sampleRate >= 1.0) base0 else {
+      val u = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000L
+      base0.filter(u < (lit(sampleRate) * 10000L).cast("long"))
+    }).persist() // the training SAMPLE (sampleRate-bounded), not the corpus
+    try {
+      val k = if (kCentroids > 0) kCentroids
+        else math.max(2, math.round(math.sqrt(base.count().toDouble)).toInt)
+      var cents: Array[Array[Double]] = base
+        .select(col("emb"),
+          md5(concat(lit(s"${seed}_"), col("vec_id").cast("string"))).as("hk"),
+          col("vec_id"))
+        .orderBy(col("hk"), col("vec_id")).limit(k)
+        .select(col("emb")).collect()
+        .map(_.getSeq[Double](0).toArray)
+      for (_ <- 0 until iters) {
+        val cent = centroidFrame(base.sparkSession, cents)
+        val scored = base.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("cell"),
+            round(VF.cosineWithNorms(VF.dot(col("emb"), col("c_vec")),
+              VF.norm2(col("emb")), col("c_nrm")), 6).as("cscore"))
+        // argmax as an aggregate: min over (-score, cell) = highest score,
+        // smallest cell on ties — identical to the oracle's row_number
+        // ranking, but with map-side partials instead of a window
+        val best = scored
+          .groupBy(col("vec_id"))
+          .agg(min(struct((-col("cscore")).as("neg"), col("cell").as("cell")))
+            .as("b"))
+          .select(col("vec_id"), col("b.cell").as("cell"))
+        val sums = best.join(base, "vec_id")
+          .select(col("cell"), posexplode(col("emb")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+            .as("s"))
+          .collect() // O(K·dims) rows — the model update, never the data
+        val next = cents.map(_.clone())
+        sums.groupBy(_.getLong(0)).foreach { case (cell, rows) =>
+          val v = new Array[Double](cents(cell.toInt).length)
+          rows.foreach(r => v(r.getInt(1)) = r.getDecimal(2).doubleValue())
+          next(cell.toInt) = v
+        }
+        cents = next
+      }
+      cents
+    } finally base.unpersist()
+  }
+
+  /** (cell, c_vec, c_nrm) frame from driver-held centroids — K·dims
+    * doubles, always broadcast-sized by construction. */
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession,
+                            cents: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("cell", "c_vec")
+      .select(col("cell"), col("c_vec"), VF.norm2(col("c_vec")).as("c_nrm"))
+  }
+
+  /** IVF with a TRAINED quantizer: [[trainCentroids]] then the same
+    * assignment/probe/scoring machinery as [[ivfTopK]]. This is the
+    * production IVF section default — the predicate-centroid variant
+    * below remains for reproducing a fixed index layout. */
+  def ivfTopKTrained(corpus: DataFrame, isQuery: Column, k: Int,
+                     nProbe: Int = 2, kCentroids: Int = 0, iters: Int = 5,
+                     seed: String = "ivf", sampleRate: Double = 1.0): DataFrame = {
+    val cents = trainCentroids(corpus, kCentroids, iters, seed, sampleRate)
+    val e = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("nrm", VF.norm2(col("embedding")))
+    val cent = centroidFrame(corpus.sparkSession, cents)
+      .select(col("cell").as("c_id"), col("c_vec"), col("c_nrm"))
+    ivfTopKFrom(e, isQuery, cent, k, nProbe)
+  }
+
+  /** Vector→cell populations of a trained quantizer over the full corpus:
+    * `(cell, n)` — the bench derives the max/mean imbalance from this (a
+    * lopsided quantizer makes probe cost skew even when wall time at
+    * test scale looks fine). */
+  def ivfCellCounts(corpus: DataFrame, kCentroids: Int = 0, iters: Int = 5,
+                    seed: String = "ivf", sampleRate: Double = 1.0): DataFrame = {
+    val cents = trainCentroids(corpus, kCentroids, iters, seed, sampleRate)
+    val e = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("nrm", VF.norm2(col("embedding")))
+    val cent = centroidFrame(corpus.sparkSession, cents)
+      .select(col("cell").as("c_id"), col("c_vec"), col("c_nrm"))
+    assignCells(e, cent).groupBy(col("cell")).agg(count(lit(1)).as("n"))
+  }
+
   /** IVF — coarse-quantizer cells: `isCentroid` rows partition the corpus
     * (one-time assignment; only id/cell/score triples shuffle), queries
     * probe their `nProbe` nearest cells: O(K + corpus/K·nProbe) per query.
@@ -152,13 +279,32 @@ object Ann {
     val cent = e.filter(isCentroid)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
         col("nrm").as("c_nrm"))
+    ivfTopKFrom(e, isQuery, cent, k, nProbe)
+  }
+
+  /** Corpus×centroid cell ranking shared by every IVF path: one broadcast
+    * of the centroid table, (vec_id, c_id, score) triples ranked per
+    * vector by round(6)-score desc, c_id asc. */
+  private def rankedCells(e: DataFrame, cent: DataFrame): DataFrame = {
     val scored = e.join(broadcast(cent))
       .select(col("vec_id"), col("c_id"),
         round(VF.cosineWithNorms(
           VF.dot(col("embedding"), col("c_vec")), col("nrm"), col("c_nrm")), 6)
           .as("cscore"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cscore").desc, col("c_id"))
-    val ranked = scored.withColumn("crk", row_number().over(wAssign))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("c_id"))
+    scored.withColumn("crk", row_number().over(wAssign))
+  }
+
+  /** Nearest-cell assignment `(vec_id, cell)` against a (c_id, c_vec,
+    * c_nrm) centroid table. */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    rankedCells(e, cent).filter(col("crk") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+
+  private def ivfTopKFrom(e: DataFrame, isQuery: Column, cent: DataFrame,
+                          k: Int, nProbe: Int): DataFrame = {
+    val ranked = rankedCells(e, cent)
     val assigned = ranked.filter(col("crk") === 1)
       .select(col("vec_id"), col("c_id").as("cell"))
       .join(e, "vec_id")
@@ -190,17 +336,29 @@ object Ann {
     val cent = e.filter(isCentroid)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"),
         col("nrm").as("c_nrm"))
-    val scored = e.join(broadcast(cent))
-      .select(col("vec_id"), col("c_id"),
-        round(VF.cosineWithNorms(
-          VF.dot(col("embedding"), col("c_vec")), col("nrm"), col("c_nrm")), 6)
-          .as("cscore"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("c_id"))
-    val assigned = scored.withColumn("crk", row_number().over(wAssign))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"))
-      .join(e, "vec_id")
+    ivfIndexWriteFrom(e, cent, path)
+  }
+
+  /** [[ivfIndexWrite]] with a TRAINED quantizer ([[trainCentroids]]) — the
+    * 100 TB index build: k-means cells sized to the data distribution
+    * instead of K arbitrary member rows, same partition-pruned on-disk
+    * layout, same [[ivfIndexTopK]] on the query side. */
+  def ivfIndexWriteTrained(corpus: DataFrame, path: String,
+                           kCentroids: Int = 0, iters: Int = 5,
+                           seed: String = "ivf",
+                           sampleRate: Double = 1.0): Unit = {
+    val cents = trainCentroids(corpus, kCentroids, iters, seed, sampleRate)
+    val e = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("nrm", VF.norm2(col("embedding")))
+    val cent = centroidFrame(corpus.sparkSession, cents)
+      .select(col("cell").as("c_id"), col("c_vec"), col("c_nrm"))
+    ivfIndexWriteFrom(e, cent, path)
+  }
+
+  private def ivfIndexWriteFrom(e: DataFrame, cent: DataFrame,
+                                path: String): Unit = {
+    val assigned = assignCells(e, cent).join(e, "vec_id")
     assigned.select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     cent.write.mode("overwrite").parquet(s"$path/centroids")

@@ -115,17 +115,21 @@ object Corpus {
     * @return `(doc_id, tok, seq_id)` per document.
     */
   def packSequences(docs: DataFrame, budget: Long = 256, partitions: Int = 32,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // persisted: freezes the pid assignment between the offsets pass and
-    // the scoring pass (and the rows are 3 longs each — ~24 bytes/doc,
-    // MEMORY_AND_DISK spillable). Lifecycle is session-managed like
-    // [[NearDup.pairs]]' hash cache.
-    val toks = docs
+                    idCol: String = "doc_id", textCol: String = "text",
+                    stageDir: Option[String] = None): DataFrame = {
+    // the pass-1 frame must be FROZEN between the offsets pass and the
+    // scoring pass (pid assignment must not be recomputed differently).
+    // Default: persisted — the rows are 3 longs each, ~24 bytes/doc,
+    // MEMORY_AND_DISK spillable; lifecycle session-managed like
+    // [[NearDup.pairs]]' hash cache. With `stageDir` set the frame is
+    // staged to the lake instead ([[Staging]]) — zero cache footprint,
+    // the right mode inside long assembly pipelines.
+    val toks = Staging.stageOrPersist(docs
       .select(col(idCol).as("doc_id"), TF.tokenCount(col(textCol)).cast("long").as("tok"))
       .repartitionByRange(partitions, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
-      .withColumn("_pid", spark_partition_id())
-      .persist()
+      .withColumn("_pid", spark_partition_id()),
+      stageDir, "pack_toks")
     // O(#partitions) rows to the driver — the ONLY driver-side step
     val perPart = toks.groupBy(col("_pid")).agg(sum(col("tok")).as("_t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Lake-staged intermediates for multi-stage corpus pipelines.
+  *
+  * `.persist()` is the right lifecycle for HASH-SIZED frames (NearDup's
+  * shingle/band caches, ~1% of corpus bytes), but a corpus-sized TEXT
+  * frame cached for several consumers is executor-storage pressure that
+  * belongs in the lake: at 100 TB the cleaned-text intermediate of an
+  * assembly pipeline does not fit a cluster's storage memory, and
+  * MEMORY_AND_DISK spill just rewrites it to local disks that the next
+  * stage re-reads without data locality guarantees. Staging writes the
+  * intermediate ONCE to the lake (parquet — columnar, compressed,
+  * partition-prunable by every consumer) and re-reads it per consumer:
+  * the same read-amplification as a spilled cache, none of the storage
+  * pressure, plus a durable, inspectable artifact between stages.
+  */
+object Staging {
+
+  /** Materialize `df` to `stageDir/name` and return the re-read frame.
+    * Every consumer of the result scans the staged parquet instead of
+    * re-deriving (or caching) the upstream plan. Overwrites any previous
+    * stage of the same name — stages are derived data, safe to replace. */
+  def stage(df: DataFrame, stageDir: String, name: String): DataFrame = {
+    val path = s"$stageDir/$name"
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Stage when a dir is configured, persist otherwise — the opt-in knob
+    * operators expose as `stageDir`. */
+  def stageOrPersist(df: DataFrame, stageDir: Option[String],
+                     name: String): DataFrame = stageDir match {
+    case Some(d) => stage(df, d, name)
+    case None => df.persist()
+  }
+}

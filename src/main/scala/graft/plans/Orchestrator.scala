@@ -62,6 +62,73 @@ final class Orchestrator(spark: SparkSession,
   def stateOf(hash: String): Option[RunState] = running.get(hash).map(_.state)
 }
 
+/** Daemon watch loop over a spec DIRECTORY — the actual `myceliald`
+  * scheduler behavior (reference `myceliald/src/scheduler.rs:403-485`):
+  * desired state is the directory's `*.json` files; each poll round
+  * re-reads them, hash-diffs against the running set, and starts/keeps/
+  * stops accordingly (add a file → its pipelines start; edit → the old
+  * hash stops, the new starts; delete → stops; untouched files' pipelines
+  * are never restarted). `graft watch <dir>` drives [[poll]] on an
+  * interval; the loop itself is in [[watch]] so a spec can drive rounds
+  * deterministically without sleeping.
+  */
+final class SpecDirWatcher(orch: Orchestrator, dir: java.nio.file.Path) {
+  import java.nio.file.Files
+  import scala.jdk.CollectionConverters._
+
+  /** One reconcile round. A file that fails to PARSE is skipped with a
+    * warning instead of contributing to desired state — tearing down a
+    * running pipeline because an operator is mid-edit on one file is the
+    * wrong failure mode (the daemon keeps last-known-good running). NOTE
+    * the asymmetry: a skipped file's pipelines keep running only if they
+    * are still declared by their old content? No — desired state is
+    * recomputed from scratch, so a file that turns unparseable stops its
+    * pipelines on the NEXT successful parse of the directory... to avoid
+    * that, the watcher keeps each path's last-good spec and substitutes
+    * it while the file is broken. */
+  private var lastGood = Map.empty[String, PipelineSpec]
+
+  def poll(): (Set[String], Set[String], Set[String]) = {
+    val files = Files.list(dir).iterator().asScala
+      .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+    val specs = files.flatMap { p =>
+      val key = p.toString
+      try {
+        val s = PipelineSpec.fromJson(
+          new String(Files.readAllBytes(p), "UTF-8"))
+        lastGood += key -> s
+        Some(s)
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[graft watch] skipping unparseable $p (${e.getMessage}) — " +
+            lastGood.get(key).map(_ => "keeping its last-good pipelines")
+              .getOrElse("no last-good state for it"))
+          lastGood.get(key)
+      }
+    }
+    // forget last-good state for deleted files (delete means STOP)
+    val present = files.map(_.toString).toSet
+    lastGood = lastGood.filter { case (k, _) => present(k) }
+    orch.reconcile(specs)
+  }
+
+  /** Poll every `intervalMs` until `stop()` (or `maxRounds`, for tests /
+    * bounded supervision). */
+  def watch(intervalMs: Long, maxRounds: Int = Int.MaxValue,
+            stop: () => Boolean = () => false): Unit = {
+    var round = 0
+    while (round < maxRounds && !stop()) {
+      val (started, kept, stopped) = poll()
+      if (started.nonEmpty || stopped.nonEmpty)
+        println(s"[graft watch] round $round: started=${started.size} " +
+          s"kept=${kept.size} stopped=${stopped.size}")
+      round += 1
+      if (round < maxRounds && !stop()) Thread.sleep(intervalMs)
+    }
+  }
+}
+
 /** Incremental (watermark) pipeline runner — the reference's stateful-query
   * loop (SURVEY §3.3): each tick binds the persisted watermark into the
   * query, processes the slice through `process`, then — strictly after the

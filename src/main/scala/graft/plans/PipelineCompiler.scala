@@ -203,28 +203,46 @@ object SectionRegistry {
         Some(in(df).withColumn(textCol,
           regexp_replace(col(textCol), pattern, replacement)))
       }),
-    // ANN top-k over (vec_id, embedding): variant = brute|lsh|lsh_multi|ivf;
-    // query_where (and ivf's centroid_where) = SQL predicates over vec_id
-    // (vec_id only: they are evaluated on derived frames carrying just the id)
+    // ANN top-k over (vec_id, embedding): variant =
+    // brute|lsh|lsh_single|lsh_probe|lsh_multi|ivf; query_where (and ivf's
+    // optional centroid_where) = SQL predicates over vec_id (vec_id only:
+    // they are evaluated on derived frames carrying just the id).
+    // Defaults a user should get: `lsh` resolves to the MULTI-TABLE
+    // variant (single-table recall@10 is ~0.14 on this corpus shape — a
+    // silent-quality trap; `lsh_single` keeps it reachable, documented);
+    // `ivf` without centroid_where TRAINS its quantizer (sampled k-means,
+    // K ~ sqrt(n)) instead of demanding K hand-picked member rows.
     "ann_topk" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {
         val frame = in(df).select(col("vec_id"), col("embedding"))
         val isQuery = expr(cfg(c, "query_where"))
         val k = c.getOrElse("k", "5").toInt
+        def bits = c.getOrElse("bits", "4").toInt
+        def dims = c.getOrElse("dims", "64").toInt
         val out = c.getOrElse("variant", "brute") match {
           case "brute" => graft.operators.Ann.bruteForceTopK(frame, isQuery, k)
-          case "lsh" => graft.operators.Ann.lshTopK(frame, isQuery, k,
-            nBits = c.getOrElse("bits", "4").toInt,
-            dims = c.getOrElse("dims", "64").toInt)
-          case "lsh_multi" => graft.operators.Ann.lshMultiTopK(frame, isQuery, k,
-            nBits = c.getOrElse("bits", "4").toInt,
-            dims = c.getOrElse("dims", "64").toInt,
+          case "lsh" | "lsh_multi" => graft.operators.Ann.lshMultiTopK(
+            frame, isQuery, k, nBits = bits, dims = dims,
             tables = c.getOrElse("tables", "4").toInt)
-          case "ivf" => graft.operators.Ann.ivfTopK(frame, isQuery,
-            isCentroid = expr(cfg(c, "centroid_where")), k,
-            nProbe = c.getOrElse("probes", "2").toInt)
+          case "lsh_single" => graft.operators.Ann.lshTopK(frame, isQuery, k,
+            nBits = bits, dims = dims)
+          case "lsh_probe" => graft.operators.Ann.lshMultiProbeTopK(
+            frame, isQuery, k, nBits = bits, dims = dims)
+          case "ivf" => c.get("centroid_where") match {
+            case Some(w) => graft.operators.Ann.ivfTopK(frame, isQuery,
+              isCentroid = expr(w), k,
+              nProbe = c.getOrElse("probes", "2").toInt)
+            case scala.None => graft.operators.Ann.ivfTopKTrained(
+              frame, isQuery, k,
+              nProbe = c.getOrElse("probes", "2").toInt,
+              kCentroids = c.getOrElse("k_centroids", "0").toInt,
+              iters = c.getOrElse("train_iters", "5").toInt,
+              seed = c.getOrElse("seed", "ivf"),
+              sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble)
+          }
           case other => throw new IllegalArgumentException(
-            s"ann_topk variant must be brute|lsh|lsh_multi|ivf, got $other")
+            s"ann_topk variant must be brute|lsh|lsh_single|lsh_probe|" +
+            s"lsh_multi|ivf, got $other")
         }
         Some(out.select("q_id", "n_id", "cosine", "rk"))
       }),
@@ -287,7 +305,15 @@ object SectionRegistry {
         budget = c.getOrElse("budget", "256").toLong,
         partitions = c.getOrElse("partitions", "32").toInt,
         idCol = c.getOrElse("id_column", "doc_id"),
-        textCol = c.getOrElse("text_column", "text")))),
+        textCol = c.getOrElse("text_column", "text"),
+        stageDir = c.get("stage_dir")))),
+    // lake-staged intermediate: materialize the upstream frame to parquet
+    // and hand consumers the re-read scan — the executor-storage-free
+    // alternative to caching a corpus-sized frame mid-pipeline
+    // (graft.operators.Staging)
+    "stage" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Staging.stage(in(df),
+        cfg(c, "stage_dir"), c.getOrElse("name", "stage")))),
     // deterministic weighted mixing: rates = "en:0.8,de:0.5,..."
     "mix_weighted" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {
@@ -343,8 +369,16 @@ object SectionRegistry {
     // transform: input frame = the query vectors)
     "ann_index_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => {
-        graft.operators.Ann.ivfIndexWrite(in(df),
-          isCentroid = expr(cfg(c, "centroid_where")), cfg(c, "path"))
+        c.get("centroid_where") match {
+          case Some(w) => graft.operators.Ann.ivfIndexWrite(in(df),
+            isCentroid = expr(w), cfg(c, "path"))
+          case scala.None => graft.operators.Ann.ivfIndexWriteTrained(
+            in(df), cfg(c, "path"),
+            kCentroids = c.getOrElse("k_centroids", "0").toInt,
+            iters = c.getOrElse("train_iters", "5").toInt,
+            seed = c.getOrElse("seed", "ivf"),
+            sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble)
+        }
         scala.None
       }),
     "ann_index_query" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),

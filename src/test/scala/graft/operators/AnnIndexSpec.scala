@@ -53,4 +53,27 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(pf.contains("cell") && (pf.contains("IN") || pf.contains("in(")),
       s"partition filter must be the probed-cell IN-list: $pf")
   }
+
+  test("TRAINED disk index: same layout, same partition prune, in-memory parity") {
+    val path = java.nio.file.Files.createTempDirectory("ivft").toString
+    Ann.ivfIndexWriteTrained(corpus, path, kCentroids = 8, iters = 2)
+    val cellDirs = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 8)
+    assert(spark.read.parquet(s"$path/cells").count() == corpus.count())
+    val q = corpus.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val queryPlan = Ann.ivfIndexTopK(q, path, k = 5, nProbe = 2)
+    val p = queryPlan.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"trained index scan must partition-prune:\n$p")
+    val mem = Ann.ivfTopKTrained(corpus, isQuery = $"vec_id" < 10, k = 5,
+        nProbe = 2, kCentroids = 8, iters = 2)
+      .select($"q_id", $"n_id", $"cosine", $"rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val disk = queryPlan.select($"q_id", $"n_id", $"cosine", $"rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(disk == mem)
+  }
 }

@@ -32,6 +32,39 @@ class AnnRecallSpec extends AnyFunSuite {
       // multi-probe's candidate set is a strict superset of single-table's
       // (own bucket plus the hamming-1 shell), so recall must not degrade
       assert(probe >= lsh, s"multi-probe recall $probe < single-table $lsh")
+      // HONEST untrained baseline: centroid rows DISJOINT from the query
+      // set. (The `vec_id < 16` quantizer above contains every query as a
+      // centroid, so each query's own Voronoi cell holds its neighbors by
+      // construction — that inflated recall is a measurement artifact,
+      // useful only as a bound check.) The trained quantizer must beat
+      // the honest untrained one at the same K and probe count — that is
+      // what training buys.
+      val ivfHonest = Ann.recallAtK(exact,
+        Ann.ivfTopK(e, isQuery,
+          col("vec_id") >= 100 && col("vec_id") < 116, 10))
+      val trained = Ann.recallAtK(exact,
+        Ann.ivfTopKTrained(e, isQuery, 10, nProbe = 2, kCentroids = 16))
+      assert(trained >= ivfHonest,
+        s"trained-quantizer recall $trained below honest untrained $ivfHonest")
     } finally { exact.unpersist(); () }
+  }
+
+  test("trainCentroids: deterministic, K defaults to ~sqrt(n), cells nonempty-ish") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    val a = Ann.trainCentroids(e, kCentroids = 8, iters = 2)
+    val b = Ann.trainCentroids(e, kCentroids = 8, iters = 2)
+    assert(a.length == 8 && b.length == 8)
+    // bit-identical across runs — the property the SQL oracle depends on
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+    val n = e.count()
+    val auto = Ann.trainCentroids(e, iters = 1)
+    assert(auto.length == math.max(2, math.round(math.sqrt(n.toDouble)).toInt))
+    // a trained quantizer splits the corpus across many cells: no cell
+    // may swallow most of the data on this near-uniform corpus
+    import spark.implicits._
+    val counts = Ann.ivfCellCounts(e, kCentroids = 8, iters = 2)
+      .select(col("n")).as[Long].collect()
+    assert(counts.sum == n && counts.max < n / 2)
   }
 }

@@ -227,3 +227,70 @@ class OrchestratorSpec extends AnyFunSuite {
     }
   }
 }
+
+/** The daemon loop: a spec DIRECTORY is the desired state; add/modify/
+  * delete of files start/restart/stop exactly their pipelines across poll
+  * rounds, and nothing else is touched (reference `myceliald` scheduler
+  * behavior — per-invocation `reconcile` run in a loop with last-good
+  * resilience). */
+class SpecDirWatcherSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def specJson(tmp: String, tag: String) =
+    s"""{"sections":[
+      {"id":"src","name":"parquet_source","config":{"path":"${TestSpark.sf}/region.parquet"}},
+      {"id":"tag","name":"tagging","config":{"column":"tag","text":"$tag"}},
+      {"id":"sink","name":"parquet_destination","config":{"path":"$tmp/out_$tag","truncate":"true"}}],
+      "edges":[["src","tag"],["tag","sink"]]}"""
+  private def hashOf(json: String) = PipelineSpec.fromJson(json).specHash
+
+  test("watch rounds: add starts, modify restarts, delete stops, others untouched") {
+    val tmp = Files.createTempDirectory("graft_watch").toString
+    val specDir = Files.createTempDirectory("graft_watch_specs")
+    val orch = new Orchestrator(spark, restartBackoffMs = 10)
+    val watcher = new SpecDirWatcher(orch, specDir)
+
+    // round 1: one spec file appears → its pipeline starts and runs
+    val a1 = specJson(tmp, "a1")
+    Files.write(specDir.resolve("a.json"), a1.getBytes("UTF-8"))
+    val (s1, k1, st1) = watcher.poll()
+    assert(s1 == Set(hashOf(a1)) && k1.isEmpty && st1.isEmpty)
+    assert(spark.read.parquet(s"$tmp/out_a1").count() == 5)
+
+    // round 2: nothing changed → kept, nothing restarted
+    val (s2, k2, st2) = watcher.poll()
+    assert(s2.isEmpty && k2 == Set(hashOf(a1)) && st2.isEmpty)
+
+    // round 3: second file appears → only IT starts; a kept
+    val b1 = specJson(tmp, "b1")
+    Files.write(specDir.resolve("b.json"), b1.getBytes("UTF-8"))
+    val (s3, k3, st3) = watcher.poll()
+    assert(s3 == Set(hashOf(b1)) && k3 == Set(hashOf(a1)) && st3.isEmpty)
+
+    // round 4: a.json modified → old hash stops, new starts; b untouched
+    val a2 = specJson(tmp, "a2")
+    Files.write(specDir.resolve("a.json"), a2.getBytes("UTF-8"))
+    val (s4, k4, st4) = watcher.poll()
+    assert(s4 == Set(hashOf(a2)) && st4 == Set(hashOf(a1)) &&
+      k4 == Set(hashOf(b1)))
+    assert(spark.read.parquet(s"$tmp/out_a2").count() == 5)
+
+    // round 5: a.json turns unparseable mid-edit → last-good keeps running
+    Files.write(specDir.resolve("a.json"), "{ not json".getBytes("UTF-8"))
+    val (s5, k5, st5) = watcher.poll()
+    assert(s5.isEmpty && st5.isEmpty &&
+      k5 == Set(hashOf(a2), hashOf(b1)),
+      "a broken file must keep its last-good pipelines running")
+
+    // round 6: b.json deleted → exactly its pipeline stops
+    Files.delete(specDir.resolve("b.json"))
+    val (s6, k6, st6) = watcher.poll()
+    assert(s6.isEmpty && st6 == Set(hashOf(b1)) && k6 == Set(hashOf(a2)))
+
+    // the loop driver: maxRounds bounds it; stop() short-circuits it
+    watcher.watch(intervalMs = 1, maxRounds = 2) // returns ⇒ bounded
+    var stopped = false
+    watcher.watch(intervalMs = 1, stop = () => { stopped = true; true })
+    assert(stopped, "stop() must be consulted before the first poll")
+  }
+}
