@@ -1770,13 +1770,84 @@ object Queries {
       FROM documents d JOIN dim USING (lang)
       ORDER BY d.doc_id"""))
 
+  /** Unigram-LM quality scoring (CCNet-style bits/token under the
+    * corpus's own unigram distribution — see
+    * [[graft.operators.Corpus.lmQualityScore]]). vocabSize=16 here so the
+    * out-of-vocabulary floor path is exercised at test scale; per-token
+    * bits round to 6 and sum through DECIMAL so the mean is
+    * order-independent across engines. */
+  private val taLmScore = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.lmQualityScore(
+          Tables.documents(s, dir), vocabSize = 16)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $toksCte,
+      tok AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+      total AS (SELECT count(*)::DOUBLE AS n FROM tok),
+      vocab AS (SELECT w, count(*)::DOUBLE AS c FROM tok
+        GROUP BY w ORDER BY count(*) DESC, w LIMIT 16),
+      scored AS (SELECT t.doc_id,
+          CAST(round(-log2(coalesce(v.c, 0.5) / total.n), 6) AS DECIMAL(18,6)) AS bits
+        FROM tok t LEFT JOIN vocab v USING (w) CROSS JOIN total),
+      agg AS (SELECT doc_id, CAST(SUM(bits) AS DOUBLE) / count(*) AS mean_bits,
+          count(*) AS n_tokens
+        FROM scored GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+        round(coalesce(a.mean_bits, 0.0), 6) AS lm_bits_per_token
+      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""))
+
+  /** The Gopher rule battery ([[graft.functions.TextFunctions.gopherRules]])
+    * — per-rule booleans + the conjunction, all exact integer-count
+    * ratios (no float-sum ceremony needed). */
+  private val taGopherRules = Q(
+    (s, dir) => {
+      import s.implicits._
+      val g = TF.gopherRules($"text")
+      Tables.documents(s, dir).select($"doc_id",
+          g.getField("word_count_ok").as("word_count_ok"),
+          g.getField("mean_word_len_ok").as("mean_word_len_ok"),
+          g.getField("symbol_ratio_ok").as("symbol_ratio_ok"),
+          g.getField("alpha_word_ok").as("alpha_word_ok"),
+          g.getField("bullet_ok").as("bullet_ok"),
+          g.getField("ellipsis_ok").as("ellipsis_ok"),
+          g.getField("gopher_pass").as("gopher_pass"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $toksCte,
+      f AS (SELECT d.doc_id,
+          len(t.ts)::DOUBLE AS nt,
+          greatest(len(t.ts)::DOUBLE, 1.0) AS st,
+          length(array_to_string(t.ts, ''))::DOUBLE AS chars_in_toks,
+          len(regexp_extract_all(d.text, '[#…]|\\.\\.\\.'))::DOUBLE AS symbols,
+          len(list_filter(t.ts, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE AS alpha_words,
+          greatest(len(string_split(d.text, chr(10)))::DOUBLE, 1.0) AS nl,
+          len(list_filter(string_split(d.text, chr(10)),
+            l -> regexp_matches(trim(l), '^[-*•]')))::DOUBLE AS bullets,
+          len(list_filter(string_split(d.text, chr(10)),
+            l -> regexp_matches(trim(l), '(\\.\\.\\.|…)$$')))::DOUBLE AS ellipses
+        FROM documents d JOIN toks t USING (doc_id))
+      SELECT doc_id,
+        (nt >= 50 AND nt <= 100000) AS word_count_ok,
+        (chars_in_toks/st >= 3 AND chars_in_toks/st <= 10) AS mean_word_len_ok,
+        (symbols/st <= 0.1) AS symbol_ratio_ok,
+        (alpha_words/st >= 0.8) AS alpha_word_ok,
+        (bullets/nl <= 0.9) AS bullet_ok,
+        (ellipses/nl <= 0.3) AS ellipsis_ok,
+        (nt >= 50 AND nt <= 100000 AND chars_in_toks/st >= 3 AND chars_in_toks/st <= 10
+          AND symbols/st <= 0.1 AND alpha_words/st >= 0.8
+          AND bullets/nl <= 0.9 AND ellipses/nl <= 0.3) AS gopher_pass
+      FROM f ORDER BY doc_id"""))
+
   // -------------------------------------------------- corpus preparation
   // Training-data assembly beyond dedup: benchmark decontamination,
   // boilerplate removal, sequence packing, weighted mixing, BM25 scoring.
   // See [[graft.operators.Corpus]] for the scale shapes.
 
-  /** toks CTE shared by the corpus-prep oracles. */
-  private val toksCte: String = """toks AS (
+  /** toks CTE shared by the corpus-prep oracles (lazy: referenced by
+    * query vals declared both before and after this point). */
+  private lazy val toksCte: String = """toks AS (
         SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
           ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
         FROM documents)"""
@@ -2108,6 +2179,8 @@ object Queries {
     "ta_tokens" -> taTokens,
     "ta_fingerprint" -> taFingerprint,
     "ta_split" -> taSplit,
+    "ta_lm_score" -> taLmScore,
+    "ta_gopher_rules" -> taGopherRules,
     "ta_vocab" -> taVocab,
     "ta_repetition" -> taRepetition,
     "ta_redact" -> taRedact,

@@ -209,4 +209,48 @@ object TextFunctions {
       stopRatio.as("stopword_ratio"),
       score.as("quality_score"))
   }
+
+  /** The Gopher document-quality rule set (Rae et al. 2021, Table A1 —
+    * the canonical named filter battery most pipeline papers cite), as a
+    * struct of per-rule booleans plus the conjunction:
+    *  - 50 ≤ word count ≤ 100,000
+    *  - 3 ≤ mean word length ≤ 10
+    *  - symbol-to-word ratio (# and …) ≤ 0.1
+    *  - ≥ 80% of words contain at least one alphabetic character
+    *  - ≤ 90% of lines start with a bullet; ≤ 30% end with an ellipsis
+    * All rules are narrow per-row expressions over exact integer counts
+    * (ratios are int/int divisions — engine-reproducible without any
+    * rounding ceremony); `words` are the whitespace [[tokens]]. */
+  def gopherRules(text: Column): Column = {
+    val toks = tokens(text)
+    val nToks = size(toks).cast("double")
+    val safeToks = greatest(nToks, lit(1.0))
+    val charsInToks = length(concat_ws("", toks)).cast("double")
+    val meanWordLen = charsInToks / safeToks
+    val symbols = (length(text) -
+      length(regexp_replace(text, "[#…]|\\.\\.\\.", ""))).cast("double")
+    val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double")
+    // lines: split on \n; single-line documents have one line
+    val lines = split(text, "\n")
+    val nLines = greatest(size(lines).cast("double"), lit(1.0))
+    val bulletLines = size(filter(lines,
+      l => trim(l).rlike("^[-*•]"))).cast("double")
+    val ellipsisLines = size(filter(lines,
+      l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("double")
+    val wordCountOk = nToks >= 50.0 && nToks <= 100000.0
+    val meanLenOk = meanWordLen >= 3.0 && meanWordLen <= 10.0
+    val symbolOk = symbols / safeToks <= 0.1
+    val alphaOk = alphaWords / safeToks >= 0.8
+    val bulletOk = bulletLines / nLines <= 0.9
+    val ellipsisOk = ellipsisLines / nLines <= 0.3
+    struct(
+      wordCountOk.as("word_count_ok"),
+      meanLenOk.as("mean_word_len_ok"),
+      symbolOk.as("symbol_ratio_ok"),
+      alphaOk.as("alpha_word_ok"),
+      bulletOk.as("bullet_ok"),
+      ellipsisOk.as("ellipsis_ok"),
+      (wordCountOk && meanLenOk && symbolOk && alphaOk &&
+        bulletOk && ellipsisOk).as("gopher_pass"))
+  }
 }

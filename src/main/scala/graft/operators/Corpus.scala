@@ -273,6 +273,52 @@ object Corpus {
     docs.filter(u < (rate * 10000L).cast("long"))
   }
 
+  /** Unigram language-model quality scoring — the CCNet-style filter:
+    * score each document by its mean per-token surprisal (bits/token)
+    * under the CORPUS'S OWN unigram distribution. Boilerplate and
+    * in-distribution text scores low; gibberish, rare-token soup, and
+    * wrong-language text scores high — the standard cheap proxy for
+    * "would a language model find this text ordinary" used to bucket
+    * crawl data by quality (CCNet does it with a KenLM 5-gram; the
+    * unigram form needs no external model and the same thresholding
+    * applies).
+    *
+    * Shape: token counts are the word-count shuffle (partial+final agg);
+    * the vocabulary is capped to the top `vocabSize` tokens by count
+    * (deterministic count-desc, token-asc tiebreak — a global
+    * TakeOrdered of V rows, not a sort) and BROADCAST back over the
+    * token stream; out-of-vocabulary tokens cost -log2(0.5/N) bits (seen
+    * "half a time"). Per-token bits are rounded to 6 and summed in
+    * DECIMAL, so the per-doc mean is exact and order-independent —
+    * engine-reproducible like every other corpus score here.
+    *
+    * @return `(doc_id, n_tokens, lm_bits_per_token)` for every document
+    *         (empty docs score 0.0 bits over 0 tokens).
+    */
+  def lmQualityScore(docs: DataFrame, vocabSize: Int = 65536,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TF.tokens(col(textCol))).as("w"))
+    val total = tok.agg(count(lit(1)).cast("double").as("n"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).cast("double").as("c"))
+      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+    val scored = tok
+      .join(broadcast(vocab), Seq("w"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(-log2(coalesce(col("c"), lit(0.5)) / col("n")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("bits"))
+    val agg = scored.groupBy(col("doc_id"))
+      .agg((sum(col("bits")).cast("double") / count(lit(1))).as("mean_bits"),
+        count(lit(1)).as("n_tokens"))
+    docs.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("mean_bits"), lit(0.0)), 6).as("lm_bits_per_token"))
+  }
+
   /** BM25 relevance scoring of the corpus against a fixed term set —
     * quality-filtering / topic-selection by retrieval score. Classic
     * Robertson/Sparck-Jones BM25 with the +1 idf floor (Lucene's form, so

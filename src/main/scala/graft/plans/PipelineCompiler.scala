@@ -189,10 +189,21 @@ object SectionRegistry {
           case "fingerprint" => d.withColumn("fingerprint",
             graft.functions.TextFunctions.fingerprint(
               graft.functions.TextFunctions.tokens(textCol)))
+          case "gopher" => d.withColumn("gopher_pass",
+            graft.functions.TextFunctions.gopherRules(textCol)
+              .getField("gopher_pass"))
           case other => throw new IllegalArgumentException(
-            s"text_analysis feature must be lang|quality|tokens|fingerprint, got $other")
+            s"text_analysis feature must be lang|quality|tokens|fingerprint|" +
+            s"gopher, got $other")
         }})
       }),
+    // unigram-LM quality scoring (CCNet-style bits/token against the
+    // corpus's own unigram distribution; see Corpus.lmQualityScore)
+    "lm_score" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.lmQualityScore(in(df),
+        vocabSize = c.getOrElse("vocab_size", "65536").toInt,
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text")))),
     // PII redaction: regex detect+replace over a text column
     "pii_redact" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {

@@ -171,4 +171,44 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 has no hits → excluded
     assert(got(0)._2 > got(1)._2)
   }
+
+  test("lmQualityScore: ordinary text scores fewer bits than rare-token soup") {
+    val d = docs(
+      1L -> "the cat sat on the mat and the dog sat too",
+      2L -> "zxqv wvut plomk qrstz xyzzy vwxyq",  // all OOV at vocabSize=4
+      3L -> "the the the the",
+      4L -> "")
+    val got = Corpus.lmQualityScore(d, vocabSize = 4)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // common-token doc beats the gibberish doc; most-common-token-only doc
+    // beats both; empty doc scores 0 over 0 tokens
+    assert(got(3L)._3 < got(1L)._3 && got(1L)._3 < got(2L)._3)
+    assert(got(4L) == ((4L, 0L, 0.0)))
+    // OOV floor: every vocabSize=4 OOV token costs -log2(0.5/N) — strictly
+    // more than any in-vocab token
+    assert(got(2L)._3 > got(1L)._3)
+    // deterministic across runs
+    val again = Corpus.lmQualityScore(d, vocabSize = 4)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+
+  test("gopherRules: short docs fail word count, symbol soup fails ratio") {
+    import graft.functions.{TextFunctions => TF}
+    val d = docs(
+      1L -> (Seq.fill(60)("plain english words here").mkString(" ")),
+      2L -> "too short",
+      3L -> (Seq.fill(30)("ok words # # # # # #").mkString(" ")),
+      4L -> (1 to 60).map(i => s"- bullet $i").mkString("\n"))
+    val got = d.select($"doc_id", TF.gopherRules($"text").as("g"))
+      .select($"doc_id",
+        $"g.word_count_ok", $"g.symbol_ratio_ok",
+        $"g.bullet_ok", $"g.gopher_pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, true, true, true, true)))
+    assert(!got(2L)._2 && !got(2L)._5) // word count fails → pass fails
+    assert(!got(3L)._3 && !got(3L)._5) // symbol ratio fails
+    assert(!got(4L)._4 && !got(4L)._5) // every line is a bullet
+  }
 }
