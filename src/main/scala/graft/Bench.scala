@@ -139,6 +139,13 @@ object Bench {
           operators.Ann.ivfTopKTrained(e, isQuery, k,
             nProbe = math.max(2, (kDef + 3) / 4))
         },
+        // recall cost of JL compression (64 -> 16 dims): exact search over
+        // the projected vectors vs exact search over the originals
+        "ann_rp_brute" -> operators.Ann.bruteForceTopK(
+          Tables.embeddings(spark, sfDir).select(col("vec_id"),
+            graft.functions.VectorFunctions
+              .randomProject(col("embedding"), 16, 64).as("embedding")),
+          isQuery, k),
         "ann_quantized_topk" -> {
           val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
           val scale = maxabs / lit(127.0)

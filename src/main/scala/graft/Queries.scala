@@ -1300,6 +1300,50 @@ object Queries {
         FROM q JOIN dq e ON e.vec_id != q.q_id)
       WHERE rk <= 5 ORDER BY q_id, rk"""))
 
+  /** Johnson-Lindenstrauss random projection + brute-force ANN over the
+    * COMPRESSED vectors — the dimensionality lever: 64 dims → 16 via
+    * deterministic ±1 hyperplanes ([[VF.randomProject]]), a 4× cut in
+    * everything the ANN layer moves and scans. The oracle rebuilds the
+    * same ±1 sign chains from md5 parity (computed at SQL-generation
+    * time, like [[annLshMulti]]'s buckets), so the projected vectors —
+    * and therefore the search result — are bit-identical across engines.
+    * Recall cost of the compression is benched as `ann_rp_brute`. */
+  private val annRpTopk = {
+    val outDims = 16; val dims = 64 // sqrt(16) = 4.0: exact in SQL below
+    Q(
+      (s, dir) => {
+        import s.implicits._
+        val proj = VF.randomProject($"embedding", outDims, dims)
+        graft.operators.Ann.bruteForceTopK(
+            Tables.embeddings(s, dir).select($"vec_id", proj.as("embedding")),
+            $"vec_id" < 10, k = 5)
+          .select($"q_id", $"n_id", $"cosine", $"rk")
+          .orderBy($"q_id", $"rk")
+      },
+      Some {
+        def comp(j: Int): String = {
+          val chain = (0 until dims).map { i =>
+            val pos = (TF.md5Long60(s"rp_${j}_$i") & 1L) == 0L
+            if (i == 0) { if (pos) "emb[1]" else "(-emb[1])" }
+            else s" ${if (pos) "+" else "-"} emb[${i + 1}]"
+          }.mkString
+          s"round(($chain) / 4.0, 6)"
+        }
+        val listExpr = (0 until outDims).map(comp).mkString("list_value(", ", ", ")")
+        s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        p AS (SELECT vec_id, $listExpr AS emb FROM e0),
+        q AS (SELECT vec_id AS q_id, emb AS q_vec FROM p WHERE vec_id < 10)
+        SELECT q_id, n_id, cosine, rk FROM (
+          SELECT q.q_id, e.vec_id AS n_id,
+            round(list_cosine_similarity(q.q_vec, e.emb), 6) AS cosine,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY round(list_cosine_similarity(q.q_vec, e.emb), 6) DESC,
+                       e.vec_id) AS rk
+          FROM q JOIN p e ON e.vec_id != q.q_id)
+        WHERE rk <= 5 ORDER BY q_id, rk"""
+      })
+  }
+
   private val taLangId = Q(
     (s, dir) => {
       import s.implicits._
@@ -2174,6 +2218,7 @@ object Queries {
     "ann_ivf_topk" -> annIvf,
     "ann_ivf_disk" -> annIvfDisk,
     "ann_quantized_topk" -> annQuantized,
+    "ann_rp_topk" -> annRpTopk,
     "ta_langid" -> taLangId,
     "ta_quality" -> taQuality,
     "ta_tokens" -> taTokens,

@@ -37,6 +37,30 @@ object VectorFunctions {
     sqrt(greatest(d2, lit(0.0)))
   }
 
+  /** Johnson-Lindenstrauss random projection: compress a `dims`-vector to
+    * `outDims` components via deterministic ±1 hyperplanes (the same
+    * md5-derived sign chains as [[lshBucket]], WITHOUT the sign
+    * threshold), scaled by 1/√outDims so pairwise distances are
+    * approximately preserved. Each output component is one codegen'd dot
+    * product, rounded to 6 places — the rounding pins the projected
+    * vectors bit-identical across engines, so everything downstream
+    * (cosine, ANN, clustering) stays oracle-checkable. The projection is
+    * the bandwidth/storage lever BEFORE the index: at 100 TB a 4×
+    * dimension cut is a 4× cut in everything the ANN layer shuffles,
+    * scans, and caches, at a quantifiable recall cost (benched as
+    * `ann_rp_brute` in `recall_at_10`). */
+  def randomProject(v: Column, outDims: Int, dims: Int,
+                    seed: String = "rp"): Column = {
+    val scale = math.sqrt(outDims.toDouble)
+    array((0 until outDims).map { j =>
+      val plane = array((0 until dims).map { i =>
+        lit(if ((TextFunctions.md5Long60(s"${seed}_${j}_$i") & 1L) == 0L) 1.0
+            else -1.0)
+      }: _*)
+      round(ArrayDotProduct(v, plane) / lit(scale), 6)
+    }: _*)
+  }
+
   /** Random-hyperplane LSH bucket id: `nBits` sign bits of projections onto
     * deterministic ±1 hyperplanes (derived from md5, so stable across runs
     * and engines). Hyperplanes are plan-time literal arrays over `dims`

@@ -223,9 +223,19 @@ object SectionRegistry {
     // silent-quality trap; `lsh_single` keeps it reachable, documented);
     // `ivf` without centroid_where TRAINS its quantizer (sampled k-means,
     // K ~ sqrt(n)) instead of demanding K hand-picked member rows.
+    // `project_dims` (optional) JL-compresses the embeddings first
+    // (VectorFunctions.randomProject) — composes with every variant
     "ann_topk" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {
-        val frame = in(df).select(col("vec_id"), col("embedding"))
+        val raw = in(df).select(col("vec_id"), col("embedding"))
+        val frame = c.get("project_dims").map { pd =>
+          val inDims = c.getOrElse("dims_in",
+            c.getOrElse("dims", "64")).toInt
+          raw.select(col("vec_id"),
+            graft.functions.VectorFunctions
+              .randomProject(col("embedding"), pd.toInt, inDims)
+              .as("embedding"))
+        }.getOrElse(raw)
         val isQuery = expr(cfg(c, "query_where"))
         val k = c.getOrElse("k", "5").toInt
         def bits = c.getOrElse("bits", "4").toInt

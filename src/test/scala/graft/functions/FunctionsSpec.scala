@@ -188,4 +188,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ivf.nonEmpty)
     assert((brute & ivf).nonEmpty, "IVF found no true neighbors at all")
   }
+
+  test("randomProject: deterministic, right arity, JL-preserves self-similarity") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"),
+        VectorFunctions.randomProject(col("embedding"), 16, 64).as("p"))
+    val a = e.orderBy(col("vec_id")).limit(5).as[(Long, Seq[Double])].collect()
+    val b = e.orderBy(col("vec_id")).limit(5).as[(Long, Seq[Double])].collect()
+    assert(a.sameElements(b), "projection must be deterministic")
+    assert(a.forall(_._2.length == 16))
+    // cosine(proj(v), proj(v)) = 1 trivially; the useful JL sanity is that
+    // DIFFERENT vectors do not collapse onto one projected point
+    assert(a.map(_._2).distinct.length == a.length,
+      "distinct vectors must stay distinct after projection")
+  }
 }

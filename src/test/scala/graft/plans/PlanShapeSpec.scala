@@ -135,6 +135,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-domain sampling must not shuffle the corpus:\n$p")
   }
 
+  test("ta_lm_score: vocab is a TakeOrdered broadcast; corpus text scans pruned") {
+    val p = plan("ta_lm_score")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-V vocabulary must be a bounded TakeOrdered, never a global sort")
+    assert(p.contains("BroadcastHashJoin"),
+      "the V-row vocabulary must broadcast over the token stream")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "document scan must prune to (doc_id, text)")
+  }
+
   test("cp_bm25_topk: corpus stats ride a broadcast, top-k never fully sorts") {
     val p = plan("cp_bm25_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
