@@ -1181,10 +1181,12 @@ object Queries {
     * (`ann_ivf_disk`) variants — the disk index answers queries
     * identically, that being the point. K is pinned (=16) here for the
     * oracle; the operator API defaults to ~√n. */
-  private lazy val ivfOracleSql: String = {
-    val K = 16; val iters = 5; val nProbe = 2; val seed = "ivf"
+  /** The k-means TRAINING itself as a reusable CTE chain (through the
+    * final `rf` ranking and `assigned` cells) — shared by the IVF oracles
+    * and the SemDeDup oracle. */
+  private def ivfTrainingCtes(K: Int, iters: Int, seed: String): String = {
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    sb ++= s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
       c0 AS (
         SELECT row_number() OVER (ORDER BY md5('${seed}_' || vec_id), vec_id) - 1 AS cell,
           emb AS c_vec
@@ -1213,7 +1215,13 @@ object Queries {
           row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) AS crk
         FROM sf),
       assigned AS (SELECT r.vec_id, r.cell, e.emb FROM rf r
-        JOIN e ON e.vec_id = r.vec_id WHERE r.crk = 1),
+        JOIN e ON e.vec_id = r.vec_id WHERE r.crk = 1)"""
+    sb.result()
+  }
+
+  private lazy val ivfOracleSql: String = {
+    val K = 16; val iters = 5; val nProbe = 2; val seed = "ivf"
+    s"""WITH ${ivfTrainingCtes(K, iters, seed)},
       qprobe AS (SELECT r.vec_id AS q_id, r.cell, e.emb AS q_vec FROM rf r
         JOIN e ON e.vec_id = r.vec_id WHERE r.vec_id < 10 AND r.crk <= $nProbe),
       cand AS (SELECT q.q_id, a.vec_id AS n_id,
@@ -1224,8 +1232,34 @@ object Queries {
           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
         FROM cand)
       WHERE rk <= 5 ORDER BY q_id, rk"""
-    sb.result()
   }
+
+  /** SemDeDup — semantic dedup inside TRAINED k-means cells
+    * ([[graft.operators.Ann.semanticDedup]]): the oracle replays the
+    * training (same CTE chain as the IVF oracles), generates within-cell
+    * cosine pairs at the threshold, and resolves survivors through the
+    * same recursive-CTE connected components as the text dedup oracles. */
+  private val ddSemDedup = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Ann.semanticDedup(
+          Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
+          threshold = 0.35, kCentroids = 16, iters = 5, seed = "ivf")
+        .orderBy($"vec_id")
+    },
+    Some(s"""WITH RECURSIVE ${ivfTrainingCtes(16, 5, "ivf")},
+      prs AS (SELECT a.vec_id AS s, b.vec_id AS d
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.35),
+      edges AS (SELECT s, d FROM prs UNION ALL SELECT d, s FROM prs),
+      reach(id, r) AS (
+        SELECT vec_id, vec_id FROM assigned
+        UNION
+        SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+      comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT cluster_id AS vec_id, count(*) AS n_merged
+      FROM comp GROUP BY cluster_id ORDER BY vec_id"""))
 
   private val annIvf = Q(
     (s, dir) => {
@@ -2219,6 +2253,7 @@ object Queries {
     "ann_ivf_disk" -> annIvfDisk,
     "ann_quantized_topk" -> annQuantized,
     "ann_rp_topk" -> annRpTopk,
+    "dd_semdedup" -> ddSemDedup,
     "ta_langid" -> taLangId,
     "ta_quality" -> taQuality,
     "ta_tokens" -> taTokens,

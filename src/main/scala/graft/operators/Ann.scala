@@ -267,6 +267,43 @@ object Ann {
     assignCells(e, cent).groupBy(col("cell")).agg(count(lit(1)).as("n"))
   }
 
+  /** SemDeDup (Abbas et al. 2023) — SEMANTIC dedup: cluster the corpus
+    * with the TRAINED quantizer ([[trainCentroids]]), generate cosine
+    * pairs only WITHIN each cell, connect, keep the min-id survivor per
+    * group. The cells are what make it scale: candidate generation drops
+    * from O(n²) to O(Σ cell²), and the cells come from the data (k-means)
+    * instead of an external label — this is exactly the published
+    * SemDeDup recipe (k-means the embeddings, dedup within clusters).
+    * Pair generation runs through [[Blocking.boundedCosinePairs]] with
+    * `cell` as the blocking label, so a degenerate cell (a
+    * mass-duplicated embedding) LSH-sub-buckets past `maxBlock` instead
+    * of going quadratic — observed, never silent.
+    *
+    * @return `(vec_id, n_merged)` — one row per SURVIVOR (min id of its
+    *         semantic-duplicate group), with the group size.
+    */
+  def semanticDedup(corpus: DataFrame, threshold: Double = 0.7,
+                    kCentroids: Int = 0, iters: Int = 5,
+                    seed: String = "ivf", sampleRate: Double = 1.0,
+                    maxBlock: Long = 10000): DataFrame = {
+    val cents = trainCentroids(corpus, kCentroids, iters, seed, sampleRate)
+    val e = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("nrm", VF.norm2(col("embedding")))
+    val cent = centroidFrame(corpus.sparkSession, cents)
+      .select(col("cell").as("c_id"), col("c_vec"), col("c_nrm"))
+    val labeled = assignCells(e, cent).join(e, "vec_id")
+      .select(col("vec_id"), col("cell").as("label"),
+        col("embedding"), col("nrm"))
+    val pairs = Blocking.boundedCosinePairs(labeled, maxBlock)
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"))
+    Clustering.connectedComponents(
+        corpus.select(col("vec_id").as("id")), pairs)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_merged"))
+      .select(col("cluster_id").as("vec_id"), col("n_merged"))
+  }
+
   /** IVF — coarse-quantizer cells: `isCentroid` rows partition the corpus
     * (one-time assignment; only id/cell/score triples shuffle), queries
     * probe their `nProbe` nearest cells: O(K + corpus/K·nProbe) per query.

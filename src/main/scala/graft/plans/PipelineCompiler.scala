@@ -386,6 +386,17 @@ object SectionRegistry {
           textCol = c.getOrElse("text_column", "text"),
           threshold = c.getOrElse("threshold", "0.2").toDouble))
       }),
+    // SemDeDup: semantic dedup inside trained k-means cells
+    // (Ann.semanticDedup) — survivors (min vec_id per cosine group) out
+    "semantic_dedup" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Ann.semanticDedup(
+        in(df).select(col("vec_id"), col("embedding")),
+        threshold = c.getOrElse("threshold", "0.7").toDouble,
+        kCentroids = c.getOrElse("k_centroids", "0").toInt,
+        iters = c.getOrElse("train_iters", "5").toInt,
+        seed = c.getOrElse("seed", "ivf"),
+        sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
+        maxBlock = c.getOrElse("max_block", "10000").toLong))),
     // on-disk IVF index build (destination) and query (source-shaped
     // transform: input frame = the query vectors)
     "ann_index_destination" -> Entry(SectionIOSpec(DataFrameIO, None),

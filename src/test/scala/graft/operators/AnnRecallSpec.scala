@@ -49,6 +49,20 @@ class AnnRecallSpec extends AnyFunSuite {
     } finally { exact.unpersist(); () }
   }
 
+  test("semanticDedup: exact-duplicate embeddings merge to the min id") {
+    import spark.implicits._
+    // 3 copies of vector A (ids 1,2,3), 2 copies of B (ids 10,11), one C
+    val a = Seq(1.0, 0.0, 0.0, 0.5)
+    val b = Seq(0.0, 1.0, 0.0, -0.5)
+    val c = Seq(0.0, 0.0, 1.0, 0.0)
+    val d = Seq(1L -> a, 2L -> a, 3L -> a, 10L -> b, 11L -> b, 20L -> c)
+      .toDF("vec_id", "embedding")
+    val got = Ann.semanticDedup(d, threshold = 0.99, kCentroids = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 10L -> 2L, 20L -> 1L),
+      s"expected min-id survivors with group sizes, got $got")
+  }
+
   test("trainCentroids: deterministic, K defaults to ~sqrt(n), cells nonempty-ish") {
     val e = Tables.embeddings(spark, TestSpark.sf)
       .select(col("vec_id"), col("embedding"))
