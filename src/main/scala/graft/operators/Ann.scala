@@ -286,20 +286,39 @@ object Ann {
                     kCentroids: Int = 0, iters: Int = 5,
                     seed: String = "ivf", sampleRate: Double = 1.0,
                     maxBlock: Long = 10000): DataFrame = {
-    val cents = trainCentroids(corpus, kCentroids, iters, seed, sampleRate)
-    val e = corpus.select(col("vec_id"),
+    val e0 = corpus.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
       .withColumn("nrm", VF.norm2(col("embedding")))
+    // EXACT-duplicate pre-collapse (the [[NearDup.dedupAgainstReference]]
+    // trick, vector edition): identical non-zero embeddings have cosine
+    // exactly 1 ≥ any threshold, AND they agree on every LSH sign bit —
+    // so a mass-duplicated embedding would defeat the sub-bucket cap and
+    // go quadratic inside its cell. Collapse each exact group to its
+    // min-id representative BEFORE anything quadratic runs: the result
+    // is unchanged, the cost of m copies drops from O(m²) to O(1).
+    // Zero-norm vectors stay singletons (their pairwise cosine is
+    // DEFINED as 0 here, so the pair path would never merge them).
+    val byVec = e0.filter(col("nrm") > 0.0)
+      .groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep"))
+    val repOf = e0.join(byVec, Seq("embedding"), "left")
+      .select(col("vec_id"), coalesce(col("rep"), col("vec_id")).as("rep"))
+    val reps = e0.join(repOf.filter(col("vec_id") === col("rep"))
+      .select(col("vec_id")), "vec_id")
+    val cents = trainCentroids(corpus, kCentroids, iters, seed, sampleRate)
     val cent = centroidFrame(corpus.sparkSession, cents)
       .select(col("cell").as("c_id"), col("c_vec"), col("c_nrm"))
-    val labeled = assignCells(e, cent).join(e, "vec_id")
+    val labeled = assignCells(reps, cent).join(reps, "vec_id")
       .select(col("vec_id"), col("cell").as("label"),
         col("embedding"), col("nrm"))
     val pairs = Blocking.boundedCosinePairs(labeled, maxBlock)
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"))
-    Clustering.connectedComponents(
-        corpus.select(col("vec_id").as("id")), pairs)
+    // components over representatives; every original id then follows its
+    // rep into the component, so survivors/counts are over ORIGINAL ids
+    val comps = Clustering.connectedComponents(
+      reps.select(col("vec_id").as("id")), pairs)
+    repOf.join(comps, repOf("rep") === comps("id"))
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_merged"))
       .select(col("cluster_id").as("vec_id"), col("n_merged"))
   }

@@ -59,6 +59,23 @@ object SkewRehearsal {
           .withColumn("nrm", VF.norm2(col("embedding"))),
         maxBlock = 500)
         .filter(col("cosine") >= 0.35).count()),
+    // mass-duplicated EMBEDDING: a third of the vectors become ONE vector.
+    // Identical vectors agree on every LSH sign bit, so the sub-bucket cap
+    // CANNOT split them — semanticDedup's exact-duplicate pre-collapse is
+    // the guard that keeps this linear (m copies cost O(1) pairs, not
+    // O(m²)); this line measures that guard under the duplicate mass
+    "skewed_dd_semdedup" -> (() => {
+      val e = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val tpl = broadcast(e.orderBy(col("vec_id")).limit(1)
+        .select(col("embedding").as("_tpl")))
+      val hot = e.crossJoin(tpl)
+        .withColumn("embedding",
+          when(col("vec_id") % 3 === 0, col("_tpl")).otherwise(col("embedding")))
+        .drop("_tpl")
+      graft.operators.Ann.semanticDedup(hot, threshold = 0.35,
+        kCentroids = 16, iters = 5, maxBlock = 200).count()
+    }),
     // mass-duplicated boilerplate: a third of the corpus becomes ONE
     // template, so that template's segments hit df = n/3 — the broadcast
     // anti-join must stay tiny (O(#boilerplate templates)), never a
