@@ -2009,6 +2009,28 @@ object Queries {
         < CAST(_rate * 10000 AS BIGINT)
       ORDER BY doc_id"""))
 
+  /** Temperature mixing at α=0.5 ([[graft.operators.Corpus.mixTemperature]])
+    * — keep-rates ∝ n_d^(α-1) anchored at the smallest domain; the
+    * integer-threshold construction makes the pow-derived rates
+    * engine-reproducible. */
+  private val cpMixTemperature = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.mixTemperature(
+          Tables.documents(s, dir), alpha = 0.5)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH cnt AS (SELECT lang, count(*)::DOUBLE AS n
+        FROM documents GROUP BY lang),
+      mn AS (SELECT min(n) AS n_min FROM cnt),
+      rates AS (SELECT lang,
+          CAST(round(pow(n / n_min, 0.5 - 1.0) * 10000, 0) AS BIGINT) AS thr
+        FROM cnt CROSS JOIN mn)
+      SELECT d.doc_id, d.lang FROM documents d JOIN rates r USING (lang)
+      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+        < r.thr
+      ORDER BY d.doc_id"""))
+
   /** BM25 top-20 for terms (table, query, spark), Lucene idf floor,
     * k1=1.2 b=0.75. Stats reduce to one broadcast row; tie-break by
     * rounded score then doc_id so the cut is deterministic. */
@@ -2278,6 +2300,7 @@ object Queries {
     "cp_segment_dedup" -> cpSegDedup,
     "cp_pack_sequences" -> cpPack,
     "cp_mix_weighted" -> cpMix,
+    "cp_mix_temperature" -> cpMixTemperature,
     "cp_bm25_topk" -> cpBm25,
     "cp_chunk" -> cpChunk,
     "cp_sample_quality" -> cpSample,

@@ -169,6 +169,43 @@ object Corpus {
       .select(col(idCol), col(byCol))
   }
 
+  /** Temperature-based corpus mixing — the multilingual sampling scheme
+    * (mT5/XLM-R style): domain d is kept at a rate ∝ n_d^(α-1), so
+    * α = 1 preserves the natural distribution and α → 0 flattens it
+    * (small domains up-weighted relative to large ones). The smallest
+    * domain anchors at `maxRate`; every other domain's keep-rate is
+    * maxRate · (n_d/n_min)^(α-1).
+    *
+    * Determinism across engines: the per-domain rate comes from `pow`,
+    * whose last-ulp behavior is library-specific — so the keep decision
+    * is made against an INTEGER threshold in [0, 10000] computed ONCE
+    * (round(rate·10⁴)) rather than a raw double, and the per-doc draw is
+    * the same md5(doc_id) construction as [[mixWeighted]]. Domain counts
+    * are O(#domains) driver rows; the threshold table broadcasts; the
+    * corpus pass is scan + hash + filter, no shuffle.
+    *
+    * @return surviving `(doc_id, <byCol>)` rows.
+    */
+  def mixTemperature(docs: DataFrame, alpha: Double, byCol: String = "lang",
+                     idCol: String = "doc_id",
+                     maxRate: Double = 1.0): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(maxRate > 0.0 && maxRate <= 1.0, "maxRate must be in (0, 1]")
+    val spark = docs.sparkSession
+    val counts = docs.groupBy(col(byCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+    require(counts.nonEmpty, "empty corpus has no domains to mix")
+    val nMin = counts.map(_._2).min.toDouble
+    val thr = counts.map { case (d, n) =>
+      (d, Math.round(maxRate * math.pow(n / nMin, alpha - 1.0) * 10000.0)) }
+    val thrDf = spark.createDataFrame(thr.toIndexedSeq).toDF(byCol, "_thr")
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10000L
+    docs.join(broadcast(thrDf), Seq(byCol))
+      .filter(u < col("_thr"))
+      .select(col(idCol), col(byCol))
+  }
+
   /** Exact duplicated-span scrubbing — the sliding-window form of exact
     * substring dedup (the "dedup the TEXT, not just the documents" pass):
     * every k-token window whose hash occurs MORE THAN ONCE in the corpus

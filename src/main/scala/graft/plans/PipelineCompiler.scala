@@ -328,6 +328,14 @@ object SectionRegistry {
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text"),
         stageDir = c.get("stage_dir")))),
+    // temperature-based mixing: keep-rate per domain ∝ n_d^(alpha-1)
+    // anchored at the smallest domain (Corpus.mixTemperature)
+    "mix_temperature" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.mixTemperature(in(df),
+        alpha = cfg(c, "alpha").toDouble,
+        byCol = c.getOrElse("by_column", "lang"),
+        idCol = c.getOrElse("id_column", "doc_id"),
+        maxRate = c.getOrElse("max_rate", "1.0").toDouble))),
     // lake-staged intermediate: materialize the upstream frame to parquet
     // and hand consumers the re-read scan — the executor-storage-free
     // alternative to caching a corpus-sized frame mid-pipeline

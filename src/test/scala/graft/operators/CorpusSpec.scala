@@ -97,6 +97,23 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.map(_._1) == (2L to 200L by 2).toSet) // all en kept, no zh
   }
 
+  test("mixTemperature: alpha=1 keeps everything; alpha<1 flattens toward small domains") {
+    val d = ((1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small")))
+      .toDF("doc_id", "lang")
+    // alpha=1: natural distribution — every doc kept
+    assert(Corpus.mixTemperature(d, alpha = 1.0).count() == 1000)
+    // alpha=0.5: the small domain anchors at rate 1.0, the big one keeps
+    // ~sqrt(n_small/n_big) = 1/3 of its docs
+    val kept = Corpus.mixTemperature(d, alpha = 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 100, s"small domain must keep everything: $kept")
+    assert(kept("big") > 200 && kept("big") < 400,
+      s"big domain should keep ~300 of 900 at alpha=0.5: $kept")
+    // deterministic
+    assert(Corpus.mixTemperature(d, alpha = 0.5).count() ==
+      Corpus.mixTemperature(d, alpha = 0.5).count())
+  }
+
   test("mixWeighted: sampled fraction tracks the rate") {
     val d = (1L to 1000L).map(i => (i, "en")).toDF("doc_id", "lang")
     val kept = Corpus.mixWeighted(d, Seq("en" -> 0.5)).count()
