@@ -2009,6 +2009,30 @@ object Queries {
         < CAST(_rate * 10000 AS BIGINT)
       ORDER BY doc_id"""))
 
+  /** Character entropy ([[graft.operators.Corpus.charEntropy]]) — the
+    * gibberish/encoding-noise signal; (doc_id, char) word-count shuffle,
+    * DECIMAL-summed rounded terms for cross-engine determinism. */
+  private val taCharEntropy = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.charEntropy(Tables.documents(s, dir))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH pos AS (SELECT doc_id, text,
+          unnest(range(1, length(text) + 1)) AS i FROM documents),
+      ch AS (SELECT doc_id, substr(text, i, 1) AS ch FROM pos),
+      hist AS (SELECT doc_id, ch, count(*)::DOUBLE AS c
+        FROM ch GROUP BY doc_id, ch),
+      tot AS (SELECT doc_id, sum(c) AS n FROM hist GROUP BY doc_id),
+      terms AS (SELECT h.doc_id,
+          CAST(round(-(h.c / t.n) * log2(h.c / t.n), 9) AS DECIMAL(18,9)) AS bits
+        FROM hist h JOIN tot t USING (doc_id)),
+      agg AS (SELECT doc_id, CAST(SUM(bits) AS DOUBLE) AS h
+        FROM terms GROUP BY doc_id)
+      SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+        round(coalesce(a.h, 0.0), 6) AS char_entropy_bits
+      FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""))
+
   /** Temperature mixing at α=0.5 ([[graft.operators.Corpus.mixTemperature]])
     * — keep-rates ∝ n_d^(α-1) anchored at the smallest domain; the
     * integer-threshold construction makes the pow-derived rates
@@ -2283,6 +2307,7 @@ object Queries {
     "ta_split" -> taSplit,
     "ta_lm_score" -> taLmScore,
     "ta_gopher_rules" -> taGopherRules,
+    "ta_char_entropy" -> taCharEntropy,
     "ta_vocab" -> taVocab,
     "ta_repetition" -> taRepetition,
     "ta_redact" -> taRedact,

@@ -356,6 +356,48 @@ object Corpus {
         round(coalesce(col("mean_bits"), lit(0.0)), 6).as("lm_bits_per_token"))
   }
 
+  /** Per-document CHARACTER entropy — the cheap gibberish/encoding-noise
+    * signal (binary blobs, mojibake, and key-mash text sit far from
+    * natural language's ~4 bits/char; repeated-char padding sits near
+    * 0): H = -Σ_c (n_c/n)·log2(n_c/n) over the document's characters.
+    *
+    * Shape: characters explode to (doc_id, char) pairs and reduce by the
+    * word-count shuffle (partial+final count), then one per-doc
+    * aggregate — O(alphabet) rows per document after the first combine,
+    * never O(doc length²) (the per-row higher-order-function formulation
+    * would be quadratic in document length). Per-character terms round
+    * to 9 and sum in DECIMAL: order-independent, engine-reproducible.
+    *
+    * @return `(doc_id, n_chars, char_entropy_bits)`; empty docs score 0.
+    */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    // guard: Spark's sequence(1, 0) is a DESCENDING sequence, not empty
+    val positions = when(length(col(textCol)) === 0,
+        array().cast("array<int>"))
+      .otherwise(sequence(lit(1), length(col(textCol))))
+    val chars = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_t"),
+        explode(positions).as("_i"))
+      .select(col("doc_id"), expr("substring(_t, _i, 1)").as("ch"))
+    val hist = chars.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = hist
+      .withColumn("n", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val terms = perDoc.select(col("doc_id"),
+      round(-(col("c") / col("n")) *
+        log2(col("c").cast("double") / col("n")), 9)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("bits"))
+    val agg = terms.groupBy(col("doc_id"))
+      .agg(sum(col("bits")).cast("double").as("h"))
+    docs.select(col(idCol).as("doc_id"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        round(coalesce(col("h"), lit(0.0)), 6).as("char_entropy_bits"))
+  }
+
   /** BM25 relevance scoring of the corpus against a fixed term set —
     * quality-filtering / topic-selection by retrieval score. Classic
     * Robertson/Sparck-Jones BM25 with the +1 idf floor (Lucene's form, so

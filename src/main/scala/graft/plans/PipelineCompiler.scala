@@ -204,6 +204,11 @@ object SectionRegistry {
         vocabSize = c.getOrElse("vocab_size", "65536").toInt,
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text")))),
+    // per-document character entropy (gibberish / encoding-noise signal)
+    "char_entropy" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.charEntropy(in(df),
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text")))),
     // PII redaction: regex detect+replace over a text column
     "pii_redact" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {

@@ -210,6 +210,18 @@ class CorpusSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("charEntropy: uniform chars max out, repeated char scores zero, empty is zero") {
+    val d = docs(
+      1L -> "abcdefgh",  // 8 distinct chars → exactly 3 bits
+      2L -> "aaaaaaaa",  // one char → 0 bits
+      3L -> "")
+    val got = Corpus.charEntropy(d)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 8L, 3.0)))
+    assert(got(2L) == ((2L, 8L, 0.0)))
+    assert(got(3L) == ((3L, 0L, 0.0)))
+  }
+
   test("gopherRules: short docs fail word count, symbol soup fails ratio") {
     import graft.functions.{TextFunctions => TF}
     val d = docs(
