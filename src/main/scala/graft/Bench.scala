@@ -183,12 +183,7 @@ object Bench {
         spark.catalog.clearCache()
         b
       }
-      val tpl = e.orderBy(col("vec_id")).limit(1)
-        .select(col("embedding").as("_tpl"))
-      val skew = e.crossJoin(broadcast(tpl))
-        .withColumn("embedding",
-          when(col("vec_id") % 3 === 0, col("_tpl")).otherwise(col("embedding")))
-        .drop("_tpl")
+      val skew = operators.SkewRehearsal.massDuplicatedEmbeddings(e)
       Seq("uniform" -> balance(e), "skewed" -> balance(skew))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] cell-balance harness FAILED: ${e.getMessage}")

@@ -20,7 +20,14 @@ import org.apache.spark.sql.types.DecimalType
   *    double — float addition is not associative, so raw double sums would
   *    differ across partitionings/engines;
   *  - timestamps are emitted as strings (engine-neutral rendering);
-  *  - every result has a total deterministic ORDER BY.
+  *  - every result has a total deterministic ORDER BY;
+  *  - cosine with a ZERO-NORM vector is defined as 0 (the engine's
+  *    [[graft.functions.VectorFunctions.cosineWithNorms]] convention);
+  *    DuckDB's list_cosine_similarity yields NaN there, so any oracle
+  *    whose DECISION depends on a zero-norm cosine must map NaN → 0
+  *    (see dd_semdedup). The ann_* ranking oracles share the convention
+  *    but the synthetic embeddings have no zero vectors, so their SQL
+  *    leaves the raw call in place.
   */
 object Queries {
 
@@ -1248,10 +1255,16 @@ object Queries {
         .orderBy($"vec_id")
     },
     Some(s"""WITH RECURSIVE ${ivfTrainingCtes(16, 5, "ivf")},
-      prs AS (SELECT a.vec_id AS s, b.vec_id AS d
-        FROM assigned a JOIN assigned b
-          ON a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.35),
+      prs AS (SELECT s, d FROM (
+          SELECT a.vec_id AS s, b.vec_id AS d,
+            list_cosine_similarity(a.emb, b.emb) AS cs
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        -- zero-norm convention: the engine DEFINES cosine with a zero
+        -- vector as 0 (never a merge); DuckDB yields NaN there, which it
+        -- orders above every number — so NaN must map to 0 before the
+        -- threshold or the engines disagree on zero-norm inputs
+        WHERE round(CASE WHEN isnan(cs) THEN 0.0 ELSE cs END, 6) >= 0.35),
       edges AS (SELECT s, d FROM prs UNION ALL SELECT d, s FROM prs),
       reach(id, r) AS (
         SELECT vec_id, vec_id FROM assigned

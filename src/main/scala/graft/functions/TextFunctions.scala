@@ -227,8 +227,10 @@ object TextFunctions {
     val safeToks = greatest(nToks, lit(1.0))
     val charsInToks = length(concat_ws("", toks)).cast("double")
     val meanWordLen = charsInToks / safeToks
-    val symbols = (length(text) -
-      length(regexp_replace(text, "[#…]|\\.\\.\\.", ""))).cast("double")
+    // symbol OCCURRENCES ('…' and '...' each count once, as in the paper
+    // and the oracle's regexp_extract_all) — not removed-char deltas,
+    // which would triple-weight a '...'
+    val symbols = regexp_count(text, lit("[#…]|\\.\\.\\.")).cast("double")
     val alphaWords = size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double")
     // lines: split on \n; single-line documents have one line
     val lines = split(text, "\n")

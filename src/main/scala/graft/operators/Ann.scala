@@ -236,6 +236,21 @@ object Ann {
       .select(col("cell"), col("c_vec"), VF.norm2(col("c_vec")).as("c_nrm"))
   }
 
+  /** The shared front half of every trained-quantizer entry point: the
+    * corpus cast to double with norms, and the trained centroid table
+    * keyed as `c_id` — one place to change the index frame shape. */
+  private def trainedIndex(corpus: DataFrame, kCentroids: Int, iters: Int,
+                           seed: String,
+                           sampleRate: Double): (DataFrame, DataFrame) = {
+    val cents = trainCentroids(corpus, kCentroids, iters, seed, sampleRate)
+    val e = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("nrm", VF.norm2(col("embedding")))
+    val cent = centroidFrame(corpus.sparkSession, cents)
+      .select(col("cell").as("c_id"), col("c_vec"), col("c_nrm"))
+    (e, cent)
+  }
+
   /** IVF with a TRAINED quantizer: [[trainCentroids]] then the same
     * assignment/probe/scoring machinery as [[ivfTopK]]. This is the
     * production IVF section default — the predicate-centroid variant
@@ -243,12 +258,7 @@ object Ann {
   def ivfTopKTrained(corpus: DataFrame, isQuery: Column, k: Int,
                      nProbe: Int = 2, kCentroids: Int = 0, iters: Int = 5,
                      seed: String = "ivf", sampleRate: Double = 1.0): DataFrame = {
-    val cents = trainCentroids(corpus, kCentroids, iters, seed, sampleRate)
-    val e = corpus.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      .withColumn("nrm", VF.norm2(col("embedding")))
-    val cent = centroidFrame(corpus.sparkSession, cents)
-      .select(col("cell").as("c_id"), col("c_vec"), col("c_nrm"))
+    val (e, cent) = trainedIndex(corpus, kCentroids, iters, seed, sampleRate)
     ivfTopKFrom(e, isQuery, cent, k, nProbe)
   }
 
@@ -258,12 +268,7 @@ object Ann {
     * test scale looks fine). */
   def ivfCellCounts(corpus: DataFrame, kCentroids: Int = 0, iters: Int = 5,
                     seed: String = "ivf", sampleRate: Double = 1.0): DataFrame = {
-    val cents = trainCentroids(corpus, kCentroids, iters, seed, sampleRate)
-    val e = corpus.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      .withColumn("nrm", VF.norm2(col("embedding")))
-    val cent = centroidFrame(corpus.sparkSession, cents)
-      .select(col("cell").as("c_id"), col("c_vec"), col("c_nrm"))
+    val (e, cent) = trainedIndex(corpus, kCentroids, iters, seed, sampleRate)
     assignCells(e, cent).groupBy(col("cell")).agg(count(lit(1)).as("n"))
   }
 
@@ -286,9 +291,7 @@ object Ann {
                     kCentroids: Int = 0, iters: Int = 5,
                     seed: String = "ivf", sampleRate: Double = 1.0,
                     maxBlock: Long = 10000): DataFrame = {
-    val e0 = corpus.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      .withColumn("nrm", VF.norm2(col("embedding")))
+    val (e0, cent) = trainedIndex(corpus, kCentroids, iters, seed, sampleRate)
     // EXACT-duplicate pre-collapse (the [[NearDup.dedupAgainstReference]]
     // trick, vector edition): identical non-zero embeddings have cosine
     // exactly 1 ≥ any threshold, AND they agree on every LSH sign bit —
@@ -305,9 +308,6 @@ object Ann {
       .select(col("vec_id"), coalesce(col("rep"), col("vec_id")).as("rep"))
     val reps = e0.join(repOf.filter(col("vec_id") === col("rep"))
       .select(col("vec_id")), "vec_id")
-    val cents = trainCentroids(corpus, kCentroids, iters, seed, sampleRate)
-    val cent = centroidFrame(corpus.sparkSession, cents)
-      .select(col("cell").as("c_id"), col("c_vec"), col("c_nrm"))
     val labeled = assignCells(reps, cent).join(reps, "vec_id")
       .select(col("vec_id"), col("cell").as("label"),
         col("embedding"), col("nrm"))
@@ -403,12 +403,7 @@ object Ann {
                            kCentroids: Int = 0, iters: Int = 5,
                            seed: String = "ivf",
                            sampleRate: Double = 1.0): Unit = {
-    val cents = trainCentroids(corpus, kCentroids, iters, seed, sampleRate)
-    val e = corpus.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      .withColumn("nrm", VF.norm2(col("embedding")))
-    val cent = centroidFrame(corpus.sparkSession, cents)
-      .select(col("cell").as("c_id"), col("c_vec"), col("c_nrm"))
+    val (e, cent) = trainedIndex(corpus, kCentroids, iters, seed, sampleRate)
     ivfIndexWriteFrom(e, cent, path)
   }
 

@@ -40,6 +40,19 @@ object SkewRehearsal {
   def hotLabel(emb: DataFrame): DataFrame =
     emb.withColumn("label", lit("hot"))
 
+  /** A third of the vectors collapsed to ONE embedding (the min-id row's)
+    * — the mass-duplicate shape shared by the semdedup rehearsal and the
+    * bench's `ivf_cell_balance` skewed twin, defined once so both always
+    * measure the same scenario. */
+  def massDuplicatedEmbeddings(e: DataFrame): DataFrame = {
+    val tpl = broadcast(e.orderBy(col("vec_id")).limit(1)
+      .select(col("embedding").as("_tpl")))
+    e.crossJoin(tpl)
+      .withColumn("embedding",
+        when(col("vec_id") % 3 === 0, col("_tpl")).otherwise(col("embedding")))
+      .drop("_tpl")
+  }
+
   /** The skewed twins of the capped dedup/similarity queries, keyed like
     * the bench expects. Caps are LOWERED to test-scale numbers so the
     * guarded path actually executes (at sf0.1 the production caps don't
@@ -64,18 +77,11 @@ object SkewRehearsal {
     // CANNOT split them — semanticDedup's exact-duplicate pre-collapse is
     // the guard that keeps this linear (m copies cost O(1) pairs, not
     // O(m²)); this line measures that guard under the duplicate mass
-    "skewed_dd_semdedup" -> (() => {
-      val e = graft.Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding"))
-      val tpl = broadcast(e.orderBy(col("vec_id")).limit(1)
-        .select(col("embedding").as("_tpl")))
-      val hot = e.crossJoin(tpl)
-        .withColumn("embedding",
-          when(col("vec_id") % 3 === 0, col("_tpl")).otherwise(col("embedding")))
-        .drop("_tpl")
-      graft.operators.Ann.semanticDedup(hot, threshold = 0.35,
-        kCentroids = 16, iters = 5, maxBlock = 200).count()
-    }),
+    "skewed_dd_semdedup" -> (() =>
+      graft.operators.Ann.semanticDedup(
+        massDuplicatedEmbeddings(graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"))),
+        threshold = 0.35, kCentroids = 16, iters = 5, maxBlock = 200).count()),
     // mass-duplicated boilerplate: a third of the corpus becomes ONE
     // template, so that template's segments hit df = n/3 — the broadcast
     // anti-join must stay tiny (O(#boilerplate templates)), never a

@@ -89,8 +89,12 @@ final class SpecDirWatcher(orch: Orchestrator, dir: java.nio.file.Path) {
   private var lastGood = Map.empty[String, PipelineSpec]
 
   def poll(): (Set[String], Set[String], Set[String]) = {
-    val files = Files.list(dir).iterator().asScala
+    // close the directory stream eagerly — a daemon polling every few
+    // seconds would otherwise leak one fd per round until GC
+    val listing = Files.list(dir)
+    val files = try listing.iterator().asScala
       .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
+    finally listing.close()
     val specs = files.flatMap { p =>
       val key = p.toString
       try {
@@ -114,15 +118,34 @@ final class SpecDirWatcher(orch: Orchestrator, dir: java.nio.file.Path) {
   }
 
   /** Poll every `intervalMs` until `stop()` (or `maxRounds`, for tests /
-    * bounded supervision). */
+    * bounded supervision). A transient poll failure (directory briefly
+    * unreadable, one reconcile error) is logged and survived — one blip
+    * must not kill supervision of every running pipeline — but
+    * `maxConsecutiveFailures` straight failures mean the environment is
+    * actually broken, and the daemon fails LOUDLY rather than zombie on. */
   def watch(intervalMs: Long, maxRounds: Int = Int.MaxValue,
-            stop: () => Boolean = () => false): Unit = {
+            stop: () => Boolean = () => false,
+            maxConsecutiveFailures: Int = 20): Unit = {
     var round = 0
+    var consecutiveFailures = 0
     while (round < maxRounds && !stop()) {
-      val (started, kept, stopped) = poll()
-      if (started.nonEmpty || stopped.nonEmpty)
-        println(s"[graft watch] round $round: started=${started.size} " +
-          s"kept=${kept.size} stopped=${stopped.size}")
+      try {
+        val (started, kept, stopped) = poll()
+        consecutiveFailures = 0
+        if (started.nonEmpty || stopped.nonEmpty)
+          println(s"[graft watch] round $round: started=${started.size} " +
+            s"kept=${kept.size} stopped=${stopped.size}")
+      } catch {
+        case e: Throwable =>
+          consecutiveFailures += 1
+          System.err.println(
+            s"[graft watch] poll failed ($consecutiveFailures in a row): " +
+            s"${e.getMessage}")
+          if (consecutiveFailures >= maxConsecutiveFailures)
+            throw new IllegalStateException(
+              s"watch loop failed $consecutiveFailures consecutive polls — " +
+              s"giving up", e)
+      }
       round += 1
       if (round < maxRounds && !stop()) Thread.sleep(intervalMs)
     }

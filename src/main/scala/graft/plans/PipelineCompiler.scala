@@ -234,8 +234,11 @@ object SectionRegistry {
       (_, c, df) => {
         val raw = in(df).select(col("vec_id"), col("embedding"))
         val frame = c.get("project_dims").map { pd =>
-          val inDims = c.getOrElse("dims_in",
-            c.getOrElse("dims", "64")).toInt
+          // the projection's INPUT dimensionality is `dims_in` ONLY —
+          // `dims` configures the LSH planes over the (projected) vectors
+          // and defaults match, so reusing it here would silently project
+          // from a prefix of each input vector
+          val inDims = c.getOrElse("dims_in", "64").toInt
           raw.select(col("vec_id"),
             graft.functions.VectorFunctions
               .randomProject(col("embedding"), pd.toInt, inDims)

@@ -298,8 +298,14 @@ object Sinks {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     val metaPath = new org.apache.hadoop.fs.Path(hPath, "_graft_upsert_meta.json")
-    val exists = fs.exists(hPath)
-    if (exists) {
+    val dirExists = fs.exists(hPath)
+    if (dirExists) recoverBakBuckets(fs, hPath)
+    // "exists" means the table has DATA (bucket dirs) — a directory
+    // holding only a meta file (crash between meta and first data write)
+    // is still a fresh table
+    val exists = dirExists && fs.listStatus(hPath)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("_bkt="))
+    if (dirExists) {
       // layout guard: the modulus must match the table's
       if (fs.exists(metaPath)) {
         val metaIn = fs.open(metaPath)
@@ -311,8 +317,20 @@ object Sinks {
           s"upsert bucket count $buckets does not match the table's " +
           s"${written.getOrElse("?")} at $path — a different modulus would " +
           s"leave stale rows in buckets the merge never rewrites")
+      } else if (exists) {
+        // data but no meta (pre-meta table, or a crash before the meta
+        // write): adopting an arbitrary modulus would silently duplicate
+        // keys, so only adopt when the on-disk bucket ids are at least
+        // CONSISTENT with the requested modulus; otherwise fail loudly
+        val maxBkt = fs.listStatus(hPath)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bkt="))
+          .map(_.getPath.getName.stripPrefix("_bkt=").toInt).max
+        if (maxBkt >= buckets) throw new IllegalArgumentException(
+          s"table at $path has bucket _bkt=$maxBkt but no layout meta; " +
+          s"bucket count $buckets cannot be right — re-create the table " +
+          s"or restore _graft_upsert_meta.json")
+        writeMeta(fs, metaPath, buckets)
       }
-      recoverBakBuckets(fs, hPath)
     }
     val merged =
       if (!exists) incoming
@@ -334,8 +352,14 @@ object Sinks {
       .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
     if (!exists) {
-      resolved.write.mode("overwrite").partitionBy("_bkt").parquet(path)
+      // meta BEFORE data: a crash in between leaves a meta-only directory
+      // the next upsert treats as fresh — there is no window in which
+      // committed data exists without its layout record. The data write
+      // APPENDS (the dir holds only the meta file; overwrite would delete
+      // it); a crash mid-write leaves partial buckets that the next
+      // replayed batch converges over (version-wins merge).
       writeMeta(fs, metaPath, buckets)
+      resolved.write.mode("append").partitionBy("_bkt").parquet(path)
     } else {
       // stage the merged buckets beside the table (hidden from readers:
       // leading underscore), then swap each in with renames
@@ -355,7 +379,6 @@ object Sinks {
         if (fs.exists(bak)) fs.delete(bak, true)
       }
       fs.delete(staging, true)
-      if (!fs.exists(metaPath)) writeMeta(fs, metaPath, buckets) // legacy table
     }
   }
 
@@ -376,10 +399,17 @@ object Sinks {
         } else fs.delete(s.getPath, true)
       }
 
+  /** Atomic meta write: temp file + rename, so no reader ever sees a
+    * half-written layout record. */
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
                         metaPath: org.apache.hadoop.fs.Path, buckets: Int): Unit = {
-    val out = fs.create(metaPath, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      metaPath.getParent, s".${metaPath.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
     finally out.close()
+    if (fs.exists(metaPath)) fs.delete(metaPath, false)
+    if (!fs.rename(tmp, metaPath))
+      throw new java.io.IOException(s"could not commit $metaPath")
   }
 }

@@ -240,4 +240,15 @@ class CorpusSpec extends AnyFunSuite {
     assert(!got(3L)._3 && !got(3L)._5) // symbol ratio fails
     assert(!got(4L)._4 && !got(4L)._5) // every line is a bullet
   }
+
+  test("gopherRules: an ellipsis counts as ONE symbol occurrence, not three chars") {
+    import graft.functions.{TextFunctions => TF}
+    // 60 words, 5 '...' occurrences → ratio 5/60 ≈ 0.083 <= 0.1 PASSES;
+    // the removed-char formulation would see 15/60 = 0.25 and fail
+    val words = Seq.fill(55)("word") ++ Seq.fill(5)("...")
+    val d = docs(1L -> (Seq.fill(60)("plain text words here").mkString(" ") + " " + words.mkString(" ")))
+    val ok = d.select(TF.gopherRules($"text").getField("symbol_ratio_ok"))
+      .as[Boolean].head()
+    assert(ok, "5 ellipses in 300 words must pass the 0.1 symbol ratio")
+  }
 }

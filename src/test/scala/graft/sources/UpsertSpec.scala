@@ -107,6 +107,29 @@ class UpsertSpec extends AnyFunSuite {
     assert(table(path) == Set((1L, "a", 1L), (2L, "b", 1L)))
   }
 
+  test("missing meta: inconsistent modulus rejected, consistent one adopted") {
+    val path = Files.createTempDirectory("ups_nometa").toString + "/t"
+    val rows = (1L to 50L).map(i => (i, s"v$i", 1L)).toDF("k", "v", "ver")
+    Sinks.upsertParquetByKey(rows, path, Seq("k"), "ver", buckets = 16)
+    // simulate a pre-meta table / crash-before-meta: delete the record
+    assert(new java.io.File(path, "_graft_upsert_meta.json").delete())
+    // a modulus the on-disk bucket ids contradict must fail loudly —
+    // silently adopting it would leave stale keys in unreachable buckets
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertParquetByKey(Seq((1L, "X", 2L)).toDF("k", "v", "ver"),
+        path, Seq("k"), "ver", buckets = 4)
+    }
+    assert(e.getMessage.contains("no layout meta"))
+    // the original modulus is consistent with every bucket id → adopted,
+    // meta restored, merge correct
+    Sinks.upsertParquetByKey(Seq((1L, "X", 2L)).toDF("k", "v", "ver"),
+      path, Seq("k"), "ver", buckets = 16)
+    assert(new java.io.File(path, "_graft_upsert_meta.json").exists())
+    assert(spark.read.parquet(path).filter($"k" === 1L)
+      .select("v").as[String].head() == "X")
+    assert(spark.read.parquet(path).count() == 50)
+  }
+
   test("interrupted bucket swap (bak left, live missing) is auto-restored") {
     val path = Files.createTempDirectory("ups_bak").toString + "/t"
     val rows = (1L to 50L).map(i => (i, s"v$i", 1L)).toDF("k", "v", "ver")
