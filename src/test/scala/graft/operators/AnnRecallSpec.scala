@@ -63,6 +63,20 @@ class AnnRecallSpec extends AnyFunSuite {
       s"expected min-id survivors with group sizes, got $got")
   }
 
+  test("semanticDedup: zero-norm vectors stay singletons (cosine-with-zero is 0)") {
+    import spark.implicits._
+    val z = Seq(0.0, 0.0, 0.0, 0.0)
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val d = Seq(1L -> z, 2L -> z, 3L -> a, 4L -> a)
+      .toDF("vec_id", "embedding")
+    val got = Ann.semanticDedup(d, threshold = 0.5, kCentroids = 2, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    // the two zero vectors never merge (their pairwise cosine is DEFINED
+    // as 0 — the convention the dd_semdedup oracle maps NaN to); the two
+    // copies of `a` do merge
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L), s"got $got")
+  }
+
   test("trainCentroids: deterministic, K defaults to ~sqrt(n), cells nonempty-ish") {
     val e = Tables.embeddings(spark, TestSpark.sf)
       .select(col("vec_id"), col("embedding"))

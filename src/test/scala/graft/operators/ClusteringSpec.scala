@@ -47,6 +47,27 @@ class ClusteringSpec extends AnyFunSuite {
     assert(rounds <= 7, s"expected <= ~ceil(log2 31)+2 rounds, took $rounds")
   }
 
+  test("large/small-star agrees with driver union-find on random graphs") {
+    // seeded LCG so the graphs are reproducible; shapes cover sparse
+    // forests, mid-density, and near-complete components
+    var state = 42L
+    def nextInt(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % bound + bound) % bound).toInt
+    }
+    for (trial <- 1 to 5) {
+      val n = 20 + nextInt(30)
+      val nEdges = nextInt(2 * n)
+      val nodes = (0L until n.toLong)
+      val edges = (1 to nEdges).map(_ =>
+        (nextInt(n).toLong, nextInt(n).toLong)).filter(e => e._1 != e._2)
+      val viaUnionFind = cc(nodes, edges, maxDriverEdges = 1000000L)
+      val viaStars = cc(nodes, edges, maxDriverEdges = 0L)
+      assert(viaStars == viaUnionFind,
+        s"trial $trial (n=$n, edges=${edges.size}): star labels diverge")
+    }
+  }
+
   test("distributed path fails loudly instead of returning unconverged labels") {
     val e = intercept[IllegalStateException] {
       Clustering.connectedComponents(

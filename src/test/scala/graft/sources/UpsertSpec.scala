@@ -107,6 +107,21 @@ class UpsertSpec extends AnyFunSuite {
     assert(table(path) == Set((1L, "a", 1L), (2L, "b", 1L)))
   }
 
+  test("stale staging dir from a crashed merge is discarded, not merged") {
+    val path = Files.createTempDirectory("ups_stage").toString + "/t"
+    Sinks.upsertParquetByKey(Seq((1L, "a", 1L)).toDF("k", "v", "ver"),
+      path, Seq("k"), "ver", buckets = 4)
+    // simulate a crash mid-stage: a partial staging dir with garbage
+    val staging = new java.io.File(path, "_graft_staging/_bkt=0")
+    assert(staging.mkdirs())
+    Files.write(staging.toPath.resolve("garbage.parquet"), Array[Byte](1, 2, 3))
+    Sinks.upsertParquetByKey(Seq((2L, "b", 1L)).toDF("k", "v", "ver"),
+      path, Seq("k"), "ver", buckets = 4)
+    assert(!new java.io.File(path, "_graft_staging").exists(),
+      "stale staging must be deleted by the next merge")
+    assert(table(path) == Set((1L, "a", 1L), (2L, "b", 1L)))
+  }
+
   test("missing meta: inconsistent modulus rejected, consistent one adopted") {
     val path = Files.createTempDirectory("ups_nometa").toString + "/t"
     val rows = (1L to 50L).map(i => (i, s"v$i", 1L)).toDF("k", "v", "ver")
