@@ -392,15 +392,35 @@ object SectionRegistry {
         textCol = c.getOrElse("text_column", "text")))),
     // incremental dedup against a reference corpus: reference_where splits
     // the input frame; output = surviving incoming ids
+    // with `signatures_path` set, the reference side is the precomputed
+    // signature store (NearDup.dedupAgainstStored — the 100 TB daily-crawl
+    // shape: reference text never re-scanned); otherwise reference_where
+    // splits the input frame and signatures compute inline
     "dedup_against" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {
         val frame = in(df)
-        val isRef = expr(cfg(c, "reference_where"))
-        Some(graft.operators.NearDup.dedupAgainstReference(
-          frame.filter(isRef), frame.filter(!isRef),
+        val idCol = c.getOrElse("id_column", "doc_id")
+        val textCol = c.getOrElse("text_column", "text")
+        val threshold = c.getOrElse("threshold", "0.2").toDouble
+        Some(c.get("signatures_path") match {
+          case Some(p) => graft.operators.NearDup.dedupAgainstStored(
+            frame, p, idCol = idCol, textCol = textCol, threshold = threshold)
+          case scala.None =>
+            val isRef = expr(cfg(c, "reference_where"))
+            graft.operators.NearDup.dedupAgainstReference(
+              frame.filter(isRef), frame.filter(!isRef),
+              idCol = idCol, textCol = textCol, threshold = threshold)
+        })
+      }),
+    // build the reference signature store (exact md5s + shingle hashes +
+    // bands) that dedup_against's signatures_path mode consumes
+    "dedup_signatures_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        graft.operators.NearDup.writeReferenceSignatures(in(df),
+          cfg(c, "path"),
           idCol = c.getOrElse("id_column", "doc_id"),
-          textCol = c.getOrElse("text_column", "text"),
-          threshold = c.getOrElse("threshold", "0.2").toDouble))
+          textCol = c.getOrElse("text_column", "text"))
+        scala.None
       }),
     // SemDeDup: semantic dedup inside trained k-means cells
     // (Ann.semanticDedup) — survivors (min vec_id per cosine group) out

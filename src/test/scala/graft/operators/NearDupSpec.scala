@@ -71,4 +71,30 @@ class NearDupSpec extends AnyFunSuite {
     assert(got == Set(101L))
     spark.catalog.clearCache()
   }
+
+  test("stored signatures answer identically to the inline reference pass") {
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val longVariant = (1 to 30).map(i => if (i == 15) "CHANGED" else s"w$i").mkString(" ")
+    val ref = docs(1L -> long, 2L -> "x")
+    val inc = docs(
+      10L -> long, 11L -> longVariant,
+      12L -> "p q r s t u v w completely fresh content here",
+      13L -> "x", 14L -> "y")
+    val inline = NearDup.dedupAgainstReference(ref, inc).as[Long].collect().toSet
+    spark.catalog.clearCache()
+    val path = java.nio.file.Files.createTempDirectory("sigstore").toString
+    NearDup.writeReferenceSignatures(ref, path)
+    // the daily-crawl shape: subsequent batches dedup against the STORE —
+    // the reference frame is not touched again
+    val stored = NearDup.dedupAgainstStored(inc, path).as[Long].collect().toSet
+    assert(stored == inline && stored == Set(12L, 14L))
+    // store layout: exact md5s, shingle hashes, bands — all present
+    for (part <- Seq("exact", "hashes", "bands"))
+      assert(new java.io.File(path, part).exists(), s"missing $part")
+    // a second batch reuses the same store
+    val inc2 = docs(20L -> long, 21L -> "another genuinely new document text")
+    assert(NearDup.dedupAgainstStored(inc2, path)
+      .as[Long].collect().toSet == Set(21L))
+    spark.catalog.clearCache()
+  }
 }
