@@ -139,12 +139,19 @@ object Bench {
           operators.Ann.ivfTopKTrained(e, isQuery, k,
             nProbe = math.max(2, (kDef + 3) / 4))
         },
-        // recall cost of JL compression (64 -> 16 dims): exact search over
-        // the projected vectors vs exact search over the originals
+        // recall cost of JL compression (exact search over projected
+        // vectors vs over the originals) at two compression levels — the
+        // two points sketch the dimension/recall tradeoff curve a user
+        // picks project_dims from
         "ann_rp_brute" -> operators.Ann.bruteForceTopK(
           Tables.embeddings(spark, sfDir).select(col("vec_id"),
             graft.functions.VectorFunctions
               .randomProject(col("embedding"), 16, 64).as("embedding")),
+          isQuery, k),
+        "ann_rp_brute32" -> operators.Ann.bruteForceTopK(
+          Tables.embeddings(spark, sfDir).select(col("vec_id"),
+            graft.functions.VectorFunctions
+              .randomProject(col("embedding"), 32, 64).as("embedding")),
           isQuery, k),
         "ann_quantized_topk" -> {
           val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
