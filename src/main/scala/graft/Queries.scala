@@ -31,7 +31,22 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Queries {
 
-  final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String])
+  /** A verified query: the Spark side plus its DuckDB oracle. The oracle
+    * is a thunk so a query whose oracle depends on DRIVER-COMPUTED values
+    * (e.g. cp_mix_temperature's pow-derived thresholds) can render them as
+    * literals at dump time — Verify runs every query before it dumps
+    * `oracle_sql.json`, so the capture is always populated by then. */
+  final class Q(val fn: (SparkSession, String) => DataFrame,
+                oracleFn: Option[() => String]) {
+    def oracle: Option[String] = oracleFn.map(_())
+  }
+  object Q {
+    def apply(fn: (SparkSession, String) => DataFrame,
+              oracle: Option[String]): Q =
+      new Q(fn, oracle.map(s => () => s))
+    def dynamic(fn: (SparkSession, String) => DataFrame,
+                oracle: () => String): Q = new Q(fn, Some(oracle))
+  }
 
   private def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
 
@@ -1198,10 +1213,16 @@ object Queries {
         SELECT row_number() OVER (ORDER BY md5('${seed}_' || vec_id), vec_id) - 1 AS cell,
           emb AS c_vec
         FROM e ORDER BY md5('${seed}_' || vec_id), vec_id LIMIT $K),"""
+    // zero-norm convention (same as the SemDeDup pair stage below): the
+    // engine DEFINES cosine with a zero vector as 0; DuckDB yields NaN,
+    // which ORDER BY cscore DESC ranks first — unmapped, a zero-norm
+    // embedding or collapsed centroid would flip cell assignments
     for (i <- 1 to iters) sb ++= s"""
-      s$i AS (SELECT e.vec_id, c.cell,
-          round(list_cosine_similarity(e.emb, c.c_vec), 6) AS cscore
-        FROM e CROSS JOIN c${i - 1} c),
+      s$i AS (SELECT vec_id, cell,
+          round(CASE WHEN isnan(cs) THEN 0.0 ELSE cs END, 6) AS cscore
+        FROM (SELECT e.vec_id, c.cell,
+            list_cosine_similarity(e.emb, c.c_vec) AS cs
+          FROM e CROSS JOIN c${i - 1} c)),
       a$i AS (SELECT vec_id, cell FROM (
           SELECT vec_id, cell,
             row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) AS rk
@@ -1215,9 +1236,11 @@ object Queries {
       c$i AS (SELECT p.cell, coalesce(n.c_vec, p.c_vec) AS c_vec
         FROM c${i - 1} p LEFT JOIN n$i n USING (cell)),"""
     sb ++= s"""
-      sf AS (SELECT e.vec_id, c.cell,
-          round(list_cosine_similarity(e.emb, c.c_vec), 6) AS cscore
-        FROM e CROSS JOIN c$iters c),
+      sf AS (SELECT vec_id, cell,
+          round(CASE WHEN isnan(cs) THEN 0.0 ELSE cs END, 6) AS cscore
+        FROM (SELECT e.vec_id, c.cell,
+            list_cosine_similarity(e.emb, c.c_vec) AS cs
+          FROM e CROSS JOIN c$iters c)),
       rf AS (SELECT vec_id, cell,
           row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) AS crk
         FROM sf),
@@ -1231,9 +1254,12 @@ object Queries {
     s"""WITH ${ivfTrainingCtes(K, iters, seed)},
       qprobe AS (SELECT r.vec_id AS q_id, r.cell, e.emb AS q_vec FROM rf r
         JOIN e ON e.vec_id = r.vec_id WHERE r.vec_id < 10 AND r.crk <= $nProbe),
-      cand AS (SELECT q.q_id, a.vec_id AS n_id,
-          round(list_cosine_similarity(q.q_vec, a.emb), 6) AS cosine
-        FROM qprobe q JOIN assigned a USING (cell) WHERE a.vec_id != q.q_id)
+      cand AS (SELECT q_id, n_id,
+          round(CASE WHEN isnan(cs) THEN 0.0 ELSE cs END, 6) AS cosine
+        FROM (SELECT q.q_id, a.vec_id AS n_id,
+            list_cosine_similarity(q.q_vec, a.emb) AS cs
+          FROM qprobe q JOIN assigned a USING (cell)
+          WHERE a.vec_id != q.q_id))
       SELECT q_id, n_id, cosine, rk FROM (
         SELECT q_id, n_id, cosine,
           row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
@@ -2047,26 +2073,46 @@ object Queries {
       FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""))
 
   /** Temperature mixing at α=0.5 ([[graft.operators.Corpus.mixTemperature]])
-    * — keep-rates ∝ n_d^(α-1) anchored at the smallest domain; the
-    * integer-threshold construction makes the pow-derived rates
-    * engine-reproducible. */
-  private val cpMixTemperature = Q(
-    (s, dir) => {
-      import s.implicits._
-      graft.operators.Corpus.mixTemperature(
-          Tables.documents(s, dir), alpha = 0.5)
-        .orderBy($"doc_id")
-    },
-    Some("""WITH cnt AS (SELECT lang, count(*)::DOUBLE AS n
+    * — keep-rates ∝ n_d^(α-1) anchored at the smallest domain. The
+    * pow-derived thresholds are computed ONCE on the driver and injected
+    * into the oracle as VALUES literals (captured when the query runs;
+    * Verify dumps oracle_sql.json afterwards) — recomputing `pow` in
+    * DuckDB risks a last-ulp difference on a .5 rounding boundary
+    * shifting a threshold by 1. The SQL-side pow derivation remains as
+    * the fallback for flows that read the oracle without running the
+    * query. */
+  @volatile private var mixThrCapture: Option[Seq[(String, Long)]] = None
+  private def mixTemperatureOracle: String = {
+    val body = """SELECT d.doc_id, d.lang
+      FROM documents d JOIN rates r USING (lang)
+      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+        < r.thr
+      ORDER BY d.doc_id"""
+    mixThrCapture match {
+      case Some(thr) =>
+        val rows = thr.sortBy(_._1).map { case (d, t) =>
+          s"('${d.replace("'", "''")}', ${t}::BIGINT)" }.mkString(", ")
+        s"WITH rates(lang, thr) AS (VALUES $rows)\n      $body"
+      case None =>
+        s"""WITH cnt AS (SELECT lang, count(*)::DOUBLE AS n
         FROM documents GROUP BY lang),
       mn AS (SELECT min(n) AS n_min FROM cnt),
       rates AS (SELECT lang,
           CAST(round(pow(n / n_min, 0.5 - 1.0) * 10000, 0) AS BIGINT) AS thr
         FROM cnt CROSS JOIN mn)
-      SELECT d.doc_id, d.lang FROM documents d JOIN rates r USING (lang)
-      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 10000
-        < r.thr
-      ORDER BY d.doc_id"""))
+      $body"""
+    }
+  }
+  private val cpMixTemperature = Q.dynamic(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val thr = graft.operators.Corpus.temperatureThresholds(docs, alpha = 0.5)
+      mixThrCapture = Some(thr)
+      graft.operators.Corpus.mixByThresholds(docs, thr)
+        .orderBy($"doc_id")
+    },
+    () => mixTemperatureOracle)
 
   /** BM25 top-20 for terms (table, query, spark), Lucene idf floor,
     * k1=1.2 b=0.75. Stats reduce to one broadcast row; tie-break by

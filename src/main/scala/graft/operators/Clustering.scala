@@ -68,8 +68,10 @@ object Clustering {
     * `hi > lo` throughout; at the fixpoint the edges ARE the answer — one
     * star per component, every node pointing at the component's min id.
     * Fixpoint detection compares (count, xor of edge hashes) across a
-    * round: two cheap aggregates over checkpointed (long, long) rows, no
-    * join against the previous round.
+    * round — two cheap aggregates over checkpointed (long, long) rows —
+    * then confirms a match with one exact anti-join against the previous
+    * round's edges, so a fingerprint collision can never end the loop
+    * early with a wrong labeling.
     *
     * Returns (labels, rounds). Fails loudly if `maxIters` rounds don't
     * reach the fixpoint — a silently-unconverged labeling is a wrong
@@ -107,7 +109,13 @@ object Clustering {
         .union(m2.select(col("hi"), col("m").as("lo")))
         .distinct().localCheckpoint(true)
       val fp2 = fingerprint(ss)
-      converged = fp2 == fp
+      // the (count, xor-of-hash) fingerprint is necessary but not
+      // sufficient: a collision between two different edge sets would
+      // silently return a wrong labeling. Counts are equal whenever the
+      // fingerprints match, so one empty anti-join proves set equality —
+      // it runs only on a fingerprint match, i.e. once, at termination
+      converged = fp2 == fp &&
+        ss.join(e, Seq("hi", "lo"), "left_anti").isEmpty
       fp = fp2
       e = ss
       rounds += 1

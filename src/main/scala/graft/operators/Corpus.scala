@@ -188,17 +188,39 @@ object Corpus {
     */
   def mixTemperature(docs: DataFrame, alpha: Double, byCol: String = "lang",
                      idCol: String = "doc_id",
-                     maxRate: Double = 1.0): DataFrame = {
+                     maxRate: Double = 1.0): DataFrame =
+    mixByThresholds(docs, temperatureThresholds(docs, alpha, byCol, maxRate),
+      byCol, idCol)
+
+  /** The per-domain integer thresholds of [[mixTemperature]], computed ONCE
+    * on the driver (JVM `Math.pow`). Exposed separately so an exact replay
+    * (e.g. a SQL oracle) can take the thresholds as literal inputs instead
+    * of re-deriving them through its own `pow` — two libraries' last-ulp
+    * difference landing on a .5 rounding boundary would otherwise shift a
+    * threshold by 1 and change which documents survive. */
+  def temperatureThresholds(docs: DataFrame, alpha: Double,
+                            byCol: String = "lang",
+                            maxRate: Double = 1.0): Seq[(String, Long)] = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     require(maxRate > 0.0 && maxRate <= 1.0, "maxRate must be in (0, 1]")
-    val spark = docs.sparkSession
     val counts = docs.groupBy(col(byCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+      .collect().map(r => (r.get(0).toString, r.getLong(1))).toSeq
     require(counts.nonEmpty, "empty corpus has no domains to mix")
     val nMin = counts.map(_._2).min.toDouble
-    val thr = counts.map { case (d, n) =>
+    counts.map { case (d, n) =>
       (d, Math.round(maxRate * math.pow(n / nMin, alpha - 1.0) * 10000.0)) }
-    val thrDf = spark.createDataFrame(thr.toIndexedSeq).toDF(byCol, "_thr")
+  }
+
+  /** Apply precomputed `(domain, threshold)` keep-rates: a document
+    * survives when md5(doc_id)-derived `u ∈ [0, 10000)` falls below its
+    * domain's threshold. Threshold table broadcasts; the corpus pass is
+    * scan + hash + filter, no shuffle. */
+  def mixByThresholds(docs: DataFrame, thresholds: Seq[(String, Long)],
+                      byCol: String = "lang",
+                      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    val thrDf = spark.createDataFrame(thresholds.toIndexedSeq)
+      .toDF(byCol, "_thr")
     val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % 10000L
     docs.join(broadcast(thrDf), Seq(byCol))

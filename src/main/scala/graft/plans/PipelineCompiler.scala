@@ -233,7 +233,8 @@ object SectionRegistry {
     "ann_topk" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {
         val raw = in(df).select(col("vec_id"), col("embedding"))
-        val frame = c.get("project_dims").map { pd =>
+        val projDims = c.get("project_dims").map(_.toInt)
+        val frame = projDims.map { pd =>
           // the projection's INPUT dimensionality is `dims_in` ONLY —
           // `dims` configures the LSH planes over the (projected) vectors
           // and defaults match, so reusing it here would silently project
@@ -241,13 +242,27 @@ object SectionRegistry {
           val inDims = c.getOrElse("dims_in", "64").toInt
           raw.select(col("vec_id"),
             graft.functions.VectorFunctions
-              .randomProject(col("embedding"), pd.toInt, inDims)
+              .randomProject(col("embedding"), pd, inDims)
               .as("embedding"))
         }.getOrElse(raw)
         val isQuery = expr(cfg(c, "query_where"))
         val k = c.getOrElse("k", "5").toInt
         def bits = c.getOrElse("bits", "4").toInt
-        def dims = c.getOrElse("dims", "64").toInt
+        // LSH planes must span the vectors the variant actually sees:
+        // after a JL projection that is project_dims components, so
+        // `dims` follows project_dims unless set — and setting both to
+        // different values is a config error, not a silent truncation
+        // (ArrayDotProduct dots only the common prefix otherwise)
+        def dims = (c.get("dims").map(_.toInt), projDims) match {
+          case (Some(d), Some(pd)) =>
+            require(d == pd, s"ann_topk: dims=$d conflicts with " +
+              s"project_dims=$pd — the LSH planes must match the " +
+              "projected dimensionality; drop `dims` or set them equal")
+            d
+          case (Some(d), scala.None) => d
+          case (scala.None, Some(pd)) => pd
+          case (scala.None, scala.None) => 64
+        }
         val out = c.getOrElse("variant", "brute") match {
           case "brute" => graft.operators.Ann.bruteForceTopK(frame, isQuery, k)
           case "lsh" | "lsh_multi" => graft.operators.Ann.lshMultiTopK(

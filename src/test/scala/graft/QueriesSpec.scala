@@ -30,4 +30,14 @@ class QueriesSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs))
   }
+
+  test("cp_mix_temperature oracle renders driver-computed thresholds as literals") {
+    // after the query runs (Verify's ordering), the oracle must carry the
+    // JVM-pow thresholds as VALUES literals — never re-derive them through
+    // DuckDB's pow, whose last-ulp behavior can differ on .5 boundaries
+    Queries.all.toMap.apply("cp_mix_temperature").fn(spark, TestSpark.sf).count()
+    val sql = SparkEntry.oracleSql("cp_mix_temperature")
+    assert(sql.contains("VALUES"), sql)
+    assert(!sql.contains("pow("), sql)
+  }
 }

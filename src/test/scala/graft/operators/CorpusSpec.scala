@@ -114,6 +114,20 @@ class CorpusSpec extends AnyFunSuite {
       Corpus.mixTemperature(d, alpha = 0.5).count())
   }
 
+  test("mixTemperature decomposes: thresholds driver-side, apply broadcast-side") {
+    val d = ((1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small")))
+      .toDF("doc_id", "lang")
+    val thr = Corpus.temperatureThresholds(d, alpha = 0.5).toMap
+    // smallest domain anchors at maxRate=1.0 → threshold 10000;
+    // big keeps round(sqrt(100/900)·1e4) = 3333
+    assert(thr == Map("small" -> 10000L, "big" -> 3333L), thr.toString)
+    val viaThr = Corpus.mixByThresholds(d, thr.toSeq)
+      .as[(Long, String)].collect().toSet
+    val direct = Corpus.mixTemperature(d, alpha = 0.5)
+      .as[(Long, String)].collect().toSet
+    assert(viaThr == direct)
+  }
+
   test("mixWeighted: sampled fraction tracks the rate") {
     val d = (1L to 1000L).map(i => (i, "en")).toDF("doc_id", "lang")
     val kept = Corpus.mixWeighted(d, Seq("en" -> 0.5)).count()

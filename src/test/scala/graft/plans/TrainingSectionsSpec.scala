@@ -57,6 +57,38 @@ class TrainingSectionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_topk: LSH plane geometry follows project_dims") {
+    // project_dims without an explicit `dims` must give the LSH planes
+    // the PROJECTED dimensionality (16 here), not the 64-dim default —
+    // ArrayDotProduct would otherwise silently dot a 16-component prefix
+    // of each 64-dim plane
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/embeddings.parquet"}},
+        {"id":"ann","name":"ann_topk","config":{
+          "variant":"lsh","k":"3","query_where":"vec_id < 4",
+          "project_dims":"16"}}],
+        "edges":[["src","ann"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < 4 && r.getLong(3) <= 3))
+  }
+
+  test("ann_topk: conflicting dims and project_dims is a config error") {
+    val e = intercept[IllegalArgumentException] {
+      val json =
+        s"""{"sections":[
+          {"id":"src","name":"parquet_source","config":{"path":"$sf/embeddings.parquet"}},
+          {"id":"ann","name":"ann_topk","config":{
+            "variant":"lsh","k":"3","query_where":"vec_id < 4",
+            "project_dims":"16","dims":"64"}}],
+          "edges":[["src","ann"]]}"""
+      PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    }
+    assert(e.getMessage.contains("project_dims"))
+  }
+
   test("dataset_split and mm_decode sections compose in one pipeline") {
     val json =
       s"""{"sections":[
