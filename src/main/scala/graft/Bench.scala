@@ -90,9 +90,51 @@ object Bench {
       val s = samples.result().sorted
       if (s.isEmpty) scala.None else Some((name, s(s.size / 2), s.head))
     }
+    // index-build vs query-serving SPLIT lines for the trained-IVF family:
+    // the full-query lines below (ann_ivf_topk, ann_ivf_disk, dd_semdedup)
+    // conflate quantizer training / index write with answering, so a
+    // training change reads as a query regression. These lines attribute:
+    // *_train/_build time the model/index construction alone, *_query time
+    // serving against a PREBUILT quantizer/index (same K=16 config as the
+    // oracle queries).
+    val splitNames = Seq("ann_ivf_train", "ann_ivf_query",
+      "ann_ivf_disk_build", "ann_ivf_disk_query", "dd_semdedup_query")
+    val ivfSplitResults: Seq[(String, Double, Double)] =
+      if (!splitNames.exists(wanted)) Seq.empty else try {
+        val e = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+        val cents = operators.Ann.trainCentroids(e, kCentroids = 16)
+        val diskDir = java.nio.file.Files
+          .createTempDirectory("bench_ivf_idx").toString
+        operators.Ann.ivfIndexWriteTrained(e, diskDir, kCentroids = 16)
+        spark.catalog.clearCache()
+        Seq[(String, () => Unit)](
+          "ann_ivf_train" -> (() =>
+            { operators.Ann.trainCentroids(e, kCentroids = 16); () }),
+          "ann_ivf_query" -> (() =>
+            { operators.Ann.ivfTopKFromCentroids(e, col("vec_id") < 10,
+                cents, 5, 2).count(); () }),
+          "ann_ivf_disk_build" -> (() => {
+            val d = java.nio.file.Files
+              .createTempDirectory("bench_ivf_build").toString
+            operators.Ann.ivfIndexWriteTrained(e, d, kCentroids = 16); () }),
+          "ann_ivf_disk_query" -> (() =>
+            { operators.Ann.ivfIndexTopK(e.filter(col("vec_id") < 10),
+                diskDir, 5, 2).count(); () }),
+          "dd_semdedup_query" -> (() =>
+            { operators.Ann.semanticDedupWith(e, cents,
+                threshold = 0.35).count(); () })
+        ).filter(q => wanted(q._1)).flatMap { case (name, f) =>
+          timed(name, f) }
+      } catch { case ex: Throwable =>
+        System.err.println(s"[bench] ivf split harness FAILED: ${ex.getMessage}")
+        failed += "ivf_split"
+        Seq.empty
+      }
     val results =
       Queries.all.filter(q => wanted(q._1)).flatMap { case (name, q) =>
         timed(name, () => { q.fn(spark, sfDir).count(); () }) } ++
+      ivfSplitResults ++
       // scale rehearsal: worst-case skewed corpora through the capped pair
       // generators — each skewed_* line should stay within ~2x of its
       // uniform twin above, or a cap has stopped doing its job
@@ -190,8 +232,31 @@ object Bench {
         spark.catalog.clearCache()
         b
       }
+      // the BALANCED index's straggler bound: max scan UNIT (post split
+      // + salt) over mean cell population. Splitting fixes separable hot
+      // cells; salting bounds the mass-duplicate cell 2-means cannot
+      // separate. This line is GATED, not just reported: past the
+      // threshold the bench FAILS (lands in `failed`), because a unit 10×
+      // the mean is an executor straggler/OOM at 100 TB no latency line
+      // at test scale can see.
+      def unitBalance(df: org.apache.spark.sql.DataFrame): Double = {
+        val units = operators.Ann.ivfScanUnitCounts(df, balanceFactor = 3.0)
+        val r = units.agg(max(col("n")).cast("double"),
+          (sum(col("n")) / countDistinct(col("cell"))).cast("double")).head()
+        val b = r.getDouble(0) / r.getDouble(1)
+        spark.catalog.clearCache()
+        b
+      }
       val skew = operators.SkewRehearsal.massDuplicatedEmbeddings(e)
-      Seq("uniform" -> balance(e), "skewed" -> balance(skew))
+      val skewBalanced = unitBalance(skew)
+      if (skewBalanced > 3.5) {
+        System.err.println(f"[bench] ivf_cell_balance GATE FAILED: balanced " +
+          f"skewed unit ratio $skewBalanced%.2f > 3.5 — the split+salt " +
+          "pass is no longer bounding hot cells")
+        failed += "ivf_cell_balance_gate"
+      }
+      Seq("uniform" -> balance(e), "skewed" -> balance(skew),
+        "skewed_balanced" -> skewBalanced)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] cell-balance harness FAILED: ${e.getMessage}")
       failed += "ivf_cell_balance"

@@ -177,50 +177,207 @@ object Ann {
                      seed: String = "ivf",
                      sampleRate: Double = 1.0): Array[Array[Double]] = {
     require(iters >= 1, "need at least one Lloyd iteration")
+    val base = sampleFrame(corpus, sampleRate).persist()
+    try lloyd(base, initCentroids(base, resolveK(base, kCentroids), seed), iters)
+    finally base.unpersist()
+  }
+
+  /** The deterministic training sample (md5(vec_id)-rate draw) as
+    * `(vec_id, emb: array<double>)`. */
+  private def sampleFrame(corpus: DataFrame, sampleRate: Double): DataFrame = {
     val base0 = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
-    val base = (if (sampleRate >= 1.0) base0 else {
+    if (sampleRate >= 1.0) base0
+    else {
       val u = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
         .cast("long") % 10000L
       base0.filter(u < (lit(sampleRate) * 10000L).cast("long"))
-    }).persist() // the training SAMPLE (sampleRate-bounded), not the corpus
+    }
+  }
+
+  private def resolveK(base: DataFrame, kCentroids: Int): Int =
+    if (kCentroids > 0) kCentroids
+    else math.max(2, math.round(math.sqrt(base.count().toDouble)).toInt)
+
+  /** Seeded deterministic init: the `k` sample vectors with the smallest
+    * md5(seed_vec_id) — hash order, independent of partitioning. */
+  private def initCentroids(base: DataFrame, k: Int,
+                            seed: String): Array[Array[Double]] =
+    base.select(col("emb"),
+        md5(concat(lit(s"${seed}_"), col("vec_id").cast("string"))).as("hk"),
+        col("vec_id"))
+      .orderBy(col("hk"), col("vec_id")).limit(k)
+      .select(col("emb")).collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Nearest-cell argmax as an AGGREGATE: min over (-score, cell) =
+    * highest round(6) score, smallest cell on ties — identical to the
+    * oracle's row_number ranking, but with map-side partials instead of a
+    * window. Only (vec_id, cell, score) triples shuffle. */
+  private def nearestCellAgg(base: DataFrame, cent: DataFrame): DataFrame =
+    base.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cell"),
+        round(VF.cosineWithNorms(VF.dot(col("emb"), col("c_vec")),
+          VF.norm2(col("emb")), col("c_nrm")), 6).as("cscore"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("cscore")).as("neg"), col("cell").as("cell")))
+        .as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell"))
+
+  /** Lloyd iterations over a persisted sample: assign (nearest-cell agg),
+    * update (elementwise DECIMAL(38,12) sums — exact, order-independent,
+    * so Spark and the SQL oracle agree bit-for-bit). Empty cells keep
+    * their previous centroid. Driver traffic per iteration: K·dims
+    * decimal sums — the model, never the data. */
+  private def lloyd(base: DataFrame, init: Array[Array[Double]],
+                    iters: Int): Array[Array[Double]] = {
+    var cents = init
+    for (_ <- 0 until iters) {
+      val best = nearestCellAgg(base, centroidFrame(base.sparkSession, cents))
+      val sums = best.join(base, "vec_id")
+        .select(col("cell"), posexplode(col("emb")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .as("s"))
+        .collect() // O(K·dims) rows — the model update, never the data
+      val next = cents.map(_.clone())
+      sums.groupBy(_.getLong(0)).foreach { case (cell, rows) =>
+        val v = new Array[Double](cents(cell.toInt).length)
+        rows.foreach(r => v(r.getInt(1)) = r.getDecimal(2).doubleValue())
+        next(cell.toInt) = v
+      }
+      cents = next
+    }
+    cents
+  }
+
+  /** [[trainCentroids]] followed by HOT-CELL SPLITTING — the quantizer
+    * balance pass. A lopsided quantizer is a 100 TB probe-cost skew:
+    * every query probing the hot cell scans `max/mean` times the average
+    * cell, and the bench's `ivf_cell_balance` line measures exactly that
+    * ratio. After Lloyd converges, any cell whose population exceeds
+    * `balanceFactor ×` the mean is split by seeded 2-means over ITS OWN
+    * members (all hot cells split together — one assignment pass per
+    * round, not per cell), replacing the hot centroid with its two
+    * children. Rounds repeat until balanced or `maxSplitRounds`.
+    *
+    * A cell of exact-identical vectors cannot balance by splitting (both
+    * children coincide); such degenerate cells are detected (a child ends
+    * up empty) and FROZEN — reported via the bench's balance line rather
+    * than looping forever. Mass-duplicate corpora should exact-collapse
+    * first (see [[semanticDedup]]); the quantizer keeps their duplicates
+    * in one cell, which is the best an assignment-complete index can do.
+    *
+    * Everything stays deterministic (seeded inits, round(6)+id argmax,
+    * DECIMAL sums), so a balanced index is oracle-replayable by injecting
+    * the FINAL centroids as literals (see the ann_ivf_balanced query).
+    * Cell ids are renumbered 0..K'-1 in (parent order, child order). */
+  def trainCentroidsBalanced(corpus: DataFrame, kCentroids: Int = 0,
+                             iters: Int = 5, seed: String = "ivf",
+                             sampleRate: Double = 1.0,
+                             balanceFactor: Double = 3.0,
+                             maxSplitRounds: Int = 8,
+                             splitIters: Int = 2): Array[Array[Double]] = {
+    require(balanceFactor > 1.0, "balanceFactor must exceed 1")
+    val spark = corpus.sparkSession
+    val base = sampleFrame(corpus, sampleRate).persist()
     try {
-      val k = if (kCentroids > 0) kCentroids
-        else math.max(2, math.round(math.sqrt(base.count().toDouble)).toInt)
-      var cents: Array[Array[Double]] = base
-        .select(col("emb"),
-          md5(concat(lit(s"${seed}_"), col("vec_id").cast("string"))).as("hk"),
-          col("vec_id"))
-        .orderBy(col("hk"), col("vec_id")).limit(k)
-        .select(col("emb")).collect()
-        .map(_.getSeq[Double](0).toArray)
-      for (_ <- 0 until iters) {
-        val cent = centroidFrame(base.sparkSession, cents)
-        val scored = base.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("cell"),
-            round(VF.cosineWithNorms(VF.dot(col("emb"), col("c_vec")),
-              VF.norm2(col("emb")), col("c_nrm")), 6).as("cscore"))
-        // argmax as an aggregate: min over (-score, cell) = highest score,
-        // smallest cell on ties — identical to the oracle's row_number
-        // ranking, but with map-side partials instead of a window
-        val best = scored
-          .groupBy(col("vec_id"))
-          .agg(min(struct((-col("cscore")).as("neg"), col("cell").as("cell")))
-            .as("b"))
-          .select(col("vec_id"), col("b.cell").as("cell"))
-        val sums = best.join(base, "vec_id")
-          .select(col("cell"), posexplode(col("emb")))
-          .groupBy(col("cell"), col("pos"))
-          .agg(sum(col("col").cast(org.apache.spark.sql.types.DecimalType(38, 12)))
-            .as("s"))
-          .collect() // O(K·dims) rows — the model update, never the data
-        val next = cents.map(_.clone())
-        sums.groupBy(_.getLong(0)).foreach { case (cell, rows) =>
-          val v = new Array[Double](cents(cell.toInt).length)
-          rows.foreach(r => v(r.getInt(1)) = r.getDecimal(2).doubleValue())
-          next(cell.toInt) = v
-        }
-        cents = next
+      var cents = lloyd(base, initCentroids(base, resolveK(base, kCentroids),
+        seed), iters)
+      var frozen = Set.empty[Int] // degenerate cells that cannot split
+      var splitRound = 0
+      var balanced = false
+      while (!balanced && splitRound < maxSplitRounds) {
+        val assign = nearestCellAgg(base, centroidFrame(spark, cents)).persist()
+        try {
+          val counts = assign.groupBy(col("cell"))
+            .agg(count(lit(1)).as("n")).collect()
+            .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+          val mean = counts.values.sum.toDouble / cents.length
+          val hot = cents.indices.filter(i =>
+            !frozen(i) && counts.getOrElse(i, 0L) >= 2 &&
+            counts.getOrElse(i, 0L) > balanceFactor * mean).toSet
+          if (hot.isEmpty) balanced = true
+          else {
+            val members = assign
+              .filter(col("cell").isin(hot.toSeq.map(i => Long.box(i.toLong)): _*))
+              .join(base, "vec_id").persist()
+            try {
+              // 2-means inside each hot cell, all cells in one pass per
+              // iteration: children live in a (cell, child) keyed frame,
+              // members only ever score against their own cell's two
+              val wInit = Window.partitionBy(col("cell"))
+                .orderBy(col("hk"), col("vec_id"))
+              var children: Map[(Int, Int), Array[Double]] = members
+                .select(col("cell"), col("vec_id"), col("emb"),
+                  md5(concat(lit(s"${seed}_split${splitRound}_"),
+                    col("vec_id").cast("string"))).as("hk"))
+                .withColumn("rn", row_number().over(wInit))
+                .filter(col("rn") <= 2)
+                .select(col("cell"), col("rn"), col("emb")).collect()
+                .map(r => (r.getLong(0).toInt, r.getInt(1) - 1) ->
+                  r.getSeq[Double](2).toArray).toMap
+              def childFrame: DataFrame = {
+                import spark.implicits._
+                children.toSeq.sortBy(_._1)
+                  .map { case ((c, ch), v) => (c.toLong, ch, v.toSeq) }
+                  .toDF("cell", "child", "c_vec")
+                  .select(col("cell"), col("child"), col("c_vec"),
+                    VF.norm2(col("c_vec")).as("c_nrm"))
+              }
+              // argmax groups on (cell, vec_id) longs; emb joins back by
+              // vec_id afterwards — same no-array-keys rule as everywhere
+              def assignChild: DataFrame = members
+                .join(broadcast(childFrame), Seq("cell"))
+                .select(col("cell"), col("vec_id"), col("child"),
+                  round(VF.cosineWithNorms(VF.dot(col("emb"), col("c_vec")),
+                    VF.norm2(col("emb")), col("c_nrm")), 6).as("cscore"))
+                .groupBy(col("cell"), col("vec_id"))
+                .agg(min(struct((-col("cscore")).as("neg"),
+                  col("child").as("child"))).as("b"))
+                .select(col("cell"), col("vec_id"), col("b.child").as("child"))
+                .join(members.select(col("vec_id"), col("emb")), "vec_id")
+              for (_ <- 0 until splitIters) {
+                val sums = assignChild
+                  .select(col("cell"), col("child"), posexplode(col("emb")))
+                  .groupBy(col("cell"), col("child"), col("pos"))
+                  .agg(sum(col("col")
+                    .cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+                    .as("s"))
+                  .collect() // O(2·hot·dims) — model-sized
+                val upd = sums.groupBy(r => (r.getLong(0).toInt, r.getInt(1)))
+                  .map { case (key, rows) =>
+                    val v = new Array[Double](children(key).length)
+                    rows.foreach(r => v(r.getInt(2)) = r.getDecimal(3).doubleValue())
+                    key -> v
+                  }
+                children = children ++ upd // empty child keeps its init
+              }
+              val childPop = assignChild.groupBy(col("cell"), col("child"))
+                .agg(count(lit(1)).as("n")).collect()
+                .map(r => (r.getLong(0).toInt, r.getInt(1)) -> r.getLong(2)).toMap
+              // rebuild: parents in index order, a split parent replaced by
+              // its two children in child order; degenerate splits freeze
+              val out = Array.newBuilder[Array[Double]]
+              var newFrozen = Set.empty[Int]
+              var nOut = 0
+              cents.indices.foreach { i =>
+                val degenerate = hot(i) &&
+                  (childPop.getOrElse((i, 0), 0L) == 0L ||
+                   childPop.getOrElse((i, 1), 0L) == 0L)
+                if (hot(i) && !degenerate) {
+                  out += children((i, 0)); out += children((i, 1)); nOut += 2
+                } else {
+                  if (frozen(i) || degenerate) newFrozen += nOut
+                  out += cents(i); nOut += 1
+                }
+              }
+              cents = out.result()
+              frozen = newFrozen
+            } finally members.unpersist()
+          }
+        } finally assign.unpersist()
+        splitRound += 1
       }
       cents
     } finally base.unpersist()
@@ -236,13 +393,11 @@ object Ann {
       .select(col("cell"), col("c_vec"), VF.norm2(col("c_vec")).as("c_nrm"))
   }
 
-  /** The shared front half of every trained-quantizer entry point: the
-    * corpus cast to double with norms, and the trained centroid table
-    * keyed as `c_id` — one place to change the index frame shape. */
-  private def trainedIndex(corpus: DataFrame, kCentroids: Int, iters: Int,
-                           seed: String,
-                           sampleRate: Double): (DataFrame, DataFrame) = {
-    val cents = trainCentroids(corpus, kCentroids, iters, seed, sampleRate)
+  /** The shared front half of every quantizer-driven entry point: the
+    * corpus cast to double with norms, and a centroid table keyed as
+    * `c_id` — one place to change the index frame shape. */
+  private def indexFrames(corpus: DataFrame,
+                          cents: Array[Array[Double]]): (DataFrame, DataFrame) = {
     val e = corpus.select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
       .withColumn("nrm", VF.norm2(col("embedding")))
@@ -250,6 +405,12 @@ object Ann {
       .select(col("cell").as("c_id"), col("c_vec"), col("c_nrm"))
     (e, cent)
   }
+
+  private def trainedIndex(corpus: DataFrame, kCentroids: Int, iters: Int,
+                           seed: String,
+                           sampleRate: Double): (DataFrame, DataFrame) =
+    indexFrames(corpus,
+      trainCentroids(corpus, kCentroids, iters, seed, sampleRate))
 
   /** IVF with a TRAINED quantizer: [[trainCentroids]] then the same
     * assignment/probe/scoring machinery as [[ivfTopK]]. This is the
@@ -262,14 +423,87 @@ object Ann {
     ivfTopKFrom(e, isQuery, cent, k, nProbe)
   }
 
+  /** IVF answered from DRIVER-HELD centroids (e.g.
+    * [[trainCentroidsBalanced]]'s output, or centroids loaded from a
+    * store): same assignment/probe/scoring machinery as every IVF path.
+    * Also what lets an oracle replay a balanced index — the centroids
+    * are literals on both sides. */
+  def ivfTopKFromCentroids(corpus: DataFrame, isQuery: Column,
+                           cents: Array[Array[Double]], k: Int,
+                           nProbe: Int = 2): DataFrame = {
+    val (e, cent) = indexFrames(corpus, cents)
+    ivfTopKFrom(e, isQuery, cent, k, nProbe)
+  }
+
+  /** [[ivfTopKTrained]] with the hot-cell-splitting quantizer — the
+    * production default shape for skewed corpora. */
+  def ivfTopKTrainedBalanced(corpus: DataFrame, isQuery: Column, k: Int,
+                             nProbe: Int = 2, kCentroids: Int = 0,
+                             iters: Int = 5, seed: String = "ivf",
+                             sampleRate: Double = 1.0,
+                             balanceFactor: Double = 3.0): DataFrame =
+    ivfTopKFromCentroids(corpus, isQuery,
+      trainCentroidsBalanced(corpus, kCentroids, iters, seed, sampleRate,
+        balanceFactor), k, nProbe)
+
   /** Vector→cell populations of a trained quantizer over the full corpus:
     * `(cell, n)` — the bench derives the max/mean imbalance from this (a
     * lopsided quantizer makes probe cost skew even when wall time at
-    * test scale looks fine). */
+    * test scale looks fine). `balanceFactor > 0` routes training through
+    * [[trainCentroidsBalanced]] so the bench can audit (and gate) the
+    * balanced path against the raw one. */
   def ivfCellCounts(corpus: DataFrame, kCentroids: Int = 0, iters: Int = 5,
-                    seed: String = "ivf", sampleRate: Double = 1.0): DataFrame = {
-    val (e, cent) = trainedIndex(corpus, kCentroids, iters, seed, sampleRate)
+                    seed: String = "ivf", sampleRate: Double = 1.0,
+                    balanceFactor: Double = 0.0): DataFrame = {
+    val cents =
+      if (balanceFactor > 0.0)
+        trainCentroidsBalanced(corpus, kCentroids, iters, seed, sampleRate,
+          balanceFactor)
+      else trainCentroids(corpus, kCentroids, iters, seed, sampleRate)
+    val (e, cent) = indexFrames(corpus, cents)
     assignCells(e, cent).groupBy(col("cell")).agg(count(lit(1)).as("n"))
+  }
+
+  /** Scan-UNIT populations of a balanced index: centroid training with
+    * hot-cell splitting, then residual hot cells (the ones splitting
+    * cannot fix — a mass-duplicated embedding's cell is 2-means
+    * degenerate) SALTED into `ceil(pop / (factor·mean))` sub-units by
+    * `pmod(xxhash64(vec_id), nSalts)`. Identical embeddings carry
+    * distinct vec_ids, so the salt spreads exactly the mass that
+    * splitting cannot. The unit is what a task scans — partition dirs on
+    * disk, shuffle partitions in memory — so max(unit)/mean(cell) is the
+    * straggler bound the bench GATES on. Probe COST is unchanged (a
+    * probed cell's salts are all read); what the salt buys is that no
+    * single task or partition is 10× the others at 100 TB. */
+  def ivfScanUnitCounts(corpus: DataFrame, kCentroids: Int = 0,
+                        iters: Int = 5, seed: String = "ivf",
+                        sampleRate: Double = 1.0,
+                        balanceFactor: Double = 3.0): DataFrame = {
+    require(balanceFactor > 1.0, "balanceFactor must exceed 1")
+    val cents = trainCentroidsBalanced(corpus, kCentroids, iters, seed,
+      sampleRate, balanceFactor)
+    val (e, cent) = indexFrames(corpus, cents)
+    val assign = assignCells(e, cent)
+    saltAssignments(assign, cents.length, balanceFactor)
+      .groupBy(col("cell"), col("salt")).agg(count(lit(1)).as("n"))
+  }
+
+  /** `(vec_id, cell)` → `(vec_id, cell, salt)` with per-cell salt counts
+    * sized so no (cell, salt) unit exceeds ~`factor ×` the mean cell
+    * population. The per-cell population table is O(K) driver rows and
+    * broadcasts. */
+  private[operators] def saltAssignments(assign: DataFrame, k: Int,
+                                         factor: Double): DataFrame = {
+    val spark = assign.sparkSession
+    import spark.implicits._
+    val counts = assign.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val mean = counts.map(_._2).sum.toDouble / math.max(1, k)
+    val nSalts = counts.map { case (c, n) =>
+      (c, math.max(1L, math.ceil(n / (factor * mean)).toLong)) }.toSeq
+    assign.join(broadcast(nSalts.toDF("cell", "_nsalt")), "cell")
+      .select(col("vec_id"), col("cell"),
+        pmod(xxhash64(col("vec_id")), col("_nsalt")).as("salt"))
   }
 
   /** SemDeDup (Abbas et al. 2023) — SEMANTIC dedup: cluster the corpus
@@ -290,8 +524,21 @@ object Ann {
   def semanticDedup(corpus: DataFrame, threshold: Double = 0.7,
                     kCentroids: Int = 0, iters: Int = 5,
                     seed: String = "ivf", sampleRate: Double = 1.0,
-                    maxBlock: Long = 10000): DataFrame = {
-    val (e0, cent) = trainedIndex(corpus, kCentroids, iters, seed, sampleRate)
+                    maxBlock: Long = 10000): DataFrame =
+    semanticDedupFrom(trainedIndex(corpus, kCentroids, iters, seed, sampleRate),
+      threshold, maxBlock)
+
+  /** [[semanticDedup]] from DRIVER-HELD centroids — lets the bench time
+    * the dedup pass separately from the quantizer training. */
+  def semanticDedupWith(corpus: DataFrame, cents: Array[Array[Double]],
+                        threshold: Double = 0.7,
+                        maxBlock: Long = 10000): DataFrame =
+    semanticDedupFrom(indexFrames(corpus, cents), threshold, maxBlock)
+
+  private def semanticDedupFrom(frames: (DataFrame, DataFrame),
+                                threshold: Double,
+                                maxBlock: Long): DataFrame = {
+    val (e0, cent) = frames
     // EXACT-duplicate pre-collapse (the [[NearDup.dedupAgainstReference]]
     // trick, vector edition): identical non-zero embeddings have cosine
     // exactly 1 ≥ any threshold, AND they agree on every LSH sign bit —
@@ -301,11 +548,33 @@ object Ann {
     // is unchanged, the cost of m copies drops from O(m²) to O(1).
     // Zero-norm vectors stay singletons (their pairwise cosine is
     // DEFINED as 0 here, so the pair path would never merge them).
-    val byVec = e0.filter(col("nrm") > 0.0)
-      .groupBy(col("embedding"))
-      .agg(min(col("vec_id")).as("rep"))
-    val repOf = e0.join(byVec, Seq("embedding"), "left")
-      .select(col("vec_id"), coalesce(col("rep"), col("vec_id")).as("rep"))
+    //
+    // Shuffle shape: NOTHING here keys an exchange on the embedding
+    // array. Candidate groups come from xxhash64(embedding) — the rep
+    // election shuffles (hash, vec_id) longs, rep vectors join back by
+    // 8-byte vec_id, and the one embedding-carrying exchange (members
+    // meeting their bucket's rep for the equality proof) is keyed by the
+    // 8-byte hash. An array-keyed Exchange would ship the whole column
+    // as shuffle KEY twice at 100 TB — and sort-merge compares on it.
+    //
+    // Hash collisions cannot mislabel: a member is collapsed ONLY when
+    // its embedding PROVABLY equals its bucket rep's; a collision victim
+    // falls back to representing itself, and its exact copies still
+    // merge through the within-cell cosine-1 pairs — correctness never
+    // rests on the hash, only the pre-collapse speedup does.
+    val withH = e0.select(col("vec_id"), col("embedding"), col("nrm"),
+      xxhash64(col("embedding")).as("_h"))
+    val repCand = withH.filter(col("nrm") > 0.0)
+      .select(col("_h"), col("vec_id"))
+      .groupBy(col("_h")).agg(min(col("vec_id")).as("rep"))
+    val repVec = repCand.join(
+      e0.select(col("vec_id").as("rep"), col("embedding").as("_rep_emb")),
+      "rep")
+    val repOf = withH.join(repVec, Seq("_h"), "left")
+      .select(col("vec_id"),
+        when(col("nrm") > 0.0 && col("_rep_emb").isNotNull &&
+             col("embedding") === col("_rep_emb"), col("rep"))
+          .otherwise(col("vec_id")).as("rep"))
     val reps = e0.join(repOf.filter(col("vec_id") === col("rep"))
       .select(col("vec_id")), "vec_id")
     val labeled = assignCells(reps, cent).join(reps, "vec_id")
@@ -402,10 +671,29 @@ object Ann {
   def ivfIndexWriteTrained(corpus: DataFrame, path: String,
                            kCentroids: Int = 0, iters: Int = 5,
                            seed: String = "ivf",
-                           sampleRate: Double = 1.0): Unit = {
-    val (e, cent) = trainedIndex(corpus, kCentroids, iters, seed, sampleRate)
-    ivfIndexWriteFrom(e, cent, path)
-  }
+                           sampleRate: Double = 1.0,
+                           balanceFactor: Double = 0.0): Unit =
+    if (balanceFactor <= 0.0) {
+      val (e, cent) = trainedIndex(corpus, kCentroids, iters, seed, sampleRate)
+      ivfIndexWriteFrom(e, cent, path)
+    } else {
+      // BALANCED on-disk layout: hot cells split by 2-means where
+      // separable, salted where not — partition dirs become (cell, salt)
+      // units bounded by ~factor·mean, so no partition at 100 TB is 10×
+      // the others. [[ivfIndexTopK]] prunes on the `cell` prefix and is
+      // oblivious to the salt sub-dirs.
+      val cents = trainCentroidsBalanced(corpus, kCentroids, iters, seed,
+        sampleRate, balanceFactor)
+      val (e, cent) = indexFrames(corpus, cents)
+      val salted = saltAssignments(assignCells(e, cent), cents.length,
+        balanceFactor)
+      salted.join(e, "vec_id")
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+          col("salt"))
+        .write.mode("overwrite").partitionBy("cell", "salt")
+        .parquet(s"$path/cells")
+      cent.write.mode("overwrite").parquet(s"$path/centroids")
+    }
 
   private def ivfIndexWriteFrom(e: DataFrame, cent: DataFrame,
                                 path: String): Unit = {

@@ -54,6 +54,36 @@ class AnnIndexSpec extends AnyFunSuite {
       s"partition filter must be the probed-cell IN-list: $pf")
   }
 
+  test("BALANCED disk index: salted sub-dirs bound partitions, cell prune intact, parity") {
+    val path = java.nio.file.Files.createTempDirectory("ivfb").toString
+    Ann.ivfIndexWriteTrained(corpus, path, kCentroids = 8, iters = 2,
+      balanceFactor = 2.0)
+    // layout: cell=N/salt=M sub-dirs; every vector present exactly once
+    val cellDirs = new java.io.File(s"$path/cells").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    assert(cellDirs.forall(_.listFiles().exists(_.getName.startsWith("salt="))))
+    assert(spark.read.parquet(s"$path/cells").count() == corpus.count())
+    // query side is oblivious to the salt: still prunes on cell, and
+    // answers exactly like the in-memory path over the same centroids
+    val cents = Ann.trainCentroidsBalanced(corpus, kCentroids = 8, iters = 2,
+      balanceFactor = 2.0)
+    val q = corpus.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val queryPlan = Ann.ivfIndexTopK(q, path, k = 5, nProbe = 2)
+    val p = queryPlan.queryExecution
+      .explainString(org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("PartitionFilters") && p.contains("cell"),
+      s"balanced index scan must still partition-prune on cell:\n$p")
+    val mem = Ann.ivfTopKFromCentroids(corpus, $"vec_id" < 10, cents,
+        5, 2)
+      .select($"q_id", $"n_id", $"cosine", $"rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val disk = queryPlan.select($"q_id", $"n_id", $"cosine", $"rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(disk == mem)
+  }
+
   test("TRAINED disk index: same layout, same partition prune, in-memory parity") {
     val path = java.nio.file.Files.createTempDirectory("ivft").toString
     Ann.ivfIndexWriteTrained(corpus, path, kCentroids = 8, iters = 2)

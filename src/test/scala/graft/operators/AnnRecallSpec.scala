@@ -95,4 +95,66 @@ class AnnRecallSpec extends AnyFunSuite {
       .select(col("n")).as[Long].collect()
     assert(counts.sum == n && counts.max < n / 2)
   }
+
+  test("trainCentroidsBalanced: separable hot cell splits; assignment stays complete") {
+    import spark.implicits._
+    // 80 vectors in one heavy direction with ± sub-structure on axis 1
+    // (2-means separable), 10 + 10 in two light orthogonal directions
+    val d = ((0 until 80).map(i => (i.toLong,
+        Seq(1.0, if (i % 2 == 0) 0.6 else -0.6, 0.001 * i, 0.0))) ++
+      (80 until 90).map(i => (i.toLong, Seq(0.0, 0.0, 1.0, 0.001 * i))) ++
+      (90 until 100).map(i => (i.toLong, Seq(0.0, 0.001 * i, 0.0, 1.0))))
+      .toDF("vec_id", "embedding")
+    // K=2 Lloyd settles at (40, 60) on this fixture; factor 1.1 makes the
+    // 60-cell hot (> 1.1 x mean 50) and its ± sub-structure is 2-means
+    // separable
+    val base = Ann.trainCentroids(d, kCentroids = 2, iters = 3)
+    val bal = Ann.trainCentroidsBalanced(d, kCentroids = 2, iters = 3,
+      balanceFactor = 1.1, maxSplitRounds = 2)
+    // deterministic across runs (the property the injected-literal oracle
+    // rides on)
+    val bal2 = Ann.trainCentroidsBalanced(d, kCentroids = 2, iters = 3,
+      balanceFactor = 1.1, maxSplitRounds = 2)
+    assert(bal.length == bal2.length &&
+      bal.zip(bal2).forall { case (x, y) => x.sameElements(y) })
+    // the hot cell split at least once
+    assert(bal.length > base.length,
+      s"expected a hot-cell split: ${base.length} -> ${bal.length}")
+    // every vector still lands in exactly one cell
+    val counts = Ann.ivfCellCounts(d, kCentroids = 2, iters = 3,
+      balanceFactor = 1.1).select(col("n")).as[Long].collect()
+    assert(counts.sum == 100)
+  }
+
+  test("balanced + salted scan units: mass-duplicate cell freezes, salt bounds the unit") {
+    import spark.implicits._
+    // 60 exact copies (2-means degenerate — splitting CANNOT separate
+    // them) plus 30 spread vectors: the dup cell must freeze instead of
+    // looping, and the salt must bound the scan unit anyway
+    val dup = Seq(1.0, 0.0, 0.0, 0.0)
+    val d = ((0 until 60).map(i => (i.toLong, dup)) ++
+      (60 until 90).map(i => (i.toLong,
+        Seq(0.001 * i, 1.0, if (i % 2 == 0) 0.5 else -0.5, 0.001 * i))))
+      .toDF("vec_id", "embedding")
+    val units = Ann.ivfScanUnitCounts(d, kCentroids = 4, iters = 2,
+      balanceFactor = 2.0)
+      .select(col("cell"), col("n")).as[(Long, Long)].collect()
+    assert(units.map(_._2).sum == 90)
+    // straggler bound: no scan unit may exceed factor x the mean CELL
+    // population (with hash-spread slack)
+    val meanCell = 90.0 / units.map(_._1).distinct.length
+    assert(units.map(_._2).max <= 2.0 * meanCell * 1.5,
+      s"units ${units.toSeq} vs mean cell $meanCell")
+  }
+
+  test("ivfTopKFromCentroids answers exactly like ivfTopKTrained") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    val cents = Ann.trainCentroids(e, kCentroids = 16)
+    val a = Ann.ivfTopKFromCentroids(e, col("vec_id") < 10, cents, 5, 2)
+      .collect().map(_.toSeq).toSet
+    val b = Ann.ivfTopKTrained(e, col("vec_id") < 10, 5, nProbe = 2,
+      kCentroids = 16).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

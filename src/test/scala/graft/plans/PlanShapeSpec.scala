@@ -120,6 +120,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "boilerplate-set size must be observed (graft_boiler_cap)")
   }
 
+  test("dd_semdedup: no Exchange keys on an embedding array") {
+    // the exact-duplicate pre-collapse must elect representatives via
+    // xxhash64(embedding) — an Exchange hash-keyed on the array itself
+    // would ship the whole embedding column as shuffle key (and sort-merge
+    // compare on it) at 100 TB
+    val qe = queries("dd_semdedup").fn(spark, TestSpark.sf).queryExecution
+    val arrayKeyed = qe.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        s.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.filter(_.dataType
+              .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(arrayKeyed.isEmpty, s"exchanges keyed on arrays: $arrayKeyed")
+  }
+
   test("cp_pack_sequences: prefix-sum window is per range partition, never global") {
     val p = plan("cp_pack_sequences")
     assert(p.contains("Window") && p.contains("_pid"),
