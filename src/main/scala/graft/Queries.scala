@@ -37,15 +37,19 @@ object Queries {
     * literals at dump time — Verify runs every query before it dumps
     * `oracle_sql.json`, so the capture is always populated by then. */
   final class Q(val fn: (SparkSession, String) => DataFrame,
-                oracleFn: Option[() => String]) {
-    def oracle: Option[String] = oracleFn.map(_())
+                oracleFn: () => Option[String]) {
+    def oracle: Option[String] = oracleFn()
   }
   object Q {
     def apply(fn: (SparkSession, String) => DataFrame,
-              oracle: Option[String]): Q =
-      new Q(fn, oracle.map(s => () => s))
+              oracle: Option[String]): Q = new Q(fn, () => oracle)
     def dynamic(fn: (SparkSession, String) => DataFrame,
-                oracle: () => String): Q = new Q(fn, Some(oracle))
+                oracle: () => String): Q = new Q(fn, () => Some(oracle()))
+    /** For queries whose oracle EXISTS only once the query has run (the
+      * capture-and-inject pattern over data-dependent driver state) —
+      * before that the entry degrades to the rows-only check. */
+    def dynamicOpt(fn: (SparkSession, String) => DataFrame,
+                   oracle: () => Option[String]): Q = new Q(fn, oracle)
   }
 
   private def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))
@@ -1312,6 +1316,62 @@ object Queries {
     },
     Some(ivfOracleSql))
 
+  /** IVF with the BALANCED quantizer ([[graft.operators.Ann
+    * .trainCentroidsBalanced]]): trained cells, then hot cells (population
+    * > factor·mean) split by seeded 2-means. The splits are data-dependent
+    * driver state, so the oracle cannot replay them as fixed CTEs — the
+    * FINAL centroids are captured when the query runs and injected as
+    * DOUBLE[] literals (Verify dumps oracle_sql.json afterwards); the
+    * oracle then replays assignment + probe + scoring only, through the
+    * same round(6)/tiebreak pipeline as the plain-IVF oracle. factor=1.2
+    * deliberately forces splits on the uniform corpus so the balanced path
+    * (renumbered cells and all) is what gets verified. */
+  @volatile private var balancedCentsCapture: Option[Array[Array[Double]]] = scala.None
+  private def ivfBalancedOracle: Option[String] = balancedCentsCapture.map { cents =>
+    val rows = cents.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      c(cell, c_vec) AS (SELECT * FROM (VALUES $rows) v(cell, c_vec)),
+      sf AS (SELECT vec_id, cell,
+          round(CASE WHEN isnan(cs) THEN 0.0 ELSE cs END, 6) AS cscore
+        FROM (SELECT e.vec_id, c.cell,
+            list_cosine_similarity(e.emb, c.c_vec) AS cs
+          FROM e CROSS JOIN c)),
+      rf AS (SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) AS crk
+        FROM sf),
+      assigned AS (SELECT r.vec_id, r.cell, e.emb FROM rf r
+        JOIN e ON e.vec_id = r.vec_id WHERE r.crk = 1),
+      qprobe AS (SELECT r.vec_id AS q_id, r.cell, e.emb AS q_vec FROM rf r
+        JOIN e ON e.vec_id = r.vec_id WHERE r.vec_id < 10 AND r.crk <= 2),
+      cand AS (SELECT q_id, n_id,
+          round(CASE WHEN isnan(cs) THEN 0.0 ELSE cs END, 6) AS cosine
+        FROM (SELECT q.q_id, a.vec_id AS n_id,
+            list_cosine_similarity(q.q_vec, a.emb) AS cs
+          FROM qprobe q JOIN assigned a USING (cell)
+          WHERE a.vec_id != q.q_id))
+      SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q_id, n_id, cosine,
+          row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+        FROM cand)
+      WHERE rk <= 5 ORDER BY q_id, rk"""
+  }
+  private val annIvfBalanced = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val cents = graft.operators.Ann.trainCentroidsBalanced(e,
+        kCentroids = 16, iters = 5, seed = "ivf",
+        balanceFactor = 1.2, maxSplitRounds = 4)
+      balancedCentsCapture = Some(cents)
+      graft.operators.Ann.ivfTopKFromCentroids(e, $"vec_id" < 10, cents,
+          k = 5, nProbe = 2)
+        .select($"q_id", $"n_id", $"cosine", $"rk")
+        .orderBy($"q_id", $"rk")
+    },
+    () => ivfBalancedOracle)
+
   /** IVF with the TRAINED index ON DISK — cells written
     * `partitionBy(cell)`, the probe filter becomes a partition prune
     * (only nProbe/K of the files are opened; see
@@ -1745,6 +1805,60 @@ object Queries {
       round(('0x' || substr(md5(md5(text) || '2'), 1, 15))::BIGINT / 1152921504606846976.0, 6) AS f2,
       round(('0x' || substr(md5(md5(text) || '3'), 1, 15))::BIGINT / 1152921504606846976.0, 6) AS f3
       FROM documents ORDER BY doc_id"""))
+
+  /** REAL image decode through `javax.imageio`
+    * ([[graft.operators.Multimodal.decodeImageFeatures]]): deterministic
+    * RGB test patterns are PNG-ENCODED on the driver, decoded
+    * DISTRIBUTED by the actual JDK codec inside mapPartitions, and the
+    * per-channel means must land on values derived from the pattern
+    * MATH alone (PNG is lossless, so encode→decode must round-trip every
+    * pixel). The oracle's VALUES are that pattern math — integer pixel
+    * sums, with the mean derivation (`round(sum/(255·w·h), 6)`)
+    * replicated in SQL — so the engine only matches if the real decoder
+    * reproduced the exact pixels. One deliberately corrupt payload pins
+    * the quarantine path (width -1, null sums) through the same oracle. */
+  private val mmPatternIds = 0 until 8
+  private def mmPattern(k: Int): (Int, Int, (Int, Int) => (Int, Int, Int)) =
+    (8 + k, 6 + k, (x, y) => ((x * 7 + y * 11 + k * 13) % 256,
+      (x * 3 + y * 5 + k * 17) % 256, (x * 13 + y * 2 + k * 7) % 256))
+  private val mmDecodeReal = Q(
+    (s, dir) => {
+      import s.implicits._
+      val rows = mmPatternIds.map { k =>
+        val (w, h, f) = mmPattern(k)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r, g, b) = f(x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (k.toLong, bos.toByteArray)
+      } :+ (mmPatternIds.end.toLong, "not a png".getBytes("UTF-8"))
+      val fixtures = rows.toDF("img_id", "payload").repartition(4)
+      graft.operators.Multimodal.imageChannelMeans(
+          graft.operators.Multimodal.decodeImageFeatures(fixtures))
+        .orderBy($"img_id")
+    },
+    Some {
+      val vals = mmPatternIds.map { k =>
+        val (w, h, f) = mmPattern(k)
+        var r = 0L; var g = 0L; var b = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val (pr, pg, pb) = f(x, y); r += pr; g += pg; b += pb
+        }
+        s"($k, $w, $h, $r, $g, $b)"
+      }.mkString(", ") +
+        s", (${mmPatternIds.end}, -1, -1, NULL, NULL, NULL)"
+      s"""SELECT CAST(img_id AS BIGINT) AS img_id,
+        CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        CAST(round(sum_r / (255.0 * width * height), 6) AS DOUBLE) AS mean_r,
+        CAST(round(sum_g / (255.0 * width * height), 6) AS DOUBLE) AS mean_g,
+        CAST(round(sum_b / (255.0 * width * height), 6) AS DOUBLE) AS mean_b
+      FROM (VALUES $vals) t(img_id, width, height, sum_r, sum_g, sum_b)
+      ORDER BY img_id"""
+    })
 
   /** REAL Structured Streaming query (AvailableNow over the events parquet)
     * verified against the same DuckDB oracle as the batch window agg —
@@ -2355,6 +2469,7 @@ object Queries {
     "ann_lsh_probe" -> annLshProbe,
     "ann_lsh_multi" -> annLshMulti,
     "ann_ivf_topk" -> annIvf,
+    "ann_ivf_balanced" -> annIvfBalanced,
     "ann_ivf_disk" -> annIvfDisk,
     "ann_quantized_topk" -> annQuantized,
     "ann_rp_topk" -> annRpTopk,
@@ -2375,6 +2490,7 @@ object Queries {
     "q31_set_ops_all" -> q31,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecode,
+    "mm_decode_real" -> mmDecodeReal,
     "st_tumbling_window" -> stTumbling,
     "st_sessions_custom" -> stSessionsCustom,
     "st_dedup" -> stDedup,

@@ -9,12 +9,16 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample are per-row narrow ops
   * over the bytes.
   *
-  * The container ships no media codecs, so the DECODE STEP IS A STUB — a
-  * deterministic function of the bytes, clearly marked below. Everything
-  * around it is the real engineering: schema convention, batch shaping,
-  * partition sizing so a 100 TB binary corpus flows through executors
-  * without OOM (size-capped partitions, no driver collection, metadata
-  * pruned independently of payloads).
+  * IMAGE decode is REAL ([[decodeImageFeatures]]): `javax.imageio`'s
+  * PNG/JPEG readers ship in every JDK, so that path runs actual codecs
+  * inside the mapPartitions plumbing. Audio/video decode remains a
+  * clearly-marked STUB (no such codecs in the JDK or this container) —
+  * a deterministic function of the bytes with the same schema, batching
+  * and partition flow as the real thing. Everything around either is the
+  * real engineering: schema convention, batch shaping, partition sizing
+  * so a 100 TB binary corpus flows through executors without OOM
+  * (size-capped partitions, no driver collection, metadata pruned
+  * independently of payloads).
   */
 object Multimodal {
 
@@ -59,6 +63,63 @@ object Multimodal {
         substring(col(payload),
           (col("frame_idx") * (octet_length(col(payload)) / nFrames) + 1).cast("int"),
           greatest((octet_length(col(payload)) / nFrames).cast("int"), lit(1))))
+
+  /** REAL image decode — `javax.imageio` (PNG/JPEG readers ship in every
+    * JDK; zero new dependencies): iterator-to-iterator mapPartitions, the
+    * codec machinery configured once per partition, rows streaming
+    * through without materializing the partition. Emits one row per
+    * input: `(idCol, width, height, sum_r, sum_g, sum_b)` — integer
+    * per-channel pixel sums, EXACT, so downstream means
+    * (`round(sum/(255·w·h), 6)`) follow the same Spark-vs-oracle round
+    * convention as every other float in the engine. Undecodable payloads
+    * yield `(-1, -1, null, null, null)` instead of failing the job —
+    * corrupt bytes at row N of a 100 TB corpus must not kill the
+    * pipeline; filter `width < 0` to quarantine them.
+    * [[stubDecodeFeatures]] remains for codec-free environments. */
+  def decodeImageFeatures(df: DataFrame, idCol: String = "img_id",
+                          payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition codec init: ImageIO's default file-backed cache
+        // would touch disk per row — disable once, decode in memory
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { case (id, bytes) =>
+          val decoded =
+            try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: Exception => scala.None }
+          decoded match {
+            case Some(img) =>
+              val w = img.getWidth; val h = img.getHeight
+              val px = img.getRGB(0, 0, w, h, null, 0, w)
+              var r = 0L; var g = 0L; var b = 0L
+              var i = 0
+              while (i < px.length) {
+                val p = px(i)
+                r += (p >>> 16) & 0xff; g += (p >>> 8) & 0xff; b += p & 0xff
+                i += 1
+              }
+              (id, w, h, Some(r), Some(g), Some(b))
+            case scala.None =>
+              (id, -1, -1, scala.None, scala.None, scala.None)
+          }
+        }
+      }.toDF(idCol, "width", "height", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Per-channel MEANS from [[decodeImageFeatures]]'s exact sums, through
+    * the engine-wide `round(x, 6)` convention (Spark and the SQL oracle
+    * agree on it). */
+  def imageChannelMeans(decoded: DataFrame): DataFrame = {
+    val denom = lit(255.0) * col("width") * col("height")
+    decoded.select(col(decoded.columns.head), col("width"), col("height"),
+      round(col("sum_r") / denom, 6).as("mean_r"),
+      round(col("sum_g") / denom, 6).as("mean_g"),
+      round(col("sum_b") / denom, 6).as("mean_b"))
+  }
 
   /** The shape a REAL codec integration takes: iterator-to-iterator
     * mapPartitions (the JVM analog of mapInPandas) — the codec is

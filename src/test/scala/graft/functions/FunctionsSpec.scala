@@ -132,6 +132,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("byte_len")).sorted.sameElements(Array(4L, 5L)))
   }
 
+  test("decodeImageFeatures: real javax.imageio decode reproduces known pixels; corrupt bytes quarantined") {
+    // a 4x3 PNG with exactly known channel values: encode on the driver,
+    // decode through the REAL codec path, check the exact integer sums
+    val w = 4; val h = 3
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = 10 * x; val g = 20 * y; val b = x + y
+      sr += r; sg += g; sb += b
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray),
+        (2L, "definitely not an image".getBytes("UTF-8")))
+      .toDF("img_id", "payload").repartition(2)
+    val out = graft.operators.Multimodal.decodeImageFeatures(df)
+      .orderBy("img_id").collect()
+    assert(out(0).getInt(1) == w && out(0).getInt(2) == h)
+    assert((out(0).getLong(3), out(0).getLong(4), out(0).getLong(5)) == ((sr, sg, sb)))
+    // corrupt payload: quarantined, not thrown
+    assert(out(1).getInt(1) == -1 && out(1).isNullAt(3))
+    // means ride the engine-wide round(_, 6) convention
+    val means = graft.operators.Multimodal.imageChannelMeans(
+      graft.operators.Multimodal.decodeImageFeatures(df))
+      .orderBy("img_id").collect()
+    assert(math.abs(means(0).getDouble(3) -
+      math.round(sr / (255.0 * w * h) * 1e6) / 1e6) < 1e-12)
+    assert(means(1).isNullAt(3))
+  }
+
   test("multiple ArrayDotProducts in one projection survive CODEGEN_ONLY") {
     // l2Distance computes three dot products → three accumulator vars in one
     // generated method; a hard-coded local name would fail janino compile.
