@@ -90,6 +90,30 @@ object Sources {
       .option("subscribe", topic).load()
       .select(col("topic").as("origin"), col("value"))
 
+  /** Kafka batch read over the PURE-JDK wire client ([[KafkaWire]]) — no
+    * connector jar, no broker library: one Spark TASK per topic
+    * partition, each fetching its partition over its own socket ON THE
+    * EXECUTOR (the same work placement a real connector uses; only the
+    * O(#partitions) metadata call runs on the driver). Emits the
+    * connector-compatible `(key, value, topic, partition, offset)` frame
+    * so [[kafkaDecode]] applies unchanged. Offsets start at `startOffset`
+    * (per partition) and read to the current high watermark — the
+    * batch-read contract of [[kafka]]. */
+  def kafkaWireRead(spark: SparkSession, host: String, port: Int,
+                    topic: String, startOffset: Long = 0L): DataFrame = {
+    import spark.implicits._
+    val parts = KafkaWire.partitions(host, port, topic)
+    spark.createDataset(parts)
+      .repartition(parts.size) // round-robin: one task per partition id
+      .mapPartitions { ps =>
+        ps.flatMap { p =>
+          KafkaWire.fetchAll(host, port, topic, p, startOffset)
+            .map(r => (r.key, r.value, topic, p, r.offset))
+        }
+      }
+      .toDF("key", "value", "topic", "partition", "offset")
+  }
+
   /** Kafka wire DECODE — the exact inverse of [[Sinks.kafkaEncode]] (the
     * reference sink's row→JSON shape, `sections/kafka_connector/src/
     * destination.rs:21-131`): a kafka `(key, value)` byte frame back to
@@ -171,6 +195,33 @@ object Sinks {
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic).save()
 
+  /** D7 kafka sink over the PURE-JDK wire client: a `(key, value)` frame
+    * (e.g. [[kafkaEncode]]'s output) produced to `topic`, each Spark task
+    * writing its own rows over its own socket. Rows route to partitions
+    * by key hash (same-key ordering preserved, like the default
+    * partitioner's contract); null keys round-robin by task. Pair with
+    * [[Sources.kafkaWireRead]] for the full socket round-trip without a
+    * connector jar. */
+  def kafkaWireWrite(df: DataFrame, host: String, port: Int,
+                     topic: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nParts = graft.sources.KafkaWire.partitions(host, port, topic).size
+    df.select(col("key").cast("binary"), col("value").cast("binary"))
+      .as[(Array[Byte], Array[Byte])]
+      .foreachPartition { (it: Iterator[(Array[Byte], Array[Byte])]) =>
+        val batch = it.toIndexedSeq
+        batch.zipWithIndex
+          .groupBy { case ((k, _), i) =>
+            if (k == null) i % nParts
+            else math.floorMod(java.util.Arrays.hashCode(k), nParts)
+          }
+          .foreach { case (p, rows) =>
+            graft.sources.KafkaWire.produce(host, port, topic, p, rows.map(_._1))
+          }
+      }
+  }
+
   /** D8 file sink (`sections/file/src/destination.rs:24-87`): binary payload
     * → one file per origin under `dir`; atomicity via Spark's commit
     * protocol (temp + rename), same contract as the reference's
@@ -189,14 +240,23 @@ object Sinks {
     * [[parquet]]). For table sinks (JDBC et al.) the fan-out is explicit:
     * the distinct-origin list is collected (it is O(#logical tables), tiny
     * by construction — never O(rows)) and each origin's slice is written by
-    * `writeOne`. Slices are filtered scans of the same frame, so with the
-    * frame persisted by the caller this is one pass per origin over
-    * partition-pruned data. */
+    * `writeOne`.
+    *
+    * The one-scan contract is ENFORCED here, not assumed: unless the
+    * caller already persisted the frame, it is persisted
+    * (MEMORY_AND_DISK) for the duration of the fan-out and unpersisted
+    * after — a 50-origin stream must be one source scan plus 50 cache
+    * reads, never 50 source scans. */
   def routeByOrigin(df: DataFrame)(writeOne: (String, DataFrame) => Unit): Unit = {
-    val origins = df.select("origin").distinct().collect().map(_.getString(0)).sorted
-    origins.foreach { o =>
-      writeOne(o, df.filter(col("origin") === o).drop("origin"))
-    }
+    val owned = df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (owned) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val origins = df.select("origin").distinct().collect()
+        .map(_.getString(0)).sorted
+      origins.foreach { o =>
+        writeOne(o, df.filter(col("origin") === o).drop("origin"))
+      }
+    } finally if (owned) { df.unpersist(); () }
   }
 
   /** JDBC table-per-origin sink: the Spark shape of the reference's
@@ -306,8 +366,11 @@ object Sinks {
     val exists = dirExists && fs.listStatus(hPath)
       .exists(s => s.isDirectory && s.getPath.getName.startsWith("_bkt="))
     if (dirExists) {
-      // layout guard: the modulus must match the table's
-      if (fs.exists(metaPath)) {
+      // layout guard: the modulus must match the table's — but only a
+      // table WITH data constrains it; a meta-only directory (crash
+      // between meta and first data write) is fresh per the contract
+      // below, and its stale meta is atomically replaced on this write
+      if (fs.exists(metaPath) && exists) {
         val metaIn = fs.open(metaPath)
         val meta = try new String(metaIn.readAllBytes(), "UTF-8")
           finally metaIn.close()
@@ -318,10 +381,15 @@ object Sinks {
           s"${written.getOrElse("?")} at $path — a different modulus would " +
           s"leave stale rows in buckets the merge never rewrites")
       } else if (exists) {
-        // data but no meta (pre-meta table, or a crash before the meta
-        // write): adopting an arbitrary modulus would silently duplicate
-        // keys, so only adopt when the on-disk bucket ids are at least
-        // CONSISTENT with the requested modulus; otherwise fail loudly
+        // data but no meta (pre-meta table, or a meta lost to corruption):
+        // adopting an arbitrary modulus would silently duplicate keys.
+        // maxBkt < buckets is necessary but NOT sufficient — a table
+        // written with modulus B whose materialized ids all happen to be
+        // below the requested B' still re-hashes differently under B'
+        // whenever B' does not divide B — so PROVE the modulus by
+        // re-hashing the on-disk keys: every stored row's key must hash
+        // to the bucket it lives in. One column-pruned scan of the key
+        // columns, on a recovery path that should never run twice.
         val maxBkt = fs.listStatus(hPath)
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bkt="))
           .map(_.getPath.getName.stripPrefix("_bkt=").toInt).max
@@ -329,6 +397,16 @@ object Sinks {
           s"table at $path has bucket _bkt=$maxBkt but no layout meta; " +
           s"bucket count $buckets cannot be right — re-create the table " +
           s"or restore _graft_upsert_meta.json")
+        val misplaced = spark.read.parquet(path)
+          .filter(org.apache.spark.sql.functions.pmod(
+              org.apache.spark.sql.functions.hash(keyCols.map(col): _*),
+              org.apache.spark.sql.functions.lit(buckets)) =!= col("_bkt"))
+          .limit(1).count()
+        if (misplaced > 0) throw new IllegalArgumentException(
+          s"table at $path has no layout meta and its keys do NOT re-hash " +
+          s"to their buckets under modulus $buckets — adopting it would " +
+          s"leave stale key versions in buckets the merge never reads; " +
+          s"re-create the table or restore _graft_upsert_meta.json")
         writeMeta(fs, metaPath, buckets)
       }
     }
@@ -399,8 +477,13 @@ object Sinks {
         } else fs.delete(s.getPath, true)
       }
 
-  /** Atomic meta write: temp file + rename, so no reader ever sees a
-    * half-written layout record. */
+  /** Atomic meta write: temp file + OVERWRITE rename (`FileContext`'s
+    * `Options.Rename.OVERWRITE`, the one rename HDFS and the local fs
+    * both make atomic), so no reader ever sees a half-written layout
+    * record AND no crash window exists in which the old meta is deleted
+    * but the replacement not yet in place — delete-then-rename would
+    * leave the table meta-less, downgrading the next upsert to the
+    * adoption heuristic. */
   private def writeMeta(fs: org.apache.hadoop.fs.FileSystem,
                         metaPath: org.apache.hadoop.fs.Path, buckets: Int): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(
@@ -408,8 +491,7 @@ object Sinks {
     val out = fs.create(tmp, true)
     try out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8"))
     finally out.close()
-    if (fs.exists(metaPath)) fs.delete(metaPath, false)
-    if (!fs.rename(tmp, metaPath))
-      throw new java.io.IOException(s"could not commit $metaPath")
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, metaPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 }

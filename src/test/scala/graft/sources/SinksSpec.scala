@@ -31,6 +31,36 @@ class SinksSpec extends AnyFunSuite {
     assert(written == Map("orders" -> 2L, "users" -> 1L))
   }
 
+  test("routeByOrigin enforces the one-scan contract: slices read the cache, not the source") {
+    val dir = Files.createTempDirectory("graft_route").toString
+    Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4)).toDF("origin", "v")
+      .write.parquet(s"$dir/in")
+    val df = spark.read.parquet(s"$dir/in")
+    var slicePlans = Seq.empty[String]
+    Sinks.routeByOrigin(df) { (_, slice) =>
+      slice.count() // drive the write-side action
+      slicePlans :+= slice.queryExecution.executedPlan.toString
+    }
+    assert(slicePlans.size == 3)
+    // every per-origin slice must be served from the persisted frame —
+    // a 50-origin fan-out re-scanning the source 50 times is the bug
+    // this contract exists to prevent
+    // (the plan text still shows the FileScan as the cache's BUILD child —
+    // the InMemoryTableScan node on top is what proves the read path)
+    assert(slicePlans.forall(_.contains("InMemoryTableScan")),
+      s"slice read the source, not the cache:\n${slicePlans.head}")
+    // lifecycle: the fan-out's persist is dropped on exit
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "routeByOrigin must unpersist the frame it persisted")
+    // a caller-persisted frame is respected and NOT unpersisted
+    df.persist()
+    try {
+      Sinks.routeByOrigin(df) { (_, s) => s.count(); () }
+      assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        "a caller-owned persist must survive routeByOrigin")
+    } finally { df.unpersist(); () }
+  }
+
   test("idempotentParquetAppend makes replayed batches effectively-once") {
     val dir = Files.createTempDirectory("graft_idem").toString
     val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

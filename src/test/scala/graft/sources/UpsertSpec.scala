@@ -145,6 +145,42 @@ class UpsertSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 50)
   }
 
+  test("missing meta: modulus passing the maxBkt check is still rejected when keys re-hash elsewhere") {
+    // the trap: a table written with modulus 16 whose materialized bucket
+    // ids all happen to be < 5 passes the maxBkt < buckets check for
+    // buckets=5, yet 5 does not divide 16 — keys re-hash to different
+    // buckets and the merge would leave stale versions where it never
+    // reads. The adoption path must PROVE the modulus by re-hashing.
+    val low = spark.range(1, 2001)
+      .select($"id", pmod(hash($"id"), lit(16)).as("b"))
+      .filter($"b" < 5).select($"id").as[Long].collect().take(12).toSeq
+    assert(low.size == 12, "fixture: need keys hashing below bucket 5")
+    val path = Files.createTempDirectory("ups_rehash").toString + "/t"
+    Sinks.upsertParquetByKey(low.map(i => (i, s"v$i", 1L)).toDF("k", "v", "ver"),
+      path, Seq("k"), "ver", buckets = 16)
+    assert(new java.io.File(path, "_graft_upsert_meta.json").delete())
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertParquetByKey(Seq((low.head, "X", 2L)).toDF("k", "v", "ver"),
+        path, Seq("k"), "ver", buckets = 5)
+    }
+    assert(e.getMessage.contains("re-hash"), e.getMessage)
+  }
+
+  test("meta-only directory (crash before first data write) is fresh; meta atomically replaced") {
+    val path = Files.createTempDirectory("ups_metaonly").toString + "/t"
+    new java.io.File(path).mkdirs()
+    Files.writeString(new java.io.File(path, "_graft_upsert_meta.json").toPath,
+      """{"buckets":8}""")
+    // no _bkt dirs → fresh table; a different modulus is fine and the
+    // stale meta is replaced in one atomic rename (no delete window)
+    Sinks.upsertParquetByKey(Seq((1L, "a", 1L)).toDF("k", "v", "ver"),
+      path, Seq("k"), "ver", buckets = 4)
+    val meta = Files.readString(
+      new java.io.File(path, "_graft_upsert_meta.json").toPath)
+    assert(meta.contains("\"buckets\":4"), meta)
+    assert(table(path) == Set((1L, "a", 1L)))
+  }
+
   test("interrupted bucket swap (bak left, live missing) is auto-restored") {
     val path = Files.createTempDirectory("ups_bak").toString + "/t"
     val rows = (1L to 50L).map(i => (i, s"v$i", 1L)).toDF("k", "v", "ver")
