@@ -57,6 +57,29 @@ object Main {
       val spec = PipelineSpec.fromJson(readFile(Paths.get(file)))
       println(s"ok components=${spec.components.size} hash=${spec.specHash.take(12)}")
 
+    // human-facing spec rendering: ALWAYS secret-redacted (reference
+    // `#[derive(Configuration)]` strips secrets for display,
+    // `config/src/lib.rs:14-26`)
+    case "show" :: file :: Nil =>
+      println(PipelineSpec.display(PipelineSpec.fromJson(readFile(Paths.get(file)))))
+
+    // watch + spec-push endpoint: the daemon-api parity mode — specs
+    // arrive over HTTP into the watched dir and reconcile on the next
+    // poll (reference control_plane/src/http/daemon_api/mod.rs:117-148)
+    case "serve" :: dir :: rest if rest.size <= 2 =>
+      val port = rest.headOption.map(_.toInt).getOrElse(8181)
+      val intervalMs = rest.drop(1).headOption.map(_.toLong).getOrElse(5000L)
+      val spark = session()
+      val server = new graft.plans.SpecPushServer(Paths.get(dir), port)
+      try {
+        server.start()
+        println(s"[graft serve] listening on ${server.boundPort}, watching $dir")
+        val watcher = new SpecDirWatcher(new Orchestrator(spark), Paths.get(dir))
+        val rounds = sys.env.get("GRAFT_WATCH_ROUNDS").map(_.toInt)
+          .getOrElse(Int.MaxValue)
+        watcher.watch(intervalMs, maxRounds = rounds)
+      } finally { server.stop(); spark.stop() }
+
     // the reference exposes section names + IO kinds for UI forms
     // (`config_registry/src/lib.rs:26-39`); this is the CLI equivalent
     case "sections" :: Nil =>
@@ -67,7 +90,8 @@ object Main {
 
     case _ =>
       System.err.println("usage: graft run <spec.json>... | reconcile <dir> | " +
-        "validate <spec.json> | sections")
+        "watch <dir> [intervalMs] | serve <dir> [port] [intervalMs] | " +
+        "validate <spec.json> | show <spec.json> | sections")
       sys.exit(2)
   }
 

@@ -1,0 +1,119 @@
+package graft.plans
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+/** Minimal spec-push endpoint — the network half of the reference's daemon
+  * API (`control_plane/src/http/daemon_api/mod.rs:117-148`, where daemons
+  * receive pipeline configs pushed over HTTP): a JDK `HttpServer` that
+  * writes validated spec JSON into the WATCHED DIRECTORY, so pushed specs
+  * flow through exactly the same [[SpecDirWatcher]] reconcile loop (and
+  * its last-known-good semantics) as hand-edited files. No new
+  * dependencies — `com.sun.net.httpserver` ships with the JDK.
+  *
+  * Routes (name = `[A-Za-z0-9._-]+`, `.json` appended if missing):
+  *   PUT/POST /specs/&lt;name&gt;  body = spec JSON → validate, write
+  *     atomically (tmp + ATOMIC_MOVE — the watcher can never read a
+  *     half-written file), 400 on invalid spec
+  *   DELETE   /specs/&lt;name&gt;  → remove the file (its pipelines stop on
+  *     the next poll), 404 if absent
+  *   GET /specs               → JSON listing of present spec files
+  *   GET /specs/&lt;name&gt;        → the spec, SECRETS REDACTED
+  *     ([[PipelineSpec.display]]) — the read side is a display surface
+  *
+  * Validation happens BEFORE the write: the watcher tolerates garbage
+  * files (keeps last-known-good), but accepting a push the server knows
+  * is broken would turn an immediate, attributable 400 into a delayed
+  * log line. Binds loopback by default — this is a daemon-local control
+  * socket, not a public API (the reference fronts it with mTLS).
+  */
+final class SpecPushServer(dir: Path, port: Int = 0,
+                           host: String = "127.0.0.1") {
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+  @volatile private var started = false
+
+  /** Port actually bound (use port=0 to let the OS pick — tests). */
+  def boundPort: Int = server.getAddress.getPort
+
+  private val NamePat = "[A-Za-z0-9._-]+".r
+
+  server.createContext("/specs", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try route(ex)
+      catch { case e: Exception => respond(ex, 500, s"error: ${e.getMessage}\n") }
+      finally ex.close()
+  })
+
+  private def route(ex: HttpExchange): Unit = {
+    val rel = ex.getRequestURI.getPath.stripPrefix("/specs").stripPrefix("/")
+    (ex.getRequestMethod, rel) match {
+      case ("GET", "") =>
+        val names = listing().map(n => s""""$n"""").mkString("[", ",", "]")
+        respond(ex, 200, names + "\n")
+      case ("GET", name) => specPath(name) match {
+        case Some(p) if Files.exists(p) =>
+          // display surface: never echo secrets back
+          val spec = PipelineSpec.fromJson(Files.readString(p, UTF_8))
+          respond(ex, 200, PipelineSpec.display(spec) + "\n")
+        case Some(_) => respond(ex, 404, "no such spec\n")
+        case None => respond(ex, 400, "bad spec name\n")
+      }
+      case ("PUT" | "POST", name) => specPath(name) match {
+        case Some(p) =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          try {
+            PipelineSpec.fromJson(body) // validate BEFORE anything lands
+            val tmp = p.resolveSibling(s".${p.getFileName}.push")
+            Files.writeString(tmp, body, UTF_8)
+            Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+            respond(ex, 200, "ok\n")
+          } catch { case e: Exception =>
+            respond(ex, 400, s"invalid spec: ${e.getMessage}\n")
+          }
+        case None => respond(ex, 400, "bad spec name\n")
+      }
+      case ("DELETE", name) => specPath(name) match {
+        case Some(p) =>
+          if (Files.deleteIfExists(p)) respond(ex, 200, "deleted\n")
+          else respond(ex, 404, "no such spec\n")
+        case None => respond(ex, 400, "bad spec name\n")
+      }
+      case _ => respond(ex, 405, "method not allowed\n")
+    }
+  }
+
+  /** Reject anything that could escape the spec dir (separators, `..`) —
+    * the name IS the filename, never a path. */
+  private def specPath(name: String): Option[Path] = name match {
+    case NamePat() if !name.contains("..") =>
+      Some(dir.resolve(if (name.endsWith(".json")) name else s"$name.json"))
+    case _ => None
+  }
+
+  private def listing(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(dir)
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.endsWith(".json")).toSeq.sorted
+    finally s.close()
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  def start(): Unit = synchronized {
+    if (!started) { server.start(); started = true }
+  }
+
+  def stop(): Unit = synchronized {
+    if (started) { server.stop(0); started = false }
+  }
+}

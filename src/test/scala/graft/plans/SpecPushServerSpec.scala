@@ -1,0 +1,110 @@
+package graft.plans
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** The spec-push endpoint drives the SAME watcher reconcile loop as file
+  * edits: pushed add → start, pushed modify → old stops + new starts,
+  * pushed delete → stop — and exactly the untouched pipelines stay
+  * untouched. Invalid pushes are rejected at the door (400) and never
+  * reach the directory. */
+class SpecPushServerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def specJson(tmp: String, tag: String) =
+    s"""{"sections":[
+      {"id":"src","name":"parquet_source","config":{"path":"${TestSpark.sf}/region.parquet"}},
+      {"id":"tag","name":"tagging","config":{"column":"tag","text":"$tag"}},
+      {"id":"sink","name":"parquet_destination","config":{"path":"$tmp/out_$tag","truncate":"true"}}],
+      "edges":[["src","tag"],["tag","sink"]]}"""
+  private def hashOf(json: String) = PipelineSpec.fromJson(json).specHash
+
+  private def http(method: String, url: String,
+                   body: Option[String] = None): (Int, String) = {
+    val c = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod(method)
+    body.foreach { b =>
+      c.setDoOutput(true)
+      val os = c.getOutputStream
+      try os.write(b.getBytes("UTF-8")) finally os.close()
+    }
+    val code = c.getResponseCode
+    val is = if (code < 400) c.getInputStream else c.getErrorStream
+    val text = if (is == null) "" else new String(is.readAllBytes(), "UTF-8")
+    (code, text)
+  }
+
+  test("push add/modify/delete reconcile exactly the right pipelines") {
+    val tmp = Files.createTempDirectory("graft_push").toString
+    val specDir = Files.createTempDirectory("graft_push_specs")
+    val orch = new Orchestrator(spark, restartBackoffMs = 10)
+    val watcher = new SpecDirWatcher(orch, specDir)
+    val server = new SpecPushServer(specDir, port = 0)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}/specs"
+
+      // push a new spec → 200, file lands, next poll starts exactly it
+      val a1 = specJson(tmp, "a1")
+      assert(http("POST", s"$base/a", Some(a1))._1 == 200)
+      val (s1, k1, st1) = watcher.poll()
+      assert(s1 == Set(hashOf(a1)) && k1.isEmpty && st1.isEmpty)
+      assert(spark.read.parquet(s"$tmp/out_a1").count() == 5)
+
+      // second spec pushed; only IT starts, a kept
+      val b1 = specJson(tmp, "b1")
+      assert(http("PUT", s"$base/b.json", Some(b1))._1 == 200)
+      val (s2, k2, st2) = watcher.poll()
+      assert(s2 == Set(hashOf(b1)) && k2 == Set(hashOf(a1)) && st2.isEmpty)
+
+      // modify a over HTTP → old hash stops, new starts, b untouched
+      val a2 = specJson(tmp, "a2")
+      assert(http("POST", s"$base/a", Some(a2))._1 == 200)
+      val (s3, k3, st3) = watcher.poll()
+      assert(s3 == Set(hashOf(a2)) && st3 == Set(hashOf(a1)) &&
+        k3 == Set(hashOf(b1)))
+
+      // an INVALID push is refused at the door and changes nothing
+      val (badCode, badMsg) = http("POST", s"$base/a", Some("""{"sections":[
+        {"id":"x","name":"no_such_section","config":{}}],"edges":[]}"""))
+      assert(badCode == 400 && badMsg.contains("invalid spec"))
+      val (s4, k4, st4) = watcher.poll()
+      assert(s4.isEmpty && st4.isEmpty && k4 == Set(hashOf(a2), hashOf(b1)))
+
+      // delete over HTTP → exactly a's pipelines stop
+      assert(http("DELETE", s"$base/a")._1 == 200)
+      val (s5, k5, st5) = watcher.poll()
+      assert(s5.isEmpty && k5 == Set(hashOf(b1)) && st5 == Set(hashOf(a2)))
+
+      // listing + redacted read-back
+      val (lc, listing) = http("GET", base)
+      assert(lc == 200 && listing.contains("b.json") && !listing.contains("a.json"))
+    } finally server.stop()
+  }
+
+  test("path escapes are rejected; GET redacts secrets") {
+    val specDir = Files.createTempDirectory("graft_push_sec")
+    val server = new SpecPushServer(specDir, port = 0)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}/specs"
+      // a secret-bearing (valid) spec — jdbc sinks accept url/password
+      val spec = """{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"/tmp/x"}},
+        {"id":"sink","name":"jdbc_destination","config":{
+          "url":"jdbc:postgresql://u:hunter2@h/db","password":"hunter2"}}],
+        "edges":[["src","sink"]]}"""
+      assert(http("POST", s"$base/sec", Some(spec))._1 == 200)
+      val (gc, got) = http("GET", s"$base/sec")
+      assert(gc == 200 && !got.contains("hunter2"), got)
+      assert(got.contains("***"))
+      // the STORED file keeps real values (display-only redaction)
+      assert(Files.readString(specDir.resolve("sec.json")).contains("hunter2"))
+      // traversal / separator names never resolve
+      assert(http("POST", s"$base/..%2Fevil", Some(spec))._1 == 400)
+      assert(http("GET", s"$base/nope")._1 == 404)
+    } finally server.stop()
+  }
+}
