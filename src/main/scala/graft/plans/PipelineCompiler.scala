@@ -323,6 +323,18 @@ object SectionRegistry {
         Some(in(df).withColumn("features",
           graft.operators.Multimodal.stubDecodeFeatures(col(payload), dims)))
       }),
+    // REAL image decode (javax.imageio PNG/JPEG): payload column ->
+    // (id, width, height, channel sums) + means; undecodable rows carry
+    // width -1 with null sums instead of failing the pipeline
+    "mm_decode_image" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val decoded = graft.operators.Multimodal.decodeImageFeatures(in(df),
+          idCol = c.getOrElse("id_column", "img_id"),
+          payloadCol = c.getOrElse("payload_column", "payload"))
+        Some(if (c.getOrElse("means", "true").toBoolean)
+          graft.operators.Multimodal.imageChannelMeans(decoded)
+        else decoded)
+      }),
     // benchmark decontamination: bench_where splits the input frame into
     // benchmark (matching) and corpus (rest); output = contaminated corpus
     // docs with distinct-overlap counts
@@ -514,6 +526,19 @@ object SectionRegistry {
         c.getOrElse("truncate", "false").toBoolean); scala.None }),
     "kafka_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => { Sinks.kafkaJson(in(df), cfg(c, "brokers"), cfg(c, "topic")); scala.None }),
+    // kafka over the pure-JDK wire client (no connector jar): rows are
+    // kafkaEncode'd (key = origin, value = row JSON) then produced per
+    // Spark task; the source side reads one task per partition
+    "kafka_wire_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        Sinks.kafkaWireWrite(Sinks.kafkaEncode(in(df)), cfg(c, "host"),
+          cfg(c, "port").toInt, cfg(c, "topic"))
+        scala.None
+      }),
+    "kafka_wire_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some(Sources.kafkaWireRead(s, cfg(c, "host"),
+        cfg(c, "port").toInt, cfg(c, "topic"),
+        c.getOrElse("start_offset", "0").toLong))),
     // stage-and-COPY warehouse sinks: the statement sequence goes through
     // a JDBC url ("url") — in tests MemJdbc, in production the warehouse
     "snowflake_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
@@ -546,6 +571,47 @@ object SectionRegistry {
     // `myceliald/src/scheduler.rs:79-187`). `route_by_origin: true` fans
     // each micro-batch out to one parquet tree per origin value — the
     // reference's per-origin table routing inside a running stream.
+    // Streaming incremental dedup — the daily-crawl flow in its natural
+    // home: each micro-batch of incoming documents is deduped against a
+    // STORED signature set (NearDup.writeReferenceSignatures /
+    // dedup_signatures_destination builds it; the reference text itself
+    // is never re-scanned), and the surviving rows append to the output.
+    // Runs inside foreachBatch with ack-after-commit ordering, so a
+    // crash replays the batch and the anti-join keeps the append
+    // effectively-once per doc id. The batch-scoped dedup cache is
+    // dropped per epoch (dedupAgainstStoredScoped) — a long-running
+    // stream must not leak one persisted frame per micro-batch.
+    "stream_dedup_against_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (s, c, df) => {
+        val sig = cfg(c, "signatures")
+        val path = cfg(c, "path")
+        val ckpt = cfg(c, "checkpoint")
+        val idCol = c.getOrElse("id_column", "doc_id")
+        val writer = graft.streaming.StreamingPipelines.ackSink(in(df), ckpt,
+          org.apache.spark.sql.streaming.OutputMode.Append()) { (batch, _) =>
+          graft.operators.NearDup.dedupAgainstStoredScoped(batch, sig,
+            idCol = idCol,
+            textCol = c.getOrElse("text_column", "text"),
+            ngram = c.getOrElse("ngram", "3").toInt,
+            slots = c.getOrElse("slots", "32").toInt,
+            rowsPerBand = c.getOrElse("rows_per_band", "4").toInt,
+            threshold = c.getOrElse("threshold", "0.2").toDouble) { survivors =>
+            batch.join(survivors, Seq(idCol), "left_semi")
+              .write.mode("append").parquet(path)
+          }
+        }
+        val sup = new graft.streaming.StreamingSupervisor(s,
+          restartBackoffMs = c.getOrElse("restart_backoff_ms", "3000").toLong,
+          maxRestarts = c.getOrElse("max_restarts", "3").toInt)
+        try {
+          val handle = sup.supervise { () =>
+            writer.trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          }
+          handle.await()
+        } finally sup.close()
+        scala.None
+      }),
     "stream_parquet_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (s, c, df) => {
         val path = cfg(c, "path")

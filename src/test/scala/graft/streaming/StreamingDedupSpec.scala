@@ -15,6 +15,38 @@ class StreamingDedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("stream_dedup_against section: streaming survivors equal the batch operator's") {
+    // the daily-crawl flow: signatures built once from the reference
+    // corpus, a STREAM of incoming docs deduped against them per
+    // micro-batch — survivors must be exactly what the batch operator
+    // produces on the same input
+    val root = java.nio.file.Files.createTempDirectory("graft_sda").toString
+    val docs = graft.Tables.documents(spark, TestSpark.sf)
+    val reference = docs.filter("doc_id % 3 = 0")
+    val incoming = docs.filter("doc_id % 3 <> 0")
+    graft.operators.NearDup.writeReferenceSignatures(reference, s"$root/sig")
+    incoming.write.parquet(s"$root/in")
+    val spec = graft.plans.PipelineSpec.fromJson(
+      s"""{"sections":[
+        {"id":"src","name":"stream_parquet_source","config":{
+          "path":"$root/in","max_files_per_trigger":"4"}},
+        {"id":"dd","name":"stream_dedup_against_destination","config":{
+          "signatures":"$root/sig","path":"$root/out",
+          "checkpoint":"$root/ckpt"}}],
+        "edges":[["src","dd"]]}""")
+    graft.plans.PipelineCompiler.run(spark, spec)
+    val streamed = spark.read.parquet(s"$root/out")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.operators.NearDup.dedupAgainstStored(incoming, s"$root/sig")
+      .as[Long].collect().toSet
+    spark.catalog.clearCache() // batch variant's session-managed cache
+    assert(streamed == batch, s"stream/batch divergence: " +
+      s"only-stream=${(streamed -- batch).take(5)} only-batch=${(batch -- streamed).take(5)}")
+    assert(streamed.nonEmpty && streamed.size < incoming.count())
+    // the streamed rows carry the full document schema, not just ids
+    assert(spark.read.parquet(s"$root/out").columns.toSet == docs.columns.toSet)
+  }
+
   test("watermarked dedup suppresses within the horizon, re-admits after eviction") {
     val root = java.nio.file.Files.createTempDirectory("graft_streamdedup").toString
     def write(sub: String, rows: Seq[(String, String)]): Unit =
