@@ -770,6 +770,22 @@ object Queries {
       ('rome', 2800000::BIGINT), ('tokyo', 14000000::BIGINT)) t(city, pop)
       ORDER BY city"""))
 
+  /** S5's LEGACY half: the same Excel read path over a committed BIFF8
+    * .xls fixture (CFB container with a mini-stream workbook, SST +
+    * NUMBER/RK/MULRK cells — [[graft.sources.BiffXls]]); typing goes
+    * through the identical AnyColumns LUB as the xlsx query above, so
+    * both container generations are held to the same oracle shape. */
+  private val opExcelXls = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.sources.ExcelSource.read(s,
+          "/root/repo/src/test/resources/fixture.xls", stringify = false)
+        .drop("origin").orderBy($"city")
+    },
+    Some("""SELECT city, pop FROM (VALUES ('paris', 2100000::BIGINT),
+      ('rome', 2800000::BIGINT), ('tokyo', 14000000::BIGINT)) t(city, pop)
+      ORDER BY city"""))
+
   /** One-pass data profiling over `part` (production form of inspect). */
   private val opProfile = Q(
     (s, dir) => {
@@ -2453,6 +2469,7 @@ object Queries {
     "op_profile" -> opProfile,
     "op_sqlite_file" -> opSqliteFile,
     "op_excel" -> opExcel,
+    "op_excel_xls" -> opExcelXls,
     "op_kafka_encode" -> opKafkaEncode,
     "op_kafka_decode" -> opKafkaDecode,
     "dd_exact" -> ddExact,

@@ -1,0 +1,313 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_16LE}
+
+/** Legacy BIFF8 `.xls` reader in pure JVM — the other half of the Excel
+  * surface (reference parity anchor: calamine's `open_workbook_auto`
+  * reads xls alongside xlsx, `sections/excel_connector/src/source.rs:325`).
+  * Two independent public formats are parsed here:
+  *
+  *  - the OLE2/CFB compound-file CONTAINER ([MS-CFB]): 512-byte header,
+  *    sector FAT with DIFAT spill, directory entries, and the
+  *    mini-stream/mini-FAT layer for streams under the 4096-byte cutoff
+  *    (small workbooks live there — skipping it would silently read
+  *    garbage for exactly the files a test writes);
+  *  - the BIFF8 `Workbook` STREAM ([MS-XLS]): `(id: u16, len: u16,
+  *    payload)` records — workbook globals (BOF, BOUNDSHEET offsets,
+  *    shared-string table) followed by one substream per sheet
+  *    (LABELSST/NUMBER/RK/MULRK/LABEL/BOOLERR/FORMULA+STRING cell
+  *    records up to EOF).
+  *
+  * Output contract matches [[ExcelSource]]'s xlsx parse exactly: rows of
+  * string cells per sheet, numerics rendered raw (integral values
+  * without a decimal point, like xlsx's `<v>` text), booleans as "1"/"0"
+  * (xlsx's raw `t="b"` form), error cells as absent. BIFF5/7 workbooks
+  * (the pre-Unicode generation) fail loudly with the version named, and
+  * an SST that spills into CONTINUE records (only multi-thousand-string
+  * workbooks) is rejected rather than mis-parsed.
+  */
+object BiffXls {
+
+  def isCfb(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 &&
+      (bytes(0) & 0xff) == 0xd0 && (bytes(1) & 0xff) == 0xcf &&
+      (bytes(2) & 0xff) == 0x11 && (bytes(3) & 0xff) == 0xe0 &&
+      (bytes(4) & 0xff) == 0xa1 && (bytes(5) & 0xff) == 0xb1 &&
+      (bytes(6) & 0xff) == 0x1a && (bytes(7) & 0xff) == 0xe1
+
+  /** Same shape as [[ExcelSource.parseWorkbookSheets]]: one row-group per
+    * selected sheet, in workbook order. */
+  def parseWorkbookSheets(bytes: Array[Byte], sheet: String): Seq[Seq[Seq[String]]] = {
+    val stream = cfbStream(bytes, Seq("Workbook", "Book")).getOrElse(
+      throw new IllegalArgumentException(
+        "CFB container has no Workbook/Book stream — not an Excel .xls"))
+    val (sheets, sst) = globals(stream)
+    val chosen =
+      if (sheet == "*") sheets
+      else sheets.filter(_._1 == sheet) match {
+        case Nil => throw new IllegalArgumentException(s"sheet '$sheet' not found")
+        case s => s
+      }
+    chosen.map { case (_, pos) => sheetRows(stream, pos, sst) }
+  }
+
+  // ---------- CFB container ----------
+
+  private val FreeSect = 0xFFFFFFFF
+  private val EndOfChain = 0xFFFFFFFE
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def i32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+    ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** Extract the first stream among `names` from a CFB container. */
+  private def cfbStream(bytes: Array[Byte],
+                        names: Seq[String]): Option[Array[Byte]] = {
+    require(isCfb(bytes), "not a CFB container")
+    val sectorSize = 1 << u16(bytes, 30)
+    val miniSize = 1 << u16(bytes, 32)
+    val miniCutoff = i32(bytes, 56)
+    def sector(n: Int): Array[Byte] = {
+      // [MS-CFB]: sector n starts at (n+1) << sectorShift — the header
+      // occupies one full sector SLOT (512 real bytes, zero-padded to
+      // 4096 in version-4 files), so hardcoding 512 here would read
+      // version-4 containers 3584 bytes off
+      val off = (n + 1).toLong * sectorSize
+      require(off + sectorSize <= bytes.length, s"sector $n out of bounds")
+      bytes.slice(off.toInt, off.toInt + sectorSize)
+    }
+    // DIFAT: 109 header entries + spill chain of DIFAT sectors
+    val difat = Array.newBuilder[Int]
+    (0 until 109).foreach(i => difat += i32(bytes, 76 + 4 * i))
+    var difatSect = i32(bytes, 68)
+    var guard = 0
+    while (difatSect != EndOfChain && difatSect != FreeSect && guard < 65536) {
+      val s = sector(difatSect)
+      (0 until sectorSize / 4 - 1).foreach(i => difat += i32(s, 4 * i))
+      difatSect = i32(s, sectorSize - 4)
+      guard += 1
+    }
+    val fat: Array[Int] = difat.result().filter(_ != FreeSect)
+      .flatMap(fs => { val s = sector(fs); (0 until sectorSize / 4).map(i => i32(s, 4 * i)) })
+    def chain(start: Int, size: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var cur = start
+      var hops = 0
+      while (cur != EndOfChain && cur != FreeSect && out.size < size && hops <= fat.length) {
+        out.write(sector(cur))
+        cur = fat(cur)
+        hops += 1
+      }
+      require(hops <= fat.length, "FAT chain loop")
+      out.toByteArray.take(math.min(size, Int.MaxValue).toInt)
+    }
+    // directory entries: 128 bytes each, chained from header
+    val dirBytes = chain(i32(bytes, 48), Long.MaxValue >> 1)
+    final case class Entry(name: String, typ: Int, start: Int, size: Long)
+    val entries = (0 until dirBytes.length / 128).map { i =>
+      val o = i * 128
+      val nameLen = u16(dirBytes, o + 64) // bytes incl. trailing null
+      val name = if (nameLen >= 2)
+        new String(dirBytes, o, nameLen - 2, UTF_16LE) else ""
+      Entry(name, dirBytes(o + 66) & 0xff, i32(dirBytes, o + 116),
+        (i32(dirBytes, o + 120) & 0xFFFFFFFFL))
+    }
+    val root = entries.find(_.typ == 5).getOrElse(
+      throw new IllegalArgumentException("CFB container has no root entry"))
+    lazy val miniStream = chain(root.start, root.size)
+    lazy val miniFat: Array[Int] = {
+      val mf = chain(i32(bytes, 60), Long.MaxValue >> 1)
+      (0 until mf.length / 4).map(i => i32(mf, 4 * i)).toArray
+    }
+    def miniChain(start: Int, size: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var cur = start
+      var hops = 0
+      while (cur != EndOfChain && cur != FreeSect && out.size < size &&
+             hops <= miniFat.length) {
+        out.write(miniStream, cur * miniSize,
+          math.min(miniSize, miniStream.length - cur * miniSize))
+        cur = miniFat(cur)
+        hops += 1
+      }
+      require(hops <= miniFat.length, "mini-FAT chain loop")
+      out.toByteArray.take(size.toInt)
+    }
+    entries.find(e => e.typ == 2 && names.contains(e.name)).map { e =>
+      if (e.size < miniCutoff) miniChain(e.start, e.size)
+      else chain(e.start, e.size)
+    }
+  }
+
+  // ---------- BIFF8 records ----------
+
+  private final case class Rec(id: Int, at: Int, data: Array[Byte])
+
+  private def recordsFrom(stream: Array[Byte], start: Int): Iterator[Rec] =
+    new Iterator[Rec] {
+      private var p = start
+      def hasNext: Boolean = p + 4 <= stream.length
+      def next(): Rec = {
+        val id = u16(stream, p); val len = u16(stream, p + 2)
+        val r = Rec(id, p, stream.slice(p + 4, p + 4 + len))
+        p += 4 + len
+        r
+      }
+    }
+
+  /** Workbook globals: sheet (name, substream offset) list in workbook
+    * order, and the shared-string table. */
+  private def globals(stream: Array[Byte]): (Seq[(String, Int)], Vector[String]) = {
+    val it = recordsFrom(stream, 0)
+    require(it.hasNext, "empty Workbook stream")
+    val bof = it.next()
+    require(bof.id == 0x0809, f"stream does not start with BOF (got 0x${bof.id}%04x)")
+    val vers = u16(bof.data, 0)
+    require(vers == 0x0600, f"BIFF version 0x$vers%04x is not BIFF8 " +
+      "(Excel 5.0/95 workbooks are not supported — re-save as .xls " +
+      "from Excel 97+ or as .xlsx)")
+    val sheets = Seq.newBuilder[(String, Int)]
+    var sst = Vector.empty[String]
+    var depth = 1
+    while (it.hasNext && depth > 0) {
+      val r = it.next()
+      r.id match {
+        case 0x0809 => depth += 1 // nested BOF (shouldn't happen in globals)
+        case 0x000A => depth -= 1 // EOF ends the globals substream
+        case 0x0085 => // BOUNDSHEET
+          val pos = i32(r.data, 0)
+          val cch = r.data(6) & 0xff
+          val flags = r.data(7) & 0xff
+          val name = if ((flags & 1) != 0)
+            new String(r.data, 8, cch * 2, UTF_16LE)
+          else new String(r.data, 8, cch, ISO_8859_1)
+          sheets += name -> pos
+        case 0x00FC => sst = parseSst(r.data)
+        case 0x003C if sst.isEmpty => () // CONTINUE before SST: ignore
+        case _ => ()
+      }
+    }
+    (sheets.result(), sst)
+  }
+
+  /** SST: `u32 total, u32 unique`, then `unique` XLUnicodeStrings. A
+    * table that spills into CONTINUE records is rejected loudly (the
+    * spill re-states per-fragment option flags — silently concatenating
+    * would corrupt strings). */
+  private def parseSst(d: Array[Byte]): Vector[String] = {
+    val unique = i32(d, 4)
+    val out = Vector.newBuilder[String]
+    var p = 8
+    var i = 0
+    while (i < unique) {
+      require(p + 3 <= d.length,
+        s"SST spills into CONTINUE records (string ${i + 1} of $unique) — " +
+        "workbooks with >~8 KB of shared strings are not supported by " +
+        "this reader; re-save as .xlsx")
+      val (s, consumed) = xlUnicodeString(d, p)
+      out += s
+      p += consumed
+      i += 1
+    }
+    out.result()
+  }
+
+  /** XLUnicodeRichExtendedString: u16 cch, u8 flags (bit0 wide chars,
+    * bit2 ext, bit3 rich), optional run/ext counts, chars, trailing
+    * run/ext payloads. Returns (string, bytes consumed). */
+  private def xlUnicodeString(d: Array[Byte], off: Int): (String, Int) = {
+    val cch = u16(d, off)
+    var p = off + 2
+    val flags = d(p) & 0xff; p += 1
+    val wide = (flags & 0x01) != 0
+    val ext = (flags & 0x04) != 0
+    val rich = (flags & 0x08) != 0
+    val cRun = if (rich) { val r = u16(d, p); p += 2; r } else 0
+    val cbExt = if (ext) { val e = i32(d, p); p += 4; e } else 0
+    val s =
+      if (wide) { val str = new String(d, p, cch * 2, UTF_16LE); p += cch * 2; str }
+      else { val str = new String(d, p, cch, ISO_8859_1); p += cch; str }
+    p += 4 * cRun + cbExt
+    (s, p - off)
+  }
+
+  /** One sheet substream → rows of string cells (xlsx-parse parity). */
+  private def sheetRows(stream: Array[Byte], pos: Int,
+                        sst: Vector[String]): Seq[Seq[String]] = {
+    val it = recordsFrom(stream, pos)
+    require(it.hasNext, s"sheet substream offset $pos out of bounds")
+    val bof = it.next()
+    require(bof.id == 0x0809, "BOUNDSHEET offset does not point at a BOF")
+    val cells = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var pendingString = false // FORMULA with a string result awaits STRING
+    var pendingCell: (Int, Int) = (0, 0)
+    var done = false
+    while (it.hasNext && !done) {
+      val r = it.next(); val d = r.data
+      r.id match {
+        case 0x000A => done = true // EOF
+        case 0x00FD => // LABELSST
+          cells += ((u16(d, 0), u16(d, 2), sst(i32(d, 6))))
+        case 0x0203 => // NUMBER
+          cells += ((u16(d, 0), u16(d, 2), numStr(readDouble(d, 6))))
+        case 0x027E => // RK
+          cells += ((u16(d, 0), u16(d, 2), numStr(rkValue(i32(d, 6)))))
+        case 0x00BD => // MULRK: rw, colFirst, (ixfe, rk)*, colLast
+          val rw = u16(d, 0); val colFirst = u16(d, 2)
+          val n = (d.length - 6) / 6
+          (0 until n).foreach { k =>
+            cells += ((rw, colFirst + k, numStr(rkValue(i32(d, 4 + 6 * k + 2)))))
+          }
+        case 0x0204 => // LABEL (inline string)
+          cells += ((u16(d, 0), u16(d, 2), xlUnicodeString(d, 6)._1))
+        case 0x0205 => // BOOLERR
+          val isErr = (d(7) & 0xff) != 0
+          if (!isErr) cells += ((u16(d, 0), u16(d, 2),
+            if ((d(6) & 0xff) != 0) "1" else "0")) // xlsx t="b" raw form
+        case 0x0006 => // FORMULA: cached result, or a STRING record next
+          val rw = u16(d, 0); val col = u16(d, 2)
+          if ((d(12) & 0xff) == 0xff && (d(13) & 0xff) == 0xff)
+            (d(6) & 0xff) match {
+              case 0 => pendingString = true; pendingCell = (rw, col)
+              case 1 => cells += ((rw, col, if ((d(8) & 0xff) != 0) "1" else "0"))
+              case 3 => cells += ((rw, col, ""))
+              case _ => () // error result: absent, like error cells
+            }
+          else cells += ((rw, col, numStr(readDouble(d, 6))))
+        case 0x0207 if pendingString => // STRING: the formula's text result
+          cells += ((pendingCell._1, pendingCell._2, xlUnicodeString(d, 0)._1))
+          pendingString = false
+        case _ => ()
+      }
+    }
+    cells.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cs) =>
+      val width = cs.map(_._2).max + 1
+      val arr = Array.fill[String](width)(null)
+      cs.foreach { case (_, c, v) => arr(c) = v }
+      arr.toSeq
+    }
+  }
+
+  /** RK-encoded number: bit0 = value was multiplied by 100, bit1 = the
+    * top 30 bits are a signed int, else they are the high bits of an
+    * IEEE double. */
+  private def rkValue(rk: Int): Double = {
+    val base =
+      if ((rk & 0x02) != 0) (rk >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk & 0xFFFFFFFCL) << 32)
+    if ((rk & 0x01) != 0) base / 100.0 else base
+  }
+
+  private def readDouble(d: Array[Byte], off: Int): Double = {
+    var bits = 0L
+    (0 until 8).foreach(i => bits |= (d(off + i) & 0xffL) << (8 * i))
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
+  /** Render like xlsx's raw `<v>` text: integral values without a
+    * trailing `.0`. */
+  private def numStr(v: Double): String =
+    if (v.isWhole && math.abs(v) < 1e15) v.toLong.toString else v.toString
+}

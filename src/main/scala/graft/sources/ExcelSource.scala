@@ -68,30 +68,24 @@ object ExcelSource {
   def parseWorkbook(bytes: Array[Byte], sheet: String): Seq[Seq[String]] =
     parseWorkbookSheets(bytes, sheet).flatten
 
-  /** Format honesty (reference parity anchor: calamine's
+  /** Format dispatch (reference parity anchor: calamine's
     * `open_workbook_auto`, `sections/excel_connector/src/source.rs:325`,
-    * auto-detects xls/ods too): this source reads OOXML .xlsx ONLY, and a
-    * workbook in another container format must fail with the format named —
-    * never fall through to an empty zip read that looks like an empty
-    * workbook. CFB magic (D0 CF 11 E0 A1 B1 1A E1) is the legacy BIFF .xls
-    * (and .doc/.ppt) OLE2 container; anything else non-zip is unknown. */
+    * auto-detects the container): zip magic → OOXML .xlsx (parsed here);
+    * CFB magic (D0 CF 11 E0 A1 B1 1A E1) → legacy BIFF8 .xls, handled by
+    * [[BiffXls]]; anything else fails with the formats named — never a
+    * fall-through empty read that looks like an empty workbook. */
   private def requireXlsx(bytes: Array[Byte]): Unit = {
     val isZip = bytes.length >= 4 &&
       bytes(0) == 0x50.toByte && bytes(1) == 0x4b.toByte &&
       (bytes(2) == 0x03.toByte || bytes(2) == 0x05.toByte || bytes(2) == 0x07.toByte)
-    if (!isZip) {
-      val cfb = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1).map(_.toByte)
-      val isCfb = bytes.length >= 8 && bytes.take(8).sameElements(cfb)
-      if (isCfb) throw new IllegalArgumentException(
-        "workbook is a legacy BIFF .xls (OLE2/CFB container): only OOXML " +
-        ".xlsx is supported — re-save the workbook as .xlsx")
-      throw new IllegalArgumentException(
-        "workbook is not an OOXML .xlsx (no zip magic): only .xlsx is supported")
-    }
+    if (!isZip) throw new IllegalArgumentException(
+      "workbook is neither OOXML .xlsx (zip) nor legacy .xls (CFB): " +
+      "unknown container format")
   }
 
   /** Same, but one row-group per sheet so callers can drop headers per sheet. */
   def parseWorkbookSheets(bytes: Array[Byte], sheet: String): Seq[Seq[Seq[String]]] = {
+    if (BiffXls.isCfb(bytes)) return BiffXls.parseWorkbookSheets(bytes, sheet)
     requireXlsx(bytes)
     val parts = readZip(bytes)
     val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings)

@@ -165,29 +165,68 @@ class ExcelSourceSpec extends AnyFunSuite {
     }
   }
 
-  test("legacy BIFF .xls (CFB container) fails with the format named") {
-    // a minimal OLE2/CFB header — what a real 97-2003 .xls starts with
-    // (reference auto-detects and reads these via calamine,
-    // sections/excel_connector/src/source.rs:325; here they must be
-    // REJECTED loudly, never parsed as an empty zip)
+  test("malformed containers fail loudly, never parse as an empty workbook") {
+    // a bare CFB header with no filesystem inside — corrupt, not legacy
     val cfb = Array(0xd0, 0xcf, 0x11, 0xe0, 0xa1, 0xb1, 0x1a, 0xe1)
       .map(_.toByte) ++ Array.fill[Byte](504)(0)
+    intercept[Exception] { ExcelSource.parseWorkbook(cfb, "*") }
+    // arbitrary non-zip non-CFB bytes get the unknown-format error
     val e = intercept[IllegalArgumentException] {
-      ExcelSource.parseWorkbook(cfb, "*")
-    }
-    assert(e.getMessage.contains(".xls") && e.getMessage.contains("xlsx"),
-      s"error must name the BIFF format and the supported one: ${e.getMessage}")
-    // and through the Spark read path (driver-side schema probe)
-    val dir = Files.createTempDirectory("graft_xls_reject")
-    Files.write(dir.resolve("legacy.xls"), cfb)
-    val e2 = intercept[IllegalArgumentException] {
-      ExcelSource.read(spark, s"$dir/legacy.xls")
-    }
-    assert(e2.getMessage.contains(".xls"))
-    // arbitrary non-zip bytes get the unknown-format error
-    val e3 = intercept[IllegalArgumentException] {
       ExcelSource.parseWorkbook("not a workbook at all".getBytes, "*")
     }
-    assert(e3.getMessage.contains("xlsx"))
+    assert(e.getMessage.contains("unknown container"), e.getMessage)
+  }
+
+  test("legacy BIFF8 .xls parses: SST, numerics, RK forms, formulas, sheets") {
+    val rows = ExcelSource.parseWorkbookSheets(BiffFixture.standardXls(), "Alpha")
+    assert(rows.size == 1)
+    assert(rows.head == Seq(
+      Seq("name", "qty", "price"),
+      Seq("ada", "3", "2.5"),
+      Seq("bob", "7", "0.07")))
+    val beta = ExcelSource.parseWorkbookSheets(BiffFixture.standardXls(), "Beta")
+    assert(beta.head == Seq(
+      Seq("name", "qty", "price"),
+      Seq("grace", "42", "1"), // cached formula result; bool as raw 1/0
+      Seq("hello")))           // string-formula result via STRING record
+    // "*" returns both sheets in workbook order
+    assert(ExcelSource.parseWorkbookSheets(BiffFixture.standardXls(), "*")
+      .map(_.size) == Seq(3, 3))
+    intercept[IllegalArgumentException] {
+      ExcelSource.parseWorkbookSheets(BiffFixture.standardXls(), "nope")
+    }
+  }
+
+  test("BIFF8 .xls over the 4096-byte cutoff reads through the regular FAT") {
+    // the small fixture lives in the CFB mini stream; padding the globals
+    // pushes the stream over the cutoff into regular FAT sectors — both
+    // container layouts must parse identically
+    val small = ExcelSource.parseWorkbookSheets(BiffFixture.standardXls(), "*")
+    val large = ExcelSource.parseWorkbookSheets(
+      BiffFixture.standardXls(padGlobals = 8000), "*")
+    assert(small == large)
+  }
+
+  test("BIFF8 .xls reads end-to-end through the Spark source (header schema, typing)") {
+    val dir = Files.createTempDirectory("graft_xls")
+    Files.write(dir.resolve("legacy.xls"), BiffFixture.standardXls())
+    val df = ExcelSource.read(spark, s"$dir/legacy.xls", sheet = "Alpha",
+      stringify = false)
+    assert(df.columns.toSeq == Seq("origin", "name", "qty", "price"))
+    import spark.implicits._
+    val got = df.select("name", "qty", "price")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("ada", 3L, 2.5), ("bob", 7L, 0.07)))
+  }
+
+  test("BIFF5 (Excel 5.0/95) is rejected with the version named") {
+    // same CFB container, but the workbook stream's BOF declares 0x0500
+    val stream = BiffFixture.rec(0x0809,
+      BiffFixture.u16(0x0500) ++ BiffFixture.u16(0x0005) ++
+      Array.fill[Byte](12)(0)) ++ BiffFixture.eof
+    val e = intercept[IllegalArgumentException] {
+      ExcelSource.parseWorkbookSheets(BiffFixture.cfb(stream, "Book"), "*")
+    }
+    assert(e.getMessage.contains("BIFF8"), e.getMessage)
   }
 }
