@@ -101,14 +101,33 @@ object Bench {
       "ann_ivf_disk_build", "ann_ivf_disk_query", "dd_semdedup_query")
     val ivfSplitResults: Seq[(String, Double, Double)] =
       if (!splitNames.exists(wanted)) Seq.empty else try {
+        def rmTree(dir: String): Unit = {
+          import java.nio.file.{Files, Paths}
+          import scala.jdk.CollectionConverters._
+          val root = Paths.get(dir)
+          if (Files.exists(root)) {
+            val walk = Files.walk(root)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.delete)
+            finally walk.close()
+          }
+        }
         val e = Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), col("embedding"))
-        val cents = operators.Ann.trainCentroids(e, kCentroids = 16)
+        // prerequisites built only for the lines that need them, and the
+        // untimed disk index is removed after the run — the build line's
+        // per-sample indexes are deleted INSIDE the thunk so N samples
+        // don't leave N corpus copies under /tmp
+        val needCents = Seq("ann_ivf_query", "dd_semdedup_query").exists(wanted)
+        val cents = if (needCents)
+          operators.Ann.trainCentroids(e, kCentroids = 16)
+        else Array.empty[Array[Double]]
         val diskDir = java.nio.file.Files
           .createTempDirectory("bench_ivf_idx").toString
-        operators.Ann.ivfIndexWriteTrained(e, diskDir, kCentroids = 16)
+        if (wanted("ann_ivf_disk_query"))
+          operators.Ann.ivfIndexWriteTrained(e, diskDir, kCentroids = 16)
         spark.catalog.clearCache()
-        Seq[(String, () => Unit)](
+        val out = Seq[(String, () => Unit)](
           "ann_ivf_train" -> (() =>
             { operators.Ann.trainCentroids(e, kCentroids = 16); () }),
           "ann_ivf_query" -> (() =>
@@ -117,7 +136,9 @@ object Bench {
           "ann_ivf_disk_build" -> (() => {
             val d = java.nio.file.Files
               .createTempDirectory("bench_ivf_build").toString
-            operators.Ann.ivfIndexWriteTrained(e, d, kCentroids = 16); () }),
+            try operators.Ann.ivfIndexWriteTrained(e, d, kCentroids = 16)
+            finally rmTree(d)
+          }),
           "ann_ivf_disk_query" -> (() =>
             { operators.Ann.ivfIndexTopK(e.filter(col("vec_id") < 10),
                 diskDir, 5, 2).count(); () }),
@@ -126,6 +147,8 @@ object Bench {
                 threshold = 0.35).count(); () })
         ).filter(q => wanted(q._1)).flatMap { case (name, f) =>
           timed(name, f) }
+        rmTree(diskDir)
+        out
       } catch { case ex: Throwable =>
         System.err.println(s"[bench] ivf split harness FAILED: ${ex.getMessage}")
         failed += "ivf_split"
@@ -174,6 +197,10 @@ object Bench {
           nProbe = 2, kCentroids = 16),
         "ann_ivf_untrained" -> operators.Ann.ivfTopK(e, isQuery,
           col("vec_id") >= 100 && col("vec_id") < 116, k),
+        // the BALANCED quantizer at the oracle query's config: hot-cell
+        // splitting must not cost recall vs the plain trained index
+        "ann_ivf_balanced" -> operators.Ann.ivfTopKTrainedBalanced(e,
+          isQuery, k, nProbe = 2, kCentroids = 16, balanceFactor = 1.2),
         // the API default: K ~ sqrt(n) TRAINED cells, probes scaled so the
         // probed fraction stays ~1/4 as the corpus grows
         "ann_ivf_default" -> {

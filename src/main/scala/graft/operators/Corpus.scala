@@ -214,7 +214,12 @@ object Corpus {
   /** Apply precomputed `(domain, threshold)` keep-rates: a document
     * survives when md5(doc_id)-derived `u ∈ [0, 10000)` falls below its
     * domain's threshold. Threshold table broadcasts; the corpus pass is
-    * scan + hash + filter, no shuffle. */
+    * scan + hash + filter, no shuffle.
+    *
+    * A domain PRESENT in the corpus but ABSENT from the threshold table
+    * (a stale capture meeting a corpus where a new language appeared)
+    * fails loudly at execution — an inner join would silently delete the
+    * entire domain from the output. */
   def mixByThresholds(docs: DataFrame, thresholds: Seq[(String, Long)],
                       byCol: String = "lang",
                       idCol: String = "doc_id"): DataFrame = {
@@ -223,7 +228,11 @@ object Corpus {
       .toDF(byCol, "_thr")
     val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % 10000L
-    docs.join(broadcast(thrDf), Seq(byCol))
+    docs.join(broadcast(thrDf), Seq(byCol), "left")
+      .withColumn("_thr", when(col("_thr").isNull,
+          raise_error(concat(lit("mixByThresholds: no threshold for domain '"),
+            col(byCol), lit("' — the threshold table is stale for this corpus"))))
+        .otherwise(col("_thr")))
       .filter(u < col("_thr"))
       .select(col(idCol), col(byCol))
   }

@@ -97,7 +97,14 @@ object KafkaWire {
       val (records, hw) = fetchOnce(host, port, topic, partition, at, maxBytes)
       out ++= records
       at = records.lastOption.map(_.offset + 1).getOrElse(at)
-      caughtUp = records.isEmpty || at >= hw
+      // an EMPTY fetch below the high watermark means one message is
+      // larger than maxBytes — returning what we have would present a
+      // silently truncated partition as a complete read (data loss);
+      // real clients raise record-too-large here, so do we
+      if (records.isEmpty && at < hw) throw new IllegalStateException(
+        s"$topic/$partition: message at offset $at exceeds maxBytes " +
+        s"$maxBytes — raise maxBytes to read past it")
+      caughtUp = at >= hw
     }
     out.result()
   }

@@ -103,13 +103,13 @@ object Sources {
                     topic: String, startOffset: Long = 0L): DataFrame = {
     import spark.implicits._
     val parts = KafkaWire.partitions(host, port, topic)
-    spark.createDataset(parts)
-      .repartition(parts.size) // round-robin: one task per partition id
-      .mapPartitions { ps =>
-        ps.flatMap { p =>
-          KafkaWire.fetchAll(host, port, topic, p, startOffset)
-            .map(r => (r.key, r.value, topic, p, r.offset))
-        }
+    // parallelize slices positionally: EXACTLY one partition id per Spark
+    // task (Dataset round-robin repartition only balances on average —
+    // two topic partitions could share a task while another idles)
+    spark.sparkContext.parallelize(parts, parts.size)
+      .flatMap { p =>
+        KafkaWire.fetchAll(host, port, topic, p, startOffset)
+          .map(r => (r.key, r.value, topic, p, r.offset))
       }
       .toDF("key", "value", "topic", "partition", "offset")
   }
@@ -210,15 +210,22 @@ object Sinks {
     df.select(col("key").cast("binary"), col("value").cast("binary"))
       .as[(Array[Byte], Array[Byte])]
       .foreachPartition { (it: Iterator[(Array[Byte], Array[Byte])]) =>
-        val batch = it.toIndexedSeq
-        batch.zipWithIndex
-          .groupBy { case ((k, _), i) =>
-            if (k == null) i % nParts
-            else math.floorMod(java.util.Arrays.hashCode(k), nParts)
-          }
-          .foreach { case (p, rows) =>
-            graft.sources.KafkaWire.produce(host, port, topic, p, rows.map(_._1))
-          }
+        // single streaming pass into per-target-partition buffers — no
+        // second copy of the payload bytes in task memory (the rows are
+        // binary blobs; toSeq+groupBy would hold the partition twice)
+        val buckets = scala.collection.mutable.Map
+          .empty[Int, scala.collection.mutable.ArrayBuffer[(Array[Byte], Array[Byte])]]
+        var rr = 0
+        it.foreach { r =>
+          val p =
+            if (r._1 == null) { rr += 1; (rr - 1) % nParts }
+            else math.floorMod(java.util.Arrays.hashCode(r._1), nParts)
+          buckets.getOrElseUpdate(p,
+            scala.collection.mutable.ArrayBuffer.empty) += r
+        }
+        buckets.toSeq.sortBy(_._1).foreach { case (p, rows) =>
+          graft.sources.KafkaWire.produce(host, port, topic, p, rows.toSeq)
+        }
       }
   }
 

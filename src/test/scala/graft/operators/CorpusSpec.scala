@@ -128,6 +128,17 @@ class CorpusSpec extends AnyFunSuite {
     assert(viaThr == direct)
   }
 
+  test("mixByThresholds: a domain missing from the table fails loudly, never silently drops") {
+    val d = Seq((1L, "en"), (2L, "zz")).toDF("doc_id", "lang")
+    val e = intercept[Exception] {
+      Corpus.mixByThresholds(d, Seq("en" -> 10000L)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("no threshold")),
+      s"expected the stale-table error, got: $e")
+  }
+
   test("mixWeighted: sampled fraction tracks the rate") {
     val d = (1L to 1000L).map(i => (i, "en")).toDF("doc_id", "lang")
     val kept = Corpus.mixWeighted(d, Seq("en" -> 0.5)).count()

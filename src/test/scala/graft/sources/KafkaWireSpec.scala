@@ -50,6 +50,22 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("a message larger than maxBytes raises record-too-large, never truncates silently") {
+    val broker = new EmbeddedKafkaBroker(numPartitions = 1)
+    try {
+      KafkaWire.produce(broker.host, broker.port, "big", 0, Seq(
+        ("k0".getBytes, "small".getBytes),
+        ("k1".getBytes, Array.fill[Byte](500)(7)), // exceeds maxBytes below
+        ("k2".getBytes, "after".getBytes)))
+      val e = intercept[IllegalStateException] {
+        KafkaWire.fetchAll(broker.host, broker.port, "big", 0, maxBytes = 100)
+      }
+      assert(e.getMessage.contains("exceeds maxBytes"), e.getMessage)
+      // with enough budget the same log reads completely
+      assert(KafkaWire.fetchAll(broker.host, broker.port, "big", 0).size == 3)
+    } finally broker.close()
+  }
+
   test("null keys survive the wire") {
     val broker = new EmbeddedKafkaBroker(numPartitions = 1)
     try {
