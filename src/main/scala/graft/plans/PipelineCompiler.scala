@@ -449,6 +449,21 @@ object SectionRegistry {
           textCol = c.getOrElse("text_column", "text"))
         scala.None
       }),
+    // incremental counterpart: APPEND this frame's signatures to an
+    // existing store (only genuinely-new texts contribute; replay-safe
+    // by the exact-guard-last ordering) — batch pipelines grow their
+    // reference corpus without rebuilds, like the streaming absorb mode
+    "dedup_absorb_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        graft.operators.NearDup.absorbIntoSignatures(in(df),
+          cfg(c, "signatures"),
+          idCol = c.getOrElse("id_column", "doc_id"),
+          textCol = c.getOrElse("text_column", "text"),
+          ngram = c.getOrElse("ngram", "3").toInt,
+          slots = c.getOrElse("slots", "32").toInt,
+          rowsPerBand = c.getOrElse("rows_per_band", "4").toInt)
+        scala.None
+      }),
     // SemDeDup: semantic dedup inside trained k-means cells
     // (Ann.semanticDedup) — survivors (min vec_id per cosine group) out
     "semantic_dedup" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
@@ -576,11 +591,17 @@ object SectionRegistry {
     // STORED signature set (NearDup.writeReferenceSignatures /
     // dedup_signatures_destination builds it; the reference text itself
     // is never re-scanned), and the surviving rows append to the output.
-    // Runs inside foreachBatch with ack-after-commit ordering, so a
-    // crash replays the batch and the anti-join keeps the append
-    // effectively-once per doc id. The batch-scoped dedup cache is
-    // dropped per epoch (dedupAgainstStoredScoped) — a long-running
-    // stream must not leak one persisted frame per micro-batch.
+    // Runs inside foreachBatch with ack-after-commit ordering; the
+    // append itself is IDEMPOTENT on the doc id (idempotentParquetAppend
+    // drops rows whose key already landed), so a crash between the write
+    // and the epoch commit replays the batch WITHOUT duplicating
+    // survivors — at-least-once delivery, effectively-once output. With
+    // "absorb": "true", each batch's survivors are appended to the
+    // signature store, so later batches dedup against earlier ones —
+    // the complete daily-crawl loop in one running stream. The
+    // batch-scoped dedup cache is dropped per epoch
+    // (dedupAgainstStoredScoped) — a long-running stream must not leak
+    // one persisted frame per micro-batch.
     "stream_dedup_against_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (s, c, df) => {
         val sig = cfg(c, "signatures")
@@ -596,8 +617,20 @@ object SectionRegistry {
             slots = c.getOrElse("slots", "32").toInt,
             rowsPerBand = c.getOrElse("rows_per_band", "4").toInt,
             threshold = c.getOrElse("threshold", "0.2").toDouble) { survivors =>
-            batch.join(survivors, Seq(idCol), "left_semi")
-              .write.mode("append").parquet(path)
+            val kept = batch.join(survivors, Seq(idCol), "left_semi")
+            Sinks.idempotentParquetAppend(kept, path, Seq(idCol))
+            // "absorb": survivors join the signature store, so LATER
+            // micro-batches dedup against THIS batch too — the full
+            // daily-crawl loop (dedup -> keep -> become reference).
+            // Runs after the idempotent append; both halves tolerate
+            // replay, so a crash anywhere in between converges.
+            if (c.getOrElse("absorb", "false").toBoolean)
+              graft.operators.NearDup.absorbIntoSignatures(kept, sig,
+                idCol = idCol,
+                textCol = c.getOrElse("text_column", "text"),
+                ngram = c.getOrElse("ngram", "3").toInt,
+                slots = c.getOrElse("slots", "32").toInt,
+                rowsPerBand = c.getOrElse("rows_per_band", "4").toInt)
           }
         }
         val sup = new graft.streaming.StreamingSupervisor(s,

@@ -97,4 +97,33 @@ class NearDupSpec extends AnyFunSuite {
       .as[Long].collect().toSet == Set(21L))
     spark.catalog.clearCache()
   }
+
+  test("absorbIntoSignatures: survivors become reference; re-absorption is a no-op") {
+    val base = (1 to 30).map(i => s"r$i").mkString(" ")
+    val path = java.nio.file.Files.createTempDirectory("sigabsorb").toString
+    NearDup.writeReferenceSignatures(docs(1L -> base), path)
+    // day 1: two new docs survive and are ABSORBED
+    val day1 = docs(
+      10L -> ((1 to 30).map(i => s"a$i").mkString(" ")),
+      11L -> "one two three four five six seven")
+    assert(NearDup.dedupAgainstStored(day1, path)
+      .as[Long].collect().toSet == Set(10L, 11L))
+    spark.catalog.clearCache()
+    NearDup.absorbIntoSignatures(day1, path)
+    // day 2: an exact and a NEAR dup of day 1's docs are now dropped —
+    // the store learned yesterday's corpus without a rebuild
+    val day2 = docs(
+      20L -> ((1 to 30).map(i => s"a$i").mkString(" ")), // exact of 10
+      21L -> ((1 to 30).map(i => if (i == 3) "X" else s"a$i").mkString(" ")), // near of 10
+      22L -> "completely different new words here today")
+    assert(NearDup.dedupAgainstStored(day2, path)
+      .as[Long].collect().toSet == Set(22L))
+    spark.catalog.clearCache()
+    // replay safety: absorbing the SAME batch again adds nothing
+    val exactBefore = spark.read.parquet(s"$path/exact").count()
+    val hashesBefore = spark.read.parquet(s"$path/hashes").count()
+    NearDup.absorbIntoSignatures(day1, path)
+    assert(spark.read.parquet(s"$path/exact").count() == exactBefore)
+    assert(spark.read.parquet(s"$path/hashes").count() == hashesBefore)
+  }
 }

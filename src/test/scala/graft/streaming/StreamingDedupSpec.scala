@@ -45,6 +45,69 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.size < incoming.count())
     // the streamed rows carry the full document schema, not just ids
     assert(spark.read.parquet(s"$root/out").columns.toSet == docs.columns.toSet)
+    // the scoped cache lifecycle held: nothing persisted leaked past the run
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "stream_dedup_against leaked a persisted frame")
+    // REPLAY safety: a fresh checkpoint reprocesses the same input (the
+    // crash-replay shape) — the idempotent append must not duplicate ids
+    val spec2 = graft.plans.PipelineSpec.fromJson(
+      s"""{"sections":[
+        {"id":"src","name":"stream_parquet_source","config":{
+          "path":"$root/in","max_files_per_trigger":"4"}},
+        {"id":"dd","name":"stream_dedup_against_destination","config":{
+          "signatures":"$root/sig","path":"$root/out",
+          "checkpoint":"$root/ckpt2"}}],
+        "edges":[["src","dd"]]}""")
+    graft.plans.PipelineCompiler.run(spark, spec2)
+    val after = spark.read.parquet(s"$root/out").select("doc_id").as[Long].collect()
+    assert(after.length == after.distinct.length,
+      "replayed batches duplicated survivors")
+    assert(after.toSet == streamed)
+  }
+
+  test("absorb mode: later micro-batches dedup against earlier batches' survivors") {
+    // the COMPLETE daily-crawl loop in one stream: batch 1's survivors
+    // join the signature store, so batch 2's near-dup of a batch-1 doc
+    // is dropped even though neither was in the original reference
+    val root = java.nio.file.Files.createTempDirectory("graft_absorb").toString
+    val seed = (1 to 30).map(i => s"s$i").mkString(" ")
+    graft.operators.NearDup.writeReferenceSignatures(
+      Seq((1L, seed)).toDF("doc_id", "text"), s"$root/sig")
+    val docA = (1 to 30).map(i => s"a$i").mkString(" ")
+    val docA2 = (1 to 30).map(i => if (i == 5) "X" else s"a$i").mkString(" ")
+    // one FLAT parquet file per intended micro-batch (the stream source
+    // does not recurse), ordered by mtime so batch order is pinned
+    new java.io.File(s"$root/in").mkdirs()
+    def writeFlat(name: String, mtime: Long,
+                  rows: Seq[(Long, String)]): Unit = {
+      val tmp = s"$root/tmp_$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$root/in/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    writeFlat("f1", now - 60000, Seq((10L, docA)))
+    writeFlat("f2", now, Seq((20L, docA2),
+      (21L, "fresh words entirely new today")))
+    val spec = graft.plans.PipelineSpec.fromJson(
+      s"""{"sections":[
+        {"id":"src","name":"stream_parquet_source","config":{
+          "path":"$root/in","glob":"*.parquet",
+          "max_files_per_trigger":"1"}},
+        {"id":"dd","name":"stream_dedup_against_destination","config":{
+          "signatures":"$root/sig","path":"$root/out",
+          "checkpoint":"$root/ckpt","absorb":"true"}}],
+        "edges":[["src","dd"]]}""")
+    graft.plans.PipelineCompiler.run(spark, spec)
+    val out = spark.read.parquet(s"$root/out")
+      .select("doc_id").as[Long].collect().toSet
+    // 10 survived batch 1 and was absorbed; 20 (its near-dup) was dropped
+    // in batch 2; 21 is genuinely fresh
+    assert(out == Set(10L, 21L), s"got $out")
+    assert(spark.sharedState.cacheManager.isEmpty)
   }
 
   test("watermarked dedup suppresses within the horizon, re-admits after eviction") {
