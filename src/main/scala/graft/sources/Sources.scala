@@ -100,15 +100,24 @@ object Sources {
     * (per partition) and read to the current high watermark — the
     * batch-read contract of [[kafka]]. */
   def kafkaWireRead(spark: SparkSession, host: String, port: Int,
-                    topic: String, startOffset: Long = 0L): DataFrame = {
+                    topic: String, startOffset: Long = 0L): DataFrame =
+    kafkaWireReadFrom(spark, host, port, topic, Map.empty, startOffset)
+
+  /** [[kafkaWireRead]] with PER-PARTITION start offsets — the incremental
+    * form ([[KafkaWireCursor]] persists and advances them). Partitions
+    * absent from the map start at `default`. */
+  def kafkaWireReadFrom(spark: SparkSession, host: String, port: Int,
+                        topic: String, offsets: Map[Int, Long],
+                        default: Long = 0L): DataFrame = {
     import spark.implicits._
     val parts = KafkaWire.partitions(host, port, topic)
+    val from = parts.map(p => p -> offsets.getOrElse(p, default))
     // parallelize slices positionally: EXACTLY one partition id per Spark
     // task (Dataset round-robin repartition only balances on average —
     // two topic partitions could share a task while another idles)
-    spark.sparkContext.parallelize(parts, parts.size)
-      .flatMap { p =>
-        KafkaWire.fetchAll(host, port, topic, p, startOffset)
+    spark.sparkContext.parallelize(from, from.size)
+      .flatMap { case (p, off) =>
+        KafkaWire.fetchAll(host, port, topic, p, off)
           .map(r => (r.key, r.value, topic, p, r.offset))
       }
       .toDF("key", "value", "topic", "partition", "offset")

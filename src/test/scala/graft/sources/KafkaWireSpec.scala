@@ -112,6 +112,46 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("incremental cursor: slices advance per partition, crash replays exactly one slice") {
+    val broker = new EmbeddedKafkaBroker(numPartitions = 2)
+    try {
+      val store = new graft.plans.StateStore(
+        java.nio.file.Files.createTempDirectory("kwc_state").toString)
+      def produceN(tag: String, n: Int): Unit =
+        (0 until n).foreach { i =>
+          KafkaWire.produce(broker.host, broker.port, "inc", i % 2,
+            Seq((s"$tag$i".getBytes, s"v$tag$i".getBytes)))
+        }
+      var seen = Seq.empty[String]
+      val sink: org.apache.spark.sql.DataFrame => Unit = df =>
+        seen ++= df.select(col("key").cast("string")).as[String].collect().sorted
+      produceN("a", 4)
+      assert(KafkaWireCursor.tick(spark, store, "p", "s",
+        broker.host, broker.port, "inc")(sink) == 4)
+      assert(seen.size == 4)
+      // caught up: no rows, state untouched
+      assert(KafkaWireCursor.tick(spark, store, "p", "s",
+        broker.host, broker.port, "inc")(sink) == 0)
+      // new records: ONLY they flow — both partitions' offsets advanced
+      produceN("b", 3)
+      assert(KafkaWireCursor.tick(spark, store, "p", "s",
+        broker.host, broker.port, "inc")(sink) == 3)
+      assert(seen.count(_.startsWith("a")) == 4 &&
+        seen.count(_.startsWith("b")) == 3)
+      // crash BETWEEN sink and state write: a failing sink leaves the
+      // offsets unadvanced, so the retry re-delivers the same slice —
+      // at-least-once, never a lost slice
+      produceN("c", 2)
+      intercept[RuntimeException] {
+        KafkaWireCursor.tick(spark, store, "p", "s",
+          broker.host, broker.port, "inc")(_ => sys.error("sink died"))
+      }
+      assert(KafkaWireCursor.tick(spark, store, "p", "s",
+        broker.host, broker.port, "inc")(sink) == 2)
+      assert(seen.count(_.startsWith("c")) == 2)
+    } finally broker.close()
+  }
+
   test("kafka_wire sections drive the round-trip from JSON specs") {
     val broker = new EmbeddedKafkaBroker(numPartitions = 2)
     try {
