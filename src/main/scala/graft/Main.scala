@@ -70,11 +70,13 @@ object Main {
       val port = rest.headOption.map(_.toInt).getOrElse(8181)
       val intervalMs = rest.drop(1).headOption.map(_.toLong).getOrElse(5000L)
       val spark = session()
-      val server = new graft.plans.SpecPushServer(Paths.get(dir), port)
+      val orch = new Orchestrator(spark)
+      val server = new graft.plans.SpecPushServer(Paths.get(dir), port,
+        status = Some(() => orch.snapshot))
       try {
         server.start()
         println(s"[graft serve] listening on ${server.boundPort}, watching $dir")
-        val watcher = new SpecDirWatcher(new Orchestrator(spark), Paths.get(dir))
+        val watcher = new SpecDirWatcher(orch, Paths.get(dir))
         val rounds = sys.env.get("GRAFT_WATCH_ROUNDS").map(_.toInt)
           .getOrElse(Int.MaxValue)
         watcher.watch(intervalMs, maxRounds = rounds)

@@ -23,9 +23,21 @@ final class Orchestrator(spark: SparkSession,
                          maxRestarts: Int = 3) {
   import Orchestrator._
 
-  private var running = Map.empty[String, RunningPipeline]
+  @volatile private var running = Map.empty[String, RunningPipeline]
 
   def runningHashes: Set[String] = running.keySet
+
+  /** Read-side snapshot for the daemon status endpoint: (hash, state,
+    * restarts) per tracked pipeline. Safe from any thread (the map
+    * reference is volatile; entries are immutable). */
+  def snapshot: Seq[(String, String, Int)] =
+    running.values.toSeq.sortBy(_.hash).map { r =>
+      val state = r.state match {
+        case Succeeded => "succeeded"
+        case Failed(e) => s"failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}"
+      }
+      (r.hash, state, r.restarts)
+    }
 
   /** Reconcile desired specs against running components. Returns
     * (started, kept, stopped) hashes. Batch pipelines "run" by executing

@@ -30,9 +30,30 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * socket, not a public API (the reference fronts it with mTLS).
   */
 final class SpecPushServer(dir: Path, port: Int = 0,
-                           host: String = "127.0.0.1") {
+                           host: String = "127.0.0.1",
+                           status: Option[() => Seq[(String, String, Int)]] =
+                             scala.None) {
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   @volatile private var started = false
+
+  // read-side status (reference daemons report pipeline state back to the
+  // control plane): GET /pipelines → [{hash, state, restarts}] from the
+  // orchestrator snapshot, when one is wired in (graft serve does)
+  server.createContext("/pipelines", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try status match {
+        case Some(snap) if ex.getRequestMethod == "GET" =>
+          val rows = snap().map { case (h, st, r) =>
+            s"""{"hash":"$h","state":"${st.replace("\\", "\\\\")
+              .replace("\"", "\\\"")}","restarts":$r}"""
+          }.mkString("[", ",", "]")
+          respond(ex, 200, rows + "\n")
+        case Some(_) => respond(ex, 405, "method not allowed\n")
+        case scala.None => respond(ex, 404, "no orchestrator attached\n")
+      } catch {
+        case e: Exception => respond(ex, 500, s"error: ${e.getMessage}\n")
+      } finally ex.close()
+  })
 
   /** Port actually bound (use port=0 to let the OS pick — tests). */
   def boundPort: Int = server.getAddress.getPort

@@ -84,6 +84,33 @@ class SpecPushServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("GET /pipelines reports the orchestrator's running state") {
+    val tmp = Files.createTempDirectory("graft_status").toString
+    val specDir = Files.createTempDirectory("graft_status_specs")
+    val orch = new Orchestrator(spark, restartBackoffMs = 10)
+    val watcher = new SpecDirWatcher(orch, specDir)
+    val server = new SpecPushServer(specDir, port = 0,
+      status = Some(() => orch.snapshot))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      // nothing running yet
+      assert(http("GET", s"$base/pipelines") == ((200, "[]\n")))
+      val a = specJson(tmp, "st1")
+      assert(http("POST", s"$base/specs/a", Some(a))._1 == 200)
+      watcher.poll()
+      val (code, body) = http("GET", s"$base/pipelines")
+      assert(code == 200 && body.contains(hashOf(a)) &&
+        body.contains("\"state\":\"succeeded\""), body)
+      // a server without an orchestrator attached says so
+      val bare = new SpecPushServer(specDir, port = 0)
+      bare.start()
+      try assert(http("GET",
+        s"http://127.0.0.1:${bare.boundPort}/pipelines")._1 == 404)
+      finally bare.stop()
+    } finally server.stop()
+  }
+
   test("path escapes are rejected; GET redacts secrets") {
     val specDir = Files.createTempDirectory("graft_push_sec")
     val server = new SpecPushServer(specDir, port = 0)
