@@ -1373,6 +1373,35 @@ object Queries {
         FROM cand)
       WHERE rk <= 5 ORDER BY q_id, rk"""
   }
+  /** kNN label propagation ([[graft.operators.Ann.knnClassify]]): each
+    * query vector takes the majority label of its 10 exact nearest
+    * neighbors; oracle replays the same round(6)/id-tiebreak top-k and
+    * the same (count desc, label asc) vote resolution. */
+  private val annKnnLabel = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Ann.knnClassify(
+          Tables.embeddings(s, dir).select($"vec_id", $"embedding", $"label"),
+          isQuery = $"vec_id" < 50, k = 10)
+        .orderBy($"q_id")
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+        FROM embeddings),
+      q AS (SELECT vec_id AS q_id, emb AS q_vec FROM e WHERE vec_id < 50),
+      scored AS (SELECT q.q_id, e.vec_id AS n_id, e.label,
+          row_number() OVER (PARTITION BY q.q_id
+            ORDER BY round(list_cosine_similarity(q.q_vec, e.emb), 6) DESC,
+                     e.vec_id) AS rk
+        FROM q JOIN e ON e.vec_id != q.q_id),
+      votes AS (SELECT q_id, label, count(*) AS n FROM scored
+        WHERE rk <= 10 GROUP BY q_id, label),
+      best AS (SELECT q_id, label,
+          row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label) AS vr
+        FROM votes)
+      SELECT b.q_id, b.label AS pred_label, e.label AS true_label
+      FROM best b JOIN e ON e.vec_id = b.q_id WHERE b.vr = 1
+      ORDER BY b.q_id"""))
+
   private val annIvfBalanced = Q.dynamicOpt(
     (s, dir) => {
       import s.implicits._
@@ -2487,6 +2516,7 @@ object Queries {
     "ann_lsh_multi" -> annLshMulti,
     "ann_ivf_topk" -> annIvf,
     "ann_ivf_balanced" -> annIvfBalanced,
+    "ann_knn_label" -> annKnnLabel,
     "ann_ivf_disk" -> annIvfDisk,
     "ann_quantized_topk" -> annQuantized,
     "ann_rp_topk" -> annRpTopk,

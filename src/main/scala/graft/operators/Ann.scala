@@ -126,6 +126,35 @@ object Ann {
     rank(scored, k)
   }
 
+  /** kNN label propagation from ANY top-k result frame `(q_id, n_id,
+    * rk)` — the weak-supervision primitive: each query takes the
+    * MAJORITY label of its k nearest neighbors (ties → smallest label,
+    * deterministic). Composable with every variant in this module: brute
+    * force for the oracle-checkable baseline, [[ivfTopKFromCentroids]]
+    * or LSH for the 100 TB path — the vote is the same narrow
+    * (q_id, label, count) aggregation either way. */
+  def knnClassifyFrom(topk: DataFrame, corpus: DataFrame,
+                      labelCol: String = "label"): DataFrame = {
+    val labels = corpus.select(col("vec_id").as("n_id"),
+      col(labelCol).as("_nl"))
+    val votes = topk.join(labels, "n_id")
+      .groupBy(col("q_id"), col("_nl")).agg(count(lit(1)).as("_n"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("_n").desc, col("_nl"))
+    votes.withColumn("_vr", row_number().over(w)).filter(col("_vr") === 1)
+      .select(col("q_id"), col("_nl").as("pred_label"))
+      .join(corpus.select(col("vec_id").as("q_id"),
+        col(labelCol).as("true_label")), "q_id")
+  }
+
+  /** [[knnClassifyFrom]] over the exact scorer. */
+  def knnClassify(corpus: DataFrame, isQuery: Column, k: Int,
+                  labelCol: String = "label"): DataFrame =
+    knnClassifyFrom(
+      bruteForceTopK(corpus.select(col("vec_id"), col("embedding")),
+        isQuery, k),
+      corpus, labelCol)
+
   /** Recall@k of an approximate result against the exact one: the fraction
     * of true top-k neighbors the approximate variant returned, averaged
     * over queries. Both frames carry `(q_id, n_id)`; the join and counts

@@ -290,6 +290,26 @@ object SectionRegistry {
         }
         Some(out.select("q_id", "n_id", "cosine", "rk"))
       }),
+    // kNN label propagation: majority label of each query's k nearest
+    // neighbors (weak supervision); variant picks the neighbor source —
+    // brute for exactness, trained IVF for the at-scale path
+    "knn_classify" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val labelCol = c.getOrElse("label_column", "label")
+        val frame = in(df).select(col("vec_id"), col("embedding"), col(labelCol))
+        val vecs = frame.select(col("vec_id"), col("embedding"))
+        val isQuery = expr(cfg(c, "query_where"))
+        val k = c.getOrElse("k", "10").toInt
+        val top = c.getOrElse("variant", "brute") match {
+          case "brute" => graft.operators.Ann.bruteForceTopK(vecs, isQuery, k)
+          case "ivf" => graft.operators.Ann.ivfTopKTrained(vecs, isQuery, k,
+            nProbe = c.getOrElse("probes", "2").toInt,
+            kCentroids = c.getOrElse("k_centroids", "0").toInt)
+          case other => throw new IllegalArgumentException(
+            s"knn_classify variant must be brute|ivf, got $other")
+        }
+        Some(graft.operators.Ann.knnClassifyFrom(top, frame, labelCol))
+      }),
     // custom-state sessionization (flatMapGroupsWithState): one row per
     // closed session (key, session_start, n); batch frames close at
     // end-of-input, streaming frames via event-time timeout

@@ -147,6 +147,29 @@ class AnnRecallSpec extends AnyFunSuite {
       s"units ${units.toSeq} vs mean cell $meanCell")
   }
 
+  test("knnClassify: majority label wins, ties resolve to the smallest label") {
+    import spark.implicits._
+    // query 0 sits between cluster A (label 1, 2 members) and cluster B
+    // (label 2, 1 member): k=3 → majority label 1. Vectors are placed so
+    // the top-3 picks are unambiguous at round(6).
+    val d = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0), 9),
+      (1L, Seq(0.9, 0.1, 0.0, 0.0), 1),
+      (2L, Seq(0.9, -0.1, 0.0, 0.0), 1),
+      (3L, Seq(0.8, 0.0, 0.1, 0.0), 2),
+      (4L, Seq(0.0, 0.0, 0.0, 1.0), 2) // far away, outside top-3
+    ).toDF("vec_id", "embedding", "label")
+    val got = Ann.knnClassify(d, isQuery = col("vec_id") === 0L, k = 3)
+      .select($"q_id", $"pred_label", $"true_label")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(got == Seq((0L, 1, 9)), got.toString)
+    // tie: k=2 over one label-1 and one label-2 neighbor → smallest wins
+    val tie = Ann.knnClassifyFrom(
+      Seq((0L, 1L, 1L), (0L, 3L, 2L)).toDF("q_id", "n_id", "rk"), d)
+      .select($"pred_label").as[Int].head()
+    assert(tie == 1)
+  }
+
   test("ivfTopKFromCentroids answers exactly like ivfTopKTrained") {
     val e = Tables.embeddings(spark, TestSpark.sf)
       .select(col("vec_id"), col("embedding"))

@@ -57,6 +57,18 @@ class TrainingSectionsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn_classify section: majority-label prediction from a spec") {
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/embeddings.parquet"}},
+        {"id":"knn","name":"knn_classify","config":{
+          "k":"5","query_where":"vec_id < 8"}}],
+        "edges":[["src","knn"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    assert(out.columns.toSeq == Seq("q_id", "pred_label", "true_label"))
+    assert(out.count() == 8)
+  }
+
   test("ann_topk: LSH plane geometry follows project_dims") {
     // project_dims without an explicit `dims` must give the LSH planes
     // the PROJECTED dimensionality (16 here), not the 64-dim default —
