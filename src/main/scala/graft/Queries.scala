@@ -2273,6 +2273,31 @@ object Queries {
     },
     () => mixTemperatureOracle)
 
+  /** Token-budget mixing ([[graft.operators.Corpus.mixTokenBudget]]):
+    * per-domain hash-ordered admission until the token budget is crossed
+    * (crossing doc included); es/fr carry no budget and are excluded by
+    * construction. The oracle replays the same whitespace token count,
+    * hash order, and exclusive prefix-sum admission rule. */
+  private val cpMixTokenBudget = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.mixTokenBudget(Tables.documents(s, dir),
+          Seq("en" -> 5000L, "de" -> 2000L, "zh" -> 1500L))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH b(lang, budget) AS (VALUES ('en', 5000), ('de', 2000), ('zh', 1500)),
+      tk AS (SELECT d.doc_id, d.lang, b.budget,
+          len(CASE WHEN len(trim(d.text)) = 0 THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(d.text), '\s+') END)::BIGINT AS n_tokens,
+          md5(d.doc_id::VARCHAR) AS hk
+        FROM documents d JOIN b USING (lang)),
+      c AS (SELECT doc_id, lang, n_tokens, budget,
+          coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY hk, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+        FROM tk)
+      SELECT doc_id, lang, n_tokens FROM c WHERE pre < budget
+      ORDER BY doc_id"""))
+
   /** BM25 top-20 for terms (table, query, spark), Lucene idf floor,
     * k1=1.2 b=0.75. Stats reduce to one broadcast row; tie-break by
     * rounded score then doc_id so the cut is deterministic. */
@@ -2548,6 +2573,7 @@ object Queries {
     "cp_pack_sequences" -> cpPack,
     "cp_mix_weighted" -> cpMix,
     "cp_mix_temperature" -> cpMixTemperature,
+    "cp_mix_token_budget" -> cpMixTokenBudget,
     "cp_bm25_topk" -> cpBm25,
     "cp_chunk" -> cpChunk,
     "cp_sample_quality" -> cpSample,

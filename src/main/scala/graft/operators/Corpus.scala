@@ -237,6 +237,64 @@ object Corpus {
       .select(col(idCol), col(byCol))
   }
 
+  /** TOKEN-budget corpus mixing — the "N billion tokens of domain D"
+    * step of mixture assembly: per domain, documents are admitted in
+    * deterministic md5(doc_id) order until the domain's token budget is
+    * reached. The document that crosses the line is INCLUDED (budgets
+    * are met-or-just-exceeded, never silently under-filled), and domains
+    * absent from `budgets` are excluded by construction — the budget
+    * table IS the selection, unlike [[mixByThresholds]] where a missing
+    * domain is a stale-table error. Admission order is the id hash, so
+    * each domain's take is a stable uniform sample prefix: re-running on
+    * a grown corpus keeps previously-admitted documents admitted.
+    *
+    * Shape: the same two-pass prefix-sum construction as
+    * [[packSequences]], per (range-partition, domain): one
+    * (partition, domain, token-sum) row per pair reaches the driver,
+    * offsets broadcast back, and the finishing window is bounded by one
+    * range partition — never a whole domain on one task. The pass-1
+    * frame persists (3 longs + 2 strings per doc) with the module's
+    * session-managed cache lifecycle.
+    *
+    * @return surviving `(doc_id, <byCol>, n_tokens)` rows.
+    */
+  def mixTokenBudget(docs: DataFrame, budgets: Seq[(String, Long)],
+                     byCol: String = "lang", idCol: String = "doc_id",
+                     textCol: String = "text",
+                     partitions: Int = 32): DataFrame = {
+    require(budgets.nonEmpty, "token-budget mix needs at least one budget")
+    require(budgets.forall(_._2 > 0), "budgets must be positive")
+    val spark = docs.sparkSession
+    val bDf = spark.createDataFrame(budgets.toIndexedSeq).toDF(byCol, "_budget")
+    val base = docs.join(broadcast(bDf), Seq(byCol))
+      .select(col(byCol), col(idCol).as("_id"),
+        TF.tokenCount(col(textCol)).cast("long").as("_tok"), col("_budget"),
+        md5(col(idCol).cast("string")).as("_hk"))
+      .repartitionByRange(partitions, col(byCol), col("_hk"), col("_id"))
+      .sortWithinPartitions(col(byCol), col("_hk"), col("_id"))
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    // O(#partitions × #domains) rows — the only driver-side step
+    val perPart = base.groupBy(col("_pid"), col(byCol))
+      .agg(sum(col("_tok")).as("_t"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val offRows = perPart.groupBy(_._2).toSeq.flatMap { case (dom, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (pid, _, t) =>
+        val o = (pid, dom, acc); acc += t; o
+      }
+    }
+    val offDf = spark.createDataFrame(offRows.toIndexedSeq)
+      .toDF("_pid", byCol, "_off")
+    val w = Window.partitionBy(col("_pid"), col(byCol))
+      .orderBy(col("_hk"), col("_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offDf), Seq("_pid", byCol))
+      .withColumn("_pre", coalesce(sum(col("_tok")).over(w), lit(0L)) + col("_off"))
+      .filter(col("_pre") < col("_budget"))
+      .select(col("_id").as(idCol), col(byCol), col("_tok").as("n_tokens"))
+  }
+
   /** Exact duplicated-span scrubbing — the sliding-window form of exact
     * substring dedup (the "dedup the TEXT, not just the documents" pass):
     * every k-token window whose hash occurs MORE THAN ONCE in the corpus

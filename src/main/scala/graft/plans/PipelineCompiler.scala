@@ -391,6 +391,23 @@ object SectionRegistry {
         byCol = c.getOrElse("by_column", "lang"),
         idCol = c.getOrElse("id_column", "doc_id"),
         maxRate = c.getOrElse("max_rate", "1.0").toDouble))),
+    // token-budget mixing: "N tokens of domain D" — hash-ordered
+    // admission per domain until each budget is crossed; the budget
+    // table IS the selection (unlisted domains are excluded)
+    "mix_token_budget" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val budgets = cfg(c, "budgets").split(",").toSeq.map { kv =>
+          kv.split(":") match {
+            case Array(k, v) => (k.trim, v.trim.toLong)
+            case _ => throw new IllegalArgumentException(
+              s"mix_token_budget budgets must be domain:tokens pairs, got '$kv'")
+          }
+        }
+        Some(graft.operators.Corpus.mixTokenBudget(in(df), budgets,
+          byCol = c.getOrElse("by_column", "lang"),
+          idCol = c.getOrElse("id_column", "doc_id"),
+          textCol = c.getOrElse("text_column", "text")))
+      }),
     // lake-staged intermediate: materialize the upstream frame to parquet
     // and hand consumers the re-read scan — the executor-storage-free
     // alternative to caching a corpus-sized frame mid-pipeline

@@ -128,6 +128,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(viaThr == direct)
   }
 
+  test("mixTokenBudget: budgets met-or-just-exceeded, unlisted domains excluded, stable order") {
+    val d = ((1L to 100L).map(i => (i, "en", "w " * 10)) ++
+      (101L to 150L).map(i => (i, "de", "x " * 4)) ++
+      (151L to 160L).map(i => (i, "xx", "y " * 5)))
+      .toDF("doc_id", "lang", "text")
+    val got = Corpus.mixTokenBudget(d, Seq("en" -> 95L, "de" -> 1000L))
+      .as[(Long, String, Long)].collect()
+    val byLang = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // en: 10-token docs against a 95 budget → 10 docs admitted (the
+    // 10th crosses the line and is INCLUDED) = 100 tokens
+    assert(byLang("en") == 100L, byLang.toString)
+    // de's budget exceeds the domain's total mass → everything admitted
+    assert(byLang("de") == 50 * 4L)
+    // xx carries no budget → excluded entirely
+    assert(!byLang.contains("xx"))
+    // deterministic: same admissions regardless of input partitioning
+    val again = Corpus.mixTokenBudget(d.repartition(7),
+      Seq("en" -> 95L, "de" -> 1000L)).as[(Long, String, Long)].collect()
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    spark.catalog.clearCache()
+  }
+
   test("mixByThresholds: a domain missing from the table fails loudly, never silently drops") {
     val d = Seq((1L, "en"), (2L, "zz")).toDF("doc_id", "lang")
     val e = intercept[Exception] {

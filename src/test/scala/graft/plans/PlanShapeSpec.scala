@@ -146,6 +146,13 @@ class PlanShapeSpec extends AnyFunSuite {
       "the range-partitioned token frame must be the persisted pass-1 frame")
   }
 
+  test("cp_mix_token_budget: admission window is per range partition, never a whole domain") {
+    val p = plan("cp_mix_token_budget")
+    assert(p.contains("Window") && p.contains("_pid"),
+      "prefix sums must window WITHIN a range partition (_pid) — a bare " +
+      "per-domain window puts a whole domain on one task")
+  }
+
   test("cp_mix_weighted: rates broadcast; the corpus pass is shuffle-free") {
     val p = plan("cp_mix_weighted")
     assert(p.contains("BroadcastHashJoin"), "rates dim must broadcast")

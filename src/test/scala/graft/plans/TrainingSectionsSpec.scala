@@ -246,6 +246,22 @@ class TrainingSectionsSpec extends AnyFunSuite {
     val sm = run("sample_by_rate", """"rate":"least(1.0, n_chars / 400.0)"""")
     val total = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(sm.count() > 0 && sm.count() < total)
+
+    val mtb = run("mix_token_budget", """"budgets":"en:500,de:300"""")
+    assert(mtb.columns.toSeq == Seq("doc_id", "lang", "n_tokens"))
+    val perLang = mtb.groupBy("lang")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // budgets are met-or-just-exceeded, and the budget table IS the
+    // selection: es/fr/zh carry no budget and must be absent
+    assert(perLang.keySet == Set("en", "de"), perLang.toString)
+    assert(perLang("en") >= 500L && perLang("de") >= 300L)
+    spark.catalog.clearCache()
+
+    val mtbBad = intercept[Exception] {
+      run("mix_token_budget", """"budgets":"en=500"""")
+    }
+    assert(mtbBad.getMessage.contains("domain:tokens"))
   }
 
   test("dedup_against section: reference_where splits, survivors out") {
