@@ -591,6 +591,19 @@ object SectionRegistry {
       (s, c, _) => Some(Sources.kafkaWireRead(s, cfg(c, "host"),
         cfg(c, "port").toInt, cfg(c, "topic"),
         c.getOrElse("start_offset", "0").toLong))),
+    // the STREAMING form: the kafka-wire DataSource V2
+    // (graft.sources.KafkaWireStreamProvider) — micro-batch offsets ride
+    // Spark's checkpoint, backpressure via max_offsets_per_trigger
+    "kafka_wire_stream_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some {
+        var r = s.readStream.format("kafka-wire")
+          .option("host", cfg(c, "host"))
+          .option("port", cfg(c, "port"))
+          .option("topic", cfg(c, "topic"))
+        Seq("starting_offsets", "max_offsets_per_trigger", "max_bytes")
+          .foreach(k => c.get(k).foreach(v => r = r.option(k, v)))
+        r.load()
+      }),
     // stage-and-COPY warehouse sinks: the statement sequence goes through
     // a JDBC url ("url") — in tests MemJdbc, in production the warehouse
     "snowflake_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
@@ -669,6 +682,34 @@ object SectionRegistry {
                 slots = c.getOrElse("slots", "32").toInt,
                 rowsPerBand = c.getOrElse("rows_per_band", "4").toInt)
           }
+        }
+        val sup = new graft.streaming.StreamingSupervisor(s,
+          restartBackoffMs = c.getOrElse("restart_backoff_ms", "3000").toLong,
+          maxRestarts = c.getOrElse("max_restarts", "3").toInt)
+        try {
+          val handle = sup.supervise { () =>
+            writer.trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          }
+          handle.await()
+        } finally sup.close()
+        scala.None
+      }),
+    // Streaming kafka sink over the pure-JDK wire client: each micro-batch
+    // is kafkaEncode'd (key = origin, value = row JSON) and produced inside
+    // an ack-ordered foreachBatch (epoch commit strictly after the produce
+    // returns). Delivery is at-least-once — v0 produce has no idempotence,
+    // so a crash between produce and epoch commit replays the batch;
+    // consumers dedup on (origin, content) or read through an idempotent
+    // landing table, same contract as the reference's ack model.
+    "kafka_wire_stream_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (s, c, df) => {
+        val host = cfg(c, "host"); val port = cfg(c, "port").toInt
+        val topic = cfg(c, "topic")
+        val writer = graft.streaming.StreamingPipelines.ackSink(in(df),
+          cfg(c, "checkpoint"),
+          org.apache.spark.sql.streaming.OutputMode.Append()) { (batch, _) =>
+          Sinks.kafkaWireWrite(Sinks.kafkaEncode(batch), host, port, topic)
         }
         val sup = new graft.streaming.StreamingSupervisor(s,
           restartBackoffMs = c.getOrElse("restart_backoff_ms", "3000").toLong,

@@ -8,8 +8,8 @@ import java.util.zip.CRC32
 /** A minimal Kafka WIRE-PROTOCOL client in pure JDK — no kafka jars.
   *
   * Speaks the v0 generation of the public protocol (KIP-35 era):
-  * Metadata (api 3), Produce (api 0) and Fetch (api 1), with v0 message
-  * sets (`offset INT64, size INT32, crc INT32, magic 0, attributes 0,
+  * Metadata (api 3), Produce (api 0), Fetch (api 1) and ListOffsets
+  * (api 2), with v0 message sets (`offset INT64, size INT32, crc INT32, magic 0, attributes 0,
   * key BYTES, value BYTES`; CRC32 over everything after the crc field).
   * v0 is the simplest self-contained dialect every broker still accepts,
   * and it is all a batch source/sink pair needs: list partitions,
@@ -61,6 +61,71 @@ object KafkaWire {
     }
     require(out.nonEmpty, s"topic $topic has no partitions")
     out
+  }
+
+  /** Per-partition offsets of `topic` at a protocol timestamp
+    * (ListOffsets v0, api 2): `-1` = latest (the high watermark), `-2` =
+    * earliest (the log start). One RPC covers all partitions — this is
+    * how a micro-batch planner asks "where does the next batch end"
+    * without fetching a single record. */
+  def offsetsAt(host: String, port: Int, topic: String,
+                parts: Seq[Int], timestamp: Long): Map[Int, Long] = {
+    require(timestamp == -1L || timestamp == -2L,
+      s"ListOffsets v0 takes -1 (latest) or -2 (earliest), got $timestamp")
+    require(parts.nonEmpty, "offsetsAt needs at least one partition")
+    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+    o.writeInt(-1) // replica_id: consumer
+    o.writeInt(1); writeString(o, topic)
+    o.writeInt(parts.size)
+    parts.foreach { p => o.writeInt(p); o.writeLong(timestamp); o.writeInt(1) }
+    val resp = rpc(host, port, apiKey = 2, body.toByteArray)
+    val b = ByteBuffer.wrap(resp)
+    val nTopics = b.getInt; require(nTopics == 1, s"listOffsets: $nTopics topics")
+    skipString(b)
+    val nParts = b.getInt
+    (0 until nParts).map { _ =>
+      val pid = b.getInt; val err = b.getShort
+      val nOff = b.getInt
+      val offs = (0 until nOff).map(_ => b.getLong)
+      require(err == 0, s"listOffsets $topic/$pid: error $err")
+      require(offs.nonEmpty, s"listOffsets $topic/$pid: empty offset list")
+      pid -> offs.head
+    }.toMap
+  }
+
+  /** Lazily read `topic/partition` over `[from, until)` — the BOUNDED
+    * form of [[fetchAll]] a micro-batch task needs: each pull holds at
+    * most one `maxBytes` wire chunk, and records at or past `until`
+    * (produced after the batch was planned) are excluded so the batch
+    * boundary is exact. Stops early without error if the log ends below
+    * `until` (a planner race with retention-truncation surfaces as a
+    * short read, not a hang). */
+  def fetchRange(host: String, port: Int, topic: String, partition: Int,
+                 from: Long, until: Long,
+                 maxBytes: Int = 4 << 20): Iterator[Record] = {
+    val part = partition // Iterator.partition shadows the param below
+    new Iterator[Record] {
+      private var at = from
+      private var buf: Iterator[Record] = Iterator.empty
+      private def pull(): Unit =
+        while (!buf.hasNext && at < until) {
+          val (records, hw) = fetchOnce(host, port, topic, part, at, maxBytes)
+          if (records.isEmpty) {
+            // same record-too-large policy as fetchAll: empty below the
+            // watermark means one message exceeds maxBytes — loud, never
+            // a silently truncated batch
+            if (at < math.min(until, hw)) throw new IllegalStateException(
+              s"$topic/$part: message at offset $at exceeds maxBytes " +
+              s"$maxBytes — raise maxBytes to read past it")
+            at = until // log ends below the planned bound
+          } else {
+            at = records.last.offset + 1
+            buf = records.iterator.filter(_.offset < until)
+          }
+        }
+      override def hasNext: Boolean = { pull(); buf.hasNext }
+      override def next(): Record = { pull(); buf.next() }
+    }
   }
 
   /** Append `records` to one partition (Produce v0, acks=1). Returns the

@@ -62,6 +62,7 @@ final class EmbeddedKafkaBroker(numPartitions: Int = 2) {
           case 3 => metadata(b)
           case 0 => produce(b)
           case 1 => fetch(b)
+          case 2 => listOffsets(b)
           case other => throw new IllegalArgumentException(s"api $other unsupported")
         }
         out.writeInt(4 + body.length)
@@ -155,6 +156,29 @@ final class EmbeddedKafkaBroker(numPartitions: Int = 2) {
         val setBytes = set.toByteArray
         o.writeInt(p); o.writeShort(0); o.writeLong(hw)
         o.writeInt(setBytes.length); o.write(setBytes)
+      }
+    }
+    bodyBytes(body)
+  }
+
+  /** ListOffsets v0: timestamp -1 → latest (high watermark = log size),
+    * -2 → earliest (log start, always 0 here — no retention). */
+  private def listOffsets(req: ByteBuffer): Array[Byte] = {
+    req.getInt // replica
+    val nTopics = req.getInt
+    val body = newBody(); val o = body.o
+    o.writeInt(nTopics)
+    (0 until nTopics).foreach { _ =>
+      val topic = readString(req)
+      val nParts = req.getInt
+      writeString(o, topic)
+      o.writeInt(nParts)
+      (0 until nParts).foreach { _ =>
+        val p = req.getInt; val ts = req.getLong; req.getInt // max_num_offsets
+        val l = log(topic, p)
+        val off = if (ts == -2L) 0L else l.synchronized(l.size.toLong)
+        o.writeInt(p); o.writeShort(0)
+        o.writeInt(1); o.writeLong(off)
       }
     }
     bodyBytes(body)
