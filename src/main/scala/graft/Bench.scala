@@ -320,7 +320,25 @@ object Bench {
       .mkString("{", ",", "}")
     val dr = dedupRecall.map(v => f""","dedup_pair_recall":$v%.4f""").getOrElse("")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"loadavg_start":"$loadavgStart","java_procs":$javaProcs,"queries":$qs,"queries_min":$mins,"recall_at_10":$rc$dr,"ivf_cell_balance":$cb,"failed":$fl,"sf":"$sfDir"}""")
+    // a bench run owns exactly two java processes (sbt + this forked JVM);
+    // any third is another workload stealing the 32 cores — r8's official
+    // record carried phantom 2-3x regressions from exactly that
+    val contended = javaProcs > 2
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"loadavg_start":"$loadavgStart","java_procs":$javaProcs,"contended":$contended,"queries":$qs,"queries_min":$mins,"recall_at_10":$rc$dr,"ivf_cell_balance":$cb,"failed":$fl,"sf":"$sfDir"}"""
+    // full-line file artifact: the driver's tail-capture truncates long
+    // stdout lines from the FRONT, which in r8 cut off exactly the
+    // loadavg/java_procs self-diagnosis fields — the file keeps every field
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}") }
+    println(line)
+    // compact env+total summary printed LAST: short enough that no tail
+    // truncation can ever lose the contention evidence again
+    println(f"""{"metric":"bench_env","total":$total%.3f,"loadavg_start":"$loadavgStart","java_procs":$javaProcs,"contended":$contended,"failed":$fl,"sf":"$sfDir"}""")
+    if (contended) System.err.println(s"[bench] WARNING: $javaProcs java " +
+      "processes at run start (expected 2: sbt + this fork) — timings are " +
+      "contention-suspect; the line is tagged \"contended\":true")
     spark.stop()
   }
 }

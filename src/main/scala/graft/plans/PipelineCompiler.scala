@@ -581,16 +581,23 @@ object SectionRegistry {
     // kafka over the pure-JDK wire client (no connector jar): rows are
     // kafkaEncode'd (key = origin, value = row JSON) then produced per
     // Spark task; the source side reads one task per partition
+    // `dialect` (v0|v2|auto, default auto) picks the wire generation:
+    // auto negotiates once per section run via ApiVersions, so the same
+    // spec drives a legacy or a 4.x broker unchanged
     "kafka_wire_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => {
         Sinks.kafkaWireWrite(Sinks.kafkaEncode(in(df)), cfg(c, "host"),
-          cfg(c, "port").toInt, cfg(c, "topic"))
+          cfg(c, "port").toInt, cfg(c, "topic"),
+          graft.sources.KafkaWire.dialectFor(c.getOrElse("dialect", "auto"),
+            cfg(c, "host"), cfg(c, "port").toInt))
         scala.None
       }),
     "kafka_wire_source" -> Entry(SectionIOSpec(None, DataFrameIO),
       (s, c, _) => Some(Sources.kafkaWireRead(s, cfg(c, "host"),
         cfg(c, "port").toInt, cfg(c, "topic"),
-        c.getOrElse("start_offset", "0").toLong))),
+        c.getOrElse("start_offset", "0").toLong,
+        graft.sources.KafkaWire.dialectFor(c.getOrElse("dialect", "auto"),
+          cfg(c, "host"), cfg(c, "port").toInt)))),
     // the STREAMING form: the kafka-wire DataSource V2
     // (graft.sources.KafkaWireStreamProvider) — micro-batch offsets ride
     // Spark's checkpoint, backpressure via max_offsets_per_trigger
@@ -600,7 +607,8 @@ object SectionRegistry {
           .option("host", cfg(c, "host"))
           .option("port", cfg(c, "port"))
           .option("topic", cfg(c, "topic"))
-        Seq("starting_offsets", "max_offsets_per_trigger", "max_bytes")
+        Seq("starting_offsets", "max_offsets_per_trigger", "max_bytes",
+            "dialect")
           .foreach(k => c.get(k).foreach(v => r = r.option(k, v)))
         r.load()
       }),
@@ -706,10 +714,14 @@ object SectionRegistry {
       (s, c, df) => {
         val host = cfg(c, "host"); val port = cfg(c, "port").toInt
         val topic = cfg(c, "topic")
+        // negotiated once at section compile, not per micro-batch
+        val dialect = graft.sources.KafkaWire.dialectFor(
+          c.getOrElse("dialect", "auto"), host, port)
         val writer = graft.streaming.StreamingPipelines.ackSink(in(df),
           cfg(c, "checkpoint"),
           org.apache.spark.sql.streaming.OutputMode.Append()) { (batch, _) =>
-          Sinks.kafkaWireWrite(Sinks.kafkaEncode(batch), host, port, topic)
+          Sinks.kafkaWireWrite(Sinks.kafkaEncode(batch), host, port, topic,
+            dialect)
         }
         val sup = new graft.streaming.StreamingSupervisor(s,
           restartBackoffMs = c.getOrElse("restart_backoff_ms", "3000").toLong,

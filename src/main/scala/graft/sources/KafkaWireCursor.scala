@@ -2,7 +2,6 @@ package graft.sources
 
 import graft.plans.StateStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Incremental kafka-wire ingestion — the reference's stateful-source
   * contract applied to the pure-JDK kafka path: per-partition offsets are
@@ -17,33 +16,49 @@ import org.apache.spark.sql.functions._
   * watermark would be wrong the moment two partitions advance at
   * different rates. State volume is O(#partitions) longs — a cursor, not
   * data.
+  *
+  * The slice is BOUNDED BY A SNAPSHOT, not by "whatever the log holds
+  * when a task runs": tick() snapshots every partition's high watermark
+  * once up front, reads exactly `[stored, snapshot)`, and advances state
+  * to the snapshot. An unbounded read-to-watermark would be
+  * nondeterministic under recomputation — if a cached slice is lost
+  * (executor failure, speculative retry) after the sink ran, the rebuild
+  * would re-fetch PAST the original watermark and the max-offset advance
+  * would mark those never-sunk records done: silent loss. With fixed
+  * bounds a recompute rebuilds byte-identical rows.
   */
 object KafkaWireCursor {
 
-  /** One tick: read every partition from its persisted offset to the
-    * current high watermark, hand the slice to `sink`, then advance the
-    * stored offsets. Returns the number of rows processed (0 = caught
-    * up; state untouched). */
+  /** One tick: snapshot the high watermarks, read every partition from
+    * its persisted offset to its snapshotted watermark, hand the slice
+    * to `sink`, then advance the stored offsets TO THE SNAPSHOT.
+    * Returns the number of rows processed (0 = caught up). */
   def tick(spark: SparkSession, store: StateStore, pipeline: String,
-           section: String, host: String, port: Int, topic: String)
+           section: String, host: String, port: Int, topic: String,
+           dialect: KafkaWire.Dialect = KafkaWire.V0)
           (sink: DataFrame => Unit): Long = {
     val offsets = store.load(pipeline, section).collect {
       case (k, v) if k.startsWith("offset_") =>
         k.stripPrefix("offset_").toInt -> v.toLong
     }
-    val slice = Sources.kafkaWireReadFrom(spark, host, port, topic, offsets)
-      .persist()
+    // the batch boundary, fixed BEFORE any task runs (O(#partitions)
+    // longs over one RPC) — every fetch below reads [from, until) so a
+    // recomputed task can never observe records this tick didn't claim
+    val parts = KafkaWire.partitions(host, port, topic, dialect)
+    val until = KafkaWire.offsetsAt(host, port, topic, parts, -1L, dialect)
+    val lagging = until.exists { case (p, u) => u > offsets.getOrElse(p, 0L) }
+    if (!lagging) return 0L
+    val slice = Sources.kafkaWireReadRange(
+      spark, host, port, topic, offsets, until, dialect).persist()
     try {
       val n = slice.count()
-      if (n > 0) {
-        sink(slice)
-        // O(#partitions) rows to the driver; state write strictly after
-        // the sink returned — ack-after-commit
-        val advanced = slice.groupBy(col("partition"))
-          .agg(max(col("offset")).as("m")).collect()
-          .map(r => s"offset_${r.getInt(0)}" -> (r.getLong(1) + 1).toString)
-        store.set(pipeline, section, advanced.toIndexedSeq: _*)
-      }
+      if (n > 0) sink(slice)
+      // state write strictly after the sink returned (ack-after-commit);
+      // advancing to the snapshot rather than max(offset-in-frame) also
+      // steps over log ranges retention truncated mid-tick (n may be 0)
+      val advanced = until.toSeq.sortBy(_._1)
+        .map { case (p, u) => s"offset_$p" -> u.toString }
+      store.set(pipeline, section, advanced: _*)
       n
     } finally { slice.unpersist(); () }
   }
@@ -53,12 +68,14 @@ object KafkaWireCursor {
     * (`sections/postgres_connector/src/source.rs:114-125`). */
   def catchUp(spark: SparkSession, store: StateStore, pipeline: String,
               section: String, host: String, port: Int, topic: String,
-              maxTicks: Int = 1000)(sink: DataFrame => Unit): Long = {
+              maxTicks: Int = 1000,
+              dialect: KafkaWire.Dialect = KafkaWire.V0)
+             (sink: DataFrame => Unit): Long = {
     var total = 0L
     var ticks = 0
     var n = -1L
     while (n != 0L && ticks < maxTicks) {
-      n = tick(spark, store, pipeline, section, host, port, topic)(sink)
+      n = tick(spark, store, pipeline, section, host, port, topic, dialect)(sink)
       total += n
       ticks += 1
     }

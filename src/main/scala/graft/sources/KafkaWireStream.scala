@@ -40,7 +40,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * Options: `host`, `port`, `topic` (required); `starting_offsets` =
   * `earliest` (default) | `latest`; `max_offsets_per_trigger` (total
   * records per micro-batch, distributed over lagging partitions
-  * proportionally to lag); `max_bytes` (per-fetch cap, default 4 MiB).
+  * proportionally to lag); `max_bytes` (per-fetch cap, default 4 MiB);
+  * `dialect` = `auto` (default; one ApiVersions RPC picks v2 when the
+  * broker serves it) | `v0` | `v2` ([[KafkaWire.Dialect]]).
   */
 final class KafkaWireStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kafka-wire"
@@ -66,7 +68,15 @@ object KafkaWireStream {
   final case class Config(host: String, port: Int, topic: String,
                           startingOffsets: String,
                           maxOffsetsPerTrigger: Option[Long],
-                          maxBytes: Int)
+                          maxBytes: Int,
+                          dialectName: String) {
+    /** Resolved once per driver-side plan object (`auto` costs one
+      * ApiVersions RPC); the concrete dialect then rides the
+      * serialized [[KafkaWireInputPartition]]s so executors never
+      * re-negotiate. */
+    lazy val dialect: KafkaWire.Dialect =
+      KafkaWire.dialectFor(dialectName, host, port)
+  }
 
   object Config {
     def from(o: CaseInsensitiveStringMap): Config = {
@@ -81,8 +91,11 @@ object KafkaWireStream {
       val maxPer = Option(o.get("max_offsets_per_trigger")).map(_.toLong)
       maxPer.foreach(n => require(n > 0,
         s"kafka-wire: max_offsets_per_trigger must be positive, got $n"))
+      val dialect = Option(o.get("dialect")).getOrElse("auto")
+      require(Set("v0", "v2", "auto")(dialect),
+        s"kafka-wire: dialect must be v0|v2|auto, got '$dialect'")
       Config(req("host"), req("port").toInt, req("topic"), start, maxPer,
-        Option(o.get("max_bytes")).map(_.toInt).getOrElse(4 << 20))
+        Option(o.get("max_bytes")).map(_.toInt).getOrElse(4 << 20), dialect)
     }
   }
 
@@ -119,7 +132,13 @@ object KafkaWireStream {
     if (total <= max) hw
     else hw.map { case (p, h) =>
       val l = lag(p)
-      val take = if (l == 0L) 0L else math.max(1L, l * max / total)
+      // proportional share in double space: `l * max` in Long overflows
+      // once lag × cap passes 2^63 (a weeks-behind topic with a large
+      // trigger cap), yielding a negative take and a REGRESSING end
+      // offset; the double's ~2^53 mantissa loses at worst a handful of
+      // records off the share, which the next trigger picks up
+      val take = if (l == 0L) 0L
+        else math.max(1L, (l.toDouble * max.toDouble / total.toDouble).toLong)
       p -> math.min(h, from.getOrElse(p, 0L) + take)
     }
   }
@@ -151,13 +170,14 @@ final class KafkaWireScan(cfg: KafkaWireStream.Config)
   * partition per topic partition. */
 final class KafkaWireBatch(cfg: KafkaWireStream.Config) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = {
-    val parts = KafkaWire.partitions(cfg.host, cfg.port, cfg.topic)
-    val lo = KafkaWire.offsetsAt(cfg.host, cfg.port, cfg.topic, parts, -2L)
-    val hi = KafkaWire.offsetsAt(cfg.host, cfg.port, cfg.topic, parts, -1L)
+    val d = cfg.dialect
+    val parts = KafkaWire.partitions(cfg.host, cfg.port, cfg.topic, d)
+    val lo = KafkaWire.offsetsAt(cfg.host, cfg.port, cfg.topic, parts, -2L, d)
+    val hi = KafkaWire.offsetsAt(cfg.host, cfg.port, cfg.topic, parts, -1L, d)
     parts.flatMap { p =>
       if (hi(p) > lo(p))
         Some(KafkaWireInputPartition(cfg.host, cfg.port, cfg.topic, p,
-          lo(p), hi(p), cfg.maxBytes): InputPartition)
+          lo(p), hi(p), cfg.maxBytes, d): InputPartition)
       else None
     }.toArray
   }
@@ -174,10 +194,10 @@ final class KafkaWireMicroBatchStream(cfg: KafkaWireStream.Config)
 
   // partition ids are stable for a topic; one Metadata RPC per stream
   private lazy val partIds: Seq[Int] =
-    KafkaWire.partitions(cfg.host, cfg.port, cfg.topic)
+    KafkaWire.partitions(cfg.host, cfg.port, cfg.topic, cfg.dialect)
 
   private def at(ts: Long): Map[Int, Long] =
-    KafkaWire.offsetsAt(cfg.host, cfg.port, cfg.topic, partIds, ts)
+    KafkaWire.offsetsAt(cfg.host, cfg.port, cfg.topic, partIds, ts, cfg.dialect)
 
   override def initialOffset(): Offset =
     KafkaWireOffset(at(if (cfg.startingOffsets == "latest") -1L else -2L))
@@ -208,7 +228,7 @@ final class KafkaWireMicroBatchStream(cfg: KafkaWireStream.Config)
       val from = a.getOrElse(p, 0L)
       if (b(p) > from)
         Some(KafkaWireInputPartition(cfg.host, cfg.port, cfg.topic, p,
-          from, b(p), cfg.maxBytes): InputPartition)
+          from, b(p), cfg.maxBytes, cfg.dialect): InputPartition)
       else None
     }.toArray
   }
@@ -226,7 +246,8 @@ final class KafkaWireMicroBatchStream(cfg: KafkaWireStream.Config)
 
 final case class KafkaWireInputPartition(host: String, port: Int, topic: String,
                                          partition: Int, from: Long, until: Long,
-                                         maxBytes: Int) extends InputPartition
+                                         maxBytes: Int,
+                                         dialect: KafkaWire.Dialect) extends InputPartition
 
 /** Executor-side reader: sockets open where the data lands, streaming
   * through [[KafkaWire.fetchRange]] one wire chunk at a time. */
@@ -235,7 +256,7 @@ final class KafkaWireReaderFactory extends PartitionReaderFactory {
     val ip = p.asInstanceOf[KafkaWireInputPartition]
     new PartitionReader[InternalRow] {
       private val it = KafkaWire.fetchRange(ip.host, ip.port, ip.topic,
-        ip.partition, ip.from, ip.until, ip.maxBytes)
+        ip.partition, ip.from, ip.until, ip.maxBytes, ip.dialect)
       private var cur: KafkaWire.Record = _
       override def next(): Boolean =
         if (it.hasNext) { cur = it.next(); true } else false

@@ -100,24 +100,46 @@ object Sources {
     * (per partition) and read to the current high watermark — the
     * batch-read contract of [[kafka]]. */
   def kafkaWireRead(spark: SparkSession, host: String, port: Int,
-                    topic: String, startOffset: Long = 0L): DataFrame =
-    kafkaWireReadFrom(spark, host, port, topic, Map.empty, startOffset)
+                    topic: String, startOffset: Long = 0L,
+                    dialect: KafkaWire.Dialect = KafkaWire.V0): DataFrame =
+    kafkaWireReadFrom(spark, host, port, topic, Map.empty, startOffset, dialect)
 
   /** [[kafkaWireRead]] with PER-PARTITION start offsets — the incremental
     * form ([[KafkaWireCursor]] persists and advances them). Partitions
     * absent from the map start at `default`. */
   def kafkaWireReadFrom(spark: SparkSession, host: String, port: Int,
                         topic: String, offsets: Map[Int, Long],
-                        default: Long = 0L): DataFrame = {
+                        default: Long = 0L,
+                        dialect: KafkaWire.Dialect = KafkaWire.V0): DataFrame = {
+    val parts = KafkaWire.partitions(host, port, topic, dialect)
+    // the end bound is snapshotted HERE, on the driver, not observed per
+    // task at execution time: an unbounded read-to-watermark would make
+    // the frame nondeterministic under task retry/recompute (a rebuilt
+    // partition could contain records produced after the first run)
+    val until = KafkaWire.offsetsAt(host, port, topic, parts, -1L, dialect)
+    val from = parts.map(p => p -> offsets.getOrElse(p, default)).toMap
+    kafkaWireReadRange(spark, host, port, topic, from, until, dialect)
+  }
+
+  /** The fully-bounded kafka-wire read: every partition scans exactly
+    * `[from(p), until(p))`, so the frame is DETERMINISTIC — recomputing
+    * a lost partition rebuilds byte-identical rows no matter what was
+    * produced since. [[KafkaWireCursor]] advances its persisted state to
+    * these same bounds, which is what makes its ack-after-commit
+    * contract sound under recomputation. */
+  def kafkaWireReadRange(spark: SparkSession, host: String, port: Int,
+                         topic: String, from: Map[Int, Long],
+                         until: Map[Int, Long],
+                         dialect: KafkaWire.Dialect = KafkaWire.V0): DataFrame = {
     import spark.implicits._
-    val parts = KafkaWire.partitions(host, port, topic)
-    val from = parts.map(p => p -> offsets.getOrElse(p, default))
+    val ranges = until.keys.toSeq.sorted
+      .map(p => (p, from.getOrElse(p, 0L), until(p)))
     // parallelize slices positionally: EXACTLY one partition id per Spark
     // task (Dataset round-robin repartition only balances on average —
     // two topic partitions could share a task while another idles)
-    spark.sparkContext.parallelize(from, from.size)
-      .flatMap { case (p, off) =>
-        KafkaWire.fetchAll(host, port, topic, p, off)
+    spark.sparkContext.parallelize(ranges, math.max(1, ranges.size))
+      .flatMap { case (p, lo, hi) =>
+        KafkaWire.fetchRange(host, port, topic, p, lo, hi, dialect = dialect)
           .map(r => (r.key, r.value, topic, p, r.offset))
       }
       .toDF("key", "value", "topic", "partition", "offset")
@@ -212,18 +234,29 @@ object Sinks {
     * [[Sources.kafkaWireRead]] for the full socket round-trip without a
     * connector jar. */
   def kafkaWireWrite(df: DataFrame, host: String, port: Int,
-                     topic: String): Unit = {
+                     topic: String,
+                     dialect: graft.sources.KafkaWire.Dialect = graft.sources.KafkaWire.V0,
+                     flushBytes: Int = 2 << 20): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val nParts = graft.sources.KafkaWire.partitions(host, port, topic).size
+    val nParts = graft.sources.KafkaWire.partitions(host, port, topic, dialect).size
     df.select(col("key").cast("binary"), col("value").cast("binary"))
       .as[(Array[Byte], Array[Byte])]
       .foreachPartition { (it: Iterator[(Array[Byte], Array[Byte])]) =>
-        // single streaming pass into per-target-partition buffers — no
-        // second copy of the payload bytes in task memory (the rows are
-        // binary blobs; toSeq+groupBy would hold the partition twice)
+        // single streaming pass into per-target-partition buffers, each
+        // FLUSHED to the broker when it reaches `flushBytes`: task
+        // memory holds at most nParts × flushBytes of payload (not the
+        // whole Spark partition), and no produce request can outgrow
+        // the broker's message.max.bytes by more than one record.
+        // Per-key ordering survives chunking — a key always hashes to
+        // the same bucket and buckets flush in arrival order.
         val buckets = scala.collection.mutable.Map
           .empty[Int, scala.collection.mutable.ArrayBuffer[(Array[Byte], Array[Byte])]]
+        val pending = scala.collection.mutable.Map.empty[Int, Long].withDefaultValue(0L)
+        def flush(p: Int): Unit = buckets.get(p).filter(_.nonEmpty).foreach { rows =>
+          graft.sources.KafkaWire.produce(host, port, topic, p, rows.toSeq, dialect)
+          rows.clear(); pending(p) = 0L
+        }
         var rr = 0
         it.foreach { r =>
           val p =
@@ -231,10 +264,11 @@ object Sinks {
             else math.floorMod(java.util.Arrays.hashCode(r._1), nParts)
           buckets.getOrElseUpdate(p,
             scala.collection.mutable.ArrayBuffer.empty) += r
+          pending(p) += (if (r._1 == null) 0L else r._1.length.toLong) +
+            (if (r._2 == null) 0L else r._2.length.toLong)
+          if (pending(p) >= flushBytes) flush(p)
         }
-        buckets.toSeq.sortBy(_._1).foreach { case (p, rows) =>
-          graft.sources.KafkaWire.produce(host, port, topic, p, rows.toSeq)
-        }
+        buckets.keys.toSeq.sorted.foreach(flush)
       }
   }
 
