@@ -154,10 +154,86 @@ object Bench {
         failed += "ivf_split"
         Seq.empty
       }
+    // phase-split lines for the assembly composition (cp_assembly
+    // conflates four stages; a creep in its line is unattributable
+    // without these): each stage is timed against its PREDECESSOR'S
+    // OUTPUT STAGED TO PARQUET (not cache — timed() clears the cache
+    // between samples), so a line prices exactly one stage's work.
+    val assemblySplitNames = Seq("cp_assembly_clean", "cp_assembly_survivors",
+      "cp_assembly_mix", "cp_assembly_pack", "st_overhead")
+    val assemblySplitResults: Seq[(String, Double, Double)] =
+      if (!assemblySplitNames.exists(wanted)) Seq.empty else try {
+        def rmTree(dir: String): Unit = {
+          import java.nio.file.{Files, Paths}
+          import scala.jdk.CollectionConverters._
+          val root = Paths.get(dir)
+          if (Files.exists(root)) {
+            val walk = Files.walk(root)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.delete)
+            finally walk.close()
+          }
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("bench_asm").toString
+        val docs = Tables.documents(spark, sfDir)
+        val rates = Seq("en" -> 0.8, "de" -> 0.5, "es" -> 0.25,
+          "fr" -> 0.5, "zh" -> 0.1)
+        // prerequisites staged once, untimed
+        operators.Corpus.segmentDedup(docs, segWords = 8, maxDf = 2)
+          .select(col("doc_id"), col("clean_text").as("text"))
+          .write.parquet(s"$tmp/cleaned")
+        val cleaned = spark.read.parquet(s"$tmp/cleaned")
+        operators.NearDup.survivors(cleaned).select(col("doc_id"))
+          .write.parquet(s"$tmp/surv")
+        val surv = spark.read.parquet(s"$tmp/surv")
+        val candidates = cleaned.join(surv, "doc_id")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        operators.Corpus.mixWeighted(candidates, rates).select(col("doc_id"))
+          .write.parquet(s"$tmp/mixed")
+        val mixed = spark.read.parquet(s"$tmp/mixed")
+        spark.catalog.clearCache()
+        val out = Seq[(String, () => Unit)](
+          "cp_assembly_clean" -> (() =>
+            { operators.Corpus.segmentDedup(docs, segWords = 8, maxDf = 2)
+                .count(); () }),
+          "cp_assembly_survivors" -> (() =>
+            { operators.NearDup.survivors(cleaned).count(); () }),
+          "cp_assembly_mix" -> (() =>
+            { operators.Corpus.mixWeighted(candidates, rates).count(); () }),
+          "cp_assembly_pack" -> (() =>
+            { operators.Corpus.packSequences(cleaned.join(mixed, "doc_id"),
+                budget = 256).count(); () }),
+          // the st_* family's FIXED cost: a minimal AvailableNow stream
+          // over the 5-row region table prices session + checkpoint +
+          // state-store machinery with ~zero data — if st_* lines creep
+          // together while this line creeps equally, the regression is
+          // streaming overhead, not an operator
+          "st_overhead" -> (() => {
+            import org.apache.spark.sql.streaming.Trigger
+            val ss = spark.newSession()
+            ss.conf.set("spark.sql.shuffle.partitions", "8")
+            val raw = ss.read.parquet(s"$sfDir/region.parquet")
+            val q = ss.readStream.schema(raw.schema)
+              .option("pathGlobFilter", "region.parquet").parquet(sfDir)
+              .groupBy(col("r_name")).count()
+              .writeStream.format("memory")
+              .queryName(s"bench_st_overhead_${System.nanoTime()}")
+              .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+          })
+        ).filter(q => wanted(q._1)).flatMap { case (name, f) =>
+          timed(name, f) }
+        rmTree(tmp)
+        out
+      } catch { case ex: Throwable =>
+        System.err.println(s"[bench] assembly split harness FAILED: ${ex.getMessage}")
+        failed += "assembly_split"
+        Seq.empty
+      }
     val results =
       Queries.all.filter(q => wanted(q._1)).flatMap { case (name, q) =>
         timed(name, () => { q.fn(spark, sfDir).count(); () }) } ++
-      ivfSplitResults ++
+      ivfSplitResults ++ assemblySplitResults ++
       // scale rehearsal: worst-case skewed corpora through the capped pair
       // generators — each skewed_* line should stay within ~2x of its
       // uniform twin above, or a cap has stopped doing its job

@@ -71,8 +71,12 @@ object Main {
       val intervalMs = rest.drop(1).headOption.map(_.toLong).getOrElse(5000L)
       val spark = session()
       val orch = new Orchestrator(spark)
+      // push auth: GRAFT_PUSH_TOKEN gates PUT/POST/DELETE (reference
+      // daemons join the control plane with tokens); unset = open
+      // loopback socket, the pre-auth behavior
       val server = new graft.plans.SpecPushServer(Paths.get(dir), port,
-        status = Some(() => orch.snapshot))
+        status = Some(() => orch.snapshot),
+        token = sys.env.get("GRAFT_PUSH_TOKEN"))
       try {
         server.start()
         println(s"[graft serve] listening on ${server.boundPort}, watching $dir")

@@ -1905,6 +1905,80 @@ object Queries {
       ORDER BY img_id"""
     })
 
+  /** REAL audio decode through `javax.sound.sampled`
+    * ([[graft.operators.Multimodal.decodeAudioFeatures]]): deterministic
+    * PCM sample patterns are WAV-ENCODED on the driver, decoded
+    * DISTRIBUTED by the actual JDK codec inside mapPartitions, and the
+    * per-channel sums/sums-of-squares must land on values derived from
+    * the sample MATH alone (WAV PCM is lossless, so encode→decode must
+    * round-trip every sample). Covers 16-bit signed mono and stereo plus
+    * 8-bit unsigned (recentred), and one deliberately corrupt payload
+    * pinning the quarantine path (sample_rate -1, null sums) through the
+    * same oracle. */
+  // (id, sampleRate, bits, channels, frames, sample(frameIdx, chan)):
+  // 16-bit entries return the signed sample, the 8-bit entry the raw
+  // unsigned byte (decode recenters it by -128)
+  private val mmAudioSpecs: Seq[(Long, Int, Int, Int, Int, (Int, Int) => Int)] = Seq(
+    (0L, 8000, 16, 1, 400, (i, _) => ((i * 37 + 11) % 65536) - 32768),
+    (1L, 16000, 16, 2, 500, (i, c) =>
+      ((i * (if (c == 0) 31 else 17) + (if (c == 0) 7 else 3)) % 65536) - 32768),
+    (2L, 11025, 8, 1, 300, (i, _) => (i * 29 + 5) % 256))
+  private val mmDecodeAudio = Q(
+    (s, dir) => {
+      import s.implicits._
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val rows = mmAudioSpecs.map { case (id, rate, bits, ch, frames, sample) =>
+        val enc = if (bits == 16) AudioFormat.Encoding.PCM_SIGNED
+                  else AudioFormat.Encoding.PCM_UNSIGNED
+        val fmt = new AudioFormat(enc, rate.toFloat, bits, ch,
+          ch * bits / 8, rate.toFloat, false)
+        val raw = new Array[Byte](frames * ch * bits / 8)
+        var i = 0
+        while (i < frames) {
+          var c = 0
+          while (c < ch) {
+            val v = sample(i, c)
+            if (bits == 16) {
+              raw((i * ch + c) * 2) = (v & 0xff).toByte
+              raw((i * ch + c) * 2 + 1) = ((v >> 8) & 0xff).toByte
+            } else raw(i * ch + c) = (v & 0xff).toByte
+            c += 1
+          }
+          i += 1
+        }
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(raw), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+        (id, bos.toByteArray)
+      } :+ (mmAudioSpecs.size.toLong, "definitely not a wav".getBytes("UTF-8"))
+      val fixtures = rows.toDF("audio_id", "payload").repartition(2)
+      graft.operators.Multimodal.decodeAudioFeatures(fixtures)
+        .orderBy($"audio_id")
+    },
+    Some {
+      val vals = mmAudioSpecs.map { case (id, rate, bits, ch, frames, sample) =>
+        val sums = new Array[Long](2); val sumsq = new Array[Long](2)
+        for (i <- 0 until frames; c <- 0 until ch) {
+          val v = if (bits == 16) sample(i, c) else sample(i, c) - 128
+          sums(c) += v; sumsq(c) += v.toLong * v
+        }
+        val s1 = if (ch > 1) sums(1).toString else "NULL"
+        val q1 = if (ch > 1) sumsq(1).toString else "NULL"
+        s"($id, $rate, $ch, $frames, ${sums(0)}, ${sumsq(0)}, $s1, $q1)"
+      }.mkString(", ") +
+        s", (${mmAudioSpecs.size}, -1, -1, -1, NULL, NULL, NULL, NULL)"
+      s"""SELECT CAST(audio_id AS BIGINT) AS audio_id,
+        CAST(sample_rate AS INTEGER) AS sample_rate,
+        CAST(channels AS INTEGER) AS channels,
+        CAST(n_frames AS BIGINT) AS n_frames,
+        CAST(sum_0 AS BIGINT) AS sum_0, CAST(sumsq_0 AS BIGINT) AS sumsq_0,
+        CAST(sum_1 AS BIGINT) AS sum_1, CAST(sumsq_1 AS BIGINT) AS sumsq_1
+      FROM (VALUES $vals)
+        t(audio_id, sample_rate, channels, n_frames, sum_0, sumsq_0, sum_1, sumsq_1)
+      ORDER BY audio_id"""
+    })
+
   /** REAL Structured Streaming query (AvailableNow over the events parquet)
     * verified against the same DuckDB oracle as the batch window agg —
     * stream/batch parity on identical input. */
@@ -2563,6 +2637,7 @@ object Queries {
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecode,
     "mm_decode_real" -> mmDecodeReal,
+    "mm_decode_audio" -> mmDecodeAudio,
     "st_tumbling_window" -> stTumbling,
     "st_sessions_custom" -> stSessionsCustom,
     "st_dedup" -> stDedup,

@@ -505,16 +505,23 @@ object Corpus {
            k1: Double = 1.2, b: Double = 0.75,
            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one term")
-    val ts = TF.tokens(col(textCol))
+    // tokenize ONCE per row into a materialized projection column: the
+    // per-term tf/df expressions below each reference `_ts`, and as a
+    // bound attribute that is one array read — as an inline expression it
+    // would re-run the regex tokenizer O(#terms) times per row unless
+    // codegen CSE happened to catch every copy (a structural guarantee
+    // beats an optimizer courtesy)
+    val tokenized = docs.select(col(idCol), TF.tokens(col(textCol)).as("_ts"))
+    val ts = col("_ts")
     def tf(t: String): Column =
       size(filter(ts, x => x === lit(t))).cast("double")
-    val stats = docs.agg(
+    val stats = tokenized.agg(
       count(lit(1)).cast("double").as("_n"),
       avg(size(ts).cast("double")).as("_avgdl") +:
         terms.zipWithIndex.map { case (t, i) =>
           sum(when(array_contains(ts, t), 1L).otherwise(0L))
             .cast("double").as(s"_df$i") }: _*)
-    val scored = docs.crossJoin(broadcast(stats))
+    val scored = tokenized.crossJoin(broadcast(stats))
       .withColumn("_dl", size(ts).cast("double"))
       .withColumn("score",
         terms.zipWithIndex.map { case (t, i) =>

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   *
   * IMAGE decode is REAL ([[decodeImageFeatures]]): `javax.imageio`'s
   * PNG/JPEG readers ship in every JDK, so that path runs actual codecs
-  * inside the mapPartitions plumbing. Audio/video decode remains a
-  * clearly-marked STUB (no such codecs in the JDK or this container) —
-  * a deterministic function of the bytes with the same schema, batching
-  * and partition flow as the real thing. Everything around either is the
+  * inside the mapPartitions plumbing. AUDIO decode is REAL too
+  * ([[decodeAudioFeatures]]): WAV/PCM via `javax.sound.sampled`, also
+  * JDK-native. Video decode remains a clearly-marked STUB (no video
+  * codec in the JDK or this container) — a deterministic function of
+  * the bytes with the same schema, batching and partition flow as the
+  * real thing. Everything around either is the
   * real engineering: schema convention, batch shaping, partition sizing
   * so a 100 TB binary corpus flows through executors without OOM
   * (size-capped partitions, no driver collection, metadata pruned
@@ -71,13 +73,26 @@ object Multimodal {
     * input: `(idCol, width, height, sum_r, sum_g, sum_b)` — integer
     * per-channel pixel sums, EXACT, so downstream means
     * (`round(sum/(255·w·h), 6)`) follow the same Spark-vs-oracle round
-    * convention as every other float in the engine. Undecodable payloads
-    * yield `(-1, -1, null, null, null)` instead of failing the job —
-    * corrupt bytes at row N of a 100 TB corpus must not kill the
-    * pipeline; filter `width < 0` to quarantine them.
-    * [[stubDecodeFeatures]] remains for codec-free environments. */
+    * convention as every other float in the engine.
+    *
+    * Memory is BOUNDED per row, twice over:
+    *  - dimensions come from the codec's HEADER probe
+    *    (`ImageReader.getWidth/getHeight` read metadata, not pixels), so
+    *    an image past `maxPixels` is quarantined BEFORE its raster is
+    *    ever allocated — a 100 MP JPEG must not pin ~400 MB inside one
+    *    task row;
+    *  - pixel sums walk the raster in STRIPS through one reused ≤4 MB
+    *    int buffer instead of a full-frame `getRGB` copy (which would
+    *    double even an in-cap image's footprint).
+    *
+    * Undecodable payloads yield width/height `-1`, over-cap ones `-2` —
+    * quarantined rows, never a failed job (corrupt bytes at row N of a
+    * 100 TB corpus must not kill the pipeline); filter `width < 0` to
+    * route them to a quarantine sink. [[stubDecodeFeatures]] remains for
+    * codec-free environments. */
   def decodeImageFeatures(df: DataFrame, idCol: String = "img_id",
-                          payloadCol: String = "payload"): DataFrame = {
+                          payloadCol: String = "payload",
+                          maxPixels: Long = 16L * 1000 * 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
@@ -86,26 +101,50 @@ object Multimodal {
         // per-partition codec init: ImageIO's default file-backed cache
         // would touch disk per row — disable once, decode in memory
         javax.imageio.ImageIO.setUseCache(false)
-        rows.map { case (id, bytes) =>
-          val decoded =
-            try Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes)))
-            catch { case _: Exception => scala.None }
-          decoded match {
-            case Some(img) =>
-              val w = img.getWidth; val h = img.getHeight
-              val px = img.getRGB(0, 0, w, h, null, 0, w)
-              var r = 0L; var g = 0L; var b = 0L
-              var i = 0
-              while (i < px.length) {
-                val p = px(i)
-                r += (p >>> 16) & 0xff; g += (p >>> 8) & 0xff; b += p & 0xff
-                i += 1
+        val corrupt = (-1, -1, scala.None, scala.None, scala.None)
+        val oversized = (-2, -2, scala.None, scala.None, scala.None)
+        def decode(bytes: Array[Byte]): (Int, Int, Option[Long], Option[Long], Option[Long]) =
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) corrupt
+              else {
+                val reader = readers.next()
+                try {
+                  reader.setInput(iis)
+                  // header-only size probe — no raster exists yet
+                  val w = reader.getWidth(0); val h = reader.getHeight(0)
+                  if (w.toLong * h.toLong > maxPixels) oversized
+                  else {
+                    val img = reader.read(0)
+                    // strip height sized so the conversion buffer stays
+                    // ≤ ~4 MB regardless of image shape
+                    val stripH = math.max(1, (1 << 20) / math.max(1, w))
+                    val buf = new Array[Int](w * math.min(h, stripH))
+                    var r = 0L; var g = 0L; var b = 0L
+                    var y = 0
+                    while (y < h) {
+                      val rowsNow = math.min(stripH, h - y)
+                      img.getRGB(0, y, w, rowsNow, buf, 0, w)
+                      var i = 0; val n = w * rowsNow
+                      while (i < n) {
+                        val p = buf(i)
+                        r += (p >>> 16) & 0xff; g += (p >>> 8) & 0xff; b += p & 0xff
+                        i += 1
+                      }
+                      y += rowsNow
+                    }
+                    (w, h, Some(r), Some(g), Some(b))
+                  }
+                } finally reader.dispose()
               }
-              (id, w, h, Some(r), Some(g), Some(b))
-            case scala.None =>
-              (id, -1, -1, scala.None, scala.None, scala.None)
-          }
+            } finally iis.close()
+          } catch { case _: Exception => corrupt }
+        rows.map { case (id, bytes) =>
+          val (w, h, r, g, b) = decode(bytes)
+          (id, w, h, r, g, b)
         }
       }.toDF(idCol, "width", "height", "sum_r", "sum_g", "sum_b")
   }
@@ -119,6 +158,100 @@ object Multimodal {
       round(col("sum_r") / denom, 6).as("mean_r"),
       round(col("sum_g") / denom, 6).as("mean_g"),
       round(col("sum_b") / denom, 6).as("mean_b"))
+  }
+
+  /** REAL audio decode — WAV/PCM via `javax.sound.sampled` (in every
+    * JDK; zero new dependencies), the same iterator-to-iterator
+    * mapPartitions shape as [[decodeImageFeatures]]. Emits one row per
+    * input: `(idCol, sample_rate, channels, n_frames, sum_0, sumsq_0,
+    * sum_1, sumsq_1)` — EXACT integer per-channel sample sums and
+    * sums-of-squares (16-bit signed or 8-bit unsigned-recentered PCM,
+    * mono or stereo), so downstream stats ([[audioStats]]'s duration and
+    * RMS) follow the engine-wide `round(x, 6)` Spark-vs-oracle
+    * convention. The decoded PCM STREAMS through one fixed frame buffer
+    * — an hour-long WAV never materializes a second copy of itself in
+    * the task. Undecodable or unsupported payloads yield
+    * `sample_rate = -1` with null sums — quarantined, never a failed
+    * job; filter `sample_rate < 0` to route them aside. Video decode
+    * remains a clearly-marked stub ([[stubFrameSample]]): no video codec
+    * ships in the JDK or this container. */
+  def decodeAudioFeatures(df: DataFrame, idCol: String = "audio_id",
+                          payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        val none = scala.None: Option[Long]
+        def quarantine(id: Long) = (id, -1, -1, -1L, none, none, none, none)
+        rows.map { case (id, bytes) =>
+          try {
+            val ais = AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val f = ais.getFormat
+              val ch = f.getChannels
+              val bits = f.getSampleSizeInBits
+              val supported =
+                (f.getEncoding == AudioFormat.Encoding.PCM_SIGNED && bits == 16) ||
+                (f.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+              if (!supported || ch < 1 || ch > 2) quarantine(id)
+              else {
+                val frameSize = f.getFrameSize
+                val big = f.isBigEndian
+                // fixed-size streaming read: AudioInputStream returns
+                // whole frames, so samples never split across reads
+                val buf = new Array[Byte](frameSize * 4096)
+                val sums = new Array[Long](2); val sumsq = new Array[Long](2)
+                var frames = 0L
+                var n = ais.read(buf)
+                while (n > 0) {
+                  var off = 0
+                  while (off + frameSize <= n) {
+                    var c = 0
+                    while (c < ch) {
+                      val s =
+                        if (bits == 16) {
+                          val b0 = buf(off + c * 2) & 0xff
+                          val b1 = buf(off + c * 2 + 1) & 0xff
+                          val v = if (big) (b0 << 8) | b1 else (b1 << 8) | b0
+                          (v << 16) >> 16 // sign-extend
+                        } else (buf(off + c) & 0xff) - 128 // recenter u8
+                      sums(c) += s; sumsq(c) += s.toLong * s
+                      c += 1
+                    }
+                    frames += 1
+                    off += frameSize
+                  }
+                  n = ais.read(buf)
+                }
+                (id, math.round(f.getSampleRate), ch, frames,
+                  Some(sums(0)), Some(sumsq(0)),
+                  if (ch > 1) Some(sums(1)) else none,
+                  if (ch > 1) Some(sumsq(1)) else none)
+              }
+            } finally ais.close()
+          } catch { case _: Exception => quarantine(id) }
+        }
+      }.toDF(idCol, "sample_rate", "channels", "n_frames",
+             "sum_0", "sumsq_0", "sum_1", "sumsq_1")
+  }
+
+  /** Duration and per-channel RMS from [[decodeAudioFeatures]]'s exact
+    * sums, through the engine-wide `round(x, 6)` convention. Quarantined
+    * rows (`sample_rate < 0`, where -1/-1 would otherwise fabricate a
+    * 1-second duration) stay null across the board. */
+  def audioStats(decoded: DataFrame): DataFrame = {
+    def stat(c: Column) = when(col("sample_rate") < 0, lit(null)).otherwise(c)
+    decoded.select(col(decoded.columns.head), col("sample_rate"),
+      col("channels"), col("n_frames"),
+      stat(round(col("n_frames").cast("double") / col("sample_rate"), 6))
+        .as("duration_s"),
+      stat(round(sqrt(col("sumsq_0").cast("double") / col("n_frames")), 6))
+        .as("rms_0"),
+      stat(round(sqrt(col("sumsq_1").cast("double") / col("n_frames")), 6))
+        .as("rms_1"))
   }
 
   /** The shape a REAL codec integration takes: iterator-to-iterator

@@ -350,9 +350,22 @@ object SectionRegistry {
       (_, c, df) => {
         val decoded = graft.operators.Multimodal.decodeImageFeatures(in(df),
           idCol = c.getOrElse("id_column", "img_id"),
-          payloadCol = c.getOrElse("payload_column", "payload"))
+          payloadCol = c.getOrElse("payload_column", "payload"),
+          maxPixels = c.getOrElse("max_pixels", (16L * 1000 * 1000).toString).toLong)
         Some(if (c.getOrElse("means", "true").toBoolean)
           graft.operators.Multimodal.imageChannelMeans(decoded)
+        else decoded)
+      }),
+    // REAL audio decode (javax.sound WAV/PCM): payload column ->
+    // (id, sample_rate, channels, n_frames, per-channel sums) + stats;
+    // undecodable rows carry sample_rate -1 with null sums
+    "mm_decode_audio" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val decoded = graft.operators.Multimodal.decodeAudioFeatures(in(df),
+          idCol = c.getOrElse("id_column", "audio_id"),
+          payloadCol = c.getOrElse("payload_column", "payload"))
+        Some(if (c.getOrElse("stats", "true").toBoolean)
+          graft.operators.Multimodal.audioStats(decoded)
         else decoded)
       }),
     // benchmark decontamination: bench_where splits the input frame into
@@ -553,6 +566,18 @@ object SectionRegistry {
       (_, c, df) => { Sinks.csv(in(df), cfg(c, "path"),
         c.getOrElse("truncate", "false").toBoolean); scala.None }),
     // keyed parquet UPSERT (MERGE): version-wins, bucket-scoped rewrites
+    // the snapshot-isolated variant: readers resolve through the
+    // manifest (upsert_snapshot_source) and never see a torn batch
+    "upsert_snapshot_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        Sinks.upsertSnapshotByKey(in(df), cfg(c, "path"),
+          cfg(c, "keys").split(",").toSeq.map(_.trim),
+          cfg(c, "version_column"),
+          c.getOrElse("buckets", "64").toInt)
+        scala.None
+      }),
+    "upsert_snapshot_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some(Sources.readUpsertSnapshot(s, cfg(c, "path")))),
     "upsert_parquet_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => {
         Sinks.upsertParquetByKey(in(df), cfg(c, "path"),

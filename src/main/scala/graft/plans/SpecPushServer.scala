@@ -28,11 +28,21 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   * is broken would turn an immediate, attributable 400 into a delayed
   * log line. Binds loopback by default — this is a daemon-local control
   * socket, not a public API (the reference fronts it with mTLS).
+  *
+  * `token` guards the MUTATING routes the way the reference's daemons
+  * join the control plane with per-daemon tokens
+  * (`control_plane/src/http/daemon_api/mod.rs:117-148`): when set,
+  * PUT/POST/DELETE require `Authorization: Bearer <token>` (constant-
+  * time compare) and answer 401 otherwise. GET stays open — the read
+  * side is already a secret-redacted display surface, and health
+  * probes shouldn't need credentials. Token transport security (the
+  * reference's mTLS) belongs to whatever fronts this socket.
   */
 final class SpecPushServer(dir: Path, port: Int = 0,
                            host: String = "127.0.0.1",
                            status: Option[() => Seq[(String, String, Int)]] =
-                             scala.None) {
+                             scala.None,
+                           token: Option[String] = scala.None) {
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
   @volatile private var started = false
 
@@ -44,8 +54,7 @@ final class SpecPushServer(dir: Path, port: Int = 0,
       try status match {
         case Some(snap) if ex.getRequestMethod == "GET" =>
           val rows = snap().map { case (h, st, r) =>
-            s"""{"hash":"$h","state":"${st.replace("\\", "\\\\")
-              .replace("\"", "\\\"")}","restarts":$r}"""
+            s"""{"hash":"${jsonEscape(h)}","state":"${jsonEscape(st)}","restarts":$r}"""
           }.mkString("[", ",", "]")
           respond(ex, 200, rows + "\n")
         case Some(_) => respond(ex, 405, "method not allowed\n")
@@ -67,8 +76,30 @@ final class SpecPushServer(dir: Path, port: Int = 0,
       finally ex.close()
   })
 
+  /** Constant-time bearer check: a Failed pipeline's state string is
+    * attacker-influencable in principle, so don't leak token prefixes
+    * through comparison timing either. */
+  private def authorized(ex: HttpExchange): Boolean = token match {
+    case scala.None => true
+    case Some(t) =>
+      Option(ex.getRequestHeaders.getFirst("Authorization")) match {
+        case Some(h) if h.startsWith("Bearer ") =>
+          java.security.MessageDigest.isEqual(
+            h.stripPrefix("Bearer ").getBytes(UTF_8), t.getBytes(UTF_8))
+        case _ => false
+      }
+  }
+
   private def route(ex: HttpExchange): Unit = {
     val rel = ex.getRequestURI.getPath.stripPrefix("/specs").stripPrefix("/")
+    val mutating = ex.getRequestMethod match {
+      case "PUT" | "POST" | "DELETE" => true
+      case _ => false
+    }
+    if (mutating && !authorized(ex)) {
+      respond(ex, 401, "missing or bad bearer token\n")
+      return
+    }
     (ex.getRequestMethod, rel) match {
       case ("GET", "") =>
         val names = listing().map(n => s""""$n"""").mkString("[", ",", "]")
@@ -120,6 +151,23 @@ final class SpecPushServer(dir: Path, port: Int = 0,
     try s.iterator().asScala.map(_.getFileName.toString)
       .filter(_.endsWith(".json")).toSeq.sorted
     finally s.close()
+  }
+
+  /** Full JSON string escaping — backslash, quote, AND control chars:
+    * a Failed pipeline whose exception message carries a newline or tab
+    * must not render the status endpoint syntactically invalid. */
+  private def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"' => sb.append("\\\"")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {

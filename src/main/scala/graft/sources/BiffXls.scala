@@ -22,9 +22,13 @@ import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_16LE}
   * string cells per sheet, numerics rendered raw (integral values
   * without a decimal point, like xlsx's `<v>` text), booleans as "1"/"0"
   * (xlsx's raw `t="b"` form), error cells as absent. BIFF5/7 workbooks
-  * (the pre-Unicode generation) fail loudly with the version named, and
-  * an SST that spills into CONTINUE records (only multi-thousand-string
-  * workbooks) is rejected rather than mis-parsed.
+  * (the pre-Unicode generation) fail loudly with the version named. An
+  * SST that spills into CONTINUE records — every workbook past ~8 KB of
+  * shared strings does — is parsed across the fragments, including the
+  * spec's nastiest rule: a split INSIDE a string's character data
+  * re-states the encoding flag at the continuation start, so one string
+  * can switch between compressed and UTF-16 halves mid-word
+  * ([MS-XLS] 2.5.293's fHighByte-per-fragment).
   */
 object BiffXls {
 
@@ -169,14 +173,19 @@ object BiffXls {
       "(Excel 5.0/95 workbooks are not supported — re-save as .xls " +
       "from Excel 97+ or as .xlsx)")
     val sheets = Seq.newBuilder[(String, Int)]
-    var sst = Vector.empty[String]
+    // the SST record plus any CONTINUE records IMMEDIATELY following it
+    // ([MS-XLS] 2.4.265: the spill fragments are adjacent; a CONTINUE
+    // after any other record belongs to that record, not the SST)
+    var sstFrags = Vector.empty[Array[Byte]]
+    var sstOpen = false
     var depth = 1
     while (it.hasNext && depth > 0) {
       val r = it.next()
       r.id match {
-        case 0x0809 => depth += 1 // nested BOF (shouldn't happen in globals)
-        case 0x000A => depth -= 1 // EOF ends the globals substream
+        case 0x0809 => depth += 1; sstOpen = false // nested BOF
+        case 0x000A => depth -= 1; sstOpen = false // EOF ends globals
         case 0x0085 => // BOUNDSHEET
+          sstOpen = false
           val pos = i32(r.data, 0)
           val cch = r.data(6) & 0xff
           val flags = r.data(7) & 0xff
@@ -184,31 +193,82 @@ object BiffXls {
             new String(r.data, 8, cch * 2, UTF_16LE)
           else new String(r.data, 8, cch, ISO_8859_1)
           sheets += name -> pos
-        case 0x00FC => sst = parseSst(r.data)
-        case 0x003C if sst.isEmpty => () // CONTINUE before SST: ignore
-        case _ => ()
+        case 0x00FC => sstFrags = Vector(r.data); sstOpen = true
+        case 0x003C if sstOpen => sstFrags :+= r.data
+        case _ => sstOpen = false
       }
     }
+    val sst = if (sstFrags.isEmpty) Vector.empty[String] else parseSst(sstFrags)
     (sheets.result(), sst)
   }
 
-  /** SST: `u32 total, u32 unique`, then `unique` XLUnicodeStrings. A
-    * table that spills into CONTINUE records is rejected loudly (the
-    * spill re-states per-fragment option flags — silently concatenating
-    * would corrupt strings). */
-  private def parseSst(d: Array[Byte]): Vector[String] = {
-    val unique = i32(d, 4)
+  /** SST: `u32 total, u32 unique`, then `unique` XLUnicodeStrings spread
+    * over the SST record and its CONTINUE fragments. Fragment rules
+    * ([MS-XLS] 2.5.293): a split BETWEEN strings just resumes with the
+    * next string's header at the continuation start; a split INSIDE a
+    * string's character data inserts a fresh option-flags byte first —
+    * the remaining characters may switch width — while splits inside the
+    * trailing rich-run/ext payloads continue raw. Excel never splits the
+    * fixed header fields themselves; if some other producer does, this
+    * fails loudly rather than mis-reading. */
+  private def parseSst(frags: Seq[Array[Byte]]): Vector[String] = {
+    val unique = i32(frags.head, 4)
     val out = Vector.newBuilder[String]
+    var fi = 0
     var p = 8
+    def frag: Array[Byte] = frags(fi)
+    def rem: Int = frag.length - p
+    // between structures only: step over exhausted fragments, no flag byte
+    def skipExhausted(): Unit =
+      while (rem == 0 && fi + 1 < frags.length) { fi += 1; p = 0 }
     var i = 0
     while (i < unique) {
-      require(p + 3 <= d.length,
-        s"SST spills into CONTINUE records (string ${i + 1} of $unique) — " +
-        "workbooks with >~8 KB of shared strings are not supported by " +
-        "this reader; re-save as .xlsx")
-      val (s, consumed) = xlUnicodeString(d, p)
-      out += s
-      p += consumed
+      skipExhausted()
+      require(rem >= 3, s"SST truncated or header split across CONTINUE " +
+        s"at string ${i + 1} of $unique — not a layout Excel produces")
+      val cch = u16(frag, p); p += 2
+      val flags = frag(p) & 0xff; p += 1
+      val ext = (flags & 0x04) != 0
+      val rich = (flags & 0x08) != 0
+      val cRun = if (rich) {
+        skipExhausted(); require(rem >= 2, "SST: run count split")
+        val r = u16(frag, p); p += 2; r
+      } else 0
+      val cbExt = if (ext) {
+        skipExhausted(); require(rem >= 4, "SST: ext size split")
+        val e = i32(frag, p); p += 4; e
+      } else 0
+      val sb = new java.lang.StringBuilder(cch)
+      var wide = (flags & 0x01) != 0
+      var left = cch
+      while (left > 0) {
+        if (rem == 0) {
+          // mid-string continuation: first byte of the next fragment
+          // RE-STATES the encoding for the remaining characters
+          fi += 1
+          require(fi < frags.length, s"SST truncated inside string ${i + 1}")
+          p = 0
+          wide = (frag(p) & 0x01) != 0; p += 1
+        }
+        val width = if (wide) 2 else 1
+        val fit = math.min(left, rem / width)
+        require(fit > 0, s"SST fragment cannot hold one character of string ${i + 1}")
+        sb.append(new String(frag, p, fit * width, if (wide) UTF_16LE else ISO_8859_1))
+        p += fit * width
+        left -= fit
+      }
+      // rich runs and ext payload: skipped raw, fragments or not
+      var skip = 4 * cRun + cbExt
+      while (skip > 0) {
+        if (rem == 0) {
+          fi += 1
+          require(fi < frags.length, s"SST truncated in rich/ext of string ${i + 1}")
+          p = 0
+        }
+        val take = math.min(skip, rem)
+        p += take; skip -= take
+      }
+      out += sb.toString
       i += 1
     }
     out.result()

@@ -157,6 +157,23 @@ object Sources {
         from_json(col("value").cast("string"), schema).as("_rec"))
       .select(col("origin") +:
         schema.fieldNames.toIndexedSeq.map(f => col(s"_rec.`$f`").as(f)): _*)
+
+  /** Snapshot read of a [[Sinks.upsertSnapshotByKey]] table: resolves the
+    * manifest ONCE (an atomic read of the single commit file) and scans
+    * exactly the epoch-bucket directories it references — so the frame is
+    * a consistent point-in-time view of the table even while an upsert is
+    * committing: the batch becomes visible all-at-once when its manifest
+    * rename lands, never bucket by bucket. Includes the `_bkt` layout
+    * column, like a direct read of the non-snapshot layout would. */
+  def readUpsertSnapshot(spark: SparkSession, path: String): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val m = UpsertManifest.read(fs, hPath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no upsert manifest at $path — not a snapshot-upsert table " +
+        "(write with Sinks.upsertSnapshotByKey first)"))
+    UpsertManifest.resolve(spark, hPath, m)
+  }
 }
 
 /** Destinations (SURVEY.md §2.3). Writes route by the `origin` column where
@@ -510,6 +527,103 @@ object Sinks {
     }
   }
 
+  /** SNAPSHOT-ISOLATED keyed upsert — [[upsertParquetByKey]] with the
+    * torn-batch window closed: readers resolving through
+    * [[Sources.readUpsertSnapshot]] see every bucket from BEFORE a batch
+    * or every bucket from AFTER it, never a mix, without a table format.
+    *
+    * Layout: bucket data lives in immutable per-batch EPOCH directories
+    * (`.graft_e<K>/_bkt=N/`) and a one-file manifest
+    * (`_graft_manifest.json`) maps each bucket to the epoch holding its
+    * live rows. A batch writes its merged buckets into a fresh epoch dir
+    * — touching nothing any reader can currently resolve — then commits
+    * by atomically renaming a new manifest over the old one. The
+    * manifest IS the snapshot: whichever version a reader opens, the
+    * epoch dirs it references are complete and immutable.
+    *
+    * Same merge semantics as [[upsertParquetByKey]] (version-wins,
+    * replay-convergent, O(touched buckets) per batch; modulus pinned in
+    * the manifest and verified). Retired epoch-bucket dirs are garbage-
+    * collected lazily at the START of the next upsert (never inside this
+    * one), so a reader holding the just-replaced manifest keeps its
+    * files until another batch lands — the same one-generation grace the
+    * bak scheme gives, traded against unbounded growth. */
+  def upsertSnapshotByKey(df: DataFrame, path: String, keyCols: Seq[String],
+                          versionCol: String, buckets: Int = 64): Unit = {
+    require(keyCols.nonEmpty, "upsert needs key columns")
+    val spark = df.sparkSession
+    val dataCols = df.columns.filterNot(_ == "_bkt").toSeq
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val manifest = UpsertManifest.read(fs, hPath)
+    manifest.foreach { m =>
+      if (m.buckets != buckets) throw new IllegalArgumentException(
+        s"upsert bucket count $buckets does not match the table's " +
+        s"${m.buckets} at $path — a different modulus would leave stale " +
+        s"rows in buckets the merge never rewrites")
+      // lazy GC: epoch dirs no manifest references anymore (retired by
+      // the PREVIOUS batch, past their reader grace) and orphans from a
+      // crashed batch that never committed its manifest
+      val liveEpochs = m.live.values.toSet + m.epoch
+      fs.listStatus(hPath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".graft_e"))
+        .foreach { s =>
+          val e = s.getPath.getName.stripPrefix(".graft_e").toLong
+          if (!liveEpochs.contains(e)) fs.delete(s.getPath, true)
+          else {
+            // epoch still referenced: drop only its RETIRED buckets
+            val mine = m.live.collect { case (b, `e`) => b }.toSet
+            fs.listStatus(s.getPath)
+              .filter(d => d.isDirectory && d.getPath.getName.startsWith("_bkt="))
+              .filter(d => !mine.contains(
+                d.getPath.getName.stripPrefix("_bkt=").toInt))
+              .foreach(d => fs.delete(d.getPath, true))
+          }
+        }
+    }
+    val bkt = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.hash(keyCols.map(col): _*),
+      org.apache.spark.sql.functions.lit(buckets))
+    val incoming = df.withColumn("_bkt", bkt)
+    val touched = incoming.select(col("_bkt")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val existing = manifest.flatMap { m =>
+      // only buckets that BOTH this batch touches AND the table holds
+      // need merging; all-new buckets read nothing
+      val wanted = touched.filter(m.live.contains)
+      if (wanted.isEmpty) scala.None
+      else Some(UpsertManifest.resolve(spark, hPath, m, Some(wanted))
+        .select(dataCols.map(col) :+ col("_bkt").cast("int").as("_bkt"): _*))
+    }
+    val merged = existing match {
+      case Some(cur) => cur.unionByName(
+        incoming.select(dataCols.map(col) :+ col("_bkt"): _*))
+      case scala.None => incoming
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc,
+        org.apache.spark.sql.functions.struct(dataCols.map(col): _*).desc)
+    val resolved = merged
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val nextEpoch = manifest.map(_.epoch + 1).getOrElse(0L)
+    val epochDir = new org.apache.hadoop.fs.Path(hPath, s".graft_e$nextEpoch")
+    resolved.write.mode("overwrite").partitionBy("_bkt").parquet(epochDir.toString)
+    // which buckets actually materialized (an empty incoming bucket after
+    // version-resolve still exists — resolve keeps >=1 row per key — but
+    // list what IS there rather than assume)
+    val written = fs.listStatus(epochDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_bkt="))
+      .map(_.getPath.getName.stripPrefix("_bkt=").toInt).toSet
+    val live = manifest.map(_.live).getOrElse(Map.empty[Int, Long]) ++
+      written.map(_ -> nextEpoch)
+    // THE commit point: one atomic rename — before it, no reader can see
+    // this batch; after it, every reader sees all of it
+    UpsertManifest.write(fs, hPath,
+      UpsertManifest.Manifest(buckets, nextEpoch, live))
+  }
+
   /** Restore any bucket whose swap crashed between "retire old" and
     * "commit new": the hidden `.graftbak_bkt=N` still holds the committed
     * rows; if the live bucket is missing, rename it back, otherwise the
@@ -543,5 +657,73 @@ object Sinks {
     finally out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
       .rename(tmp, metaPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+}
+
+/** The snapshot-upsert table's commit record: bucket modulus, the last
+  * committed epoch, and the bucket → epoch map readers resolve data
+  * through ([[Sinks.upsertSnapshotByKey]] / [[Sources.readUpsertSnapshot]]).
+  * One small JSON file, replaced by atomic OVERWRITE rename — the same
+  * single-rename commit discipline as the upsert meta, carrying the whole
+  * snapshot instead of just the layout. */
+private[sources] object UpsertManifest {
+  final case class Manifest(buckets: Int, epoch: Long, live: Map[Int, Long])
+
+  private def path(table: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(table, "_graft_manifest.json")
+
+  def read(fs: org.apache.hadoop.fs.FileSystem,
+           table: org.apache.hadoop.fs.Path): Option[Manifest] = {
+    val p = path(table)
+    if (!fs.exists(p)) scala.None
+    else {
+      val in = fs.open(p)
+      val json = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      def long(k: String): Long =
+        ("\"" + k + "\"\\s*:\\s*(-?\\d+)").r.findFirstMatchIn(json)
+          .map(_.group(1).toLong)
+          .getOrElse(throw new IllegalStateException(
+            s"upsert manifest at $p lacks '$k': $json"))
+      val live = "\"live\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(json)
+        .map(_.group(1)).getOrElse(throw new IllegalStateException(
+          s"upsert manifest at $p lacks 'live': $json"))
+      val pairs = "\"(\\d+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(live)
+        .map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+      Some(Manifest(long("buckets").toInt, long("epoch"), pairs))
+    }
+  }
+
+  def write(fs: org.apache.hadoop.fs.FileSystem,
+            table: org.apache.hadoop.fs.Path, m: Manifest): Unit = {
+    val p = path(table)
+    val entries = m.live.toSeq.sorted
+      .map { case (b, e) => s""""$b":$e""" }.mkString(",")
+    val json = s"""{"buckets":${m.buckets},"epoch":${m.epoch},"live":{$entries}}"""
+    val tmp = new org.apache.hadoop.fs.Path(table, s".${p.getName}.tmp")
+    if (!fs.exists(table)) fs.mkdirs(table)
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** The manifest-resolved frame: one partition-pruned scan PER DISTINCT
+    * LIVE EPOCH (≤ min(#epochs, #buckets) scans, unioned — bounded by
+    * the bucket count, not by table history), each with `basePath` at
+    * the epoch dir so the `_bkt` partition column survives. */
+  def resolve(spark: org.apache.spark.sql.SparkSession,
+              table: org.apache.hadoop.fs.Path, m: Manifest,
+              onlyBuckets: Option[Set[Int]] = scala.None): org.apache.spark.sql.DataFrame = {
+    val wanted = onlyBuckets.fold(m.live)(bs => m.live.filter(kv => bs(kv._1)))
+    val byEpoch = wanted.groupBy(_._2).toSeq.sortBy(_._1)
+    val frames = byEpoch.map { case (e, bucketMap) =>
+      val dir = new org.apache.hadoop.fs.Path(table, s".graft_e$e")
+      val ids = bucketMap.keys.toSeq.sorted
+      spark.read.option("basePath", dir.toString)
+        .parquet(ids.map(b => s"$dir/_bkt=$b"): _*)
+    }
+    frames.reduceOption(_.unionByName(_)).getOrElse(
+      throw new IllegalStateException(
+        s"upsert table at $table has a manifest but no live buckets to read"))
   }
 }

@@ -164,6 +164,73 @@ class FunctionsSpec extends AnyFunSuite {
     assert(means(1).isNullAt(3))
   }
 
+  test("decodeImageFeatures: images past the pixel cap are quarantined before their raster allocates") {
+    // the cap is checked from the codec's HEADER probe — a real 100 MP
+    // image would prove nothing more than this 40x30 one with a 1000-px
+    // cap, and the code path (probe → compare → skip read) is identical
+    val w = 40; val h = 30
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((1L, bos.toByteArray),
+        (2L, "garbage".getBytes("UTF-8")))
+      .toDF("img_id", "payload")
+    val out = graft.operators.Multimodal
+      .decodeImageFeatures(df, maxPixels = 1000)
+      .orderBy("img_id").collect()
+    // oversized: -2 marker (distinct from corrupt -1), sums null
+    assert(out(0).getInt(1) == -2 && out(0).getInt(2) == -2 && out(0).isNullAt(3))
+    assert(out(1).getInt(1) == -1)
+    // the same image under a permissive cap decodes normally (all-black
+    // TYPE_INT_RGB: exact zero sums)
+    val ok = graft.operators.Multimodal
+      .decodeImageFeatures(df, maxPixels = 10000)
+      .orderBy("img_id").collect()
+    assert(ok(0).getInt(1) == w && ok(0).getLong(3) == 0L)
+  }
+
+  test("decodeAudioFeatures: real javax.sound WAV decode reproduces known samples; corrupt quarantined") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // stereo 16-bit LE WAV with closed-form samples
+    val frames = 200; val ch = 2
+    def sample(i: Int, c: Int): Int = ((i * 13 + c * 5 + 1) % 65536) - 32768
+    val raw = new Array[Byte](frames * ch * 2)
+    var se = Array(0L, 0L); var sq = Array(0L, 0L)
+    for (i <- 0 until frames; c <- 0 until ch) {
+      val v = sample(i, c)
+      se(c) += v; sq(c) += v.toLong * v
+      raw((i * ch + c) * 2) = (v & 0xff).toByte
+      raw((i * ch + c) * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      22050f, 16, ch, ch * 2, 22050f, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, frames.toLong),
+      AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((1L, bos.toByteArray),
+        (2L, "not a wav".getBytes("UTF-8")))
+      .toDF("audio_id", "payload").repartition(2)
+    val out = graft.operators.Multimodal.decodeAudioFeatures(df)
+      .orderBy("audio_id").collect()
+    assert(out(0).getInt(1) == 22050 && out(0).getInt(2) == 2 &&
+      out(0).getLong(3) == frames.toLong)
+    assert((out(0).getLong(4), out(0).getLong(5)) == ((se(0), sq(0))))
+    assert((out(0).getLong(6), out(0).getLong(7)) == ((se(1), sq(1))))
+    // corrupt payload: quarantined, not thrown
+    assert(out(1).getInt(1) == -1 && out(1).isNullAt(4))
+    // stats ride the engine-wide round(_, 6) convention
+    val stats = graft.operators.Multimodal.audioStats(
+      graft.operators.Multimodal.decodeAudioFeatures(df))
+      .orderBy("audio_id").collect()
+    assert(math.abs(stats(0).getDouble(4) -
+      math.round(frames / 22050.0 * 1e6) / 1e6) < 1e-12)
+    assert(math.abs(stats(0).getDouble(5) -
+      math.round(math.sqrt(sq(0).toDouble / frames) * 1e6) / 1e6) < 1e-12)
+    assert(stats(1).isNullAt(4))
+  }
+
   test("multiple ArrayDotProducts in one projection survive CODEGEN_ONLY") {
     // l2Distance computes three dot products → three accumulator vars in one
     // generated method; a hard-coded local name would fail janino compile.

@@ -175,5 +175,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       "one-row stats frame must broadcast onto the scan")
     assert(p.contains("TakeOrderedAndProject"), "limit+sort must not global-sort")
+    // tokenization is hoisted into ONE materialized `_ts` column per
+    // scan pass (stats side + scoring side): with 3 query terms the
+    // per-term tf/df expressions would otherwise re-run the tokenizer
+    // O(terms) times per row — structurally, not trusting codegen CSE
+    val tokenizes = "split\\(trim\\(".r.findAllIn(p).size
+    assert(tokenizes <= 2,
+      s"expected at most one tokenize per scan pass (2 total), got $tokenizes:\n$p")
   }
 }

@@ -21,10 +21,12 @@ class SpecPushServerSpec extends AnyFunSuite {
   private def hashOf(json: String) = PipelineSpec.fromJson(json).specHash
 
   private def http(method: String, url: String,
-                   body: Option[String] = None): (Int, String) = {
+                   body: Option[String] = None,
+                   auth: Option[String] = None): (Int, String) = {
     val c = new java.net.URL(url).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     c.setRequestMethod(method)
+    auth.foreach(t => c.setRequestProperty("Authorization", t))
     body.foreach { b =>
       c.setDoOutput(true)
       val os = c.getOutputStream
@@ -108,6 +110,54 @@ class SpecPushServerSpec extends AnyFunSuite {
       try assert(http("GET",
         s"http://127.0.0.1:${bare.boundPort}/pipelines")._1 == 404)
       finally bare.stop()
+    } finally server.stop()
+  }
+
+  test("bearer token gates mutations; reads stay open") {
+    val specDir = Files.createTempDirectory("graft_push_tok")
+    val server = new SpecPushServer(specDir, port = 0,
+      token = Some("s3cret-token"))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}/specs"
+      val spec = s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"/tmp/x"}}],
+        "edges":[]}"""
+      // unauthenticated / wrong-token mutations: 401, nothing lands
+      assert(http("POST", s"$base/t", Some(spec))._1 == 401)
+      assert(http("PUT", s"$base/t", Some(spec),
+        auth = Some("Bearer wrong"))._1 == 401)
+      assert(http("DELETE", s"$base/t")._1 == 401)
+      assert(!Files.exists(specDir.resolve("t.json")))
+      // the right token mutates
+      assert(http("POST", s"$base/t", Some(spec),
+        auth = Some("Bearer s3cret-token"))._1 == 200)
+      assert(Files.exists(specDir.resolve("t.json")))
+      // GET needs no credentials (redacted display surface)
+      assert(http("GET", base)._1 == 200)
+      assert(http("GET", s"$base/t")._1 == 200)
+      // authorized delete
+      assert(http("DELETE", s"$base/t",
+        auth = Some("Bearer s3cret-token"))._1 == 200)
+    } finally server.stop()
+  }
+
+  test("/pipelines stays valid JSON when a state string carries control characters") {
+    val specDir = Files.createTempDirectory("graft_push_esc")
+    val server = new SpecPushServer(specDir, port = 0,
+      status = Some(() => Seq(
+        ("h1", "Failed: line one\n\tline \"two\"\r", 2))))
+    server.start()
+    try {
+      val (code, body) = http(
+        "GET", s"http://127.0.0.1:${server.boundPort}/pipelines")
+      assert(code == 200)
+      // must parse as JSON — the raw newline/tab would break it
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = mapper.readTree(body)
+      assert(arr.get(0).get("state").asText() ==
+        "Failed: line one\n\tline \"two\"\r")
+      assert(arr.get(0).get("restarts").asInt() == 2)
     } finally server.stop()
   }
 

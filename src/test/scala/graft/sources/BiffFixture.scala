@@ -66,6 +66,33 @@ object BiffFixture {
     rec(0x00FC, u32(strings.size) ++ u32(strings.size) ++
       strings.flatMap(xlStr).toArray)
 
+  /** XLUnicodeRichExtendedString, compressed (ISO-8859-1) form. */
+  def xlStrCompressed(s: String): Array[Byte] =
+    u16(s.length) ++ Array(0.toByte) ++ s.getBytes(ISO_8859_1)
+
+  /** An SST spilling into CONTINUE records, exercising every fragment
+    * rule the reader must honor ([MS-XLS] 2.5.293): a string split
+    * MID-CHARACTERS whose continuation re-states the encoding flag —
+    * and SWITCHES it, wide first half / compressed second half — a
+    * string split BETWEEN entries, and a plain in-fragment string.
+    * Returns (record bytes, expected strings in isst order). */
+  def sstWithContinue(): (Array[Byte], Seq[String]) = {
+    val s0 = "alpha"; val s1 = "beta-continues"; val s2 = "gamma"; val s3 = "delta"
+    // fragment 0 (the SST record): header + s0 whole + s1's header and
+    // first 5 chars in WIDE encoding
+    val frag0 = u32(4) ++ u32(4) ++ xlStr(s0) ++
+      u16(s1.length) ++ Array(1.toByte) ++ s1.substring(0, 5).getBytes(UTF_16LE)
+    // fragment 1 (CONTINUE): re-stated flag byte = COMPRESSED for the
+    // rest of s1, then s2 complete
+    val frag1 = Array(0.toByte) ++ s1.substring(5).getBytes(ISO_8859_1) ++
+      xlStrCompressed(s2)
+    // fragment 2 (CONTINUE): split BETWEEN strings — s3 starts with its
+    // own header, no flag byte
+    val frag2 = xlStr(s3)
+    (rec(0x00FC, frag0) ++ rec(0x003C, frag1) ++ rec(0x003C, frag2),
+      Seq(s0, s1, s2, s3))
+  }
+
   private def boundSheet(pos: Int, name: String): Array[Byte] =
     rec(0x0085, u32(pos) ++ u16(0) ++
       Array(name.length.toByte, 0.toByte) ++ name.getBytes(ISO_8859_1))
@@ -76,14 +103,15 @@ object BiffFixture {
     * stream over the CFB mini-stream cutoff. */
   def workbookStream(sharedStrings: Seq[String],
                      sheets: Seq[(String, Array[Byte])],
-                     padGlobals: Int = 0): Array[Byte] = {
+                     padGlobals: Int = 0,
+                     sstOverride: Option[Array[Byte]] = None): Array[Byte] = {
     def globalsOf(positions: Seq[Int]): Array[Byte] = {
       val out = new ByteArrayOutputStream()
       out.write(bof(0x0005))
       if (padGlobals > 0) out.write(rec(0x08FF, Array.fill[Byte](padGlobals)(0)))
       sheets.zip(positions).foreach { case ((name, _), pos) =>
         out.write(boundSheet(pos, name)) }
-      out.write(sst(sharedStrings))
+      out.write(sstOverride.getOrElse(sst(sharedStrings)))
       out.write(eof)
       out.toByteArray
     }

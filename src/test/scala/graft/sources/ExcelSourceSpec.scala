@@ -219,6 +219,26 @@ class ExcelSourceSpec extends AnyFunSuite {
     assert(got == Set(("ada", 3L, 2.5), ("bob", 7L, 0.07)))
   }
 
+  test("BIFF8 SST spilling into CONTINUE records parses, including a mid-string encoding switch") {
+    val (sstBytes, strings) = BiffFixture.sstWithContinue()
+    val sheet = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(BiffFixture.bof(0x0010))
+      strings.indices.foreach(i => out.write(BiffFixture.labelSst(0, i, i)))
+      // reversed references on row 1: every isst must resolve, not just
+      // the ones before the first spill
+      strings.indices.foreach(i =>
+        out.write(BiffFixture.labelSst(1, i, strings.size - 1 - i)))
+      out.write(BiffFixture.eof)
+      out.toByteArray
+    }
+    val xls = BiffFixture.cfb(BiffFixture.workbookStream(Nil,
+      Seq("Cont" -> sheet), sstOverride = Some(sstBytes)))
+    val rows = ExcelSource.parseWorkbookSheets(xls, "Cont")
+    assert(rows.head == Seq(strings, strings.reverse),
+      s"CONTINUE-spilled SST must reassemble exactly: ${rows.head}")
+  }
+
   test("BIFF5 (Excel 5.0/95) is rejected with the version named") {
     // same CFB container, but the workbook stream's BOF declares 0x0500
     val stream = BiffFixture.rec(0x0809,

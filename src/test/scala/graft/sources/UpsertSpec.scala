@@ -201,4 +201,88 @@ class UpsertSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).filter($"k" === 1L)
       .select("v").as[String].head() == "V1")
   }
+
+  private def snapTable(path: String) =
+    Sources.readUpsertSnapshot(spark, path).select("k", "v", "ver")
+      .as[(Long, String, Long)].collect().toSet
+
+  test("snapshot upsert: version-wins merge through the manifest, stale replay no-op") {
+    val path = Files.createTempDirectory("ups_snap").toString + "/t"
+    val b1 = Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)).toDF("k", "v", "ver")
+    Sinks.upsertSnapshotByKey(b1, path, Seq("k"), "ver", buckets = 8)
+    val b2 = Seq((2L, "B", 2L), (4L, "d", 2L)).toDF("k", "v", "ver")
+    Sinks.upsertSnapshotByKey(b2, path, Seq("k"), "ver", buckets = 8)
+    assert(snapTable(path) ==
+      Set((1L, "a", 1L), (2L, "B", 2L), (3L, "c", 1L), (4L, "d", 2L)))
+    // stale replay: the older version never regresses the newer row
+    Sinks.upsertSnapshotByKey(Seq((2L, "b", 1L)).toDF("k", "v", "ver"),
+      path, Seq("k"), "ver", buckets = 8)
+    assert(snapTable(path).contains((2L, "B", 2L)))
+    // modulus pinned in the manifest
+    val e = intercept[IllegalArgumentException] {
+      Sinks.upsertSnapshotByKey(b1, path, Seq("k"), "ver", buckets = 4)
+    }
+    assert(e.getMessage.contains("bucket count"), e.getMessage)
+  }
+
+  test("snapshot upsert: concurrent readers see all-old or all-new, never a torn batch") {
+    val path = Files.createTempDirectory("ups_snap_iso").toString + "/t"
+    val keys = 1L to 200L
+    Sinks.upsertSnapshotByKey(
+      keys.map(k => (k, "old", 1L)).toDF("k", "v", "ver"),
+      path, Seq("k"), "ver", buckets = 16)
+    // reader loop races the whole-table rewrite below: each resolve
+    // must see ONE tag across all 16 buckets — the torn mix the
+    // in-place swap scheme permits is exactly what the manifest commit
+    // forbids
+    @volatile var done = false
+    @volatile var torn: Option[Set[String]] = None
+    var reads = 0
+    val reader = new Thread(() => {
+      while (!done && torn.isEmpty) {
+        val tags = Sources.readUpsertSnapshot(spark, path)
+          .select("v").distinct().as[String].collect().toSet
+        reads += 1
+        if (tags != Set("old") && tags != Set("new")) torn = Some(tags)
+      }
+    }, "snapshot-reader")
+    reader.start()
+    try Sinks.upsertSnapshotByKey(
+      keys.map(k => (k, "new", 2L)).toDF("k", "v", "ver"),
+      path, Seq("k"), "ver", buckets = 16)
+    finally { done = true; reader.join(60000) }
+    assert(torn.isEmpty, s"reader observed a torn batch: $torn")
+    assert(reads > 0, "the reader loop must have raced at least one read")
+    assert(snapTable(path) == keys.map(k => (k, "new", 2L)).toSet)
+  }
+
+  test("snapshot upsert: retired epoch buckets survive one generation, then GC") {
+    val path = Files.createTempDirectory("ups_snap_gc").toString + "/t"
+    def up(k: Long, v: String, ver: Long): Unit =
+      Sinks.upsertSnapshotByKey(Seq((k, v, ver)).toDF("k", "v", "ver"),
+        path, Seq("k"), "ver", buckets = 4)
+    up(1L, "a", 1L) // epoch 0
+    val base = new java.io.File(path)
+    def bucketDirs(epoch: Long): Set[String] = {
+      val d = new java.io.File(base, s".graft_e$epoch")
+      if (!d.exists()) Set.empty
+      else d.listFiles().filter(_.getName.startsWith("_bkt=")).map(_.getName).toSet
+    }
+    val b0 = bucketDirs(0)
+    assert(b0.size == 1)
+    up(1L, "b", 2L) // epoch 1 retires epoch 0's bucket...
+    assert(bucketDirs(0) == b0,
+      "retired bucket must survive its grace generation for in-flight readers")
+    up(1L, "c", 3L) // ...and epoch 2's GC collects it (epoch 0 now empty)
+    assert(bucketDirs(0).isEmpty && !new java.io.File(base, ".graft_e0").exists(),
+      "fully-retired epoch dir must be garbage-collected")
+    assert(snapTable(path) == Set((1L, "c", 3L)))
+    // an orphan epoch dir from a crashed, never-committed batch is
+    // removed by the next upsert's GC and never becomes visible
+    val orphan = new java.io.File(base, ".graft_e99/_bkt=0")
+    assert(orphan.mkdirs())
+    up(2L, "x", 1L)
+    assert(!new java.io.File(base, ".graft_e99").exists(),
+      "uncommitted orphan epoch must be GC'd")
+  }
 }
