@@ -1979,6 +1979,98 @@ object Queries {
       ORDER BY audio_id"""
     })
 
+  /** Minimal spec-conformant AVI/RIFF writer (raw `BI_RGB` 24-bit DIB
+    * frames, bottom-up unless `topDown`): fixture-building for the video
+    * decode oracle and specs — the ENGINE never writes AVI, it reads it.
+    * Kept here (not test scope) because the oracle query must build its
+    * own inputs, like the PNG/WAV fixtures above. */
+  private[graft] def aviRgb(w: Int, h: Int, frames: Int,
+                            pixel: (Int, Int, Int) => (Int, Int, Int),
+                            topDown: Boolean = false): Array[Byte] = {
+    def u16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def u32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]) =
+      cc(id) ++ u32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]) = chunk("LIST", cc(typ) ++ body)
+    val stride = (w * 3 + 3) & ~3 // DIB rows pad to 4 bytes
+    val frameChunks = (0 until frames).flatMap { f =>
+      val d = new Array[Byte](stride * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = pixel(f, x, y)
+        val row = if (topDown) y else h - 1 - y // bottom-up storage
+        d(row * stride + x * 3) = b.toByte
+        d(row * stride + x * 3 + 1) = g.toByte
+        d(row * stride + x * 3 + 2) = r.toByte
+      }
+      chunk("00db", d)
+    }.toArray
+    val avih = u32(33333) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(frames) ++
+      u32(0) ++ u32(1) ++ u32(0) ++ u32(w) ++ u32(h) ++ Array.fill[Byte](16)(0)
+    val strh = cc("vids") ++ cc("DIB ") ++ Array.fill[Byte](48)(0)
+    val strf = u32(40) ++ u32(w) ++ u32(if (topDown) -h else h) ++ u16(1) ++
+      u16(24) ++ u32(0) ++ u32(stride * h) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val body = cc("AVI ") ++ hdrl ++ list("movi", frameChunks)
+    cc("RIFF") ++ u32(body.length) ++ body
+  }
+
+  /** REAL video decode over AVI containers
+    * ([[graft.operators.Multimodal.decodeVideoFeatures]]): deterministic
+    * per-frame BGR patterns are AVI-ENCODED on the driver (raw `BI_RGB`
+    * DIB frames — lossless, so the RIFF walk + row-stride + bottom-up
+    * math must reproduce every pixel), decoded DISTRIBUTED, with
+    * `sampleEvery = 2` frame sampling so the sampled-subset arithmetic is
+    * pinned too. Covers even and stride-padded odd widths, bottom-up and
+    * top-down frames, and one corrupt payload through the quarantine
+    * path. The MJPG coding rides the same JPEG codec as `mm_decode_real`
+    * and is spec-tested (`FunctionsSpec`) rather than oracled — JPEG is
+    * lossy, so its sums aren't pattern-derivable. */
+  // (id, w, h, frames, topDown)
+  private val mmVideoSpecs: Seq[(Long, Int, Int, Int, Boolean)] = Seq(
+    (0L, 16, 12, 5, false),
+    (1L, 9, 7, 4, true), // odd width: 27-byte rows pad to 28
+    (2L, 8, 8, 1, false))
+  private def mmVideoPixel(f: Int, x: Int, y: Int): (Int, Int, Int) =
+    ((x * 5 + y * 3 + f * 11) % 256, (x * 2 + y * 7 + f * 3) % 256,
+      (x * 11 + y + f * 5) % 256)
+  private val mmDecodeVideo = Q(
+    (s, dir) => {
+      import s.implicits._
+      val rows = mmVideoSpecs.map { case (id, w, h, nf, td) =>
+        (id, aviRgb(w, h, nf, mmVideoPixel, topDown = td))
+      } :+ (mmVideoSpecs.size.toLong, "RIFFxxxxnot avi".getBytes("UTF-8"))
+      val fixtures = rows.toDF("video_id", "payload").repartition(2)
+      graft.operators.Multimodal.decodeVideoFeatures(fixtures, sampleEvery = 2)
+        .orderBy($"video_id")
+    },
+    Some {
+      val vals = mmVideoSpecs.map { case (id, w, h, nf, _) =>
+        var r = 0L; var g = 0L; var b = 0L; var sampled = 0L
+        for (f <- 0 until nf if f % 2 == 0) {
+          sampled += 1
+          for (y <- 0 until h; x <- 0 until w) {
+            val (pr, pg, pb) = mmVideoPixel(f, x, y)
+            r += pr; g += pg; b += pb
+          }
+        }
+        s"($id, $w, $h, $nf, $sampled, $r, $g, $b)"
+      }.mkString(", ") +
+        s", (${mmVideoSpecs.size}, -1, -1, -1, -1, NULL, NULL, NULL)"
+      s"""SELECT CAST(video_id AS BIGINT) AS video_id,
+        CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        CAST(n_frames AS BIGINT) AS n_frames,
+        CAST(frames_sampled AS BIGINT) AS frames_sampled,
+        CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+        CAST(sum_b AS BIGINT) AS sum_b
+      FROM (VALUES $vals)
+        t(video_id, width, height, n_frames, frames_sampled, sum_r, sum_g, sum_b)
+      ORDER BY video_id"""
+    })
+
   /** REAL Structured Streaming query (AvailableNow over the events parquet)
     * verified against the same DuckDB oracle as the batch window agg —
     * stream/batch parity on identical input. */
@@ -2638,6 +2730,7 @@ object Queries {
     "mm_decode_features" -> mmDecode,
     "mm_decode_real" -> mmDecodeReal,
     "mm_decode_audio" -> mmDecodeAudio,
+    "mm_decode_video" -> mmDecodeVideo,
     "st_tumbling_window" -> stTumbling,
     "st_sessions_custom" -> stSessionsCustom,
     "st_dedup" -> stDedup,

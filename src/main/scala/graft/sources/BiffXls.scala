@@ -21,14 +21,22 @@ import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_16LE}
   * Output contract matches [[ExcelSource]]'s xlsx parse exactly: rows of
   * string cells per sheet, numerics rendered raw (integral values
   * without a decimal point, like xlsx's `<v>` text), booleans as "1"/"0"
-  * (xlsx's raw `t="b"` form), error cells as absent. BIFF5/7 workbooks
-  * (the pre-Unicode generation) fail loudly with the version named. An
-  * SST that spills into CONTINUE records — every workbook past ~8 KB of
-  * shared strings does — is parsed across the fragments, including the
-  * spec's nastiest rule: a split INSIDE a string's character data
-  * re-states the encoding flag at the continuation start, so one string
-  * can switch between compressed and UTF-16 halves mid-word
-  * ([MS-XLS] 2.5.293's fHighByte-per-fragment).
+  * (xlsx's raw `t="b"` form), error cells as absent. An SST that spills
+  * into CONTINUE records — every workbook past ~8 KB of shared strings
+  * does — is parsed across the fragments, including the spec's nastiest
+  * rule: a split INSIDE a string's character data re-states the encoding
+  * flag at the continuation start, so one string can switch between
+  * compressed and UTF-16 halves mid-word ([MS-XLS] 2.5.293's
+  * fHighByte-per-fragment).
+  *
+  * BIFF5/7 (Excel 5.0/95, the pre-Unicode generation) is read too: same
+  * record stream, but strings are CODEPAGE-encoded byte strings with a
+  * 16-bit length and no option flags (cells carry them INLINE in
+  * LABEL/RSTRING records — BIFF5 has no SST), and BOUNDSHEET names are
+  * 8-bit. The workbook's CODEPAGE record picks the charset (1252 and
+  * friends map to the JDK's windows-125x codecs); absent one, cp1252 —
+  * what every western Excel 95 wrote. Anything older than BIFF5 still
+  * fails loudly with the version named.
   */
 object BiffXls {
 
@@ -45,14 +53,14 @@ object BiffXls {
     val stream = cfbStream(bytes, Seq("Workbook", "Book")).getOrElse(
       throw new IllegalArgumentException(
         "CFB container has no Workbook/Book stream — not an Excel .xls"))
-    val (sheets, sst) = globals(stream)
+    val g = globals(stream)
     val chosen =
-      if (sheet == "*") sheets
-      else sheets.filter(_._1 == sheet) match {
+      if (sheet == "*") g.sheets
+      else g.sheets.filter(_._1 == sheet) match {
         case Nil => throw new IllegalArgumentException(s"sheet '$sheet' not found")
         case s => s
       }
-    chosen.map { case (_, pos) => sheetRows(stream, pos, sst) }
+    chosen.map { case (_, pos) => sheetRows(stream, pos, g) }
   }
 
   // ---------- CFB container ----------
@@ -162,16 +170,47 @@ object BiffXls {
     }
 
   /** Workbook globals: sheet (name, substream offset) list in workbook
-    * order, and the shared-string table. */
-  private def globals(stream: Array[Byte]): (Seq[(String, Int)], Vector[String]) = {
+    * order, the shared-string table (BIFF8), and — for BIFF5's byte
+    * strings — the charset the CODEPAGE record picked. */
+  private final case class Globals(sheets: Seq[(String, Int)],
+                                   sst: Vector[String],
+                                   biff5: Boolean,
+                                   charset: java.nio.charset.Charset)
+
+  /** [MS-OSHARED] code-page id → JDK charset. The western/CJK pages every
+    * real Excel 5/95 workbook uses are all JDK-bundled; an exotic one
+    * falls back to cp1252 rather than failing a whole read over label
+    * bytes. */
+  private def codepageCharset(cp: Int): java.nio.charset.Charset = {
+    val name = cp match {
+      case 367 => "US-ASCII"
+      case 10000 => "x-MacRoman"
+      case 932 => "windows-31j"
+      case 936 => "GBK"
+      case 949 => "x-windows-949"
+      case 950 => "x-windows-950"
+      case n if n >= 1250 && n <= 1258 => s"windows-$n"
+      case n if n >= 28591 && n <= 28605 => s"ISO-8859-${n - 28590}"
+      case _ => "windows-1252"
+    }
+    try java.nio.charset.Charset.forName(name)
+    catch { case _: Exception =>
+      java.nio.charset.Charset.forName("windows-1252") }
+  }
+
+  private def globals(stream: Array[Byte]): Globals = {
     val it = recordsFrom(stream, 0)
     require(it.hasNext, "empty Workbook stream")
     val bof = it.next()
     require(bof.id == 0x0809, f"stream does not start with BOF (got 0x${bof.id}%04x)")
     val vers = u16(bof.data, 0)
-    require(vers == 0x0600, f"BIFF version 0x$vers%04x is not BIFF8 " +
-      "(Excel 5.0/95 workbooks are not supported — re-save as .xls " +
-      "from Excel 97+ or as .xlsx)")
+    // 0x0500 covers both BIFF5 (Excel 5.0) and BIFF7 (95) — the formats
+    // are record-identical for everything this reader touches
+    require(vers == 0x0600 || vers == 0x0500,
+      f"BIFF version 0x$vers%04x is neither BIFF8 nor BIFF5/7 " +
+      "(pre-Excel-5.0 workbooks are not supported — re-save as .xls or .xlsx)")
+    val biff5 = vers == 0x0500
+    var charset = codepageCharset(1252)
     val sheets = Seq.newBuilder[(String, Int)]
     // the SST record plus any CONTINUE records IMMEDIATELY following it
     // ([MS-XLS] 2.4.265: the spill fragments are adjacent; a CONTINUE
@@ -184,14 +223,25 @@ object BiffXls {
       r.id match {
         case 0x0809 => depth += 1; sstOpen = false // nested BOF
         case 0x000A => depth -= 1; sstOpen = false // EOF ends globals
+        case 0x0042 => // CODEPAGE
+          sstOpen = false
+          // 1200 = "UTF-16" marker some BIFF8 writers emit; only byte
+          // strings consult the charset, so ignore it there
+          val cp = u16(r.data, 0)
+          if (cp != 1200) charset = codepageCharset(cp)
         case 0x0085 => // BOUNDSHEET
           sstOpen = false
           val pos = i32(r.data, 0)
-          val cch = r.data(6) & 0xff
-          val flags = r.data(7) & 0xff
-          val name = if ((flags & 1) != 0)
-            new String(r.data, 8, cch * 2, UTF_16LE)
-          else new String(r.data, 8, cch, ISO_8859_1)
+          val name = if (biff5) {
+            // BIFF5: cch byte then ANSI bytes, no option flags
+            val cch = r.data(6) & 0xff
+            new String(r.data, 7, cch, charset)
+          } else {
+            val cch = r.data(6) & 0xff
+            val flags = r.data(7) & 0xff
+            if ((flags & 1) != 0) new String(r.data, 8, cch * 2, UTF_16LE)
+            else new String(r.data, 8, cch, ISO_8859_1)
+          }
           sheets += name -> pos
         case 0x00FC => sstFrags = Vector(r.data); sstOpen = true
         case 0x003C if sstOpen => sstFrags :+= r.data
@@ -199,7 +249,7 @@ object BiffXls {
       }
     }
     val sst = if (sstFrags.isEmpty) Vector.empty[String] else parseSst(sstFrags)
-    (sheets.result(), sst)
+    Globals(sheets.result(), sst, biff5, charset)
   }
 
   /** SST: `u32 total, u32 unique`, then `unique` XLUnicodeStrings spread
@@ -295,11 +345,17 @@ object BiffXls {
 
   /** One sheet substream → rows of string cells (xlsx-parse parity). */
   private def sheetRows(stream: Array[Byte], pos: Int,
-                        sst: Vector[String]): Seq[Seq[String]] = {
+                        g: Globals): Seq[Seq[String]] = {
+    val sst = g.sst
     val it = recordsFrom(stream, pos)
     require(it.hasNext, s"sheet substream offset $pos out of bounds")
     val bof = it.next()
     require(bof.id == 0x0809, "BOUNDSHEET offset does not point at a BOF")
+    // inline-string cell payload: BIFF8 = XLUnicodeString at `off`;
+    // BIFF5 = u16 cch + codepage bytes (XLAnsiString — no flags byte)
+    def inlineStr(d: Array[Byte], off: Int): String =
+      if (g.biff5) new String(d, off + 2, u16(d, off), g.charset)
+      else xlUnicodeString(d, off)._1
     val cells = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
     var pendingString = false // FORMULA with a string result awaits STRING
     var pendingCell: (Int, Int) = (0, 0)
@@ -308,7 +364,7 @@ object BiffXls {
       val r = it.next(); val d = r.data
       r.id match {
         case 0x000A => done = true // EOF
-        case 0x00FD => // LABELSST
+        case 0x00FD => // LABELSST (BIFF8 only — BIFF5 strings are inline)
           cells += ((u16(d, 0), u16(d, 2), sst(i32(d, 6))))
         case 0x0203 => // NUMBER
           cells += ((u16(d, 0), u16(d, 2), numStr(readDouble(d, 6))))
@@ -321,7 +377,10 @@ object BiffXls {
             cells += ((rw, colFirst + k, numStr(rkValue(i32(d, 4 + 6 * k + 2)))))
           }
         case 0x0204 => // LABEL (inline string)
-          cells += ((u16(d, 0), u16(d, 2), xlUnicodeString(d, 6)._1))
+          cells += ((u16(d, 0), u16(d, 2), inlineStr(d, 6)))
+        case 0x00D6 => // RSTRING (BIFF5's rich-text LABEL): string then
+          // formatting runs we drop, like BIFF8's rich payloads
+          cells += ((u16(d, 0), u16(d, 2), inlineStr(d, 6)))
         case 0x0205 => // BOOLERR
           val isErr = (d(7) & 0xff) != 0
           if (!isErr) cells += ((u16(d, 0), u16(d, 2),
@@ -337,7 +396,7 @@ object BiffXls {
             }
           else cells += ((rw, col, numStr(readDouble(d, 6))))
         case 0x0207 if pendingString => // STRING: the formula's text result
-          cells += ((pendingCell._1, pendingCell._2, xlUnicodeString(d, 0)._1))
+          cells += ((pendingCell._1, pendingCell._2, inlineStr(d, 0)))
           pendingString = false
         case _ => ()
       }

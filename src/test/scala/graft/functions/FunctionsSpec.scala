@@ -231,6 +231,79 @@ class FunctionsSpec extends AnyFunSuite {
     assert(stats(1).isNullAt(4))
   }
 
+  test("decodeVideoFeatures: MJPG frames decode through the JDK JPEG codec; unsupported codecs and oversized frames quarantine") {
+    // MJPG AVI built by hand: same RIFF skeleton as the raw-DIB oracle
+    // fixture, but each 00dc chunk is a REAL JPEG from ImageIO. JPEG is
+    // lossy, so the expected sums come from decoding the same JPEG bytes
+    // driver-side — the assertion is distributed-decode == local-decode,
+    // pinning the plumbing (chunk walk, sampling, strip sums) around the
+    // codec rather than the codec itself.
+    def u16b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def u32b(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]) =
+      cc(id) ++ u32b(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]) = chunk("LIST", cc(typ) ++ body)
+    val w = 24; val h = 16; val nFrames = 3
+    def avi(fourccComp: String, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val avih = u32b(33333) ++ u32b(0) ++ u32b(0) ++ u32b(0) ++
+        u32b(frames.size) ++ u32b(0) ++ u32b(1) ++ u32b(0) ++ u32b(w) ++
+        u32b(h) ++ Array.fill[Byte](16)(0)
+      val strh = cc("vids") ++ cc(fourccComp) ++ Array.fill[Byte](48)(0)
+      val strf = u32b(40) ++ u32b(w) ++ u32b(h) ++ u16b(1) ++ u16b(24) ++
+        cc(fourccComp).take(4) ++ u32b(0) ++ u32b(0) ++ u32b(0) ++
+        u32b(0) ++ u32b(0)
+      val hdrl = list("hdrl", chunk("avih", avih) ++
+        list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+      val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+      val body = cc("AVI ") ++ hdrl ++ movi
+      cc("RIFF") ++ u32b(body.length) ++ body
+    }
+    val jpegs = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (((x * 9 + f * 31) % 256) << 16) |
+          (((y * 5 + f * 7) % 256) << 8) | ((x + y + f) % 256))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    // driver-side expectation: decode the same JPEGs for sampled frames
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (f <- 0 until nFrames if f % 2 == 0) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpegs(f)))
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        er += (p >>> 16) & 0xff; eg += (p >>> 8) & 0xff; eb += p & 0xff
+      }
+    }
+    val df = Seq(
+      (1L, avi("MJPG", jpegs)),
+      (2L, avi("H264", jpegs)), // codec the JDK genuinely lacks
+      (3L, "RIFF".getBytes ++ u32b(4) ++ cc("WAVE"))) // RIFF, not AVI
+      .toDF("video_id", "payload").repartition(2)
+    val out = graft.operators.Multimodal
+      .decodeVideoFeatures(df, sampleEvery = 2)
+      .orderBy("video_id").collect()
+    assert(out(0).getInt(1) == w && out(0).getInt(2) == h)
+    assert(out(0).getLong(3) == nFrames.toLong && out(0).getLong(4) == 2L)
+    assert((out(0).getLong(5), out(0).getLong(6), out(0).getLong(7)) ==
+      ((er, eg, eb)))
+    assert(out(1).getInt(1) == -1 && out(1).isNullAt(5)) // H264 → quarantine
+    assert(out(2).getInt(1) == -1) // non-AVI RIFF → quarantine
+    // frame past the pixel cap: -2 marker, probed from the header before
+    // any raster allocates (same contract as images)
+    val capped = graft.operators.Multimodal
+      .decodeVideoFeatures(Seq((9L, avi("MJPG", jpegs))).toDF("video_id", "payload"),
+        sampleEvery = 1, maxPixels = 100)
+      .collect()
+    assert(capped(0).getInt(1) == -2 && capped(0).isNullAt(5))
+  }
+
   test("multiple ArrayDotProducts in one projection survive CODEGEN_ONLY") {
     // l2Distance computes three dot products → three accumulator vars in one
     // generated method; a hard-coded local name would fail janino compile.

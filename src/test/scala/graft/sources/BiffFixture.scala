@@ -204,6 +204,82 @@ object BiffFixture {
   private def put32(b: Array[Byte], o: Int, v: Int): Unit =
     (0 until 4).foreach(i => b(o + i) = ((v >> (8 * i)) & 0xff).toByte)
 
+  // ---------- BIFF5 (Excel 5.0/95) ----------
+
+  /** XLAnsiString: u16 cch + codepage bytes, no option flags. */
+  def ansiStr(s: String, cs: String = "windows-1252"): Array[Byte] =
+    u16(s.length) ++ s.getBytes(java.nio.charset.Charset.forName(cs))
+
+  def bof5(docType: Int): Array[Byte] =
+    rec(0x0809, u16(0x0500) ++ u16(docType) ++ Array.fill[Byte](4)(0))
+  def codepage(cp: Int): Array[Byte] = rec(0x0042, u16(cp))
+  def label5(rw: Int, col: Int, s: String,
+             cs: String = "windows-1252"): Array[Byte] =
+    rec(0x0204, u16(rw) ++ u16(col) ++ u16(0) ++ ansiStr(s, cs))
+  /** RSTRING: BIFF5's rich-text label — string then formatting runs
+    * (count byte + 2-byte runs) the reader must step past. */
+  def rstring5(rw: Int, col: Int, s: String, runs: Int = 2): Array[Byte] =
+    rec(0x00D6, u16(rw) ++ u16(col) ++ u16(0) ++ ansiStr(s) ++
+      Array(runs.toByte) ++ Array.fill[Byte](runs * 2)(3))
+  def stringRec5(s: String): Array[Byte] = rec(0x0207, ansiStr(s))
+  private def boundSheet5(pos: Int, name: String): Array[Byte] =
+    rec(0x0085, u32(pos) ++ u16(0) ++
+      Array(name.length.toByte) ++
+      name.getBytes(java.nio.charset.Charset.forName("windows-1252")))
+
+  /** Assemble a BIFF5 Book stream: globals (BOF v0x0500, CODEPAGE,
+    * BOUNDSHEETs, EOF — no SST) then per-sheet substreams, offsets
+    * patched in a second pass like the BIFF8 builder. */
+  def workbookStream5(sheets: Seq[(String, Array[Byte])],
+                      cp: Int = 1252): Array[Byte] = {
+    def globalsOf(positions: Seq[Int]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      out.write(bof5(0x0005))
+      out.write(codepage(cp))
+      sheets.zip(positions).foreach { case ((name, _), pos) =>
+        out.write(boundSheet5(pos, name)) }
+      out.write(eof)
+      out.toByteArray
+    }
+    val globalsLen = globalsOf(sheets.map(_ => 0)).length
+    val positions = sheets.map(_._2).scanLeft(globalsLen)(_ + _.length).init
+    val out = new ByteArrayOutputStream()
+    out.write(globalsOf(positions))
+    sheets.foreach { case (_, body) => out.write(body) }
+    out.toByteArray
+  }
+
+  /** Two-sheet Excel 5.0/95 fixture: inline ANSI labels (incl. a
+    * cp1252 high-byte char and an RSTRING with runs to skip), the
+    * shared numeric record kinds, and a string-formula pair — stored
+    * in CFB under the BIFF5 stream name "Book". */
+  def standardXls5(): Array[Byte] = {
+    val sheet1 = {
+      val out = new ByteArrayOutputStream()
+      out.write(bof5(0x0010))
+      out.write(label5(0, 0, "name")); out.write(label5(0, 1, "qty"))
+      out.write(label5(0, 2, "price"))
+      out.write(label5(1, 0, "ada")); out.write(number(1, 1, 3.0))
+      out.write(rk(1, 2, 0x40040000)) // IEEE-form RK: 2.5
+      out.write(rstring5(2, 0, "café")) // cp1252 0xE9 + rich runs
+      out.write(mulRk(2, 1, Seq((7 << 2) | 0x02, (7 << 2) | 0x03))) // 7, 0.07
+      out.write(eof)
+      out.toByteArray
+    }
+    val sheet2 = {
+      val out = new ByteArrayOutputStream()
+      out.write(bof5(0x0010))
+      out.write(label5(0, 0, "name")); out.write(label5(0, 1, "qty"))
+      out.write(label5(1, 0, "grace")); out.write(formulaNum(1, 1, 42.0))
+      out.write(boolErr(2, 1, b = false))
+      out.write(formulaStr(2, 0)); out.write(stringRec5("hello"))
+      out.write(eof)
+      out.toByteArray
+    }
+    cfb(workbookStream5(Seq("Alpha" -> sheet1, "Beta" -> sheet2)),
+      streamName = "Book")
+  }
+
   /** The standard two-sheet fixture used across the specs: header row +
     * typed cells covering every record kind the reader handles. */
   def standardXls(padGlobals: Int = 0): Array[Byte] = {

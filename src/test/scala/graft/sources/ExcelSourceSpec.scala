@@ -239,10 +239,39 @@ class ExcelSourceSpec extends AnyFunSuite {
       s"CONTINUE-spilled SST must reassemble exactly: ${rows.head}")
   }
 
-  test("BIFF5 (Excel 5.0/95) is rejected with the version named") {
-    // same CFB container, but the workbook stream's BOF declares 0x0500
+  test("BIFF5 (Excel 5.0/95) parses: inline ANSI labels, RSTRING, codepage, formulas") {
+    val xls = BiffFixture.standardXls5()
+    val alpha = ExcelSource.parseWorkbookSheets(xls, "Alpha")
+    assert(alpha.head == Seq(
+      Seq("name", "qty", "price"),
+      Seq("ada", "3", "2.5"),
+      Seq("café", "7", "0.07")), // RSTRING text, cp1252 é, runs skipped
+      alpha.head.toString)
+    val beta = ExcelSource.parseWorkbookSheets(xls, "Beta")
+    assert(beta.head == Seq(
+      Seq("name", "qty"),
+      Seq("grace", "42"),
+      Seq("hello", "0")), // string-formula via BIFF5 STRING; bool raw 0
+      beta.head.toString)
+    assert(ExcelSource.parseWorkbookSheets(xls, "*").map(_.size) == Seq(3, 3))
+  }
+
+  test("BIFF5 .xls reads end-to-end through the Spark source") {
+    val dir = Files.createTempDirectory("graft_xls5")
+    Files.write(dir.resolve("excel95.xls"), BiffFixture.standardXls5())
+    val df = ExcelSource.read(spark, s"$dir/excel95.xls", sheet = "Alpha",
+      stringify = false)
+    assert(df.columns.toSeq == Seq("origin", "name", "qty", "price"))
+    import spark.implicits._
+    val got = df.select("name", "qty", "price")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("ada", 3L, 2.5), ("café", 7L, 0.07)))
+  }
+
+  test("pre-BIFF5 workbooks are rejected with the version named") {
+    // same CFB container, but the stream's BOF declares BIFF4 (0x0400)
     val stream = BiffFixture.rec(0x0809,
-      BiffFixture.u16(0x0500) ++ BiffFixture.u16(0x0005) ++
+      BiffFixture.u16(0x0400) ++ BiffFixture.u16(0x0005) ++
       Array.fill[Byte](12)(0)) ++ BiffFixture.eof
     val e = intercept[IllegalArgumentException] {
       ExcelSource.parseWorkbookSheets(BiffFixture.cfb(stream, "Book"), "*")
