@@ -188,7 +188,8 @@ object Bench {
         val surv = spark.read.parquet(s"$tmp/surv")
         val candidates = cleaned.join(surv, "doc_id")
           .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-        operators.Corpus.mixWeighted(candidates, rates).select(col("doc_id"))
+        operators.Corpus.mixWeighted(candidates, rates, keepCols = true)
+          .select(col("doc_id"), col("text"))
           .write.parquet(s"$tmp/mixed")
         val mixed = spark.read.parquet(s"$tmp/mixed")
         spark.catalog.clearCache()
@@ -201,8 +202,7 @@ object Bench {
           "cp_assembly_mix" -> (() =>
             { operators.Corpus.mixWeighted(candidates, rates).count(); () }),
           "cp_assembly_pack" -> (() =>
-            { operators.Corpus.packSequences(cleaned.join(mixed, "doc_id"),
-                budget = 256).count(); () }),
+            { operators.Corpus.packSequences(mixed, budget = 256).count(); () }),
           // the st_* family's FIXED cost: a minimal AvailableNow stream
           // over the 5-row region table prices session + checkpoint +
           // state-store machinery with ~zero data — if st_* lines creep

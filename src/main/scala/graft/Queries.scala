@@ -1343,7 +1343,17 @@ object Queries {
     * deliberately forces splits on the uniform corpus so the balanced path
     * (renumbered cells and all) is what gets verified. */
   @volatile private var balancedCentsCapture: Option[Array[Array[Double]]] = scala.None
-  private def ivfBalancedOracle: Option[String] = balancedCentsCapture.map { cents =>
+  private def ivfBalancedOracle: Option[String] =
+    balancedCentsCapture.map(centroidInjectedIvfOracle)
+
+  /** The injected-centroid IVF oracle: FINAL centroids rendered as
+    * DOUBLE[] literals (cell = array index), assignment + probe + scoring
+    * replayed over the full embeddings table through the same
+    * round(6)/tiebreak pipeline as the plain-IVF oracle. Shared by every
+    * query whose centroids are data-dependent driver state the oracle
+    * cannot re-derive as fixed CTEs (`ann_ivf_balanced`,
+    * `ann_ivf_append`). */
+  private def centroidInjectedIvfOracle(cents: Array[Array[Double]]): String = {
     val rows = cents.zipWithIndex.map { case (v, i) =>
       s"($i, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
     }.mkString(", ")
@@ -1437,6 +1447,36 @@ object Queries {
         .orderBy($"q_id", $"rk")
     },
     Some(ivfOracleSql))
+
+  /** INCREMENTAL on-disk IVF ([[graft.operators.Ann.ivfIndexAppend]]) —
+    * the daily-arrival loop: the index is TRAINED AND BUILT on the day-0
+    * slice only (80%), then day-1 vectors (20%) are assigned against the
+    * frozen read-back centroids and APPENDED into the cell partitions.
+    * Queries over the result must answer exactly as an assignment of the
+    * FULL corpus against those centroids — the oracle injects the
+    * captured centroids and replays assignment over everything, so any
+    * drift between build-time and append-time assignment (type, rounding,
+    * tiebreak) is a hash mismatch. */
+  @volatile private var appendCentsCapture: Option[Array[Array[Double]]] = scala.None
+  private val annIvfAppend = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val path = java.nio.file.Files.createTempDirectory("ivfapp").toString
+      graft.operators.Ann.ivfIndexWriteTrained(e.filter($"vec_id" % 5 =!= 0),
+        path, kCentroids = 16, iters = 5, seed = "ivf")
+      graft.operators.Ann.ivfIndexAppend(e.filter($"vec_id" % 5 === 0), path)
+      appendCentsCapture = Some(s.read.parquet(s"$path/centroids")
+        .orderBy($"c_id").collect()
+        .map(_.getAs[scala.collection.Seq[Double]]("c_vec").toArray))
+      graft.operators.Ann.ivfIndexTopK(
+          e.filter($"vec_id" < 10)
+            .select($"vec_id", $"embedding".cast("array<double>").as("embedding")),
+          path, k = 5, nProbe = 2)
+        .select($"q_id", $"n_id", $"cosine", $"rk")
+        .orderBy($"q_id", $"rk")
+    },
+    () => appendCentsCapture.map(centroidInjectedIvfOracle))
 
   /** Int8 scalar-quantized ANN — the memory/bandwidth lever at 100 TB:
     * embeddings quantize to 8-bit codes plus one scale per vector (4x
@@ -2317,6 +2357,33 @@ object Queries {
       FROM corpus c JOIN bench USING (g)
       GROUP BY c.doc_id ORDER BY doc_id"""))
 
+  /** The same decontamination behind a broadcast BLOOM prefilter
+    * ([[graft.operators.Corpus.deconBloom]]): corpus docs probe the
+    * benchmark-gram filter per-document (no explode), only might-match
+    * docs reach the exact confirm join. Bloom filters have no false
+    * negatives, so the oracle is IDENTICAL to `cp_decon_overlap` — the
+    * fpp only moves work, never answers. */
+  private val cpDeconBloom = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.operators.Corpus.deconBloom(
+          docs.filter($"doc_id" % 7 =!= 0), docs.filter($"doc_id" % 7 === 0),
+          n = 5, fpp = 0.01)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $toksCte,
+      grams AS (
+        SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) < 5 THEN []::BIGINT[]
+          ELSE list_transform(range(0, len(ts) - 4),
+            i -> ('0x' || substr(md5(array_to_string(ts[i+1:i+5], ' ')), 1, 15))::BIGINT) END)) AS g
+        FROM toks),
+      bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0),
+      corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 7 <> 0)
+      SELECT c.doc_id, count(*) AS n_hits
+      FROM corpus c JOIN bench USING (g)
+      GROUP BY c.doc_id ORDER BY doc_id"""))
+
   /** Falcon-style boilerplate removal at 8-word segment granularity:
     * segments in >2 distinct docs are dropped, docs reassembled in order. */
   private val cpSegDedup = Q(
@@ -2583,10 +2650,12 @@ object Queries {
     val surv = graft.operators.NearDup.survivors(cleaned).select($"doc_id")
     val candidates = cleaned.join(surv, "doc_id")
       .join(docs.select($"doc_id", $"lang"), "doc_id")
-    val mixedIds = graft.operators.Corpus.mixWeighted(candidates,
-        Seq("en" -> 0.8, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.5, "zh" -> 0.1))
-      .select($"doc_id")
-    graft.operators.Corpus.packSequences(cleaned.join(mixedIds, "doc_id"),
+    // keepCols: the mix survivors CARRY their text into packing — joining
+    // back to `cleaned` for it would shuffle the corpus text a second time
+    val mixed = graft.operators.Corpus.mixWeighted(candidates,
+        Seq("en" -> 0.8, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.5, "zh" -> 0.1),
+        keepCols = true)
+    graft.operators.Corpus.packSequences(mixed.select($"doc_id", $"text"),
         budget = 256, stageDir = stageDir)
       .orderBy($"doc_id")
   }
@@ -2709,6 +2778,7 @@ object Queries {
     "ann_ivf_balanced" -> annIvfBalanced,
     "ann_knn_label" -> annKnnLabel,
     "ann_ivf_disk" -> annIvfDisk,
+    "ann_ivf_append" -> annIvfAppend,
     "ann_quantized_topk" -> annQuantized,
     "ann_rp_topk" -> annRpTopk,
     "dd_semdedup" -> ddSemDedup,
@@ -2737,6 +2807,7 @@ object Queries {
     "st_stream_join" -> stStreamJoin,
     "st_static_join" -> stStaticJoin,
     "cp_decon_overlap" -> cpDecon,
+    "cp_decon_bloom" -> cpDeconBloom,
     "cp_segment_dedup" -> cpSegDedup,
     "cp_pack_sequences" -> cpPack,
     "cp_mix_weighted" -> cpMix,

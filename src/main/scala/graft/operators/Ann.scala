@@ -732,6 +732,42 @@ object Ann {
     cent.write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** INCREMENTAL index maintenance — the daily-arrival path: new vectors
+    * are assigned against the index's FROZEN centroid table (read back
+    * from `path/centroids`; no retraining, the quantizer is the index's
+    * identity) and appended into the cell-partitioned layout. Because
+    * assignment is the same round(6)+id-tiebreak argmax as the build,
+    * an index built on day-0 data and appended with day-1 data holds
+    * BIT-IDENTICAL contents to a single-shot build of day-0 ∪ day-1
+    * with the same centroids — [[ivfIndexTopK]] cannot tell the
+    * difference (the `ann_ivf_append` oracle pins exactly this). Cost
+    * per batch: one broadcast-assign pass over the NEW vectors only +
+    * an append write; the existing index files are never read or
+    * rewritten. Cells drifting hot as the distribution shifts is the
+    * retrain signal — watch cell populations, not this code path.
+    * Salted (balanced) layouts are rejected: their scan-unit bounds are
+    * sized from the build-time distribution, and silently appending into
+    * salt 0 would undo them. */
+  def ivfIndexAppend(newVectors: DataFrame, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val layout = spark.read.parquet(s"$path/cells").schema
+    require(!layout.fieldNames.contains("salt"),
+      s"index at $path has a salted (balanced) layout — appends would " +
+      "bypass its scan-unit bounds; rebuild with ivfIndexWriteTrained " +
+      "or append to an unsalted index")
+    val cent = spark.read.parquet(s"$path/centroids")
+    // match the stored embedding type exactly (trained indexes store
+    // array<double>, predicate-centroid ones whatever the corpus had):
+    // the appended files must be schema-identical to the built ones
+    val embType = layout("embedding").dataType
+    val e = newVectors.select(col("vec_id"),
+        col("embedding").cast(embType).as("embedding"))
+      .withColumn("nrm", VF.norm2(col("embedding")))
+    assignCells(e, cent).join(e, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Query a [[ivfIndexWrite]] index: probe cells are decided against the
     * broadcast centroid table, the O(queries·nProbe) probed-cell id set is
     * collected (tiny, by construction), and the cells scan is filtered by

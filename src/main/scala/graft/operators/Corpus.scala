@@ -45,6 +45,40 @@ object Corpus {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[deconOverlap]] behind a BLOOM-FILTER prefilter — for benchmark
+    * suites whose distinct n-gram set is too big to broadcast exactly:
+    * 100M grams are 800 MB as 8-byte hashes but ~120 MB as a 1%-fpp
+    * Bloom filter, and per-executor probe cost drops the same way. The
+    * corpus pass probes each document's gram array against the broadcast
+    * filter WITHOUT exploding (one boolean per doc); only might-match
+    * documents — contaminated ones plus the fpp sliver — reach the
+    * exact explode + broadcast-join confirm stage, which is
+    * [[deconOverlap]] itself on that small remainder. Bloom filters
+    * have NO false negatives, so the output is bit-identical to
+    * [[deconOverlap]] on the full corpus (shared oracle); `fpp` trades
+    * filter size against confirm-stage traffic only, never correctness.
+    * The prefilter's survivor count is observable via the `n_candidates`
+    * accumulator-free pattern: count it downstream if needed — the
+    * confirm join makes any fpp misjudgment a visible runtime cost, not
+    * a silent wrong answer. */
+  def deconBloom(corpus: DataFrame, bench: DataFrame, n: Int = 8,
+                 fpp: Double = 0.01,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = corpus.sparkSession
+    val benchGrams = bench
+      .select(explode(WordNgramHashes(col(textCol), n)).as("g"))
+      .distinct()
+    // model-sized driver action: #distinct bench grams (eval suites are
+    // millions of grams at most; the CORPUS never hits the driver)
+    val nGrams = math.max(benchGrams.count(), 1L)
+    val bf = benchGrams.stat.bloomFilter("g", nGrams, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val mightOverlap = udf((gs: scala.collection.Seq[Long]) =>
+      gs != null && gs.exists(bfB.value.mightContainLong))
+    val candidates = corpus.filter(mightOverlap(WordNgramHashes(col(textCol), n)))
+    deconOverlap(candidates, bench, n, idCol, textCol)
+  }
+
   /** Boilerplate-segment removal — line-level dedup (RefinedWeb/Falcon
     * style) generalized to fixed word segments for corpora without line
     * structure: a document is cut into consecutive `segWords`-word
@@ -156,17 +190,24 @@ object Corpus {
     * scan + hash + filter, fully narrow, no shuffle at all.
     *
     * @param rates (domain, keep-rate in [0,1]) pairs, joined on `byCol`
-    * @return surviving `(doc_id, <byCol>)` rows.
+    * @param keepCols true = surviving rows keep EVERY input column (for
+    *   compositions whose next stage needs the text — re-deriving it via
+    *   a join back to the corpus would shuffle the text a second time);
+    *   false = the documented narrow `(doc_id, <byCol>)` projection
+    * @return surviving `(doc_id, <byCol>)` rows (or full rows with
+    *   `keepCols`).
     */
   def mixWeighted(docs: DataFrame, rates: Seq[(String, Double)],
-                  byCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+                  byCol: String = "lang", idCol: String = "doc_id",
+                  keepCols: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val ratesDf = spark.createDataFrame(rates).toDF(byCol, "_rate")
     val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
       .cast("long") % 10000L
-    docs.join(broadcast(ratesDf), Seq(byCol))
+    val kept = docs.join(broadcast(ratesDf), Seq(byCol))
       .filter(u < (col("_rate") * 10000L).cast("long"))
-      .select(col(idCol), col(byCol))
+    if (keepCols) kept.select(docs.columns.map(col).toIndexedSeq: _*)
+    else kept.select(col(idCol), col(byCol))
   }
 
   /** Temperature-based corpus mixing — the multilingual sampling scheme

@@ -368,6 +368,16 @@ object SectionRegistry {
           graft.operators.Multimodal.audioStats(decoded)
         else decoded)
       }),
+    // REAL video decode (pure-JVM AVI/RIFF walk; raw BI_RGB summed in
+    // place, MJPG via the JDK JPEG codec): payload column -> (id, dims,
+    // frame counts, channel sums over every sample_every-th frame);
+    // corrupt/unsupported-codec rows carry width -1, over-cap -2
+    "mm_decode_video" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Multimodal.decodeVideoFeatures(in(df),
+        idCol = c.getOrElse("id_column", "video_id"),
+        payloadCol = c.getOrElse("payload_column", "payload"),
+        sampleEvery = c.getOrElse("sample_every", "1").toInt,
+        maxPixels = c.getOrElse("max_pixels", (16L * 1000 * 1000).toString).toLong))),
     // benchmark decontamination: bench_where splits the input frame into
     // benchmark (matching) and corpus (rest); output = contaminated corpus
     // docs with distinct-overlap counts
@@ -378,6 +388,20 @@ object SectionRegistry {
         Some(graft.operators.Corpus.deconOverlap(
           frame.filter(!isBench), frame.filter(isBench),
           n = c.getOrElse("ngram", "8").toInt,
+          idCol = c.getOrElse("id_column", "doc_id"),
+          textCol = c.getOrElse("text_column", "text")))
+      }),
+    // decontamination behind a broadcast Bloom prefilter: same exact
+    // output as decon_overlap (no false negatives; fpp only moves work)
+    // for benchmark suites too big to broadcast as exact hash sets
+    "decon_bloom" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val frame = in(df)
+        val isBench = expr(cfg(c, "bench_where"))
+        Some(graft.operators.Corpus.deconBloom(
+          frame.filter(!isBench), frame.filter(isBench),
+          n = c.getOrElse("ngram", "8").toInt,
+          fpp = c.getOrElse("fpp", "0.01").toDouble,
           idCol = c.getOrElse("id_column", "doc_id"),
           textCol = c.getOrElse("text_column", "text")))
       }),
@@ -545,6 +569,14 @@ object SectionRegistry {
       (_, c, df) => Some(graft.operators.Ann.ivfIndexTopK(in(df),
         cfg(c, "path"), k = c.getOrElse("k", "5").toInt,
         nProbe = c.getOrElse("probes", "2").toInt))),
+    // incremental index maintenance: assign the input frame's vectors
+    // against the index's frozen centroids and append into its cell
+    // partitions — the daily-arrival path, no retrain, no index rewrite
+    "ann_index_append" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        graft.operators.Ann.ivfIndexAppend(in(df), cfg(c, "path"))
+        scala.None
+      }),
 
     // ---- destinations (SURVEY §2.3) ----
     "parquet_destination" -> Entry(SectionIOSpec(DataFrameIO, None),

