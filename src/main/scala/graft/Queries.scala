@@ -956,6 +956,68 @@ object Queries {
       SELECT cluster_id AS doc_id, count(*) AS n_merged FROM comp
       GROUP BY cluster_id ORDER BY doc_id"""))
 
+  /** QUALITY-AWARE cluster representatives
+    * ([[graft.operators.Clustering.representatives]]): same MinHash
+    * clusters as `dd_dedup_corpus`, but each cluster keeps its
+    * HIGHEST-QUALITY member (the `ta_quality` score, round(6) BEFORE the
+    * ordering so both engines rank identical values; ties broken by
+    * ascending id) — "keep the best copy", not "keep the first crawled".
+    * The oracle composes the minhash-pair CTE, the recursive-CTE
+    * components, and the quality formula, then replays the same
+    * (score desc, id) argmax. */
+  private val ddClusterBest = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val members = graft.operators.Clustering.connectedComponents(
+        docs.select($"doc_id".as("id")),
+        minhashPairs(s, dir).select($"a_id", $"b_id"))
+      val quality = docs.select($"doc_id".as("id"),
+        round(TF.qualityFeatures($"text").getField("quality_score"), 6).as("q"))
+      graft.operators.Clustering.representatives(members, quality,
+          idCol = "id", scoreCol = "q")
+        .orderBy($"cluster_id")
+    },
+    Some(s"""WITH RECURSIVE $minhashPairsCte,
+      edges AS (SELECT a_id AS s, b_id AS d FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+      comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      qt0 AS (
+        SELECT doc_id,
+          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts,
+          length(text)::DOUBLE AS nc,
+          length(regexp_replace(text, '[^!-:-@\\[-`{-~]', '', 'g'))::DOUBLE AS punct,
+          length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits,
+          length(regexp_replace(text, '[^ \\t\\n]', '', 'g'))::DOUBLE AS spaces
+        FROM documents),
+      qt1 AS (
+        SELECT doc_id,
+          (nc - spaces) / greatest(len(ts)::DOUBLE, 1.0) AS mtl,
+          punct / greatest(nc, 1.0) AS pr,
+          digits / greatest(nc, 1.0) AS dr,
+          len(list_filter(ts, x -> list_contains(
+            ['the','a','of','and','to','in','is','it','that','for'], lower(x))))::DOUBLE
+            / greatest(len(ts)::DOUBLE, 1.0) AS sr
+        FROM qt0),
+      qt AS (
+        SELECT doc_id, round(greatest(0.0, least(1.0,
+          0.5 * least(sr * 4, 1.0) +
+          0.3 * (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) +
+          0.2 * (1.0 - least((pr + dr) * 5, 1.0)))), 6) AS q
+        FROM qt1)
+      SELECT cluster_id, rep_id, rep_score, n_members FROM (
+        SELECT c.cluster_id, c.id AS rep_id, q.q AS rep_score,
+          count(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+          row_number() OVER (PARTITION BY c.cluster_id
+            ORDER BY q.q DESC, c.id) AS rn
+        FROM comp c JOIN qt q ON q.doc_id = c.id)
+      WHERE rn = 1 ORDER BY cluster_id"""))
+
   /** Incremental dedup against a REFERENCE corpus — the daily-crawl
     * workflow: reference = doc_id % 3 = 0, incoming = the rest; incoming
     * docs that exact- or near-dup any reference doc are dropped. The
@@ -2769,6 +2831,7 @@ object Queries {
     "dd_simhash_pairs" -> ddSimhashPairs,
     "dd_embed_cosine" -> ddEmbedCosine,
     "dd_dup_clusters" -> ddClusters,
+    "dd_cluster_best" -> ddClusterBest,
     "dd_ref_dedup" -> ddRefDedup,
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLsh,

@@ -60,6 +60,38 @@ object Clustering {
     } finally edgeRows.unpersist()
   }
 
+  /** QUALITY-AWARE representative selection — the step after clustering a
+    * real training pipeline wants: keep the BEST copy of each near-dup
+    * cluster, not the arbitrary min-id one (web crawls hold the same
+    * article as clean text, a boilerplate-wrapped copy, and an OCR'd
+    * mess; min-id keeps whichever was crawled first). Per cluster, the
+    * member with the highest score wins, ties broken by ascending id so
+    * the choice is deterministic across runs and engines.
+    *
+    * Shape: one hash-shuffle on `cluster_id` (the window partition);
+    * rows carry (id, cluster_id, score) — 24 bytes, never text. Cluster
+    * sizes are dup-cluster sizes, bounded by the pair generators' caps
+    * upstream, so no window partition is corpus-sized.
+    *
+    * @param members (id, cluster_id) from [[connectedComponents]]
+    * @param scores  (id, score) — any quality signal, pre-rounded if the
+    *                caller needs cross-engine ordering parity
+    * @return (cluster_id, rep_id, rep_score, n_members)
+    */
+  def representatives(members: DataFrame, scores: DataFrame,
+                      idCol: String = "id",
+                      scoreCol: String = "score"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cluster_id"))
+    val wRank = w.orderBy(col(scoreCol).desc, col(idCol))
+    members.join(scores, Seq(idCol))
+      .withColumn("_rn", row_number().over(wRank))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("_rn") === 1)
+      .select(col("cluster_id"), col(idCol).as("rep_id"),
+        col(scoreCol).as("rep_score"), col("n_members"))
+  }
+
   /** Distributed connected components by alternating large-star/small-star.
     * One round = large-star (every node's strictly-larger neighbors rewire
     * to its neighborhood minimum) + small-star (every node's smaller

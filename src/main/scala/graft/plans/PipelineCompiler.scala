@@ -171,6 +171,22 @@ object SectionRegistry {
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text"),
         threshold = c.getOrElse("threshold", "0.2").toDouble))),
+    // quality-aware dedup: near-dup clusters each keep their best member
+    // by the `score` SQL expression (ties → lowest id) instead of min-id
+    "dedup_best_copy" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val frame = in(df)
+        val id = c.getOrElse("id_column", "doc_id")
+        val members = graft.operators.Clustering.connectedComponents(
+          frame.select(col(id).as("id")),
+          graft.operators.NearDup.pairs(frame, idCol = id,
+            textCol = c.getOrElse("text_column", "text"),
+            threshold = c.getOrElse("threshold", "0.2").toDouble)
+            .select(col("a_id"), col("b_id")))
+        val scores = frame.select(col(id).as("id"),
+          expr(cfg(c, "score")).as("score"))
+        Some(graft.operators.Clustering.representatives(members, scores))
+      }),
     // text analysis over a text column: append language/quality/token
     // columns (narrow, codegen'd — no shuffle)
     "text_analysis" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),

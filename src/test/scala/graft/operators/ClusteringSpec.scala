@@ -77,4 +77,16 @@ class ClusteringSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("did not converge"))
   }
+
+  test("representatives: highest score wins, ties break to lowest id, singletons kept") {
+    val members = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("id", "cluster_id")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (7L, 0.1))
+      .toDF("id", "score")
+    val got = Clustering.representatives(members, scores)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // cluster 1: ids 2 and 3 tie at 0.9 → lowest id (2) wins, 3 members;
+    // singleton 7 represents itself
+    assert(got == Set((1L, 2L, 0.9, 3L), (7L, 7L, 0.1, 1L)))
+  }
 }
