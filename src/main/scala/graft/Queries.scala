@@ -715,6 +715,43 @@ object Queries {
       ('4','bin','incoming','62696e',CAST(NULL AS VARCHAR)))
       t(id, text, bin, float, some_null) ORDER BY id"""))
 
+  /** S10/D9 — SQLite PHYSICAL replication end to end
+    * ([[graft.sources.SqliteReplication]]): the full-snapshot page frame
+    * of the WAL-mode fixture (main ⊕ committed WAL frame) is produced by
+    * the SOURCE and replayed by the DESTINATION into a replica file; the
+    * query emits the replica's per-page md5s. The oracle VALUES were
+    * computed by an INDEPENDENT Python implementation of SQLite's WAL
+    * recovery rules over the same fixture — so the overlay, the page
+    * diffing, and the seek/write/truncate apply path all get hash-level
+    * cross-implementation verification. */
+  private val opSqliteRepl = Q(
+    (s, dir) => {
+      import s.implicits._
+      val frame = graft.sources.SqliteReplication.snapshotFrame(
+        s, "/root/repo/src/test/resources/walfix.db", Map.empty)
+      val rep = java.nio.file.Files.createTempDirectory("graft_repl").toString
+      graft.sources.SqliteReplication.applySnapshots(frame, rep)
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(rep, "walfix.db"))
+      val ps = 4096
+      (1 to bytes.length / ps).map { p =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.util.Arrays.copyOfRange(bytes, (p - 1) * ps, p * ps))
+          .map("%02x".format(_)).mkString
+        (p, (p - 1).toLong * ps, ps, md5, bytes.length.toLong)
+      }.toDF("blob_num", "page_offset", "blob_size", "page_md5", "db_size")
+        .orderBy($"blob_num")
+    },
+    // "offset" is reserved in DuckDB — the exported column is page_offset
+    Some("""SELECT CAST(blob_num AS INTEGER) AS blob_num,
+      CAST(page_offset AS BIGINT) AS page_offset,
+      CAST(blob_size AS INTEGER) AS blob_size, page_md5,
+      CAST(db_size AS BIGINT) AS db_size
+      FROM (VALUES
+        (1, 0, 4096, 'f3b6b184cdb8ab01027ed132f9d7404f', 8192),
+        (2, 4096, 4096, 'a202cd509b0d8606433f3ac495aa6c35', 8192))
+      t(blob_num, page_offset, blob_size, page_md5, db_size) ORDER BY blob_num"""))
+
   /** D7 kafka wire shape without a broker: the encode half of the kafka
     * sink (`sections/kafka_connector/src/destination.rs:21-131`) is pure
     * DataFrame code — key = origin, value = row JSON-encoded in column
@@ -2819,6 +2856,7 @@ object Queries {
     "op_exec_pipe" -> opExecPipe,
     "op_profile" -> opProfile,
     "op_sqlite_file" -> opSqliteFile,
+    "op_sqlite_repl" -> opSqliteRepl,
     "op_excel" -> opExcel,
     "op_excel_xls" -> opExcelXls,
     "op_kafka_encode" -> opKafkaEncode,

@@ -53,6 +53,13 @@ object SectionRegistry {
     "sqlite_file_source" -> Entry(SectionIOSpec(None, DataFrameIO),
       (s, c, _) => Some(graft.sources.SqliteFile.read(s, cfg(c, "path"),
         cfg(c, "table"), c.getOrElse("stringify", "true").toBoolean))),
+    // SQLite PHYSICAL replication (S10): changed-page snapshot rows from
+    // the live db+WAL; a FULL snapshot on first run (the incremental
+    // cursor rides SqliteReplication.tick via the stateful runner —
+    // this stateless form emits the diff against empty state)
+    "sqlite_replication_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some(graft.sources.SqliteReplication.snapshotFrame(
+        s, cfg(c, "path"), Map.empty))),
     "postgres_source" -> Entry(SectionIOSpec(None, DataFrameIO),
       (s, c, _) => Some(Sources.jdbc(s, cfg(c, "url"), cfg(c, "query"), c.get("origin")))),
     "mysql_source" -> Entry(SectionIOSpec(None, DataFrameIO),
@@ -595,6 +602,14 @@ object SectionRegistry {
       }),
 
     // ---- destinations (SURVEY §2.3) ----
+    // SQLite physical replication apply (D9): page rows → byte-identical
+    // replica files, idempotent via the sidecar snapshot watermark
+    "sqlite_replication_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        graft.sources.SqliteReplication.applySnapshots(in(df),
+          cfg(c, "replica_dir"))
+        scala.None
+      }),
     "parquet_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => { Sinks.parquet(in(df), cfg(c, "path"),
         c.getOrElse("truncate", "false").toBoolean); scala.None }),
