@@ -309,7 +309,12 @@ object Multimodal {
               var vidsIndex = -1
               var streamIdx = -1
               var moviOff = -1; var moviEnd = -1
-              def walk(from: Int, to: Int): Unit = {
+              // depth cap: a crafted file nesting thousands of LISTs
+              // must quarantine, not StackOverflowError (an Error the
+              // corrupt-handler below would NOT catch) — real AVIs
+              // nest 3 deep
+              def walk(from: Int, to: Int, depth: Int): Unit = {
+                if (depth > 16) return
                 var p = from
                 while (p + 8 <= to) {
                   val id = fourcc(b, p)
@@ -321,8 +326,8 @@ object Multimodal {
                       if (moviOff < 0) { moviOff = p + 12; moviEnd = (p + 8 + sz).toInt }
                     } else if (listType == "strl") {
                       streamIdx += 1
-                      walk(p + 12, (p + 8 + sz).toInt)
-                    } else walk(p + 12, (p + 8 + sz).toInt)
+                      walk(p + 12, (p + 8 + sz).toInt, depth + 1)
+                    } else walk(p + 12, (p + 8 + sz).toInt, depth + 1)
                   } else if (id == "strh" && sz >= 8) {
                     if (fourcc(b, p + 8) == "vids" && vidsIndex < 0)
                       vidsIndex = streamIdx
@@ -338,7 +343,7 @@ object Multimodal {
                   p += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
                 }
               }
-              walk(12, b.length)
+              walk(12, b.length, 0)
               val topDown = height < 0
               val h = math.abs(height)
               if (moviOff < 0 || vidsIndex < 0 || width <= 0 || h <= 0) corrupt

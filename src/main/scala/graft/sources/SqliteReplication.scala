@@ -158,7 +158,14 @@ object SqliteReplication {
   def tick(spark: SparkSession, store: StateStore, pipeline: String,
            section: String, path: String)(sink: DataFrame => Unit): Long = {
     val prev = loadState(store, pipeline, section)
-    val slice = snapshotFrame(spark, path, prev).persist()
+    // localCheckpoint, not persist: a persisted-only slice recomputes
+    // from the FILES under block loss, and a commit landing mid-tick
+    // would make the recomputed rows differ from what the sink already
+    // wrote — the cursor would then store hashes for pages never
+    // shipped (silent divergence). Checkpointing drops the lineage:
+    // lost blocks fail the tick loudly and the at-least-once replay
+    // re-ships a consistent slice.
+    val slice = snapshotFrame(spark, path, prev).localCheckpoint(true)
     try {
       val n = slice.count()
       if (n > 0) {
@@ -220,33 +227,56 @@ object SqliteReplication {
       .repartition(col("origin"))
       .sortWithinPartitions("origin", "snapshot_id", "blob_num")
       .foreachPartition { rows: Iterator[Row] =>
-        val byOrigin = rows.toSeq.groupBy(_.getString(0))
-        byOrigin.foreach { case (origin, rs) =>
-          val name = origin.substring(origin.lastIndexOf('/') + 1)
-          val target = java.nio.file.Paths.get(replicaDir, name)
-          val mark = java.nio.file.Paths.get(replicaDir, name + ".applied")
-          val applied =
-            if (java.nio.file.Files.exists(mark))
-              new String(java.nio.file.Files.readAllBytes(mark), "UTF-8").trim.toLong
-            else 0L
-          val fresh = rs.filter(_.getLong(1) > applied)
-          if (fresh.nonEmpty) {
-            val raf = new java.io.RandomAccessFile(target.toFile, "rw")
-            try {
-              var lastSize = -1L
-              fresh.foreach { r =>
-                if (r.getInt(2) > 0) { // blob_num 0 = size-only marker
-                  raf.seek(r.getLong(3))
-                  raf.write(r.getAs[Array[Byte]](5))
-                }
-                lastSize = r.getLong(6)
-              }
-              if (lastSize >= 0) raf.setLength(lastSize)
-            } finally raf.close()
-            java.nio.file.Files.write(mark,
-              fresh.map(_.getLong(1)).max.toString.getBytes("UTF-8"))
+        // STREAMING apply — one row in flight at a time: a first full
+        // snapshot of a large database must not materialize in task
+        // memory (the sorted iterator arrives grouped by origin, so one
+        // open file handle is all the state this needs)
+        var origin: String = null
+        var raf: java.io.RandomAccessFile = null
+        var applied = 0L
+        var lastSize = -1L
+        var maxSnap = 0L
+        var wrote = false
+        var mark: java.nio.file.Path = null
+        def closeOrigin(): Unit = if (origin != null) {
+          if (raf != null) {
+            if (lastSize >= 0 && wrote) raf.setLength(lastSize)
+            raf.close(); raf = null
           }
+          if (wrote) // watermark commits last
+            java.nio.file.Files.write(mark,
+              maxSnap.toString.getBytes("UTF-8"))
+          origin = null; wrote = false; lastSize = -1L; maxSnap = 0L
         }
+        try {
+          rows.foreach { r =>
+            val o = r.getString(0)
+            if (o != origin) {
+              closeOrigin()
+              origin = o
+              val name = o.substring(o.lastIndexOf('/') + 1)
+              mark = java.nio.file.Paths.get(replicaDir, name + ".applied")
+              applied =
+                if (java.nio.file.Files.exists(mark))
+                  new String(java.nio.file.Files.readAllBytes(mark),
+                    "UTF-8").trim.toLong
+                else 0L
+              raf = new java.io.RandomAccessFile(
+                java.nio.file.Paths.get(replicaDir, name).toFile, "rw")
+            }
+            val snap = r.getLong(1)
+            if (snap > applied) {
+              if (r.getInt(2) > 0) { // blob_num 0 = size-only marker
+                raf.seek(r.getLong(3))
+                raf.write(r.getAs[Array[Byte]](5))
+              }
+              lastSize = r.getLong(6)
+              maxSnap = math.max(maxSnap, snap)
+              wrote = true
+            }
+          }
+          closeOrigin()
+        } finally if (raf != null) raf.close()
       }
   }
 }

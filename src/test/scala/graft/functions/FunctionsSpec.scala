@@ -302,6 +302,15 @@ class FunctionsSpec extends AnyFunSuite {
         sampleEvery = 1, maxPixels = 100)
       .collect()
     assert(capped(0).getInt(1) == -2 && capped(0).isNullAt(5))
+    // adversarial nesting: thousands of LIST levels must quarantine via
+    // the depth cap, not StackOverflowError the task cannot catch
+    var deep: Array[Byte] = cc("hdrl")
+    (1 to 5000).foreach { _ => deep = chunk("LIST", cc("strl") ++ deep) }
+    val bomb = cc("RIFF") ++ u32b(deep.length + 4) ++ cc("AVI ") ++ deep
+    val deepOut = graft.operators.Multimodal
+      .decodeVideoFeatures(Seq((10L, bomb)).toDF("video_id", "payload"))
+      .collect()
+    assert(deepOut(0).getInt(1) == -1)
   }
 
   test("multiple ArrayDotProducts in one projection survive CODEGEN_ONLY") {
