@@ -752,6 +752,35 @@ object Queries {
         (2, 4096, 4096, 'a202cd509b0d8606433f3ac495aa6c35', 8192))
       t(blob_num, page_offset, blob_size, page_md5, db_size) ORDER BY blob_num"""))
 
+  /** Layout maintenance preserves CONTENT exactly
+    * ([[graft.sources.Layout]]): documents are Z-ORDER-rewritten on
+    * (doc_id, n_chars), the result COMPACTED, and the final table must
+    * aggregate identically to the original — the physical layout
+    * (Morton clustering, file count) must never leak into query results.
+    * The pruning/file-count effects themselves are pinned in
+    * `LayoutSpec`; this query pins content preservation against the SQL
+    * oracle. */
+  private val opLayout = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .select($"doc_id", $"n_chars", $"lang")
+      val path = java.nio.file.Files.createTempDirectory("graft_layout")
+        .toString + "/t"
+      graft.sources.Layout.zorderParquet(docs, path,
+        Seq("doc_id", "n_chars"), targetFiles = 8)
+      graft.sources.Layout.compactParquet(s, path, targetMB = 512)
+      s.read.parquet(path).groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          sum($"doc_id").as("id_sum"))
+        .orderBy($"lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      CAST(sum(doc_id) AS BIGINT) AS id_sum
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
   /** D7 kafka wire shape without a broker: the encode half of the kafka
     * sink (`sections/kafka_connector/src/destination.rs:21-131`) is pure
     * DataFrame code — key = origin, value = row JSON-encoded in column
@@ -2857,6 +2886,7 @@ object Queries {
     "op_profile" -> opProfile,
     "op_sqlite_file" -> opSqliteFile,
     "op_sqlite_repl" -> opSqliteRepl,
+    "op_layout" -> opLayout,
     "op_excel" -> opExcel,
     "op_excel_xls" -> opExcelXls,
     "op_kafka_encode" -> opKafkaEncode,

@@ -613,6 +613,26 @@ object SectionRegistry {
     "parquet_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (_, c, df) => { Sinks.parquet(in(df), cfg(c, "path"),
         c.getOrElse("truncate", "false").toBoolean); scala.None }),
+    // Z-order clustered parquet write: every z_col's per-file range
+    // narrow, so scans pruning on ANY of them skip most files
+    "zorder_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        graft.sources.Layout.zorderParquet(in(df), cfg(c, "path"),
+          cfg(c, "z_cols").split(",").map(_.trim).toSeq,
+          targetFiles = cfg(c, "target_files").toInt,
+          bits = c.getOrElse("bits", "8").toInt)
+        scala.None
+      }),
+    // small-file compaction as a source-shaped maintenance command:
+    // emits a one-row (path, files_before, files_after, rows) report
+    "compact_files" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some {
+        val p = cfg(c, "path")
+        val (b, a, r) = graft.sources.Layout.compactParquet(s, p,
+          c.getOrElse("target_mb", "128").toInt)
+        import s.implicits._
+        Seq((p, b, a, r)).toDF("path", "files_before", "files_after", "rows")
+      }),
     // co-located-join sink: hash-pre-partition a table on its join key at
     // write time so every later equi-join/agg on that key skips its
     // shuffle (see Sinks.bucketedParquet / BucketedJoinSpec)
