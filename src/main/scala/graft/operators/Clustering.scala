@@ -68,10 +68,15 @@ object Clustering {
     * member with the highest score wins, ties broken by ascending id so
     * the choice is deterministic across runs and engines.
     *
-    * Shape: one hash-shuffle on `cluster_id` (the window partition);
-    * rows carry (id, cluster_id, score) — 24 bytes, never text. Cluster
-    * sizes are dup-cluster sizes, bounded by the pair generators' caps
-    * upstream, so no window partition is corpus-sized.
+    * Shape: `max_by` AGGREGATION, not a window — partial aggregation
+    * combines map-side, so the shuffle carries one candidate row per
+    * (partition, cluster), and a pathological mega-cluster (a boilerplate
+    * template duplicated across half the corpus chaining into one
+    * component) costs a merge of partials instead of materializing and
+    * sorting the whole cluster in one task. Rows carry (id, cluster_id,
+    * score) — 24 bytes, never text. The argmax key `(score, -id)` is
+    * unique per row (ids are unique), so ties at equal score
+    * deterministically resolve to the LOWEST id with no second pass.
     *
     * @param members (id, cluster_id) from [[connectedComponents]]
     * @param scores  (id, score) — any quality signal, pre-rounded if the
@@ -80,17 +85,15 @@ object Clustering {
     */
   def representatives(members: DataFrame, scores: DataFrame,
                       idCol: String = "id",
-                      scoreCol: String = "score"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("cluster_id"))
-    val wRank = w.orderBy(col(scoreCol).desc, col(idCol))
+                      scoreCol: String = "score"): DataFrame =
     members.join(scores, Seq(idCol))
-      .withColumn("_rn", row_number().over(wRank))
-      .withColumn("n_members", count(lit(1)).over(w))
-      .filter(col("_rn") === 1)
-      .select(col("cluster_id"), col(idCol).as("rep_id"),
-        col(scoreCol).as("rep_score"), col("n_members"))
-  }
+      .groupBy(col("cluster_id"))
+      .agg(
+        max_by(struct(col(idCol).as("id"), col(scoreCol).as("score")),
+          struct(col(scoreCol), (-col(idCol)).as("_nid"))).as("_rep"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), col("_rep.id").as("rep_id"),
+        col("_rep.score").as("rep_score"), col("n_members"))
 
   /** Distributed connected components by alternating large-star/small-star.
     * One round = large-star (every node's strictly-larger neighbors rewire

@@ -164,14 +164,35 @@ object Sources {
     * a consistent point-in-time view of the table even while an upsert is
     * committing: the batch becomes visible all-at-once when its manifest
     * rename lands, never bucket by bucket. Includes the `_bkt` layout
-    * column, like a direct read of the non-snapshot layout would. */
-  def readUpsertSnapshot(spark: SparkSession, path: String): DataFrame = {
+    * column, like a direct read of the non-snapshot layout would.
+    *
+    * `asOf` TIME-TRAVELS: resolve through the newest retained manifest
+    * version with `epoch <= asOf` (versions are the batch epochs,
+    * 0-based) — the table exactly as that batch committed it. Fails
+    * loudly when the requested version fell past the sink's `retain`
+    * horizon and was garbage-collected: a silent fallback to a different
+    * snapshot would be a wrong answer, not a degraded one. */
+  def readUpsertSnapshot(spark: SparkSession, path: String,
+                         asOf: Option[Long] = scala.None): DataFrame = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val m = UpsertManifest.read(fs, hPath).getOrElse(
-      throw new IllegalArgumentException(
-        s"no upsert manifest at $path — not a snapshot-upsert table " +
-        "(write with Sinks.upsertSnapshotByKey first)"))
+    val m = asOf match {
+      case scala.None =>
+        UpsertManifest.read(fs, hPath).getOrElse(
+          throw new IllegalArgumentException(
+            s"no upsert manifest at $path — not a snapshot-upsert table " +
+            "(write with Sinks.upsertSnapshotByKey first)"))
+      case Some(epoch) =>
+        val versions = UpsertManifest.listVersions(fs, hPath)
+        val pick = versions.filter(_ <= epoch).lastOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"no retained snapshot at or before epoch $epoch at $path — " +
+            s"retained versions: [${versions.mkString(", ")}] (raise the " +
+            "sink's `retain` to keep more history)"))
+        UpsertManifest.readVersion(fs, hPath, pick).getOrElse(
+          throw new IllegalStateException(
+            s"manifest version $pick vanished mid-read at $path"))
+    }
     UpsertManifest.resolve(spark, hPath, m)
   }
 }
@@ -547,10 +568,21 @@ object Sinks {
     * collected lazily at the START of the next upsert (never inside this
     * one), so a reader holding the just-replaced manifest keeps its
     * files until another batch lands — the same one-generation grace the
-    * bak scheme gives, traded against unbounded growth. */
+    * bak scheme gives, traded against unbounded growth.
+    *
+    * `retain` is the TIME-TRAVEL horizon: every commit also writes a
+    * versioned manifest (`_graft_manifest.v<epoch>.json`), and GC keeps
+    * the last `retain` versions plus every epoch-bucket dir any of them
+    * references — [[Sources.readUpsertSnapshot]] with `asOf` resolves
+    * through them, Iceberg/Delta-style, without a table format. The
+    * default of 1 keeps only the current snapshot (exactly the pre-
+    * time-travel layout and GC cadence); storage cost grows with the
+    * CHANGED buckets per retained batch, not with table size. */
   def upsertSnapshotByKey(df: DataFrame, path: String, keyCols: Seq[String],
-                          versionCol: String, buckets: Int = 64): Unit = {
+                          versionCol: String, buckets: Int = 64,
+                          retain: Int = 1): Unit = {
     require(keyCols.nonEmpty, "upsert needs key columns")
+    require(retain >= 1, "retain must keep at least the current snapshot")
     val spark = df.sparkSession
     val dataCols = df.columns.filterNot(_ == "_bkt").toSeq
     val hPath = new org.apache.hadoop.fs.Path(path)
@@ -561,18 +593,33 @@ object Sinks {
         s"upsert bucket count $buckets does not match the table's " +
         s"${m.buckets} at $path — a different modulus would leave stale " +
         s"rows in buckets the merge never rewrites")
-      // lazy GC: epoch dirs no manifest references anymore (retired by
-      // the PREVIOUS batch, past their reader grace) and orphans from a
-      // crashed batch that never committed its manifest
-      val liveEpochs = m.live.values.toSet + m.epoch
+      // lazy GC: drop manifest versions past the retention horizon, then
+      // every epoch dir / bucket dir no RETAINED manifest references —
+      // retired data past its reader grace, and orphans from a crashed
+      // batch that never committed its manifest
+      val versions = UpsertManifest.listVersions(fs, hPath)
+      versions.dropRight(retain).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(hPath,
+          s"_graft_manifest.v$v.json"), false)
+      }
+      val retained = versions.takeRight(retain)
+        .flatMap(v => UpsertManifest.readVersion(fs, hPath, v)) match {
+        case Seq() => Seq(m) // pre-versioning table: current only
+        case ms => if (ms.exists(_.epoch == m.epoch)) ms else ms :+ m
+      }
+      val liveEpochs = retained.flatMap(r => r.live.values.toSet + r.epoch).toSet
+      val liveBuckets: Map[Long, Set[Int]] = retained
+        .flatMap(_.live.toSeq.map { case (b, e) => e -> b })
+        .groupBy(_._1).map { case (e, v) => e -> v.map(_._2).toSet }
       fs.listStatus(hPath)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(".graft_e"))
         .foreach { s =>
           val e = s.getPath.getName.stripPrefix(".graft_e").toLong
           if (!liveEpochs.contains(e)) fs.delete(s.getPath, true)
           else {
-            // epoch still referenced: drop only its RETIRED buckets
-            val mine = m.live.collect { case (b, `e`) => b }.toSet
+            // epoch still referenced: drop only buckets NO retained
+            // manifest resolves through this epoch anymore
+            val mine = liveBuckets.getOrElse(e, Set.empty)
             fs.listStatus(s.getPath)
               .filter(d => d.isDirectory && d.getPath.getName.startsWith("_bkt="))
               .filter(d => !mine.contains(
@@ -672,9 +719,29 @@ private[sources] object UpsertManifest {
   private def path(table: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(table, "_graft_manifest.json")
 
+  private def versionPath(table: org.apache.hadoop.fs.Path, epoch: Long) =
+    new org.apache.hadoop.fs.Path(table, s"_graft_manifest.v$epoch.json")
+
+  /** Committed manifest versions on disk, ascending. */
+  def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+                   table: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(table)) Seq.empty
+    else fs.listStatus(table).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("_graft_manifest.v") && n.endsWith(".json") =>
+        n.stripPrefix("_graft_manifest.v").stripSuffix(".json").toLong
+    }.sorted
+
+  def readVersion(fs: org.apache.hadoop.fs.FileSystem,
+                  table: org.apache.hadoop.fs.Path,
+                  epoch: Long): Option[Manifest] =
+    readAt(fs, versionPath(table, epoch))
+
   def read(fs: org.apache.hadoop.fs.FileSystem,
-           table: org.apache.hadoop.fs.Path): Option[Manifest] = {
-    val p = path(table)
+           table: org.apache.hadoop.fs.Path): Option[Manifest] =
+    readAt(fs, path(table))
+
+  private def readAt(fs: org.apache.hadoop.fs.FileSystem,
+                     p: org.apache.hadoop.fs.Path): Option[Manifest] = {
     if (!fs.exists(p)) scala.None
     else {
       val in = fs.open(p)
@@ -695,16 +762,21 @@ private[sources] object UpsertManifest {
 
   def write(fs: org.apache.hadoop.fs.FileSystem,
             table: org.apache.hadoop.fs.Path, m: Manifest): Unit = {
-    val p = path(table)
     val entries = m.live.toSeq.sorted
       .map { case (b, e) => s""""$b":$e""" }.mkString(",")
     val json = s"""{"buckets":${m.buckets},"epoch":${m.epoch},"live":{$entries}}"""
-    val tmp = new org.apache.hadoop.fs.Path(table, s".${p.getName}.tmp")
     if (!fs.exists(table)) fs.mkdirs(table)
-    val out = fs.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    def commit(p: org.apache.hadoop.fs.Path): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(table, s".${p.getName}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+    // versioned copy FIRST (time-travel history), then the current
+    // pointer — THE commit point stays the single unversioned rename
+    commit(versionPath(table, m.epoch))
+    commit(path(table))
   }
 
   /** The manifest-resolved frame: one partition-pruned scan PER DISTINCT

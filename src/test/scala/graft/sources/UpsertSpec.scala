@@ -256,6 +256,32 @@ class UpsertSpec extends AnyFunSuite {
     assert(snapTable(path) == keys.map(k => (k, "new", 2L)).toSet)
   }
 
+  test("snapshot upsert: time travel via retained manifest versions; GC honors the horizon") {
+    val path = Files.createTempDirectory("ups_tt").toString + "/t"
+    def up(rows: Seq[(Long, String, Long)], retain: Int): Unit =
+      Sinks.upsertSnapshotByKey(rows.toDF("k", "v", "ver"), path,
+        Seq("k"), "ver", buckets = 4, retain = retain)
+    def at(epoch: Long) =
+      Sources.readUpsertSnapshot(spark, path, asOf = Some(epoch))
+        .select("k", "v", "ver").as[(Long, String, Long)].collect().toSet
+    up(Seq((1L, "a", 1L)), retain = 3)                 // epoch 0
+    up(Seq((1L, "A", 2L), (2L, "b", 1L)), retain = 3)  // epoch 1
+    up(Seq((3L, "c", 1L)), retain = 3)                 // epoch 2
+    // each retained version reads back exactly as it committed
+    assert(at(0L) == Set((1L, "a", 1L)))
+    assert(at(1L) == Set((1L, "A", 2L), (2L, "b", 1L)))
+    assert(at(2L) == Set((1L, "A", 2L), (2L, "b", 1L), (3L, "c", 1L)))
+    assert(snapTable(path) == at(2L)) // current == newest
+    // asOf between versions resolves to the newest not-after snapshot
+    assert(at(99L) == at(2L))
+    // shrinking the horizon GCs the oldest version and its sole data
+    up(Seq((4L, "d", 1L)), retain = 2)                 // epoch 3
+    val err = intercept[IllegalArgumentException] { at(0L) }
+    assert(err.getMessage.contains("retained versions"))
+    assert(at(2L) == Set((1L, "A", 2L), (2L, "b", 1L), (3L, "c", 1L)),
+      "snapshots inside the horizon must survive the GC")
+  }
+
   test("snapshot upsert: retired epoch buckets survive one generation, then GC") {
     val path = Files.createTempDirectory("ups_snap_gc").toString + "/t"
     def up(k: Long, v: String, ver: Long): Unit =
