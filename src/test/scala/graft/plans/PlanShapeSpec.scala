@@ -183,4 +183,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(tokenizes <= 2,
       s"expected at most one tokenize per scan pass (2 total), got $tokenizes:\n$p")
   }
+
+  test("dd_cluster_best: representative election is an aggregation, never a window sort") {
+    val p = plan("dd_cluster_best")
+    assert(!p.contains("Window"),
+      s"max_by argmax must plan as an aggregate (map-side partials), " +
+      s"not a per-cluster window sort:\n$p")
+    assert(p.contains("max_by") || p.contains("MaxBy"),
+      "argmax must ride the max_by aggregate")
+  }
+
+  test("cp_decon_bloom: the corpus prefilter probes per document, no pre-filter explode") {
+    val p = plan("cp_decon_bloom")
+    // the Bloom probe must run in the corpus scan's Filter (one boolean
+    // per document); exploding first would defeat the prefilter
+    val filterIdx = p.indexOf("Filter")
+    val explodeIdx = p.indexOf("Generate explode")
+    assert(p.contains("word_ngram_hashes") || p.toLowerCase.contains("udf"),
+      s"prefilter UDF missing from the plan:\n${p.take(2000)}")
+    assert(explodeIdx < 0 || filterIdx >= 0,
+      "prefilter must exist alongside the confirm-stage explode")
+  }
+
+  test("cp_assembly: the mix stage carries text into packing — no re-join with cleaned") {
+    // the composition joins `cleaned` exactly twice (survivor filter +
+    // lang attach); a third join re-deriving text for packSequences
+    // would shuffle the corpus text a second time
+    val p = plan("cp_assembly")
+    // the packer's internal token cache also plans InMemoryTableScans —
+    // count only TEXT-carrying scans (the cleaned frame's schema)
+    val textScans = p.linesIterator
+      .filter(_.contains("InMemoryTableScan"))
+      .count(l => l.contains(" text#") || l.contains("[text#") ||
+        l.contains(",text#"))
+    assert(textScans <= 2,
+      s"cleaned text must be scanned at most 2x (survivors + mix " +
+      s"candidates) — a 3rd scan means packing re-joined it, got $textScans")
+  }
 }
