@@ -98,7 +98,9 @@ object Bench {
     // serving against a PREBUILT quantizer/index (same K=16 config as the
     // oracle queries).
     val splitNames = Seq("ann_ivf_train", "ann_ivf_query",
-      "ann_ivf_disk_build", "ann_ivf_disk_query", "dd_semdedup_query")
+      "ann_ivf_disk_build", "ann_ivf_disk_query", "dd_semdedup_query",
+      "ann_ivf_balanced_train", "ann_ivf_balanced_query",
+      "ann_ivf_append_delta")
     val ivfSplitResults: Seq[(String, Double, Double)] =
       if (!splitNames.exists(wanted)) Seq.empty else try {
         def rmTree(dir: String): Unit = {
@@ -122,6 +124,18 @@ object Bench {
         val cents = if (needCents)
           operators.Ann.trainCentroids(e, kCentroids = 16)
         else Array.empty[Array[Double]]
+        val balCents = if (wanted("ann_ivf_balanced_query"))
+          operators.Ann.trainCentroidsBalanced(e, kCentroids = 16,
+            balanceFactor = 1.2, maxSplitRounds = 4)
+        else Array.empty[Array[Double]]
+        // day-0 index the append-delta line appends day-1 batches into:
+        // built once untimed, so the line prices ONLY the incremental
+        // assign+append of the 20% batch (the r9 daily-arrival path)
+        val appendDir = java.nio.file.Files
+          .createTempDirectory("bench_ivf_app").toString
+        if (wanted("ann_ivf_append_delta"))
+          operators.Ann.ivfIndexWriteTrained(
+            e.filter(col("vec_id") % 5 =!= 0), appendDir, kCentroids = 16)
         val diskDir = java.nio.file.Files
           .createTempDirectory("bench_ivf_idx").toString
         if (wanted("ann_ivf_disk_query"))
@@ -144,10 +158,20 @@ object Bench {
                 diskDir, 5, 2).count(); () }),
           "dd_semdedup_query" -> (() =>
             { operators.Ann.semanticDedupWith(e, cents,
-                threshold = 0.35).count(); () })
+                threshold = 0.35).count(); () }),
+          "ann_ivf_balanced_train" -> (() =>
+            { operators.Ann.trainCentroidsBalanced(e, kCentroids = 16,
+                balanceFactor = 1.2, maxSplitRounds = 4); () }),
+          "ann_ivf_balanced_query" -> (() =>
+            { operators.Ann.ivfTopKFromCentroids(e, col("vec_id") < 10,
+                balCents, 5, 2).count(); () }),
+          "ann_ivf_append_delta" -> (() =>
+            operators.Ann.ivfIndexAppend(
+              e.filter(col("vec_id") % 5 === 0), appendDir))
         ).filter(q => wanted(q._1)).flatMap { case (name, f) =>
           timed(name, f) }
         rmTree(diskDir)
+        rmTree(appendDir)
         out
       } catch { case ex: Throwable =>
         System.err.println(s"[bench] ivf split harness FAILED: ${ex.getMessage}")

@@ -72,6 +72,26 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Parquet write with column BLOOM FILTERS — the point-lookup
+    * complement of [[zorderParquet]]'s range pruning: `WHERE id = x` on
+    * a 100 TB table can skip every row group whose bloom filter rejects
+    * `x`, even where min/max stats are useless (high-cardinality ids
+    * spread across the whole range in every file). Pure writer options
+    * on Spark's parquet sink (`parquet.bloom.filter.enabled#col`) — the
+    * filters land in the file footers and every parquet reader
+    * (Spark's included) prunes with them; `ndv` sizes the filter
+    * (expected distinct values per row group — overshooting costs
+    * footer bytes, undershooting costs false-positive reads, never
+    * correctness). */
+  def parquetWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+                       ndv: Long = 1000000L): Unit = {
+    require(bloomCols.nonEmpty, "need at least one bloom column")
+    bloomCols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }.parquet(path)
+  }
+
   /** Compact a parquet directory into ~`targetMB` files. Reads the
     * listing for the current total size (driver metadata, O(#files)),
     * rewrites into `ceil(total/target)` files in a sibling tmp dir,

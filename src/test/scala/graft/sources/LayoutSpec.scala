@@ -56,6 +56,36 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom-filter write lands filters in the parquet footers, content intact") {
+    import scala.jdk.CollectionConverters._
+    val path = java.nio.file.Files.createTempDirectory("blm").toString + "/t"
+    Layout.parquetWithBloom(docs, path, Seq("doc_id"), ndv = 100000L)
+    val file = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val byName = cols.map(c => c.getPath.toDotString -> c).toMap
+      // the bloom'd column carries a filter offset; the others must not
+      // (footer bytes are per-row-group — filters on every column would
+      // bloat footers for columns nothing point-looks-up)
+      assert(byName("doc_id").getBloomFilterOffset > 0,
+        "doc_id bloom filter missing from the footer")
+      assert(byName("n_chars").getBloomFilterOffset <= 0,
+        "n_chars must not carry a bloom filter")
+      // and the filter actually answers: a member id might be present,
+      // a definitely-absent id is rejected
+      val bloom = reader.readBloomFilter(byName("doc_id"))
+      assert(bloom != null)
+      val present = docs.select("doc_id").head().getLong(0)
+      assert(bloom.findHash(bloom.hash(present)))
+    } finally reader.close()
+    assert(spark.read.parquet(path).count() == docs.count())
+  }
+
   test("compaction shrinks the file count, preserves content, cleans up") {
     val path = java.nio.file.Files.createTempDirectory("cmp").toString + "/t"
     docs.repartition(50).write.parquet(path)
