@@ -2552,6 +2552,60 @@ object Queries {
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0) AS BIGINT) AS seq_id
       FROM tk ORDER BY doc_id"""))
 
+  /** Packing with WITHIN-SEQUENCE offsets
+    * ([[graft.operators.Corpus.packSequences]] `withOffsets`): `seq_pos`
+    * = prefix-sum mod budget — what a training loader needs to place
+    * attention-mask resets / loss-mask boundaries between packed docs.
+    * Same two-pass prefix-sum machinery; the offset is pure arithmetic
+    * on the cumulative the oracle already replays. */
+  private val cpPackOffsets = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.packSequences(Tables.documents(s, dir),
+          budget = 256, withOffsets = true)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH tk AS (SELECT doc_id, CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+        ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS tok
+      FROM documents),
+      cum AS (SELECT doc_id, tok,
+        coalesce(sum(tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+        FROM tk)
+      SELECT doc_id, tok,
+        CAST(floor(c / 256.0) AS BIGINT) AS seq_id,
+        CAST(c % 256 AS BIGINT) AS seq_pos
+      FROM cum ORDER BY doc_id"""))
+
+  /** Chat-transcript assembly ([[graft.operators.Corpus.chatAssembly]]):
+    * events sessionized per user by 30-min gap, each session's turns
+    * concatenated IN (ts, event_id) ORDER into one transcript — the
+    * SFT-data prep composition, with the ordering tie-broken so both
+    * engines emit byte-identical strings. */
+  private val cpChatAssembly = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.chatAssembly(Tables.events(s, dir),
+          turn = concat(lit("["), $"event_type", lit("]")))
+        .orderBy($"user_id", $"sess_id")
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+            THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      sess AS (
+        SELECT user_id, ts, event_id, event_type,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM ev)
+      SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        count(*) AS n_turns,
+        string_agg('[' || event_type || ']', chr(10) ORDER BY ts, event_id) AS transcript
+      FROM sess GROUP BY user_id, sess_id
+      ORDER BY user_id, sess_id"""))
+
   /** Deterministic weighted corpus mixing: per-language keep rates via
     * md5(doc_id) — reproducible across runs, partitionings, and engines. */
   private val cpMix = Q(
@@ -2941,6 +2995,8 @@ object Queries {
     "cp_decon_bloom" -> cpDeconBloom,
     "cp_segment_dedup" -> cpSegDedup,
     "cp_pack_sequences" -> cpPack,
+    "cp_pack_offsets" -> cpPackOffsets,
+    "cp_chat_assembly" -> cpChatAssembly,
     "cp_mix_weighted" -> cpMix,
     "cp_mix_temperature" -> cpMixTemperature,
     "cp_mix_token_budget" -> cpMixTokenBudget,

@@ -146,11 +146,18 @@ object Corpus {
     * which is what a bare `Window.orderBy(doc_id)` would do; Spark warns
     * "moving all data to a single partition" on exactly that shape).
     *
-    * @return `(doc_id, tok, seq_id)` per document.
+    * `withOffsets` additionally emits `seq_pos` — the document's token
+    * OFFSET inside its sequence (`prefix-sum mod budget`, pure
+    * arithmetic on the already-computed cumulative): the piece a
+    * training loader needs to place attention-mask resets and loss-mask
+    * boundaries between packed documents without re-tokenizing.
+    *
+    * @return `(doc_id, tok, seq_id[, seq_pos])` per document.
     */
   def packSequences(docs: DataFrame, budget: Long = 256, partitions: Int = 32,
                     idCol: String = "doc_id", textCol: String = "text",
-                    stageDir: Option[String] = None): DataFrame = {
+                    stageDir: Option[String] = None,
+                    withOffsets: Boolean = false): DataFrame = {
     // the pass-1 frame must be FROZEN between the offsets pass and the
     // scoring pass (pid assignment must not be recomputed differently).
     // Default: persisted — the rows are 3 longs each, ~24 bytes/doc,
@@ -173,10 +180,50 @@ object Corpus {
       .toDF("_pid", "_off")
     val w = Window.partitionBy(col("_pid")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    toks.join(broadcast(offDf), Seq("_pid"))
+    val cum = toks.join(broadcast(offDf), Seq("_pid"))
       .withColumn("_cum", coalesce(sum(col("tok")).over(w), lit(0L)) + col("_off"))
-      .select(col("doc_id"), col("tok"),
-        floor(col("_cum") / budget).cast("long").as("seq_id"))
+    val base = Seq(col("doc_id"), col("tok"),
+      floor(col("_cum") / budget).cast("long").as("seq_id"))
+    val outCols =
+      if (withOffsets) base :+ (col("_cum") % budget).as("seq_pos") else base
+    cum.select(outCols: _*)
+  }
+
+  /** CHAT-TRANSCRIPT assembly from an event stream — the SFT-data prep
+    * step: sessionize per user by inactivity gap (the same session rule
+    * as the relational surface's q15), then concatenate each session's
+    * turns IN ORDER into one transcript string with a turn count. `turn`
+    * is any Column rendering one event as one line — the caller decides
+    * what a turn looks like; the operator owns sessionization, ordering
+    * and assembly.
+    *
+    * Determinism: turns order by `(tsCol, tieCol)` — a timestamp tie
+    * (same-ms events) must not let two runs emit different transcripts.
+    * Shape: two window passes over (user, ts) — the sessionize shuffle —
+    * then one groupBy(user, session) whose per-group state is one
+    * session's turns (bounded by session length, never a user's whole
+    * history in one task beyond the window pass both engines share).
+    *
+    * @return `(user_id, sess_id, n_turns, transcript)` one row per
+    *         session, `sess_id` 1-based per user. */
+  def chatAssembly(events: DataFrame, turn: Column, gapSeconds: Long = 1800,
+                   userCol: String = "user_id", tsCol: String = "ts",
+                   tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val sess = events
+      .withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_new", when(col("_prev").isNull ||
+        unix_micros(col(tsCol)) - unix_micros(col("_prev")) >
+          gapSeconds * 1000000L, 1).otherwise(0))
+      .withColumn("sess_id",
+        sum(col("_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_turn", turn)
+    sess.groupBy(col(userCol), col("sess_id"))
+      .agg(count(lit(1)).as("n_turns"),
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col(tsCol).as("t"),
+            col(tieCol).as("i"), col("_turn").as("x")))),
+          s => s("x"))).as("transcript"))
   }
 
   /** Deterministic weighted corpus mixing — per-domain sampling at exactly

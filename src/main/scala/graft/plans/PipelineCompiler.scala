@@ -442,7 +442,18 @@ object SectionRegistry {
         partitions = c.getOrElse("partitions", "32").toInt,
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text"),
-        stageDir = c.get("stage_dir")))),
+        stageDir = c.get("stage_dir"),
+        withOffsets = c.getOrElse("with_offsets", "false").toBoolean))),
+    // chat-transcript assembly: sessionize per user by inactivity gap,
+    // concatenate each session's turns (turn_expr renders one event) in
+    // deterministic (ts, tie) order — the SFT-data prep composition
+    "chat_assembly" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.chatAssembly(in(df),
+        turn = expr(cfg(c, "turn_expr")),
+        gapSeconds = c.getOrElse("gap_seconds", "1800").toLong,
+        userCol = c.getOrElse("user_column", "user_id"),
+        tsCol = c.getOrElse("ts_column", "ts"),
+        tieCol = c.getOrElse("tie_column", "event_id")))),
     // temperature-based mixing: keep-rate per domain ∝ n_d^(alpha-1)
     // anchored at the smallest domain (Corpus.mixTemperature)
     "mix_temperature" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),

@@ -256,6 +256,12 @@ class TrainingSectionsSpec extends AnyFunSuite {
     assert(pack.filter(org.apache.spark.sql.functions.col("seq_id") < 0).count() == 0)
     spark.catalog.clearCache()
 
+    val packOff = run("pack_sequences", """"budget":"256","with_offsets":"true"""")
+    assert(packOff.columns.toSeq == Seq("doc_id", "tok", "seq_id", "seq_pos"))
+    assert(packOff.filter(
+      org.apache.spark.sql.functions.col("seq_pos") >= 256).count() == 0)
+    spark.catalog.clearCache()
+
     val mix = run("mix_weighted", """"rates":"en:1.0,de:0.0,es:0.0,fr:0.0,zh:0.0"""")
     assert(mix.columns.toSeq == Seq("doc_id", "lang"))
     assert(mix.select("lang").distinct().collect().map(_.getString(0)).toSeq == Seq("en"))
