@@ -528,6 +528,40 @@ object Queries {
       FROM sess GROUP BY user_id, sess_id
       ORDER BY user_id, session_start"""))
 
+  /** The STREAMING chat-assembly operator
+    * ([[graft.streaming.StatefulChat]], custom per-key state carrying the
+    * turn lists) verified against the first-principles oracle: same
+    * interval-merge close rule as `st_sessions_custom` (exact-gap starts
+    * a NEW session, `>=`), transcripts string-agg'd in (ts, event_id)
+    * order — the streaming path must emit byte-identical strings. */
+  private val stChatAssembly = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.streaming.StatefulChat.assembleBatchComplete(
+          Tables.events(s, dir),
+          turn = concat(lit("["), $"event_type", lit("]")))
+        .select($"key".cast("long").as("user_id"),
+          $"session_start".cast("string").as("session_start"),
+          $"n_turns", $"transcript")
+        .orderBy($"user_id", $"session_start")
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, ts, event_id, event_type,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
+            THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      sess AS (
+        SELECT user_id, ts, event_id, event_type,
+          sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM ev)
+      SELECT user_id, CAST(min(ts) AS VARCHAR) AS session_start,
+        count(*) AS n_turns,
+        string_agg('[' || event_type || ']', chr(10) ORDER BY ts, event_id) AS transcript
+      FROM sess GROUP BY user_id, sess_id
+      ORDER BY user_id, session_start"""))
+
   private val q24 = Q(
     (s, dir) => {
       import s.implicits._
@@ -2988,6 +3022,7 @@ object Queries {
     "mm_decode_video" -> mmDecodeVideo,
     "st_tumbling_window" -> stTumbling,
     "st_sessions_custom" -> stSessionsCustom,
+    "st_chat_assembly" -> stChatAssembly,
     "st_dedup" -> stDedup,
     "st_stream_join" -> stStreamJoin,
     "st_static_join" -> stStaticJoin,

@@ -350,6 +350,24 @@ object SectionRegistry {
           Some(graft.streaming.StatefulSessions.sessionizeBatchComplete(
             frame, key, ts, gap))
       }),
+    // streaming-capable chat assembly: the custom-state transcript path
+    // on a streaming frame (sessions close at the watermark), the
+    // sentinel-completed batch twin otherwise — same rows either way
+    "chat_assembly_stateful" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val frame = in(df)
+        val turn = expr(cfg(c, "turn_expr"))
+        val key = c.getOrElse("key_column", "user_id")
+        val ts = c.getOrElse("ts_column", "ts")
+        val tie = c.getOrElse("tie_column", "event_id")
+        val gap = c.getOrElse("gap_seconds", "1800").toLong
+        if (frame.isStreaming)
+          Some(graft.streaming.StatefulChat.assemble(frame, turn, key, ts,
+            tie, gap, watermark = c.getOrElse("watermark", "0 seconds")).toDF())
+        else
+          Some(graft.streaming.StatefulChat.assembleBatchComplete(
+            frame, turn, key, ts, tie, gap))
+      }),
     // deterministic hash-bucket train/valid/test split: RNG-free,
     // shuffle-free, stable across runs and engines (validates percentages)
     "dataset_split" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
