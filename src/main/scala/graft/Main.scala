@@ -94,10 +94,44 @@ object Main {
           println(f"$name%-32s ${e.io.input}%-16s -> ${e.io.output}")
         }
 
+    // lake maintenance: small-file compaction (atomic, row-count-guarded)
+    case "compact" :: path :: rest if rest.size <= 1 =>
+      val spark = session()
+      try {
+        val target = rest.headOption.map(_.toInt).getOrElse(128)
+        val (before, after, rows) =
+          graft.sources.Layout.compactParquet(spark, path, target)
+        println(s"[graft compact] $path: $before -> $after files, $rows rows")
+      } finally spark.stop()
+
+    // lake maintenance: Z-order rewrite for multi-column file pruning
+    case "zorder" :: inPath :: outPath :: cols :: files :: Nil =>
+      val spark = session()
+      try {
+        graft.sources.Layout.zorderParquet(spark.read.parquet(inPath),
+          outPath, cols.split(",").map(_.trim).toSeq, files.toInt)
+        println(s"[graft zorder] $inPath -> $outPath clustered on $cols")
+      } finally spark.stop()
+
+    // one-shot physical replication catch-up: db(s) -> replica dir,
+    // cursor persisted under stateDir (re-run to ship only changes)
+    case "replicate" :: db :: replicaDir :: rest if rest.size <= 1 =>
+      val spark = session()
+      try {
+        val store = new graft.plans.StateStore(
+          rest.headOption.getOrElse(s"$replicaDir/.graft_state"))
+        val n = graft.sources.SqliteReplication.catchUp(spark, store,
+          "cli", "replicate", db)(
+          graft.sources.SqliteReplication.applySnapshots(_, replicaDir))
+        println(s"[graft replicate] $db -> $replicaDir: $n page rows shipped")
+      } finally spark.stop()
+
     case _ =>
       System.err.println("usage: graft run <spec.json>... | reconcile <dir> | " +
         "watch <dir> [intervalMs] | serve <dir> [port] [intervalMs] | " +
-        "validate <spec.json> | show <spec.json> | sections")
+        "validate <spec.json> | show <spec.json> | sections | " +
+        "compact <path> [targetMB] | zorder <in> <out> <cols> <files> | " +
+        "replicate <dbGlob> <replicaDir> [stateDir]")
       sys.exit(2)
   }
 
