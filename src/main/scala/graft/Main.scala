@@ -94,6 +94,19 @@ object Main {
           println(f"$name%-32s ${e.io.input}%-16s -> ${e.io.output}")
         }
 
+    // plan inspection: print a registered query's physical plan against
+    // a testdata dir — the .explain("formatted") loop made a command
+    case "explain" :: name :: rest if rest.size <= 1 =>
+      val spark = session()
+      try {
+        val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
+        val q = graft.Queries.all.toMap.getOrElse(name,
+          { System.err.println(s"unknown query '$name' — see: " +
+              graft.Queries.all.map(_._1).mkString(", "))
+            sys.exit(2) })
+        q.fn(spark, dir).explain("formatted")
+      } finally spark.stop()
+
     // lake maintenance: small-file compaction (atomic, row-count-guarded)
     case "compact" :: path :: rest if rest.size <= 1 =>
       val spark = session()
@@ -130,6 +143,7 @@ object Main {
       System.err.println("usage: graft run <spec.json>... | reconcile <dir> | " +
         "watch <dir> [intervalMs] | serve <dir> [port] [intervalMs] | " +
         "validate <spec.json> | show <spec.json> | sections | " +
+        "explain <query> [sfDir] | " +
         "compact <path> [targetMB] | zorder <in> <out> <cols> <files> | " +
         "replicate <dbGlob> <replicaDir> [stateDir]")
       sys.exit(2)
