@@ -1813,6 +1813,56 @@ object Queries {
            w -> (len(w) - 1) // 4)))::BIGINT AS n_bpeish_tokens
       FROM documents ORDER BY doc_id"""))
 
+  /** Trained BPE tokenizer ([[graft.operators.Corpus.bpeTrain]] — real
+    * Sennrich-style merges learned IN the engine over the word-frequency
+    * dictionary) + per-doc token counts under the learned table. The
+    * merge list is data-dependent driver state (the balanced-IVF
+    * situation), so the oracle INJECTS the captured merges as literals
+    * and re-derives every count independently: recursive-CTE greedy
+    * encode per distinct word ((rank, leftmost) one merge per step —
+    * provably the HF encode loop), then occurrence-weighted sums per
+    * document. Any drift in split semantics, merge order, or tie-breaks
+    * is a hash mismatch. */
+  @volatile private var bpeMergesCapture: Option[Seq[String]] = scala.None
+  private val taBpe = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Corpus.bpeTrain(docs, maxMerges = 40)
+      bpeMergesCapture = Some(merges)
+      graft.operators.Corpus.bpeTokenCounts(docs, merges)
+        .orderBy($"doc_id")
+    },
+    () => bpeMergesCapture.map { merges =>
+      def esc(t: String) = t.replace("'", "''")
+      val values = merges.zipWithIndex.map { case (pair, i) =>
+        val Array(l, r) = pair.split(" ", 2)
+        s"($i, '${esc(l)}', '${esc(r)}')"
+      }.mkString(", ")
+      s"""WITH RECURSIVE $toksCte,
+        occ AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+        words AS (SELECT DISTINCT w FROM occ),
+        merges(rank, l, r) AS (SELECT * FROM (VALUES $values) m),
+        enc(w, parts) AS (
+          SELECT w, list_transform(range(1, len(w) + 1), i -> w[i:i])
+          FROM words
+          UNION ALL
+          SELECT e.w,
+            e.parts[1:b.i-1] || [e.parts[b.i] || e.parts[b.i+1]] || e.parts[b.i+2:]
+          FROM enc e, LATERAL (
+            SELECT m.rank, u.i
+            FROM (SELECT unnest(range(1, len(e.parts))) AS i) u
+            JOIN merges m ON m.l = e.parts[u.i] AND m.r = e.parts[u.i+1]
+            ORDER BY m.rank, u.i LIMIT 1) b),
+        wn AS (SELECT w, min(len(parts)) AS nt FROM enc GROUP BY w)
+        SELECT d.doc_id, coalesce(s.n, 0)::BIGINT AS n_bpe_tokens
+        FROM documents d LEFT JOIN (
+          SELECT occ.doc_id, sum(wn.nt) AS n
+          FROM occ JOIN wn USING (w) GROUP BY occ.doc_id) s
+          USING (doc_id)
+        ORDER BY d.doc_id"""
+    })
+
   private val taFingerprint = Q(
     (s, dir) => {
       import s.implicits._
@@ -2821,6 +2871,135 @@ object Queries {
         < CAST(floor(least(1.0, n_chars / 400.0) * 10000) AS BIGINT)
       ORDER BY doc_id"""))
 
+  /** DSIR importance weighting ([[graft.operators.Corpus.dsirWeights]],
+    * Xie et al. 2023): every document scored by the log-likelihood ratio
+    * of its counted unigram+bigram hash-bucket bag under the TARGET
+    * domain's smoothed distribution (here: the English slice) vs the raw
+    * corpus's own. The oracle rebuilds the same bag (trim+`\s+` tokens,
+    * space-joined bigrams, md5-60-bit buckets), both histograms, the
+    * round-6 per-bucket log-ratios, and the DECIMAL-exact per-doc sums. */
+  private val cpDsir = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.dsirWeights(Tables.documents(s, dir),
+          isTarget = $"lang" === "en", buckets = 1024)
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+        FROM documents),
+      grams AS (
+        SELECT doc_id, tgt, unnest(list_concat(ts,
+          CASE WHEN len(ts) < 2 THEN []::VARCHAR[]
+          ELSE list_transform(range(0, len(ts) - 1),
+            i -> ts[i+1] || ' ' || ts[i+2]) END)) AS g
+        FROM toks),
+      fv AS (SELECT doc_id, tgt,
+          ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS f
+        FROM grams),
+      dc AS (SELECT doc_id, tgt, f, count(*) AS c FROM fv GROUP BY 1, 2, 3),
+      hist AS (SELECT f, sum(c) AS cr,
+          sum(CASE WHEN tgt THEN c ELSE 0 END) AS ct
+        FROM dc GROUP BY f),
+      tot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM hist),
+      lam AS (SELECT f,
+          CAST(round(ln((ct + 1)::DOUBLE / (tt + 1024)) -
+                     ln((cr + 1)::DOUBLE / (tr + 1024)), 6)
+            AS DECIMAL(18,6)) AS lam
+        FROM hist CROSS JOIN tot),
+      w AS (SELECT doc_id, sum(c * lam) AS wsum, sum(c) AS nf
+        FROM dc JOIN lam USING (f) GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(nf, 0)::BIGINT AS n_feats,
+        round(coalesce(wsum, 0)::DOUBLE, 6) AS dsir_logratio
+      FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
+  /** The logistic-regression TRAINING itself as an unrolled CTE chain
+    * (the [[ivfTrainingCtes]] discipline applied to gradient descent):
+    * shared feats/base prep, then one forward+gradient+update trio per
+    * iteration. `w$i`/`b$i` are the model after iteration i; `pScore`
+    * closes with the final forward pass. */
+  private def lrTrainingCtes(buckets: Int, iters: Int, lr: String): String = {
+    val sb = new StringBuilder
+    sb ++= s"""ltoks AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+          ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+        FROM documents),
+      lgrams AS (
+        SELECT doc_id, y, unnest(list_concat(ts,
+          CASE WHEN len(ts) < 2 THEN []::VARCHAR[]
+          ELSE list_transform(range(0, len(ts) - 1),
+            i -> ts[i+1] || ' ' || ts[i+2]) END)) AS g
+        FROM ltoks),
+      lfeats AS (SELECT doc_id, y,
+          ('0x' || substr(md5(g), 1, 15))::BIGINT % $buckets AS f,
+          count(*) AS c
+        FROM lgrams GROUP BY 1, 2, 3),
+      lbase AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+      lhist AS (SELECT f, sum(c) AS cr,
+          sum(CASE WHEN y = 1 THEN c ELSE 0 END) AS ct
+        FROM lfeats GROUP BY f),
+      ltot AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM lhist),
+      w0 AS (SELECT f,
+          CAST(round(ln((ct + 1)::DOUBLE / (tt + $buckets)) -
+                     ln((cr + 1)::DOUBLE / (tr + $buckets)), 6)
+            AS DECIMAL(18,6)) AS w
+        FROM lhist CROSS JOIN ltot),
+      b0 AS (SELECT CAST(0 AS DECIMAL(18,6)) AS b),
+      nd0 AS (SELECT count(*) AS nd FROM lbase)"""
+    for (i <- 1 to iters) sb ++= s""",
+      p$i AS (SELECT b.doc_id, b.y,
+          CAST(round(1.0 / (1.0 + exp(-((SELECT b FROM b${i - 1}) +
+            coalesce(d.dot, 0)::DOUBLE))), 6) AS DECIMAL(10,6)) AS p
+        FROM lbase b LEFT JOIN (
+          SELECT lfeats.doc_id, sum(w.w * lfeats.c) AS dot
+          FROM lfeats JOIN w${i - 1} w USING (f) GROUP BY lfeats.doc_id) d
+          USING (doc_id)),
+      g$i AS (SELECT f,
+          sum(CAST(round((p.p::DOUBLE - lfeats.y) * lfeats.c
+            / (SELECT nd FROM nd0), 12) AS DECIMAL(24,12))) AS g
+        FROM lfeats JOIN p$i p USING (doc_id) GROUP BY f),
+      w$i AS (SELECT w.f,
+          CAST(round(w.w - $lr * coalesce(g.g, 0), 6) AS DECIMAL(18,6)) AS w
+        FROM w${i - 1} w LEFT JOIN g$i g USING (f)),
+      b$i AS (SELECT CAST(round((SELECT b FROM b${i - 1}) -
+          $lr * (SELECT sum(CAST(round((p::DOUBLE - y)
+            / (SELECT nd FROM nd0), 12) AS DECIMAL(24,12))) FROM p$i), 6)
+          AS DECIMAL(18,6)) AS b)"""
+    sb ++= s""",
+      pScore AS (SELECT b.doc_id,
+          CAST(round(1.0 / (1.0 + exp(-((SELECT b FROM b$iters) +
+            coalesce(d.dot, 0)::DOUBLE))), 6) AS DECIMAL(10,6)) AS p
+        FROM lbase b LEFT JOIN (
+          SELECT lfeats.doc_id, sum(w.w * lfeats.c) AS dot
+          FROM lfeats JOIN w$iters w USING (f) GROUP BY lfeats.doc_id) d
+          USING (doc_id))"""
+    sb.result()
+  }
+
+  /** Trained quality/domain classifier ([[graft.operators.Corpus
+    * .qualityClassifierScore]], the GPT-3/CCNet selection recipe):
+    * logistic regression over counted unigram+bigram hash-bucket tf
+    * features, positives = the English slice, trained by 3 full-batch GD
+    * iterations IN the engine. The oracle replays the training as an
+    * unrolled CTE chain — forward pass, round-9 DECIMAL gradient sums,
+    * exact round-6 weight updates — then the final scoring pass. */
+  private val cpQualityClassifier = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.qualityClassifierScore(Tables.documents(s, dir),
+          isPositive = $"lang" === "en", buckets = 256, iters = 4,
+          lr = BigDecimal("0.02"))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH ${lrTrainingCtes(256, 4, "0.02")}
+      SELECT doc_id, p::DOUBLE AS quality_prob
+      FROM pScore ORDER BY doc_id"""))
+
   /** Sliding token-window chunking (64-token windows, stride 32) — the
     * embedding/retrieval prep step; narrow explode, no shuffle. */
   private val cpChunk = Q(
@@ -3004,6 +3183,7 @@ object Queries {
     "ta_langid" -> taLangId,
     "ta_quality" -> taQuality,
     "ta_tokens" -> taTokens,
+    "ta_bpe_tokens" -> taBpe,
     "ta_fingerprint" -> taFingerprint,
     "ta_split" -> taSplit,
     "ta_lm_score" -> taLmScore,
@@ -3038,6 +3218,8 @@ object Queries {
     "cp_bm25_topk" -> cpBm25,
     "cp_chunk" -> cpChunk,
     "cp_sample_quality" -> cpSample,
+    "cp_dsir_weights" -> cpDsir,
+    "cp_quality_classifier" -> cpQualityClassifier,
     "cp_scrub_spans" -> cpScrub,
     "cp_assembly" -> cpAssembly,
     "cp_assembly_staged" -> cpAssemblyStaged)

@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Byte-pair-encoding ENCODE against a learned merge table, as one native
+  * expression: tokenize (trim + `\s+`, the engine-wide convention), split
+  * each word to characters, then repeatedly merge the LOWEST-RANK,
+  * LEFTMOST adjacent pair present in the merge table until none applies —
+  * the HuggingFace-style greedy encode loop (re-scan after every merge, so
+  * merges that surface new lower-rank pairs are honored).
+  *
+  * One-occurrence-at-a-time (rank, then position) is used deliberately:
+  * it is observationally identical to the classic merge-all-occurrences
+  * pass (left-to-right resolution of overlapping runs falls out for
+  * free), and it is exactly replayable as a recursive SQL CTE — one
+  * recursion step per merge — which is how the DuckDB oracle checks this
+  * expression against the same learned table.
+  *
+  * The merge table rides into generated code as a reference object
+  * (rank-indexed HashMap), so the whole encode stays inside
+  * WholeStageCodegen — this is a per-row narrow op over the full corpus,
+  * the same hot path as the other tokenizer expressions.
+  */
+case class BpeTokenCount(child: Expression, merges: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"argument must be string, got $t")
+    }
+
+  @transient private lazy val ranks = Bpe.rankMap(merges)
+
+  override def nullSafeEval(v: Any): Any =
+    Bpe.tokenCount(v.asInstanceOf[UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // raw type: janino compiles no generics
+    val ref = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.tokenCount($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BpeTokenCount {
+  def apply(c: Column, merges: Seq[String]): Column =
+    ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(c), merges))
+}
+
+object Bpe {
+
+  /** Merge list ("left right", rank = position) → rank lookup. */
+  def rankMap(merges: Seq[String]): java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case (pair, i) =>
+      require(pair.count(_ == ' ') == 1,
+        s"merge must be 'left right', got '$pair'")
+      m.put(pair, i)
+    }
+    m
+  }
+
+  /** Encode ONE word: char split, then repeat { find the (lowest-rank,
+    * leftmost) adjacent pair in the table; merge that one occurrence }
+    * until no pair applies. Exactly the recursive-CTE step the oracle
+    * replays. */
+  def encodeWord(word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
+    if (word.isEmpty) return Array.empty
+    var parts = new Array[String](word.codePointCount(0, word.length))
+    var i = 0; var k = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      parts(k) = new String(Character.toChars(cp)); k += 1
+      i += Character.charCount(cp)
+    }
+    var done = parts.length <= 1
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestAt = -1
+      var j = 0
+      while (j < parts.length - 1) {
+        val r = ranks.get(parts(j) + " " + parts(j + 1))
+        if (r != null && r < bestRank) { bestRank = r; bestAt = j }
+        j += 1
+      }
+      if (bestAt < 0) done = true
+      else {
+        val next = new Array[String](parts.length - 1)
+        System.arraycopy(parts, 0, next, 0, bestAt)
+        next(bestAt) = parts(bestAt) + parts(bestAt + 1)
+        System.arraycopy(parts, bestAt + 2, next, bestAt + 1,
+          parts.length - bestAt - 2)
+        parts = next
+        done = parts.length <= 1
+      }
+    }
+    parts
+  }
+
+  /** BPE token count of a whole text: Σ over whitespace words of the
+    * encoded part count. Trim + `\s+`, empty-safe — the `TF.tokens`
+    * convention. */
+  def tokenCount(s: UTF8String, ranks: java.util.HashMap[String, Integer]): Int = {
+    val str = s.toString.trim
+    if (str.isEmpty) return 0
+    val words = str.split("\\s+")
+    var total = 0
+    var i = 0
+    while (i < words.length) {
+      total += encodeWord(words(i), ranks).length
+      i += 1
+    }
+    total
+  }
+
+  /** Apply ALL occurrences of one pair left-to-right (the training-round
+    * update: the chosen merge is folded into every word of the dict). */
+  def applyMerge(parts: Array[String], left: String, right: String): Array[String] = {
+    if (parts.length < 2) return parts
+    val out = new scala.collection.mutable.ArrayBuffer[String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (i < parts.length - 1 && parts(i) == left && parts(i + 1) == right) {
+        out += left + right; i += 2
+      } else { out += parts(i); i += 1 }
+    }
+    out.toArray
+  }
+}
+
+/** Training-round helper expression: fold one learned merge into a word's
+  * current part list (all occurrences, left-to-right). Used by
+  * [[graft.operators.Corpus.bpeTrain]]'s per-round dictionary update —
+  * narrow, codegen'd, no shuffle. */
+case class BpeMergeApply(child: Expression, left: String, right: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"argument must be array<string>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    BpeMergeApply.compute(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], left, right)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("bpeLeft", left, "java.lang.String")
+    val r = ctx.addReferenceObj("bpeRight", right, "java.lang.String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeMergeApply.compute($c, $l, $r)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BpeMergeApply {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def compute(parts: ArrayData, left: String, right: String): ArrayData = {
+    // always materialize: the input ArrayData may be an UnsafeArrayData
+    // view over a buffer Spark reuses across rows
+    val n = parts.numElements()
+    val arr = new Array[String](n)
+    var i = 0
+    while (i < n) { arr(i) = parts.getUTF8String(i).toString; i += 1 }
+    val merged = if (n < 2) arr else Bpe.applyMerge(arr, left, right)
+    new GenericArrayData(merged.map(UTF8String.fromString(_)))
+  }
+
+  def apply(c: Column, left: String, right: String): Column =
+    ColumnBridge.column(BpeMergeApply(ColumnBridge.expression(c), left, right))
+}

@@ -623,4 +623,278 @@ object Corpus {
       .select(col(idCol).as("doc_id"), round(col("score"), 6).as("score"))
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
   }
+
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", 2023): score every raw
+    * document by how much more likely its hashed-n-gram bag is under the
+    * TARGET domain's feature distribution than under the raw corpus's own —
+    * `log p̂_tgt(doc) − log p̂_raw(doc) = Σ_f c_f · (ln p̂_tgt[f] − ln p̂_raw[f])`
+    * over Laplace-smoothed bucket unigram models. High-scoring documents
+    * "look like" the target domain; thinning the corpus by this weight is
+    * the published recipe for domain-targeted pretraining selection.
+    *
+    * Features are counted unigram+bigram hash buckets
+    * ([[graft.functions.WordNgramBuckets]] — one fused codegen loop per
+    * row; the paper's hashed n-gram model). Both distributions come out
+    * of ONE corpus pass: the target is a predicate over the same frame
+    * (`isTarget`), so the per-bucket histogram aggregates raw and target
+    * counts side by side — no second scan of the text.
+    *
+    * Scale shape: one text scan → per-(doc, bucket) counts (map-side
+    * combined, at most `buckets` rows per doc after the first combine);
+    * the model itself is O(buckets) rows — broadcast, never a shuffle of
+    * the corpus on anything wide. Per-bucket log-ratios round to 6 and
+    * multiply counts in DECIMAL, so the per-doc sum is order-independent
+    * and engine-reproducible (the [[lmQualityScore]] convention).
+    *
+    * @return `(doc_id, n_feats, dsir_logratio)` — one row per input doc
+    *         (feature-less docs score 0), logratio rounded to 6.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 4096,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    import graft.functions.WordNgramBuckets
+    val feats = docs.select(col(idCol).as("doc_id"), isTarget.as("_tgt"),
+      explode(WordNgramBuckets(col(textCol), 2, buckets)).as("f"))
+    // one text scan: per-(doc, bucket) counts carry the target flag along
+    val perDoc = feats.groupBy(col("doc_id"), col("_tgt"), col("f"))
+      .agg(count(lit(1)).as("c"))
+    // both histograms from the already-reduced counts, never the text
+    val hist = perDoc.groupBy(col("f")).agg(
+      sum(col("c")).as("cr"),
+      sum(when(col("_tgt"), col("c")).otherwise(lit(0L))).as("ct"))
+    val tot = hist.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val lam = hist.crossJoin(broadcast(tot)).select(col("f"),
+      round(log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
+            log((col("cr") + 1).cast("double") / (col("tr") + buckets)), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lam"))
+    val w = perDoc.join(broadcast(lam), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("lam")).as("wsum"), sum(col("c")).as("nf"))
+    docs.select(col(idCol).as("doc_id")).join(w, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nf"), lit(0L)).as("n_feats"),
+        round(coalesce(col("wsum").cast("double"), lit(0.0)), 6)
+          .as("dsir_logratio"))
+  }
+
+  /** TRAINED quality/domain classifier — the GPT-3/CCNet recipe: a
+    * logistic regression over counted hashed-n-gram features, positives =
+    * a curated target slice, negatives = the raw corpus — NAIVE-BAYES
+    * INITIALIZED and refined by full-batch gradient descent IN the
+    * engine, then scored over every document. The classic use: train
+    * against a trusted corpus and keep raw documents the classifier
+    * scores target-like.
+    *
+    * Initialization IS the generative solution: `w₀[f]` = the per-bucket
+    * Laplace-smoothed log-likelihood ratio — exactly [[dsirWeights]]'
+    * model — so `σ(w₀·x)` is already the naive-Bayes posterior and the
+    * descent starts from a strong separator instead of a flat one
+    * (`nbInit = false` gives the cold start). GD then refines the
+    * weights DISCRIMINATIVELY — NB double-counts correlated n-grams
+    * (adjacent bigrams share their unigrams by construction); the
+    * logistic gradient sees the joint prediction and backs correlated
+    * features off, and the bias learns the class prior the likelihood
+    * ratio ignores.
+    *
+    * Training is distributed AND engine-reproducible, the
+    * [[graft.operators.Ann.trainCentroids]] discipline applied to GD:
+    *
+    *  - features: counted unigram+bigram buckets
+    *    ([[graft.functions.WordNgramBuckets]]), raw counts (`x_f = c_f`
+    *    — the NB-init scores are then exact document log-ratios);
+    *    per-(doc,bucket) counts reduce once, persisted, reused by every
+    *    iteration and the final scoring pass;
+    *  - forward pass: `w·x = Σ w_f·c_f` accumulates EXACTLY in DECIMAL
+    *    (weights are round-6 decimals, counts are ints);
+    *    `p = σ(b + w·x)` rounds to 6;
+    *  - gradient: MEAN gradients — per-(doc,f) terms `(p−y)·c_f/N`
+    *    round to 12 and sum in DECIMAL — order-independent, so the
+    *    distributed sum is bit-identical to any serial replay, and the
+    *    1/N keeps the step size corpus-size-invariant (the same lr
+    *    behaves identically at sf0.001 and at 100 TB);
+    *  - update: `w ← round(w − lr·g, 6)` in exact decimal HALF_UP — the
+    *    driver holds O(buckets) weights (model-sized, like centroids),
+    *    never data.
+    *
+    * Every decision is replayable in SQL, so the oracle reproduces the
+    * TRAINING as an unrolled CTE chain (NB-init weights, then one
+    * forward+gradient+update trio per iteration) before scoring — the
+    * same pattern as the IVF oracle.
+    *
+    * Scale shape: one text scan builds the feature counts; each iteration
+    * is one broadcast-join aggregation over those counts (model rows ≤
+    * `buckets`); at 100 TB the per-iteration cost is a map-side-combined
+    * sum of narrow longs/decimals, and iterations are a small constant.
+    *
+    * @param lr raw-count features mean `Σ_f x_f` = doc length, so keep
+    *           lr small (default 0.02) — the NB init carries separation,
+    *           GD only has to calibrate.
+    * @param buckets size well above the expected distinct-n-gram count's
+    *                collision density (production hashing dims are 2^18+):
+    *                when most buckets mix classes, the smoothed log-ratios
+    *                collapse toward a small positive constant and
+    *                length-proportional scores saturate σ for every doc.
+    * @return `(doc_id, quality_prob)` — σ(b + w·x) rounded to 6, one row
+    *         per input doc (feature-less docs score σ(b)).
+    */
+  def qualityClassifierScore(docs: DataFrame, isPositive: Column,
+                             buckets: Int = 1024, iters: Int = 4,
+                             lr: BigDecimal = BigDecimal("0.02"),
+                             nbInit: Boolean = true,
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(iters >= 1, "at least one GD iteration")
+    import graft.functions.WordNgramBuckets
+    import org.apache.spark.sql.types.DecimalType
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = docs.select(col(idCol).as("doc_id"),
+        isPositive.cast("int").as("_y"),
+        explode(WordNgramBuckets(col(textCol), 2, buckets)).as("f"))
+      .groupBy(col("doc_id"), col("_y"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val base = docs.select(col(idCol).as("doc_id"),
+      isPositive.cast("int").as("_y")).persist()
+    try {
+      // the model: bucket -> weight, driver-held between iterations
+      // (O(buckets) rows — model-sized, the k-means centroid discipline).
+      // NB init = the dsirWeights per-bucket log-ratio, computed from the
+      // SAME persisted counts (no second text scan).
+      var w: Map[Int, BigDecimal] =
+        if (nbInit) {
+          val hist = feats.groupBy(col("f")).agg(
+            sum(col("c")).as("cr"),
+            sum(when(col("_y") === 1, col("c")).otherwise(lit(0L))).as("ct"))
+          val tot = hist.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+          hist.crossJoin(broadcast(tot)).select(col("f"),
+              round(log((col("ct") + 1).cast("double") / (col("tt") + buckets)) -
+                    log((col("cr") + 1).cast("double") / (col("tr") + buckets)), 6)
+                .cast(DecimalType(18, 6)).as("w"))
+            .as[(Int, java.math.BigDecimal)].collect()
+            .map { case (f, v) => f -> BigDecimal(v) }.toMap
+        } else {
+          feats.select(col("f")).distinct().as[Int].collect()
+            .map(_ -> BigDecimal(0)).toMap
+        }
+      var b: BigDecimal = BigDecimal(0)
+      def probs(wm: Map[Int, BigDecimal], bias: BigDecimal): DataFrame = {
+        val wDf = wm.toSeq.toDF("f", "w")
+          .select(col("f"), col("w").cast(DecimalType(18, 6)).as("w"))
+        val dot = feats.join(broadcast(wDf), Seq("f"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("w") * col("c")).as("dot"))
+        base.join(dot, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("_y"),
+            (lit(bias.toDouble) +
+              coalesce(col("dot").cast("double"), lit(0.0))).as("s"))
+          .select(col("doc_id"), col("_y"),
+            round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 6)
+              .cast(DecimalType(10, 6)).as("p"))
+      }
+      val nDocs = base.count()
+      for (_ <- 1 to iters) {
+        val p = probs(w, b)
+        val grad = feats.join(p.select(col("doc_id"), col("p")), Seq("doc_id"))
+          .select(col("f"),
+            round((col("p").cast("double") - col("_y")) * col("c")
+                / lit(nDocs), 12)
+              .cast(DecimalType(24, 12)).as("t"))
+          .groupBy(col("f")).agg(sum(col("t")).as("g"))
+          .as[(Int, java.math.BigDecimal)].collect()
+        val gBias = p.agg(sum(
+            round((col("p").cast("double") - col("_y")) / lit(nDocs), 12)
+              .cast(DecimalType(24, 12))))
+          .head().getDecimal(0)
+        w = grad.foldLeft(w) { case (m, (f, g)) =>
+          m.updated(f, (m(f) - lr * BigDecimal(g))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        }
+        b = (b - lr * BigDecimal(gBias))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      probs(w, b)
+        .select(col("doc_id"),
+          col("p").cast("double").as("quality_prob"))
+    } finally { feats.unpersist(); base.unpersist() }
+  }
+
+  /** TRAIN a byte-pair-encoding tokenizer on the corpus — the real
+    * subword algorithm (Sennrich et al. 2016), not a heuristic estimate:
+    * repeatedly count adjacent symbol pairs over the word-frequency
+    * dictionary and merge the most frequent, `maxMerges` times.
+    *
+    * Scale shape — the textbook trick carries the whole thing: training
+    * never touches documents after the FIRST aggregation. One corpus
+    * scan reduces text to the distinct-word dictionary (`(word, count)` —
+    * millions of rows at 100 TB, not trillions); every merge round is
+    * then one pair-explode + partial+final count over the DICTIONARY
+    * plus a narrow per-word rewrite ([[graft.functions.BpeMergeApply]]).
+    * The driver sees one row per round (the argmax pair) — model-sized,
+    * never data. Rounds persist their dictionary state and drop the
+    * previous one, so lineage stays one round deep.
+    *
+    * Deterministic end to end: the argmax tie-breaks (count desc, pair
+    * string asc), counts are exact longs, and training stops early when
+    * the best pair drops below `minPairCount` (merging singletons is
+    * noise). Same corpus → same merge list, on any partitioning.
+    *
+    * @return learned merges, rank order — each `"left right"`.
+    */
+  def bpeTrain(docs: DataFrame, maxMerges: Int = 40, minPairCount: Long = 2L,
+               textCol: String = "text"): Seq[String] = {
+    require(maxMerges >= 1, "maxMerges must be >= 1")
+    val words = docs
+      .select(explode(TF.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // localCheckpoint per round — NOT persist: caching keeps the data hot
+    // but the LOGICAL plan would still chain one round deeper per merge,
+    // and 40 rounds of compounding re-analysis/planning cost dwarf the
+    // (dictionary-sized) work itself. Checkpointing truncates lineage to
+    // a materialized-RDD scan; superseded rounds are dereferenced and the
+    // ContextCleaner reclaims their blocks.
+    var state = words.select(col("cnt"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("parts"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var done = false
+    while (!done && merges.size < maxMerges) {
+      val pairs = state
+        .filter(size(col("parts")) >= 2)
+        .select(col("cnt"), explode(
+          expr("transform(sequence(1, size(parts) - 1), " +
+            "i -> concat(parts[i-1], ' ', parts[i]))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
+      val best = pairs.orderBy(col("c").desc, col("pair").asc).limit(1)
+        .collect()
+      if (best.isEmpty || best(0).getLong(1) < minPairCount) done = true
+      else {
+        val pair = best(0).getString(0)
+        val Array(l, r) = pair.split(" ", 2)
+        merges += pair
+        state = state.select(col("cnt"),
+            graft.functions.BpeMergeApply(col("parts"), l, r).as("parts"))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Per-document token counts under a learned BPE merge table
+    * ([[bpeTrain]]) — one narrow codegen'd pass
+    * ([[graft.functions.BpeTokenCount]]), no shuffle: the subword cost
+    * model a packing/budgeting pipeline actually bills against.
+    *
+    * @return `(doc_id, n_bpe_tokens)`.
+    */
+  def bpeTokenCounts(docs: DataFrame, merges: Seq[String],
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.BpeTokenCount(col(textCol), merges)
+        .cast("long").as("n_bpe_tokens"))
 }

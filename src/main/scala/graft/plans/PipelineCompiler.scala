@@ -536,6 +536,37 @@ object SectionRegistry {
       (_, c, df) => Some(graft.operators.Corpus.sampleByRate(in(df),
         expr(cfg(c, "rate")),
         idCol = c.getOrElse("id_column", "doc_id")))),
+    // DSIR importance weights: target = SQL predicate over the row; output
+    // (doc_id, n_feats, dsir_logratio) for downstream thinning/resampling
+    "dsir_weights" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.dsirWeights(in(df),
+        isTarget = expr(cfg(c, "target")),
+        buckets = c.getOrElse("buckets", "4096").toInt,
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text")))),
+    // trained quality/domain classifier: positives = SQL predicate; output
+    // (doc_id, quality_prob) from an in-engine-trained logistic regression
+    "quality_classifier" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.qualityClassifierScore(in(df),
+        isPositive = expr(cfg(c, "positive")),
+        buckets = c.getOrElse("buckets", "1024").toInt,
+        iters = c.getOrElse("iters", "3").toInt,
+        lr = BigDecimal(c.getOrElse("learning_rate", "2.0")),
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text")))),
+    // trained BPE tokenizer: learn merges on the input corpus, emit per-doc
+    // subword token counts under the learned table
+    "bpe_token_count" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val frame = in(df)
+        val merges = graft.operators.Corpus.bpeTrain(frame,
+          maxMerges = c.getOrElse("max_merges", "40").toInt,
+          minPairCount = c.getOrElse("min_pair_count", "2").toLong,
+          textCol = c.getOrElse("text_column", "text"))
+        Some(graft.operators.Corpus.bpeTokenCounts(frame, merges,
+          idCol = c.getOrElse("id_column", "doc_id"),
+          textCol = c.getOrElse("text_column", "text")))
+      }),
     // sliding token-window chunking: (doc_id, chunk_idx, chunk_text, n_tokens)
     "chunk_tokens" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => Some(graft.operators.Corpus.chunkTokens(in(df),

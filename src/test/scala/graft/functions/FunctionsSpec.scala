@@ -122,6 +122,40 @@ class FunctionsSpec extends AnyFunSuite {
     assert(native.sameElements(composed))
   }
 
+  test("WordNgramBuckets equals bucketed hash60 over counted 1..2-grams") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog",
+      "a a a a a", "one two", "", "  spaced   out   tokens here  ")
+    val df = texts.toDF("t")
+    val native = df.select(graft.functions.WordNgramBuckets($"t", 2, 64).as("f"))
+      .as[Seq[Int]].collect().map(_.sorted.toSeq)
+    val composed = df.select(concat(
+        transform(TextFunctions.wordNgrams($"t", 1),
+          g => pmod(TextFunctions.hash60(g), lit(64L)).cast("int")),
+        transform(TextFunctions.wordNgrams($"t", 2),
+          g => pmod(TextFunctions.hash60(g), lit(64L)).cast("int"))).as("f"))
+      .as[Seq[Int]].collect().map(_.sorted.toSeq)
+    assert(native.toSeq == composed.toSeq)
+    // multiplicity is the point: "a a a a a" has 5 identical unigrams + 4 bigrams
+    val bag = df.select(graft.functions.WordNgramBuckets($"t", 2, 64).as("f"))
+      .as[Seq[Int]].collect()(1)
+    assert(bag.length == 9)
+  }
+
+  test("BpeTokenCount: codegen'd greedy encode matches the JVM loop; overlap resolves left-to-right") {
+    val merges = Seq("a a", "a n", "b an")
+    val df = Seq("aaa banana", "x", "", "  ").toDF("t")
+    val got = df.select(graft.functions.BpeTokenCount($"t", merges).as("n"))
+      .as[Int].collect().toSeq
+    // "aaa" -> [aa, a] (leftmost-first on the overlapping run); "banana" -> [ban, an, a]
+    assert(got == Seq(2 + 3, 1, 0, 0))
+    val ranks = Bpe.rankMap(merges)
+    assert(Bpe.encodeWord("aaa", ranks).toSeq == Seq("aa", "a"))
+    assert(Bpe.encodeWord("banana", ranks).toSeq == Seq("ban", "an", "a"))
+    // merge-all training update: every occurrence folds in one pass
+    assert(Bpe.applyMerge(Array("a", "a", "a", "b", "a", "a"), "a", "a").toSeq
+      == Seq("aa", "a", "b", "aa"))
+  }
+
   test("stubDecodePartitions streams binary rows to typed features") {
     val df = Seq("alpha", "beta").toDF("t")
       .select(encode($"t", "UTF-8").as("payload"))

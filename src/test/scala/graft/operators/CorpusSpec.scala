@@ -319,4 +319,108 @@ class CorpusSpec extends AnyFunSuite {
       .as[Boolean].head()
     assert(ok, "5 ellipses in 300 words must pass the 0.1 symbol ratio")
   }
+
+  test("dsirWeights: target-like docs outscore off-domain; empty doc scores 0") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "neural network training data selection methods", true),
+      (2L, "neural network pretraining and data curation", true),
+      (3L, "neural network data selection for pretraining", false), // raw, target-like
+      (4L, "recette de cuisine avec beurre et farine", false),
+      (5L, "", false)
+    ).toDF("doc_id", "text", "is_tgt")
+    val w = Corpus.dsirWeights(corpus, isTarget = col("is_tgt"), buckets = 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w(5L) == ((0L, 0.0)), "feature-less doc must score exactly 0")
+    // the raw doc built from target vocabulary must beat the off-domain one
+    assert(w(3L)._2 > w(4L)._2)
+    // and target members themselves score high (their n-grams dominate p_tgt)
+    assert(w(1L)._2 > w(4L)._2 && w(2L)._2 > w(4L)._2)
+  }
+
+  private def classifierCorpus = ((1L to 30L).map { i =>
+    if (i <= 15L) (i, "neural network training data selection and curation methods", true)
+    else (i, "recette de cuisine beurre farine sucre oeufs et lait", false)
+  } :+ ((31L, "neural network data curation", false)) :+ ((32L, "", false)))
+    .toDF("doc_id", "text", "is_pos")
+
+  test("qualityClassifierScore: NB init separates; GD keeps the separation") {
+    import org.apache.spark.sql.functions.col
+    val p = Corpus.qualityClassifierScore(classifierCorpus,
+        isPositive = col("is_pos"), buckets = 128)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // positives and the positive-vocabulary holdout score above the negatives
+    assert(p(1L) > p(16L) && p(15L) > p(16L))
+    assert(p(31L) > p(16L), "held-out doc with positive vocabulary must outscore negatives")
+    // feature-less doc scores sigmoid(bias) — strictly between 0 and 1
+    assert(p(32L) > 0.0 && p(32L) < 1.0)
+  }
+
+  test("qualityClassifierScore: cold start (nbInit=false) still learns the domain") {
+    import org.apache.spark.sql.functions.col
+    val p = Corpus.qualityClassifierScore(classifierCorpus,
+        isPositive = col("is_pos"), buckets = 128, iters = 10,
+        lr = BigDecimal("0.5"), nbInit = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(p(1L) > 0.5 && p(16L) < 0.5,
+      s"ten GD iterations from zero must separate the classes: $p")
+    assert(p(31L) > p(16L))
+  }
+
+  test("qualityClassifierScore: partitioning-invariant training (DECIMAL gradient sums)") {
+    import org.apache.spark.sql.functions.col
+    val corpus = (1L to 40L).map(i =>
+      (i, s"tok${i % 11} tok${i % 7} tok${i % 5} filler words", i % 3 == 0))
+      .toDF("doc_id", "text", "is_pos")
+    def run(parts: Int) =
+      Corpus.qualityClassifierScore(corpus.repartition(parts),
+          isPositive = col("is_pos"), buckets = 64, iters = 2)
+        .orderBy(col("doc_id")).collect().toSeq
+    assert(run(1) == run(7),
+      "training must be bit-identical across partitionings")
+  }
+
+  test("bpeTrain: learns the hand-computable merge sequence, in order") {
+    // words: aa x3, ab x1, b x1 -> pairs: (a,a)=3, (a,b)=1
+    // merge 1 = "a a"; then only (a,b)=1 remains, below minPairCount=2? no:
+    // use minPairCount=1 to also take it -> merge 2 = "a b"
+    val df = docs(1L -> "aa ab aa", 2L -> "aa b")
+    val merges = Corpus.bpeTrain(df, maxMerges = 10, minPairCount = 1L)
+    assert(merges == Seq("a a", "a b"),
+      s"expected the frequency-then-lexicographic merge order, got $merges")
+    // default minPairCount=2 stops after the count-3 pair
+    assert(Corpus.bpeTrain(df, maxMerges = 10) == Seq("a a"))
+  }
+
+  test("bpeTokenCounts: greedy encode under learned merges; partitioning-invariant training") {
+    val df = docs(
+      1L -> "banana band ban",
+      2L -> "banana banana banana",
+      3L -> "")
+    val merges = Corpus.bpeTrain(df, maxMerges = 5, minPairCount = 2L)
+    val counts = Corpus.bpeTokenCounts(df, merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts(3L) == 0L)
+    // encode must agree with the reference greedy loop run here by hand
+    // via the public JVM twin (same code the expression codegens to)
+    val ranks = graft.functions.Bpe.rankMap(merges)
+    val expected1 = Seq("banana", "band", "ban")
+      .map(w => graft.functions.Bpe.encodeWord(w, ranks).length.toLong).sum
+    assert(counts(1L) == expected1)
+    // training is deterministic across partitionings
+    val m7 = Corpus.bpeTrain(df.repartition(7), maxMerges = 5, minPairCount = 2L)
+    assert(m7 == merges)
+  }
+
+  test("dsirWeights: partitioning-invariant (DECIMAL sums, no order dependence)") {
+    import org.apache.spark.sql.functions.col
+    val corpus = (1L to 40L).map(i =>
+      (i, s"token${i % 7} token${i % 5} token${i % 3} shared words here", i % 4 == 0))
+      .toDF("doc_id", "text", "is_tgt")
+    def run(parts: Int) =
+      Corpus.dsirWeights(corpus.repartition(parts), isTarget = col("is_tgt"),
+          buckets = 128)
+        .orderBy(col("doc_id")).collect().toSeq
+    assert(run(1) == run(7))
+  }
 }

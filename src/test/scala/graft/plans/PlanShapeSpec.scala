@@ -220,4 +220,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cleaned text must be scanned at most 2x (survivors + mix " +
       s"candidates) — a 3rd scan means packing re-joined it, got $textScans")
   }
+
+  test("cp_dsir_weights: the O(buckets) model broadcasts; text shuffles nowhere") {
+    val p = plan("cp_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-bucket log-ratio model must broadcast — shuffling per-doc " +
+      "feature counts against a non-broadcast model is the wrong plan")
+    // every Exchange must carry only narrow columns (ids, buckets, counts):
+    // text appearing in a shuffle means the corpus rode a wide key
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!badExchange, "document text must never enter an Exchange")
+  }
 }

@@ -341,4 +341,39 @@ class TrainingSectionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("domain:rate"))
   }
+
+  test("dsir_weights section: per-doc log-ratio weights from a JSON spec") {
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"w","name":"dsir_weights","config":{
+          "target":"lang = 'en'","buckets":"512"}}],
+        "edges":[["src","w"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    assert(out.columns.toSeq == Seq("doc_id", "n_feats", "dsir_logratio"))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() == n, "one weight row per input document")
+    // weights must discriminate: the english slice averages higher than the rest
+    val byLang = out.join(spark.read.parquet(s"$sf/documents.parquet"), "doc_id")
+      .groupBy("lang").agg(org.apache.spark.sql.functions.avg("dsir_logratio"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byLang("en") > byLang.filter(_._1 != "en").values.max,
+      s"english target must outscore every other language on average: $byLang")
+  }
+
+  test("quality_classifier section: trained scores from a JSON spec") {
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"qc","name":"quality_classifier","config":{
+          "positive":"lang = 'en'","buckets":"2048","iters":"2"}}],
+        "edges":[["src","qc"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    assert(out.columns.toSeq == Seq("doc_id", "quality_prob"))
+    val byLang = out.join(spark.read.parquet(s"$sf/documents.parquet"), "doc_id")
+      .groupBy("lang").agg(org.apache.spark.sql.functions.avg("quality_prob"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(byLang("en") > byLang.filter(_._1 != "en").values.max,
+      s"positive class must outscore the rest on average: $byLang")
+  }
 }
