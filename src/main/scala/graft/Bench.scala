@@ -100,7 +100,7 @@ object Bench {
     val splitNames = Seq("ann_ivf_train", "ann_ivf_query",
       "ann_ivf_disk_build", "ann_ivf_disk_query", "dd_semdedup_query",
       "ann_ivf_balanced_train", "ann_ivf_balanced_query",
-      "ann_ivf_append_delta")
+      "ann_ivf_append_delta", "ann_pq_train", "ann_pq_query")
     val ivfSplitResults: Seq[(String, Double, Double)] =
       if (!splitNames.exists(wanted)) Seq.empty else try {
         def rmTree(dir: String): Unit = {
@@ -128,6 +128,9 @@ object Bench {
           operators.Ann.trainCentroidsBalanced(e, kCentroids = 16,
             balanceFactor = 1.2, maxSplitRounds = 4)
         else Array.empty[Array[Double]]
+        val pqCb = if (wanted("ann_pq_query"))
+          operators.Ann.trainPqCodebooks(e)
+        else Array.empty[Array[Array[Double]]]
         // day-0 index the append-delta line appends day-1 batches into:
         // built once untimed, so the line prices ONLY the incremental
         // assign+append of the 20% batch (the r9 daily-arrival path)
@@ -167,7 +170,14 @@ object Bench {
                 balCents, 5, 2).count(); () }),
           "ann_ivf_append_delta" -> (() =>
             operators.Ann.ivfIndexAppend(
-              e.filter(col("vec_id") % 5 === 0), appendDir))
+              e.filter(col("vec_id") % 5 === 0), appendDir)),
+          // PQ training (joint per-subspace Lloyd) vs ADC serving against
+          // prebuilt codebooks — same split discipline as the IVF family
+          "ann_pq_train" -> (() =>
+            { operators.Ann.trainPqCodebooks(e); () }),
+          "ann_pq_query" -> (() =>
+            { operators.Ann.pqTopKFromCodebooks(e, col("vec_id") < 10,
+                pqCb, 5).count(); () })
         ).filter(q => wanted(q._1)).flatMap { case (name, f) =>
           timed(name, f) }
         rmTree(diskDir)
@@ -322,6 +332,13 @@ object Bench {
             graft.functions.VectorFunctions
               .randomProject(col("embedding"), 32, 64).as("embedding")),
           isQuery, k),
+        // PQ at the oracle query's config (8 subspaces × 16 codes): the
+        // honest price of scoring from 8 nibbles instead of 256 float
+        // bytes — on this synthetic near-orthogonal corpus the
+        // reconstruction cosine carries little signal, so this line is
+        // the recall FLOOR of the compression ladder; clustered real
+        // embeddings sit far higher
+        "ann_pq_topk" -> operators.Ann.pqTopK(e, isQuery, k),
         "ann_quantized_topk" -> {
           val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
           val scale = maxabs / lit(127.0)

@@ -1680,6 +1680,81 @@ object Queries {
         FROM q JOIN dq e ON e.vec_id != q.q_id)
       WHERE rk <= 5 ORDER BY q_id, rk"""))
 
+  /** Product-quantization ANN ([[graft.operators.Ann.pqTopK]], Jégou et
+    * al. TPAMI 2011) — codebooks TRAINED in the engine (joint per-subspace
+    * Lloyd, exact-decimal updates), corpus encoded to per-subspace codes,
+    * queries answered by asymmetric distance computation. The codebooks
+    * are data-dependent driver state (the balanced-IVF situation), so the
+    * oracle INJECTS the captured codebooks as literals and independently
+    * re-derives the ENTIRE serving pipeline: per-subspace nearest-code
+    * encode (round-6 squared L2, code-id tiebreak), the query LUTs, the
+    * DECIMAL reconstruction-cosine sums, and the top-k. Any drift in
+    * slicing, assignment rounding, tie-breaks, or ADC arithmetic is a
+    * hash mismatch. */
+  @volatile private var pqCodebooksCapture: Option[Array[Array[Array[Double]]]] =
+    scala.None
+  private val annPqTopk = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val cb = graft.operators.Ann.trainPqCodebooks(e, subspaces = 8,
+        codes = 16, iters = 4, seed = "pq")
+      pqCodebooksCapture = Some(cb)
+      graft.operators.Ann.pqTopKFromCodebooks(e, $"vec_id" < 10, cb, k = 5)
+        .select($"q_id", $"n_id", $"cosine", $"rk")
+        .orderBy($"q_id", $"rk")
+    },
+    () => pqCodebooksCapture.map(pqInjectedOracle))
+
+  private def pqInjectedOracle(cb: Array[Array[Array[Double]]]): String = {
+    val subspaces = cb.length
+    val dsub = cb(0)(0).length
+    val rows = cb.zipWithIndex.flatMap { case (cbm, m) =>
+      cbm.zipWithIndex.map { case (v, j) =>
+        s"($m, $j, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])" }
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      cb(m, code, cv) AS (SELECT * FROM (VALUES $rows) v(m, code, cv)),
+      ms AS (SELECT unnest(range(0, $subspaces)) AS m),
+      sub AS (SELECT e.vec_id, ms.m,
+          e.emb[ms.m * $dsub + 1 : ms.m * $dsub + $dsub] AS sv
+        FROM e CROSS JOIN ms),
+      d AS (SELECT s.vec_id, s.m, c.code,
+          round(list_sum(list_transform(range(1, ${dsub + 1}),
+            i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))), 6) AS d2
+        FROM sub s JOIN cb c USING (m)),
+      enc AS (SELECT vec_id, m, code FROM (
+          SELECT vec_id, m, code,
+            row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY d2, code) AS rn
+          FROM d) WHERE rn = 1),
+      q AS (SELECT vec_id AS q_id, emb AS q_vec,
+          sqrt(list_sum(list_transform(emb, x -> x * x))) AS qn
+        FROM e WHERE vec_id < 10),
+      lut AS (SELECT q.q_id, q.qn, c.m, c.code,
+          round(list_sum(list_transform(range(1, ${dsub + 1}),
+            i -> q.q_vec[c.m * $dsub + i] * c.cv[i])), 6)::DECIMAL(18,6)
+            AS dotm,
+          round(list_sum(list_transform(c.cv, x -> x * x)), 6)::DECIMAL(18,6)
+            AS n2m
+        FROM q CROSS JOIN cb c),
+      sc AS (SELECT l.q_id, n.vec_id AS n_id, max(l.qn) AS qn,
+          sum(l.dotm) AS dt, sum(l.n2m) AS rn2
+        FROM enc n JOIN lut l USING (m, code)
+        WHERE n.vec_id != l.q_id
+        GROUP BY l.q_id, n.vec_id),
+      cand AS (SELECT q_id, n_id,
+          CASE WHEN qn = 0 OR rn2 <= 0 THEN 0.0
+          ELSE round(dt::DOUBLE / (qn * sqrt(rn2::DOUBLE)), 6) END AS cosine
+        FROM sc)
+      SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q_id, n_id, cosine,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, n_id) AS rk
+        FROM cand)
+      WHERE rk <= 5 ORDER BY q_id, rk"""
+  }
+
   /** Johnson-Lindenstrauss random projection + brute-force ANN over the
     * COMPRESSED vectors — the dimensionality lever: 64 dims → 16 via
     * deterministic ±1 hyperplanes ([[VF.randomProject]]), a 4× cut in
@@ -3178,6 +3253,7 @@ object Queries {
     "ann_ivf_disk" -> annIvfDisk,
     "ann_ivf_append" -> annIvfAppend,
     "ann_quantized_topk" -> annQuantized,
+    "ann_pq_topk" -> annPqTopk,
     "ann_rp_topk" -> annRpTopk,
     "dd_semdedup" -> ddSemDedup,
     "ta_langid" -> taLangId,

@@ -815,4 +815,168 @@ object Ann {
           .as("cosine"))
     rank(scored, k)
   }
+
+  // ------------------------------------------------------ product quantization
+
+  /** Train PRODUCT-QUANTIZATION codebooks (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the embedding
+    * splits into `subspaces` contiguous sub-vectors and each subspace learns
+    * its own `codes`-entry codebook by squared-L2 k-means, so a vector
+    * compresses to `subspaces` small codes — at 64 dims / 8 subspaces / 16
+    * codes that is 8 nibbles against 256 float bytes, a 64× cut in what the
+    * scoring pass holds per corpus vector, while the codebook cross-product
+    * spans `codes^subspaces` distinct reconstructions (16^8 ≈ 4·10^9 — far
+    * beyond what one flat codebook of any trainable size reaches).
+    *
+    * All subspaces train JOINTLY in one Lloyd loop: the sample explodes once
+    * to `(vec_id, m, sub)` rows and every iteration is ONE broadcast join +
+    * ONE (m, code, pos)-keyed aggregation — running `subspaces` separate
+    * k-means loops would multiply the number of Spark actions by M for
+    * identical math. The [[trainCentroids]] reproducibility discipline
+    * carries over: seeded-hash init (the `codes` sample vectors with the
+    * smallest md5, each contributing its m-th slice to subspace m),
+    * round-6 squared-L2 assignment with code-id tiebreak, elementwise
+    * DECIMAL(38,12) member sums, and the k-means MEAN division rounds
+    * HALF_UP to 6 on the driver — bit-identical codebooks across runs and
+    * partitionings, which is what lets the oracle verify ENCODE + ADC from
+    * injected literals. Driver traffic per iteration:
+    * `subspaces·codes·dsub` decimal sums — the model, never the data.
+    *
+    * @return codebooks as `[subspace][code][dsub]`, init-order cells. */
+  def trainPqCodebooks(corpus: DataFrame, subspaces: Int = 8, codes: Int = 16,
+                       iters: Int = 4, seed: String = "pq",
+                       sampleRate: Double = 1.0): Array[Array[Array[Double]]] = {
+    require(iters >= 1, "need at least one Lloyd iteration")
+    require(subspaces >= 1 && codes >= 2, "need >= 1 subspaces and >= 2 codes")
+    val base = sampleFrame(corpus, sampleRate).persist()
+    try {
+      val dims = base.select(size(col("emb"))).head.getInt(0)
+      require(dims % subspaces == 0,
+        s"dims $dims not divisible into $subspaces subspaces")
+      val dsub = dims / subspaces
+      val sub = subvectorFrame(base, subspaces, dsub).persist()
+      try {
+        val initVecs = base.select(col("emb"),
+            md5(concat(lit(s"${seed}_"), col("vec_id").cast("string"))).as("hk"),
+            col("vec_id"))
+          .orderBy(col("hk"), col("vec_id")).limit(codes)
+          .select(col("emb")).collect()
+          .map(_.getSeq[Double](0).toArray)
+        require(initVecs.length == codes,
+          s"training sample has fewer than $codes vectors")
+        var cb: Array[Array[Array[Double]]] =
+          Array.tabulate(subspaces, codes)((m, j) =>
+            initVecs(j).slice(m * dsub, (m + 1) * dsub))
+        for (_ <- 0 until iters) {
+          val sums = pqAssign(sub, codebookFrame(base.sparkSession, cb))
+            .join(sub, Seq("vec_id", "m"))
+            .select(col("m"), col("code"), posexplode(col("sub")))
+            .groupBy(col("m"), col("code"), col("pos"))
+            .agg(sum(col("col")
+                .cast(org.apache.spark.sql.types.DecimalType(38, 12))).as("s"),
+              count(lit(1)).as("n"))
+            .collect() // O(subspaces·codes·dsub) rows — model-sized
+          val next = cb.map(_.map(_.clone())) // empty codes keep their entry
+          sums.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+            case ((m, j), rows) =>
+              val v = next(m)(j)
+              rows.foreach { r =>
+                v(r.getInt(2)) = (BigDecimal(r.getDecimal(3)) / r.getLong(4))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              }
+          }
+          cb = next
+        }
+        cb
+      } finally sub.unpersist()
+    } finally base.unpersist()
+  }
+
+  /** `(vec_id, m, sub)` — each vector's `subspaces` contiguous slices. */
+  private def subvectorFrame(base: DataFrame, subspaces: Int,
+                             dsub: Int): DataFrame =
+    base.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${subspaces - 1}), " +
+        s"m -> slice(emb, m * $dsub + 1, $dsub))")))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("sub"))
+
+  /** `(m, code, c_vec)` from driver-held codebooks — always broadcast-sized
+    * (`subspaces·codes` rows) by construction. */
+  private def codebookFrame(spark: org.apache.spark.sql.SparkSession,
+                            cb: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    cb.zipWithIndex.flatMap { case (cbm, m) =>
+      cbm.zipWithIndex.map { case (v, j) => (m, j, v.toSeq) }
+    }.toSeq.toDF("m", "code", "c_vec")
+  }
+
+  /** Nearest-code argmin per (vector, subspace) as an AGGREGATE — the
+    * [[nearestCellAgg]] shape: min over (round-6 squared L2, code), only
+    * `(vec_id, m, code)` triples survive the combine. */
+  private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("m"))
+      .select(col("vec_id"), col("m"), col("code"),
+        round(expr("aggregate(zip_with(sub, c_vec, " +
+          "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"), 6)
+          .as("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.code").as("code"))
+
+  /** PQ-compressed ANN with ASYMMETRIC DISTANCE COMPUTATION against
+    * pre-trained codebooks: the corpus is ENCODED (per-subspace nearest
+    * code — after this the scoring pass never touches a corpus float), each
+    * query precomputes a lookup table `LUT[m][code] = (q_m · c, |c|²)` over
+    * every codebook entry, and a candidate's cosine against the query is
+    * scored from its codes alone —
+    * `cos ≈ Σ_m dot[m][code_m] / (|q| · sqrt(Σ_m n2[m][code_m]))`, the
+    * reconstruction cosine, exactly decomposable per subspace because the
+    * subspaces partition the dimensions.
+    *
+    * Scale shape: the LUT is `queries·subspaces·codes` rows — broadcast,
+    * like every query-side structure here; the corpus side shuffles only
+    * `(vec_id, m, code)` triples (no embedding ever rides the candidate
+    * stream); LUT entries round to 6 and sum in DECIMAL, so each pair's
+    * score is order-independent and the oracle can replay it exactly.
+    * Approximation cost vs exact cosine is priced in the bench as
+    * `recall_at_10["ann_pq"]`. */
+  def pqTopKFromCodebooks(corpus: DataFrame, isQuery: Column,
+                          cb: Array[Array[Array[Double]]],
+                          k: Int): DataFrame = {
+    require(cb.nonEmpty && cb(0).nonEmpty, "empty codebooks")
+    val spark = corpus.sparkSession
+    val subspaces = cb.length
+    val dsub = cb(0)(0).length
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val e = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"), isQuery.as("_q"))
+    val enc = pqAssign(subvectorFrame(e, subspaces, dsub),
+      codebookFrame(spark, cb))
+    val q = e.filter(col("_q")).select(col("vec_id").as("q_id"),
+      col("emb").as("q_vec"), VF.norm2(col("emb")).as("q_nrm"))
+    val lut = q.crossJoin(codebookFrame(spark, cb))
+      .select(col("q_id"), col("q_nrm"), col("m"), col("code"),
+        round(VF.dot(expr(s"slice(q_vec, m * $dsub + 1, $dsub)"),
+          col("c_vec")), 6).cast(dec6).as("dotm"),
+        round(VF.dot(col("c_vec"), col("c_vec")), 6).cast(dec6).as("n2m"))
+    val scored = enc.join(broadcast(lut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(col("q_nrm")).as("q_nrm"),
+        sum(col("dotm")).as("dt"), sum(col("n2m")).as("rn2"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        when(col("q_nrm") === 0.0 || col("rn2") <= 0.0, lit(0.0))
+          .otherwise(round(col("dt").cast("double") /
+            (col("q_nrm") * sqrt(col("rn2").cast("double"))), 6))
+          .as("cosine"))
+    rank(scored, k)
+  }
+
+  /** [[trainPqCodebooks]] then [[pqTopKFromCodebooks]] — the one-call PQ
+    * search (the `ann_topk` section's `pq` variant). */
+  def pqTopK(corpus: DataFrame, isQuery: Column, k: Int, subspaces: Int = 8,
+             codes: Int = 16, iters: Int = 4, seed: String = "pq",
+             sampleRate: Double = 1.0): DataFrame =
+    pqTopKFromCodebooks(corpus, isQuery,
+      trainPqCodebooks(corpus, subspaces, codes, iters, seed, sampleRate), k)
 }

@@ -307,9 +307,17 @@ object SectionRegistry {
               seed = c.getOrElse("seed", "ivf"),
               sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble)
           }
+          // product quantization: trained codebooks + ADC serving — the
+          // compressed-corpus path (codes, not floats, ride the scoring)
+          case "pq" => graft.operators.Ann.pqTopK(frame, isQuery, k,
+            subspaces = c.getOrElse("subspaces", "8").toInt,
+            codes = c.getOrElse("codes", "16").toInt,
+            iters = c.getOrElse("train_iters", "4").toInt,
+            seed = c.getOrElse("seed", "pq"),
+            sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble)
           case other => throw new IllegalArgumentException(
             s"ann_topk variant must be brute|lsh|lsh_single|lsh_probe|" +
-            s"lsh_multi|ivf, got $other")
+            s"lsh_multi|ivf|pq, got $other")
         }
         Some(out.select("q_id", "n_id", "cosine", "rk"))
       }),

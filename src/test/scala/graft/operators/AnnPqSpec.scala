@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{Tables, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Product quantization: training reproducibility (the property the
+  * injected-codebook oracle rests on), ADC serving shape, and the recall
+  * position of the compressed path. */
+class AnnPqSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def emb = Tables.embeddings(spark, TestSpark.sf)
+    .select(col("vec_id"), col("embedding"))
+
+  test("codebooks are bit-identical across partitionings") {
+    val a = Ann.trainPqCodebooks(emb, subspaces = 8, codes = 8, iters = 2)
+    val b = Ann.trainPqCodebooks(emb.repartition(7, col("vec_id")),
+      subspaces = 8, codes = 8, iters = 2)
+    val c = Ann.trainPqCodebooks(emb.coalesce(1),
+      subspaces = 8, codes = 8, iters = 2)
+    assert(a.deep == b.deep, "repartitioned training drifted")
+    assert(a.deep == c.deep, "single-partition training drifted")
+  }
+
+  private implicit class DeepEq(cb: Array[Array[Array[Double]]]) {
+    def deep: Seq[Seq[Seq[Double]]] = cb.toSeq.map(_.toSeq.map(_.toSeq))
+  }
+
+  test("codebook geometry: M subspaces x K codes x dsub dims, finite values") {
+    val cb = Ann.trainPqCodebooks(emb, subspaces = 4, codes = 8, iters = 1)
+    assert(cb.length == 4)
+    assert(cb.forall(_.length == 8))
+    assert(cb.forall(_.forall(_.length == 16))) // 64 dims / 4 subspaces
+    assert(cb.forall(_.forall(_.forall(v => !v.isNaN && !v.isInfinite))))
+  }
+
+  test("indivisible dims are rejected loudly") {
+    val ex = intercept[IllegalArgumentException] {
+      Ann.trainPqCodebooks(emb, subspaces = 7)
+    }
+    assert(ex.getMessage.contains("divisible"))
+  }
+
+  test("ADC serving answers deterministically and self-excludes") {
+    val cb = Ann.trainPqCodebooks(emb, iters = 2)
+    val r1 = Ann.pqTopKFromCodebooks(emb, col("vec_id") < 5, cb, 5)
+      .orderBy(col("q_id"), col("rk")).collect()
+    val r2 = Ann.pqTopKFromCodebooks(emb.repartition(11), col("vec_id") < 5,
+        cb, 5)
+      .orderBy(col("q_id"), col("rk")).collect()
+    assert(r1.toSeq == r2.toSeq, "ADC result depends on partitioning")
+    assert(r1.length == 25, s"expected 5 queries x 5 ranks, got ${r1.length}")
+    assert(r1.forall(r => r.getLong(0) != r.getLong(1)),
+      "a query matched itself")
+    assert(r1.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-9),
+      "reconstruction cosine out of [-1, 1]")
+  }
+
+  test("recall@10 of PQ is bounded and a finer codebook does not hurt") {
+    val e = emb
+    val isQuery = col("vec_id") < 10
+    val exact = Ann.bruteForceTopK(e, isQuery, 10).persist()
+    try {
+      val coarse = Ann.recallAtK(exact, Ann.pqTopK(e, isQuery, 10,
+        subspaces = 8, codes = 4, iters = 2, seed = "pq"))
+      val fine = Ann.recallAtK(exact, Ann.pqTopK(e, isQuery, 10,
+        subspaces = 8, codes = 32, iters = 2, seed = "pq"))
+      assert(coarse >= 0.0 && coarse <= 1.0)
+      assert(fine >= 0.0 && fine <= 1.0)
+      // 32 codes per subspace reconstruct strictly more faithfully than 4
+      // on any data; allow slack for rank-boundary flips near ties
+      assert(fine >= coarse - 0.05,
+        s"finer codebook recall $fine collapsed vs coarse $coarse")
+    } finally exact.unpersist()
+  }
+
+  test("plan shape: LUT broadcasts, no embedding array in any Exchange") {
+    val cb = Ann.trainPqCodebooks(emb, iters = 1)
+    val df = Ann.pqTopKFromCodebooks(emb, col("vec_id") < 5, cb, 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the query LUT must ride a broadcast join")
+    val badExchange = plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("emb"))
+    assert(!badExchange,
+      "an embedding array rode a shuffle — only (vec_id, m, code) " +
+      "triples may enter the candidate Exchange")
+  }
+}
