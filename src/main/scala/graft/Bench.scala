@@ -339,6 +339,13 @@ object Bench {
         // the recall FLOOR of the compression ladder; clustered real
         // embeddings sit far higher
         "ann_pq_topk" -> operators.Ann.pqTopK(e, isQuery, k),
+        // residual IVF-PQ at the oracle config (16 cells, probe 2): the
+        // probed-fraction ceiling (~nProbe/K of the corpus is even
+        // scanned) times the reconstruction fidelity of residual codes —
+        // compare against ann_ivf_topk (same pruning, exact scoring) to
+        // read the PQ compression's recall cost in isolation
+        "ann_ivf_pq" -> operators.Ann.ivfPqTopK(e, isQuery, k,
+          kCentroids = 16, nProbe = 2),
         "ann_quantized_topk" -> {
           val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
           val scale = maxabs / lit(127.0)

@@ -1755,6 +1755,120 @@ object Queries {
       WHERE rk <= 5 ORDER BY q_id, rk"""
   }
 
+  /** Residual IVF-PQ ([[graft.operators.Ann.ivfPqTopK]] — the FAISS
+    * `IVFx,PQy` production shape): coarse trained cells prune the
+    * candidate set, PQ codes over the RESIDUALS x − c(x) score it, and
+    * serving never touches a corpus float after encode. Both trained
+    * models are driver state, so the oracle INJECTS centroids AND
+    * codebooks and re-derives everything downstream: cell assignment,
+    * residuals, per-subspace encode, the probe set, all three ADC lookup
+    * families (query·cell dots, query·code dots, cell-cross terms), the
+    * DECIMAL reconstruction sums, and the top-k. */
+  @volatile private var ivfPqCapture
+      : Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = scala.None
+  private val annIvfPq = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val (cents, cb) = graft.operators.Ann.ivfPqTrain(e, kCentroids = 16,
+        subspaces = 8, codes = 16)
+      ivfPqCapture = Some((cents, cb))
+      graft.operators.Ann.ivfPqTopKFrom(e, $"vec_id" < 10, cents, cb,
+          k = 5, nProbe = 2)
+        .select($"q_id", $"n_id", $"cosine", $"rk")
+        .orderBy($"q_id", $"rk")
+    },
+    () => ivfPqCapture.map { case (cents, cb) => ivfPqInjectedOracle(cents, cb) })
+
+  private def ivfPqInjectedOracle(cents: Array[Array[Double]],
+                                  cb: Array[Array[Array[Double]]]): String = {
+    val subspaces = cb.length
+    val dsub = cb(0)(0).length
+    val centRows = cents.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    val cbRows = cb.zipWithIndex.flatMap { case (cbm, m) =>
+      cbm.zipWithIndex.map { case (v, j) =>
+        s"($m, $j, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])" }
+    }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      c(cell, c_vec) AS (SELECT * FROM (VALUES $centRows) v(cell, c_vec)),
+      cb(m, code, cv) AS (SELECT * FROM (VALUES $cbRows) v(m, code, cv)),
+      sf AS (SELECT vec_id, cell,
+          round(CASE WHEN isnan(cs) THEN 0.0 ELSE cs END, 6) AS cscore
+        FROM (SELECT e.vec_id, c.cell,
+            list_cosine_similarity(e.emb, c.c_vec) AS cs
+          FROM e CROSS JOIN c)),
+      rf AS (SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cscore DESC, cell) AS crk
+        FROM sf),
+      res AS (SELECT r.vec_id, r.cell,
+          list_transform(range(1, ${subspaces * dsub + 1}),
+            i -> e.emb[i] - c.c_vec[i]) AS rv
+        FROM rf r JOIN e ON e.vec_id = r.vec_id
+        JOIN c ON c.cell = r.cell WHERE r.crk = 1),
+      d AS (SELECT s.vec_id, s.cell, b.m, b.code,
+          round(list_sum(list_transform(range(1, ${dsub + 1}),
+            i -> (s.rv[b.m * $dsub + i] - b.cv[i])
+               * (s.rv[b.m * $dsub + i] - b.cv[i]))), 6) AS d2
+        FROM res s CROSS JOIN cb b),
+      enc AS (SELECT vec_id, cell, m, code FROM (
+          SELECT vec_id, cell, m, code,
+            row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY d2, code) AS rn
+          FROM d) WHERE rn = 1),
+      q AS (SELECT vec_id AS q_id, emb AS q_vec,
+          sqrt(list_sum(list_transform(emb, x -> x * x))) AS qn
+        FROM e WHERE vec_id < 10),
+      qs AS (SELECT q.q_id, q.qn, c.cell,
+          round(CASE WHEN isnan(list_cosine_similarity(q.q_vec, c.c_vec))
+            THEN 0.0 ELSE list_cosine_similarity(q.q_vec, c.c_vec) END, 6)
+            AS cscore,
+          round(list_sum(list_transform(range(1, ${subspaces * dsub + 1}),
+            i -> q.q_vec[i] * c.c_vec[i])), 6)::DECIMAL(18,6) AS qc
+        FROM q CROSS JOIN c),
+      probes AS (SELECT q_id, qn, cell, qc FROM (
+          SELECT q_id, qn, cell, qc,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY cscore DESC, cell) AS crk
+          FROM qs) WHERE crk <= 2),
+      qlut AS (SELECT q.q_id, b.m, b.code,
+          round(list_sum(list_transform(range(1, ${dsub + 1}),
+            i -> q.q_vec[b.m * $dsub + i] * b.cv[i])), 6)::DECIMAL(18,6)
+            AS qr
+        FROM q CROSS JOIN cb b),
+      cc AS (SELECT c.cell, b.m, b.code,
+          round(2.0 * list_sum(list_transform(range(1, ${dsub + 1}),
+              i -> c.c_vec[b.m * $dsub + i] * b.cv[i]))
+            + list_sum(list_transform(b.cv, x -> x * x)), 6)::DECIMAL(18,6)
+            AS cc
+        FROM c CROSS JOIN cb b),
+      cn AS (SELECT cell,
+          round(list_sum(list_transform(c_vec, x -> x * x)), 6)::DECIMAL(18,6)
+            AS cn2
+        FROM c),
+      sc AS (SELECT p.q_id, n.vec_id AS n_id, max(p.qn) AS qn,
+          max(p.qc) AS qc, max(n.cell) AS cell,
+          sum(l.qr) AS qr, sum(x.cc) AS ccs
+        FROM enc n
+        JOIN probes p ON p.cell = n.cell AND n.vec_id != p.q_id
+        JOIN qlut l ON l.q_id = p.q_id AND l.m = n.m AND l.code = n.code
+        JOIN cc x ON x.cell = n.cell AND x.m = n.m AND x.code = n.code
+        GROUP BY p.q_id, n.vec_id),
+      cand AS (SELECT s.q_id, s.n_id,
+          CASE WHEN s.qn = 0 OR (w.cn2 + s.ccs) <= 0 THEN 0.0
+          ELSE round((s.qc + s.qr)::DOUBLE
+            / (s.qn * sqrt((w.cn2 + s.ccs)::DOUBLE)), 6) END AS cosine
+        FROM sc s JOIN cn w ON w.cell = s.cell)
+      SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q_id, n_id, cosine,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, n_id) AS rk
+        FROM cand)
+      WHERE rk <= 5 ORDER BY q_id, rk"""
+  }
+
   /** Johnson-Lindenstrauss random projection + brute-force ANN over the
     * COMPRESSED vectors — the dimensionality lever: 64 dims → 16 via
     * deterministic ±1 hyperplanes ([[VF.randomProject]]), a 4× cut in
@@ -3254,6 +3368,7 @@ object Queries {
     "ann_ivf_append" -> annIvfAppend,
     "ann_quantized_topk" -> annQuantized,
     "ann_pq_topk" -> annPqTopk,
+    "ann_ivf_pq" -> annIvfPq,
     "ann_rp_topk" -> annRpTopk,
     "dd_semdedup" -> ddSemDedup,
     "ta_langid" -> taLangId,

@@ -979,4 +979,151 @@ object Ann {
              sampleRate: Double = 1.0): DataFrame =
     pqTopKFromCodebooks(corpus, isQuery,
       trainPqCodebooks(corpus, subspaces, codes, iters, seed, sampleRate), k)
+
+  // ------------------------------------------------------------ IVF-PQ
+
+  /** `(vec_id, cell, emb)` where emb is the RESIDUAL x − c_assigned: every
+    * vector assigned to its nearest coarse cell (the IVF round-6 cosine /
+    * cell-tiebreak rule), centroid broadcast back and subtracted. */
+  private def residualFrame(e: DataFrame,
+                            cents: Array[Array[Double]]): DataFrame = {
+    val cent = centroidFrame(e.sparkSession, cents)
+    nearestCellAgg(e, cent).join(e, "vec_id")
+      .join(broadcast(cent.select(col("cell"), col("c_vec"))), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        expr("zip_with(emb, c_vec, (x, y) -> x - y)").as("emb"))
+  }
+
+  /** Train the full IVF-PQ index (the FAISS `IVFx,PQy` shape): coarse
+    * spherical-k-means centroids ([[trainCentroids]]), then PQ codebooks
+    * over the RESIDUALS x − c(x) ([[trainPqCodebooks]] on the residual
+    * frame) — residuals concentrate around 0 once the coarse quantizer
+    * absorbs cluster structure, so the same code budget reconstructs far
+    * more faithfully than raw-vector PQ. Both models are driver-held,
+    * deterministic, and together fully determine the index — which is what
+    * the injected-model oracle checks serving against. */
+  def ivfPqTrain(corpus: DataFrame, kCentroids: Int = 16, subspaces: Int = 8,
+                 codes: Int = 16, centIters: Int = 5, pqIters: Int = 4,
+                 seed: String = "ivf", pqSeed: String = "pq",
+                 sampleRate: Double = 1.0)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cents = trainCentroids(corpus, kCentroids, centIters, seed, sampleRate)
+    val e = sampleFrame(corpus, 1.0)
+    val res = residualFrame(e, cents)
+      .select(col("vec_id"), col("emb").as("embedding"))
+    (cents, trainPqCodebooks(res, subspaces, codes, pqIters, pqSeed,
+      sampleRate))
+  }
+
+  /** IVF-PQ serving: probe `nProbe` coarse cells, score ONLY their members,
+    * each from its `subspaces` residual codes (no corpus float is touched
+    * after encode). The reconstruction is `c_cell + decode(codes)`, and its
+    * cosine against the query decomposes into broadcast-sized lookups:
+    *
+    *   dot(q, recon)  = dot(q, c)  + Σ_m dot(q_m, cv[m][j_m])
+    *   |recon|²       = |c|²       + Σ_m (2·dot(c_m, cv[m][j_m]) + |cv[m][j_m]|²)
+    *
+    * — the query-side terms are per-(q, cell) / per-(q, m, code) LUTs
+    * (broadcast), and the cell-cross terms are per-(cell, m, code) scalars
+    * computed on the DRIVER from the two held models (K·M·codes rows,
+    * injected as a literal frame). Every per-m term rounds to 6 and sums in
+    * DECIMAL: order-independent, replayable in SQL. Scale shape: the
+    * candidate stream carries `(vec_id, cell, m, code)` — at 1000 executors
+    * the scoring shuffle is narrow integer triples gated by the probe
+    * filter, exactly the plan IVF-PQ exists to produce. */
+  def ivfPqTopKFrom(corpus: DataFrame, isQuery: Column,
+                    cents: Array[Array[Double]],
+                    cb: Array[Array[Array[Double]]],
+                    k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val subspaces = cb.length
+    val dsub = cb(0)(0).length
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val e = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val res = residualFrame(e, cents)
+    val enc = pqAssign(subvectorFrame(res, subspaces, dsub),
+        codebookFrame(spark, cb))
+      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    // query side: probe the nProbe nearest cells (round-6 cosine, cell
+    // tiebreak — the IVF probe rule), carrying dot(q, c) for the ADC
+    val cent = centroidFrame(spark, cents)
+    val q = e.filter(isQuery).select(col("vec_id").as("q_id"),
+      col("emb").as("q_vec"), VF.norm2(col("emb")).as("q_nrm"))
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cscore").desc, col("cell"))
+    val probes = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"),
+        round(VF.cosineWithNorms(VF.dot(col("q_vec"), col("c_vec")),
+          col("q_nrm"), col("c_nrm")), 6).as("cscore"),
+        round(VF.dot(col("q_vec"), col("c_vec")), 6).cast(dec6).as("qc"))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nProbe)
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"), col("qc"))
+    // per-(q, m, code) residual-dot LUT — broadcast-sized by construction
+    // (built from the query frame, not from probes: no array-keyed distinct)
+    val qlut = q.select(col("q_id"), col("q_vec"))
+      .crossJoin(codebookFrame(spark, cb))
+      .select(col("q_id"), col("m"), col("code"),
+        round(VF.dot(expr(s"slice(q_vec, m * $dsub + 1, $dsub)"),
+          col("c_vec")), 6).cast(dec6).as("qr"))
+    // cell-cross terms from the two DRIVER-HELD models: per (cell, m, code)
+    // 2·dot(c_m, cv) + |cv|², plus |c|² per cell — K·M·codes literal rows
+    import spark.implicits._
+    val cellCross = cents.indices.flatMap { cell =>
+      (0 until subspaces).flatMap { m =>
+        cb(m).indices.map { j =>
+          val cSlice = cents(cell).slice(m * dsub, (m + 1) * dsub)
+          val cv = cb(m)(j)
+          val cross = 2.0 * dot64(cSlice, cv) + dot64(cv, cv)
+          (cell.toLong, m, j, r6(cross))
+        }
+      }
+    }.toDF("cell", "m", "code", "cc")
+      .select(col("cell"), col("m"), col("code"), col("cc").cast(dec6).as("cc"))
+    val cellNorm2 = cents.indices.map(c =>
+        (c.toLong, r6(dot64(cents(c), cents(c)))))
+      .toDF("cell", "cn2")
+      .select(col("cell"), col("cn2").cast(dec6).as("cn2"))
+    val scored = enc
+      .join(broadcast(probes.select(col("q_id"), col("q_nrm"), col("cell"),
+        col("qc"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(qlut), Seq("q_id", "m", "code"))
+      .join(broadcast(cellCross), Seq("cell", "m", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(max(col("q_nrm")).as("q_nrm"), max(col("qc")).as("qc"),
+        max(col("cell")).as("cell"),
+        sum(col("qr")).as("qr"), sum(col("cc")).as("ccs"))
+      .join(broadcast(cellNorm2), Seq("cell"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        (col("qc") + col("qr")).cast("double").as("dt"),
+        (col("cn2") + col("ccs")).cast("double").as("rn2"), col("q_nrm"))
+      .select(col("q_id"), col("n_id"),
+        when(col("q_nrm") === 0.0 || col("rn2") <= 0.0, lit(0.0))
+          .otherwise(round(col("dt") / (col("q_nrm") * sqrt(col("rn2"))), 6))
+          .as("cosine"))
+    rank(scored, k)
+  }
+
+  /** Plain left-to-right double dot — matches the SQL oracle's fold. */
+  private def dot64(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** [[ivfPqTrain]] then [[ivfPqTopKFrom]] — the one-call IVF-PQ search
+    * (the `ann_topk` section's `ivf_pq` variant). */
+  def ivfPqTopK(corpus: DataFrame, isQuery: Column, k: Int,
+                kCentroids: Int = 16, subspaces: Int = 8, codes: Int = 16,
+                nProbe: Int = 2, centIters: Int = 5, pqIters: Int = 4,
+                seed: String = "ivf", pqSeed: String = "pq",
+                sampleRate: Double = 1.0): DataFrame = {
+    val (cents, cb) = ivfPqTrain(corpus, kCentroids, subspaces, codes,
+      centIters, pqIters, seed, pqSeed, sampleRate)
+    ivfPqTopKFrom(corpus, isQuery, cents, cb, k, nProbe)
+  }
 }

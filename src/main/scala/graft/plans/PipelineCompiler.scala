@@ -315,9 +315,19 @@ object SectionRegistry {
             iters = c.getOrElse("train_iters", "4").toInt,
             seed = c.getOrElse("seed", "pq"),
             sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble)
+          // residual IVF-PQ (the FAISS IVFx,PQy shape): coarse cells
+          // prune, residual codes score — the at-scale default
+          case "ivf_pq" => graft.operators.Ann.ivfPqTopK(frame, isQuery, k,
+            kCentroids = c.getOrElse("k_centroids", "16").toInt,
+            subspaces = c.getOrElse("subspaces", "8").toInt,
+            codes = c.getOrElse("codes", "16").toInt,
+            nProbe = c.getOrElse("probes", "2").toInt,
+            seed = c.getOrElse("seed", "ivf"),
+            pqSeed = c.getOrElse("pq_seed", "pq"),
+            sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble)
           case other => throw new IllegalArgumentException(
             s"ann_topk variant must be brute|lsh|lsh_single|lsh_probe|" +
-            s"lsh_multi|ivf|pq, got $other")
+            s"lsh_multi|ivf|pq|ivf_pq, got $other")
         }
         Some(out.select("q_id", "n_id", "cosine", "rk"))
       }),

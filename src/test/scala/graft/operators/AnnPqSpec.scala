@@ -75,6 +75,45 @@ class AnnPqSpec extends AnyFunSuite {
     } finally exact.unpersist()
   }
 
+  test("ivf-pq: training and serving are partition-invariant") {
+    val e = emb
+    val (cents, cb) = Ann.ivfPqTrain(e, kCentroids = 8, subspaces = 8,
+      codes = 8, centIters = 2, pqIters = 2)
+    val (cents2, cb2) = Ann.ivfPqTrain(e.repartition(9, col("vec_id")),
+      kCentroids = 8, subspaces = 8, codes = 8, centIters = 2, pqIters = 2)
+    assert(cents.map(_.toSeq).toSeq == cents2.map(_.toSeq).toSeq,
+      "coarse centroids drifted under repartitioning")
+    assert(cb.deep == cb2.deep, "residual codebooks drifted")
+    val r1 = Ann.ivfPqTopKFrom(e, col("vec_id") < 5, cents, cb, 5)
+      .orderBy(col("q_id"), col("rk")).collect()
+    val r2 = Ann.ivfPqTopKFrom(e.repartition(13), col("vec_id") < 5,
+        cents, cb, 5)
+      .orderBy(col("q_id"), col("rk")).collect()
+    assert(r1.toSeq == r2.toSeq, "IVF-PQ serving depends on partitioning")
+    assert(r1.forall(r => r.getLong(0) != r.getLong(1)),
+      "a query matched itself")
+  }
+
+  test("ivf-pq recall is bounded by the probed fraction's exact twin") {
+    val e = emb
+    val isQuery = col("vec_id") < 10
+    val exact = Ann.bruteForceTopK(e, isQuery, 10).persist()
+    try {
+      // same pruning with EXACT scoring: the ceiling any code-based
+      // scorer of the same probe set can reach
+      val ivfExact = Ann.recallAtK(exact,
+        Ann.ivfTopKTrained(e, isQuery, 10, nProbe = 2, kCentroids = 16))
+      val ivfPq = Ann.recallAtK(exact,
+        Ann.ivfPqTopK(e, isQuery, 10, kCentroids = 16, nProbe = 2))
+      assert(ivfPq >= 0.0 && ivfPq <= 1.0)
+      // PQ scores the same candidate set approximately — it can reorder
+      // WITHIN the probed cells but cannot recover anything outside them;
+      // tiny slack for rank-boundary ties
+      assert(ivfPq <= ivfExact + 0.05,
+        s"IVF-PQ recall $ivfPq exceeds its exact-scoring ceiling $ivfExact")
+    } finally exact.unpersist()
+  }
+
   test("plan shape: LUT broadcasts, no embedding array in any Exchange") {
     val cb = Ann.trainPqCodebooks(emb, iters = 1)
     val df = Ann.pqTopKFromCodebooks(emb, col("vec_id") < 5, cb, 5)
