@@ -920,6 +920,55 @@ object Queries {
 
   // ----------------------------------------------- training-data pipeline
 
+  /** Exact duplicated-substring scrubbing
+    * ([[graft.operators.Corpus.exactSubstrDedup]] — Lee et al. ACL 2022's
+    * ExactSubstr re-expressed as L-gram coverage + interval merge). The
+    * oracle independently rebuilds every stage: tokenization, md5 L-gram
+    * hashing, multiplicity-counted duplicates, gaps-and-islands span
+    * merging, and the per-position scrub — any drift in window anchoring,
+    * interval arithmetic, or the kept-token reassembly is a hash
+    * mismatch. */
+  private val ddExactSubstr = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.exactSubstrDedup(
+          Tables.documents(s, dir), minTokens = 10)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $toksCte,
+      pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) - 10 + 2)) AS p
+        FROM toks WHERE len(ts) >= 10),
+      grams AS (SELECT doc_id, p,
+          md5(array_to_string(ts[p : p + 9], ' ')) AS gh
+        FROM pos),
+      dupg AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) >= 2),
+      dp AS (SELECT g.doc_id, g.p FROM grams g JOIN dupg USING (gh)),
+      lagged AS (SELECT doc_id, p,
+          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM dp),
+      isl AS (SELECT doc_id, p,
+          sum(CASE WHEN prev IS NULL OR p > prev + 10 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY p) AS island
+        FROM lagged),
+      spans AS (SELECT doc_id, island, min(p) AS s, max(p) + 9 AS e
+        FROM isl GROUP BY doc_id, island),
+      perdoc AS (SELECT doc_id, count(*) AS n_spans,
+          sum(e - s + 1) AS n_dup_tokens,
+          list([s, e] ORDER BY s) AS spans
+        FROM spans GROUP BY doc_id)
+      SELECT t.doc_id,
+        coalesce(d.n_spans, 0)::BIGINT AS n_spans,
+        coalesce(d.n_dup_tokens, 0)::BIGINT AS n_dup_tokens,
+        coalesce(CASE WHEN d.doc_id IS NULL THEN array_to_string(t.ts, ' ')
+        ELSE array_to_string(list_filter(
+          list_transform(range(1, len(t.ts) + 1),
+            i -> CASE WHEN len(list_filter(d.spans,
+                sp -> sp[1] <= i AND i <= sp[2])) > 0
+              THEN NULL ELSE t.ts[i] END),
+          x -> x IS NOT NULL), ' ') END, '') AS clean_text
+      FROM toks t LEFT JOIN perdoc d USING (doc_id)
+      ORDER BY doc_id"""))
+
   private val ddExact = Q(
     (s, dir) => {
       import s.implicits._
@@ -3357,6 +3406,7 @@ object Queries {
     "dd_dup_clusters" -> ddClusters,
     "dd_cluster_best" -> ddClusterBest,
     "dd_ref_dedup" -> ddRefDedup,
+    "dd_exact_substr" -> ddExactSubstr,
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLsh,
     "ann_lsh_probe" -> annLshProbe,

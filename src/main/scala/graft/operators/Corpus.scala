@@ -897,4 +897,73 @@ object Corpus {
     docs.select(col(idCol).as("doc_id"),
       graft.functions.BpeTokenCount(col(textCol), merges)
         .cast("long").as("n_bpe_tokens"))
+
+  /** EXACT duplicated-substring scrubbing (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022 — the
+    * ExactSubstr pass): remove every maximal token span of at least
+    * `minTokens` tokens that occurs MORE THAN ONCE in the corpus
+    * (across documents or repeated inside one). The paper builds a
+    * corpus-wide suffix array; the distributed re-expression uses the
+    * standard reduction — a position lies in some duplicated run of
+    * length ≥ L iff it is covered by a duplicated L-gram — so the whole
+    * pass is L-gram hashing + occurrence counting + interval merging,
+    * every step a shuffle on narrow keys:
+    *
+    *  1. every document's token L-grams hash to md5 of the space-joined
+    *     slice (128-bit — no birthday collisions at corpus scale; the
+    *     gram text itself never shuffles);
+    *  2. grams with global occurrence count ≥ 2 — counted WITH
+    *     multiplicity, so a run repeated inside one document is caught —
+    *     mark their start positions (the count is a map-side-combined
+    *     aggregate; the mark-back join on a boilerplate-hot hash is
+    *     exactly the skew AQE's skew-join split exists for);
+    *  3. per document, covered intervals `[p, p+L-1]` merge by
+    *     gaps-and-islands (lag + running sum over (doc, pos) rows —
+    *     narrow windows partitioned by doc, never global);
+    *  4. kept tokens re-join with single spaces (the output is
+    *     token-normalized, like every text transform here).
+    *
+    * @return `(doc_id, n_spans, n_dup_tokens, clean_text)` — one row per
+    *         input document; untouched docs carry their token-joined
+    *         text with zero spans. */
+  def exactSubstrDedup(docs: DataFrame, minTokens: Int = 10,
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(minTokens >= 2, "minTokens must be >= 2")
+    val L = minTokens
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TF.tokens(col(textCol)).as("ts"))
+    val grams = toks.filter(size(col("ts")) >= L)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(1), size(col("ts")) - L + 1)).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(array_join(expr(s"slice(ts, p, $L)"), " ")).as("gh"))
+    val dupCnt = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("gh"))
+    val dp = grams.join(dupCnt, Seq("gh")).select(col("doc_id"), col("p"))
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val isl = dp.withColumn("prev", lag(col("p"), 1).over(wOrd))
+      .withColumn("brk",
+        when(col("prev").isNull || col("p") > col("prev") + L, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val spans = isl.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + L - 1).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("n_dup_tokens"),
+        sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    toks.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_tokens"), lit(0L)).cast("long").as("n_dup_tokens"),
+        when(col("spans").isNull, array_join(col("ts"), " "))
+          .otherwise(expr(
+            "array_join(filter(transform(sequence(1, size(ts)), " +
+            "i -> IF(exists(spans, sp -> sp.s <= i AND i <= sp.e), " +
+            "CAST(NULL AS STRING), element_at(ts, i))), " +
+            "x -> x IS NOT NULL), ' ')"))
+          .as("clean_text"))
+  }
 }

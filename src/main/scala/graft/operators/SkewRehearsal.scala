@@ -89,6 +89,12 @@ object SkewRehearsal {
     "skewed_cp_segment_dedup" -> (() =>
       Corpus.segmentDedup(hotCorpus(graft.Tables.documents(spark, dir)),
         segWords = 8, maxDf = 2).count()),
+    // a third of the corpus is ONE template: every L-gram of the template
+    // becomes a globally-hot hash whose mark-back join lands n/3 rows on
+    // single keys — the AQE skew-split worst case for ExactSubstr
+    "skewed_dd_exact_substr" -> (() =>
+      Corpus.exactSubstrDedup(hotCorpus(graft.Tables.documents(spark, dir)),
+        minTokens = 10).count()),
     // mass-duplicated REFERENCE corpus: every third reference doc is the
     // same template, so its band buckets would hold n/3 members — the
     // exact-text pre-dedup inside dedupAgainstReference must collapse

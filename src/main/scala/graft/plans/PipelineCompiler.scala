@@ -471,6 +471,13 @@ object SectionRegistry {
         maxDf = c.getOrElse("max_df", "2").toLong,
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text")))),
+    // ExactSubstr scrubbing (Lee et al. ACL 2022): remove every maximal
+    // token span >= min_tokens occurring more than once in the corpus
+    "exact_substr_dedup" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.exactSubstrDedup(in(df),
+        minTokens = c.getOrElse("min_tokens", "10").toInt,
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text")))),
     // token-budget sequence packing: (doc_id, tok, seq_id)
     "pack_sequences" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => Some(graft.operators.Corpus.packSequences(in(df),

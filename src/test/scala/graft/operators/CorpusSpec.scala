@@ -423,4 +423,61 @@ class CorpusSpec extends AnyFunSuite {
         .orderBy(col("doc_id")).collect().toSeq
     assert(run(1) == run(7))
   }
+
+  test("exactSubstrDedup: cross-doc duplicated run is scrubbed from both docs") {
+    val shared = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val corpus = docs(
+      1L -> s"alpha beta $shared gamma delta",
+      2L -> s"one two three $shared four",
+      3L -> "totally unrelated words that repeat nowhere else at all")
+    val got = Corpus.exactSubstrDedup(corpus, minTokens = 10)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(got(0) == ((1L, 1L, 12L, "alpha beta gamma delta")))
+    assert(got(1) == ((2L, 1L, 12L, "one two three four")))
+    assert(got(2)._2 == 0L && got(2)._4.startsWith("totally unrelated"))
+  }
+
+  test("exactSubstrDedup: within-doc repetition counts as duplication") {
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val corpus = docs(1L -> s"start $run middle $run finish")
+    val got = Corpus.exactSubstrDedup(corpus, minTokens = 10)
+      .as[(Long, Long, Long, String)].head()
+    // both occurrences are covered: 2 spans, 20 duplicated tokens
+    assert(got._2 == 2L && got._3 == 20L)
+    assert(got._4 == "start middle finish")
+  }
+
+  test("exactSubstrDedup: overlapping duplicated grams merge into one span") {
+    // an 11-token duplicated run = two overlapping 10-grams -> ONE span
+    val run = (1 to 11).map(i => s"m$i").mkString(" ")
+    val corpus = docs(1L -> s"a $run z", 2L -> s"b $run y")
+    val got = Corpus.exactSubstrDedup(corpus, minTokens = 10)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.forall(_._2 == 1L), "overlapping grams must merge")
+    assert(got.forall(_._3 == 11L))
+  }
+
+  test("exactSubstrDedup: short docs and empty docs pass through untouched") {
+    val corpus = docs(1L -> "short doc", 2L -> "", 3L -> "   ")
+    val got = Corpus.exactSubstrDedup(corpus, minTokens = 10)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+      .as[(Long, Long, Long, String)].collect()
+    assert(got.forall(r => r._2 == 0L && r._3 == 0L))
+    assert(got(0)._4 == "short doc" && got(1)._4 == "" && got(2)._4 == "")
+  }
+
+  test("exactSubstrDedup: partitioning-invariant") {
+    val shared = (1 to 15).map(i => s"s$i").mkString(" ")
+    val corpus = (1L to 30L).map(i =>
+        (i, if (i % 3 == 0) s"doc $i carries $shared inside"
+            else s"unique text for document number $i with no repeats"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      Corpus.exactSubstrDedup(corpus.repartition(parts), minTokens = 10)
+        .orderBy(org.apache.spark.sql.functions.col("doc_id"))
+        .collect().toSeq
+    assert(run(1) == run(11))
+  }
 }
