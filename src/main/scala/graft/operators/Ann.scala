@@ -1043,7 +1043,12 @@ object Ann {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP)
     val e = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
-    val res = residualFrame(e, cents)
+    // the residual subtree feeds TWO branches (the subspace encode and the
+    // vec->cell map); materialize it once — localCheckpoint, not persist,
+    // so the serving plan starts from the materialized RDD instead of
+    // replaying assignment+subtraction per branch (the bpeTrain
+    // discipline; blocks are reclaimed when the frame is dereferenced)
+    val res = residualFrame(e, cents).localCheckpoint(true)
     val enc = pqAssign(subvectorFrame(res, subspaces, dsub),
         codebookFrame(spark, cb))
       .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
