@@ -264,10 +264,51 @@ object Bench {
         failed += "assembly_split"
         Seq.empty
       }
+    // phase-split lines for dd_ngram_jaccard (r9's 1.5-2.1× drifter):
+    // _hashes prices the one text pass (shingle + md5 + project),
+    // _candidates prices the posting-list self-join + exact verify over
+    // PREBUILT hash rows staged to parquet — so a drift in the full
+    // dd_ngram_jaccard line is attributable to exactly one phase.
+    val ngramSplitNames = Seq("dd_ngram_hashes", "dd_ngram_candidates")
+    val ngramSplitResults: Seq[(String, Double, Double)] =
+      if (!ngramSplitNames.exists(wanted)) Seq.empty else try {
+        def rmTree(dir: String): Unit = {
+          import java.nio.file.{Files, Paths}
+          import scala.jdk.CollectionConverters._
+          val root = Paths.get(dir)
+          if (Files.exists(root)) {
+            val walk = Files.walk(root)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.delete)
+            finally walk.close()
+          }
+        }
+        val tmp = java.nio.file.Files.createTempDirectory("bench_ngram").toString
+        val docs = Tables.documents(spark, sfDir)
+        if (wanted("dd_ngram_candidates"))
+          operators.NearDup.ngramHashRows(docs).write.parquet(s"$tmp/hv")
+        spark.catalog.clearCache()
+        val out = Seq[(String, () => Unit)](
+          "dd_ngram_hashes" -> (() =>
+            { operators.NearDup.ngramHashRows(docs).count(); () }),
+          "dd_ngram_candidates" -> (() => {
+            val hv = spark.read.parquet(s"$tmp/hv").persist()
+            try { operators.NearDup.ngramJaccardFromHashes(hv).count(); () }
+            finally hv.unpersist()
+          })
+        ).filter(q => wanted(q._1)).flatMap { case (name, f) =>
+          timed(name, f) }
+        rmTree(tmp)
+        out
+      } catch { case ex: Throwable =>
+        System.err.println(s"[bench] ngram split harness FAILED: ${ex.getMessage}")
+        failed += "ngram_split"
+        Seq.empty
+      }
     val results =
       Queries.all.filter(q => wanted(q._1)).flatMap { case (name, q) =>
         timed(name, () => { q.fn(spark, sfDir).count(); () }) } ++
-      ivfSplitResults ++ assemblySplitResults ++
+      ivfSplitResults ++ assemblySplitResults ++ ngramSplitResults ++
       // scale rehearsal: worst-case skewed corpora through the capped pair
       // generators — each skewed_* line should stay within ~2x of its
       // uniform twin above, or a cap has stopped doing its job
@@ -447,7 +488,14 @@ object Bench {
     // a bench run owns exactly two java processes (sbt + this forked JVM);
     // any third is another workload stealing the 32 cores — r8's official
     // record carried phantom 2-3x regressions from exactly that
-    val contended = javaProcs > 2
+    // Contention gate considers BOTH signals: extra java JVMs AND the box's
+    // 1-minute loadavg at run start. Round 9's official record started at
+    // loadavg 8.24 with contended=false because only java_procs was checked
+    // — non-java load (driver python, compaction) skews timings just as much.
+    val loadavg1m: Double =
+      try loadavgStart.split(",").headOption.map(_.toDouble).getOrElse(0.0)
+      catch { case _: Throwable => 0.0 }
+    val contended = javaProcs > 2 || loadavg1m > 2.0
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"loadavg_start":"$loadavgStart","java_procs":$javaProcs,"contended":$contended,"queries":$qs,"queries_min":$mins,"recall_at_10":$rc$dr,"ivf_cell_balance":$cb,"failed":$fl,"sf":"$sfDir"}"""
     // full-line file artifact: the driver's tail-capture truncates long
     // stdout lines from the FRONT, which in r8 cut off exactly the

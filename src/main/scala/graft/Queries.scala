@@ -2578,9 +2578,8 @@ object Queries {
       import ss.implicits._
       val raw = ss.read.parquet(s"$dir/events.parquet")
       // file stream source needs a directory; glob-filter to the one table
-      val stream = ss.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = Tables.normalizeEventsTs(ss.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       val agg = stream
         .groupBy(window($"ts", "5 minutes").getField("start").cast("string").as("window_start"),
                  $"event_type")
@@ -2642,9 +2641,8 @@ object Queries {
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import ss.implicits._
       val raw = ss.read.parquet(s"$dir/events.parquet")
-      def stream = ss.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def stream = Tables.normalizeEventsTs(ss.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       val views = stream.filter($"event_type" === "view")
         .select($"user_id".as("v_user"), $"ts".as("view_ts"))
         .withWatermark("view_ts", "1 hour")

@@ -25,15 +25,32 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects. Read nanos as long (legacy conf), then floor-divide to
-    * micros — the same truncation DuckDB applies when narrowing ns→µs, so
-    * oracle comparisons agree to the microsecond. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** The driver has shipped events.parquet with `ts` as TIMESTAMP(NANOS)
+    * (which Spark's parquet reader only accepts as a raw long via the
+    * legacy conf) and, since round 10, as TIMESTAMP(MICROS) (which Spark
+    * reads as TIMESTAMP_NTZ). All readers of `events` — batch AND
+    * streaming — must normalize through [[normalizeEventsTs]] so the next
+    * physical-format drift has a single choke point. Every branch lands on
+    * session-local TimestampType at microsecond precision, which with the
+    * UTC session timezone used everywhere is value-identical to DuckDB's
+    * reading of the same file. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType => // nanos-as-long: floor-divide ns→µs like DuckDB does
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unexpected type $other — update Tables.normalizeEventsTs")
+    }
+  }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    // Harmless when the file is already micros; required to read nanos files.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventsTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -19,13 +19,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A thrown query must be VISIBLE in the artifact, not just stderr: round 9
+    // lost 16 queries because failures were only logged and the driver read
+    // "every dir present passed" as "everything passed". On failure we write
+    // <outDir>/<name>/_FAILED (so the dir exists but is not readable parquet —
+    // the driver's compare records an err row instead of silently skipping)
+    // and collect everything into <outDir>/errors.json.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(2000)}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg
+        val d = Paths.get(s"$outDir/$name")
+        Files.createDirectories(d)
+        Files.writeString(d.resolve("_FAILED"), msg)
       }
       // operator-internal persist()s (minhash/simhash signature caches) are
       // per-corpus; queries run once each here, so drop them eagerly rather
@@ -47,6 +59,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: " +
+        errors.keys.mkString(", "))
     // enforce the operator cache-lifecycle contract (NearDup and friends
     // persist() internally and document session-managed cleanup): if any
     // query leaked a cached frame past its clearCache(), fail the run —

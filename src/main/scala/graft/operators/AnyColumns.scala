@@ -57,6 +57,79 @@ object AnyColumns {
     }.toMap
   }
 
+  /** Dense-union interchange — the per-CELL analog of the reference's Arrow
+    * `DataType::Any` round trip (`formats/arrow_msg/src/lib.rs:639-928` as
+    * spec). The LUB policy above collapses a MIXED column to string, losing
+    * which cells were ints; the union encoding keeps every cell's own tag,
+    * so union-in → union-out preserves per-cell types exactly.
+    *
+    * Encoding: `struct<tag:byte, i:long, f:double, ts:timestamp, s:string>`
+    * where exactly the field selected by `tag` is non-null (a dense union's
+    * type-id + child arrays, flattened into Tungsten's null bitmap — no
+    * per-cell boxing, stays inside whole-stage codegen).
+    */
+  val TagNull: Int = 0; val TagLong: Int = 1; val TagDouble: Int = 2
+  val TagTimestamp: Int = 3; val TagString: Int = 4
+
+  val UnionType: StructType = StructType(Seq(
+    StructField("tag", ByteType, nullable = false),
+    StructField("i", LongType), StructField("f", DoubleType),
+    StructField("ts", TimestampType), StructField("s", StringType)))
+
+  /** String-typed "any" columns → dense union. Each cell gets the NARROWEST
+    * tag that parses it, in [[infer]]'s precedence order (long, double,
+    * timestamp, string) — so `["1", "2.5", "this", null]` keeps the int
+    * cell an int and the text cell text. */
+  def toUnion(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val targets =
+      if (columns.nonEmpty) columns.toSet
+      else df.schema.fields.filter(_.dataType == StringType).map(_.name).toSet
+    df.select(df.columns.map { c =>
+      if (!targets.contains(c)) col(c)
+      else {
+        val v = col(c)
+        val asL = v.try_cast(LongType)
+        val asD = v.try_cast(DoubleType)
+        val asT = v.try_cast(TimestampType)
+        val tag = when(v.isNull, lit(TagNull))
+          .when(asL.isNotNull, lit(TagLong))
+          .when(asD.isNotNull, lit(TagDouble))
+          .when(asT.isNotNull, lit(TagTimestamp))
+          .otherwise(lit(TagString)).cast(ByteType)
+        struct(
+          tag.as("tag"),
+          when(tag === TagLong, asL).as("i"),
+          when(tag === TagDouble, asD).as("f"),
+          when(tag === TagTimestamp, asT).as("ts"),
+          when(tag === TagString, v).as("s")).as(c)
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** Dense union → string-typed "any" columns (the outbound direction; the
+    * reference's non-stringify sink path in reverse). Exact for values that
+    * entered [[toUnion]] in canonical rendering; DOCUMENTED-LOSSY for
+    * non-canonical numerics — `"2.50"` tags as double 2.5 and re-renders
+    * `"2.5"`, `"07"` re-renders `"7"` — the same narrowing the reference's
+    * Excel stringify mode applies (`AnyColumnsSpec` pins both the exact and
+    * the lossy cases). */
+  def fromUnion(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val targets =
+      if (columns.nonEmpty) columns.toSet
+      else df.schema.fields.filter(_.dataType == UnionType).map(_.name).toSet
+    df.select(df.columns.map { c =>
+      if (!targets.contains(c)) col(c)
+      else {
+        val u = col(c)
+        when(u("tag") === TagNull, lit(null).cast(StringType))
+          .when(u("tag") === TagLong, u("i").cast(StringType))
+          .when(u("tag") === TagDouble, u("f").cast(StringType))
+          .when(u("tag") === TagTimestamp, u("ts").cast(StringType))
+          .otherwise(u("s")).as(c)
+      }
+    }.toIndexedSeq: _*)
+  }
+
   /** Apply the widening policy: string columns that uniformly parse become
     * typed; mixed columns stay string. */
   def resolve(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {

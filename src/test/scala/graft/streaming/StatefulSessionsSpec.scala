@@ -133,9 +133,8 @@ class StatefulSessionsSpec extends AnyFunSuite {
   test("streaming: sessions close via event-time timeout, state stays bounded") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
-    val stream = spark.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(TestSpark.sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventsTs(spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(TestSpark.sf))
       .select($"user_id", $"ts")
     val closed = StreamingPipelines.collectStream(spark,
         StatefulSessions.sessionize(stream, "user_id", "ts", gapSec).toDF(),

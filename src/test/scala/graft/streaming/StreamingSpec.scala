@@ -12,9 +12,8 @@ class StreamingSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"${TestSpark.sf}/events.parquet"
     val raw = spark.read.parquet(path)
-    val stream = spark.readStream.schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet").parquet(TestSpark.sf)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventsTs(spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(TestSpark.sf))
     val agg = stream.groupBy(
         window($"ts", "5 minutes").getField("start").as("ws"), $"event_type")
       .agg(count(lit(1)).as("n"))
