@@ -37,7 +37,8 @@ object Queries {
     * literals at dump time — Verify runs every query before it dumps
     * `oracle_sql.json`, so the capture is always populated by then. */
   final class Q(val fn: (SparkSession, String) => DataFrame,
-                oracleFn: () => Option[String]) {
+                oracleFn: () => Option[String],
+                val captureOracle: Boolean = false) {
     def oracle: Option[String] = oracleFn()
   }
   object Q {
@@ -47,9 +48,12 @@ object Queries {
                 oracle: () => String): Q = new Q(fn, () => Some(oracle()))
     /** For queries whose oracle EXISTS only once the query has run (the
       * capture-and-inject pattern over data-dependent driver state) —
-      * before that the entry degrades to the rows-only check. */
+      * before that the entry degrades to the rows-only check.
+      * `captureOracle=true` lets `CoverageClaimsSpec` tell "oracle not yet
+      * captured" apart from "operator shipped with no oracle at all". */
     def dynamicOpt(fn: (SparkSession, String) => DataFrame,
-                   oracle: () => Option[String]): Q = new Q(fn, oracle)
+                   oracle: () => Option[String]): Q =
+      new Q(fn, oracle, captureOracle = true)
   }
 
   private def dec(c: Column, scale: Int = 2): Column = c.cast(DecimalType(18, scale))

@@ -828,6 +828,16 @@ object SectionRegistry {
       }),
     "file_destination" -> Entry(SectionIOSpec(Bin, None),
       (_, c, df) => { Sinks.fileBinary(in(df), cfg(c, "dir")); scala.None }),
+    // Cross-daemon bridge halves (reference Inbound/Outbound section
+    // classification, myceliald/src/scheduler.rs:263-268) — see
+    // [[DaemonBridge]] for the split + at-least-once delivery contract.
+    "outbound_bridge" -> Entry(SectionIOSpec(BinOrDataFrame, None),
+      (_, c, df) => { DaemonBridge.publish(in(df), cfg(c, "dir")); scala.None }),
+    "inbound_bridge" -> Entry(SectionIOSpec(None, BinOrDataFrame),
+      (s, c, _) => {
+        Seq("dir", "state_dir", "pipeline").foreach(cfg(c, _)) // loud misconfig
+        Some(DaemonBridge.pendingFrame(s, c))
+      }),
     // Streaming parquet sink: ack-ordered foreachBatch append (epoch
     // commits strictly after the write — the reference's ack contract),
     // drained to completion with AvailableNow so a spec "run" processes
@@ -1007,7 +1017,16 @@ object PipelineCompiler {
     last.getOrElse(throw new IllegalStateException("pipeline produced no frame"))
   }
 
-  /** Run every connected component of a spec, sinks included. */
+  /** Run every connected component of a spec, sinks included. Bridge
+    * cursor advances registered by `inbound_bridge` sections drain
+    * strictly AFTER the component's sinks have executed (compile is
+    * eager, so by the time compileFrame returns every destination in the
+    * component has committed) — a sink failure leaves the cursor
+    * untouched and the slice replays next round (at-least-once). */
   def run(spark: SparkSession, spec: PipelineSpec): Unit =
-    spec.components.foreach { comp => compileFrame(spark, comp) }
+    spec.components.foreach { comp =>
+      DaemonBridge.clearAcks()
+      compileFrame(spark, comp)
+      DaemonBridge.commitAcks()
+    }
 }
