@@ -387,6 +387,14 @@ object Bench {
         // read the PQ compression's recall cost in isolation
         "ann_ivf_pq" -> operators.Ann.ivfPqTopK(e, isQuery, k,
           kCentroids = 16, nProbe = 2),
+        // the 8-BIT code budget (FAISS-standard PQx8, codes=256): same
+        // pipelines, 16× the per-subspace codebook. Measured ladder on
+        // this corpus: pq 0.16→0.40, ivf_pq 0.04→0.21 — these lines pin
+        // the standard operating point ABOVE the 4-bit floor the oracle
+        // queries deliberately exercise (max compression, worst recall)
+        "ann_pq_8bit" -> operators.Ann.pqTopK(e, isQuery, k, codes = 256),
+        "ann_ivf_pq_8bit" -> operators.Ann.ivfPqTopK(e, isQuery, k,
+          kCentroids = 16, nProbe = 2, codes = 256),
         "ann_quantized_topk" -> {
           val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
           val scale = maxabs / lit(127.0)
