@@ -100,7 +100,8 @@ object Bench {
     val splitNames = Seq("ann_ivf_train", "ann_ivf_query",
       "ann_ivf_disk_build", "ann_ivf_disk_query", "dd_semdedup_query",
       "ann_ivf_balanced_train", "ann_ivf_balanced_query",
-      "ann_ivf_append_delta", "ann_pq_train", "ann_pq_query")
+      "ann_ivf_append_delta", "ann_pq_train", "ann_pq_query",
+      "ann_ivf_pq_train", "ann_ivf_pq_query")
     val ivfSplitResults: Seq[(String, Double, Double)] =
       if (!splitNames.exists(wanted)) Seq.empty else try {
         def rmTree(dir: String): Unit = {
@@ -131,6 +132,9 @@ object Bench {
         val pqCb = if (wanted("ann_pq_query"))
           operators.Ann.trainPqCodebooks(e)
         else Array.empty[Array[Array[Double]]]
+        val ivfPqModel = if (wanted("ann_ivf_pq_query"))
+          operators.Ann.ivfPqTrain(e, kCentroids = 16)
+        else (Array.empty[Array[Double]], Array.empty[Array[Array[Double]]])
         // day-0 index the append-delta line appends day-1 batches into:
         // built once untimed, so the line prices ONLY the incremental
         // assign+append of the 20% batch (the r9 daily-arrival path)
@@ -177,7 +181,14 @@ object Bench {
             { operators.Ann.trainPqCodebooks(e); () }),
           "ann_pq_query" -> (() =>
             { operators.Ann.pqTopKFromCodebooks(e, col("vec_id") < 10,
-                pqCb, 5).count(); () })
+                pqCb, 5).count(); () }),
+          // residual IVF-PQ: coarse+codebook training vs ADC serving from
+          // the prebuilt pair — completes the trained-index family's split
+          "ann_ivf_pq_train" -> (() =>
+            { operators.Ann.ivfPqTrain(e, kCentroids = 16); () }),
+          "ann_ivf_pq_query" -> (() =>
+            { operators.Ann.ivfPqTopKFrom(e, col("vec_id") < 10,
+                ivfPqModel._1, ivfPqModel._2, 5, 2).count(); () })
         ).filter(q => wanted(q._1)).flatMap { case (name, f) =>
           timed(name, f) }
         rmTree(diskDir)
@@ -264,6 +275,36 @@ object Bench {
         failed += "assembly_split"
         Seq.empty
       }
+    // train/serve split for cp_quality_classifier (the heaviest bench
+    // line): _train prices features + NB init + the GD iterations at the
+    // oracle config; _score prices one serving pass over the corpus
+    // against a PREBUILT model — the shape that actually runs at 100 TB
+    // (training sees the labeled slice; serving sees everything).
+    val qcSplitNames = Seq("cp_qc_train", "cp_qc_score")
+    val qcSplitResults: Seq[(String, Double, Double)] =
+      if (!qcSplitNames.exists(wanted)) Seq.empty else try {
+        val docs = Tables.documents(spark, sfDir)
+        val pos = col("lang") === "en"
+        val (w, b) =
+          if (wanted("cp_qc_score"))
+            operators.Corpus.qualityClassifierTrain(docs, pos,
+              buckets = 256, iters = 4, lr = BigDecimal("0.02"))
+          else (Map.empty[Int, BigDecimal], BigDecimal(0))
+        spark.catalog.clearCache()
+        Seq[(String, () => Unit)](
+          "cp_qc_train" -> (() =>
+            { operators.Corpus.qualityClassifierTrain(docs, pos,
+                buckets = 256, iters = 4, lr = BigDecimal("0.02")); () }),
+          "cp_qc_score" -> (() =>
+            { operators.Corpus.qualityClassifierScoreWith(docs, w, b,
+                buckets = 256).count(); () })
+        ).filter(q => wanted(q._1)).flatMap { case (name, f) =>
+          timed(name, f) }
+      } catch { case ex: Throwable =>
+        System.err.println(s"[bench] qc split harness FAILED: ${ex.getMessage}")
+        failed += "qc_split"
+        Seq.empty
+      }
     // phase-split lines for dd_ngram_jaccard (r9's 1.5-2.1× drifter):
     // _hashes prices the one text pass (shingle + md5 + project),
     // _candidates prices the posting-list self-join + exact verify over
@@ -308,7 +349,8 @@ object Bench {
     val results =
       Queries.all.filter(q => wanted(q._1)).flatMap { case (name, q) =>
         timed(name, () => { q.fn(spark, sfDir).count(); () }) } ++
-      ivfSplitResults ++ assemblySplitResults ++ ngramSplitResults ++
+      ivfSplitResults ++ assemblySplitResults ++ qcSplitResults ++
+      ngramSplitResults ++
       // scale rehearsal: worst-case skewed corpora through the capped pair
       // generators — each skewed_* line should stay within ~2x of its
       // uniform twin above, or a cap has stopped doing its job

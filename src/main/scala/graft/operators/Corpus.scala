@@ -747,10 +747,55 @@ object Corpus {
                              textCol: String = "text"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(iters >= 1, "at least one GD iteration")
+    val (feats, base) = qcFrames(docs, isPositive, buckets, idCol, textCol)
+    try {
+      val (w, b) = qcTrainCore(feats, base, buckets, iters, lr, nbInit)
+      qcProbs(feats, base, w, b)
+        .select(col("doc_id"),
+          col("p").cast("double").as("quality_prob"))
+    } finally { feats.unpersist(); base.unpersist() }
+  }
+
+  /** TRAIN-only half of [[qualityClassifierScore]]: same features, same
+    * NB init, same DECIMAL GD — returns the driver-held model
+    * `(bucket → weight, bias)` without the final scoring pass. Split out
+    * so the bench can price training and serving separately (the
+    * `ann_ivf_train`/`_query` attribution discipline). */
+  def qualityClassifierTrain(docs: DataFrame, isPositive: Column,
+                             buckets: Int = 1024, iters: Int = 4,
+                             lr: BigDecimal = BigDecimal("0.02"),
+                             nbInit: Boolean = true,
+                             idCol: String = "doc_id",
+                             textCol: String = "text")
+      : (Map[Int, BigDecimal], BigDecimal) = {
+    require(buckets > 0, "buckets must be positive")
+    require(iters >= 1, "at least one GD iteration")
+    val (feats, base) = qcFrames(docs, isPositive, buckets, idCol, textCol)
+    try qcTrainCore(feats, base, buckets, iters, lr, nbInit)
+    finally { feats.unpersist(); base.unpersist() }
+  }
+
+  /** SERVE-only half: score docs against a PREBUILT model — one text pass
+    * (feature explode + broadcast weight join), no label needed, no
+    * training jobs. This is the shape that runs over the 100 TB corpus;
+    * training sees only the (much smaller) labeled slice. */
+  def qualityClassifierScoreWith(docs: DataFrame,
+                                 w: Map[Int, BigDecimal], b: BigDecimal,
+                                 buckets: Int = 1024,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): DataFrame = {
+    val (feats, base) = qcFrames(docs, lit(false), buckets, idCol, textCol)
+    try qcProbs(feats, base, w, b)
+      .select(col("doc_id"), col("p").cast("double").as("quality_prob"))
+    finally { feats.unpersist(); base.unpersist() }
+  }
+
+  /** Persisted `(doc_id, _y, f, c)` bucket-count features + `(doc_id, _y)`
+    * base rows — the two frames every classifier phase shares. */
+  private def qcFrames(docs: DataFrame, isPositive: Column, buckets: Int,
+                       idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
     import graft.functions.WordNgramBuckets
-    import org.apache.spark.sql.types.DecimalType
-    val spark = docs.sparkSession
-    import spark.implicits._
     val feats = docs.select(col(idCol).as("doc_id"),
         isPositive.cast("int").as("_y"),
         explode(WordNgramBuckets(col(textCol), 2, buckets)).as("f"))
@@ -759,7 +804,36 @@ object Corpus {
       .persist()
     val base = docs.select(col(idCol).as("doc_id"),
       isPositive.cast("int").as("_y")).persist()
-    try {
+    (feats, base)
+  }
+
+  /** Sigmoid scores for every base row under a driver-held model. */
+  private def qcProbs(feats: DataFrame, base: DataFrame,
+                      wm: Map[Int, BigDecimal], bias: BigDecimal): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = feats.sparkSession
+    import spark.implicits._
+    val wDf = wm.toSeq.toDF("f", "w")
+      .select(col("f"), col("w").cast(DecimalType(18, 6)).as("w"))
+    val dot = feats.join(broadcast(wDf), Seq("f"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w") * col("c")).as("dot"))
+    base.join(dot, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_y"),
+        (lit(bias.toDouble) +
+          coalesce(col("dot").cast("double"), lit(0.0))).as("s"))
+      .select(col("doc_id"), col("_y"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 6)
+          .cast(DecimalType(10, 6)).as("p"))
+  }
+
+  private def qcTrainCore(feats: DataFrame, base: DataFrame, buckets: Int,
+                          iters: Int, lr: BigDecimal, nbInit: Boolean)
+      : (Map[Int, BigDecimal], BigDecimal) = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = feats.sparkSession
+    import spark.implicits._
+    {
       // the model: bucket -> weight, driver-held between iterations
       // (O(buckets) rows — model-sized, the k-means centroid discipline).
       // NB init = the dsirWeights per-bucket log-ratio, computed from the
@@ -781,23 +855,9 @@ object Corpus {
             .map(_ -> BigDecimal(0)).toMap
         }
       var b: BigDecimal = BigDecimal(0)
-      def probs(wm: Map[Int, BigDecimal], bias: BigDecimal): DataFrame = {
-        val wDf = wm.toSeq.toDF("f", "w")
-          .select(col("f"), col("w").cast(DecimalType(18, 6)).as("w"))
-        val dot = feats.join(broadcast(wDf), Seq("f"))
-          .groupBy(col("doc_id"))
-          .agg(sum(col("w") * col("c")).as("dot"))
-        base.join(dot, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("_y"),
-            (lit(bias.toDouble) +
-              coalesce(col("dot").cast("double"), lit(0.0))).as("s"))
-          .select(col("doc_id"), col("_y"),
-            round(lit(1.0) / (lit(1.0) + exp(-col("s"))), 6)
-              .cast(DecimalType(10, 6)).as("p"))
-      }
       val nDocs = base.count()
       for (_ <- 1 to iters) {
-        val p = probs(w, b)
+        val p = qcProbs(feats, base, w, b)
         val grad = feats.join(p.select(col("doc_id"), col("p")), Seq("doc_id"))
           .select(col("f"),
             round((col("p").cast("double") - col("_y")) * col("c")
@@ -816,10 +876,8 @@ object Corpus {
         b = (b - lr * BigDecimal(gBias))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP)
       }
-      probs(w, b)
-        .select(col("doc_id"),
-          col("p").cast("double").as("quality_prob"))
-    } finally { feats.unpersist(); base.unpersist() }
+      (w, b)
+    }
   }
 
   /** TRAIN a byte-pair-encoding tokenizer on the corpus — the real

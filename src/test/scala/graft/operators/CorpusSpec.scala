@@ -367,6 +367,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(p(31L) > p(16L))
   }
 
+  test("qualityClassifierTrain + ScoreWith equals the one-call monolith exactly") {
+    import org.apache.spark.sql.functions.col
+    val monolith = Corpus.qualityClassifierScore(classifierCorpus,
+        isPositive = col("is_pos"), buckets = 128)
+      .orderBy(col("doc_id")).collect().toSeq
+    val (w, b) = Corpus.qualityClassifierTrain(classifierCorpus,
+      isPositive = col("is_pos"), buckets = 128)
+    val served = Corpus.qualityClassifierScoreWith(classifierCorpus, w, b,
+        buckets = 128)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(served == monolith,
+      "serving from the prebuilt model must be bit-identical to train+score")
+  }
+
   test("qualityClassifierScore: partitioning-invariant training (DECIMAL gradient sums)") {
     import org.apache.spark.sql.functions.col
     val corpus = (1L to 40L).map(i =>

@@ -23,6 +23,13 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
+    # Verify-side failures (errors.json, round 10+): a query that THREW has
+    # no parquet and - for capture-oracle queries - no oracle entry either,
+    # so without this it would vanish from the report entirely.
+    errs_path = os.path.join(out_dir, "errors.json")
+    errs = json.load(open(errs_path)) if os.path.exists(errs_path) else {}
+    for name in sorted(set(errs) - set(oracle)):
+        print(f"FAIL {name}: verify error: {errs[name][:200]}"); n_fail += 1
     for name in sorted(oracle):
         sql = oracle[name]
         pq = os.path.join(out_dir, name)
