@@ -3095,6 +3095,34 @@ object Queries {
         CAST(len(t.ts) AS BIGINT) - coalesce(a.kept, 0) AS n_removed
       FROM toks t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id"""))
 
+  /** Within-document exact line dedup ([[graft.operators.Corpus
+    * .dedupLines]], the C4/Gopher page-cleaning rule). The fixture text is
+    * single-line, so the query CONSTRUCTS a multi-line page from it —
+    * the full text twice (an exact repeated line, like a nav bar crawled
+    * twice) around a 40-char prefix line — with the identical construction
+    * in the oracle; dedup must keep [text, prefix] in first-occurrence
+    * order. The oracle's first-occurrence filter is the (x, i) lambda +
+    * list_position idiom (DuckDB's array_distinct analog with pinned
+    * ordering). */
+  private val cpDedupLines = Q(
+    (s, dir) => {
+      import s.implicits._
+      val page = concat_ws("\n", $"text", substring($"text", 1, 40), $"text")
+      graft.operators.Corpus.dedupLines(
+          Tables.documents(s, dir).select($"doc_id", page.as("text")))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        concat_ws(chr(10), text, substring(text, 1, 40), text) AS t
+        FROM documents),
+      l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+      k AS (SELECT doc_id, ls,
+        list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept FROM l)
+      SELECT doc_id, array_to_string(kept, chr(10)) AS clean_text,
+        CAST(len(ls) AS BIGINT) AS lines_before,
+        CAST(len(kept) AS BIGINT) AS lines_after
+      FROM k ORDER BY doc_id"""))
+
   /** Quality-weighted importance sampling: keep probability scales with
     * document length capped at 1 (`least(1, n_chars/400)`) — longer docs
     * kept preferentially, decided by the reproducible md5(doc_id) draw. */
@@ -3464,6 +3492,7 @@ object Queries {
     "cp_dsir_weights" -> cpDsir,
     "cp_quality_classifier" -> cpQualityClassifier,
     "cp_scrub_spans" -> cpScrub,
+    "cp_dedup_lines" -> cpDedupLines,
     "cp_assembly" -> cpAssembly,
     "cp_assembly_staged" -> cpAssemblyStaged)
 }

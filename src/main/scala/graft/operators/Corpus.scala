@@ -102,6 +102,29 @@ object Corpus {
     * @return `(doc_id, clean_text, n_removed)` for every input document
     *         (clean_text = '' when everything was boilerplate).
     */
+  /** WITHIN-document exact line dedup — the C4/Gopher page-cleaning rule
+    * (keep each distinct line's FIRST occurrence, preserve order):
+    * crawled pages repeat nav bars, cookie banners and footers line-for-
+    * line inside one document, which corpus-wide operators like
+    * [[segmentDedup]] (cross-doc boilerplate) and [[scrubDuplicateSpans]]
+    * (cross-doc substrings) deliberately do not touch.
+    *
+    * Scale shape: pure narrow per-row expression work (`split` →
+    * `array_distinct`, which preserves first-occurrence order →
+    * `array_join`) — no shuffle, no UDF, fuses into whatever scan
+    * precedes it; at 100 TB this costs one pass over the text bytes.
+    *
+    * @return `(doc_id, clean_text, lines_before, lines_after)`.
+    */
+  def dedupLines(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    docs.select(col(idCol).as("doc_id"),
+      array_join(array_distinct(lines), "\n").as("clean_text"),
+      size(lines).cast("long").as("lines_before"),
+      size(array_distinct(lines)).cast("long").as("lines_after"))
+  }
+
   def segmentDedup(docs: DataFrame, segWords: Int = 8, maxDf: Long = 2,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ts = TF.tokens(col(textCol))

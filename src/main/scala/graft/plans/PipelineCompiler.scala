@@ -464,6 +464,10 @@ object SectionRegistry {
           idCol = c.getOrElse("id_column", "doc_id"),
           textCol = c.getOrElse("text_column", "text")))
       }),
+    // WITHIN-document exact line dedup (C4/Gopher page cleaning)
+    "dedup_lines" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.dedupLines(in(df),
+        c.getOrElse("id_col", "doc_id"), c.getOrElse("text_col", "text")))),
     // boilerplate-segment removal (line dedup at word-segment granularity)
     "segment_dedup" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => Some(graft.operators.Corpus.segmentDedup(in(df),

@@ -367,6 +367,20 @@ class CorpusSpec extends AnyFunSuite {
     assert(p(31L) > p(16L))
   }
 
+  test("dedupLines keeps first occurrences in order; unique docs pass through") {
+    val docs = Seq(
+      (1L, "nav bar\nreal content one\nnav bar\nreal content two\nnav bar"),
+      (2L, "a\nb\nc"),
+      (3L, ""),
+      (4L, "x\nx\nx\nx")).toDF("doc_id", "text")
+    val out = Corpus.dedupLines(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("nav bar\nreal content one\nreal content two", 5L, 3L)))
+    assert(out(2L) == (("a\nb\nc", 3L, 3L)), "no-dup doc must be unchanged")
+    assert(out(3L) == (("", 1L, 1L)), "empty text is one empty line, kept")
+    assert(out(4L) == (("x", 4L, 1L)))
+  }
+
   test("qualityClassifierTrain + ScoreWith equals the one-call monolith exactly") {
     import org.apache.spark.sql.functions.col
     val monolith = Corpus.qualityClassifierScore(classifierCorpus,
