@@ -2732,6 +2732,50 @@ object Queries {
         round(coalesce(a.mean_bits, 0.0), 6) AS lm_bits_per_token
       FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""))
 
+  /** Bigram LM with stupid backoff ([[graft.operators.Corpus
+    * .bigramLmScore]]): order-sensitive quality scoring — the oracle
+    * replays training (pruned bigram table + kept-marginal contexts) AND
+    * scoring (first token unigram, bigram MLE, alpha-backoff) with the
+    * same round-6 DECIMAL bit sums. vocabSize=16 like ta_lm_score so the
+    * OOV and backoff paths are genuinely exercised at fixture scale. */
+  private val taBigramScore = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.bigramLmScore(
+          Tables.documents(s, dir), vocabSize = 16)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $toksCte,
+      tok AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+      total AS (SELECT count(*)::DOUBLE AS n FROM tok),
+      vocab AS (SELECT w, count(*)::DOUBLE AS uc FROM tok
+        GROUP BY w ORDER BY count(*) DESC, w LIMIT 16),
+      bg AS (SELECT doc_id, ts[i] AS prev, ts[i + 1] AS w
+        FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+          FROM toks WHERE len(ts) >= 2)),
+      bc AS (SELECT prev, w, count(*)::DOUBLE AS cb FROM bg
+        GROUP BY prev, w HAVING count(*) >= 2),
+      ctx AS (SELECT prev, sum(cb) AS cc FROM bc GROUP BY prev),
+      firstb AS (SELECT t.doc_id,
+          CAST(round(-log2(coalesce(v.uc, 0.5) / total.n), 6)
+            AS DECIMAL(18,6)) AS bits
+        FROM (SELECT doc_id, ts[1] AS w FROM toks WHERE len(ts) >= 1) t
+        LEFT JOIN vocab v USING (w) CROSS JOIN total),
+      bgb AS (SELECT g.doc_id,
+          CAST(round(CASE WHEN b.cb IS NOT NULL THEN -log2(b.cb / c.cc)
+            ELSE -log2(0.4 * coalesce(v.uc, 0.5) / total.n) END, 6)
+            AS DECIMAL(18,6)) AS bits
+        FROM bg g LEFT JOIN bc b USING (prev, w)
+        LEFT JOIN ctx c USING (prev)
+        LEFT JOIN vocab v USING (w) CROSS JOIN total),
+      ab AS (SELECT doc_id, CAST(SUM(bits) AS DOUBLE) / count(*) AS mean_bits,
+          count(*) AS n_tokens
+        FROM (SELECT * FROM firstb UNION ALL SELECT * FROM bgb)
+        GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+        round(coalesce(a.mean_bits, 0.0), 6) AS bigram_bits_per_token
+      FROM documents d LEFT JOIN ab a USING (doc_id) ORDER BY d.doc_id"""))
+
   /** The Gopher rule battery ([[graft.functions.TextFunctions.gopherRules]])
     * — per-rule booleans + the conjunction, all exact integer-count
     * ratios (no float-sum ceremony needed). */
@@ -3458,6 +3502,7 @@ object Queries {
     "ta_fingerprint" -> taFingerprint,
     "ta_split" -> taSplit,
     "ta_lm_score" -> taLmScore,
+    "ta_bigram_score" -> taBigramScore,
     "ta_gopher_rules" -> taGopherRules,
     "ta_char_entropy" -> taCharEntropy,
     "ta_vocab" -> taVocab,

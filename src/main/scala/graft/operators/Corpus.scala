@@ -556,6 +556,91 @@ object Corpus {
         round(coalesce(col("mean_bits"), lit(0.0)), 6).as("lm_bits_per_token"))
   }
 
+  /** BIGRAM language-model quality scoring with STUPID BACKOFF — one rung
+    * up the CCNet ladder from [[lmQualityScore]] (they use a KenLM 5-gram;
+    * the bigram form is the smallest model where word ORDER matters, so
+    * shuffled-token soup that fools the unigram scorer scores high here).
+    *
+    * Model, trained on the corpus itself:
+    *   P(w | prev) = cb(prev,w) / ctx(prev)        if the bigram was kept
+    *               = alpha · P_uni(w)              otherwise (stupid backoff,
+    *                                               Brants et al. 2007)
+    * where the bigram table keeps only pairs with count ≥ `bigramMinCount`
+    * (rare pairs back off — and the pruning is what BOUNDS the table), and
+    * `ctx` is the kept-table marginal. Each document's first token scores
+    * under the unigram model (no context); `P_uni` uses the same
+    * top-`vocabSize` capped vocabulary / 0.5-OOV rule as [[lmQualityScore]].
+    *
+    * Scale shape — the standard n-gram-LM join plan: the bigram table is a
+    * partial+final count aggregate keyed by narrow (prev, w) string pairs
+    * and JOINS (never broadcasts — it is O(distinct corpus bigrams), not
+    * model-sized) against the per-doc bigram stream on the same key; the
+    * capped unigram vocab broadcasts as before. Bigrams are built INSIDE
+    * the token array (a per-row transform over `sequence`) — no
+    * positional self-join, no extra shuffle to form pairs. Per-token bits
+    * round to 6 and sum in DECIMAL: order-independent, replayable in SQL.
+    *
+    * @return `(doc_id, n_tokens, bigram_bits_per_token)` for every doc
+    *         (empty docs score 0.0 over 0 tokens).
+    */
+  def bigramLmScore(docs: DataFrame, vocabSize: Int = 65536,
+                    bigramMinCount: Long = 2,
+                    alpha: Double = 0.4,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    require(bigramMinCount >= 1, "bigramMinCount must be >= 1")
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    // token arrays feed five consumers (unigram counts, bigram counts,
+    // first tokens, the scored bigram stream, the doc spine) — persist
+    // once, session-managed cleanup like the other corpus scorers
+    val base = docs.select(col(idCol).as("doc_id"),
+      TF.tokens(col(textCol)).as("ts")).persist()
+    val tok = base.select(col("doc_id"), explode(col("ts")).as("w"))
+    val total = tok.agg(count(lit(1)).cast("double").as("n"))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).cast("double").as("uc"))
+      .orderBy(col("uc").desc, col("w")).limit(vocabSize)
+    // per-row bigram construction; sequence(1, 0) would be DESCENDING
+    // (the segmentDedup guard), so short docs get an explicit empty array
+    val bgArr = when(size(col("ts")) >= 2,
+      expr("transform(sequence(1, size(ts) - 1), " +
+        "i -> struct(ts[i - 1] AS prev, ts[i] AS w))"))
+      .otherwise(expr("CAST(array() AS array<struct<prev:string,w:string>>)"))
+    val bg = base.select(col("doc_id"), explode(bgArr).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.w").as("w"))
+    val bc = bg.groupBy(col("prev"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= bigramMinCount)
+      .select(col("prev"), col("w"), col("cnt").cast("double").as("cb"))
+    val ctx = bc.groupBy(col("prev")).agg(sum(col("cb")).as("cc"))
+    val firstBits = base.filter(size(col("ts")) >= 1)
+      .select(col("doc_id"), col("ts").getItem(0).as("w"))
+      .join(broadcast(vocab), Seq("w"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(-log2(coalesce(col("uc"), lit(0.5)) / col("n")), 6)
+          .cast(dec).as("bits"))
+    val bgBits = bg
+      .join(bc, Seq("prev", "w"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(broadcast(vocab), Seq("w"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(when(col("cb").isNotNull, -log2(col("cb") / col("cc")))
+          .otherwise(-log2(lit(alpha) *
+            coalesce(col("uc"), lit(0.5)) / col("n"))), 6)
+          .cast(dec).as("bits"))
+    val agg = firstBits.union(bgBits).groupBy(col("doc_id"))
+      .agg((sum(col("bits")).cast("double") / count(lit(1))).as("mean_bits"),
+        count(lit(1)).as("n_tokens"))
+    base.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("mean_bits"), lit(0.0)), 6)
+          .as("bigram_bits_per_token"))
+  }
+
   /** Per-document CHARACTER entropy — the cheap gibberish/encoding-noise
     * signal (binary blobs, mojibake, and key-mash text sit far from
     * natural language's ~4 bits/char; repeated-char padding sits near

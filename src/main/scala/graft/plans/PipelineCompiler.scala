@@ -227,6 +227,14 @@ object SectionRegistry {
         vocabSize = c.getOrElse("vocab_size", "65536").toInt,
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text")))),
+    // bigram LM with stupid backoff (order-sensitive quality scoring)
+    "bigram_lm_score" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.bigramLmScore(in(df),
+        vocabSize = c.getOrElse("vocab_size", "65536").toInt,
+        bigramMinCount = c.getOrElse("bigram_min_count", "2").toLong,
+        alpha = c.getOrElse("alpha", "0.4").toDouble,
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text")))),
     // per-document character entropy (gibberish / encoding-noise signal)
     "char_entropy" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => Some(graft.operators.Corpus.charEntropy(in(df),

@@ -367,6 +367,31 @@ class CorpusSpec extends AnyFunSuite {
     assert(p(31L) > p(16L))
   }
 
+  test("bigramLmScore: word order matters — shuffled text outscores natural text") {
+    import org.apache.spark.sql.functions.col
+    // 20 docs of a highly regular bigram pattern + 1 doc with the SAME
+    // unigram distribution but scrambled order: the unigram scorer can't
+    // tell them apart; the bigram scorer must charge the scramble more
+    val regular = (1L to 20L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val shuffled = Seq((21L, "dog the over fox quick lazy jumps brown the"))
+    val docs = (regular ++ shuffled).toDF("doc_id", "text")
+    val bi = Corpus.bigramLmScore(docs, vocabSize = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(bi(21L) > bi(1L),
+      s"scrambled doc must score more bits/token: ${bi(21L)} vs ${bi(1L)}")
+    val uni = Corpus.lmQualityScore(docs, vocabSize = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(uni(21L) - uni(1L)) < 0.2,
+      "the unigram scorer barely separates them — that gap is the operator's value")
+    // edges: empty doc scores 0 over 0 tokens; single-token doc has no bigrams
+    val edge = Corpus.bigramLmScore(
+        Seq((1L, ""), (2L, "hello")).toDF("doc_id", "text"), vocabSize = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(edge(1L)._1 == 0L && edge(1L)._2 == 0.0)
+    // the only token IS the whole distribution: P=1 -> exactly 0 bits
+    assert(edge(2L)._1 == 1L && edge(2L)._2 == 0.0)
+  }
+
   test("dedupLines keeps first occurrences in order; unique docs pass through") {
     val docs = Seq(
       (1L, "nav bar\nreal content one\nnav bar\nreal content two\nnav bar"),

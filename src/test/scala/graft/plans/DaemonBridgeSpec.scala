@@ -98,6 +98,27 @@ class DaemonBridgeSpec extends AnyFunSuite {
       "unacked slice must replay exactly into the repaired sink")
   }
 
+  test("three-daemon chain: each hop gets its own bridge, delivery composes") {
+    val srcDir = tmp("db_src3"); val sinkDir = tmp("db_sink3")
+    val bridgeRoot = tmp("db_bridge3w"); val stateRoot = tmp("db_state3w")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode(SaveMode.Overwrite).parquet(srcDir)
+    // src on A, transform on B, sink on C → two cuts, two bridges
+    val parts = DaemonBridge.split(
+      specFor(srcDir, s"$sinkDir/out"),
+      Map("src" -> "A", "tag" -> "B", "dst" -> "C"), bridgeRoot, stateRoot)
+    assert(parts.keySet == Set("A", "B", "C"))
+    assert(parts("B").sections.map(_.name).sorted ==
+      Seq("inbound_bridge", "outbound_bridge", "tagging"),
+      "the middle daemon is inbound -> transform -> outbound")
+    PipelineCompiler.run(spark, parts("A"))
+    PipelineCompiler.run(spark, parts("B"))
+    PipelineCompiler.run(spark, parts("C"))
+    val got = spark.read.parquet(s"$sinkDir/out")
+    assert(got.count() == 2 && got.columns.contains("site"),
+      "two-hop bridged delivery must carry the middle daemon's transform")
+  }
+
   test("inbound before any publish fails loudly (orchestrator backoff territory)") {
     val bridgeRoot = tmp("db_bridge3"); val stateRoot = tmp("db_state3")
     val parts = DaemonBridge.split(
