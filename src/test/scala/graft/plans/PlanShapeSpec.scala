@@ -63,6 +63,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"deterministic split must not shuffle:\n$p")
   }
 
+  test("dedupLines is pure narrow expression work (no Exchange at all)") {
+    // the OPERATOR's plan (the query wraps it in the oracle dump's
+    // orderBy, whose range Exchange is the dump's, not the operator's)
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val p = graft.operators.Corpus.dedupLines(docs)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode)
+    assert(!p.contains("Exchange"),
+      s"within-doc line dedup must not shuffle:\n$p")
+    assert(p.contains("array_distinct"), "first-occurrence dedup not in the projection")
+  }
+
+  test("ta_bigram_score: capped vocab broadcasts; bigrams never form via self-join") {
+    val p = plan("ta_bigram_score")
+    assert(p.contains("BroadcastExchange"), "top-V vocab must broadcast")
+    // bigrams are built per-row inside the token array — a positional
+    // equi-self-join of the exploded token stream would be a second
+    // corpus-sized shuffle this plan must not contain
+    assert(p.contains("transform(sequence(1"),
+      "per-row bigram construction missing — positional join suspected")
+    assert(p.contains("TakeOrderedAndProject"),
+      "vocab cap must be a bounded top-V, not a global sort")
+  }
+
   test("ann_quantized_topk: dequantization stays in the scan projection, TopK prunes") {
     val p = plan("ann_quantized_topk")
     assert(p.contains("TopKPerKey"), "bounded-heap ranking not planned")
