@@ -25,6 +25,17 @@ class CoverageClaimsSpec extends AnyFunSuite {
         s"SparkEntry.queries declares ${SparkEntry.queries.size} — update both together")
   }
 
+  test("COVERAGE.md's section-registry count equals SectionRegistry reality") {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("COVERAGE.md")),
+      "UTF-8")
+    val claim = """\((\d+) section types""".r.findFirstMatchIn(text)
+      .getOrElse(fail("COVERAGE.md no longer states a section-type count"))
+    assert(claim.group(1).toInt == graft.plans.SectionRegistry.entries.size,
+      s"COVERAGE.md claims ${claim.group(1)} section types but the registry " +
+        s"has ${graft.plans.SectionRegistry.entries.size}")
+  }
+
   test("every declared query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet

@@ -376,4 +376,26 @@ class TrainingSectionsSpec extends AnyFunSuite {
     assert(byLang("en") > byLang.filter(_._1 != "en").values.max,
       s"positive class must outscore the rest on average: $byLang")
   }
+
+  test("dedup_lines and bigram_lm_score sections compile and run from JSON specs") {
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"dl","name":"dedup_lines","config":{}}],
+        "edges":[["src","dl"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "clean_text", "lines_before", "lines_after"))
+    assert(out.count() == spark.read.parquet(s"$sf/documents.parquet").count())
+    val json2 =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"lm","name":"bigram_lm_score","config":{"vocab_size":"32"}}],
+        "edges":[["src","lm"]]}"""
+    val out2 = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json2))
+    assert(out2.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "bigram_bits_per_token"))
+    assert(out2.agg(org.apache.spark.sql.functions.max("bigram_bits_per_token"))
+      .head().getDouble(0) > 0.0)
+  }
 }
