@@ -587,49 +587,62 @@ object Corpus {
                     bigramMinCount: Long = 2,
                     alpha: Double = 0.4,
                     idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
+                    textCol: String = "text"): DataFrame =
+    bigramLmScoreFrom(docs,
+      bigramLmTrain(docs, vocabSize, bigramMinCount, idCol, textCol),
+      alpha, idCol, textCol)
+
+  /** The trained bigram model as three FRAMES — `(vocab(w, uc),
+    * bigrams(prev, w, cb), contexts(prev, cc))` plus the scalar token
+    * total. Unlike the driver-held centroid/codebook models, an n-gram
+    * table is data-sized (O(distinct corpus bigrams)), so the model stays
+    * distributed: stage these to the lake once (the CCNet shape — train on
+    * a reference corpus, score every crawl against it) and join at score
+    * time. */
+  final case class BigramLm(vocab: DataFrame, bigrams: DataFrame,
+                            contexts: DataFrame, totalTokens: Double)
+
+  def bigramLmTrain(docs: DataFrame, vocabSize: Int = 65536,
+                    bigramMinCount: Long = 2,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): BigramLm = {
     require(vocabSize > 0, "vocabSize must be positive")
     require(bigramMinCount >= 1, "bigramMinCount must be >= 1")
-    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
-    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
-    // token arrays feed five consumers (unigram counts, bigram counts,
-    // first tokens, the scored bigram stream, the doc spine) — persist
-    // once, session-managed cleanup like the other corpus scorers
-    val base = docs.select(col(idCol).as("doc_id"),
-      TF.tokens(col(textCol)).as("ts")).persist()
+    val base = bigramBase(docs, idCol, textCol)
     val tok = base.select(col("doc_id"), explode(col("ts")).as("w"))
-    val total = tok.agg(count(lit(1)).cast("double").as("n"))
+    val n = tok.count().toDouble
     val vocab = tok.groupBy(col("w")).agg(count(lit(1)).cast("double").as("uc"))
       .orderBy(col("uc").desc, col("w")).limit(vocabSize)
-    // per-row bigram construction; sequence(1, 0) would be DESCENDING
-    // (the segmentDedup guard), so short docs get an explicit empty array
-    val bgArr = when(size(col("ts")) >= 2,
-      expr("transform(sequence(1, size(ts) - 1), " +
-        "i -> struct(ts[i - 1] AS prev, ts[i] AS w))"))
-      .otherwise(expr("CAST(array() AS array<struct<prev:string,w:string>>)"))
-    val bg = base.select(col("doc_id"), explode(bgArr).as("b"))
-      .select(col("doc_id"), col("b.prev").as("prev"), col("b.w").as("w"))
-    val bc = bg.groupBy(col("prev"), col("w"))
+    val bc = bigramStream(base).groupBy(col("prev"), col("w"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= bigramMinCount)
       .select(col("prev"), col("w"), col("cnt").cast("double").as("cb"))
     val ctx = bc.groupBy(col("prev")).agg(sum(col("cb")).as("cc"))
+    BigramLm(vocab, bc, ctx, n)
+  }
+
+  def bigramLmScoreFrom(docs: DataFrame, model: BigramLm,
+                        alpha: Double = 0.4,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha in (0, 1]")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val base = bigramBase(docs, idCol, textCol)
+    val n = lit(model.totalTokens)
     val firstBits = base.filter(size(col("ts")) >= 1)
       .select(col("doc_id"), col("ts").getItem(0).as("w"))
-      .join(broadcast(vocab), Seq("w"), "left")
-      .crossJoin(broadcast(total))
+      .join(broadcast(model.vocab), Seq("w"), "left")
       .select(col("doc_id"),
-        round(-log2(coalesce(col("uc"), lit(0.5)) / col("n")), 6)
+        round(-log2(coalesce(col("uc"), lit(0.5)) / n), 6)
           .cast(dec).as("bits"))
-    val bgBits = bg
-      .join(bc, Seq("prev", "w"), "left")
-      .join(ctx, Seq("prev"), "left")
-      .join(broadcast(vocab), Seq("w"), "left")
-      .crossJoin(broadcast(total))
+    val bgBits = bigramStream(base)
+      .join(model.bigrams, Seq("prev", "w"), "left")
+      .join(model.contexts, Seq("prev"), "left")
+      .join(broadcast(model.vocab), Seq("w"), "left")
       .select(col("doc_id"),
         round(when(col("cb").isNotNull, -log2(col("cb") / col("cc")))
           .otherwise(-log2(lit(alpha) *
-            coalesce(col("uc"), lit(0.5)) / col("n"))), 6)
+            coalesce(col("uc"), lit(0.5)) / n)), 6)
           .cast(dec).as("bits"))
     val agg = firstBits.union(bgBits).groupBy(col("doc_id"))
       .agg((sum(col("bits")).cast("double") / count(lit(1))).as("mean_bits"),
@@ -639,6 +652,28 @@ object Corpus {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         round(coalesce(col("mean_bits"), lit(0.0)), 6)
           .as("bigram_bits_per_token"))
+  }
+
+  /** Token-array spine, persisted — train and score of the SAME corpus
+    * share one cache entry (Spark's CacheManager dedupes by canonicalized
+    * plan), so the one-call monolith still tokenizes once. Session-managed
+    * cleanup like the other corpus scorers. */
+  private def bigramBase(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      TF.tokens(col(textCol)).as("ts")).persist()
+
+  /** `(doc_id, prev, w)` built INSIDE the token array — per-row transform
+    * over `sequence`, no positional self-join. sequence(1, 0) would be
+    * DESCENDING (the segmentDedup guard), so short docs get an explicit
+    * empty array. */
+  private def bigramStream(base: DataFrame): DataFrame = {
+    val bgArr = when(size(col("ts")) >= 2,
+      expr("transform(sequence(1, size(ts) - 1), " +
+        "i -> struct(ts[i - 1] AS prev, ts[i] AS w))"))
+      .otherwise(expr("CAST(array() AS array<struct<prev:string,w:string>>)"))
+    base.select(col("doc_id"), explode(bgArr).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.w").as("w"))
   }
 
   /** Per-document CHARACTER entropy — the cheap gibberish/encoding-noise

@@ -392,6 +392,30 @@ class CorpusSpec extends AnyFunSuite {
     assert(edge(2L)._1 == 1L && edge(2L)._2 == 0.0)
   }
 
+  test("bigramLm model staged to parquet + ScoreFrom equals the one-call monolith") {
+    import org.apache.spark.sql.functions.col
+    val docs = (1L to 30L).map(i =>
+      (i, s"alpha tok${i % 5} beta tok${i % 3} gamma tok${i % 7} alpha beta"))
+      .toDF("doc_id", "text")
+    val direct = Corpus.bigramLmScore(docs, vocabSize = 8)
+      .orderBy(col("doc_id")).collect().toSeq
+    val m = Corpus.bigramLmTrain(docs, vocabSize = 8)
+    // the CCNet production shape: model frames staged to the lake once,
+    // every later crawl scored against the reloaded frames
+    val tmp = java.nio.file.Files.createTempDirectory("bigram_lm").toString
+    m.vocab.write.parquet(s"$tmp/vocab")
+    m.bigrams.write.parquet(s"$tmp/bigrams")
+    m.contexts.write.parquet(s"$tmp/contexts")
+    val staged = Corpus.BigramLm(
+      spark.read.parquet(s"$tmp/vocab"),
+      spark.read.parquet(s"$tmp/bigrams"),
+      spark.read.parquet(s"$tmp/contexts"), m.totalTokens)
+    val served = Corpus.bigramLmScoreFrom(docs, staged)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(served == direct,
+      "scoring against the staged model must be bit-identical to the monolith")
+  }
+
   test("dedupLines keeps first occurrences in order; unique docs pass through") {
     val docs = Seq(
       (1L, "nav bar\nreal content one\nnav bar\nreal content two\nnav bar"),

@@ -45,6 +45,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.sameElements(batch) && batch.nonEmpty)
   }
 
+  test("dedupLines runs unchanged on a stream (narrow ops are mode-agnostic)") {
+    val path = s"${TestSpark.sf}/documents.parquet"
+    val raw = spark.read.parquet(path)
+    val stream = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(TestSpark.sf)
+    val got = StreamingPipelines.collectStream(spark,
+        graft.operators.Corpus.dedupLines(stream), "st_dedup_lines",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("doc_id").collect()
+    val batch = graft.operators.Corpus.dedupLines(raw)
+      .orderBy("doc_id").collect()
+    assert(got.sameElements(batch) && batch.nonEmpty)
+  }
+
   test("stream-static join enriches a stream against a dimension table") {
     // the lookup-enrichment shape: dimension stays a static frame (re-read
     // per micro-batch, broadcast by AQE), facts stream past it
