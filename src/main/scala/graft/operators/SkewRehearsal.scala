@@ -105,6 +105,16 @@ object SkewRehearsal {
       NearDup.dedupAgainstReference(
         docs.filter(col("doc_id") % 3 === 0),
         docs.filter(col("doc_id") % 3 =!= 0)).count()
-    })
+    }),
+    // mass-duplicated boilerplate through the bigram LM: the template's
+    // bigrams become globally-hot (prev, w) keys carrying n/3 of the
+    // scoring stream each. Both count aggregates absorb the mass in
+    // map-side partials, and the scoring join is one hot STREAM side
+    // against a one-row-per-key table — AQE's skew-split territory, never
+    // a cross product. This line measures that the LM's cost stays ~flat
+    // under the duplicate mass instead of collapsing onto one task
+    "skewed_ta_bigram_score" -> (() =>
+      Corpus.bigramLmScore(hotCorpus(graft.Tables.documents(spark, dir)),
+        vocabSize = 16).count())
   )
 }
