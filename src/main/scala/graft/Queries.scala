@@ -2298,6 +2298,70 @@ object Queries {
         (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
       ORDER BY op, o_custkey"""))
 
+  /** PIVOT — rows-to-columns reshape (the `groupBy().pivot()` DataFrame
+    * operator): per-nation order counts and value sums spread across
+    * order-status columns. The pivot VALUES are declared (the three
+    * statuses), so the plan is ONE partial+final aggregate with
+    * conditional sums — no second pass to discover the column set, which
+    * is the version of pivot that scales (Spark's value-discovering
+    * overload runs an extra distinct job and caps at
+    * `spark.sql.pivotMaxValues`). The oracle states the same reshape as
+    * portable conditional aggregation. */
+  private val q32 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .join(Tables.nation(s, dir), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("value"))
+        .select($"n_name",
+          coalesce($"F_n", lit(0L)).as("f_n"),
+          round(coalesce($"F_value", lit(0.0)), 2).as("f_value"),
+          coalesce($"O_n", lit(0L)).as("o_n"),
+          round(coalesce($"O_value", lit(0.0)), 2).as("o_value"),
+          coalesce($"P_n", lit(0L)).as("p_n"),
+          round(coalesce($"P_value", lit(0.0)), 2).as("p_value"))
+        .orderBy($"n_name")
+    },
+    Some("""SELECT n_name,
+        count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+        round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE o_orderstatus = 'F'), 0)::DOUBLE, 2) AS f_value,
+        count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+        round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE o_orderstatus = 'O'), 0)::DOUBLE, 2) AS o_value,
+        count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+        round(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          FILTER (WHERE o_orderstatus = 'P'), 0)::DOUBLE, 2) AS p_value
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name"""))
+
+  /** LATERAL array explode — the table-generating-function class
+    * (`explode` / LATERAL VIEW / `unnest`): each part fans out to one row
+    * per word of its name, with the per-part word index carried
+    * (`posexplode`). Narrow fan-out — rows multiply inside the scan
+    * stage, no shuffle until the final sort. */
+  private val q33 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.part(s, dir)
+        .filter($"p_partkey" % 10 === 0)
+        .select($"p_partkey", posexplode(split($"p_name", " ")))
+        .select($"p_partkey", ($"pos" + 1).cast("long").as("word_idx"),
+          $"col".as("word"))
+        .filter(length($"word") >= 4)
+        .orderBy($"p_partkey", $"word_idx")
+    },
+    Some("""SELECT p_partkey, i AS word_idx, ws[i] AS word
+      FROM (SELECT p_partkey, string_split(p_name, ' ') AS ws
+        FROM part WHERE p_partkey % 10 = 0),
+        LATERAL unnest(range(1, len(ws) + 1)) t(i)
+      WHERE len(ws[i]) >= 4
+      ORDER BY p_partkey, word_idx"""))
+
   /** RANGE-frame window — value-based frames, the window feature ROWS
     * frames can't express: each order's sum of its customer's order value
     * within ±30 DAYS of it (by order-date day number), however many rows
@@ -3511,6 +3575,8 @@ object Queries {
     "q29_sliding_window" -> q29,
     "q30_range_frame" -> q30,
     "q31_set_ops_all" -> q31,
+    "q32_pivot" -> q32,
+    "q33_lateral_explode" -> q33,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecode,
     "mm_decode_real" -> mmDecodeReal,
