@@ -2362,6 +2362,39 @@ object Queries {
       WHERE len(ws[i]) >= 4
       ORDER BY p_partkey, word_idx"""))
 
+  /** RECURSIVE CTE — iterative/hierarchical queries (new operator class
+    * in Spark 4: `WITH RECURSIVE`, the same construct DuckDB runs): a
+    * synthetic-but-deterministic hierarchy over nation (parent =
+    * floor(key / 2), root = 0) walked upward per node, accumulating depth
+    * and the key-sum along the ancestor path. Each recursion step is one
+    * self-join against the previous frontier — Spark plans it as
+    * iterated UnionLoop steps until fixpoint, which is the distributed
+    * translation of the reference's pushdown engines' recursion. */
+  private val q34 = Q(
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""WITH RECURSIVE walk(n_nationkey, cur, depth, path_sum) AS (
+          SELECT n_nationkey, CAST(n_nationkey AS BIGINT), 0, CAST(n_nationkey AS BIGINT)
+            FROM nation
+          UNION ALL
+          SELECT w.n_nationkey, CAST(floor(w.cur / 2) AS BIGINT), w.depth + 1,
+            w.path_sum + CAST(floor(w.cur / 2) AS BIGINT)
+            FROM walk w WHERE w.cur > 0)
+        SELECT n_nationkey, max(depth) AS depth_to_root,
+          max(path_sum) AS ancestor_key_sum
+        FROM walk GROUP BY n_nationkey ORDER BY n_nationkey""")
+    },
+    Some("""WITH RECURSIVE walk(n_nationkey, cur, depth, path_sum) AS (
+        SELECT n_nationkey, CAST(n_nationkey AS BIGINT), 0, CAST(n_nationkey AS BIGINT)
+          FROM nation
+        UNION ALL
+        SELECT w.n_nationkey, CAST(floor(w.cur / 2) AS BIGINT), w.depth + 1,
+          w.path_sum + CAST(floor(w.cur / 2) AS BIGINT)
+          FROM walk w WHERE w.cur > 0)
+      SELECT n_nationkey, max(depth) AS depth_to_root,
+        max(path_sum) AS ancestor_key_sum
+      FROM walk GROUP BY n_nationkey ORDER BY n_nationkey"""))
+
   /** RANGE-frame window — value-based frames, the window feature ROWS
     * frames can't express: each order's sum of its customer's order value
     * within ±30 DAYS of it (by order-date day number), however many rows
@@ -3577,6 +3610,7 @@ object Queries {
     "q31_set_ops_all" -> q31,
     "q32_pivot" -> q32,
     "q33_lateral_explode" -> q33,
+    "q34_recursive_cte" -> q34,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecode,
     "mm_decode_real" -> mmDecodeReal,
