@@ -2769,6 +2769,79 @@ object Queries {
         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
       ORDER BY 1, 2, 3"""))
 
+  /** LEFT-OUTER stream-stream interval join — the missing quadrant of the
+    * streaming-join matrix next to [[stStreamJoin]]: a view emits even
+    * with NO click inside its 10-minute window, but only once the
+    * watermark proves no match can still arrive. On a bounded file the
+    * watermark stalls 1 hour short of max(ts), which would withhold every
+    * unmatched view from the final hour forever — so the query stages the
+    * events file into a temp dir (symlink, no copy) next to a far-future
+    * SENTINEL view/click pair whose only job is to drive both sides'
+    * watermarks past all real data in the terminal no-data micro-batch
+    * (the per-key sentinel trick of
+    * [[graft.streaming.StatefulSessions.sessionizeBatchComplete]], lifted
+    * to file granularity). Sentinels (user_id < 0) are filtered from the
+    * COLLECTED result, after the stream ends — never inside the streaming
+    * plan, where a pushed-down filter could sit below the watermark node.
+    */
+  private val stStreamLeftJoin = Q(
+    (s, dir) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import ss.implicits._
+      import org.apache.spark.sql.types.LongType
+      val raw = ss.read.parquet(s"$dir/events.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_leftjoin")
+      java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+      // far-future ts in the FILE's physical type (legacy nanos long or
+      // timestamp), so one explicit read schema fits both files
+      val far: Column => Column = raw.schema("ts").dataType match {
+        case LongType => c => c + lit(36000L * 1000000000L)
+        case _ => c => c + expr("INTERVAL 10 HOURS")
+      }
+      val mts = raw.agg(max($"ts").as("mts"))
+      def sentRow(id: Long, kind: String) = mts.select(
+        lit(id).as("event_id"), far($"mts").as("ts"), lit(id).as("user_id"),
+        lit(kind).as("event_type"), lit(0.0).as("value"), lit("").as("props"))
+      val sentStage = tmp.resolve("_sent").toString
+      sentRow(-1L, "view").unionByName(sentRow(-2L, "click"))
+        .coalesce(1).write.parquet(sentStage)
+      val part = new java.io.File(sentStage).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error("sentinel write produced no parquet"))
+      java.nio.file.Files.move(part.toPath, tmp.resolve("zz_sentinel.parquet"))
+      def stream = Tables.normalizeEventsTs(ss.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "*.parquet").parquet(tmp.toString))
+      val views = stream.filter($"event_type" === "view")
+        .select($"user_id".as("v_user"), $"ts".as("view_ts"))
+        .withWatermark("view_ts", "1 hour")
+      val clicks = stream.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val joined = views.join(clicks,
+          $"v_user" === $"c_user" &&
+          $"click_ts" >= $"view_ts" &&
+          $"click_ts" <= $"view_ts" + expr("INTERVAL 10 MINUTES"),
+          "left_outer")
+        .select($"v_user".as("user_id"),
+          $"view_ts".cast("string").as("view_ts"),
+          $"click_ts".cast("string").as("click_ts"))
+      graft.streaming.StreamingPipelines
+        .collectStream(ss, joined, s"st_stream_left_join_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .filter($"user_id" >= 0)
+        .orderBy($"user_id", $"view_ts", $"click_ts")
+    },
+    Some("""SELECT v.user_id, CAST(v.ts AS VARCHAR) AS view_ts,
+        CAST(c.ts AS VARCHAR) AS click_ts
+      FROM events v LEFT JOIN events c ON v.user_id = c.user_id
+        AND c.event_type = 'click'
+        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+      WHERE v.event_type = 'view'
+      ORDER BY 1, 2, 3 NULLS FIRST"""))
+
   /** REAL stream-STATIC join — the dimension-enrichment shape that
     * completes the streaming-join matrix next to [[stStreamJoin]]: facts
     * stream past a static dimension frame (re-read per micro-batch,
@@ -3280,6 +3353,145 @@ object Queries {
         < CAST(floor(least(1.0, n_chars / 400.0) * 10000) AS BIGINT)
       ORDER BY doc_id"""))
 
+  /** Shared oracle CTE chain ending in `qdoc(doc_id, source, qraw, q)` —
+    * the composite quality score (parity text of ta_quality's oracle),
+    * raw and rounded-6, for the quota/curriculum queries below. */
+  private val qdocCte: String = """qt0 AS (
+        SELECT doc_id, source,
+          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(text), '\s+') END AS ts,
+          length(text)::DOUBLE AS nc,
+          length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))::DOUBLE AS punct,
+          length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits,
+          length(regexp_replace(text, '[^ \t\n]', '', 'g'))::DOUBLE AS spaces
+        FROM documents),
+      qt1 AS (
+        SELECT doc_id, source,
+          (nc - spaces) / greatest(len(ts)::DOUBLE, 1.0) AS mtl,
+          punct / greatest(nc, 1.0) AS pr,
+          digits / greatest(nc, 1.0) AS dr,
+          len(list_filter(ts, x -> list_contains(
+            ['the','a','of','and','to','in','is','it','that','for'], lower(x))))::DOUBLE
+            / greatest(len(ts)::DOUBLE, 1.0) AS sr
+        FROM qt0),
+      qdoc AS (
+        SELECT doc_id, source,
+          greatest(0.0, least(1.0,
+            0.5 * least(sr * 4, 1.0) +
+            0.3 * (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) +
+            0.2 * (1.0 - least((pr + dr) * 5, 1.0)))) AS qraw,
+          round(greatest(0.0, least(1.0,
+            0.5 * least(sr * 4, 1.0) +
+            0.3 * (CASE WHEN mtl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END) +
+            0.2 * (1.0 - least((pr + dr) * 5, 1.0)))), 6) AS q
+        FROM qt1)"""
+
+  /** Deterministic seeded epoch shuffle —
+    * [[graft.operators.Corpus.seededShuffle]]: cross-engine md5 shuffle
+    * key, scale-safe global position (range-partitioned two-pass rank,
+    * never a single-task `row_number() OVER (ORDER BY …)`). The oracle IS
+    * that single-task window — exactly the shape the operator refuses to
+    * run at scale. */
+  private val cpShuffleSeeded = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.seededShuffle(
+          Tables.documents(s, dir), seed = "r10")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH k AS (
+        SELECT doc_id,
+          ('0x' || substr(md5('r10_' || doc_id::VARCHAR), 1, 15))::BIGINT AS shuffle_key
+        FROM documents)
+      SELECT doc_id, shuffle_key,
+        row_number() OVER (ORDER BY shuffle_key, doc_id) AS pos
+      FROM k ORDER BY doc_id"""))
+
+  /** Curriculum stages — [[graft.operators.Corpus.curriculumStages]]:
+    * easy→hard global rank cut into 4 equal chunks by exact rank
+    * arithmetic (no ntile edge-group ambiguity). */
+  private val cpCurriculum = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.curriculumStages(
+          Tables.documents(s, dir), stages = 4)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $qdocCte,
+      r AS (SELECT doc_id, round(1.0 - qraw, 6) AS difficulty FROM qdoc),
+      rk AS (
+        SELECT doc_id, difficulty,
+          row_number() OVER (ORDER BY difficulty, doc_id) AS pos,
+          count(*) OVER () AS n
+        FROM r)
+      SELECT doc_id, difficulty,
+        CAST(floor((pos - 1) * 4 / n) + 1 AS BIGINT) AS stage
+      FROM rk ORDER BY doc_id"""))
+
+  /** Per-source quota — [[graft.operators.Corpus.sourceQuota]] on the
+    * bounded-heap TopKPerKey operator; the oracle is the window form it
+    * replaces. */
+  private val cpSourceQuota = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.sourceQuota(Tables.documents(s, dir), k = 10)
+        .orderBy($"source", $"q".desc, $"doc_id")
+    },
+    Some(s"""WITH $qdocCte,
+      rk AS (
+        SELECT doc_id, source, q,
+          row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id) AS rn
+        FROM qdoc)
+      SELECT doc_id, source, q FROM rk WHERE rn <= 10
+      ORDER BY source, q DESC, doc_id"""))
+
+  /** TF-IDF keywords per document —
+    * [[graft.operators.Corpus.tfidfKeywords]]; IDF rounded-then-DECIMAL
+    * so the tf·idf product is engine-exact (dsir discipline). */
+  private val taKeywords = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.tfidfKeywords(Tables.documents(s, dir), k = 3)
+        .orderBy($"doc_id", $"score".desc, $"token")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+          ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+        FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      n AS (SELECT count(*) AS n FROM documents),
+      idf AS (SELECT token,
+          round(ln((any_value(n.n) + 1.0) / (count(*) + 1.0)), 6)::DECIMAL(18,6) AS idf
+        FROM tf CROSS JOIN n GROUP BY token),
+      scored AS (
+        SELECT doc_id, token, round((tf * idf)::DOUBLE, 6) AS score
+        FROM tf JOIN idf USING (token)),
+      rk AS (SELECT doc_id, token, score,
+          row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+        FROM scored)
+      SELECT doc_id, token, score FROM rk WHERE rn <= 3
+      ORDER BY doc_id, score DESC, token"""))
+
+  /** JSONL round-trip — the LLM-corpus interchange format: write the
+    * documents table as line-delimited JSON (Spark's codegen'd JSON sink,
+    * one file per partition — the sharded-corpus layout), read it back
+    * with an explicit schema, and prove byte-exact text fidelity via md5
+    * against the parquet original. Unicode and embedded newlines ride the
+    * JSON string escapes. */
+  private val opJsonl = Q(
+    (s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val docs = Tables.documents(s, dir)
+      docs.write.mode("overwrite").json(tmp)
+      s.read.schema(docs.schema).json(tmp)
+        .select($"doc_id", $"lang", $"source", $"n_chars",
+          md5($"text").as("text_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+      FROM documents ORDER BY doc_id"""))
+
   /** DSIR importance weighting ([[graft.operators.Corpus.dsirWeights]],
     * Xie et al. 2023): every document scored by the log-likelihood ratio
     * of its counted unigram+bigram hash-bucket bag under the TARGET
@@ -3621,6 +3833,7 @@ object Queries {
     "st_chat_assembly" -> stChatAssembly,
     "st_dedup" -> stDedup,
     "st_stream_join" -> stStreamJoin,
+    "st_stream_left_join" -> stStreamLeftJoin,
     "st_static_join" -> stStaticJoin,
     "cp_decon_overlap" -> cpDecon,
     "cp_decon_bloom" -> cpDeconBloom,
@@ -3638,6 +3851,11 @@ object Queries {
     "cp_quality_classifier" -> cpQualityClassifier,
     "cp_scrub_spans" -> cpScrub,
     "cp_dedup_lines" -> cpDedupLines,
+    "cp_shuffle_seeded" -> cpShuffleSeeded,
+    "cp_curriculum" -> cpCurriculum,
+    "cp_source_quota" -> cpSourceQuota,
+    "ta_keywords" -> taKeywords,
+    "op_jsonl" -> opJsonl,
     "cp_assembly" -> cpAssembly,
     "cp_assembly_staged" -> cpAssemblyStaged)
 }

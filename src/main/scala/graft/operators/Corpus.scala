@@ -1167,4 +1167,135 @@ object Corpus {
             "x -> x IS NOT NULL), ' ')"))
           .as("clean_text"))
   }
+
+  /** Scale-safe GLOBAL 1-based row number under a total order — the
+    * window form (`row_number() OVER (ORDER BY ...)` with no PARTITION BY)
+    * moves the whole corpus to one task; this is the two-pass construction
+    * from [[packSequences]] applied to counting: range-partition by the
+    * order columns, send ONE (partition, row-count) pair per partition to
+    * the driver, prefix those O(#partitions) counts, and finish with a
+    * per-partition window bounded by one range partition. Callers must
+    * pass a TOTAL order (include a unique tiebreak column) or positions
+    * are nondeterministic between runs.
+    *
+    * @return the input columns plus `posCol` (1-based global position).
+    */
+  def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
+                      partitions: Int = 32,
+                      posCol: String = "pos"): DataFrame = {
+    val base = df
+      .repartitionByRange(partitions, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist()
+    // O(#partitions) rows to the driver — the only driver-side step
+    val perPart = base.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offs = perPart.map { case (p, n) => val o = (p, acc); acc += n; o }
+    val offDf = df.sparkSession.createDataFrame(offs.toIndexedSeq)
+      .toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid")).orderBy(orderCols: _*)
+    base.join(broadcast(offDf), Seq("_pid"))
+      .withColumn(posCol, row_number().over(w).cast("long") + col("_off"))
+      .drop("_pid", "_off")
+  }
+
+  /** Deterministic seeded corpus shuffle — the training-data-ordering
+    * step: every epoch's data order must be (a) uniformly shuffled,
+    * (b) reproducible from a seed alone, and (c) computable without any
+    * RNG state, so any engine/cluster-size/retry re-derives the identical
+    * order. The shuffle key is the cross-engine md5-60-bit hash of
+    * `seed + "_" + id` ([[TF.hash60]]), and the global position comes
+    * from [[globalRowNumber]] — a range-partitioned sort, never a
+    * single-task window.
+    *
+    * @return `(<idCol>, shuffle_key, pos)` — `pos` is the document's
+    *         1-based position in the shuffled epoch order. */
+  def seededShuffle(docs: DataFrame, seed: String = "graft",
+                    idCol: String = "doc_id",
+                    partitions: Int = 32): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      TF.hash60(concat(lit(seed), lit("_"), col(idCol).cast("string")))
+        .as("shuffle_key"))
+    globalRowNumber(keyed, Seq(col("shuffle_key"), col(idCol)), partitions)
+  }
+
+  /** Curriculum-learning stage assignment — order the corpus easy→hard
+    * (here: composite quality DESC, cleanest first) and cut it into
+    * `stages` equal consecutive chunks; training consumes stage 1 first.
+    * Stage boundaries are exact rank arithmetic
+    * (`floor((pos-1)·stages/N)+1`), not ntile — identical semantics in
+    * every engine, no edge-group ambiguity. The global rank is the
+    * scale-safe [[globalRowNumber]]; N is one count scalar.
+    *
+    * @return `(doc_id, difficulty, stage)` — difficulty in [0,1]
+    *         (1 − quality score, rounded 6), stage in 1..stages. */
+  def curriculumStages(docs: DataFrame, stages: Int = 4,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       partitions: Int = 32): DataFrame = {
+    require(stages >= 1, s"stages must be >= 1, got $stages")
+    val n = docs.count()
+    val scored = docs.select(col(idCol),
+      round(lit(1.0) - TF.qualityFeatures(col(textCol))
+        .getField("quality_score"), 6).as("difficulty"))
+    globalRowNumber(scored, Seq(col("difficulty"), col(idCol)), partitions)
+      .withColumn("stage",
+        (floor((col("pos") - 1) * stages / n) + 1).cast("long"))
+      .select(col(idCol), col("difficulty"), col("stage"))
+  }
+
+  /** Per-source document quota — hot-domain downsampling (the RefinedWeb/
+    * C4 "no single domain dominates the mix" rule): keep at most `k`
+    * documents per source, preferring higher quality with a deterministic
+    * id tiebreak. Runs on the bounded-heap [[graft.plans.TopKPerKey]]
+    * operator — map-side partial top-k per source, shuffle ≤k rows per
+    * (source, input-partition), exact final top-k — never the window
+    * form's full per-source sort. At 100 TB a hot domain with 10⁹ pages
+    * still ships only k rows per upstream partition.
+    *
+    * @return `(doc_id, source, q)` — surviving rows, quality rounded 6. */
+  def sourceQuota(docs: DataFrame, k: Int = 10,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  byCol: String = "source"): DataFrame = {
+    import graft.plans.TopKPerKey
+    val scored = docs.select(col(idCol), col(byCol),
+      round(TF.qualityFeatures(col(textCol)).getField("quality_score"), 6)
+        .as("q"))
+    TopKPerKey(scored, Seq(byCol),
+      Seq(TopKPerKey.desc("q"), TopKPerKey.asc(idCol)), k)
+  }
+
+  /** Per-document TF-IDF keyword extraction — the cheap corpus-tagging
+    * pass (topic surrogates for mixture balancing, search facets): score
+    * every (doc, token) by `tf · ln((N+1)/(df+1))` and keep the top `k`
+    * tokens per document. Shapes: tf is the canonical partial+final
+    * count; df aggregates the tf frame again (vocab-sized, never
+    * re-reads text); the tf⋈df join shuffles on token (both sides
+    * already key-partitioned); the per-doc top-k is the bounded-heap
+    * [[graft.plans.TopKPerKey]]. IDF is rounded-then-DECIMAL so the
+    * tf·idf product is exact across engines ([[dsirWeights]]'
+    * discipline).
+    *
+    * @return `(doc_id, token, score)` top-`k` keywords per document. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    import graft.plans.TopKPerKey
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol), explode(TF.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        round(log((lit(n) + 1.0) / (col("df") + 1.0)), 6)
+          .cast("decimal(18,6)"))
+      .select(col("token"), col("idf"))
+    val scored = tf.join(idf, Seq("token"))
+      .withColumn("score",
+        round((col("tf") * col("idf")).cast("double"), 6))
+      .select(col(idCol), col("token"), col("score"))
+    TopKPerKey(scored, Seq(idCol),
+      Seq(TopKPerKey.desc("score"), TopKPerKey.asc("token")), k)
+  }
 }

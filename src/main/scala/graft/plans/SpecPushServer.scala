@@ -1,9 +1,46 @@
 package graft.plans
 
-import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer, HttpsConfigurator, HttpsParameters, HttpsServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, StandardCopyOption}
+import javax.net.ssl.{KeyManagerFactory, SSLContext, TrustManagerFactory}
+
+/** mTLS material for the control socket — the JSSE half of the
+  * reference's PKI daemon identity (`pki/src/lib.rs:1-266`: each daemon
+  * holds a key pair + cert and the control plane verifies peers; here
+  * both sides are standard PKCS#12 stores and JSSE does the handshake).
+  * `keystore` holds this server's identity; `truststore` holds the
+  * certs this server accepts — with `needClientAuth` (the default) a
+  * client that cannot present a trusted cert fails the HANDSHAKE, so
+  * unauthenticated pushes never reach the HTTP layer at all (the bearer
+  * token then still guards mutations, matching the reference's
+  * token-over-TLS join flow).
+  */
+final case class TlsConfig(keystore: Path, keystorePass: Array[Char],
+                           truststore: Path, truststorePass: Array[Char],
+                           needClientAuth: Boolean = true)
+
+object TlsConfig {
+  private def loadStore(p: Path, pass: Array[Char]): java.security.KeyStore = {
+    val ks = java.security.KeyStore.getInstance("PKCS12")
+    val in = Files.newInputStream(p)
+    try ks.load(in, pass) finally in.close()
+    ks
+  }
+
+  /** Build an SSLContext from the two stores — shared by the server side
+    * (below) and test/client code ([[SpecPushClient]]-style callers). */
+  def sslContext(c: TlsConfig): SSLContext = {
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(loadStore(c.keystore, c.keystorePass), c.keystorePass)
+    val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(loadStore(c.truststore, c.truststorePass))
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, tmf.getTrustManagers, null)
+    ctx
+  }
+}
 
 /** Minimal spec-push endpoint — the network half of the reference's daemon
   * API (`control_plane/src/http/daemon_api/mod.rs:117-148`, where daemons
@@ -42,8 +79,25 @@ final class SpecPushServer(dir: Path, port: Int = 0,
                            host: String = "127.0.0.1",
                            status: Option[() => Seq[(String, String, Int)]] =
                              scala.None,
-                           token: Option[String] = scala.None) {
-  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+                           token: Option[String] = scala.None,
+                           tls: Option[TlsConfig] = scala.None) {
+  private val server: HttpServer = tls match {
+    case Some(cfg) =>
+      val s = HttpsServer.create(new InetSocketAddress(host, port), 0)
+      val ctx = TlsConfig.sslContext(cfg)
+      s.setHttpsConfigurator(new HttpsConfigurator(ctx) {
+        override def configure(p: HttpsParameters): Unit = {
+          // set the FULL SSLParameters block: HttpsServer applies either
+          // the parameter object or the individual setters, and the
+          // object form is the one that reliably carries needClientAuth
+          val sslp = ctx.getDefaultSSLParameters
+          sslp.setNeedClientAuth(cfg.needClientAuth)
+          p.setSSLParameters(sslp)
+        }
+      })
+      s
+    case scala.None => HttpServer.create(new InetSocketAddress(host, port), 0)
+  }
   @volatile private var started = false
 
   // read-side status (reference daemons report pipeline state back to the
