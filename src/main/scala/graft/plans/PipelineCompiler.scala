@@ -3,7 +3,7 @@ package graft.plans
 import graft.operators.Transforms
 import graft.sources.{Sources, Sinks, WarehouseSinks}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, lit, regexp_replace}
+import org.apache.spark.sql.functions.{col, expr, greatest, lit, octet_length, regexp_replace}
 
 /** Operator registry + spec→DataFrame compiler — the Spark-native
   * counterpart of the reference's config registry and task wiring
@@ -215,9 +215,14 @@ object SectionRegistry {
           case "gopher" => d.withColumn("gopher_pass",
             graft.functions.TextFunctions.gopherRules(textCol)
               .getField("gopher_pass"))
+          // DEFLATE ratio (low => repetitive boilerplate) — deterministic
+          // on the JVM, not oracle-portable; see functions.DeflateLength
+          case "compress_ratio" => d.withColumn("compress_ratio",
+            graft.functions.DeflateLength(textCol).cast("double") /
+              greatest(octet_length(textCol).cast("double"), lit(1.0)))
           case other => throw new IllegalArgumentException(
             s"text_analysis feature must be lang|quality|tokens|fingerprint|" +
-            s"gopher, got $other")
+            s"gopher|compress_ratio, got $other")
         }})
       }),
     // unigram-LM quality scoring (CCNet-style bits/token against the
@@ -401,6 +406,32 @@ object SectionRegistry {
         Transforms.splitColumn(col(c.getOrElse("id_column", "doc_id")),
           trainPct = c.getOrElse("train_pct", "80").toInt,
           validPct = c.getOrElse("valid_pct", "10").toInt)))),
+    // deterministic seeded epoch shuffle: (id, shuffle_key, pos)
+    "seeded_shuffle" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.seededShuffle(in(df),
+        seed = c.getOrElse("seed", "graft"),
+        idCol = c.getOrElse("id_column", "doc_id"),
+        partitions = c.getOrElse("partitions", "32").toInt))),
+    // curriculum stages: easy->hard global quality rank cut into stages
+    "curriculum" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.curriculumStages(in(df),
+        stages = c.getOrElse("stages", "4").toInt,
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text"),
+        partitions = c.getOrElse("partitions", "32").toInt))),
+    // hot-domain downsampling: keep top-k docs per source by quality
+    "source_quota" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.sourceQuota(in(df),
+        k = c.getOrElse("k", "10").toInt,
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text"),
+        byCol = c.getOrElse("by_column", "source")))),
+    // per-document TF-IDF keyword extraction: (id, token, score) top-k
+    "tfidf_keywords" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.tfidfKeywords(in(df),
+        k = c.getOrElse("k", "3").toInt,
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text")))),
     // multimodal decode: binary payload column -> fixed-length feature
     // vector (deterministic stub codec; the Spark-side plumbing is real)
     "mm_decode" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),

@@ -398,4 +398,74 @@ class TrainingSectionsSpec extends AnyFunSuite {
     assert(out2.agg(org.apache.spark.sql.functions.max("bigram_bits_per_token"))
       .head().getDouble(0) > 0.0)
   }
+
+  test("seeded_shuffle / curriculum / source_quota / tfidf_keywords sections run from JSON specs") {
+    import org.apache.spark.sql.functions._
+    def run(section: String, config: String) = {
+      val json =
+        s"""{"sections":[
+          {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+          {"id":"op","name":"$section","config":{$config}}],
+          "edges":[["src","op"]]}"""
+      PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    }
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+
+    val sh = run("seeded_shuffle", """"seed":"e1"""")
+    assert(sh.columns.toSeq == Seq("doc_id", "shuffle_key", "pos"))
+    // positions are a permutation of 1..N, and a different seed permutes
+    // differently (epochs decorrelate)
+    assert(sh.agg(countDistinct("pos")).head().getLong(0) == total)
+    assert(sh.agg(min("pos"), max("pos")).head() ==
+      org.apache.spark.sql.Row(1L, total))
+    val sh2 = run("seeded_shuffle", """"seed":"e2"""")
+    val moved = sh.alias("a").join(sh2.alias("b"), "doc_id")
+      .filter(col("a.pos") =!= col("b.pos")).count()
+    assert(moved > total / 2, s"seed change moved only $moved of $total")
+
+    val cu = run("curriculum", """"stages":"4"""")
+    assert(cu.columns.toSeq == Seq("doc_id", "difficulty", "stage"))
+    // exact-rank cut: 4 equal stage sizes, and stage never decreases as
+    // difficulty increases
+    val sizes = cu.groupBy("stage").count().orderBy("stage")
+      .collect().map(_.getLong(1)).toSeq
+    assert(sizes == Seq.fill(4)(total / 4), s"stage sizes $sizes")
+    val cross = cu.alias("a").join(cu.alias("b"),
+      col("a.difficulty") < col("b.difficulty") &&
+        col("a.stage") > col("b.stage")).count()
+    assert(cross == 0, "a harder doc landed in an earlier stage")
+
+    val qt = run("source_quota", """"k":"10"""")
+    assert(qt.columns.toSeq == Seq("doc_id", "source", "q"))
+    val perSource = qt.groupBy("source").count().collect()
+    assert(perSource.forall(_.getLong(1) <= 10))
+    assert(perSource.length ==
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select("source").distinct().count())
+
+    val kw = run("tfidf_keywords", """"k":"3"""")
+    assert(kw.columns.toSeq == Seq("doc_id", "token", "score"))
+    assert(kw.groupBy("doc_id").count()
+      .agg(max("count")).head().getLong(0) <= 3)
+  }
+
+  test("text_analysis compress_ratio: repetitive text compresses harder than varied text") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cr").toString
+    Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "the quick brown fox jumps over a lazy dog while writing code"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(tmp)
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$tmp"}},
+        {"id":"ta","name":"text_analysis","config":{"features":"compress_ratio"}}],
+        "edges":[["src","ta"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+      .select("doc_id", "compress_ratio").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) < out(2L),
+      s"repetitive ratio ${out(1L)} should be below varied ${out(2L)}")
+    assert(out.values.forall(r => r > 0.0 && r < 2.0))
+  }
 }
