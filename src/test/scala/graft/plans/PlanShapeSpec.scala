@@ -256,4 +256,31 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("Exchange hashpartitioning") && l.contains("text#"))
     assert(!badExchange, "document text must never enter an Exchange")
   }
+
+  test("cp_shuffle_seeded: global rank windows per range partition, never SinglePartition") {
+    val p = plan("cp_shuffle_seeded")
+    assert(p.contains("Window") && p.contains("_pid"),
+      "the global row number must finish inside a range partition (_pid)")
+    // the oracle's shape — one task holding the whole corpus — must not
+    // appear anywhere before the final result orderBy
+    val rankOnSingle = p.linesIterator.exists(l =>
+      l.contains("Window") && l.contains("SinglePartition"))
+    assert(!rankOnSingle, "rank window planned on SinglePartition — the " +
+      "single-task global sort the operator exists to avoid")
+  }
+
+  test("cp_source_quota: bounded-heap TopKPerKey, not a per-source sort window") {
+    val p = plan("cp_source_quota")
+    assert(p.contains("TopKPerKey"), "custom bounded-heap operator not planned")
+    assert(!p.contains("row_number"), "quota fell back to the window form")
+  }
+
+  test("ta_keywords: per-doc top-k on TopKPerKey; df join carries no text") {
+    val p = plan("ta_keywords")
+    assert(p.contains("TopKPerKey"), "custom bounded-heap operator not planned")
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!badExchange, "document text must never enter an Exchange — " +
+      "tf/df frames are (id, token, count) only")
+  }
 }
