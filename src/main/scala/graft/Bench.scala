@@ -415,6 +415,14 @@ object Bench {
             graft.functions.VectorFunctions
               .randomProject(col("embedding"), 32, 64).as("embedding")),
           isQuery, k),
+        // TRAINED 16-dim basis vs ann_rp_brute's random one: the recall
+        // gap between these two lines is what PCA training buys at equal
+        // compression (AnnRecallSpec asserts the ordering)
+        "ann_pca_brute" -> {
+          val (mu, comps) = operators.Ann.pcaTrain(e, outDims = 16)
+          operators.Ann.bruteForceTopK(
+            operators.Ann.pcaProject(e, mu, comps), isQuery, k)
+        },
         // PQ at the oracle query's config (8 subspaces × 16 codes): the
         // honest price of scoring from 8 nibbles instead of 256 float
         // bytes — on this synthetic near-orthogonal corpus the

@@ -1966,6 +1966,53 @@ object Queries {
       })
   }
 
+  /** PCA-projected ANN ([[graft.operators.Ann.pcaTrain]]/`pcaProject`) —
+    * the TRAINED counterpart of [[annRpTopk]]'s JL random projection, as
+    * IVF is the trained counterpart of LSH: mean + top-16 covariance
+    * eigenvectors learned IN the engine (one Gram-accumulation pass,
+    * O(#partitions·d²) doubles to the driver, Jacobi on the 64×64), then
+    * exact top-k in the projected space. The basis is data-dependent
+    * driver state, so the oracle INJECTS μ and the components as literals
+    * and re-derives projection, cosine, and ranks independently. */
+  @volatile private var pcaCapture
+      : Option[(Array[Double], Array[Array[Double]])] = scala.None
+  private val annPcaTopk = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val (mu, comps) = graft.operators.Ann.pcaTrain(e, outDims = 16)
+      pcaCapture = Some((mu, comps))
+      graft.operators.Ann.bruteForceTopK(
+          graft.operators.Ann.pcaProject(e, mu, comps), $"vec_id" < 10, k = 5)
+        .select($"q_id", $"n_id", $"cosine", $"rk")
+        .orderBy($"q_id", $"rk")
+    },
+    () => pcaCapture.map { case (mu, comps) =>
+      val d = mu.length
+      val muLit = s"[${mu.map(_.toString).mkString(", ")}]::DOUBLE[]"
+      val compRows = comps.zipWithIndex.map { case (v, j) =>
+        s"($j, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+      }.mkString(", ")
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        mu(mv) AS (SELECT $muLit),
+        cm(j, cv) AS (SELECT * FROM (VALUES $compRows) v(j, cv)),
+        pj AS (SELECT e0.vec_id, cm.j,
+            round(list_sum(list_transform(range(1, ${d + 1}),
+              i -> (e0.emb[i] - mu.mv[i]) * cm.cv[i])), 6) AS pv
+          FROM e0 CROSS JOIN mu CROSS JOIN cm),
+        p AS (SELECT vec_id, list(pv ORDER BY j) AS emb
+          FROM pj GROUP BY vec_id),
+        q AS (SELECT vec_id AS q_id, emb AS q_vec FROM p WHERE vec_id < 10)
+        SELECT q_id, n_id, cosine, rk FROM (
+          SELECT q.q_id, e.vec_id AS n_id,
+            round(list_cosine_similarity(q.q_vec, e.emb), 6) AS cosine,
+            row_number() OVER (PARTITION BY q.q_id
+              ORDER BY round(list_cosine_similarity(q.q_vec, e.emb), 6) DESC,
+                       e.vec_id) AS rk
+          FROM q JOIN p e ON e.vec_id != q.q_id)
+        WHERE rk <= 5 ORDER BY q_id, rk"""
+    })
+
   private val taLangId = Q(
     (s, dir) => {
       import s.implicits._
@@ -3803,6 +3850,7 @@ object Queries {
     "ann_pq_topk" -> annPqTopk,
     "ann_ivf_pq" -> annIvfPq,
     "ann_rp_topk" -> annRpTopk,
+    "ann_pca_topk" -> annPcaTopk,
     "dd_semdedup" -> ddSemDedup,
     "ta_langid" -> taLangId,
     "ta_quality" -> taQuality,

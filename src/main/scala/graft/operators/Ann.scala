@@ -1131,4 +1131,169 @@ object Ann {
       centIters, pqIters, seed, pqSeed, sampleRate)
     ivfPqTopKFrom(corpus, isQuery, cents, cb, k, nProbe)
   }
+
+  // ---- PCA projection (the TRAINED counterpart of the JL random
+  // projection, as IVF is the trained counterpart of LSH) ----
+
+  /** Train a PCA basis over the corpus: mean vector + the top `outDims`
+    * principal components (eigenvectors of the covariance matrix, largest
+    * eigenvalue first).
+    *
+    * Scale shape: ONE corpus pass accumulates per-partition
+    * (count, sum[d], gram[d·d]) triples — the `RowMatrix
+    * .computeGramianMatrix` treeAggregate pattern, the canonical
+    * "genuine per-partition imperative logic" case — so the driver sees
+    * O(#partitions · d²) doubles, never a row. The d×d eigenproblem is
+    * driver math: cyclic JACOBI sweeps (deterministic rotation order,
+    * fixed convergence threshold), eigenvector signs fixed by making each
+    * vector's largest-magnitude component positive, so the trained basis
+    * is reproducible for a given input partitioning and injectable into
+    * the oracle (the balanced-IVF capture discipline).
+    *
+    * @return (mean[d], components[outDims][d]) */
+  def pcaTrain(embeddings: DataFrame, outDims: Int,
+               vecCol: String = "embedding")
+      : (Array[Double], Array[Array[Double]]) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val parts = embeddings.select(col(vecCol).cast("array<float>")).as[Array[Float]]
+      .mapPartitions { it =>
+        var n = 0L; var d = -1
+        var sum: Array[Double] = null; var gram: Array[Double] = null
+        while (it.hasNext) {
+          val v = it.next()
+          if (d < 0) { d = v.length; sum = new Array(d); gram = new Array(d * d) }
+          require(v.length == d, s"ragged embedding: ${v.length} vs $d")
+          n += 1
+          var i = 0
+          while (i < d) {
+            val xi = v(i).toDouble
+            sum(i) += xi
+            var j = 0
+            // lower triangle only — gram is symmetric
+            while (j <= i) { gram(i * d + j) += xi * v(j); j += 1 }
+            i += 1
+          }
+        }
+        if (n == 0) Iterator.empty else Iterator.single((n, sum, gram))
+      }.collect()
+    require(parts.nonEmpty, "pcaTrain: empty corpus")
+    val d = parts.head._2.length
+    require(outDims >= 1 && outDims <= d, s"outDims must be in 1..$d")
+    var n = 0L
+    val sum = new Array[Double](d)
+    val gram = new Array[Double](d * d)
+    parts.foreach { case (pn, ps, pg) =>
+      n += pn
+      var i = 0; while (i < d) { sum(i) += ps(i); i += 1 }
+      i = 0; while (i < d * d) { gram(i) += pg(i); i += 1 }
+    }
+    val mu = sum.map(_ / n)
+    // covariance (population): C = gram/n − μμᵀ, symmetrized from the
+    // accumulated lower triangle
+    val cov = Array.ofDim[Double](d, d)
+    var i = 0
+    while (i < d) {
+      var j = 0
+      while (j <= i) {
+        val c = gram(i * d + j) / n - mu(i) * mu(j)
+        cov(i)(j) = c; cov(j)(i) = c
+        j += 1
+      }
+      i += 1
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    val order = eigVals.indices.sortBy(k => (-eigVals(k), k)).take(outDims)
+    val comps = order.map { k =>
+      val v = Array.tabulate(d)(r => eigVecs(r)(k)) // column k
+      // sign convention: largest-|component| positive (ties → first)
+      var best = 0
+      var r = 1
+      while (r < d) { if (math.abs(v(r)) > math.abs(v(best))) best = r; r += 1 }
+      if (v(best) < 0) v.map(-_) else v
+    }.toArray
+    (mu, comps)
+  }
+
+  /** Cyclic Jacobi for a symmetric matrix: returns (eigenvalues, V) with
+    * eigenvectors in V's COLUMNS. Deterministic: fixed (p,q) sweep order,
+    * fixed threshold, bounded sweeps (d=64 converges in ~8). */
+  private def jacobiEigen(a: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = a.length
+    val m = a.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiag(m)
+    while (sweep < 64 && off > 1e-11) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(m(p)(q)) > 1e-15) {
+            val theta = (m(q)(q) - m(p)(p)) / (2.0 * m(p)(q))
+            val t = math.signum(theta) /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0)) match {
+                case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                case x => x
+              }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val mkp = m(k)(p); val mkq = m(k)(q)
+              m(k)(p) = c * mkp - s * mkq
+              m(k)(q) = s * mkp + c * mkq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val mpk = m(p)(k); val mqk = m(q)(k)
+              m(p)(k) = c * mpk - s * mqk
+              m(q)(k) = s * mpk + c * mqk
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiag(m)
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => m(i)(i)), v)
+  }
+
+  private def offDiag(m: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < m.length) {
+      var j = 0
+      while (j < m.length) { if (i != j) s += m(i)(j) * m(i)(j); j += 1 }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Project the corpus onto a trained PCA basis: each output component is
+    * `round(dot(x − μ, vⱼ), 6)` — rounded like [[VF.randomProject]] so the
+    * projected frame is oracle-reproducible. Narrow per-row expressions
+    * (codegen'd dot), no shuffle. */
+  def pcaProject(embeddings: DataFrame, mu: Array[Double],
+                 comps: Array[Array[Double]],
+                 vecCol: String = "embedding"): DataFrame = {
+    val centered = zip_with(
+      col(vecCol).cast("array<double>"), typedlit(mu.toSeq), (x, m) => x - m)
+    val projected = array(comps.toIndexedSeq.map { comp =>
+      round(VF.dot(centered, typedlit(comp.toSeq)), 6)
+    }: _*)
+    embeddings.withColumn(vecCol, projected)
+  }
 }

@@ -49,6 +49,35 @@ class AnnRecallSpec extends AnyFunSuite {
     } finally { exact.unpersist(); () }
   }
 
+  test("recall@10: trained PCA projection beats random projection at equal dims") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    val isQuery = col("vec_id") < 10
+    val exact = Ann.bruteForceTopK(e, isQuery, 10).persist()
+    try {
+      val (mu, comps) = Ann.pcaTrain(e, outDims = 16)
+      // basis sanity: orthonormal columns (Jacobi output), unit norms
+      comps.foreach { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        assert(math.abs(n - 1.0) < 1e-9, s"component norm $n != 1")
+      }
+      for (a <- comps.indices; b <- a + 1 until comps.length) {
+        val dot = comps(a).zip(comps(b)).map { case (x, y) => x * y }.sum
+        assert(math.abs(dot) < 1e-8, s"components $a,$b not orthogonal: $dot")
+      }
+      val pca = Ann.recallAtK(exact,
+        Ann.bruteForceTopK(Ann.pcaProject(e, mu, comps), isQuery, 10))
+      val rp = Ann.recallAtK(exact,
+        Ann.bruteForceTopK(
+          e.withColumn("embedding",
+            graft.functions.VectorFunctions.randomProject(
+              col("embedding"), 16, 64)), isQuery, 10))
+      assert(pca > rp,
+        s"variance-optimal 16-dim basis (recall $pca) must beat the " +
+        s"random 16-dim basis (recall $rp)")
+    } finally exact.unpersist()
+  }
+
   test("semanticDedup: exact-duplicate embeddings merge to the min id") {
     import spark.implicits._
     // 3 copies of vector A (ids 1,2,3), 2 copies of B (ids 10,11), one C
