@@ -1198,6 +1198,50 @@ object Queries {
       WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)
       ORDER BY doc_id"""))
 
+  /** PageRank centrality over the near-dup pair graph
+    * ([[graft.operators.Clustering.pageRank]]) — duplication-centrality
+    * as a quality signal. 5 power iterations, both rounding points at 6
+    * decimals and DECIMAL contribution sums, so the oracle can replay the
+    * ENTIRE iteration as an unrolled CTE chain (the GD-training
+    * discipline applied to graph iteration) and stay engine-exact. */
+  private val ddPageRank = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val pairs = graft.operators.NearDup.pairs(docs)
+      graft.operators.Clustering.pageRank(
+          docs.select($"doc_id".as("id")), pairs.select($"a_id", $"b_id"),
+          iters = 5)
+        .select($"id".as("doc_id"), $"rank")
+        .orderBy($"doc_id")
+    },
+    Some {
+      val chain = (1 to 5).map { i =>
+        s"""pr$i AS (
+        SELECT d.doc_id AS id,
+          round((1.0-0.85)/(SELECT n FROM nn) +
+            0.85 * coalesce(fl$i.inflow::DOUBLE, 0.0), 6)::DECIMAL(18,6) AS rank
+        FROM documents d LEFT JOIN (
+          SELECT dir.dst AS id,
+            sum(round(p.rank::DOUBLE / deg.deg, 6)::DECIMAL(28,6)) AS inflow
+          FROM dir JOIN pr${i - 1} p ON p.id = dir.src
+          JOIN deg ON deg.src = dir.src
+          GROUP BY dir.dst) fl$i ON fl$i.id = d.doc_id)"""
+      }.mkString(",\n      ")
+      s"""WITH $minhashPairsCte,
+      und AS (SELECT DISTINCT least(a_id, b_id) AS lo, greatest(a_id, b_id) AS hi
+        FROM pairs WHERE a_id <> b_id),
+      dir AS (SELECT lo AS src, hi AS dst FROM und
+        UNION ALL SELECT hi, lo FROM und),
+      deg AS (SELECT src, count(*) AS deg FROM dir GROUP BY src),
+      nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      pr0 AS (SELECT doc_id AS id,
+        round(1.0/(SELECT n FROM nn), 6)::DECIMAL(18,6) AS rank
+        FROM documents),
+      $chain
+      SELECT id AS doc_id, rank FROM pr5 ORDER BY doc_id"""
+    })
+
   /** CTE producing `sims(doc_id, simhash)` — shared by the signature dump
     * and the banded pair query. */
   private val simhashCte: String = """hs AS (
@@ -3837,6 +3881,7 @@ object Queries {
     "dd_cluster_best" -> ddClusterBest,
     "dd_ref_dedup" -> ddRefDedup,
     "dd_exact_substr" -> ddExactSubstr,
+    "dd_pagerank" -> ddPageRank,
     "ann_topk" -> annTopk,
     "ann_lsh_topk" -> annLsh,
     "ann_lsh_probe" -> annLshProbe,

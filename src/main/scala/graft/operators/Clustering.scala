@@ -165,4 +165,65 @@ object Clustering {
       .select(col("id"), coalesce(col("root"), col("id")).as("cluster_id"))
     (labels, rounds)
   }
+
+  /** PageRank over an undirected pair graph — duplication-centrality as a
+    * quality signal (a document whose near-dup neighborhood is large and
+    * well-connected is boilerplate-adjacent; CommonCrawl pipelines use
+    * link-graph ranks the same way). Fixed `iters` power iterations of
+    * the classic update
+    *
+    *   r'(v) = round((1−d)/N + d · Σ_{u→v} round(r(u)/deg(u), 6), 6)
+    *
+    * with BOTH rounding points at 6 decimals so every iteration is
+    * engine-exact (the GD-training discipline): contributions sum as
+    * DECIMAL(28,6) (order-independent), N is the node count (isolated
+    * docs participate and settle at (1−d)/N), no dangling redistribution
+    * (an undirected graph has none).
+    *
+    * Scale shape: per iteration one join of the O(edges) contribution
+    * frame against the rank frame and one partial+final sum — all
+    * (long, decimal) rows; `localCheckpoint` truncates lineage each
+    * round like [[connectedComponents]]' star rounds. Driver sees only
+    * the node COUNT.
+    *
+    * @param nodes one LONG column `id` (every node, isolated included)
+    * @param edges two LONG columns (a, b), undirected; multiplicity is
+    *              collapsed (each unordered pair contributes once)
+    * @return (id, rank) — DECIMAL(18,6) ranks summing to ~1 */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val n = nodes.toDF("id").count()
+    // canonical undirected edge set, then both directions for out-flow
+    val und = edges.toDF("a", "b")
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    val dir = und.select(col("lo").as("src"), col("hi").as("dst"))
+      .unionByName(und.select(col("hi").as("src"), col("lo").as("dst")))
+      .localCheckpoint(true)
+    val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val base = lit((1.0 - damping) / n)
+    var ranks = nodes.toDF("id")
+      .select(col("id"), round(lit(1.0 / n), 6)
+        .cast("decimal(18,6)").as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = dir
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"),
+          round(col("rank").cast("double") / col("deg"), 6)
+            .cast("decimal(28,6)").as("c"))
+      val inflow = contrib.groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes.toDF("id")
+        .join(inflow, Seq("id"), "left")
+        .select(col("id"),
+          round(base + lit(damping) *
+            coalesce(col("inflow").cast("double"), lit(0.0)), 6)
+            .cast("decimal(18,6)").as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

@@ -426,6 +426,19 @@ object SectionRegistry {
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text"),
         byCol = c.getOrElse("by_column", "source")))),
+    // duplication-centrality: PageRank over the near-dup pair graph
+    "dup_rank" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val frame = in(df)
+        val id = c.getOrElse("id_column", "doc_id")
+        val pairs = graft.operators.NearDup.pairs(frame, idCol = id,
+          textCol = c.getOrElse("text_column", "text"),
+          threshold = c.getOrElse("threshold", "0.2").toDouble)
+        Some(graft.operators.Clustering.pageRank(
+          frame.select(col(id).as("id")), pairs.select(col("a_id"), col("b_id")),
+          iters = c.getOrElse("iters", "5").toInt,
+          damping = c.getOrElse("damping", "0.85").toDouble))
+      }),
     // per-document TF-IDF keyword extraction: (id, token, score) top-k
     "tfidf_keywords" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => Some(graft.operators.Corpus.tfidfKeywords(in(df),

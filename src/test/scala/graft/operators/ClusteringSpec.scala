@@ -89,4 +89,30 @@ class ClusteringSpec extends AnyFunSuite {
     // singleton 7 represents itself
     assert(got == Set((1L, 2L, 0.9, 3L), (7L, 7L, 0.1, 1L)))
   }
+
+  test("pageRank: hub outranks leaves outrank isolated; partition-invariant") {
+    // star 1-{2,3,4}, pair 5-6, isolated 7
+    val nodes = (1L to 7L).toDF("id")
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 6L), (6L, 5L))
+      .toDF("a", "b") // duplicate/reversed pair edge collapses
+    val pr = Clustering.pageRank(nodes, edges, iters = 5)
+      .as[(Long, java.math.BigDecimal)].collect()
+      .map { case (id, r) => id -> r.doubleValue() }.toMap
+    // isolated node receives no inflow: exactly (1-d)/N every iteration
+    assert(pr(7L) == math.rint(0.15 / 7 * 1e6) / 1e6)
+    assert(pr(1L) > pr(2L), s"hub ${pr(1L)} must outrank leaf ${pr(2L)}")
+    assert(pr(2L) > pr(7L), s"leaf ${pr(2L)} must outrank isolated ${pr(7L)}")
+    assert(pr(2L) == pr(3L) && pr(3L) == pr(4L), "symmetric leaves must tie")
+    // no dangling-mass redistribution (documented): isolated nodes leak
+    // their share each iteration, so total mass sits strictly BELOW 1 but
+    // above the teleport floor (1-d)
+    assert(pr.values.sum <= 1.0 + 1e-6 && pr.values.sum > 0.15,
+      s"total mass ${pr.values.sum} outside ((1-d), 1]")
+    // the fixed rounding points make the result partition-independent
+    val pr1 = Clustering.pageRank(nodes.repartition(1),
+      edges.toDF("a", "b").repartition(1), iters = 5)
+      .as[(Long, java.math.BigDecimal)].collect()
+      .map { case (id, r) => id -> r.doubleValue() }.toMap
+    assert(pr1 == pr, "partitioning changed pageRank values")
+  }
 }

@@ -449,6 +449,21 @@ class TrainingSectionsSpec extends AnyFunSuite {
       .agg(max("count")).head().getLong(0) <= 3)
   }
 
+  test("dup_rank section: duplication-centrality from a JSON spec") {
+    import org.apache.spark.sql.functions._
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"pr","name":"dup_rank","config":{"iters":"3"}}],
+        "edges":[["src","pr"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    assert(out.columns.toSeq == Seq("id", "rank"))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.count() == total, "every document must carry a rank")
+    // documents with near-dup neighbors outrank isolated ones
+    assert(out.agg(countDistinct("rank")).head().getLong(0) > 1)
+  }
+
   test("text_analysis compress_ratio: repetitive text compresses harder than varied text") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_cr").toString
