@@ -1087,6 +1087,40 @@ object Queries {
         len(list_distinct(list_concat(sa.hs, sb.hs))), 6) >= 0.2
       ORDER BY a_id, b_id"""))
 
+  /** Directed n-gram CONTAINMENT
+    * ([[graft.operators.NearDup.ngramContainmentPairs]]) — the asymmetric
+    * near-dup signal: `|A∩B|/|A|` per direction, catching excerpts and
+    * quotes whose symmetric Jaccard is tiny. Same inverted-index
+    * candidates as dd_ngram_jaccard; the oracle re-derives both directed
+    * scores from the exact shingle sets. */
+  private val ddContainment = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.NearDup.ngramContainmentPairs(
+          Tables.documents(s, dir), threshold = 0.5)
+        .orderBy($"src_id", $"dst_id")
+    },
+    Some(s"""WITH $shingleHvCte,
+      dfreq AS (SELECT h, count(*) AS df FROM hv GROUP BY h),
+      posts AS (SELECT hv.doc_id, hv.h FROM hv
+        JOIN dfreq USING (h) WHERE df <= 1000),
+      cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM posts a JOIN posts b ON a.h = b.h AND a.doc_id < b.doc_id),
+      sets AS (SELECT doc_id, list(DISTINCT h) AS hs FROM hv GROUP BY doc_id),
+      scored AS (
+        SELECT a_id, b_id,
+          len(list_intersect(sa.hs, sb.hs)) AS inter,
+          len(sa.hs) AS na, len(sb.hs) AS nb
+        FROM cand JOIN sets sa ON sa.doc_id = a_id
+          JOIN sets sb ON sb.doc_id = b_id),
+      directed AS (
+        SELECT a_id AS src_id, b_id AS dst_id,
+          round(inter::DOUBLE / na, 6) AS containment FROM scored
+        UNION ALL
+        SELECT b_id, a_id, round(inter::DOUBLE / nb, 6) FROM scored)
+      SELECT src_id, dst_id, containment FROM directed
+      WHERE containment >= 0.5 ORDER BY src_id, dst_id"""))
+
   /** Corpus-level near-dup DEDUP — the user-facing end of the pipeline:
     * documents in, one survivor per near-dup cluster out. MinHash pairs →
     * connected components ([[graft.operators.Clustering]]) → survivor =
@@ -3583,6 +3617,50 @@ object Queries {
     Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
       FROM documents ORDER BY doc_id"""))
 
+  /** ORC round-trip — the columnar interchange format next to parquet:
+    * write the documents table as ORC (Spark's built-in vectorized ORC
+    * sink), read it back under the explicit schema, prove text fidelity
+    * by md5. Same discipline as [[opJsonl]]. */
+  private val opOrc = Q(
+    (s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val docs = Tables.documents(s, dir)
+      docs.write.mode("overwrite").orc(tmp)
+      s.read.schema(docs.schema).orc(tmp)
+        .select($"doc_id", $"lang", $"source", $"n_chars",
+          md5($"text").as("text_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+      FROM documents ORDER BY doc_id"""))
+
+  /** Sentence splitting ([[graft.operators.Corpus.splitSentences]]) — the
+    * segmentation pass under chunking/embedding pipelines: pieces =
+    * maximal runs of non-terminators plus their trailing `[.!?]` run (no
+    * lookbehind — RE2 engines lack it, so the SAME pattern runs in both
+    * engines), whitespace-only pieces dropped, surviving sentences
+    * trimmed and renumbered per document. */
+  private val cpSentences = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Corpus.splitSentences(Tables.documents(s, dir))
+        .orderBy($"doc_id", $"sent_idx")
+    },
+    Some("""WITH pieces AS (
+        SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]*') AS ps
+        FROM documents),
+      pos AS (
+        SELECT doc_id, i AS p, trim(ps[i]) AS sentence
+        FROM pieces CROSS JOIN unnest(range(1, len(ps) + 1)) AS r(i)),
+      kept AS (
+        SELECT doc_id, sentence,
+          row_number() OVER (PARTITION BY doc_id ORDER BY p) AS sent_idx
+        FROM pos WHERE len(sentence) > 0)
+      SELECT doc_id, sent_idx, sentence,
+        CAST(length(sentence) AS BIGINT) AS n_chars
+      FROM kept ORDER BY doc_id, sent_idx"""))
+
   /** DSIR importance weighting ([[graft.operators.Corpus.dsirWeights]],
     * Xie et al. 2023): every document scored by the log-likelihood ratio
     * of its counted unigram+bigram hash-bucket bag under the TARGET
@@ -3873,6 +3951,7 @@ object Queries {
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhash,
     "dd_ngram_jaccard" -> ddNgramJaccard,
+    "dd_containment" -> ddContainment,
     "dd_dedup_corpus" -> ddDedupCorpus,
     "dd_simhash" -> ddSimhash,
     "dd_simhash_pairs" -> ddSimhashPairs,
@@ -3949,6 +4028,8 @@ object Queries {
     "cp_source_quota" -> cpSourceQuota,
     "ta_keywords" -> taKeywords,
     "op_jsonl" -> opJsonl,
+    "op_orc" -> opOrc,
+    "cp_sentences" -> cpSentences,
     "cp_assembly" -> cpAssembly,
     "cp_assembly_staged" -> cpAssemblyStaged)
 }

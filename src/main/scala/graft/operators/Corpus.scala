@@ -1168,6 +1168,29 @@ object Corpus {
           .as("clean_text"))
   }
 
+  /** Sentence splitting — the segmentation pass under chunk/embed
+    * pipelines: pieces are maximal non-terminator runs plus their
+    * trailing `[.!?]` run (the lookbehind-free pattern, so RE2-based
+    * engines run the IDENTICAL regex), whitespace-only pieces dropped,
+    * survivors trimmed and renumbered 1..k per document. Narrow per-row
+    * explode — the only shuffle is whatever the caller does next.
+    *
+    * @return `(doc_id, sent_idx, sentence, n_chars)` */
+  def splitSentences(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val pieces = docs.select(col(idCol).as("doc_id"),
+      posexplode(regexp_extract_all(col(textCol),
+        lit("[^.!?]+[.!?]*"), lit(0))))
+      .select(col("doc_id"), col("pos").as("_p"),
+        trim(col("col")).as("sentence"))
+      .filter(length(col("sentence")) > 0)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("_p"))
+    pieces
+      .withColumn("sent_idx", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("sent_idx"), col("sentence"),
+        length(col("sentence")).cast("long").as("n_chars"))
+  }
+
   /** Scale-safe GLOBAL 1-based row number under a total order — the
     * window form (`row_number() OVER (ORDER BY ...)` with no PARTITION BY)
     * moves the whole corpus to one task; this is the two-pass construction

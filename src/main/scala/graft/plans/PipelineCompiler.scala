@@ -426,6 +426,18 @@ object SectionRegistry {
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text"),
         byCol = c.getOrElse("by_column", "source")))),
+    // sentence segmentation: (doc_id, sent_idx, sentence, n_chars)
+    "split_sentences" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Corpus.splitSentences(in(df),
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text")))),
+    // directed n-gram containment (excerpt/quote duplication)
+    "containment_pairs" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.NearDup.ngramContainmentPairs(in(df),
+        idCol = c.getOrElse("id_column", "doc_id"),
+        textCol = c.getOrElse("text_column", "text"),
+        ngram = c.getOrElse("ngram", "3").toInt,
+        threshold = c.getOrElse("threshold", "0.8").toDouble))),
     // duplication-centrality: PageRank over the near-dup pair graph
     "dup_rank" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {

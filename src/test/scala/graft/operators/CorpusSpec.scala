@@ -557,4 +557,30 @@ class CorpusSpec extends AnyFunSuite {
         .collect().toSeq
     assert(run(1) == run(11))
   }
+
+  test("splitSentences: terminators, runs, whitespace pieces, empty docs") {
+    val docs = Seq(
+      (1L, "One. Two! Three?"),          // three clean sentences
+      (2L, "Huh?! Really...  "),         // terminator runs stay attached
+      (3L, "no terminator at all"),      // whole doc = one sentence
+      (4L, ""),                          // empty doc → zero sentences
+      (5L, "! . ?"))                     // only separators/whitespace
+      .toDF("doc_id", "text")
+    val got = Corpus.splitSentences(docs)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("sent_idx"))
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got.filter(_._1 == 1L).map(_._3) == Seq("One.", "Two!", "Three?"))
+    assert(got.filter(_._1 == 2L).map(_._3) == Seq("Huh?!", "Really..."))
+    assert(got.filter(_._1 == 3L).map(_._3) == Seq("no terminator at all"))
+    assert(!got.exists(_._1 == 4L))
+    // doc 5: pieces are whitespace+terminator runs; after the trim each
+    // surviving piece is its terminator run ("! ." splits to "!"-led
+    // pieces) — assert none is EMPTY and indexing stays dense from 1
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2) == (1L to rows.length))
+      assert(rows.forall(_._3.nonEmpty))
+    }
+    assert(got.forall(r => r._4 == r._3.length))
+  }
 }

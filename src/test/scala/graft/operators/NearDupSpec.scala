@@ -126,4 +126,20 @@ class NearDupSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/exact").count() == exactBefore)
     assert(spark.read.parquet(s"$path/hashes").count() == hashesBefore)
   }
+
+  test("ngramContainmentPairs: excerpt scores ~1 toward its host, host stays low") {
+    val excerpt = "alpha beta gamma delta epsilon zeta"
+    val host = s"intro words before the passage $excerpt and then a very " +
+      "long tail of additional unrelated content stretching the document " +
+      "much further onward with many extra words to dilute the overlap"
+    val d = docs(1L -> host, 2L -> excerpt)
+    val got = NearDup.ngramContainmentPairs(d, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map { case (s, t, c) => (s, t) -> c }.toMap
+    // every 3-gram of the excerpt appears in the host → containment 1.0
+    assert(got((2L, 1L)) == 1.0, s"excerpt→host should be 1.0, got $got")
+    // host→excerpt is diluted far below the threshold → directed row absent
+    assert(!got.contains((1L, 2L)),
+      "host→excerpt containment should fall under the 0.5 threshold")
+  }
 }
