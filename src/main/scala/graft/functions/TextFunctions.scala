@@ -255,4 +255,23 @@ object TextFunctions {
       (wordCountOk && meanLenOk && symbolOk && alphaOk &&
         bulletOk && ellipsisOk).as("gopher_pass"))
   }
+
+  /** Composite text normalization — the canonical pre-hash cleaning
+    * chain, each step optional: NFC unicode normalization
+    * ([[UnicodeNormalize]] — composed/decomposed forms unify so every
+    * hash-based dedup upstream sees one spelling), accent stripping
+    * (NFD + combining-mark removal), lowercasing, and whitespace
+    * collapsing (runs → one space, ends trimmed). All narrow codegen'd
+    * per-row expressions. */
+  def normalizeText(text: Column, nfc: Boolean = true,
+                    stripAccents: Boolean = false, lowercase: Boolean = true,
+                    collapseWs: Boolean = true): Column = {
+    var c = text
+    if (nfc) c = UnicodeNormalize(c, "NFC")
+    if (stripAccents)
+      c = regexp_replace(UnicodeNormalize(c, "NFD"), "\\p{M}", "")
+    if (lowercase) c = lower(c)
+    if (collapseWs) c = trim(regexp_replace(c, "\\s+", " "))
+    c
+  }
 }

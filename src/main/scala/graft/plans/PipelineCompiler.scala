@@ -426,6 +426,19 @@ object SectionRegistry {
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text"),
         byCol = c.getOrElse("by_column", "source")))),
+    // unicode/case/whitespace normalization of the text column, in place
+    "normalize_text" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val tc = c.getOrElse("text_column", "text")
+        def on(k: String, dflt: Boolean) =
+          c.get(k).map(_.toBoolean).getOrElse(dflt)
+        Some(in(df).withColumn(tc,
+          graft.functions.TextFunctions.normalizeText(col(tc),
+            nfc = on("nfc", true),
+            stripAccents = on("strip_accents", false),
+            lowercase = on("lowercase", true),
+            collapseWs = on("collapse_ws", true))))
+      }),
     // sentence segmentation: (doc_id, sent_idx, sentence, n_chars)
     "split_sentences" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => Some(graft.operators.Corpus.splitSentences(in(df),

@@ -464,6 +464,34 @@ class TrainingSectionsSpec extends AnyFunSuite {
     assert(out.agg(countDistinct("rank")).head().getLong(0) > 1)
   }
 
+  test("normalize_text section: NFC unifies composed/decomposed; accents, case, whitespace") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_norm").toString
+    Seq(
+      (1L, "caf\u00e9 table"),   // composed e-acute (U+00E9)
+      (2L, "cafe\u0301 table"),  // decomposed e + combining acute
+      (3L, "  CAF\u00c9   TABLE \t ")) // case + whitespace runs
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(tmp)
+    def run(cfg: String) = {
+      val json =
+        s"""{"sections":[
+          {"id":"src","name":"parquet_source","config":{"path":"$tmp"}},
+          {"id":"n","name":"normalize_text","config":{$cfg}}],
+          "edges":[["src","n"]]}"""
+      PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+        .orderBy("doc_id").select("text").as[String].collect().toSeq
+    }
+    // default chain: NFC + lower + collapse — all three spellings converge,
+    // so every hash-based dedup upstream sees ONE document
+    assert(run("") == Seq("caf\u00e9 table", "caf\u00e9 table", "caf\u00e9 table"))
+    // accent stripping folds to pure ASCII
+    assert(run(""""strip_accents":"true"""") ==
+      Seq("cafe table", "cafe table", "cafe table"))
+    // everything off = identity
+    assert(run(""""nfc":"false","lowercase":"false","collapse_ws":"false"""")
+      == Seq("caf\u00e9 table", "cafe\u0301 table", "  CAF\u00c9   TABLE \t "))
+  }
+
   test("text_analysis compress_ratio: repetitive text compresses harder than varied text") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft_cr").toString
