@@ -2520,6 +2520,64 @@ object Queries {
         max(path_sum) AS ancestor_key_sum
       FROM walk GROUP BY n_nationkey ORDER BY n_nationkey"""))
 
+  /** TIME-SERIES RESAMPLE with forward fill — the feature-pipeline shape
+    * relational surfaces rarely ship whole: per user, snap events to a
+    * 1-hour grid spanning that user's observed range (dense — gap hours
+    * materialize as rows), carry the latest observation forward across
+    * gaps (`last_value IGNORE NULLS`), count per-bucket observations.
+    * Exercises timestamp `sequence()` explode, per-bucket latest-event
+    * election with a deterministic (ts, event_id) tiebreak, and
+    * ignore-nulls window carry. Values pass through untouched (no float
+    * arithmetic), so parity is exact without rounding ceremony. */
+  private val q35 = Q(
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).filter($"user_id" < 50)
+        .select($"user_id", $"ts", $"value", $"event_id")
+        .withColumn("bucket", date_trunc("hour", $"ts"))
+      // latest observation per (user, bucket) with a total-order tiebreak
+      val wLast = Window.partitionBy($"user_id", $"bucket")
+        .orderBy($"ts".desc, $"event_id".desc)
+      val perBucket = ev
+        .withColumn("_rn", row_number().over(wLast))
+        .groupBy($"user_id", $"bucket")
+        .agg(count(lit(1)).as("n_obs"),
+          max(when($"_rn" === 1, $"value")).as("bucket_value"))
+      val grid = ev.groupBy($"user_id")
+        .agg(min($"bucket").as("b0"), max($"bucket").as("b1"))
+        .select($"user_id", explode(
+          sequence($"b0", $"b1", expr("INTERVAL 1 HOUR"))).as("bucket"))
+      val wFill = Window.partitionBy($"user_id").orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(perBucket, Seq("user_id", "bucket"), "left")
+        .withColumn("filled_value",
+          last($"bucket_value", ignoreNulls = true).over(wFill))
+        .select($"user_id", $"bucket".cast("string").as("grid_ts"),
+          coalesce($"n_obs", lit(0L)).as("n_obs"), $"filled_value")
+        .orderBy($"user_id", $"grid_ts")
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, ts, value, event_id,
+          time_bucket(INTERVAL '1 hour', ts) AS bucket
+        FROM events WHERE user_id < 50),
+      per_bucket AS (
+        SELECT user_id, bucket, count(*) AS n_obs,
+          max(CASE WHEN rn = 1 THEN value END) AS bucket_value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+            ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+        GROUP BY user_id, bucket),
+      grid AS (
+        SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        FROM (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+          FROM ev GROUP BY user_id))
+      SELECT g.user_id, CAST(g.bucket AS VARCHAR) AS grid_ts,
+        coalesce(p.n_obs, 0) AS n_obs,
+        last_value(p.bucket_value IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.bucket
+          ROWS UNBOUNDED PRECEDING) AS filled_value
+      FROM grid g LEFT JOIN per_bucket p USING (user_id, bucket)
+      ORDER BY user_id, grid_ts"""))
+
   /** RANGE-frame window — value-based frames, the window feature ROWS
     * frames can't express: each order's sum of its customer's order value
     * within ±30 DAYS of it (by order-date day number), however many rows
@@ -3661,6 +3719,54 @@ object Queries {
         CAST(length(sentence) AS BIGINT) AS n_chars
       FROM kept ORDER BY doc_id, sent_idx"""))
 
+  /** GZIP JSONL round-trip — the wire format LLM corpora actually ship
+    * in (`.jsonl.gz` shards): the same fidelity proof as [[opJsonl]]
+    * through the gzip codec path (write compressed, read back by
+    * extension sniffing). */
+  private val opJsonlGz = Q(
+    (s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_gz").toString
+      val docs = Tables.documents(s, dir)
+      docs.write.mode("overwrite").option("compression", "gzip").json(tmp)
+      s.read.schema(docs.schema).json(tmp)
+        .select($"doc_id", $"lang", $"source", $"n_chars",
+          md5($"text").as("text_md5"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+      FROM documents ORDER BY doc_id"""))
+
+  /** Keyword blocklist filter — the refused-content screening pass:
+    * word-boundary, case-insensitive hits against a term list, with the
+    * count and the distinct matched terms (sorted — deterministic
+    * evidence column). Narrow per-row expressions over the shared
+    * whitespace tokenization. */
+  private val taBlocklist = Q(
+    (s, dir) => {
+      import s.implicits._
+      val terms = Seq("slow", "merge", "batch")
+      val toks = TF.tokens($"text")
+      val hits = filter(toks, t => lower(t).isInCollection(terms))
+      Tables.documents(s, dir).select($"doc_id",
+          size(hits).cast("long").as("n_hits"),
+          (size(hits) > 0).as("blocked"),
+          array_join(array_sort(array_distinct(
+            transform(hits, t => lower(t)))), ",").as("matched"))
+        .orderBy($"doc_id")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+          ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+        FROM documents),
+      h AS (SELECT doc_id,
+          list_filter(ts, t -> list_contains(['slow','merge','batch'], lower(t))) AS hits
+        FROM toks)
+      SELECT doc_id, len(hits)::BIGINT AS n_hits, len(hits) > 0 AS blocked,
+        coalesce(array_to_string(list_sort(list_distinct(
+          list_transform(hits, t -> lower(t)))), ','), '') AS matched
+      FROM h ORDER BY doc_id"""))
+
   /** DSIR importance weighting ([[graft.operators.Corpus.dsirWeights]],
     * Xie et al. 2023): every document scored by the log-likelihood ratio
     * of its counted unigram+bigram hash-bucket bag under the TARGET
@@ -3989,12 +4095,14 @@ object Queries {
     "ta_vocab" -> taVocab,
     "ta_repetition" -> taRepetition,
     "ta_redact" -> taRedact,
+    "ta_blocklist" -> taBlocklist,
     "q29_sliding_window" -> q29,
     "q30_range_frame" -> q30,
     "q31_set_ops_all" -> q31,
     "q32_pivot" -> q32,
     "q33_lateral_explode" -> q33,
     "q34_recursive_cte" -> q34,
+    "q35_resample_ffill" -> q35,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecode,
     "mm_decode_real" -> mmDecodeReal,
@@ -4028,6 +4136,7 @@ object Queries {
     "cp_source_quota" -> cpSourceQuota,
     "ta_keywords" -> taKeywords,
     "op_jsonl" -> opJsonl,
+    "op_jsonl_gz" -> opJsonlGz,
     "op_orc" -> opOrc,
     "cp_sentences" -> cpSentences,
     "cp_assembly" -> cpAssembly,
