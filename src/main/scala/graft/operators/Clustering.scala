@@ -202,16 +202,16 @@ object Clustering {
     val dir = und.select(col("lo").as("src"), col("hi").as("dst"))
       .unionByName(und.select(col("hi").as("src"), col("lo").as("dst")))
       .localCheckpoint(true)
+    // edges carry degree inline: one narrow frame feeds every iteration
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val dirDeg = dir.join(deg, Seq("src")).localCheckpoint(true)
     val base = lit((1.0 - damping) / n)
     var ranks = nodes.toDF("id")
       .select(col("id"), round(lit(1.0 / n), 6)
         .cast("decimal(18,6)").as("rank"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val contrib = dir
+    for (it <- 1 to iters) {
+      val contrib = dirDeg
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(deg, Seq("src"))
         .select(col("dst").as("id"),
           round(col("rank").cast("double") / col("deg"), 6)
             .cast("decimal(28,6)").as("c"))
@@ -222,7 +222,10 @@ object Clustering {
           round(base + lit(damping) *
             coalesce(col("inflow").cast("double"), lit(0.0)), 6)
             .cast("decimal(18,6)").as("rank"))
-        .localCheckpoint(true)
+      // lineage truncation is for LONG runs — an eager checkpoint per
+      // round turns 5 iterations into 5 driver-synchronized jobs. Let
+      // Catalyst fuse short runs into one DAG and cut only every 4th.
+      if (it % 4 == 0 && it < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }

@@ -1206,7 +1206,12 @@ object Corpus {
   def globalRowNumber(df: DataFrame, orderCols: Seq[Column],
                       partitions: Int = 32,
                       posCol: String = "pos"): DataFrame = {
-    val base = df
+    // repartitionByRange SAMPLES its child to pick boundaries, then reads
+    // it again for the real shuffle — persist the (narrow) input so an
+    // expensive upstream (e.g. curriculum's quality regexes over text)
+    // prices once, not twice
+    val input = df.persist()
+    val base = input
       .repartitionByRange(partitions, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn("_pid", spark_partition_id())
