@@ -1000,7 +1000,10 @@ object Corpus {
       var b: BigDecimal = BigDecimal(0)
       val nDocs = base.count()
       for (_ <- 1 to iters) {
-        val p = qcProbs(feats, base, w, b)
+        // p feeds BOTH the weight-gradient and bias-gradient jobs — one
+        // (doc_id, _y, p) row per doc, persist so the forward pass
+        // (feats ⋈ model join + sigmoid) prices once per iteration
+        val p = qcProbs(feats, base, w, b).persist()
         val grad = feats.join(p.select(col("doc_id"), col("p")), Seq("doc_id"))
           .select(col("f"),
             round((col("p").cast("double") - col("_y")) * col("c")
@@ -1012,6 +1015,7 @@ object Corpus {
             round((col("p").cast("double") - col("_y")) / lit(nDocs), 12)
               .cast(DecimalType(24, 12))))
           .head().getDecimal(0)
+        p.unpersist()
         w = grad.foldLeft(w) { case (m, (f, g)) =>
           m.updated(f, (m(f) - lr * BigDecimal(g))
             .setScale(6, BigDecimal.RoundingMode.HALF_UP))
