@@ -3719,6 +3719,72 @@ object Queries {
         CAST(length(sentence) AS BIGINT) AS n_chars
       FROM kept ORDER BY doc_id, sent_idx"""))
 
+  /** Dataset-card mixture report — the per-(source, lang) summary every
+    * corpus release ships: doc counts, token sums, char sums, mean
+    * quality (DECIMAL mean, engine-exact), with per-source rollup rows
+    * (GROUPING SETS). One scan, partial+final aggs. */
+  private val cpMixReport = Q(
+    (s, dir) => {
+      import s.implicits._
+      val f = TF.qualityFeatures($"text")
+      val t = Tables.documents(s, dir)
+        .select($"source", $"lang",
+          TF.tokenCount($"text").cast("long").as("toks"),
+          $"n_chars", round(f.getField("quality_score"), 6)
+            .cast(DecimalType(10, 6)).as("q"))
+      def report(df: DataFrame, keys: Column*) = df.groupBy(keys: _*)
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"toks").as("n_tokens"),
+          sum($"n_chars").as("n_chars"),
+          // DECIMAL sum (exact, order-independent) ÷ count as one double
+          // division — avg(decimal) semantics differ across engines
+          round(sum($"q").cast("double") / count(lit(1)), 6)
+            .as("mean_quality"))
+      report(t, $"source", $"lang")
+        .unionByName(report(t, $"source")
+          .withColumn("lang", lit(null).cast("string"))
+          .select($"source", $"lang", $"n_docs", $"n_tokens", $"n_chars",
+            $"mean_quality"))
+        .orderBy($"source", $"lang")
+    },
+    Some(s"""WITH $qdocCte,
+      t AS (
+        SELECT d.source, d.lang,
+          len(CASE WHEN len(trim(d.text)) = 0 THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(d.text), '\\s+') END)::BIGINT AS toks,
+          d.n_chars, q.q::DECIMAL(10,6) AS q
+        FROM documents d JOIN qdoc q ON q.doc_id = d.doc_id)
+      SELECT source, lang, count(*) AS n_docs,
+        sum(toks)::BIGINT AS n_tokens,
+        sum(n_chars)::BIGINT AS n_chars,
+        round(sum(q)::DOUBLE / count(*), 6) AS mean_quality
+      FROM t GROUP BY GROUPING SETS ((source, lang), (source))
+      ORDER BY source, lang"""))
+
+  /** Exact-quantile corpus filter — dynamic thresholding ("drop the
+    * bottom decile by quality"): the cut point is the EXACT corpus
+    * percentile (one aggregate — the threshold is a scalar, not a
+    * shuffle), then a narrow filter pass. Survivors carry the threshold
+    * for auditability. */
+  private val cpQuantileFilter = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val scored = docs.select($"doc_id",
+        round(TF.qualityFeatures($"text").getField("quality_score"), 6)
+          .as("q"))
+      scored
+        .crossJoin(broadcast(scored.agg(
+          round(expr("percentile(q, 0.1)"), 6).as("q10"))))
+        .filter($"q" >= $"q10")
+        .select($"doc_id", $"q", $"q10")
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $qdocCte,
+      thr AS (SELECT round(quantile_cont(q, 0.1), 6) AS q10 FROM qdoc)
+      SELECT doc_id, q, q10 FROM qdoc CROSS JOIN thr
+      WHERE q >= q10 ORDER BY doc_id"""))
+
   /** GZIP JSONL round-trip — the wire format LLM corpora actually ship
     * in (`.jsonl.gz` shards): the same fidelity proof as [[opJsonl]]
     * through the gzip codec path (write compressed, read back by
@@ -4128,6 +4194,8 @@ object Queries {
     "cp_chunk" -> cpChunk,
     "cp_sample_quality" -> cpSample,
     "cp_dsir_weights" -> cpDsir,
+    "cp_mix_report" -> cpMixReport,
+    "cp_quantile_filter" -> cpQuantileFilter,
     "cp_quality_classifier" -> cpQualityClassifier,
     "cp_scrub_spans" -> cpScrub,
     "cp_dedup_lines" -> cpDedupLines,
