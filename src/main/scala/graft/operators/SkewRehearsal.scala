@@ -115,6 +115,26 @@ object SkewRehearsal {
     // under the duplicate mass instead of collapsing onto one task
     "skewed_ta_bigram_score" -> (() =>
       Corpus.bigramLmScore(hotCorpus(graft.Tables.documents(spark, dir)),
-        vocabSize = 16).count())
+        vocabSize = 16).count()),
+    // mass-duplicated docs turn the near-dup graph into one giant clique
+    // (star-compressed to hub edges by the capped candidate generator):
+    // the PageRank contribution stream then carries n/3 rows keyed by the
+    // SAME hub dst — the partial+final inflow sum must absorb the hot key
+    // map-side instead of piling one task. Measures iteration cost under
+    // a mega-hub, the shape a boilerplate cluster produces at 100 TB
+    "skewed_dd_pagerank" -> (() => {
+      val docs = hotCorpus(graft.Tables.documents(spark, dir))
+      Clustering.pageRank(
+        docs.select(col("doc_id").as("id")),
+        NearDup.pairs(docs).select(col("a_id"), col("b_id")),
+        iters = 5).count()
+    }),
+    // the hot template's shingles blow past the posting cap → excluded
+    // from candidate generation but counted exactly in the verify sets;
+    // directed containment doubles the output of every surviving pair
+    "skewed_dd_containment" -> (() =>
+      NearDup.ngramContainmentPairs(
+        hotCorpus(graft.Tables.documents(spark, dir)),
+        threshold = 0.5, maxPosting = 64).count())
   )
 }
