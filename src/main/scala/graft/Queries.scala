@@ -3538,16 +3538,20 @@ object Queries {
 
   /** Shared oracle CTE chain ending in `qdoc(doc_id, source, qraw, q)` —
     * the composite quality score (parity text of ta_quality's oracle),
-    * raw and rounded-6, for the quota/curriculum queries below. */
-  private val qdocCte: String = """qt0 AS (
+    * raw and rounded-6, for the quota/curriculum queries below.
+    * [[qdocCteFrom]] parameterizes the source relation so compositions
+    * can score NORMALIZED text (cp_manifest) with the same chain. */
+  private def qdocCteFrom(src: String): String = s"""qt0 AS (
         SELECT doc_id, source,
           CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-            ELSE regexp_split_to_array(trim(text), '\s+') END AS ts,
+            ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts,
           length(text)::DOUBLE AS nc,
-          length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g'))::DOUBLE AS punct,
+          length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE AS punct,
           length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits,
-          length(regexp_replace(text, '[^ \t\n]', '', 'g'))::DOUBLE AS spaces
-        FROM documents),
+          length(regexp_replace(text, '[^ \\t\\n]', '', 'g'))::DOUBLE AS spaces
+        FROM $src),""" + qdocTail
+  private lazy val qdocCte: String = qdocCteFrom("documents")
+  private lazy val qdocTail: String = """
       qt1 AS (
         SELECT doc_id, source,
           (nc - spaces) / greatest(len(ts)::DOUBLE, 1.0) AS mtl,
@@ -3784,6 +3788,61 @@ object Queries {
       thr AS (SELECT round(quantile_cont(q, 0.1), 6) AS q10 FROM qdoc)
       SELECT doc_id, q, q10 FROM qdoc CROSS JOIN thr
       WHERE q >= q10 ORDER BY doc_id"""))
+
+  /** END-TO-END curriculum training MANIFEST — the round-10 operators
+    * composed into one declarative plan: normalize (NFC identity on this
+    * corpus; lower + whitespace collapse fire) → drop the bottom quality
+    * decile (exact percentile threshold, a broadcast scalar) → per-source
+    * quota (bounded-heap TopKPerKey) → 4 curriculum stages (scale-safe
+    * global rank) → the final training order `pos` by (stage, difficulty,
+    * id). One oracle replays the whole composition: the quality chain
+    * over NORMALIZED text, quantile cut, quota window, stage arithmetic,
+    * manifest window. */
+  private val cpManifest = Q(
+    (s, dir) => {
+      import s.implicits._
+      val C = graft.operators.Corpus
+      val normalized = Tables.documents(s, dir)
+        .withColumn("text", TF.normalizeText($"text"))
+      val scored = normalized.select($"doc_id", $"source", $"text",
+        round(TF.qualityFeatures($"text").getField("quality_score"), 6)
+          .as("_q"))
+      val screened = scored
+        .crossJoin(broadcast(scored.agg(
+          round(expr("percentile(_q, 0.1)"), 6).as("_thr"))))
+        .filter($"_q" >= $"_thr")
+        .select($"doc_id", $"source", $"text")
+      val quota = C.sourceQuota(screened, k = 15)
+      val survivors = screened.join(quota.select($"doc_id"), Seq("doc_id"))
+      val staged = C.curriculumStages(survivors, stages = 4)
+      C.globalRowNumber(
+          staged.join(quota.select($"doc_id", $"source", $"q"), Seq("doc_id")),
+          Seq(col("stage"), col("difficulty"), col("doc_id")), posCol = "pos")
+        .select($"pos", $"doc_id", $"source", $"q", $"difficulty", $"stage")
+        .orderBy($"pos")
+    },
+    Some(s"""WITH nd AS (
+        SELECT doc_id, source,
+          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text
+        FROM documents),
+      ${qdocCteFrom("nd")},
+      thr AS (SELECT round(quantile_cont(q, 0.1), 6) AS t FROM qdoc),
+      screened AS (
+        SELECT qd.* FROM qdoc qd CROSS JOIN thr WHERE qd.q >= thr.t),
+      quota AS (SELECT doc_id, source, q, qraw FROM (
+          SELECT *, row_number() OVER (PARTITION BY source
+            ORDER BY q DESC, doc_id) AS rn
+          FROM screened) WHERE rn <= 15),
+      rk AS (
+        SELECT doc_id, source, q, round(1.0 - qraw, 6) AS difficulty,
+          row_number() OVER (ORDER BY round(1.0 - qraw, 6), doc_id) AS cpos,
+          count(*) OVER () AS n
+        FROM quota),
+      st AS (SELECT doc_id, source, q, difficulty,
+          CAST(floor((cpos - 1) * 4 / n) + 1 AS BIGINT) AS stage FROM rk)
+      SELECT row_number() OVER (ORDER BY stage, difficulty, doc_id) AS pos,
+        doc_id, source, q, difficulty, stage
+      FROM st ORDER BY pos"""))
 
   /** GZIP JSONL round-trip — the wire format LLM corpora actually ship
     * in (`.jsonl.gz` shards): the same fidelity proof as [[opJsonl]]
@@ -4195,6 +4254,7 @@ object Queries {
     "cp_sample_quality" -> cpSample,
     "cp_dsir_weights" -> cpDsir,
     "cp_mix_report" -> cpMixReport,
+    "cp_manifest" -> cpManifest,
     "cp_quantile_filter" -> cpQuantileFilter,
     "cp_quality_classifier" -> cpQualityClassifier,
     "cp_scrub_spans" -> cpScrub,

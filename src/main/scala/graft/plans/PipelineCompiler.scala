@@ -3,7 +3,7 @@ package graft.plans
 import graft.operators.Transforms
 import graft.sources.{Sources, Sinks, WarehouseSinks}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, expr, greatest, lit, octet_length, regexp_replace}
+import org.apache.spark.sql.functions.{broadcast, col, expr, greatest, lit, octet_length, regexp_replace, round}
 
 /** Operator registry + spec→DataFrame compiler — the Spark-native
   * counterpart of the reference's config registry and task wiring
@@ -426,6 +426,25 @@ object SectionRegistry {
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text"),
         byCol = c.getOrElse("by_column", "source")))),
+    // exact-quantile dynamic filter: drop docs under the corpus percentile
+    "quantile_filter" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        val frame = in(df)
+        val pct = c.getOrElse("percentile", "0.1").toDouble
+        require(pct >= 0.0 && pct <= 1.0, s"percentile must be in [0,1], got $pct")
+        val score = c.get("score") match {
+          case Some(e) => expr(e)
+          case scala.None => graft.functions.TextFunctions
+            .qualityFeatures(col(c.getOrElse("text_column", "text")))
+            .getField("quality_score")
+        }
+        val scored = frame.withColumn("_q", round(score, 6))
+        val thr = scored.agg(
+          round(expr(s"percentile(_q, $pct)"), 6).as("_thr"))
+        Some(scored.crossJoin(broadcast(thr))
+          .filter(col("_q") >= col("_thr"))
+          .drop("_q", "_thr"))
+      }),
     // unicode/case/whitespace normalization of the text column, in place
     "normalize_text" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {

@@ -449,6 +449,33 @@ class TrainingSectionsSpec extends AnyFunSuite {
       .agg(max("count")).head().getLong(0) <= 3)
   }
 
+  test("quantile_filter section: bottom decile dropped by exact percentile") {
+    val json =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"qf","name":"quantile_filter","config":{"percentile":"0.1"}}],
+        "edges":[["src","qf"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    val total = spark.read.parquet(s"$sf/documents.parquet").count()
+    val kept = out.count()
+    // >= because score ties at the threshold all survive
+    assert(kept >= total * 85 / 100 && kept < total,
+      s"kept $kept of $total — decile cut off")
+    assert(out.columns.toSeq ==
+      spark.read.parquet(s"$sf/documents.parquet").columns.toSeq,
+      "filter must pass the schema through untouched")
+    // explicit score expression variant
+    val json2 =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"qf","name":"quantile_filter","config":{
+          "percentile":"0.5","score":"n_chars"}}],
+        "edges":[["src","qf"]]}"""
+    val out2 = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json2))
+    // ~half dropped (ties at the median may keep slightly more)
+    assert(out2.count() <= total * 60 / 100, s"median cut kept ${out2.count()}")
+  }
+
   test("dup_rank section: duplication-centrality from a JSON spec") {
     import org.apache.spark.sql.functions._
     val json =
