@@ -3723,6 +3723,52 @@ object Queries {
         CAST(length(sentence) AS BIGINT) AS n_chars
       FROM kept ORDER BY doc_id, sent_idx"""))
 
+  /** EXACT-size deterministic uniform sample — "give me exactly 100 eval
+    * docs, reproducibly": the k smallest md5(seed, id) hashes. The
+    * hash order is uniform and engine-independent, and the plan is a
+    * TakeOrdered (bounded heap per partition + merge of k-row partials) —
+    * never a global sort. The fixed-size complement of
+    * [[cpSample]]'s per-row rate thinning. */
+  private val cpSampleExactK = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"doc_id", $"source",
+          TF.hash60(concat(lit("k100_"), $"doc_id".cast("string")))
+            .as("draw"))
+        .orderBy($"draw", $"doc_id").limit(100)
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, source, draw FROM (
+        SELECT doc_id, source,
+          ('0x' || substr(md5('k100_' || doc_id::VARCHAR), 1, 15))::BIGINT AS draw
+        FROM documents ORDER BY draw, doc_id LIMIT 100)
+      ORDER BY doc_id"""))
+
+  /** Per-group exact-k sample — "5 eval docs PER LANGUAGE, reproducibly":
+    * the same deterministic draw ranked per group on the bounded-heap
+    * [[graft.plans.TopKPerKey]] operator (≤k rows per group per input
+    * partition shuffle — a stratified sampler that never sorts a group). */
+  private val cpSampleGroupK = Q(
+    (s, dir) => {
+      import s.implicits._
+      import graft.plans.TopKPerKey
+      val drawn = Tables.documents(s, dir)
+        .select($"doc_id", $"lang",
+          TF.hash60(concat(lit("g5_"), $"doc_id".cast("string"))).as("draw"))
+      TopKPerKey(drawn, Seq("lang"),
+          Seq(TopKPerKey.asc("draw"), TopKPerKey.asc("doc_id")), k = 5)
+        .orderBy($"lang", $"draw", $"doc_id")
+    },
+    Some("""SELECT doc_id, lang, draw FROM (
+        SELECT doc_id, lang,
+          ('0x' || substr(md5('g5_' || doc_id::VARCHAR), 1, 15))::BIGINT AS draw,
+          row_number() OVER (PARTITION BY lang ORDER BY
+            ('0x' || substr(md5('g5_' || doc_id::VARCHAR), 1, 15))::BIGINT,
+            doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 5 ORDER BY lang, draw, doc_id"""))
+
   /** Dataset-card mixture report — the per-(source, lang) summary every
     * corpus release ships: doc counts, token sums, char sums, mean
     * quality (DECIMAL mean, engine-exact), with per-source rollup rows
@@ -4252,6 +4298,8 @@ object Queries {
     "cp_bm25_topk" -> cpBm25,
     "cp_chunk" -> cpChunk,
     "cp_sample_quality" -> cpSample,
+    "cp_sample_exact_k" -> cpSampleExactK,
+    "cp_sample_group_k" -> cpSampleGroupK,
     "cp_dsir_weights" -> cpDsir,
     "cp_mix_report" -> cpMixReport,
     "cp_manifest" -> cpManifest,
