@@ -2679,6 +2679,61 @@ object Queries {
       ORDER BY img_id"""
     })
 
+  /** REAL image RESIZE ([[graft.operators.Multimodal.resizeImages]]):
+    * decode → nearest-neighbor downsample to 5×4 → lossless PNG
+    * re-encode, then the query DECODES THE RE-ENCODED PAYLOAD and means
+    * its channels — the oracle recomputes the identical nearest-neighbor
+    * pixel map `src(x·sw/tw, y·sh/th)` from the pattern function, so any
+    * drift in the sampling arithmetic, the raster write, or the PNG
+    * round-trip is a hash mismatch. The non-PNG row quarantines as
+    * width −1 with null means. */
+  private val mmResize = Q(
+    (s, dir) => {
+      import s.implicits._
+      val rows = mmPatternIds.map { k =>
+        val (w, h, f) = mmPattern(k)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) {
+          val (r, g, b) = f(x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (k.toLong, bos.toByteArray)
+      } :+ (mmPatternIds.end.toLong, "not a png".getBytes("UTF-8"))
+      val fixtures = rows.toDF("img_id", "payload").repartition(4)
+      val resized = graft.operators.Multimodal.resizeImages(
+        fixtures, targetW = 5, targetH = 4)
+      val means = graft.operators.Multimodal.imageChannelMeans(
+          graft.operators.Multimodal.decodeImageFeatures(
+            resized.filter($"width" > 0).select($"img_id", $"payload")))
+        .select($"img_id", $"mean_r", $"mean_g", $"mean_b")
+      resized.select($"img_id", $"src_w", $"src_h", $"width", $"height")
+        .join(means, Seq("img_id"), "left")
+        .orderBy($"img_id")
+    },
+    Some {
+      val vals = mmPatternIds.map { k =>
+        val (w, h, f) = mmPattern(k)
+        var r = 0L; var g = 0L; var b = 0L
+        for (y <- 0 until 4; x <- 0 until 5) {
+          val (pr, pg, pb) = f(x * w / 5, y * h / 4)
+          r += pr; g += pg; b += pb
+        }
+        s"($k, $w, $h, 5, 4, $r, $g, $b)"
+      }.mkString(", ") +
+        s", (${mmPatternIds.end}, -1, -1, -1, -1, NULL, NULL, NULL)"
+      s"""SELECT CAST(img_id AS BIGINT) AS img_id,
+        CAST(src_w AS INTEGER) AS src_w, CAST(src_h AS INTEGER) AS src_h,
+        CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        CAST(round(sum_r / (255.0 * 5 * 4), 6) AS DOUBLE) AS mean_r,
+        CAST(round(sum_g / (255.0 * 5 * 4), 6) AS DOUBLE) AS mean_g,
+        CAST(round(sum_b / (255.0 * 5 * 4), 6) AS DOUBLE) AS mean_b
+      FROM (VALUES $vals) t(img_id, src_w, src_h, width, height, sum_r, sum_g, sum_b)
+      ORDER BY img_id"""
+    })
+
   /** REAL audio decode through `javax.sound.sampled`
     * ([[graft.operators.Multimodal.decodeAudioFeatures]]): deterministic
     * PCM sample patterns are WAV-ENCODED on the driver, decoded
@@ -4277,6 +4332,7 @@ object Queries {
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecode,
     "mm_decode_real" -> mmDecodeReal,
+    "mm_resize" -> mmResize,
     "mm_decode_audio" -> mmDecodeAudio,
     "mm_decode_video" -> mmDecodeVideo,
     "st_tumbling_window" -> stTumbling,

@@ -152,6 +152,61 @@ object Multimodal {
       }.toDF(idCol, "width", "height", "sum_r", "sum_g", "sum_b")
   }
 
+  /** REAL image RESIZE — decode (javax.imageio), NEAREST-NEIGHBOR
+    * downsample to (targetW, targetH), re-encode PNG. Nearest-neighbor
+    * deliberately: its pixel map `src(x·sw/tw, y·sh/th)` is exact integer
+    * arithmetic, so a first-principles oracle can recompute the resized
+    * raster independently (interpolating scalers bury float kernels in
+    * codec internals no oracle can replay). PNG re-encode is lossless, so
+    * decode(resize(x)) round-trips to exactly the mapped pixels —
+    * mm_resize pins that. Undecodable rows quarantine as width −1 with a
+    * null payload (pipeline keeps flowing); the pixel cap quarantines
+    * oversized rasters as −2 like [[decodeImageFeatures]].
+    *
+    * @return `(id, payload (png or null), src_w, src_h, width, height)` */
+  def resizeImages(df: DataFrame, targetW: Int, targetH: Int,
+                   idCol: String = "img_id", payloadCol: String = "payload",
+                   maxPixels: Long = 16L * 1000 * 1000): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        def resize(bytes: Array[Byte]): (Option[Array[Byte]], Int, Int, Int, Int) =
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            if (img == null) (scala.None, -1, -1, -1, -1)
+            else if (img.getWidth.toLong * img.getHeight > maxPixels)
+              (scala.None, -2, -2, -2, -2)
+            else {
+              val sw = img.getWidth; val sh = img.getHeight
+              val out = new java.awt.image.BufferedImage(targetW, targetH,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < targetH) {
+                val sy = y * sh / targetH
+                var x = 0
+                while (x < targetW) {
+                  out.setRGB(x, y, img.getRGB(x * sw / targetW, sy) & 0xffffff)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              (Some(bos.toByteArray), sw, sh, targetW, targetH)
+            }
+          } catch { case _: Exception => (scala.None, -1, -1, -1, -1) }
+        rows.map { case (id, bytes) =>
+          val (p, sw, sh, w, h) = resize(bytes)
+          (id, p.orNull, sw, sh, w, h)
+        }
+      }.toDF(idCol, payloadCol, "src_w", "src_h", "width", "height")
+  }
+
   /** Per-channel MEANS from [[decodeImageFeatures]]'s exact sums, through
     * the engine-wide `round(x, 6)` convention (Spark and the SQL oracle
     * agree on it). */

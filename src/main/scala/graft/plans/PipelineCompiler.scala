@@ -511,6 +511,14 @@ object SectionRegistry {
           graft.operators.Multimodal.imageChannelMeans(decoded)
         else decoded)
       }),
+    // REAL image resize (nearest-neighbor + lossless PNG re-encode)
+    "mm_resize" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Multimodal.resizeImages(in(df),
+        targetW = c.getOrElse("width", "64").toInt,
+        targetH = c.getOrElse("height", "64").toInt,
+        idCol = c.getOrElse("id_column", "img_id"),
+        payloadCol = c.getOrElse("payload_column", "payload"),
+        maxPixels = c.getOrElse("max_pixels", (16L * 1000 * 1000).toString).toLong))),
     // REAL audio decode (javax.sound WAV/PCM): payload column ->
     // (id, sample_rate, channels, n_frames, per-channel sums) + stats;
     // undecodable rows carry sample_rate -1 with null sums
