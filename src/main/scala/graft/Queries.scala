@@ -2578,6 +2578,35 @@ object Queries {
       FROM grid g LEFT JOIN per_bucket p USING (user_id, bucket)
       ORDER BY user_id, grid_ts"""))
 
+  /** UNPIVOT / melt — the reshape inverse of q32's PIVOT: the three
+    * lineitem charge columns go long as (measure, amount) pairs via one
+    * `stack` pass (no union-of-selects re-scanning the table per
+    * measure), then aggregate per measure. */
+  private val q36 = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .select($"l_orderkey", expr(
+          """stack(3,
+             'extendedprice', l_extendedprice,
+             'discount', l_discount,
+             'tax', l_tax) AS (measure, amount)"""))
+        .groupBy($"measure")
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec($"amount", 6)).cast("double"), 2).as("sum_amount"))
+        .orderBy($"measure")
+    },
+    Some("""SELECT measure, count(*) AS n,
+        round(CAST(sum(CAST(amount AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_amount
+      FROM (
+        SELECT l_orderkey, measure, amount
+        FROM lineitem
+        UNPIVOT (amount FOR measure IN (
+          l_extendedprice AS extendedprice,
+          l_discount AS discount,
+          l_tax AS tax)))
+      GROUP BY measure ORDER BY measure"""))
+
   /** RANGE-frame window — value-based frames, the window feature ROWS
     * frames can't express: each order's sum of its customer's order value
     * within ±30 DAYS of it (by order-date day number), however many rows
@@ -4329,6 +4358,7 @@ object Queries {
     "q33_lateral_explode" -> q33,
     "q34_recursive_cte" -> q34,
     "q35_resample_ffill" -> q35,
+    "q36_unpivot" -> q36,
     "mm_binary_meta" -> mmBinaryMeta,
     "mm_decode_features" -> mmDecode,
     "mm_decode_real" -> mmDecodeReal,
