@@ -3051,36 +3051,49 @@ object Queries {
     * COLLECTED result, after the stream ends — never inside the streaming
     * plan, where a pushed-down filter could sit below the watermark node.
     */
+  /** Stage `events.parquet` (symlink, no copy) into a fresh temp dir next
+    * to a far-future SENTINEL file whose rows (negative user ids, one per
+    * requested event kind, max(ts)+10h in the FILE's physical type) exist
+    * only to drive the watermark past all real data in the terminal
+    * no-data micro-batch. Callers filter sentinel keys (user_id < 0) from
+    * the COLLECTED output. Returns the dir to stream from. */
+  private def stageEventsWithSentinels(ss: SparkSession, dir: String,
+                                       kinds: Seq[(Long, String)]): String = {
+    import ss.implicits._
+    import org.apache.spark.sql.types.LongType
+    val raw = ss.read.parquet(s"$dir/events.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel")
+    java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
+    val far: Column => Column = raw.schema("ts").dataType match {
+      case LongType => c => c + lit(36000L * 1000000000L)
+      case _ => c => c + expr("INTERVAL 10 HOURS")
+    }
+    val mts = raw.agg(max($"ts").as("mts"))
+    val sent = kinds.map { case (id, kind) => mts.select(
+        lit(id).as("event_id"), far($"mts").as("ts"), lit(id).as("user_id"),
+        lit(kind).as("event_type"), lit(0.0).as("value"), lit("").as("props"))
+      }.reduce(_ unionByName _)
+    val sentStage = tmp.resolve("_sent").toString
+    sent.coalesce(1).write.parquet(sentStage)
+    val part = new java.io.File(sentStage).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error("sentinel write produced no parquet"))
+    java.nio.file.Files.move(part.toPath, tmp.resolve("zz_sentinel.parquet"))
+    tmp.toString
+  }
+
   private val stStreamLeftJoin = Q(
     (s, dir) => {
       val ss = s.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", "8")
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import ss.implicits._
-      import org.apache.spark.sql.types.LongType
       val raw = ss.read.parquet(s"$dir/events.parquet")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_leftjoin")
-      java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
-      // far-future ts in the FILE's physical type (legacy nanos long or
-      // timestamp), so one explicit read schema fits both files
-      val far: Column => Column = raw.schema("ts").dataType match {
-        case LongType => c => c + lit(36000L * 1000000000L)
-        case _ => c => c + expr("INTERVAL 10 HOURS")
-      }
-      val mts = raw.agg(max($"ts").as("mts"))
-      def sentRow(id: Long, kind: String) = mts.select(
-        lit(id).as("event_id"), far($"mts").as("ts"), lit(id).as("user_id"),
-        lit(kind).as("event_type"), lit(0.0).as("value"), lit("").as("props"))
-      val sentStage = tmp.resolve("_sent").toString
-      sentRow(-1L, "view").unionByName(sentRow(-2L, "click"))
-        .coalesce(1).write.parquet(sentStage)
-      val part = new java.io.File(sentStage).listFiles()
-        .find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error("sentinel write produced no parquet"))
-      java.nio.file.Files.move(part.toPath, tmp.resolve("zz_sentinel.parquet"))
+      val tmp = stageEventsWithSentinels(ss, dir,
+        Seq(-1L -> "view", -2L -> "click"))
       def stream = Tables.normalizeEventsTs(ss.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "*.parquet").parquet(tmp.toString))
+        .option("pathGlobFilter", "*.parquet").parquet(tmp))
       val views = stream.filter($"event_type" === "view")
         .select($"user_id".as("v_user"), $"ts".as("view_ts"))
         .withWatermark("view_ts", "1 hour")
@@ -3108,6 +3121,60 @@ object Queries {
         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
       WHERE v.event_type = 'view'
       ORDER BY 1, 2, 3 NULLS FIRST"""))
+
+  /** STREAMING resample with forward fill
+    * ([[graft.streaming.StatefulResample]]) — the streaming twin of
+    * [[q35]]: per-user dense 1-hour grid rows emit as the watermark
+    * finalizes their buckets (custom per-key state: carry + pending
+    * buckets + buffered observations, bounded by the watermark horizon);
+    * the sentinel file closes the tail. Verified against the SAME batch
+    * oracle as q35 — stream/batch parity on identical input. */
+  private val stResampleFfill = Q(
+    (s, dir) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import ss.implicits._
+      val raw = ss.read.parquet(s"$dir/events.parquet")
+      val tmp = stageEventsWithSentinels(ss, dir, Seq(-1L -> "view"))
+      val stream = Tables.normalizeEventsTs(ss.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "*.parquet").parquet(tmp))
+        .filter($"user_id" < 50) // sentinel user -1 passes and drives the watermark
+      val grid = graft.streaming.StatefulResample.resample(
+        stream.select($"user_id", $"ts", $"event_id", $"value"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        valCol = "value", bucketSeconds = 3600L, watermark = "1 hour")
+      graft.streaming.StreamingPipelines
+        .collectStream(ss, grid.toDF(),
+          s"st_resample_${System.nanoTime()}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .filter($"key".cast("long") >= 0)
+        .select($"key".cast("long").as("user_id"),
+          $"grid_ts".cast("string").as("grid_ts"),
+          $"n_obs", $"filled_value")
+        .orderBy($"user_id", $"grid_ts")
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, ts, value, event_id,
+          time_bucket(INTERVAL '1 hour', ts) AS bucket
+        FROM events WHERE user_id < 50),
+      per_bucket AS (
+        SELECT user_id, bucket, count(*) AS n_obs,
+          max(CASE WHEN rn = 1 THEN value END) AS bucket_value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+            ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+        GROUP BY user_id, bucket),
+      grid AS (
+        SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+        FROM (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+          FROM ev GROUP BY user_id))
+      SELECT g.user_id, CAST(g.bucket AS VARCHAR) AS grid_ts,
+        coalesce(p.n_obs, 0) AS n_obs,
+        last_value(p.bucket_value IGNORE NULLS) OVER (
+          PARTITION BY g.user_id ORDER BY g.bucket
+          ROWS UNBOUNDED PRECEDING) AS filled_value
+      FROM grid g LEFT JOIN per_bucket p USING (user_id, bucket)
+      ORDER BY user_id, grid_ts"""))
 
   /** REAL stream-STATIC join — the dimension-enrichment shape that
     * completes the streaming-join matrix next to [[stStreamJoin]]: facts
@@ -4371,6 +4438,7 @@ object Queries {
     "st_dedup" -> stDedup,
     "st_stream_join" -> stStreamJoin,
     "st_stream_left_join" -> stStreamLeftJoin,
+    "st_resample_ffill" -> stResampleFfill,
     "st_static_join" -> stStaticJoin,
     "cp_decon_overlap" -> cpDecon,
     "cp_decon_bloom" -> cpDeconBloom,
