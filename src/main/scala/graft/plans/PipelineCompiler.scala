@@ -367,6 +367,16 @@ object SectionRegistry {
     // custom-state sessionization (flatMapGroupsWithState): one row per
     // closed session (key, session_start, n); batch frames close at
     // end-of-input, streaming frames via event-time timeout
+    // dense-grid forward-fill resample (batch or streaming; the streaming
+    // path emits buckets as the watermark finalizes them)
+    "resample_ffill" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.streaming.StatefulResample.resample(in(df),
+        keyCol = c.getOrElse("key_column", "user_id"),
+        tsCol = c.getOrElse("ts_column", "ts"),
+        tieCol = c.getOrElse("tie_column", "event_id"),
+        valCol = c.getOrElse("value_column", "value"),
+        bucketSeconds = c.getOrElse("bucket_seconds", "3600").toLong,
+        watermark = c.getOrElse("watermark", "1 hour")).toDF())),
     "sessionize" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {
         val frame = in(df)
