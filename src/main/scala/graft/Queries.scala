@@ -3920,6 +3920,57 @@ object Queries {
         FROM documents)
       WHERE rn <= 5 ORDER BY lang, draw, doc_id"""))
 
+  /** Flesch reading-ease — the classic readability quality signal
+    * (edu-value filters score on exactly this family): `206.835 −
+    * 1.015·(words/sentences) − 84.6·(syllables/word)`, with the standard
+    * heuristic syllable counter (vowel-group runs per word, min 1) and
+    * the lookbehind-free sentence segmentation of [[cpSentences]]. All
+    * counts are exact integers; one double expression at the end, round
+    * 6 — identical op order in both engines. */
+  private val taReadability = Q(
+    (s, dir) => {
+      import s.implicits._
+      val toksE = "CASE WHEN trim(text) = '' THEN array() " +
+        "ELSE split(trim(text), '\\\\s+') END"
+      Tables.documents(s, dir).select($"doc_id",
+          expr(s"size($toksE)").cast("long").as("n_words"),
+          expr("size(filter(regexp_extract_all(text, '[^.!?]+[.!?]*', 0), " +
+            "p -> length(trim(p)) > 0))").cast("long").as("_sraw"),
+          expr(s"aggregate(transform($toksE, t -> greatest(1, " +
+            "size(regexp_extract_all(lower(t), '[aeiouy]+', 0)))), 0, " +
+            "(acc, x) -> acc + x)").cast("long").as("n_syllables"))
+        .withColumn("n_sentences", greatest($"_sraw", lit(1L)))
+        .withColumn("flesch",
+          when($"n_words" === 0, lit(null).cast("double"))
+            .otherwise(round(lit(206.835)
+              - lit(1.015) * ($"n_words".cast("double") /
+                  $"n_sentences".cast("double"))
+              - lit(84.6) * ($"n_syllables".cast("double") /
+                  $"n_words".cast("double")), 6)))
+        .select($"doc_id", $"n_words", $"n_sentences", $"n_syllables",
+          $"flesch")
+        .orderBy($"doc_id")
+    },
+    Some("""WITH t AS (
+        SELECT doc_id,
+          CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+            ELSE regexp_split_to_array(trim(text), '\s+') END AS ts,
+          len(list_filter(regexp_extract_all(text, '[^.!?]+[.!?]*'),
+            p -> len(trim(p)) > 0)) AS sraw
+        FROM documents),
+      c AS (
+        SELECT doc_id, len(ts)::BIGINT AS n_words,
+          greatest(sraw, 1)::BIGINT AS n_sentences,
+          coalesce(list_sum(list_transform(ts,
+            t -> greatest(1, len(regexp_extract_all(lower(t), '[aeiouy]+'))))),
+            0)::BIGINT AS n_syllables
+        FROM t)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        CASE WHEN n_words = 0 THEN NULL
+          ELSE round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences::DOUBLE)
+            - 84.6 * (n_syllables::DOUBLE / n_words::DOUBLE), 6) END AS flesch
+      FROM c ORDER BY doc_id"""))
+
   /** Dataset-card mixture report — the per-(source, lang) summary every
     * corpus release ships: doc counts, token sums, char sums, mean
     * quality (DECIMAL mean, engine-exact), with per-source rollup rows
@@ -4001,17 +4052,23 @@ object Queries {
       val C = graft.operators.Corpus
       val normalized = Tables.documents(s, dir)
         .withColumn("text", TF.normalizeText($"text"))
-      val scored = normalized.select($"doc_id", $"source", $"text",
-        round(TF.qualityFeatures($"text").getField("quality_score"), 6)
-          .as("_q"))
+      // the regex battery prices ONCE: q and difficulty in one persisted
+      // projection (codegen CSE shares the feature struct), and every
+      // downstream operator takes the precomputed column
+      val qraw = TF.qualityFeatures($"text").getField("quality_score")
+      val scored = normalized.select($"doc_id", $"source",
+          round(qraw, 6).as("q"),
+          round(lit(1.0) - qraw, 6).as("difficulty"))
+        .persist()
       val screened = scored
         .crossJoin(broadcast(scored.agg(
-          round(expr("percentile(_q, 0.1)"), 6).as("_thr"))))
-        .filter($"_q" >= $"_thr")
-        .select($"doc_id", $"source", $"text")
-      val quota = C.sourceQuota(screened, k = 15)
+          round(expr("percentile(q, 0.1)"), 6).as("_thr"))))
+        .filter($"q" >= $"_thr")
+        .select($"doc_id", $"source", $"q", $"difficulty")
+      val quota = C.sourceQuota(screened, k = 15, scoreCol = Some("q"))
       val survivors = screened.join(quota.select($"doc_id"), Seq("doc_id"))
-      val staged = C.curriculumStages(survivors, stages = 4)
+      val staged = C.curriculumStages(survivors, stages = 4,
+        difficultyCol = Some("difficulty"))
       C.globalRowNumber(
           staged.join(quota.select($"doc_id", $"source", $"q"), Seq("doc_id")),
           Seq(col("stage"), col("difficulty"), col("doc_id")), posCol = "pos")
@@ -4418,6 +4475,7 @@ object Queries {
     "ta_repetition" -> taRepetition,
     "ta_redact" -> taRedact,
     "ta_blocklist" -> taBlocklist,
+    "ta_readability" -> taReadability,
     "q29_sliding_window" -> q29,
     "q30_range_frame" -> q30,
     "q31_set_ops_all" -> q31,

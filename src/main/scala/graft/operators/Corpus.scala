@@ -1265,12 +1265,18 @@ object Corpus {
     *         (1 − quality score, rounded 6), stage in 1..stages. */
   def curriculumStages(docs: DataFrame, stages: Int = 4,
                        idCol: String = "doc_id", textCol: String = "text",
-                       partitions: Int = 32): DataFrame = {
+                       partitions: Int = 32,
+                       difficultyCol: Option[String] = scala.None): DataFrame = {
     require(stages >= 1, s"stages must be >= 1, got $stages")
     val n = docs.count()
-    val scored = docs.select(col(idCol),
-      round(lit(1.0) - TF.qualityFeatures(col(textCol))
-        .getField("quality_score"), 6).as("difficulty"))
+    // difficultyCol short-circuits the quality battery when the caller
+    // already scored the corpus (composition pipelines score ONCE)
+    val scored = difficultyCol match {
+      case Some(c) => docs.select(col(idCol), col(c).as("difficulty"))
+      case scala.None => docs.select(col(idCol),
+        round(lit(1.0) - TF.qualityFeatures(col(textCol))
+          .getField("quality_score"), 6).as("difficulty"))
+    }
     globalRowNumber(scored, Seq(col("difficulty"), col(idCol)), partitions)
       .withColumn("stage",
         (floor((col("pos") - 1) * stages / n) + 1).cast("long"))
@@ -1289,11 +1295,17 @@ object Corpus {
     * @return `(doc_id, source, q)` — surviving rows, quality rounded 6. */
   def sourceQuota(docs: DataFrame, k: Int = 10,
                   idCol: String = "doc_id", textCol: String = "text",
-                  byCol: String = "source"): DataFrame = {
+                  byCol: String = "source",
+                  scoreCol: Option[String] = scala.None): DataFrame = {
     import graft.plans.TopKPerKey
-    val scored = docs.select(col(idCol), col(byCol),
-      round(TF.qualityFeatures(col(textCol)).getField("quality_score"), 6)
-        .as("q"))
+    // scoreCol short-circuits the quality battery when the caller already
+    // scored the corpus (composition pipelines score ONCE)
+    val scored = scoreCol match {
+      case Some(c) => docs.select(col(idCol), col(byCol), col(c).as("q"))
+      case scala.None => docs.select(col(idCol), col(byCol),
+        round(TF.qualityFeatures(col(textCol)).getField("quality_score"), 6)
+          .as("q"))
+    }
     TopKPerKey(scored, Seq(byCol),
       Seq(TopKPerKey.desc("q"), TopKPerKey.asc(idCol)), k)
   }
