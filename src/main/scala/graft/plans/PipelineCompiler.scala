@@ -198,7 +198,8 @@ object SectionRegistry {
     // columns (narrow, codegen'd — no shuffle)
     "text_analysis" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {
-        val textCol = col(c.getOrElse("text_column", "text"))
+        val tcName = c.getOrElse("text_column", "text")
+        val textCol = col(tcName)
         val frame = in(df)
         val feats = c.getOrElse("features", "lang,quality,tokens").split(",").toSeq
         Some(feats.foldLeft(frame) { (d, f) => f.trim match {
@@ -220,9 +221,25 @@ object SectionRegistry {
           case "compress_ratio" => d.withColumn("compress_ratio",
             graft.functions.DeflateLength(textCol).cast("double") /
               greatest(octet_length(textCol).cast("double"), lit(1.0)))
+          // Flesch reading-ease (ta_readability's exact formula)
+          case "readability" => d.withColumn("flesch", {
+            val tE = s"CASE WHEN trim(`$tcName`) = '' THEN array() " +
+              s"ELSE split(trim(`$tcName`), '\\\\s+') END"
+            val w = expr(s"size($tE)").cast("double")
+            val sRaw = expr(s"size(filter(regexp_extract_all(`$tcName`, " +
+              "'[^.!?]+[.!?]*', 0), p -> length(trim(p)) > 0))").cast("double")
+            val syl = expr(s"aggregate(transform($tE, t -> greatest(1, " +
+              "size(regexp_extract_all(lower(t), '[aeiouy]+', 0)))), 0, " +
+              "(acc, x) -> acc + x)").cast("double")
+            org.apache.spark.sql.functions.when(w === 0,
+              lit(null).cast("double"))
+              .otherwise(org.apache.spark.sql.functions.round(lit(206.835)
+                - lit(1.015) * (w / greatest(sRaw, lit(1.0)))
+                - lit(84.6) * (syl / w), 6))
+          })
           case other => throw new IllegalArgumentException(
             s"text_analysis feature must be lang|quality|tokens|fingerprint|" +
-            s"gopher|compress_ratio, got $other")
+            s"gopher|compress_ratio|readability, got $other")
         }})
       }),
     // unigram-LM quality scoring (CCNet-style bits/token against the
@@ -436,6 +453,25 @@ object SectionRegistry {
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text"),
         byCol = c.getOrElse("by_column", "source")))),
+    // keyword blocklist screening: flag (default) or drop matching docs
+    "blocklist_screen" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => {
+        import org.apache.spark.sql.functions.{filter => afilter, lower, size, trim}
+        val terms = cfg(c, "terms").split(",").map(_.trim.toLowerCase)
+          .filter(_.nonEmpty).toSeq
+        require(terms.nonEmpty, "blocklist_screen needs at least one term")
+        val tc = col(c.getOrElse("text_column", "text"))
+        val hits = size(afilter(
+          graft.functions.TextFunctions.tokens(tc),
+          t => lower(t).isInCollection(terms)))
+        val frame = in(df)
+        Some(c.getOrElse("mode", "flag") match {
+          case "drop" => frame.filter(hits === 0)
+          case "flag" => frame.withColumn("n_blocklist_hits", hits.cast("long"))
+          case other => throw new IllegalArgumentException(
+            s"blocklist_screen mode must be flag|drop, got $other")
+        })
+      }),
     // exact-quantile dynamic filter: drop docs under the corpus percentile
     "quantile_filter" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {

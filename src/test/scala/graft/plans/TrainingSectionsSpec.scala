@@ -449,6 +449,38 @@ class TrainingSectionsSpec extends AnyFunSuite {
       .agg(max("count")).head().getLong(0) <= 3)
   }
 
+  test("blocklist_screen and readability sections from JSON specs") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bl").toString
+    Seq(
+      (1L, "perfectly clean prose. easy to read!"),
+      (2L, "contains the Forbidden word here"),
+      (3L, ""))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(tmp)
+    def run(section: String, config: String) = {
+      val json =
+        s"""{"sections":[
+          {"id":"src","name":"parquet_source","config":{"path":"$tmp"}},
+          {"id":"op","name":"$section","config":{$config}}],
+          "edges":[["src","op"]]}"""
+      PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+    }
+    // flag mode appends the hit count; drop mode removes matches
+    val flagged = run("blocklist_screen", """"terms":"forbidden,banned"""")
+      .select("doc_id", "n_blocklist_hits").as[(Long, Long)].collect().toMap
+    assert(flagged == Map(1L -> 0L, 2L -> 1L, 3L -> 0L), s"got $flagged")
+    assert(run("blocklist_screen",
+      """"terms":"forbidden","mode":"drop"""")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    // readability: clean short-word prose scores high; empty text is null
+    val fl = run("text_analysis", """"features":"readability"""")
+      .select("doc_id", "flesch").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(fl(3L).isEmpty, "empty doc must score null")
+    assert(fl(1L).exists(_.asInstanceOf[Double] > 50.0),
+      s"easy prose should score high, got ${fl(1L)}")
+  }
+
   test("quantile_filter section: bottom decile dropped by exact percentile") {
     val json =
       s"""{"sections":[
