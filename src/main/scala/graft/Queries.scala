@@ -1234,10 +1234,13 @@ object Queries {
 
   /** PageRank centrality over the near-dup pair graph
     * ([[graft.operators.Clustering.pageRank]]) — duplication-centrality
-    * as a quality signal. 5 power iterations, both rounding points at 6
-    * decimals and DECIMAL contribution sums, so the oracle can replay the
-    * ENTIRE iteration as an unrolled CTE chain (the GD-training
-    * discipline applied to graph iteration) and stay engine-exact. */
+    * as a quality signal. 5 power iterations replayed by the oracle as an
+    * unrolled CTE chain (the GD-training discipline applied to graph
+    * iteration). The whole iteration is integer MICRO-unit arithmetic
+    * (rank × 10⁶ as LONG; round-half-up of a/b is `(2a+b) // (2b)`) so
+    * both engines evaluate bit-identical longs — no double or decimal
+    * rounding path exists on either side; only the final projection
+    * rescales by an exact decimal multiply. */
   private val ddPageRank = Q(
     (s, dir) => {
       import s.implicits._
@@ -1253,11 +1256,12 @@ object Queries {
       val chain = (1 to 5).map { i =>
         s"""pr$i AS (
         SELECT d.doc_id AS id,
-          round((1.0-0.85)/(SELECT n FROM nn) +
-            0.85 * coalesce(fl$i.inflow::DOUBLE, 0.0), 6)::DECIMAL(18,6) AS rank
+          (SELECT b FROM basec) +
+            (850000 * coalesce(fl$i.inflow, 0) + 500000) // 1000000
+            AS rank_micro
         FROM documents d LEFT JOIN (
           SELECT dir.dst AS id,
-            sum(round(p.rank::DOUBLE / deg.deg, 6)::DECIMAL(28,6)) AS inflow
+            sum((2 * p.rank_micro + deg.deg) // (2 * deg.deg)) AS inflow
           FROM dir JOIN pr${i - 1} p ON p.id = dir.src
           JOIN deg ON deg.src = dir.src
           GROUP BY dir.dst) fl$i ON fl$i.id = d.doc_id)"""
@@ -1268,12 +1272,17 @@ object Queries {
       dir AS (SELECT lo AS src, hi AS dst FROM und
         UNION ALL SELECT hi, lo FROM und),
       deg AS (SELECT src, count(*) AS deg FROM dir GROUP BY src),
-      nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      nn AS (SELECT count(*) AS n FROM documents),
+      basec AS (SELECT (2 * 150000 + n) // (2 * n) AS b FROM nn),
       pr0 AS (SELECT doc_id AS id,
-        round(1.0/(SELECT n FROM nn), 6)::DECIMAL(18,6) AS rank
+        (2 * 1000000 + (SELECT n FROM nn)) // (2 * (SELECT n FROM nn))
+          AS rank_micro
         FROM documents),
       $chain
-      SELECT id AS doc_id, rank FROM pr5 ORDER BY doc_id"""
+      SELECT id AS doc_id,
+        (rank_micro::DECIMAL(18,6) * 0.000001::DECIMAL(7,6))::DECIMAL(18,6)
+          AS rank
+      FROM pr5 ORDER BY doc_id"""
     })
 
   /** CTE producing `sims(doc_id, simhash)` — shared by the signature dump

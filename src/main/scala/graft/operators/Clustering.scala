@@ -175,16 +175,24 @@ object Clustering {
     *   r'(v) = round((1−d)/N + d · Σ_{u→v} round(r(u)/deg(u), 6), 6)
     *
     * with BOTH rounding points at 6 decimals so every iteration is
-    * engine-exact (the GD-training discipline): contributions sum as
-    * DECIMAL(28,6) (order-independent), N is the node count (isolated
-    * docs participate and settle at (1−d)/N), no dangling redistribution
-    * (an undirected graph has none).
+    * engine-exact. The whole iteration runs in integer MICRO-units
+    * (rank × 10⁶ as LONG): round-HALF-UP of a positive quotient a/b is
+    * `(2a + b) div (2b)` and of d·x (d in micro) is
+    * `(d·x + 500000) div 1000000` — pure long arithmetic that every
+    * engine evaluates bit-identically, with no double or decimal
+    * division anywhere (a double round can differ across engines at
+    * representation boundaries; longs cannot). N is the node count
+    * (isolated docs participate and settle at round((1−d)/N)), no
+    * dangling redistribution (an undirected graph has none). Only the
+    * final projection rescales micro → DECIMAL(18,6) by an exact
+    * decimal multiply.
     *
     * Scale shape: per iteration one join of the O(edges) contribution
-    * frame against the rank frame and one partial+final sum — all
-    * (long, decimal) rows; `localCheckpoint` truncates lineage each
-    * round like [[connectedComponents]]' star rounds. Driver sees only
-    * the node COUNT.
+    * frame against the rank frame and one partial+final LONG sum —
+    * narrower and cheaper than the former decimal frames;
+    * `localCheckpoint` truncates lineage each round like
+    * [[connectedComponents]]' star rounds. Driver sees only the node
+    * COUNT.
     *
     * @param nodes one LONG column `id` (every node, isolated included)
     * @param edges two LONG columns (a, b), undirected; multiplicity is
@@ -205,28 +213,35 @@ object Clustering {
     // edges carry degree inline: one narrow frame feeds every iteration
     val deg = dir.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val dirDeg = dir.join(deg, Seq("src")).localCheckpoint(true)
-    val base = lit((1.0 - damping) / n)
+    // damping in micro-units; the two driver-side constants are exact
+    // integer HALF-UP roundings (all operands positive, so the floor
+    // `div` of (2a+b)/(2b) IS round-half-up of a/b)
+    val dampMicro = math.round(damping * 1000000L)
+    val baseMicro = (2L * (1000000L - dampMicro) + n) / (2L * n)
     var ranks = nodes.toDF("id")
-      .select(col("id"), round(lit(1.0 / n), 6)
-        .cast("decimal(18,6)").as("rank"))
+      .select(col("id"), lit((2L * 1000000L + n) / (2L * n)).as("rank_micro"))
     for (it <- 1 to iters) {
       val contrib = dirDeg
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"),
-          round(col("rank").cast("double") / col("deg"), 6)
-            .cast("decimal(28,6)").as("c"))
+          expr("(2 * rank_micro + deg) div (2 * deg)").as("c"))
       val inflow = contrib.groupBy(col("id")).agg(sum(col("c")).as("inflow"))
       ranks = nodes.toDF("id")
         .join(inflow, Seq("id"), "left")
         .select(col("id"),
-          round(base + lit(damping) *
-            coalesce(col("inflow").cast("double"), lit(0.0)), 6)
-            .cast("decimal(18,6)").as("rank"))
+          (lit(baseMicro) + expr(
+            s"($dampMicro * coalesce(inflow, CAST(0 AS BIGINT)) + 500000)" +
+              " div 1000000")).as("rank_micro"))
       // lineage truncation is for LONG runs — an eager checkpoint per
       // round turns 5 iterations into 5 driver-synchronized jobs. Let
       // Catalyst fuse short runs into one DAG and cut only every 4th.
       if (it % 4 == 0 && it < iters) ranks = ranks.localCheckpoint(true)
     }
-    ranks
+    // exact rescale: micro × 1e-6 as a decimal MULTIPLY (never a divide —
+    // decimal/decimal division takes engine-specific scale paths)
+    ranks.select(col("id"),
+      (col("rank_micro").cast("decimal(18,6)") *
+        lit(new java.math.BigDecimal("0.000001")))
+        .cast("decimal(18,6)").as("rank"))
   }
 }

@@ -115,4 +115,46 @@ class ClusteringSpec extends AnyFunSuite {
       .map { case (id, r) => id -> r.doubleValue() }.toMap
     assert(pr1 == pr, "partitioning changed pageRank values")
   }
+
+  test("pageRank: bit-identical across sessions, partitionings, and runs") {
+    // the engine-exactness claim (integer micro-unit arithmetic, no
+    // double/decimal division) demands BIT-identical ranks regardless of
+    // shuffle-partition count, input partitioning, or run repetition —
+    // compare BigDecimal unscaled longs, not doubles
+    val docs = spark.read
+      .parquet(s"${graft.TestSpark.sf}/documents.parquet")
+      .select($"doc_id".as("id"))
+    val pairs = NearDup.pairs(spark.read
+        .parquet(s"${graft.TestSpark.sf}/documents.parquet"))
+      .select($"a_id".as("a"), $"b_id".as("b"))
+    def run(sess: org.apache.spark.sql.SparkSession,
+            parts: Int): Seq[(Long, java.math.BigInteger)] = {
+      val n = sess.createDataFrame(docs.collect().toSeq.asJava, docs.schema)
+        .repartition(parts)
+      val e = sess.createDataFrame(pairs.collect().toSeq.asJava, pairs.schema)
+        .repartition(parts)
+      val out = Clustering.pageRank(n, e, iters = 5)
+        .as[(Long, java.math.BigDecimal)](
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.DECIMAL))
+        .collect().sortBy(_._1).toSeq
+      sess.catalog.clearCache()
+      out.map { case (id, r) => (id, r.unscaledValue()) }
+    }
+    val s4 = spark.newSession()
+    s4.conf.set("spark.sql.shuffle.partitions", "4")
+    val s32 = spark.newSession()
+    s32.conf.set("spark.sql.shuffle.partitions", "32")
+    val runs = Seq(run(s4, 1), run(s4, 7), run(s32, 32))
+    assert(runs.forall(_ == runs.head),
+      "pageRank ranks are not bit-identical across sessions/partitionings")
+  }
+
+  private implicit class SeqAsJava[T](s: Seq[T]) {
+    def asJava: java.util.List[T] = {
+      val l = new java.util.ArrayList[T](s.size)
+      s.foreach(l.add); l
+    }
+  }
 }
