@@ -31,6 +31,35 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Queries {
 
+  /** Scratch dir for queries that stage data on local disk (round-trip
+    * sinks, layout rewrites, disk indexes, sentinel staging). Registered
+    * for recursive deletion at JVM exit — query results are LAZY frames
+    * that may read the dir until the caller's last action, so the earliest
+    * universally-safe deletion point is process end. Without this,
+    * repeated Verify/Bench runs accumulated corpus-sized garbage in /tmp.
+    * Deletion walks without following symlinks (sentinel staging links the
+    * source parquet — the link dies, the data does not). */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(d).sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .iterator().asScala
+            .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+              catch { case _: java.io.IOException => () })
+        } catch { case _: java.io.IOException => () }
+      }))
+  }
+  private[graft] def scratchDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(d)
+    d
+  }
+
   /** A verified query: the Spark side plus its DuckDB oracle. The oracle
     * is a thunk so a query whose oracle depends on DRIVER-COMPUTED values
     * (e.g. cp_mix_temperature's pow-derived thresholds) can render them as
@@ -767,7 +796,7 @@ object Queries {
       import s.implicits._
       val frame = graft.sources.SqliteReplication.snapshotFrame(
         s, "/root/repo/src/test/resources/walfix.db", Map.empty)
-      val rep = java.nio.file.Files.createTempDirectory("graft_repl").toString
+      val rep = scratchDir("graft_repl").toString
       graft.sources.SqliteReplication.applySnapshots(frame, rep)
       val bytes = java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(rep, "walfix.db"))
@@ -803,7 +832,7 @@ object Queries {
       import s.implicits._
       val docs = Tables.documents(s, dir)
         .select($"doc_id", $"n_chars", $"lang")
-      val path = java.nio.file.Files.createTempDirectory("graft_layout")
+      val path = scratchDir("graft_layout")
         .toString + "/t"
       graft.sources.Layout.zorderParquet(docs, path,
         Seq("doc_id", "n_chars"), targetFiles = 8)
@@ -1738,7 +1767,7 @@ object Queries {
     (s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+      val path = scratchDir("ivfidx").toString
       graft.operators.Ann.ivfIndexWriteTrained(e, path,
         kCentroids = 16, iters = 5, seed = "ivf")
       graft.operators.Ann.ivfIndexTopK(
@@ -1764,7 +1793,7 @@ object Queries {
     (s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      val path = java.nio.file.Files.createTempDirectory("ivfapp").toString
+      val path = scratchDir("ivfapp").toString
       graft.operators.Ann.ivfIndexWriteTrained(e.filter($"vec_id" % 5 =!= 0),
         path, kCentroids = 16, iters = 5, seed = "ivf")
       graft.operators.Ann.ivfIndexAppend(e.filter($"vec_id" % 5 === 0), path)
@@ -3071,7 +3100,7 @@ object Queries {
     import ss.implicits._
     import org.apache.spark.sql.types.LongType
     val raw = ss.read.parquet(s"$dir/events.parquet")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel")
+    val tmp = scratchDir("graft_sentinel")
     java.nio.file.Files.createSymbolicLink(tmp.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
     val far: Column => Column = raw.schema("ts").dataType match {
@@ -3828,7 +3857,7 @@ object Queries {
   private val opJsonl = Q(
     (s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      val tmp = scratchDir("graft_jsonl").toString
       val docs = Tables.documents(s, dir)
       docs.write.mode("overwrite").json(tmp)
       s.read.schema(docs.schema).json(tmp)
@@ -3846,7 +3875,7 @@ object Queries {
   private val opOrc = Q(
     (s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val tmp = scratchDir("graft_orc").toString
       val docs = Tables.documents(s, dir)
       docs.write.mode("overwrite").orc(tmp)
       s.read.schema(docs.schema).orc(tmp)
@@ -4061,14 +4090,17 @@ object Queries {
       val C = graft.operators.Corpus
       val normalized = Tables.documents(s, dir)
         .withColumn("text", TF.normalizeText($"text"))
-      // the regex battery prices ONCE: q and difficulty in one persisted
-      // projection (codegen CSE shares the feature struct), and every
-      // downstream operator takes the precomputed column
+      // the regex battery prices ONCE: q and difficulty in one eagerly
+      // checkpointed projection (codegen CSE shares the feature struct),
+      // and every downstream operator takes the precomputed column. A
+      // localCheckpoint, not a persist — the blocks are GC-reclaimed when
+      // the result frame dies, where a persist leaked one cache per
+      // invocation in a long-lived session
       val qraw = TF.qualityFeatures($"text").getField("quality_score")
       val scored = normalized.select($"doc_id", $"source",
           round(qraw, 6).as("q"),
           round(lit(1.0) - qraw, 6).as("difficulty"))
-        .persist()
+        .localCheckpoint(true)
       val screened = scored
         .crossJoin(broadcast(scored.agg(
           round(expr("percentile(q, 0.1)"), 6).as("_thr"))))
@@ -4114,7 +4146,7 @@ object Queries {
   private val opJsonlGz = Q(
     (s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_gz").toString
+      val tmp = scratchDir("graft_jsonl_gz").toString
       val docs = Tables.documents(s, dir)
       docs.write.mode("overwrite").option("compression", "gzip").json(tmp)
       s.read.schema(docs.schema).json(tmp)
@@ -4126,33 +4158,39 @@ object Queries {
       FROM documents ORDER BY doc_id"""))
 
   /** Keyword blocklist filter — the refused-content screening pass:
-    * word-boundary, case-insensitive hits against a term list, with the
-    * count and the distinct matched terms (sorted — deterministic
-    * evidence column). Narrow per-row expressions over the shared
-    * whitespace tokenization. */
+    * case-insensitive whole-token hits against a term list with leading/
+    * trailing punctuation STRIPPED before matching (so `merge,` and
+    * `(batch)` are flagged — the adjacent-punctuation forms are the most
+    * common real occurrences; bare substring matching would instead
+    * over-flag `merger`), with the count and the distinct matched terms
+    * (sorted — deterministic evidence column). Narrow per-row expressions
+    * over the shared whitespace tokenization; the strip regex is POSIX
+    * punct on both engines. */
   private val taBlocklist = Q(
     (s, dir) => {
       import s.implicits._
       val terms = Seq("slow", "merge", "batch")
-      val toks = TF.tokens($"text")
-      val hits = filter(toks, t => lower(t).isInCollection(terms))
+      val toks = transform(TF.tokens($"text"),
+        t => lower(regexp_replace(t, "^\\p{Punct}+|\\p{Punct}+$", "")))
+      val hits = filter(toks, t => t.isInCollection(terms))
       Tables.documents(s, dir).select($"doc_id",
           size(hits).cast("long").as("n_hits"),
           (size(hits) > 0).as("blocked"),
-          array_join(array_sort(array_distinct(
-            transform(hits, t => lower(t)))), ",").as("matched"))
+          array_join(array_sort(array_distinct(hits)), ",").as("matched"))
         .orderBy($"doc_id")
     },
     Some("""WITH toks AS (
         SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
-          ELSE regexp_split_to_array(trim(text), '\s+') END AS ts
+          ELSE list_transform(regexp_split_to_array(trim(text), '\s+'),
+            t -> lower(regexp_replace(t,
+              '^[[:punct:]]+|[[:punct:]]+$', '', 'g'))) END AS ts
         FROM documents),
       h AS (SELECT doc_id,
-          list_filter(ts, t -> list_contains(['slow','merge','batch'], lower(t))) AS hits
+          list_filter(ts, t -> list_contains(['slow','merge','batch'], t)) AS hits
         FROM toks)
       SELECT doc_id, len(hits)::BIGINT AS n_hits, len(hits) > 0 AS blocked,
-        coalesce(array_to_string(list_sort(list_distinct(
-          list_transform(hits, t -> lower(t)))), ','), '') AS matched
+        coalesce(array_to_string(list_sort(list_distinct(hits)), ','), '')
+          AS matched
       FROM h ORDER BY doc_id"""))
 
   /** DSIR importance weighting ([[graft.operators.Corpus.dsirWeights]],
@@ -4389,7 +4427,7 @@ object Queries {
     * variant leaves NO text-schema frame in the cache manager. */
   private val cpAssemblyStaged = Q(
     (s, dir) => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_stage").toString
+      val stage = scratchDir("graft_stage").toString
       assemblyPlan(s, dir, stageDir = Some(stage))
     },
     Some(assemblyOracleSql))

@@ -1213,13 +1213,19 @@ object Corpus {
     // repartitionByRange SAMPLES its child to pick boundaries, then reads
     // it again for the real shuffle — persist the (narrow) input so an
     // expensive upstream (e.g. curriculum's quality regexes over text)
-    // prices once, not twice
+    // prices once, not twice. `base` is an eager localCheckpoint, NOT a
+    // persist: it outlives this call (the returned frame reads it), and
+    // checkpoint blocks are GC-reclaimed when the frame goes unreachable,
+    // while a persist would sit in the cache manager until an explicit
+    // unpersist nobody is positioned to issue — repeated epoch/curriculum
+    // invocations were accumulating caches for the life of the session
     val input = df.persist()
     val base = input
       .repartitionByRange(partitions, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn("_pid", spark_partition_id())
-      .persist()
+      .localCheckpoint(true)
+    input.unpersist()
     // O(#partitions) rows to the driver — the only driver-side step
     val perPart = base.groupBy(col("_pid")).agg(count(lit(1)).as("_n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

@@ -456,14 +456,19 @@ object SectionRegistry {
     // keyword blocklist screening: flag (default) or drop matching docs
     "blocklist_screen" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {
-        import org.apache.spark.sql.functions.{filter => afilter, lower, size, trim}
+        import org.apache.spark.sql.functions.{filter => afilter, lower,
+          regexp_replace, size, transform, trim}
         val terms = cfg(c, "terms").split(",").map(_.trim.toLowerCase)
           .filter(_.nonEmpty).toSeq
         require(terms.nonEmpty, "blocklist_screen needs at least one term")
         val tc = col(c.getOrElse("text_column", "text"))
+        // leading/trailing punctuation stripped before the whole-token
+        // match — `merge,` flags, `merger` does not (same rule as the
+        // ta_blocklist query and its oracle)
         val hits = size(afilter(
-          graft.functions.TextFunctions.tokens(tc),
-          t => lower(t).isInCollection(terms)))
+          transform(graft.functions.TextFunctions.tokens(tc),
+            t => lower(regexp_replace(t, "^\\p{Punct}+|\\p{Punct}+$", ""))),
+          t => t.isInCollection(terms)))
         val frame = in(df)
         Some(c.getOrElse("mode", "flag") match {
           case "drop" => frame.filter(hits === 0)

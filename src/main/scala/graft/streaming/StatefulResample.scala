@@ -27,6 +27,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * advances), never by history. Emitted buckets can never be
   * contradicted: Spark drops input rows below the watermark before the
   * stateful operator, and every emitted bucket's end is ≤ the watermark.
+  *
+  * Idle-key retention: a key whose buffer has drained keeps only its
+  * carry + cursor, and that residue is dropped `idleRetentionBuckets`
+  * grid widths after the last emitted bucket (event-time timeout). A key
+  * resuming AFTER that horizon restarts its grid at the new observation —
+  * the idle span's gap rows and the old carry are intentionally lost, in
+  * exchange total state is bounded by recently-active keys rather than
+  * by every key ever seen (under key churn the latter grows forever).
   */
 object StatefulResample {
 
@@ -56,8 +64,10 @@ object StatefulResample {
     * batch frame the single group call emits each key's whole grid. */
   def resample(events: DataFrame, keyCol: String, tsCol: String,
                tieCol: String, valCol: String, bucketSeconds: Long,
-               watermark: String = "1 hour"): Dataset[GridRow] = {
+               watermark: String = "1 hour",
+               idleRetentionBuckets: Int = 48): Dataset[GridRow] = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(idleRetentionBuckets > 0, "idleRetentionBuckets must be positive")
     val spark = events.sparkSession
     import spark.implicits._
     val bucketMicros = bucketSeconds * 1000000L
@@ -106,11 +116,15 @@ object StatefulResample {
             state.remove()
           } else {
             state.update(ResampleState(next, carry, buf))
-            if (streaming && buf.nonEmpty) {
-              // wake when the next pending bucket finalizes (micros
-              // rounded UP to millis; strictly above the current
-              // watermark or Spark rejects the timestamp)
-              val edge = next + bucketMicros
+            if (streaming) {
+              // wake timestamps are micros rounded UP to millis, and
+              // strictly above the current watermark or Spark rejects them
+              val edge =
+                if (buf.nonEmpty) next + bucketMicros // next bucket finalizes
+                else next + bucketMicros * idleRetentionBuckets.toLong
+              // drained keys get the retention horizon: when it fires with
+              // nothing buffered and nothing incoming, the branch above
+              // removes the state — idle keys cannot accumulate forever
               state.setTimeoutTimestamp(math.max(
                 Math.floorDiv(edge + 999, 1000),
                 state.getCurrentWatermarkMs() + 1))
