@@ -29,7 +29,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // per-query session isolation: a fresh SessionState (catalog, temp
+      // views, session conf) per query, so a leaked temp view or conf
+      // change in one query can never silently feed another's plan. The
+      // SparkContext and cache manager stay shared — the cache-leak gate
+      // below still sees everything.
+      val sess = spark.newSession()
+      try fn(sess, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(2000)}"
