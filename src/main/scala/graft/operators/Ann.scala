@@ -822,11 +822,16 @@ object Ann {
     * Quantization for Nearest Neighbor Search", TPAMI 2011): the embedding
     * splits into `subspaces` contiguous sub-vectors and each subspace learns
     * its own `codes`-entry codebook by squared-L2 k-means, so a vector
-    * compresses to `subspaces` small codes — at 64 dims / 8 subspaces / 16
-    * codes that is 8 nibbles against 256 float bytes, a 64× cut in what the
-    * scoring pass holds per corpus vector, while the codebook cross-product
-    * spans `codes^subspaces` distinct reconstructions (16^8 ≈ 4·10^9 — far
-    * beyond what one flat codebook of any trainable size reaches).
+    * compresses to `subspaces` small codes — at 64 dims / 8 subspaces the
+    * DEFAULT 256 codes (the FAISS-standard PQx8 budget) is 8 bytes
+    * against 256 float bytes, a 32× cut in what the scoring pass holds
+    * per corpus vector, while the codebook cross-product spans
+    * `codes^subspaces` distinct reconstructions (256^8 ≈ 2·10^19). The
+    * default was 16 codes (4-bit) through round 10 — max compression, but
+    * a measured recall@10 floor of 0.04-0.16 on the bench corpus vs
+    * 0.21-0.40 at 8-bit for similar cost; callers wanting the 4-bit
+    * budget pass `codes = 16` explicitly (the oracle queries do, keeping
+    * the nibble-path math verified).
     *
     * All subspaces train JOINTLY in one Lloyd loop: the sample explodes once
     * to `(vec_id, m, sub)` rows and every iteration is ONE broadcast join +
@@ -843,7 +848,8 @@ object Ann {
     * `subspaces·codes·dsub` decimal sums — the model, never the data.
     *
     * @return codebooks as `[subspace][code][dsub]`, init-order cells. */
-  def trainPqCodebooks(corpus: DataFrame, subspaces: Int = 8, codes: Int = 16,
+  def trainPqCodebooks(corpus: DataFrame, subspaces: Int = 8,
+                       codes: Int = 256,
                        iters: Int = 4, seed: String = "pq",
                        sampleRate: Double = 1.0): Array[Array[Array[Double]]] = {
     require(iters >= 1, "need at least one Lloyd iteration")
@@ -975,7 +981,7 @@ object Ann {
   /** [[trainPqCodebooks]] then [[pqTopKFromCodebooks]] — the one-call PQ
     * search (the `ann_topk` section's `pq` variant). */
   def pqTopK(corpus: DataFrame, isQuery: Column, k: Int, subspaces: Int = 8,
-             codes: Int = 16, iters: Int = 4, seed: String = "pq",
+             codes: Int = 256, iters: Int = 4, seed: String = "pq",
              sampleRate: Double = 1.0): DataFrame =
     pqTopKFromCodebooks(corpus, isQuery,
       trainPqCodebooks(corpus, subspaces, codes, iters, seed, sampleRate), k)
@@ -1003,7 +1009,7 @@ object Ann {
     * deterministic, and together fully determine the index — which is what
     * the injected-model oracle checks serving against. */
   def ivfPqTrain(corpus: DataFrame, kCentroids: Int = 16, subspaces: Int = 8,
-                 codes: Int = 16, centIters: Int = 5, pqIters: Int = 4,
+                 codes: Int = 256, centIters: Int = 5, pqIters: Int = 4,
                  seed: String = "ivf", pqSeed: String = "pq",
                  sampleRate: Double = 1.0)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
@@ -1123,7 +1129,7 @@ object Ann {
   /** [[ivfPqTrain]] then [[ivfPqTopKFrom]] — the one-call IVF-PQ search
     * (the `ann_topk` section's `ivf_pq` variant). */
   def ivfPqTopK(corpus: DataFrame, isQuery: Column, k: Int,
-                kCentroids: Int = 16, subspaces: Int = 8, codes: Int = 16,
+                kCentroids: Int = 16, subspaces: Int = 8, codes: Int = 256,
                 nProbe: Int = 2, centIters: Int = 5, pqIters: Int = 4,
                 seed: String = "ivf", pqSeed: String = "pq",
                 sampleRate: Double = 1.0): DataFrame = {

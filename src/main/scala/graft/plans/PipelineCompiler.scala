@@ -341,7 +341,7 @@ object SectionRegistry {
           // compressed-corpus path (codes, not floats, ride the scoring)
           case "pq" => graft.operators.Ann.pqTopK(frame, isQuery, k,
             subspaces = c.getOrElse("subspaces", "8").toInt,
-            codes = c.getOrElse("codes", "16").toInt,
+            codes = c.getOrElse("codes", "256").toInt,
             iters = c.getOrElse("train_iters", "4").toInt,
             seed = c.getOrElse("seed", "pq"),
             sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble)
@@ -350,7 +350,7 @@ object SectionRegistry {
           case "ivf_pq" => graft.operators.Ann.ivfPqTopK(frame, isQuery, k,
             kCentroids = c.getOrElse("k_centroids", "16").toInt,
             subspaces = c.getOrElse("subspaces", "8").toInt,
-            codes = c.getOrElse("codes", "16").toInt,
+            codes = c.getOrElse("codes", "256").toInt,
             nProbe = c.getOrElse("probes", "2").toInt,
             seed = c.getOrElse("seed", "ivf"),
             pqSeed = c.getOrElse("pq_seed", "pq"),
