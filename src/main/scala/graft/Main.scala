@@ -74,17 +74,30 @@ object Main {
       // push auth: GRAFT_PUSH_TOKEN gates PUT/POST/DELETE (reference
       // daemons join the control plane with tokens); unset = open
       // loopback socket, the pre-auth behavior
+      // control-plane state (tokens, daemons, workspaces) lives beside
+      // the specs in a dot-dir the watcher's *.json listing never sees
+      val cp = new graft.plans.ControlPlane(Paths.get(dir).resolve(".control"))
+      // websocket push channel: spec mutations broadcast RefetchGraph so
+      // connected daemons reconcile immediately; the poll loop below
+      // stays as the fallback for daemons that never connect
+      val ws = new graft.plans.SpecPushWs(
+        port = if (port == 0) 0 else port + 1,
+        token = sys.env.get("GRAFT_PUSH_TOKEN"))
       val server = new graft.plans.SpecPushServer(Paths.get(dir), port,
         status = Some(() => orch.snapshot),
-        token = sys.env.get("GRAFT_PUSH_TOKEN"))
+        token = sys.env.get("GRAFT_PUSH_TOKEN"),
+        control = Some(cp),
+        onChange = Some(() => ws.broadcast(ws.RefetchGraph)))
       try {
         server.start()
-        println(s"[graft serve] listening on ${server.boundPort}, watching $dir")
+        ws.start()
+        println(s"[graft serve] listening on ${server.boundPort} " +
+          s"(ws push on ${ws.boundPort}), watching $dir")
         val watcher = new SpecDirWatcher(orch, Paths.get(dir))
         val rounds = sys.env.get("GRAFT_WATCH_ROUNDS").map(_.toInt)
           .getOrElse(Int.MaxValue)
         watcher.watch(intervalMs, maxRounds = rounds)
-      } finally { server.stop(); spark.stop() }
+      } finally { server.stop(); ws.stop(); spark.stop() }
 
     // the reference exposes section names + IO kinds for UI forms
     // (`config_registry/src/lib.rs:26-39`); this is the CLI equivalent

@@ -80,7 +80,15 @@ final class SpecPushServer(dir: Path, port: Int = 0,
                            status: Option[() => Seq[(String, String, Int)]] =
                              scala.None,
                            token: Option[String] = scala.None,
-                           tls: Option[TlsConfig] = scala.None) {
+                           tls: Option[TlsConfig] = scala.None,
+                           control: Option[ControlPlane] = scala.None,
+                           onChange: Option[() => Unit] = scala.None) {
+
+  /** Fire the change notification (e.g. [[SpecPushWs]] broadcasting
+    * `RefetchGraph`) after a mutation LANDED — never let a listener
+    * failure turn a successful write into a 500. */
+  private def notifyChange(): Unit =
+    onChange.foreach(f => try f() catch { case _: Exception => () })
   private val server: HttpServer = tls match {
     case Some(cfg) =>
       val s = HttpsServer.create(new InetSocketAddress(host, port), 0)
@@ -130,19 +138,197 @@ final class SpecPushServer(dir: Path, port: Int = 0,
       finally ex.close()
   })
 
-  /** Constant-time bearer check: a Failed pipeline's state string is
-    * attacker-influencable in principle, so don't leak token prefixes
-    * through comparison timing either. */
-  private def authorized(ex: HttpExchange): Boolean = token match {
-    case scala.None => true
-    case Some(t) =>
-      Option(ex.getRequestHeaders.getFirst("Authorization")) match {
-        case Some(h) if h.startsWith("Bearer ") =>
-          java.security.MessageDigest.isEqual(
-            h.stripPrefix("Bearer ").getBytes(UTF_8), t.getBytes(UTF_8))
-        case _ => false
-      }
+  // ---- control-plane API (reference `control_plane/src/http/api/
+  // mod.rs:12-38`): workspaces create/read/delete grouping pipeline
+  // specs, daemon join + token issue/list/delete, daemon list/delete/
+  // set_name. Only mounted when a ControlPlane is attached. ----
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** A workspace member spec is the file `<ws>__<spec>.json` in the SAME
+    * watched dir as ungrouped specs — grouped pipelines flow through the
+    * identical SpecDirWatcher reconcile loop; deleting the workspace
+    * deletes its files, so its pipelines stop on the next poll. */
+  private def wsSpecPath(ws: String, name: String): Option[Path] =
+    (ws, name) match {
+      case (NamePat(), NamePat()) if !ws.contains("..") &&
+          !ws.contains("__") && !name.contains("..") =>
+        val base = if (name.endsWith(".json")) name else s"$name.json"
+        Some(dir.resolve(s"${ws}__$base"))
+      case _ => None
+    }
+
+  control.foreach { cp =>
+    server.createContext("/workspaces", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try routeWorkspaces(cp, ex)
+        catch { case e: Exception => respond(ex, 500, s"error: ${e.getMessage}\n") }
+        finally ex.close()
+    })
+    server.createContext("/daemon", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit =
+        try routeDaemon(cp, ex)
+        catch { case e: Exception => respond(ex, 500, s"error: ${e.getMessage}\n") }
+        finally ex.close()
+    })
   }
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  private def routeWorkspaces(cp: ControlPlane, ex: HttpExchange): Unit = {
+    val rel = ex.getRequestURI.getPath.stripPrefix("/workspaces")
+      .stripPrefix("/")
+    val parts = rel.split("/").filter(_.nonEmpty).toList
+    def admin(): Boolean = {
+      val ok = adminAuthorized(ex)
+      if (!ok) respond(ex, 401, "missing or bad bearer token\n")
+      ok
+    }
+    (ex.getRequestMethod, parts) match {
+      case ("GET", Nil) =>
+        respond(ex, 200, cp.listWorkspaces()
+          .map(n => s""""${jsonEscape(n)}"""").mkString("[", ",", "]") + "\n")
+      case ("POST", Nil) => if (admin()) {
+        val name = mapper.readTree(body(ex)).path("name").asText("")
+        if (!NamePat.matches(name) || name.contains("__"))
+          respond(ex, 400, "bad workspace name\n")
+        else if (cp.createWorkspace(name)) respond(ex, 200, "\"ok\"\n")
+        else respond(ex, 409, "workspace exists\n")
+      }
+      case ("GET", ws :: Nil) =>
+        if (!cp.listWorkspaces().contains(ws))
+          respond(ex, 404, "no such workspace\n")
+        else {
+          // workspace state = its member specs, secrets redacted (the
+          // reference returns the workspace's nodes+edges — ours ARE the
+          // pipeline graphs)
+          val members = listing().filter(_.startsWith(s"${ws}__")).map { f =>
+            val spec = PipelineSpec.fromJson(
+              Files.readString(dir.resolve(f), UTF_8))
+            val name = f.stripPrefix(s"${ws}__").stripSuffix(".json")
+            s"""{"name":"${jsonEscape(name)}","spec":${PipelineSpec.display(spec)}}"""
+          }
+          respond(ex, 200,
+            s"""{"name":"${jsonEscape(ws)}","specs":${members.mkString("[", ",", "]")}}\n""")
+        }
+      case ("DELETE", ws :: Nil) => if (admin()) {
+        if (!cp.deleteWorkspace(ws)) respond(ex, 404, "no such workspace\n")
+        else {
+          // members stop on the next reconcile poll
+          listing().filter(_.startsWith(s"${ws}__"))
+            .foreach(f => Files.deleteIfExists(dir.resolve(f)))
+          notifyChange()
+          respond(ex, 200, "\"ok\"\n")
+        }
+      }
+      case ("PUT" | "POST", ws :: "specs" :: name :: Nil) =>
+        if (!authorized(ex)) respond(ex, 401, "missing or bad bearer token\n")
+        else if (!cp.listWorkspaces().contains(ws))
+          respond(ex, 404, "no such workspace\n")
+        else wsSpecPath(ws, name) match {
+          case Some(p) =>
+            val b = body(ex)
+            try {
+              PipelineSpec.fromJson(b) // validate BEFORE anything lands
+              val tmp = p.resolveSibling(s".${p.getFileName}.push")
+              Files.writeString(tmp, b, UTF_8)
+              Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+                StandardCopyOption.REPLACE_EXISTING)
+              notifyChange()
+              respond(ex, 200, "ok\n")
+            } catch { case e: Exception =>
+              respond(ex, 400, s"invalid spec: ${e.getMessage}\n")
+            }
+          case None => respond(ex, 400, "bad spec name\n")
+        }
+      case ("DELETE", ws :: "specs" :: name :: Nil) =>
+        if (!authorized(ex)) respond(ex, 401, "missing or bad bearer token\n")
+        else wsSpecPath(ws, name) match {
+          case Some(p) =>
+            if (Files.deleteIfExists(p)) { notifyChange(); respond(ex, 200, "deleted\n") }
+            else respond(ex, 404, "no such spec\n")
+          case None => respond(ex, 400, "bad spec name\n")
+        }
+      case _ => respond(ex, 405, "method not allowed\n")
+    }
+  }
+
+  private def routeDaemon(cp: ControlPlane, ex: HttpExchange): Unit = {
+    val rel = ex.getRequestURI.getPath.stripPrefix("/daemon").stripPrefix("/")
+    val parts = rel.split("/").filter(_.nonEmpty).toList
+    def admin(): Boolean = {
+      val ok = adminAuthorized(ex)
+      if (!ok) respond(ex, 401, "missing or bad bearer token\n")
+      ok
+    }
+    def tokenJson(t: ControlPlane.DaemonToken): String = {
+      val used = t.usedAt.map(u => s""","used_at":$u""").getOrElse("")
+      s"""{"id":"${jsonEscape(t.id)}","secret":"${jsonEscape(t.secret)}","issued_at":${t.issuedAt}$used}"""
+    }
+    (ex.getRequestMethod, parts) match {
+      // join is authenticated by the token-possession hash in the BODY,
+      // not a bearer header — the daemon does not hold a credential yet
+      case ("POST", "join" :: Nil) =>
+        val n = mapper.readTree(body(ex))
+        cp.join(n.path("id").asText(), n.path("csr").asText(),
+            n.path("hash").asText()) match {
+          case Right((cert, caCert)) => respond(ex, 200,
+            s"""{"certificate":"${jsonEscape(cert)}","ca_certificate":"${jsonEscape(caCert)}"}\n""")
+          case Left((code, err)) =>
+            respond(ex, code, s"""{"error":"${jsonEscape(err)}"}\n""")
+        }
+      case ("POST", "tokens" :: Nil) => if (admin())
+        respond(ex, 200, tokenJson(cp.createToken()) + "\n")
+      case ("GET", "tokens" :: Nil) => if (admin())
+        respond(ex, 200,
+          cp.listTokens().map(tokenJson).mkString("[", ",", "]") + "\n")
+      case ("DELETE", "tokens" :: id :: Nil) => if (admin()) {
+        if (cp.deleteToken(id)) respond(ex, 200, "deleted\n")
+        else respond(ex, 404, "no such token\n")
+      }
+      case ("GET", Nil) =>
+        respond(ex, 200, cp.listDaemons().map { d =>
+          val nm = d.name.map(n => s""""${jsonEscape(n)}"""").getOrElse("null")
+          s"""{"id":"${jsonEscape(d.id)}","name":$nm,"joined_at":${d.joinedAt}}"""
+        }.mkString("[", ",", "]") + "\n")
+      case ("DELETE", id :: Nil) => if (admin()) {
+        if (cp.deleteDaemon(id)) respond(ex, 200, "deleted\n")
+        else respond(ex, 404, "no such daemon\n")
+      }
+      case ("POST", "set_name" :: id :: Nil) => if (admin()) {
+        val nm = mapper.readTree(body(ex)).path("name")
+        val name = if (nm.isMissingNode || nm.isNull) scala.None
+          else Some(nm.asText())
+        if (cp.setDaemonName(id, name)) respond(ex, 200, "ok\n")
+        else respond(ex, 404, "no such daemon\n")
+      }
+      case _ => respond(ex, 405, "method not allowed\n")
+    }
+  }
+
+  private def bearer(ex: HttpExchange): Option[String] =
+    Option(ex.getRequestHeaders.getFirst("Authorization"))
+      .filter(_.startsWith("Bearer ")).map(_.stripPrefix("Bearer "))
+
+  /** Constant-time check against the static ADMIN token — the operator
+    * credential that also guards the control-plane CRUD routes. */
+  private def adminAuthorized(ex: HttpExchange): Boolean = token match {
+    case scala.None => true
+    case Some(t) => bearer(ex) match {
+      case Some(b) => java.security.MessageDigest.isEqual(
+        b.getBytes(UTF_8), t.getBytes(UTF_8))
+      case scala.None => false
+    }
+  }
+
+  /** Spec mutations accept the admin token OR any ISSUED (not deleted)
+    * daemon token from the attached [[ControlPlane]] — issuance grants
+    * push, deletion revokes it (the next push answers 401). Comparison
+    * stays constant-time per candidate on both paths. */
+  private def authorized(ex: HttpExchange): Boolean =
+    adminAuthorized(ex) ||
+      (control.isDefined && bearer(ex).exists(control.get.bearerAuthorized))
 
   private def route(ex: HttpExchange): Unit = {
     val rel = ex.getRequestURI.getPath.stripPrefix("/specs").stripPrefix("/")
@@ -175,6 +361,7 @@ final class SpecPushServer(dir: Path, port: Int = 0,
             Files.writeString(tmp, body, UTF_8)
             Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
               StandardCopyOption.REPLACE_EXISTING)
+            notifyChange()
             respond(ex, 200, "ok\n")
           } catch { case e: Exception =>
             respond(ex, 400, s"invalid spec: ${e.getMessage}\n")
@@ -183,7 +370,7 @@ final class SpecPushServer(dir: Path, port: Int = 0,
       }
       case ("DELETE", name) => specPath(name) match {
         case Some(p) =>
-          if (Files.deleteIfExists(p)) respond(ex, 200, "deleted\n")
+          if (Files.deleteIfExists(p)) { notifyChange(); respond(ex, 200, "deleted\n") }
           else respond(ex, 404, "no such spec\n")
         case None => respond(ex, 400, "bad spec name\n")
       }

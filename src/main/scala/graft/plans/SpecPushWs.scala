@@ -1,0 +1,222 @@
+package graft.plans
+
+import java.io.{InputStream, OutputStream}
+import java.net.{InetSocketAddress, ServerSocket, Socket}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Push control channel — the transport half of the reference's
+  * daemon_api websocket (`control_plane/src/http/daemon_api/mod.rs:146-148`,
+  * where the control plane pushes `RefetchGraph` to connected daemons over
+  * wss so they reconcile IMMEDIATELY instead of on their next poll). A
+  * minimal RFC 6455 server: HTTP/1.1 upgrade handshake (`Sec-WebSocket-Key`
+  * → SHA-1+base64 accept), server→client TEXT frames for notifications,
+  * client PING answered with PONG, CLOSE echoed and the peer dropped.
+  *
+  * The JDK's `com.sun.net.httpserver` cannot hand over its socket for an
+  * upgrade, so this is a SIBLING listener next to [[SpecPushServer]]'s
+  * HTTP routes, sharing the same [[TlsConfig]] material (same keystore,
+  * same truststore, same needClientAuth) — one PKI, two sockets. Poll via
+  * [[SpecDirWatcher]] stays as the fallback for daemons that never
+  * connect; the push channel only shortens the reconcile latency, never
+  * carries the spec itself (the watcher re-reads the directory, keeping
+  * one code path for what runs).
+  *
+  * `token`: when set, the upgrade request must carry
+  * `Authorization: Bearer <token>` (constant-time compare) or the
+  * handshake answers 401 — matching the HTTP routes' bearer discipline.
+  */
+final class SpecPushWs(port: Int = 0, host: String = "127.0.0.1",
+                       tls: Option[TlsConfig] = scala.None,
+                       token: Option[String] = scala.None) {
+  /** The notification the reference pushes on spec-graph change. */
+  val RefetchGraph = "RefetchGraph"
+
+  private val server: ServerSocket = tls match {
+    case Some(cfg) =>
+      val s = TlsConfig.sslContext(cfg).getServerSocketFactory
+        .createServerSocket().asInstanceOf[javax.net.ssl.SSLServerSocket]
+      s.setNeedClientAuth(cfg.needClientAuth)
+      s.bind(new InetSocketAddress(host, port))
+      s
+    case scala.None =>
+      val s = new ServerSocket()
+      s.bind(new InetSocketAddress(host, port))
+      s
+  }
+
+  def boundPort: Int = server.getLocalPort
+
+  private val clients =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Socket]()
+  @volatile private var running = false
+
+  def connectedClients: Int = clients.size()
+
+  def start(): Unit = synchronized {
+    if (running) return
+    running = true
+    val t = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          val h = new Thread(() => serve(sock), "graft-ws-conn")
+          h.setDaemon(true); h.start()
+        } catch { case _: Exception => () } // closed on stop()
+      }
+    }, "graft-ws-accept")
+    t.setDaemon(true)
+    t.start()
+  }
+
+  def stop(): Unit = synchronized {
+    running = false
+    try server.close() catch { case _: Exception => () }
+    clients.forEach(s => try s.close() catch { case _: Exception => () })
+    clients.clear()
+  }
+
+  /** Send a TEXT frame to every connected client; peers whose socket is
+    * dead are dropped (their daemon falls back to the poll loop). */
+  def broadcast(msg: String): Unit = {
+    val payload = msg.getBytes(UTF_8)
+    require(payload.length < 126, "notification frames are short by design")
+    val frame = new Array[Byte](2 + payload.length)
+    frame(0) = 0x81.toByte // FIN + text
+    frame(1) = payload.length.toByte // server frames are unmasked
+    System.arraycopy(payload, 0, frame, 2, payload.length)
+    clients.forEach { s =>
+      try s.synchronized {
+        s.getOutputStream.write(frame); s.getOutputStream.flush()
+      } catch { case _: Exception =>
+        clients.remove(s); try s.close() catch { case _: Exception => () }
+      }
+    }
+  }
+
+  // ---- one connection: handshake then a frame-reader loop ----
+
+  private def serve(sock: Socket): Unit = {
+    try {
+      val in = sock.getInputStream
+      val out = sock.getOutputStream
+      val headers = readRequestHead(in) match {
+        case Some(h) => h
+        case scala.None => sock.close(); return
+      }
+      def bad(code: Int, text: String): Unit = {
+        out.write((s"HTTP/1.1 $code $text\r\nConnection: close\r\n" +
+          "Content-Length: 0\r\n\r\n").getBytes(UTF_8))
+        out.flush(); sock.close()
+      }
+      val authorized = token match {
+        case scala.None => true
+        case Some(t) => headers.get("authorization") match {
+          case Some(h) if h.startsWith("Bearer ") =>
+            java.security.MessageDigest.isEqual(
+              h.stripPrefix("Bearer ").getBytes(UTF_8), t.getBytes(UTF_8))
+          case _ => false
+        }
+      }
+      if (!authorized) { bad(401, "Unauthorized"); return }
+      if (!headers.get("upgrade").exists(_.equalsIgnoreCase("websocket"))) {
+        bad(400, "Bad Request"); return
+      }
+      val key = headers.get("sec-websocket-key") match {
+        case Some(k) => k
+        case scala.None => bad(400, "Bad Request"); return
+      }
+      val accept = java.util.Base64.getEncoder.encodeToString(
+        java.security.MessageDigest.getInstance("SHA-1")
+          .digest((key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11")
+            .getBytes(UTF_8)))
+      out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+        s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes(UTF_8))
+      out.flush()
+      clients.add(sock)
+      readerLoop(sock, in, out)
+    } catch { case _: Exception =>
+      clients.remove(sock)
+      try sock.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** Read request line + headers up to the blank line (lowercased keys). */
+  private def readRequestHead(in: InputStream): Option[Map[String, String]] = {
+    val sb = new StringBuilder
+    var prev = 0
+    var b = in.read()
+    while (b != -1 && !(prev == '\n' && (b == '\r' || b == '\n'))) {
+      sb.append(b.toChar)
+      if (b != '\r') prev = b
+      b = in.read()
+      if (sb.length > 16384) return scala.None // header bomb guard
+    }
+    if (b == '\r') in.read() // trailing \n of the blank line
+    val lines = sb.toString.split("\r?\n").toSeq
+    if (lines.isEmpty || !lines.head.startsWith("GET ")) return scala.None
+    Some(lines.tail.flatMap { l =>
+      l.indexOf(':') match {
+        case -1 => scala.None
+        case i => Some(l.substring(0, i).trim.toLowerCase ->
+          l.substring(i + 1).trim)
+      }
+    }.toMap)
+  }
+
+  /** Handle inbound frames: PING → PONG, CLOSE → echo + drop; client data
+    * frames are ignored (this channel only notifies downward). */
+  private def readerLoop(sock: Socket, in: InputStream,
+                         out: OutputStream): Unit = {
+    def readN(n: Int): Option[Array[Byte]] = {
+      val buf = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) return scala.None
+        off += r
+      }
+      Some(buf)
+    }
+    var open = true
+    while (open && running) {
+      readN(2) match {
+        case scala.None => open = false
+        case Some(h) =>
+          val opcode = h(0) & 0x0f
+          val masked = (h(1) & 0x80) != 0
+          var len: Long = h(1) & 0x7f
+          if (len == 126) len = readN(2).map(b =>
+            ((b(0) & 0xffL) << 8) | (b(1) & 0xffL)).getOrElse(-1L)
+          else if (len == 127) len = readN(8).map(_.foldLeft(0L)(
+            (acc, x) => (acc << 8) | (x & 0xffL))).getOrElse(-1L)
+          if (len < 0 || len > (1L << 20)) open = false // oversized: drop
+          else {
+            val mask = if (masked) readN(4) else Some(Array.empty[Byte])
+            val payload = readN(len.toInt)
+            (mask, payload) match {
+              case (Some(m), Some(p)) =>
+                if (masked) p.indices.foreach(i =>
+                  p(i) = (p(i) ^ m(i % 4)).toByte)
+                opcode match {
+                  case 0x8 => // close: echo, then drop
+                    try sock.synchronized {
+                      out.write(Array(0x88.toByte, 0x00.toByte)); out.flush()
+                    } catch { case _: Exception => () }
+                    open = false
+                  case 0x9 => // ping → pong with same payload
+                    try sock.synchronized {
+                      out.write(Array(0x8a.toByte, p.length.toByte))
+                      out.write(p); out.flush()
+                    } catch { case _: Exception => open = false }
+                  case _ => () // text/binary/pong from client: ignored
+                }
+              case _ => open = false
+            }
+          }
+      }
+    }
+    clients.remove(sock)
+    try sock.close() catch { case _: Exception => () }
+  }
+}

@@ -1,0 +1,158 @@
+package graft.plans
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** The websocket push channel: a daemon that holds a connection receives
+  * `RefetchGraph` the moment a spec mutation lands and reconciles
+  * WITHOUT waiting for its poll interval — the reference's daemon_api
+  * wss push (`control_plane/src/http/daemon_api/mod.rs:146-148`)
+  * re-expressed over the sibling RFC 6455 listener. */
+class SpecPushWsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Minimal RFC 6455 client: handshake, then read ONE text frame. */
+  private final class WsClient(port: Int, auth: Option[String] = scala.None) {
+    private val sock = new java.net.Socket("127.0.0.1", port)
+    private val in = sock.getInputStream
+    private val out = sock.getOutputStream
+    val handshakeStatus: Int = {
+      val key = java.util.Base64.getEncoder.encodeToString(
+        Array.fill(16)(scala.util.Random.nextInt(256).toByte))
+      val hdr = new StringBuilder
+      hdr.append("GET /ws HTTP/1.1\r\nHost: 127.0.0.1\r\n")
+      hdr.append("Upgrade: websocket\r\nConnection: Upgrade\r\n")
+      hdr.append(s"Sec-WebSocket-Key: $key\r\nSec-WebSocket-Version: 13\r\n")
+      auth.foreach(t => hdr.append(s"Authorization: Bearer $t\r\n"))
+      hdr.append("\r\n")
+      out.write(hdr.toString.getBytes(UTF_8)); out.flush()
+      // read the status line + headers up to the blank line
+      val head = new StringBuilder
+      var prev = 0; var b = in.read()
+      while (b != -1 && !(prev == '\n' && (b == '\r' || b == '\n'))) {
+        head.append(b.toChar); if (b != '\r') prev = b; b = in.read()
+      }
+      if (b == '\r') in.read()
+      head.toString.split(" ")(1).toInt
+    }
+    /** Block until one TEXT frame arrives; returns its payload. */
+    def readText(timeoutMs: Int = 10000): String = {
+      sock.setSoTimeout(timeoutMs)
+      val h0 = in.read(); val h1 = in.read()
+      assert(h0 == 0x81, s"expected FIN+text frame, got $h0")
+      val len = h1 & 0x7f
+      assert((h1 & 0x80) == 0, "server frames must be unmasked")
+      val buf = new Array[Byte](len)
+      var off = 0
+      while (off < len) off += in.read(buf, off, len - off)
+      new String(buf, UTF_8)
+    }
+    def sendPing(payload: Array[Byte]): Unit = {
+      val mask = Array[Byte](1, 2, 3, 4)
+      out.write(0x89); out.write(0x80 | payload.length)
+      out.write(mask)
+      out.write(payload.zipWithIndex.map { case (p, i) =>
+        (p ^ mask(i % 4)).toByte })
+      out.flush()
+    }
+    def readPong(): Array[Byte] = {
+      val h0 = in.read(); val h1 = in.read()
+      assert(h0 == 0x8a, s"expected pong, got $h0")
+      val buf = new Array[Byte](h1 & 0x7f)
+      var off = 0
+      while (off < buf.length) off += in.read(buf, off, buf.length - off)
+      buf
+    }
+    def close(): Unit = sock.close()
+  }
+
+  private def specJson(tmp: String, tag: String) =
+    s"""{"sections":[
+      {"id":"src","name":"parquet_source","config":{"path":"${TestSpark.sf}/region.parquet"}},
+      {"id":"tag","name":"tagging","config":{"column":"tag","text":"$tag"}},
+      {"id":"sink","name":"parquet_destination","config":{"path":"$tmp/out_$tag","truncate":"true"}}],
+      "edges":[["src","tag"],["tag","sink"]]}"""
+
+  private def httpPost(url: String, body: String): Int = {
+    val c = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod("POST"); c.setDoOutput(true)
+    val os = c.getOutputStream
+    try os.write(body.getBytes(UTF_8)) finally os.close()
+    c.getResponseCode
+  }
+
+  test("push lands -> RefetchGraph arrives -> reconcile WITHOUT polling") {
+    val tmp = Files.createTempDirectory("graft_ws").toString
+    val specDir = Files.createTempDirectory("graft_ws_specs")
+    val orch = new Orchestrator(spark, restartBackoffMs = 10)
+    val watcher = new SpecDirWatcher(orch, specDir)
+    val ws = new SpecPushWs()
+    ws.start()
+    val server = new SpecPushServer(specDir, port = 0,
+      onChange = Some(() => ws.broadcast(ws.RefetchGraph)))
+    server.start()
+    try {
+      val client = new WsClient(ws.boundPort)
+      assert(client.handshakeStatus == 101)
+      // give the server's reader loop a beat to register the client
+      val deadline = System.currentTimeMillis() + 5000
+      while (ws.connectedClients == 0 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(10)
+      assert(ws.connectedClients == 1)
+      // ping/pong proves the frame loop is alive both ways
+      client.sendPing("hi".getBytes(UTF_8))
+      assert(new String(client.readPong(), UTF_8) == "hi")
+      // the daemon-side contract: NO timer — reconcile only when the
+      // push channel says so
+      val spec = specJson(tmp, "w1")
+      assert(httpPost(
+        s"http://127.0.0.1:${server.boundPort}/specs/w", spec) == 200)
+      assert(client.readText() == "RefetchGraph") // the push arrived
+      val (started, _, _) = watcher.poll() // the reconcile the push triggers
+      assert(started == Set(PipelineSpec.fromJson(spec).specHash))
+      assert(spark.read.parquet(s"$tmp/out_w1").count() == 5)
+      client.close()
+    } finally { server.stop(); ws.stop() }
+  }
+
+  test("bearer token gates the upgrade handshake") {
+    val ws = new SpecPushWs(token = Some("ws-secret"))
+    ws.start()
+    try {
+      assert(new WsClient(ws.boundPort).handshakeStatus == 401)
+      assert(new WsClient(ws.boundPort,
+        auth = Some("wrong")).handshakeStatus == 401)
+      val ok = new WsClient(ws.boundPort, auth = Some("ws-secret"))
+      assert(ok.handshakeStatus == 101)
+      ok.close()
+    } finally ws.stop()
+  }
+
+  test("dead client is dropped on broadcast; live one keeps receiving") {
+    val ws = new SpecPushWs()
+    ws.start()
+    try {
+      val a = new WsClient(ws.boundPort)
+      val b = new WsClient(ws.boundPort)
+      assert(a.handshakeStatus == 101 && b.handshakeStatus == 101)
+      val deadline = System.currentTimeMillis() + 5000
+      while (ws.connectedClients < 2 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(10)
+      a.close()
+      // first broadcast may hit the closed socket (or the reader loop
+      // already reaped it); by the second, only the live client remains
+      ws.broadcast("one")
+      ws.broadcast("two")
+      val got = Seq(b.readText(), b.readText())
+      assert(got == Seq("one", "two"))
+      val reaped = System.currentTimeMillis() + 5000
+      while (ws.connectedClients > 1 &&
+             System.currentTimeMillis() < reaped) Thread.sleep(10)
+      assert(ws.connectedClients == 1)
+      b.close()
+    } finally ws.stop()
+  }
+}
