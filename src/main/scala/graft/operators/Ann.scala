@@ -918,12 +918,18 @@ object Ann {
 
   /** Nearest-code argmin per (vector, subspace) as an AGGREGATE — the
     * [[nearestCellAgg]] shape: min over (round-6 squared L2, code), only
-    * `(vec_id, m, code)` triples survive the combine. */
+    * `(vec_id, m, code)` triples survive the map-side combine. The
+    * distance is the codegen'd [[graft.functions.ArraySquaredL2]] (the
+    * identical left-to-right `acc += (x−y)²` fold as the interpreted
+    * `aggregate(zip_with(...))` it replaces — distances and the code-id
+    * tie-break are bit-for-bit unchanged), so the whole assign stage
+    * lives inside WholeStageCodegen: at the 8-bit default the
+    * interpreted form was the entire cost of `ann_pq_train` and the
+    * encode half of `ann_pq_query`. */
   private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
     sub.join(broadcast(cb), Seq("m"))
       .select(col("vec_id"), col("m"), col("code"),
-        round(expr("aggregate(zip_with(sub, c_vec, " +
-          "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v)"), 6)
+        round(graft.functions.ArraySquaredL2(col("sub"), col("c_vec")), 6)
           .as("d2"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("d2"), col("code"))).as("b"))
