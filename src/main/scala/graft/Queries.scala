@@ -3886,6 +3886,38 @@ object Queries {
     Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
       FROM documents ORDER BY doc_id"""))
 
+  /** Arrow IPC round-trip ([[graft.sources.ArrowInterchange]]) — the
+    * reference's inter-daemon wire format (`formats/arrow_msg`) as
+    * operator-facing shards: documents out as one `.arrow` file per
+    * partition and back (md5 text fidelity, the [[opJsonl]] discipline),
+    * PLUS the embeddings table through the list&lt;float32&gt; path — every
+    * read-back vector must be ELEMENT-EXACT against the parquet original
+    * (floats cross the IPC boundary losslessly; `emb_mismatch` counts
+    * vectors that differ and the oracle pins it at zero). */
+  private val opArrow = Q(
+    (s, dir) => {
+      import s.implicits._
+      val A = graft.sources.ArrowInterchange
+      val docs = Tables.documents(s, dir)
+      val tmpD = scratchDir("graft_arrow_docs").toString
+      A.writeArrow(docs, tmpD)
+      val docsBack = A.readArrow(s, tmpD)
+      val embRaw = s.read.parquet(s"$dir/embeddings.parquet")
+      val tmpE = scratchDir("graft_arrow_emb").toString
+      A.writeArrow(embRaw, tmpE)
+      val embBack = A.readArrow(s, tmpE)
+      val mismatch = embBack.select($"vec_id", $"embedding".as("e2"))
+        .join(embRaw.select($"vec_id", $"embedding".as("e1")), Seq("vec_id"),
+          "full_outer")
+        .filter(not($"e1" <=> $"e2")).count()
+      docsBack.select($"doc_id", $"lang", $"source", $"n_chars",
+          md5($"text").as("text_md5"), lit(mismatch).as("emb_mismatch"))
+        .orderBy($"doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5,
+        CAST(0 AS BIGINT) AS emb_mismatch
+      FROM documents ORDER BY doc_id"""))
+
   /** Sentence splitting ([[graft.operators.Corpus.splitSentences]]) — the
     * segmentation pass under chunking/embedding pipelines: pieces =
     * maximal runs of non-terminators plus their trailing `[.!?]` run (no
@@ -4573,6 +4605,7 @@ object Queries {
     "op_jsonl" -> opJsonl,
     "op_jsonl_gz" -> opJsonlGz,
     "op_orc" -> opOrc,
+    "op_arrow" -> opArrow,
     "cp_sentences" -> cpSentences,
     "cp_assembly" -> cpAssembly,
     "cp_assembly_staged" -> cpAssemblyStaged)

@@ -75,6 +75,13 @@ object SectionRegistry {
         val df = s.read.orc(cfg(c, "path"))
         c.get("origin").fold(df)(o => df.withColumn("origin", lit(o)))
       }),
+    // Arrow IPC shards — the reference's inter-daemon wire format
+    // (formats/arrow_msg) as an operator-facing source/sink
+    "arrow_source" -> Entry(SectionIOSpec(None, DataFrameIO),
+      (s, c, _) => Some {
+        val df = graft.sources.ArrowInterchange.readArrow(s, cfg(c, "path"))
+        c.get("origin").fold(df)(o => df.withColumn("origin", lit(o)))
+      }),
     "json_source" -> Entry(SectionIOSpec(None, DataFrameIO),
       (s, c, _) => Some {
         val df = s.read.option("multiLine", c.getOrElse("multiline", "false"))
@@ -917,6 +924,12 @@ object SectionRegistry {
       (_, c, df) => {
         in(df).write.mode(if (c.getOrElse("truncate", "false").toBoolean)
           "overwrite" else "append").orc(cfg(c, "path"))
+        scala.None
+      }),
+    "arrow_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        graft.sources.ArrowInterchange.writeArrow(in(df), cfg(c, "path"),
+          batchRows = c.getOrElse("batch_rows", "4096").toInt)
         scala.None
       }),
     "json_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
