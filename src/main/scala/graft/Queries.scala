@@ -1663,6 +1663,57 @@ object Queries {
     },
     Some(ivfOracleSql))
 
+  /** Hybrid retrieval by Reciprocal Rank Fusion
+    * ([[graft.operators.Ann.hybridRrfTopK]], Cormack et al. SIGIR 2009):
+    * the exact cosine top-10 and the trained-IVF top-10 fuse by summing
+    * integer-exact `round(10⁶/(60+rank))` contributions (pure long
+    * arithmetic — the pageRank discipline, no double reaches the
+    * comparison), re-ranked to a final top-5. The oracle replays BOTH
+    * retrievers (the brute ranking inline, the IVF ranking through the
+    * shared training CTEs), the full-outer fusion, and the integer RRF. */
+  private val annHybridRrf = Q(
+    (s, dir) => {
+      import s.implicits._
+      graft.operators.Ann.hybridRrfTopK(
+          Tables.embeddings(s, dir).select($"vec_id", $"embedding"),
+          isQuery = $"vec_id" < 10, k = 5)
+        .select($"q_id", $"n_id", $"rrf_micro", $"rk")
+        .orderBy($"q_id", $"rk")
+    },
+    Some(s"""WITH ${ivfTrainingCtes(16, 5, "ivf")},
+      qprobe AS (SELECT r.vec_id AS q_id, r.cell, e.emb AS q_vec FROM rf r
+        JOIN e ON e.vec_id = r.vec_id WHERE r.vec_id < 10 AND r.crk <= 2),
+      icand AS (SELECT q_id, n_id,
+          round(CASE WHEN isnan(cs) THEN 0.0 ELSE cs END, 6) AS cosine
+        FROM (SELECT q.q_id, a.vec_id AS n_id,
+            list_cosine_similarity(q.q_vec, a.emb) AS cs
+          FROM qprobe q JOIN assigned a USING (cell)
+          WHERE a.vec_id != q.q_id)),
+      irank AS (SELECT q_id, n_id, rk FROM (
+          SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, n_id) AS rk
+          FROM icand) WHERE rk <= 10),
+      erank AS (SELECT q_id, n_id, rk FROM (
+          SELECT q.vec_id AS q_id, x.vec_id AS n_id,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY round(list_cosine_similarity(
+                q.embedding::DOUBLE[], x.embedding::DOUBLE[]), 6) DESC,
+              x.vec_id) AS rk
+          FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+          JOIN embeddings x ON x.vec_id != q.vec_id) WHERE rk <= 10),
+      fused AS (SELECT q_id, n_id,
+          CAST(coalesce((2000000 + (60 + a.rk)) // (2 * (60 + a.rk)), 0) +
+               coalesce((2000000 + (60 + b.rk)) // (2 * (60 + b.rk)), 0)
+            AS BIGINT) AS rrf_micro
+        FROM erank a FULL OUTER JOIN irank b USING (q_id, n_id))
+      SELECT q_id, n_id, rrf_micro, rk FROM (
+        SELECT q_id, n_id, rrf_micro,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY rrf_micro DESC, n_id) AS rk
+        FROM fused)
+      WHERE rk <= 5 ORDER BY q_id, rk"""))
+
   /** IVF with the BALANCED quantizer ([[graft.operators.Ann
     * .trainCentroidsBalanced]]): trained cells, then hot cells (population
     * > factor·mean) split by seeded 2-means. The splits are data-dependent
@@ -4530,6 +4581,7 @@ object Queries {
     "ann_lsh_probe" -> annLshProbe,
     "ann_lsh_multi" -> annLshMulti,
     "ann_ivf_topk" -> annIvf,
+    "ann_hybrid_rrf" -> annHybridRrf,
     "ann_ivf_balanced" -> annIvfBalanced,
     "ann_knn_label" -> annKnnLabel,
     "ann_ivf_disk" -> annIvfDisk,

@@ -44,6 +44,51 @@ object Ann {
     topk.withColumn("rk", row_number().over(w).cast("long"))
   }
 
+  /** HYBRID retrieval by Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher, SIGIR 2009): fuse two independent candidate rankings —
+    * here the exact cosine ranking and the trained-IVF ranking — into one
+    * list by summing `1/(rrfK + rank)` per retriever, then re-ranking.
+    * RRF needs no score calibration between retrievers (only ranks), which
+    * is why production search fuses lexical + vector lists this way; over
+    * two vector retrievers it buys robustness (a neighbor the quantizer's
+    * probe set missed still enters through the other list).
+    *
+    * Engine-exactness: each contribution is the integer HALF-UP rounding
+    * of `10⁶/(rrfK + rank)` — `(2·10⁶ + d) div (2d)` in pure long
+    * arithmetic (the [[graft.operators.Clustering.pageRank]] discipline:
+    * no double ever reaches the comparison), summed as `rrf_micro`.
+    * Final order: (rrf_micro DESC, n_id) — fully deterministic.
+    *
+    * Scale shape: both retrievers are the existing bounded operators
+    * (broadcast query set; probe-pruned candidates); the fusion is one
+    * (q_id, n_id)-keyed full-outer join of two k-row-per-query frames —
+    * query-set-sized, never corpus-sized — and a bounded-heap top-k. */
+  def hybridRrfTopK(corpus: DataFrame, isQuery: Column, k: Int,
+                    kCand: Int = 10, nProbe: Int = 2, kCentroids: Int = 16,
+                    iters: Int = 5, seed: String = "ivf",
+                    rrfK: Int = 60): DataFrame = {
+    // integer half-up of 1e6/d: (2e6 + d) div (2d); null rank (the other
+    // retriever missed this candidate) contributes 0
+    def rrfMicro(rkCol: String): Column =
+      coalesce(expr(s"(2000000 + (60 + $rkCol)) div (2 * (60 + $rkCol))")
+        .cast("long"), lit(0L))
+    require(rrfK == 60, "oracle replays the standard rrfK=60 constant")
+    val exact = bruteForceTopK(corpus, isQuery, kCand)
+      .select(col("q_id"), col("n_id"), col("rk").as("rk_a"))
+    val ivf = ivfTopKTrained(corpus, isQuery, kCand, nProbe, kCentroids,
+        iters, seed)
+      .select(col("q_id"), col("n_id"), col("rk").as("rk_b"))
+    val fused = exact.join(ivf, Seq("q_id", "n_id"), "full_outer")
+      .select(col("q_id"), col("n_id"),
+        (rrfMicro("rk_a") + rrfMicro("rk_b")).as("rrf_micro"))
+    val topk = graft.plans.TopKPerKey(fused, Seq("q_id"),
+      Seq(graft.plans.TopKPerKey.desc("rrf_micro"),
+          graft.plans.TopKPerKey.asc("n_id")), k)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_micro").desc, col("n_id"))
+    topk.withColumn("rk", row_number().over(w).cast("long"))
+  }
+
   /** Single-table LSH: candidates share a random-hyperplane sign bucket
     * ([[VF.lshBucket]]) — per-query work drops from O(corpus) to the
     * bucket's share. */

@@ -209,4 +209,40 @@ class AnnRecallSpec extends AnyFunSuite {
       kCentroids = 16).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("hybrid RRF: sourced candidates only, exact k, partition-invariant, " +
+       "and recall at least the IVF retriever's") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    val isQuery = col("vec_id") < 10
+    val fusedDf = Ann.hybridRrfTopK(e, isQuery, k = 5)
+    val fused = fusedDf.as[(Long, Long, Long, Long)].collect()
+    // shape: 5 per query, rk 1..5, fusion scores positive
+    assert(fused.groupBy(_._1).forall { case (_, rs) =>
+      rs.length == 5 && rs.map(_._4).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L)
+    })
+    assert(fused.forall(_._3 > 0))
+    // every fused candidate came from one of the two source lists
+    val sources =
+      Ann.bruteForceTopK(e, isQuery, 10).select($"q_id", $"n_id")
+        .unionByName(Ann.ivfTopKTrained(e, isQuery, 10, nProbe = 2,
+          kCentroids = 16).select($"q_id", $"n_id"))
+        .as[(Long, Long)].collect().toSet
+    assert(fused.forall(r => sources.contains((r._1, r._2))))
+    // exact-list membership is worth at least one contribution, so fusing
+    // with the exact top-10 cannot recall WORSE than the IVF list alone
+    val exact = Ann.bruteForceTopK(e, isQuery, 5).persist()
+    try {
+      val hybrid5 = Ann.recallAtK(exact, fusedDf)
+      val ivf5 = Ann.recallAtK(exact,
+        Ann.ivfTopKTrained(e, isQuery, 5, nProbe = 2, kCentroids = 16))
+      assert(hybrid5 >= ivf5,
+        s"hybrid recall $hybrid5 fell below the IVF retriever's $ivf5")
+    } finally { exact.unpersist(); () }
+    // partition-invariance: the integer fusion is arithmetic-exact
+    val rep = Ann.hybridRrfTopK(e.repartition(3), isQuery, k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(rep == fused.toSet, "repartitioning changed the fused ranking")
+  }
 }
