@@ -1714,6 +1714,46 @@ object Queries {
         FROM fused)
       WHERE rk <= 5 ORDER BY q_id, rk"""))
 
+  /** TOPIC-balanced corpus mixing — [[graft.operators.Ann.semanticTopics]]
+    * (nearest trained-centroid cell per vector) composed with
+    * [[graft.operators.Corpus.mixByThresholds]] temperature reweighting
+    * (α = 0.5): over-represented topics down-sample toward balance, the
+    * smallest topic anchors at keep-all. The cluster-then-reweight recipe
+    * for mixture design when no domain label exists. The oracle replays
+    * the ENTIRE k-means training (the shared IVF CTEs), the assignment,
+    * and the integer-threshold keep decision; the pow-derived thresholds
+    * are CAPTURED from the driver and injected as literals (the
+    * [[cpMixTemperature]] discipline — two libraries' pow last-ulp on a
+    * .5 boundary must not decide survival). */
+  @volatile private var topicThrCapture: Option[Seq[(String, Long)]] = scala.None
+  private def topicMixOracle: Option[String] = topicThrCapture.map { thr =>
+    val rows = thr.sortBy(_._1.toLong).map { case (t, v) =>
+      s"(${t}::BIGINT, ${v}::BIGINT)" }.mkString(", ")
+    s"""WITH ${ivfTrainingCtes(16, 5, "ivf")},
+      rates(topic, thr) AS (VALUES $rows)
+      SELECT a.vec_id, a.cell::BIGINT AS topic FROM assigned a
+      JOIN rates r ON r.topic = a.cell::BIGINT
+      WHERE ('0x' || substr(md5(a.vec_id::VARCHAR), 1, 8))::BIGINT % 10000
+        < r.thr
+      ORDER BY a.vec_id"""
+  }
+  private val cpTopicMix = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val topics = graft.operators.Ann.semanticTopics(e, kCentroids = 16,
+          iters = 5, seed = "ivf")
+        .select($"vec_id", $"topic".cast("string").as("topic"))
+      val thr = graft.operators.Corpus.temperatureThresholds(
+        topics, alpha = 0.5, byCol = "topic")
+      topicThrCapture = Some(thr)
+      graft.operators.Corpus.mixByThresholds(topics, thr,
+          byCol = "topic", idCol = "vec_id")
+        .select($"vec_id", $"topic".cast("bigint").as("topic"))
+        .orderBy($"vec_id")
+    },
+    () => topicMixOracle)
+
   /** IVF with the BALANCED quantizer ([[graft.operators.Ann
     * .trainCentroidsBalanced]]): trained cells, then hot cells (population
     * > factor·mean) split by seeded 2-means. The splits are data-dependent
@@ -4582,6 +4622,7 @@ object Queries {
     "ann_lsh_multi" -> annLshMulti,
     "ann_ivf_topk" -> annIvf,
     "ann_hybrid_rrf" -> annHybridRrf,
+    "cp_topic_mix" -> cpTopicMix,
     "ann_ivf_balanced" -> annIvfBalanced,
     "ann_knn_label" -> annKnnLabel,
     "ann_ivf_disk" -> annIvfDisk,

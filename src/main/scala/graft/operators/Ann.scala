@@ -509,6 +509,20 @@ object Ann {
     ivfTopKFrom(e, isQuery, cent, k, nProbe)
   }
 
+  /** TOPIC assignment — every vector labeled with its nearest TRAINED
+    * centroid cell `(vec_id, topic)`. The unsupervised grouping under
+    * topic-balanced corpus mixing (cluster-then-reweight, the SemDeDup /
+    * DataComp recipe applied to mixture design): downstream feeds the
+    * topic column to `Corpus.mixTemperature`-style reweighting exactly
+    * as a `lang`/`source` column. Same deterministic quantizer and
+    * round-6/id-tiebreak assignment as every IVF path. */
+  def semanticTopics(corpus: DataFrame, kCentroids: Int = 0, iters: Int = 5,
+                     seed: String = "ivf",
+                     sampleRate: Double = 1.0): DataFrame = {
+    val (e, cent) = trainedIndex(corpus, kCentroids, iters, seed, sampleRate)
+    assignCells(e, cent).select(col("vec_id"), col("cell").as("topic"))
+  }
+
   /** [[ivfTopKTrained]] with the hot-cell-splitting quantizer — the
     * production default shape for skewed corpora. */
   def ivfTopKTrainedBalanced(corpus: DataFrame, isQuery: Column, k: Int,

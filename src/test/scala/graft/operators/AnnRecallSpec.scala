@@ -245,4 +245,35 @@ class AnnRecallSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(rep == fused.toSet, "repartitioning changed the fused ranking")
   }
+
+  test("semantic topics: total assignment, deterministic, and temperature " +
+       "mix flattens the topic distribution") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    val topics = Ann.semanticTopics(e, kCentroids = 16)
+      .as[(Long, Long)].collect()
+    assert(topics.length == e.count(), "every vector gets exactly one topic")
+    val rerun = Ann.semanticTopics(e.repartition(5), kCentroids = 16)
+      .as[(Long, Long)].collect().toSet
+    assert(rerun == topics.toSet, "assignment not partition-invariant")
+    // temperature reweighting: the max/min topic imbalance must shrink
+    val t = topics.toSeq.toDF("vec_id", "topic")
+      .select($"vec_id", $"topic".cast("string").as("topic"))
+    val thr = Corpus.temperatureThresholds(t, alpha = 0.5, byCol = "topic")
+    // the smallest topic anchors at keep-all
+    val counts = topics.groupBy(_._2).map { case (k, v) => (k.toString, v.length) }
+    val minTopic = counts.minBy(c => (c._2, c._1))._1
+    assert(thr.toMap.apply(minTopic) == 10000L)
+    val mixed = Corpus.mixByThresholds(t, thr, byCol = "topic",
+        idCol = "vec_id")
+      .groupBy("topic").count().as[(String, Long)].collect().toMap
+    def imbalance(m: Map[String, Long]): Double =
+      m.values.max.toDouble / m.values.min
+    val before = counts.map { case (k, n) => k -> n.toLong }.toMap
+    // sampling noise can wiggle individual topics; the HEADLINE ratio
+    // must not grow
+    assert(imbalance(mixed) <= imbalance(before) + 1e-9,
+      s"mix increased imbalance: ${imbalance(before)} -> ${imbalance(mixed)}")
+  }
 }
