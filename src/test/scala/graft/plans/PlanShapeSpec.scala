@@ -283,4 +283,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!badExchange, "document text must never enter an Exchange — " +
       "tf/df frames are (id, token, count) only")
   }
+
+  test("ann_hybrid_rrf: bounded-heap fusion, no cartesian, no double in the score") {
+    val p = plan("ann_hybrid_rrf")
+    assert(p.contains("TopKPerKey"),
+      "fusion top-k must ride the bounded heap, not a global sort")
+    assert(!p.contains("CartesianProduct"),
+      "candidate generation must never go all-pairs")
+    // the RRF score is integer `div` arithmetic end-to-end: a cast to
+    // double in the fused projection would reintroduce the engine-specific
+    // rounding path the micro-unit design removed
+    val fusedLine = p.linesIterator.find(_.contains("rrf_micro"))
+    assert(fusedLine.exists(!_.contains("cast(rrf_micro")),
+      "rrf_micro must stay integral")
+  }
+
+  test("pq assignment kernel is the codegen'd ArraySquaredL2, inside codegen") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    val df = graft.operators.Ann.pqTopK(e, col("vec_id") < 3, k = 2,
+      subspaces = 4, codes = 4, iters = 1)
+    // the encode/serve plan carries the native expression, not an
+    // interpreted higher-order aggregate(zip_with(...)) — the r11 lesson:
+    // at 256 codes the interpreted kernel WAS the query cost
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(p.contains("arraysquaredl2") || p.contains("ArraySquaredL2"),
+      "PQ assignment must use the codegen'd distance kernel")
+  }
 }
