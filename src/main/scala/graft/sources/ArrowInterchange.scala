@@ -192,24 +192,43 @@ object ArrowInterchange {
       finally { reader.close(); in.close(); alloc.close() }
     }
     val rows = spark.sparkContext.parallelize(paths, paths.size).flatMap { p =>
+      // STREAM batch-by-batch: task memory holds one record batch, never
+      // a whole shard (a shard is partition-sized — at 100 TB that is
+      // gigabytes). The reader closes on exhaustion AND on task
+      // completion (early termination from a LIMIT must not leak the
+      // allocator).
       val alloc = new RootAllocator()
       val in = new java.io.FileInputStream(p)
       val reader = new ArrowFileReader(in.getChannel, alloc)
-      try {
-        val root = reader.getVectorSchemaRoot
-        val fields = root.getSchema.getFields.asScala.map(sparkField).toArray
-        val out = Seq.newBuilder[Row]
-        while (reader.loadNextBatch()) {
-          var i = 0
-          val n = root.getRowCount
-          while (i < n) {
-            out += Row.fromSeq(fields.indices.map(c =>
-              getValue(root.getVector(c), fields(c).dataType, i)))
-            i += 1
-          }
+      var closed = false
+      def closeAll(): Unit = if (!closed) {
+        closed = true
+        try reader.close() finally {
+          try in.close() finally alloc.close()
         }
-        out.result()
-      } finally { reader.close(); in.close(); alloc.close() }
+      }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeAll()))
+      val root = reader.getVectorSchemaRoot
+      val fields = root.getSchema.getFields.asScala.map(sparkField).toArray
+      new Iterator[Row] {
+        private var i = 0
+        private var n = 0
+        private def advance(): Unit =
+          while (i >= n && !closed) {
+            if (reader.loadNextBatch()) { i = 0; n = root.getRowCount }
+            else closeAll()
+          }
+        override def hasNext: Boolean = { advance(); !closed }
+        override def next(): Row = {
+          advance()
+          if (closed) throw new NoSuchElementException("exhausted")
+          val r = Row.fromSeq(fields.indices.map(c =>
+            getValue(root.getVector(c), fields(c).dataType, i)))
+          i += 1
+          r
+        }
+      }
     }
     spark.createDataFrame(rows, schema)
   }
