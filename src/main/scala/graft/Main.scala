@@ -75,8 +75,16 @@ object Main {
       // daemons join the control plane with tokens); unset = open
       // loopback socket, the pre-auth behavior
       // control-plane state (tokens, daemons, workspaces) lives beside
-      // the specs in a dot-dir the watcher's *.json listing never sees
-      val cp = new graft.plans.ControlPlane(Paths.get(dir).resolve(".control"))
+      // the specs in a dot-dir the watcher's *.json listing never sees;
+      // the optional CA keystore enables the daemon-join CSR signing
+      // (GRAFT_CA_KEYSTORE/GRAFT_CA_STOREPASS/GRAFT_CA_ALIAS — typically
+      // the same store whose cert anchors the mTLS truststore)
+      val ca = sys.env.get("GRAFT_CA_KEYSTORE").map(ks =>
+        graft.plans.ControlPlane.CaConfig(Paths.get(ks),
+          sys.env.getOrElse("GRAFT_CA_STOREPASS", ""),
+          sys.env.getOrElse("GRAFT_CA_ALIAS", "ca")))
+      val cp = new graft.plans.ControlPlane(
+        Paths.get(dir).resolve(".control"), ca)
       // websocket push channel: spec mutations broadcast RefetchGraph so
       // connected daemons reconcile immediately; the poll loop below
       // stays as the fallback for daemons that never connect

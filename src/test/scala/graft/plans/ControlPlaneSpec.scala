@@ -164,6 +164,24 @@ class ControlPlaneSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("state survives a control-plane restart (atomic JSON files)") {
+    val state = Files.createTempDirectory("cp_durable")
+    val a = new ControlPlane(state)
+    val t = a.createToken()
+    a.createWorkspace("prod")
+    assert(a.setDaemonName(t.id, Some("x")) == false) // not joined yet
+    // a NEW instance over the same dir sees everything (daemon watch
+    // restarts must not forget issued credentials or workspace grouping)
+    val b = new ControlPlane(state)
+    assert(b.listTokens().map(_.id) == Seq(t.id))
+    assert(b.bearerAuthorized(t.secret))
+    assert(b.listWorkspaces() == Seq("prod"))
+    assert(b.deleteToken(t.id))
+    // and the deletion is visible to the ORIGINAL instance too — the
+    // files are the single source of truth, no in-memory cache to rot
+    assert(!a.bearerAuthorized(t.secret))
+  }
+
   test("workspaces group specs; delete removes the members") {
     val specDir = Files.createTempDirectory("cp_specs3")
     val (server, cp, base) = newServer(specDir,

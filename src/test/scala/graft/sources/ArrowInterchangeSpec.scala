@@ -79,6 +79,20 @@ class ArrowInterchangeSpec extends AnyFunSuite {
   private def sum(c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.sum(c)
 
+  test("early-terminating consumer (LIMIT) leaves no leaked reader") {
+    val df = spark.range(0, 5000).select($"id", ($"id" * 1.5).as("x"))
+      .repartition(2)
+    val dir = Files.createTempDirectory("arrow_limit").toString
+    ArrowInterchange.writeArrow(df, dir, batchRows = 64)
+    // LIMIT stops the row iterator mid-shard; the task-completion
+    // listener must close the reader/allocator (an unclosed Arrow
+    // allocator throws on child-allocator close at JVM checks)
+    val got = ArrowInterchange.readArrow(spark, dir).limit(5).collect()
+    assert(got.length == 5)
+    // and a full re-read of the same shards still works afterwards
+    assert(ArrowInterchange.readArrow(spark, dir).count() == 5000)
+  }
+
   test("unsupported types fail fast at write time") {
     val df = spark.range(3).select($"id",
       org.apache.spark.sql.functions.struct($"id").as("nested"))
