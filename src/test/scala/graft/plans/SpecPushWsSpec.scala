@@ -13,9 +13,11 @@ import java.nio.charset.StandardCharsets.UTF_8
 class SpecPushWsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  /** Minimal RFC 6455 client: handshake, then read ONE text frame. */
-  private final class WsClient(port: Int, auth: Option[String] = scala.None) {
-    private val sock = new java.net.Socket("127.0.0.1", port)
+  /** Minimal RFC 6455 client: handshake, then read ONE text frame.
+    * `sockOf` lets the TLS test hand in an SSLSocket. */
+  private final class WsClient(port: Int, auth: Option[String] = scala.None,
+      sockOf: Int => java.net.Socket = new java.net.Socket("127.0.0.1", _)) {
+    private val sock = sockOf(port)
     private val in = sock.getInputStream
     private val out = sock.getOutputStream
     val handshakeStatus: Int = {
@@ -128,6 +130,86 @@ class SpecPushWsSpec extends AnyFunSuite {
       val ok = new WsClient(ws.boundPort, auth = Some("ws-secret"))
       assert(ok.handshakeStatus == 101)
       ok.close()
+    } finally ws.stop()
+  }
+
+  test("wss: same TlsConfig as the HTTP listener — certified client pushes " +
+       "through, certless handshake fails") {
+    // keytool-generated mutual identities (the MtlsSpec recipe)
+    val keytoolBin = java.nio.file.Paths
+      .get(sys.props("java.home"), "bin", "keytool").toString
+    val pass = "changeit1"
+    def keytool(args: String*): Unit = {
+      val pb = new ProcessBuilder((keytoolBin +: args): _*)
+      pb.redirectErrorStream(true)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), UTF_8)
+      assert(p.waitFor() == 0, s"keytool failed:\n$out")
+    }
+    val dir = Files.createTempDirectory("ws_tls")
+    def identity(name: String): (java.nio.file.Path, java.nio.file.Path) = {
+      val ks = dir.resolve(s"$name.p12")
+      keytool("-genkeypair", "-alias", name, "-keyalg", "RSA", "-keysize",
+        "2048", "-validity", "1", "-dname", s"CN=$name",
+        "-ext", "san=ip:127.0.0.1", "-storetype", "PKCS12",
+        "-keystore", ks.toString, "-storepass", pass)
+      val cert = dir.resolve(s"$name.cer")
+      keytool("-exportcert", "-alias", name, "-keystore", ks.toString,
+        "-storepass", pass, "-file", cert.toString)
+      (ks, cert)
+    }
+    def truststore(name: String, cert: java.nio.file.Path): java.nio.file.Path = {
+      val ts = dir.resolve(s"$name.p12")
+      keytool("-importcert", "-alias", "peer", "-file", cert.toString,
+        "-storetype", "PKCS12", "-keystore", ts.toString,
+        "-storepass", pass, "-noprompt")
+      ts
+    }
+    val (serverKs, serverCert) = identity("wsserver")
+    val (clientKs, clientCert) = identity("wsclient")
+    val serverTrust = truststore("strust", clientCert)
+    val clientTrust = truststore("ctrust", serverCert)
+    val ws = new SpecPushWs(tls = Some(TlsConfig(
+      serverKs, pass.toCharArray, serverTrust, pass.toCharArray)))
+    ws.start()
+    try {
+      def sslSock(keystore: Option[java.nio.file.Path])(port: Int): java.net.Socket = {
+        val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+          javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+        val tks = java.security.KeyStore.getInstance("PKCS12")
+        val tin = Files.newInputStream(clientTrust)
+        try tks.load(tin, pass.toCharArray) finally tin.close()
+        tmf.init(tks)
+        val kms = keystore.map { p =>
+          val kmf = javax.net.ssl.KeyManagerFactory.getInstance(
+            javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+          val ks = java.security.KeyStore.getInstance("PKCS12")
+          val kin = Files.newInputStream(p)
+          try ks.load(kin, pass.toCharArray) finally kin.close()
+          kmf.init(ks, pass.toCharArray)
+          kmf.getKeyManagers
+        }.orNull
+        val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+        ctx.init(kms, tmf.getTrustManagers, null)
+        val s = ctx.getSocketFactory.createSocket("127.0.0.1", port)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        s.startHandshake()
+        s
+      }
+      // certified client: full upgrade + push received over TLS
+      val ok = new WsClient(ws.boundPort, sockOf = sslSock(Some(clientKs)))
+      assert(ok.handshakeStatus == 101)
+      val deadline = System.currentTimeMillis() + 5000
+      while (ws.connectedClients == 0 &&
+             System.currentTimeMillis() < deadline) Thread.sleep(10)
+      ws.broadcast(ws.RefetchGraph)
+      assert(ok.readText() == "RefetchGraph")
+      ok.close()
+      // certless client: the TLS handshake itself fails — the upgrade
+      // request never reaches the websocket layer
+      intercept[java.io.IOException] {
+        new WsClient(ws.boundPort, sockOf = sslSock(scala.None))
+      }
     } finally ws.stop()
   }
 
