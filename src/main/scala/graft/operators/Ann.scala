@@ -987,12 +987,24 @@ object Ann {
     * encode half of `ann_pq_query`. */
   private def pqAssign(sub: DataFrame, cb: DataFrame): DataFrame =
     sub.join(broadcast(cb), Seq("m"))
-      .select(col("vec_id"), col("m"), col("code"),
-        round(graft.functions.ArraySquaredL2(col("sub"), col("c_vec")), 6)
-          .as("d2"))
+      .select(col("vec_id"), col("m"),
+        // (d2, code) packed into ONE orderable LONG so the argmin is a
+        // codegen'd min(long) instead of min(struct) — struct min falls
+        // back to interpreted row comparisons, which at 256 codes was a
+        // measurable slice of every Lloyd iteration and encode pass.
+        // The 6dp rounding happens FIRST (the exact value the oracle
+        // replays); that double then sits within ~2e-6 of the integer
+        // d2·10⁶ (ulp(1e4)·10⁶), so the outer half-up round recovers it
+        // EXACTLY — identical ordering and code-id tie-break as the
+        // struct form, bit-for-bit the same assignment. Key fits a long:
+        // d2·10⁶ ≤ ~10¹⁰ for any realistic sub-vector, ×2²⁰ ≪ 2⁶³.
+        (round(round(graft.functions.ArraySquaredL2(col("sub"), col("c_vec")),
+            6) * lit(1000000.0)).cast("long") * lit(1048576L) + col("code"))
+          .as("k"))
       .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d2"), col("code"))).as("b"))
-      .select(col("vec_id"), col("m"), col("b.code").as("code"))
+      .agg(min(col("k")).as("k"))
+      .select(col("vec_id"), col("m"),
+        (col("k") % 1048576L).cast("int").as("code"))
 
   /** PQ-compressed ANN with ASYMMETRIC DISTANCE COMPUTATION against
     * pre-trained codebooks: the corpus is ENCODED (per-subspace nearest
