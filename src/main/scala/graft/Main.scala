@@ -50,7 +50,20 @@ object Main {
         val watcher = new SpecDirWatcher(new Orchestrator(spark), Paths.get(dir))
         val rounds = sys.env.get("GRAFT_WATCH_ROUNDS").map(_.toInt)
           .getOrElse(Int.MaxValue)
-        watcher.watch(intervalMs, maxRounds = rounds)
+        // optional push channel (GRAFT_WS=host:port): RefetchGraph wakes
+        // the loop for an immediate reconcile; the poll interval stays
+        // as the correctness fallback (reference daemons hold the same
+        // wss connection to the control plane)
+        val wake = new Object
+        sys.env.get("GRAFT_WS").foreach { hp =>
+          val Array(h, p) = hp.split(":", 2)
+          val client = new graft.plans.SpecPushWsClient(h, p.toInt,
+            onMessage = _ => wake.synchronized { wake.notifyAll() },
+            token = sys.env.get("GRAFT_PUSH_TOKEN"))
+          val t = new Thread(() => client.run(() => false), "graft-ws-client")
+          t.setDaemon(true); t.start()
+        }
+        watcher.watch(intervalMs, maxRounds = rounds, wake = Some(wake))
       } finally spark.stop()
 
     case "validate" :: file :: Nil =>

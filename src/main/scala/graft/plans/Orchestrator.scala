@@ -135,9 +135,14 @@ final class SpecDirWatcher(orch: Orchestrator, dir: java.nio.file.Path) {
     * must not kill supervision of every running pipeline — but
     * `maxConsecutiveFailures` straight failures mean the environment is
     * actually broken, and the daemon fails LOUDLY rather than zombie on. */
+  /** @param wake optional monitor: between polls the loop `wait`s on it
+    *   instead of sleeping, so a push channel ([[SpecPushWsClient]]
+    *   receiving `RefetchGraph`) can `notifyAll` and trigger an IMMEDIATE
+    *   reconcile — the poll interval remains the correctness fallback. */
   def watch(intervalMs: Long, maxRounds: Int = Int.MaxValue,
             stop: () => Boolean = () => false,
-            maxConsecutiveFailures: Int = 20): Unit = {
+            maxConsecutiveFailures: Int = 20,
+            wake: Option[Object] = scala.None): Unit = {
     var round = 0
     var consecutiveFailures = 0
     while (round < maxRounds && !stop()) {
@@ -159,7 +164,10 @@ final class SpecDirWatcher(orch: Orchestrator, dir: java.nio.file.Path) {
               s"giving up", e)
       }
       round += 1
-      if (round < maxRounds && !stop()) Thread.sleep(intervalMs)
+      if (round < maxRounds && !stop()) wake match {
+        case Some(m) => m.synchronized { m.wait(intervalMs) }
+        case scala.None => Thread.sleep(intervalMs)
+      }
     }
   }
 }

@@ -166,6 +166,7 @@ final class SpecPushWs(port: Int = 0, host: String = "127.0.0.1",
 
   /** Handle inbound frames: PING → PONG, CLOSE → echo + drop; client data
     * frames are ignored (this channel only notifies downward). */
+  // (reader loop below; the daemon-side CLIENT lives in SpecPushWsClient)
   private def readerLoop(sock: Socket, in: InputStream,
                          out: OutputStream): Unit = {
     def readN(n: Int): Option[Array[Byte]] = {
@@ -219,4 +220,114 @@ final class SpecPushWs(port: Int = 0, host: String = "127.0.0.1",
     clients.remove(sock)
     try sock.close() catch { case _: Exception => () }
   }
+}
+
+/** Daemon-side websocket CLIENT — the other half of the push channel:
+  * reference daemons hold a wss connection to the control plane and
+  * reconcile the moment `RefetchGraph` arrives
+  * (`control_plane/src/http/daemon_api/mod.rs:146-148`; `myceliald`'s
+  * client loop). This client connects to a [[SpecPushWs]] listener
+  * (optionally over the same [[TlsConfig]] mTLS material), hands every
+  * TEXT frame to `onMessage`, and — because a long-lived daemon must
+  * survive control-plane restarts — `run` reconnects with a fixed
+  * backoff until told to stop. The [[SpecDirWatcher]] poll loop remains
+  * the correctness path; this client only shortens reconcile latency.
+  */
+final class SpecPushWsClient(host: String, port: Int,
+                             onMessage: String => Unit,
+                             tls: Option[TlsConfig] = scala.None,
+                             token: Option[String] = scala.None) {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private def openSocket(): java.net.Socket = tls match {
+    case Some(cfg) =>
+      val s = TlsConfig.sslContext(cfg).getSocketFactory
+        .createSocket(host, port).asInstanceOf[javax.net.ssl.SSLSocket]
+      s.startHandshake()
+      s
+    case scala.None => new java.net.Socket(host, port)
+  }
+
+  /** One connection: handshake, then dispatch frames until EOF/close.
+    * Throws on a non-101 handshake (bad token is not retryable). */
+  def connectOnce(stop: () => Boolean = () => false): Unit = {
+    val sock = openSocket()
+    try {
+      val out = sock.getOutputStream
+      val in = sock.getInputStream
+      val key = java.util.Base64.getEncoder.encodeToString(
+        Array.tabulate(16)(i => (i * 37 + 11).toByte)) // static is fine: the
+      // nonce exists for proxy-cache busting, not security
+      val hdr = new StringBuilder
+      hdr.append("GET /ws HTTP/1.1\r\n").append(s"Host: $host\r\n")
+      hdr.append("Upgrade: websocket\r\nConnection: Upgrade\r\n")
+      hdr.append(s"Sec-WebSocket-Key: $key\r\nSec-WebSocket-Version: 13\r\n")
+      token.foreach(t => hdr.append(s"Authorization: Bearer $t\r\n"))
+      hdr.append("\r\n")
+      out.write(hdr.toString.getBytes(UTF_8)); out.flush()
+      val head = new StringBuilder
+      var prev = 0; var b = in.read()
+      while (b != -1 && !(prev == '\n' && (b == '\r' || b == '\n'))) {
+        head.append(b.toChar); if (b != '\r') prev = b; b = in.read()
+      }
+      if (b == '\r') in.read()
+      val status = head.toString.split(" ")(1).toInt
+      if (status != 101) throw new java.io.IOException(
+        s"websocket upgrade rejected: HTTP $status")
+      sock.setSoTimeout(1000) // poll `stop` between frames
+      def readN(n: Int): Option[Array[Byte]] = {
+        val buf = new Array[Byte](n); var off = 0
+        while (off < n) {
+          val r = in.read(buf, off, n - off)
+          if (r < 0) return scala.None
+          off += r
+        }
+        Some(buf)
+      }
+      var open = true
+      while (open && !stop()) {
+        val h0 = try in.read() catch {
+          case _: java.net.SocketTimeoutException => -2
+        }
+        if (h0 == -1) open = false
+        else if (h0 != -2) {
+          val h1 = in.read()
+          if (h1 < 0) open = false else {
+            var len: Long = h1 & 0x7f
+            if (len == 126) len = readN(2).map(x =>
+              ((x(0) & 0xffL) << 8) | (x(1) & 0xffL)).getOrElse(-1L)
+            else if (len == 127) len = readN(8).map(_.foldLeft(0L)(
+              (acc, x) => (acc << 8) | (x & 0xffL))).getOrElse(-1L)
+            if (len < 0 || len > (1L << 20)) open = false
+            else readN(len.toInt) match {
+              case Some(p) => (h0 & 0x0f) match {
+                case 0x1 => onMessage(new String(p, UTF_8))
+                case 0x8 => open = false // server close
+                case 0x9 => // server ping → masked pong (client frames mask)
+                  val mask = Array[Byte](5, 6, 7, 8)
+                  out.write(0x8a); out.write(0x80 | p.length)
+                  out.write(mask)
+                  out.write(p.zipWithIndex.map { case (x, i) =>
+                    (x ^ mask(i % 4)).toByte })
+                  out.flush()
+                case _ => () // pong/binary: ignored
+              }
+              case scala.None => open = false
+            }
+          }
+        }
+      }
+    } finally { try sock.close() catch { case _: Exception => () } }
+  }
+
+  /** Long-lived daemon loop: connect, dispatch, reconnect after
+    * `reconnectMs` on ANY connection loss, until `stop`. */
+  def run(stop: () => Boolean, reconnectMs: Long = 5000L): Unit =
+    while (!stop()) {
+      try connectOnce(stop)
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[graft ws] connection lost: ${e.getMessage}")
+      }
+      if (!stop()) Thread.sleep(reconnectMs)
+    }
 }

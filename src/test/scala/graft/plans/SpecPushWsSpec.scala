@@ -120,6 +120,51 @@ class SpecPushWsSpec extends AnyFunSuite {
     } finally { server.stop(); ws.stop() }
   }
 
+  test("daemon client + wake monitor: push reconciles far inside the poll interval") {
+    val tmp = Files.createTempDirectory("graft_wsc").toString
+    val specDir = Files.createTempDirectory("graft_wsc_specs")
+    val orch = new Orchestrator(spark, restartBackoffMs = 10)
+    val watcher = new SpecDirWatcher(orch, specDir)
+    val ws = new SpecPushWs()
+    ws.start()
+    val server = new SpecPushServer(specDir, port = 0,
+      onChange = Some(() => ws.broadcast(ws.RefetchGraph)))
+    server.start()
+    val wake = new Object
+    @volatile var stopFlag = false
+    val client = new SpecPushWsClient("127.0.0.1", ws.boundPort,
+      onMessage = _ => wake.synchronized { wake.notifyAll() })
+    val ct = new Thread(() => client.run(() => stopFlag, reconnectMs = 100))
+    ct.setDaemon(true); ct.start()
+    // the daemon loop: a poll interval FAR longer than the test — only a
+    // push-driven wake can reconcile in time
+    val wt = new Thread(() => watcher.watch(intervalMs = 120000L,
+      maxRounds = 1000, stop = () => stopFlag, wake = Some(wake)))
+    wt.setDaemon(true); wt.start()
+    try {
+      val deadline0 = System.currentTimeMillis() + 5000
+      while (ws.connectedClients == 0 &&
+             System.currentTimeMillis() < deadline0) Thread.sleep(10)
+      assert(ws.connectedClients == 1, "daemon client never connected")
+      val spec = specJson(tmp, "wc1")
+      assert(httpPost(
+        s"http://127.0.0.1:${server.boundPort}/specs/wc", spec) == 200)
+      // reconciled well inside the 120s interval = the wake worked
+      val deadline = System.currentTimeMillis() + 15000
+      var ok = false
+      while (!ok && System.currentTimeMillis() < deadline) {
+        ok = try spark.read.parquet(s"$tmp/out_wc1").count() == 5
+          catch { case _: Exception => false }
+        if (!ok) Thread.sleep(100)
+      }
+      assert(ok, "push-driven wake did not reconcile inside the window")
+    } finally {
+      stopFlag = true
+      wake.synchronized { wake.notifyAll() }
+      server.stop(); ws.stop()
+    }
+  }
+
   test("bearer token gates the upgrade handshake") {
     val ws = new SpecPushWs(token = Some("ws-secret"))
     ws.start()
