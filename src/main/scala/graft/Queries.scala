@@ -1116,6 +1116,36 @@ object Queries {
         len(list_distinct(list_concat(sa.hs, sb.hs))), 6) >= 0.2
       ORDER BY a_id, b_id"""))
 
+  /** N-gram NOVELTY against a reference corpus
+    * ([[graft.operators.NearDup.noveltyScores]]) — each target document
+    * scored by the fraction of its distinct 3-gram hashes absent from
+    * the reference slice (doc_id % 3 = 0, the [[ddRefDedup]] split).
+    * Integer micro-unit ratio (the pageRank discipline), null for
+    * gram-less documents; the oracle rebuilds both gram sets from the
+    * shared shingle CTE and replays the long arithmetic. */
+  private val ddNovelty = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.operators.NearDup.noveltyScores(
+          docs.filter($"doc_id" % 3 =!= 0), docs.filter($"doc_id" % 3 === 0))
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH ${shingleHvCteFrom("documents")},
+      ref AS (SELECT DISTINCT h FROM hv WHERE doc_id % 3 = 0),
+      tgt AS (SELECT doc_id, h FROM hv WHERE doc_id % 3 <> 0),
+      sc AS (SELECT t.doc_id, count(*) AS n_grams,
+          sum(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END) AS n_novel
+        FROM tgt t LEFT JOIN ref r ON r.h = t.h GROUP BY t.doc_id)
+      SELECT b.doc_id,
+        coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+        coalesce(sc.n_novel, 0)::BIGINT AS n_novel,
+        (CASE WHEN coalesce(sc.n_grams, 0) = 0 THEN NULL
+          ELSE (2000000 * sc.n_novel + sc.n_grams) // (2 * sc.n_grams)
+          END)::BIGINT AS novelty_micro
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) b
+      LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""))
+
   /** Directed n-gram CONTAINMENT
     * ([[graft.operators.NearDup.ngramContainmentPairs]]) — the asymmetric
     * near-dup signal: `|A∩B|/|A|` per direction, catching excerpts and
@@ -4607,6 +4637,7 @@ object Queries {
     "dd_minhash_lsh" -> ddMinhash,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_containment" -> ddContainment,
+    "dd_novelty" -> ddNovelty,
     "dd_dedup_corpus" -> ddDedupCorpus,
     "dd_simhash" -> ddSimhash,
     "dd_simhash_pairs" -> ddSimhashPairs,

@@ -528,6 +528,15 @@ object SectionRegistry {
         textCol = c.getOrElse("text_column", "text"),
         ngram = c.getOrElse("ngram", "3").toInt,
         threshold = c.getOrElse("threshold", "0.8").toDouble))),
+    // n-gram novelty vs a reference corpus (memorization/freshness signal)
+    "novelty_score" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (s, c, df) => {
+        val ref = s.read.parquet(cfg(c, "reference_path"))
+        Some(graft.operators.NearDup.noveltyScores(in(df), ref,
+          idCol = c.getOrElse("id_column", "doc_id"),
+          textCol = c.getOrElse("text_column", "text"),
+          ngram = c.getOrElse("ngram", "3").toInt))
+      }),
     // duplication-centrality: PageRank over the near-dup pair graph
     "dup_rank" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {

@@ -142,4 +142,24 @@ class NearDupSpec extends AnyFunSuite {
     assert(!got.contains((1L, 2L)),
       "host→excerpt containment should fall under the 0.5 threshold")
   }
+
+  test("noveltyScores: fully-seen 0, fully-novel 1e6, mixed exact, gram-less null") {
+    val ref = docs(100L -> "alpha beta gamma delta")
+    val tgt = docs(
+      1L -> "alpha beta gamma delta", // every 3-gram in the reference
+      2L -> "wholly novel words never seen anywhere", // none in reference
+      // 4 grams: "alpha beta gamma" and "beta gamma delta" seen; the two
+      // grams crossing into "epsilon zeta" are novel → 2/4
+      3L -> "alpha beta gamma delta epsilon zeta",
+      4L -> "too short") // < 3 tokens → no grams
+    val got = NearDup.noveltyScores(tgt, ref)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got(1L) == ((2L, 0L, 0L)), s"fully-seen doc: ${got(1L)}")
+    assert(got(2L)._2 == got(2L)._1 && got(2L)._3 == 1000000L,
+      s"fully-novel doc: ${got(2L)}")
+    assert(got(3L) == ((4L, 2L, 500000L)), s"half-novel doc: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L, -1L)), s"gram-less doc: ${got(4L)}")
+  }
 }
