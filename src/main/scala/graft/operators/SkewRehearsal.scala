@@ -135,6 +135,17 @@ object SkewRehearsal {
     "skewed_dd_containment" -> (() =>
       NearDup.ngramContainmentPairs(
         hotCorpus(graft.Tables.documents(spark, dir)),
-        threshold = 0.5, maxPosting = 64).count())
+        threshold = 0.5, maxPosting = 64).count()),
+    // novelty under a HOT GRAM: a third of the corpus is one template →
+    // that template's shingle hashes each occur on n/3 target rows, so
+    // the (h)-keyed reference join carries hot keys — the AQE skew-join
+    // split (sort-merge left join, skewed probe side divisible) is the
+    // machinery this line prices against the uniform dd_novelty twin
+    "skewed_dd_novelty" -> (() => {
+      val hot = hotCorpus(graft.Tables.documents(spark, dir))
+      NearDup.noveltyScores(
+        hot.filter(col("doc_id") % 3 =!= 0),
+        hot.filter(col("doc_id") % 3 === 0)).count()
+    })
   )
 }
