@@ -1146,6 +1146,53 @@ object Queries {
       FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) b
       LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""))
 
+  /** STREAMING novelty — the daily-crawl scoring flow: incoming documents
+    * arrive as a stream, each micro-batch scored inside `foreachBatch` by
+    * [[graft.operators.NearDup.noveltyAgainstStored]] against a gram
+    * store built once from the reference slice (the
+    * `writeReferenceSignatures` lake — only its `hashes` table is read).
+    * Per-document scores depend only on the document's own grams plus the
+    * static store, so micro-batch boundaries cannot change any value:
+    * the streamed result is hash-identical to batch [[ddNovelty]] and
+    * shares its oracle (stream/batch parity, the [[stDedup]] discipline). */
+  private val stNovelty = Q(
+    (s, dir) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      import ss.implicits._
+      val docsRaw = ss.read.parquet(s"$dir/documents.parquet")
+      val sig = scratchDir("graft_nov_sig").toString
+      graft.operators.NearDup.writeReferenceSignatures(
+        docsRaw.filter($"doc_id" % 3 === 0), sig)
+      val out = scratchDir("graft_nov_out").toString
+      val stream = ss.readStream.schema(docsRaw.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter($"doc_id" % 3 =!= 0)
+      val q = stream.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.NearDup.noveltyAgainstStored(b, sig)
+            .write.mode("append").parquet(out)
+        }.start()
+      q.awaitTermination()
+      ss.read.parquet(out).orderBy($"doc_id")
+    },
+    Some(s"""WITH ${shingleHvCteFrom("documents")},
+      ref AS (SELECT DISTINCT h FROM hv WHERE doc_id % 3 = 0),
+      tgt AS (SELECT doc_id, h FROM hv WHERE doc_id % 3 <> 0),
+      sc AS (SELECT t.doc_id, count(*) AS n_grams,
+          sum(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END) AS n_novel
+        FROM tgt t LEFT JOIN ref r ON r.h = t.h GROUP BY t.doc_id)
+      SELECT b.doc_id,
+        coalesce(sc.n_grams, 0)::BIGINT AS n_grams,
+        coalesce(sc.n_novel, 0)::BIGINT AS n_novel,
+        (CASE WHEN coalesce(sc.n_grams, 0) = 0 THEN NULL
+          ELSE (2000000 * sc.n_novel + sc.n_grams) // (2 * sc.n_grams)
+          END)::BIGINT AS novelty_micro
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0) b
+      LEFT JOIN sc USING (doc_id) ORDER BY doc_id"""))
+
   /** Directed n-gram CONTAINMENT
     * ([[graft.operators.NearDup.ngramContainmentPairs]]) — the asymmetric
     * near-dup signal: `|A∩B|/|A|` per direction, catching excerpts and
@@ -4638,6 +4685,7 @@ object Queries {
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_containment" -> ddContainment,
     "dd_novelty" -> ddNovelty,
+    "st_novelty" -> stNovelty,
     "dd_dedup_corpus" -> ddDedupCorpus,
     "dd_simhash" -> ddSimhash,
     "dd_simhash_pairs" -> ddSimhashPairs,
