@@ -1055,6 +1055,36 @@ object Ann {
     rank(scored, k)
   }
 
+  /** Persist trained PQ codebooks as a parquet MODEL STORE — the
+    * train-once/serve-later shape: the nightly training job writes the
+    * model beside the index; serving jobs (and tomorrow's append) load
+    * it without retraining. Rows are `(m, code, c_vec)` — model-sized
+    * (subspaces·codes), never data-sized. */
+  def pqCodebooksWrite(cb: Array[Array[Array[Double]]], path: String,
+                       spark: org.apache.spark.sql.SparkSession): Unit =
+    codebookFrame(spark, cb).write.mode("overwrite").parquet(path)
+
+  /** Load a [[pqCodebooksWrite]] store back into the driver-held model —
+    * bit-identical to what was written (doubles ride parquet losslessly).
+    * Fails loudly on a sparse store (missing (m, code) cells would make
+    * encode silently disagree with the training run). */
+  def pqCodebooksRead(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(path)
+      .select(col("m"), col("code"), col("c_vec"))
+      .collect() // model-sized
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"empty PQ codebook store at $path")
+    val subspaces = rows.map(_._1).max + 1
+    val codes = rows.map(_._2).max + 1
+    require(rows.length == subspaces * codes,
+      s"sparse PQ codebook store at $path: ${rows.length} rows for " +
+        s"$subspaces x $codes cells")
+    val cb = Array.ofDim[Array[Double]](subspaces, codes)
+    rows.foreach { case (m, j, v) => cb(m)(j) = v }
+    cb
+  }
+
   /** [[trainPqCodebooks]] then [[pqTopKFromCodebooks]] — the one-call PQ
     * search (the `ann_topk` section's `pq` variant). */
   def pqTopK(corpus: DataFrame, isQuery: Column, k: Int, subspaces: Int = 8,

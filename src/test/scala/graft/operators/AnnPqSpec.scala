@@ -57,6 +57,30 @@ class AnnPqSpec extends AnyFunSuite {
       "reconstruction cosine out of [-1, 1]")
   }
 
+  test("codebook model store: write/read bit-identical, serving unchanged") {
+    val cb = Ann.trainPqCodebooks(emb, subspaces = 4, codes = 8, iters = 2)
+    val path = java.nio.file.Files.createTempDirectory("pq_store").toString
+    Ann.pqCodebooksWrite(cb, path, spark)
+    val back = Ann.pqCodebooksRead(spark, path)
+    assert(back.length == cb.length &&
+      back.zip(cb).forall { case (a, b) =>
+        a.zip(b).forall { case (x, y) => x.sameElements(y) } },
+      "loaded codebooks differ from the trained ones")
+    val served = Ann.pqTopKFromCodebooks(emb, col("vec_id") < 5, back, 5)
+      .collect().map(_.toSeq).toSet
+    val direct = Ann.pqTopKFromCodebooks(emb, col("vec_id") < 5, cb, 5)
+      .collect().map(_.toSeq).toSet
+    assert(served == direct, "serving from the store changed answers")
+    // a sparse store (a lost cell) fails loudly instead of mis-encoding
+    val broken = java.nio.file.Files.createTempDirectory("pq_broken").toString
+    spark.read.parquet(path).where("NOT (m = 0 AND code = 0)")
+      .write.mode("overwrite").parquet(broken)
+    val e = intercept[IllegalArgumentException] {
+      Ann.pqCodebooksRead(spark, broken)
+    }
+    assert(e.getMessage.contains("sparse"))
+  }
+
   test("recall@10 of PQ is bounded and a finer codebook does not hurt") {
     val e = emb
     val isQuery = col("vec_id") < 10

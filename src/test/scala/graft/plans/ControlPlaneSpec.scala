@@ -205,6 +205,30 @@ class ControlPlaneSpec extends AnyFunSuite {
       // workspace read returns its members, secrets redacted
       val (_, wb) = http("GET", s"$base/workspaces/prod")
       assert(wb.contains("\"ingest\"") && wb.contains("parquet_source"))
+      // a workspace member is a REAL pipeline: the same watcher reconcile
+      // loop as ungrouped specs starts it (prefix naming, one loop).
+      // Drop the non-runnable placeholder first so the poll below starts
+      // exactly the runnable member.
+      assert(http("DELETE", s"$base/workspaces/prod/specs/ingest",
+        auth = Some("admin-secret"))._1 == 200)
+      val spark = graft.TestSpark.spark
+      val tmp = Files.createTempDirectory("cp_ws_run").toString
+      val runnable =
+        s"""{"sections":[
+          {"id":"src","name":"parquet_source","config":{"path":"${graft.TestSpark.sf}/region.parquet"}},
+          {"id":"sink","name":"parquet_destination","config":{"path":"$tmp/out","truncate":"true"}}],
+          "edges":[["src","sink"]]}"""
+      assert(http("PUT", s"$base/workspaces/prod/specs/run1", Some(runnable),
+        auth = Some("admin-secret"))._1 == 200)
+      val orch = new Orchestrator(spark, restartBackoffMs = 10)
+      val watcher = new SpecDirWatcher(orch, specDir)
+      val (started, _, _) = watcher.poll()
+      assert(started.contains(PipelineSpec.fromJson(runnable).specHash),
+        "workspace member spec did not start on reconcile")
+      assert(spark.read.parquet(s"$tmp/out").count() == 5)
+      assert(http("DELETE", s"$base/workspaces/prod/specs/run1",
+        auth = Some("admin-secret"))._1 == 200)
+      watcher.poll() // stop it before the workspace-delete assertions
       // deleting the workspace removes the registry entry AND the files —
       // its pipelines stop on the watcher's next poll
       assert(http("DELETE", s"$base/workspaces/prod",
