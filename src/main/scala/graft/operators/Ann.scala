@@ -1085,6 +1085,38 @@ object Ann {
     cb
   }
 
+  /** Persist a trained IVF-PQ model (coarse centroids + residual
+    * codebooks) as one parquet store — completes the train-once/serve-
+    * later family next to [[pqCodebooksWrite]] and the on-disk IVF index:
+    * nightly training writes `cents/` + `codebooks/`, serving loads both
+    * and answers through [[ivfPqTopKFrom]] with zero retraining. */
+  def ivfPqModelWrite(model: (Array[Array[Double]], Array[Array[Array[Double]]]),
+                      path: String,
+                      spark: org.apache.spark.sql.SparkSession): Unit = {
+    centroidFrame(spark, model._1).select(col("cell"), col("c_vec"))
+      .write.mode("overwrite").parquet(s"$path/cents")
+    pqCodebooksWrite(model._2, s"$path/codebooks", spark)
+  }
+
+  /** Load an [[ivfPqModelWrite]] store — bit-identical models, loud
+    * failure on a sparse centroid table (a missing cell renumbers every
+    * later cell and silently reassigns the corpus). */
+  def ivfPqModelRead(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val rows = spark.read.parquet(s"$path/cents")
+      .select(col("cell"), col("c_vec"))
+      .collect() // model-sized
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(rows.nonEmpty, s"empty IVF-PQ centroid store at $path/cents")
+    val k = rows.map(_._1).max + 1
+    require(rows.length == k && rows.map(_._1).distinct.length == rows.length,
+      s"sparse IVF-PQ centroid store at $path/cents: ${rows.length} rows " +
+        s"for $k cells")
+    val cents = Array.ofDim[Array[Double]](k.toInt)
+    rows.foreach { case (i, v) => cents(i.toInt) = v }
+    (cents, pqCodebooksRead(spark, s"$path/codebooks"))
+  }
+
   /** [[trainPqCodebooks]] then [[pqTopKFromCodebooks]] — the one-call PQ
     * search (the `ann_topk` section's `pq` variant). */
   def pqTopK(corpus: DataFrame, isQuery: Column, k: Int, subspaces: Int = 8,

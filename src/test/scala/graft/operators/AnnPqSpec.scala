@@ -81,6 +81,33 @@ class AnnPqSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sparse"))
   }
 
+  test("IVF-PQ model store: round-trip bit-identical, serving unchanged") {
+    val model = Ann.ivfPqTrain(emb, kCentroids = 4, subspaces = 4, codes = 8,
+      centIters = 2, pqIters = 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_store").toString
+    Ann.ivfPqModelWrite(model, path, spark)
+    val (cents, cb) = Ann.ivfPqModelRead(spark, path)
+    assert(cents.zip(model._1).forall { case (a, b) => a.sameElements(b) })
+    assert(cb.zip(model._2).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    val served = Ann.ivfPqTopKFrom(emb, col("vec_id") < 5, cents, cb, 5, 2)
+      .collect().map(_.toSeq).toSet
+    val direct = Ann.ivfPqTopKFrom(emb, col("vec_id") < 5, model._1, model._2,
+      5, 2).collect().map(_.toSeq).toSet
+    assert(served == direct, "serving from the store changed answers")
+    // a centroid store missing a cell fails loudly — a silent renumber
+    // would reassign the whole corpus
+    val broken = java.nio.file.Files.createTempDirectory("ivfpq_broken").toString
+    spark.read.parquet(s"$path/cents").where("cell <> 1")
+      .write.mode("overwrite").parquet(s"$broken/cents")
+    spark.read.parquet(s"$path/codebooks")
+      .write.mode("overwrite").parquet(s"$broken/codebooks")
+    val e = intercept[IllegalArgumentException] {
+      Ann.ivfPqModelRead(spark, broken)
+    }
+    assert(e.getMessage.contains("sparse"))
+  }
+
   test("recall@10 of PQ is bounded and a finer codebook does not hurt") {
     val e = emb
     val isQuery = col("vec_id") < 10
