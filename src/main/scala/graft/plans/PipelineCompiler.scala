@@ -852,6 +852,30 @@ object SectionRegistry {
       (_, c, df) => Some(graft.operators.Ann.ivfIndexTopK(in(df),
         cfg(c, "path"), k = c.getOrElse("k", "5").toInt,
         nProbe = c.getOrElse("probes", "2").toInt))),
+    // trained-model store (train-once/serve-later): write an IVF-PQ
+    // model (coarse centroids + residual codebooks) from the input
+    // corpus; serve against a PREVIOUSLY-written store with no retrain
+    "ann_model_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (s, c, df) => {
+        graft.operators.Ann.ivfPqModelWrite(
+          graft.operators.Ann.ivfPqTrain(in(df),
+            kCentroids = c.getOrElse("k_centroids", "16").toInt,
+            subspaces = c.getOrElse("subspaces", "8").toInt,
+            codes = c.getOrElse("codes", "256").toInt,
+            centIters = c.getOrElse("cent_iters", "5").toInt,
+            pqIters = c.getOrElse("pq_iters", "4").toInt),
+          cfg(c, "path"), s)
+        scala.None
+      }),
+    "ann_model_query" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (s, c, df) => {
+        val (cents, cb) = graft.operators.Ann.ivfPqModelRead(s, cfg(c, "path"))
+        val frame = in(df)
+        Some(graft.operators.Ann.ivfPqTopKFrom(frame,
+          expr(c.getOrElse("query_where", "vec_id < 10")), cents, cb,
+          k = c.getOrElse("k", "5").toInt,
+          nProbe = c.getOrElse("probes", "2").toInt))
+      }),
     // incremental index maintenance: assign the input frame's vectors
     // against the index's frozen centroids and append into its cell
     // partitions — the daily-arrival path, no retrain, no index rewrite

@@ -309,6 +309,30 @@ class TrainingSectionsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ann model sections: train+write via destination spec, serve from the store") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_sec").toString
+    val build =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/embeddings.parquet"}},
+        {"id":"m","name":"ann_model_destination","config":{
+          "path":"$path","k_centroids":"4","subspaces":"4","codes":"8",
+          "cent_iters":"2","pq_iters":"2"}}],
+        "edges":[["src","m"]]}"""
+    PipelineCompiler.run(spark, PipelineSpec.fromJson(build))
+    assert(new java.io.File(s"$path/cents").exists() &&
+      new java.io.File(s"$path/codebooks").exists())
+    val query =
+      s"""{"sections":[
+        {"id":"q","name":"parquet_source","config":{"path":"$sf/embeddings.parquet"}},
+        {"id":"ann","name":"ann_model_query","config":{
+          "path":"$path","k":"3","query_where":"vec_id < 4"}}],
+        "edges":[["q","ann"]]}"""
+    val out = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(query))
+    assert(out.columns.contains("q_id") && out.columns.contains("rk"))
+    assert(out.count() == 12) // 4 queries x k=3, served with no retrain
+    spark.catalog.clearCache()
+  }
+
   test("ann index sections: build via destination spec, query via transform spec") {
     val path = java.nio.file.Files.createTempDirectory("ivf_sec").toString
     val build =
