@@ -284,6 +284,16 @@ class PlanShapeSpec extends AnyFunSuite {
       "tf/df frames are (id, token, count) only")
   }
 
+  test("dd_novelty: text never enters an Exchange; the score stays integral") {
+    val p = plan("dd_novelty")
+    val badExchange = p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("text#"))
+    assert(!badExchange, "novelty must shuffle (id, hash) rows, never text")
+    val scoreLine = p.linesIterator.find(_.contains("novelty_micro"))
+    assert(scoreLine.exists(!_.contains("cast(novelty_micro")),
+      "novelty_micro must stay integral — no double rounding path")
+  }
+
   test("ann_hybrid_rrf: bounded-heap fusion, no cartesian, no double in the score") {
     val p = plan("ann_hybrid_rrf")
     assert(p.contains("TopKPerKey"),
