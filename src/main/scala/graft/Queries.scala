@@ -1088,6 +1088,50 @@ object Queries {
     },
     Some(s"WITH $minhashPairsCte\n      SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id"))
 
+  /** CROSS-SOURCE duplication report — the dataset-card table next to
+    * [[cpMixReport]]: near-dup pairs grouped by the UNORDERED source
+    * pair, with the pair count and how many distinct documents on each
+    * side participate. `source_a <= source_b` canonically (pairs carry
+    * `a_id < b_id`, which says nothing about sources), so one row per
+    * source pair. The diagonal rows are within-source duplication;
+    * off-diagonal rows quantify cross-source contamination — the number
+    * a curator reads before deciding which source to drop duplicates
+    * FROM. Counts only — engine-exact by construction. */
+  private val ddCrossReport = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir).select($"doc_id", $"source")
+      val p = minhashPairs(s, dir)
+        .join(docs.select($"doc_id".as("a_id"), $"source".as("_sa")), "a_id")
+        .join(docs.select($"doc_id".as("b_id"), $"source".as("_sb")), "b_id")
+        .select($"a_id", $"b_id",
+          least($"_sa", $"_sb").as("source_a"),
+          greatest($"_sa", $"_sb").as("source_b"),
+          // the doc on the source_a side of the canonical pair
+          when($"_sa" <= $"_sb", $"a_id").otherwise($"b_id").as("_da"),
+          when($"_sa" <= $"_sb", $"b_id").otherwise($"a_id").as("_db"))
+      p.groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct($"_da").as("n_docs_a"),
+          countDistinct($"_db").as("n_docs_b"))
+        .orderBy($"source_a", $"source_b")
+    },
+    Some(s"""WITH $minhashPairsCte,
+      src AS (SELECT doc_id, source FROM documents),
+      lab AS (SELECT p.a_id, p.b_id, sa.source AS _sa, sb.source AS _sb
+        FROM pairs p JOIN src sa ON sa.doc_id = p.a_id
+        JOIN src sb ON sb.doc_id = p.b_id),
+      canon AS (SELECT
+          least(_sa, _sb) AS source_a, greatest(_sa, _sb) AS source_b,
+          CASE WHEN _sa <= _sb THEN a_id ELSE b_id END AS _da,
+          CASE WHEN _sa <= _sb THEN b_id ELSE a_id END AS _db
+        FROM lab)
+      SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+        count(DISTINCT _da)::BIGINT AS n_docs_a,
+        count(DISTINCT _db)::BIGINT AS n_docs_b
+      FROM canon GROUP BY source_a, source_b
+      ORDER BY source_a, source_b"""))
+
   /** Exact n-gram Jaccard pairs via inverted-index candidates — the
     * no-signature member of the dedup family: candidates share a shingle
     * (necessary for jaccard > 0), stop-shingles past the posting cap are
@@ -4682,6 +4726,7 @@ object Queries {
     "op_kafka_decode" -> opKafkaDecode,
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhash,
+    "dd_cross_report" -> ddCrossReport,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_containment" -> ddContainment,
     "dd_novelty" -> ddNovelty,
