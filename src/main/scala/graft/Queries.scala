@@ -1088,6 +1088,38 @@ object Queries {
     },
     Some(s"WITH $minhashPairsCte\n      SELECT a_id, b_id, jaccard FROM pairs ORDER BY a_id, b_id"))
 
+  /** PER-SOURCE length/token report — the remaining dataset-card table:
+    * document and token counts plus char/token percentiles per source
+    * (the distribution a curator checks before setting packing budgets
+    * and length filters). Percentile parity rides the [[q19]] recipe
+    * (linear-interpolation quantiles, round-4 on both engines). */
+  private val cpLengthReport = Q(
+    (s, dir) => {
+      import s.implicits._
+      Tables.documents(s, dir)
+        .select($"source", $"n_chars",
+          size(TF.tokens($"text")).cast("long").as("n_tokens"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tokens").as("total_tokens"),
+          round(expr("percentile(n_chars, 0.5)"), 4).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.9)"), 4).as("p90_chars"),
+          round(expr("percentile(n_tokens, 0.5)"), 4).as("p50_tokens"),
+          max($"n_tokens").as("max_tokens"))
+        .orderBy($"source")
+    },
+    Some("""WITH tk AS (SELECT source, n_chars,
+        len(CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+          ELSE regexp_split_to_array(trim(text), '\s+') END)::BIGINT AS n_tokens
+      FROM documents)
+      SELECT source, count(*)::BIGINT AS n_docs,
+        sum(n_tokens)::BIGINT AS total_tokens,
+        round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+        round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+        round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+        max(n_tokens)::BIGINT AS max_tokens
+      FROM tk GROUP BY source ORDER BY source"""))
+
   /** CROSS-SOURCE duplication report — the dataset-card table next to
     * [[cpMixReport]]: near-dup pairs grouped by the UNORDERED source
     * pair, with the pair count and how many distinct documents on each
@@ -4810,6 +4842,7 @@ object Queries {
     "cp_sample_group_k" -> cpSampleGroupK,
     "cp_dsir_weights" -> cpDsir,
     "cp_mix_report" -> cpMixReport,
+    "cp_length_report" -> cpLengthReport,
     "cp_manifest" -> cpManifest,
     "cp_quantile_filter" -> cpQuantileFilter,
     "cp_quality_classifier" -> cpQualityClassifier,
