@@ -177,18 +177,24 @@ final class ControlPlane(stateDir: Path,
       Files.writeString(csr, csrPem, UTF_8)
       def run(args: String*): String = {
         val pb = new ProcessBuilder((keytool +: args): _*)
+        // the store password rides the child ENVIRONMENT
+        // (-storepass:env), never the argv — a command line is visible
+        // to every local process for the life of the child
+        pb.environment().put("GRAFT_CA_PASS", c.storepass)
         pb.redirectErrorStream(true)
         val p = pb.start()
         val log = new String(p.getInputStream.readAllBytes(), UTF_8)
         require(p.waitFor() == 0, s"keytool failed: ${log.take(500)}")
         log
       }
-      run("-gencert", "-keystore", c.keystore.toString, "-storepass",
-        c.storepass, "-alias", c.alias, "-infile", csr.toString,
+      run("-gencert", "-keystore", c.keystore.toString,
+        "-storepass:env", "GRAFT_CA_PASS", "-alias", c.alias,
+        "-infile", csr.toString,
         "-outfile", out.toString, "-rfc", "-validity", "365")
       val caOut = work.resolve("ca.pem")
-      run("-exportcert", "-keystore", c.keystore.toString, "-storepass",
-        c.storepass, "-alias", c.alias, "-rfc", "-file", caOut.toString)
+      run("-exportcert", "-keystore", c.keystore.toString,
+        "-storepass:env", "GRAFT_CA_PASS", "-alias", c.alias,
+        "-rfc", "-file", caOut.toString)
       (Files.readString(out, UTF_8), Files.readString(caOut, UTF_8))
     } finally {
       Files.list(work).iterator().asScala.foreach(Files.deleteIfExists(_))
