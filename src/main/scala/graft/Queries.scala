@@ -1421,17 +1421,23 @@ object Queries {
     * iteration). The whole iteration is integer MICRO-unit arithmetic
     * (rank × 10⁶ as LONG; round-half-up of a/b is `(2a+b) // (2b)`) so
     * both engines evaluate bit-identical longs — no double or decimal
-    * rounding path exists on either side; only the final projection
-    * rescales by an exact decimal multiply. */
+    * rounding path exists on either side. The COMPARED frame is the raw
+    * `rank_micro` BIGINT itself — no decimal column crosses the engine
+    * boundary at all (r10/r11 driver runs hash-mismatched on a
+    * locally-identical DECIMAL(18,6) projection; a BIGINT has exactly
+    * one representation in parquet and in every SQL engine, so the
+    * comparison is now representation-proof). The decimal convenience
+    * projection remains available via
+    * [[graft.operators.Clustering.pageRank]]. */
   private val ddPageRank = Q(
     (s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
       val pairs = graft.operators.NearDup.pairs(docs)
-      graft.operators.Clustering.pageRank(
+      graft.operators.Clustering.pageRankMicro(
           docs.select($"doc_id".as("id")), pairs.select($"a_id", $"b_id"),
           iters = 5)
-        .select($"id".as("doc_id"), $"rank")
+        .select($"id".as("doc_id"), $"rank_micro")
         .orderBy($"doc_id")
     },
     Some {
@@ -1461,9 +1467,7 @@ object Queries {
           AS rank_micro
         FROM documents),
       $chain
-      SELECT id AS doc_id,
-        (rank_micro::DECIMAL(18,6) * 0.000001::DECIMAL(7,6))::DECIMAL(18,6)
-          AS rank
+      SELECT id AS doc_id, rank_micro::BIGINT AS rank_micro
       FROM pr5 ORDER BY doc_id"""
     })
 

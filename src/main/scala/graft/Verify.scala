@@ -1,6 +1,78 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+/** Canonical value normalization for the per-query row digest — mirrors
+  * `tools/check.py`'s `norm()` (itself a replica of the driver's value
+  * hashing): floats as Python `%.9g`, Decimal keeping scale, Python
+  * bool/None spellings, lists bracketed. The digest makes a DRIVER-ONLY
+  * hash mismatch diagnosable from the dump alone: the artifact carries
+  * the value-level fingerprint of exactly what was written, so an
+  * environment-specific re-read difference (decimal physical type,
+  * timestamp convention) shows up as digest-vs-driver disagreement
+  * rather than an unexplainable red row. */
+private[graft] object Canon {
+  /** Python `f"{v:.9g}"` equivalent: 9 significant digits, trailing
+    * zeros stripped, exponent form iff exp < -4 or >= 9. */
+  def g9(d: Double): String =
+    if (d.isNaN) "NaN"
+    else if (d.isPosInfinity) "inf"
+    else if (d.isNegInfinity) "-inf"
+    else {
+      val raw = String.format(java.util.Locale.ROOT, "%.9g", Double.box(d))
+      val ei = raw.indexWhere(c => c == 'e' || c == 'E')
+      if (ei >= 0) {
+        val (m, e) = (raw.substring(0, ei), raw.substring(ei))
+        stripZeros(m) + e.toLowerCase
+      } else stripZeros(raw)
+    }
+  private def stripZeros(m: String): String =
+    if (!m.contains('.')) m
+    else m.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+  /** Python-style `str(bytes)` repr for BLOB cells. */
+  private def pyBytes(b: Array[Byte]): String = {
+    val sb = new StringBuilder("b'")
+    b.foreach {
+      case 0x5c => sb.append("\\\\")
+      case 0x27 => sb.append("\\'")
+      case c if c >= 0x20 && c < 0x7f => sb.append(c.toChar)
+      case 0x09 => sb.append("\\t"); case 0x0a => sb.append("\\n")
+      case 0x0d => sb.append("\\r")
+      case c => sb.append(f"\\x${c & 0xff}%02x")
+    }
+    sb.append("'").toString
+  }
+  private val tsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+  def norm(v: Any): String = v match {
+    case null => "None"
+    case d: java.lang.Double => g9(d)
+    case f: java.lang.Float => g9(f.toDouble)
+    case b: java.lang.Boolean => if (b) "True" else "False"
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: scala.math.BigDecimal => d.bigDecimal.toPlainString
+    case t: java.sql.Timestamp =>
+      val i = t.toInstant
+      val base = tsFmt.format(i)
+      val micros = i.getNano / 1000
+      if (micros == 0) base else f"$base.$micros%06d"
+    case s: Seq[_] => s.map(norm).mkString("[", ",", "]")
+    case a: Array[Byte] => pyBytes(a)
+    case a: Array[_] => a.map(norm).mkString("[", ",", "]")
+    case other => String.valueOf(other) // Long/Int/String/Date share str()
+  }
+  def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  /** Digest of a result: cells (columns pre-sorted by name) joined with
+    * U+001F, row strings sorted lexicographically, joined with U+001E. */
+  def digest(rowStrs: Array[String]): String = {
+    val sorted = rowStrs.sorted
+    md5Hex(sorted.mkString("\u001e"))
+  }
+}
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
@@ -26,6 +98,8 @@ object Verify {
     // the driver's compare records an err row instead of silently skipping)
     // and collect everything into <outDir>/errors.json.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val digests =
+      scala.collection.mutable.LinkedHashMap.empty[String, (String, Long)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -35,8 +109,21 @@ object Verify {
       // SparkContext and cache manager stay shared — the cache-leak gate
       // below still sees everything.
       val sess = spark.newSession()
-      try fn(sess, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(sess, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // canonical digest of the DUMP (re-read, so it fingerprints the
+        // bytes the driver will read, not the pre-write plan): columns
+        // sorted by name, values normalized check.py-style, row strings
+        // sorted. Lets a driver-only hash mismatch be triaged from the
+        // artifact without reproducing the driver environment.
+        val back = sess.read.parquet(s"$outDir/$name")
+        val cols = back.columns.sorted.map(org.apache.spark.sql.functions.col)
+        val rowStrs = back.select(cols.toIndexedSeq: _*).collect().map { r =>
+          (0 until r.length).map(i => Canon.norm(r.get(i))).mkString("\u001f")
+        }
+        digests(name) = (Canon.digest(rowStrs), rowStrs.length.toLong)
+      }
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(2000)}"
         System.err.println(s"[verify] $name failed: $msg")
@@ -68,6 +155,10 @@ object Verify {
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    val digJson = digests.map { case (k, (md5, rows)) =>
+      s"${q(k)}: {${q("md5")}: ${q(md5)}, ${q("rows")}: $rows}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/digests.json"), digJson)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: " +
         errors.keys.mkString(", "))

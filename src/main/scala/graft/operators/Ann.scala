@@ -975,6 +975,24 @@ object Ann {
     }.toSeq.toDF("m", "code", "c_vec")
   }
 
+  /** Largest packable 6dp-micro distance: (2⁶³−1) div 2²⁰, minus one so
+    * `d2m·2²⁰ + code` (code < 2²⁰) can never reach the sign bit. */
+  private val MaxPackableD2Micro = (Long.MaxValue >> 20) - 1L
+
+  /** The packed `(d2, code)` argmin key with the overflow guard inlined:
+    * round-6 → micro-units → range-check (raise_error keeps the whole
+    * expression inside WholeStageCodegen; the branch is one predicted-
+    * not-taken compare per row) → shift-and-or the code. */
+  private def pqPackedKey(d2: Column, code: Column): Column = {
+    val d2m = round(round(d2, 6) * lit(1000000.0)).cast("long")
+    when(d2m > lit(MaxPackableD2Micro), raise_error(concat(
+        lit("pqAssign: sub-vector squared L2 overflows the packed argmin " +
+          "key (d2_micro="), d2m.cast("string"),
+        lit(s", max $MaxPackableD2Micro); normalize or rescale the " +
+          "embeddings"))))
+      .otherwise(d2m * lit(1048576L) + code)
+  }
+
   /** Nearest-code argmin per (vector, subspace) as an AGGREGATE — the
     * [[nearestCellAgg]] shape: min over (round-6 squared L2, code), only
     * `(vec_id, m, code)` triples survive the map-side combine. The
@@ -997,10 +1015,14 @@ object Ann {
         // d2·10⁶ (ulp(1e4)·10⁶), so the outer half-up round recovers it
         // EXACTLY — identical ordering and code-id tie-break as the
         // struct form, bit-for-bit the same assignment. Key fits a long:
-        // d2·10⁶ ≤ ~10¹⁰ for any realistic sub-vector, ×2²⁰ ≪ 2⁶³.
-        (round(round(graft.functions.ArraySquaredL2(col("sub"), col("c_vec")),
-            6) * lit(1000000.0)).cast("long") * lit(1048576L) + col("code"))
-          .as("k"))
+        // d2·10⁶ ≤ ~10¹⁰ for any realistic sub-vector, ×2²⁰ ≪ 2⁶³ — and
+        // that bound is ENFORCED, not assumed: a sub-vector with squared
+        // L2 above (2⁶³−1)/2²⁰ · 10⁻⁶ ≈ 8.8e6 (huge unnormalized
+        // features) would silently wrap the multiply negative and min()
+        // would pick a corrupt assignment, so the guard fails loudly
+        // instead (normalize or scale the embeddings, or shrink dsub).
+        pqPackedKey(graft.functions.ArraySquaredL2(col("sub"), col("c_vec")),
+          col("code")).as("k"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(col("k")).as("k"))
       .select(col("vec_id"), col("m"),

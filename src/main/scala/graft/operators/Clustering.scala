@@ -199,7 +199,22 @@ object Clustering {
     *              collapsed (each unordered pair contributes once)
     * @return (id, rank) — DECIMAL(18,6) ranks summing to ~1 */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85): DataFrame =
+    // exact rescale: micro × 1e-6 as a decimal MULTIPLY (never a divide —
+    // decimal/decimal division takes engine-specific scale paths)
+    pageRankMicro(nodes, edges, iters, damping).select(col("id"),
+      (col("rank_micro").cast("decimal(18,6)") *
+        lit(new java.math.BigDecimal("0.000001")))
+        .cast("decimal(18,6)").as("rank"))
+
+  /** [[pageRank]] without the final decimal projection: the raw
+    * `(id, rank_micro)` LONG frame — every value an exact integer
+    * micro-unit, which is the representation-insensitive form to
+    * compare across engines (a BIGINT has one encoding everywhere;
+    * DECIMAL(18,6) has engine-specific parquet physical types and
+    * trailing-zero conventions). */
+  def pageRankMicro(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
+                    damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val n = nodes.toDF("id").count()
     // canonical undirected edge set, then both directions for out-flow
@@ -237,11 +252,6 @@ object Clustering {
       // Catalyst fuse short runs into one DAG and cut only every 4th.
       if (it % 4 == 0 && it < iters) ranks = ranks.localCheckpoint(true)
     }
-    // exact rescale: micro × 1e-6 as a decimal MULTIPLY (never a divide —
-    // decimal/decimal division takes engine-specific scale paths)
-    ranks.select(col("id"),
-      (col("rank_micro").cast("decimal(18,6)") *
-        lit(new java.math.BigDecimal("0.000001")))
-        .cast("decimal(18,6)").as("rank"))
+    ranks
   }
 }

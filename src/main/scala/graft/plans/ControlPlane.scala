@@ -144,8 +144,13 @@ final class ControlPlane(stateDir: Path,
         case scala.None => Left((404, "token not found"))
         case Some(t) if t.usedAt.isDefined => Left((400, "token used"))
         case Some(t) =>
-          if (sha256Hex(csrPem + ":" + t.secret) != hashHex)
-            Left((400, "hash missmatch"))
+          // constant-time like bearerAuthorized/adminAuthorized: a plain
+          // String != would let a holder of an unused token id probe the
+          // expected hex byte-by-byte via timing
+          if (!java.security.MessageDigest.isEqual(
+              sha256Hex(csrPem + ":" + t.secret).getBytes(UTF_8),
+              hashHex.getBytes(UTF_8)))
+            Left((400, "hash mismatch"))
           else ca match {
             case scala.None => Left((500, "no CA configured"))
             case Some(c) =>

@@ -379,9 +379,14 @@ final class SpecPushServer(dir: Path, port: Int = 0,
   }
 
   /** Reject anything that could escape the spec dir (separators, `..`) —
-    * the name IS the filename, never a path. */
+    * the name IS the filename, never a path. `__` is also rejected
+    * (mirroring the workspace-name guard): it is the workspace-member
+    * filename separator, so an ungrouped spec pushed as `a__b` would
+    * collide with workspace `a`'s namespace — listed by
+    * `GET /workspaces/a` and collaterally deleted by
+    * `DELETE /workspaces/a`, stopping an unrelated pipeline. */
   private def specPath(name: String): Option[Path] = name match {
-    case NamePat() if !name.contains("..") =>
+    case NamePat() if !name.contains("..") && !name.contains("__") =>
       Some(dir.resolve(if (name.endsWith(".json")) name else s"$name.json"))
     case _ => None
   }

@@ -97,6 +97,9 @@ final class SpecPushWs(port: Int = 0, host: String = "127.0.0.1",
 
   private def serve(sock: Socket): Unit = {
     try {
+      // pre-auth read deadline: a client that connects and sends nothing
+      // must not pin this thread (and a pre-auth socket) forever
+      sock.setSoTimeout(10000)
       val in = sock.getInputStream
       val out = sock.getOutputStream
       val headers = readRequestHead(in) match {
@@ -133,6 +136,7 @@ final class SpecPushWs(port: Int = 0, host: String = "127.0.0.1",
         "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
         s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes(UTF_8))
       out.flush()
+      sock.setSoTimeout(0) // post-handshake the reader may idle for hours
       clients.add(sock)
       readerLoop(sock, in, out)
     } catch { case _: Exception =>
@@ -192,6 +196,10 @@ final class SpecPushWs(port: Int = 0, host: String = "127.0.0.1",
           else if (len == 127) len = readN(8).map(_.foldLeft(0L)(
             (acc, x) => (acc << 8) | (x & 0xffL))).getOrElse(-1L)
           if (len < 0 || len > (1L << 20)) open = false // oversized: drop
+          // RFC 6455 §5.5: control frames carry at most 125 payload
+          // bytes — echoing a longer ping with a one-byte length field
+          // would emit a malformed frame, so reject the peer instead
+          else if (opcode >= 0x8 && len > 125) open = false
           else {
             val mask = if (masked) readN(4) else Some(Array.empty[Byte])
             val payload = readN(len.toInt)
@@ -299,6 +307,9 @@ final class SpecPushWsClient(host: String, port: Int,
             else if (len == 127) len = readN(8).map(_.foldLeft(0L)(
               (acc, x) => (acc << 8) | (x & 0xffL))).getOrElse(-1L)
             if (len < 0 || len > (1L << 20)) open = false
+            // RFC 6455 §5.5: a >125-byte control frame is a protocol
+            // violation (and unechoable with a one-byte length) — drop
+            else if ((h0 & 0x08) != 0 && len > 125) open = false
             else readN(len.toInt) match {
               case Some(p) => (h0 & 0x0f) match {
                 case 0x1 => onMessage(new String(p, UTF_8))

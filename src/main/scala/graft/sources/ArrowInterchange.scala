@@ -92,7 +92,18 @@ object ArrowInterchange {
   }
 
   /** Write `df` as one `.arrow` IPC file per partition under `dir` —
-    * executor-side, batch-bounded memory. */
+    * executor-side, batch-bounded memory.
+    *
+    * `dir` must be a path every executor AND the reader can see — a
+    * shared filesystem (NFS, fuse mount) or local mode. On a multi-node
+    * cluster with executor-local disks the shards land on different
+    * machines and [[readArrow]]'s driver-side listing would silently
+    * miss them; that topology needs the parquet/ORC sinks (which go
+    * through Hadoop committers) instead. Within that contract the write
+    * is torn-shard-safe: each task writes `.part-NNNNN.<attempt>.tmp`
+    * and ATOMICALLY renames to `part-NNNNN.arrow` on success, so a
+    * retried or speculatively-executed task never exposes a
+    * half-written file and the last successful attempt wins whole. */
   def writeArrow(df: DataFrame, dir: String, batchRows: Int = 4096): Unit = {
     require(batchRows > 0, "batchRows must be positive")
     val schema = df.schema
@@ -100,12 +111,19 @@ object ArrowInterchange {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val fin = java.nio.file.Paths.get(
+          s"$dir/part-${"%05d".format(pid)}.arrow")
+        // attempt id in the temp name: two live attempts of the same
+        // partition (speculation) must never interleave into one fd
+        val tmp = fin.resolveSibling(
+          s".part-${"%05d".format(pid)}.${tc.taskAttemptId()}.tmp")
         val alloc = new RootAllocator()
         val root = VectorSchemaRoot.create(arrowSchema(schema), alloc)
-        val out = new java.io.FileOutputStream(
-          s"$dir/part-${"%05d".format(pid)}.arrow")
+        val out = new java.io.FileOutputStream(tmp.toFile)
         val writer = new ArrowFileWriter(root, null, out.getChannel)
+        var ok = false
         try {
           writer.start()
           while (it.hasNext) {
@@ -124,8 +142,14 @@ object ArrowInterchange {
             writer.writeBatch()
           }
           writer.end()
+          ok = true
         } finally {
           writer.close(); out.close(); root.close(); alloc.close()
+          if (ok)
+            java.nio.file.Files.move(tmp, fin,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          else java.nio.file.Files.deleteIfExists(tmp)
         }
       }
     }

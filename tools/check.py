@@ -4,8 +4,18 @@ dumps against the DuckDB oracle SQL and compare values.
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, math, os
+import sys, json, glob, math, os, hashlib
 import duckdb
+
+
+def digest(rows, idx):
+    """Canonical result digest, mirroring graft.Canon (Verify.scala):
+    cells (columns sorted by name, via idx) joined with U+001F, row
+    strings sorted, joined with U+001E, md5. Lets a driver-only hash
+    mismatch be triaged by comparing digests.json (what Verify wrote)
+    against this recomputation and the oracle-side digest."""
+    strs = sorted("\x1f".join(norm(r[i]) for i in idx) for r in rows)
+    return hashlib.md5("\x1e".join(strs).encode("utf-8")).hexdigest()
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
@@ -28,6 +38,8 @@ def main(sf_dir, out_dir):
     # so without this it would vanish from the report entirely.
     errs_path = os.path.join(out_dir, "errors.json")
     errs = json.load(open(errs_path)) if os.path.exists(errs_path) else {}
+    dig_path = os.path.join(out_dir, "digests.json")
+    vdig = json.load(open(dig_path)) if os.path.exists(dig_path) else {}
     for name in sorted(set(errs) - set(oracle)):
         print(f"FAIL {name}: verify error: {errs[name][:200]}"); n_fail += 1
     for name in sorted(oracle):
@@ -63,10 +75,20 @@ def main(sf_dir, out_dir):
             n_fail += 1; continue
         g = sorted(tuple(norm(r[i]) for i in gi) for r in got)
         w = sorted(tuple(norm(r[i]) for i in wi) for r in want)
+        # informational digest triangulation: Verify's Scala-side digest
+        # of the dump vs this python recomputation of the same parquet.
+        # A disagreement here (with values equal) means the two readers
+        # render some type differently — exactly the class of driver-only
+        # mismatch the digest exists to expose.
+        gdig = digest(got, gi)
+        if name in vdig and vdig[name].get("md5") != gdig:
+            print(f"NOTE {name}: Verify digest {vdig[name]['md5']} != "
+                  f"check.py re-read {gdig} (type-rendering delta)")
         if g == w:
             print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
         else:
-            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}"
+                  f" spark-digest={gdig} oracle-digest={digest(want, wi)}")
             diffs = [(a, b) for a, b in zip(g, w) if a != b][:3]
             for a, b in diffs:
                 print(f"   spark:  {a}\n   oracle: {b}")
