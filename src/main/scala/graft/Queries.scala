@@ -2036,7 +2036,13 @@ object Queries {
     * captured centroids and replays assignment over everything, so any
     * drift between build-time and append-time assignment (type, rounding,
     * tiebreak) is a hash mismatch. */
-  @volatile private var appendCentsCapture: Option[Array[Array[Double]]] = scala.None
+  // the ORACLE capture is deferred: the timed query body records only
+  // (session, index path); the centroid read-back + collect — oracle
+  // plumbing, not operator work — runs when the oracle thunk is first
+  // rendered (Verify's oracle_sql.json dump), so the bench line prices
+  // the build/append/query operator alone
+  @volatile private var appendCentsSource: Option[(SparkSession, String)] =
+    scala.None
   private val annIvfAppend = Q.dynamicOpt(
     (s, dir) => {
       import s.implicits._
@@ -2045,9 +2051,7 @@ object Queries {
       graft.operators.Ann.ivfIndexWriteTrained(e.filter($"vec_id" % 5 =!= 0),
         path, kCentroids = 16, iters = 5, seed = "ivf")
       graft.operators.Ann.ivfIndexAppend(e.filter($"vec_id" % 5 === 0), path)
-      appendCentsCapture = Some(s.read.parquet(s"$path/centroids")
-        .orderBy($"c_id").collect()
-        .map(_.getAs[scala.collection.Seq[Double]]("c_vec").toArray))
+      appendCentsSource = Some((s, path))
       graft.operators.Ann.ivfIndexTopK(
           e.filter($"vec_id" < 10)
             .select($"vec_id", $"embedding".cast("array<double>").as("embedding")),
@@ -2055,7 +2059,11 @@ object Queries {
         .select($"q_id", $"n_id", $"cosine", $"rk")
         .orderBy($"q_id", $"rk")
     },
-    () => appendCentsCapture.map(centroidInjectedIvfOracle))
+    () => appendCentsSource.map { case (s, path) =>
+      centroidInjectedIvfOracle(s.read.parquet(s"$path/centroids")
+        .orderBy(col("c_id")).collect()
+        .map(_.getAs[scala.collection.Seq[Double]]("c_vec").toArray))
+    })
 
   /** Int8 scalar-quantized ANN — the memory/bandwidth lever at 100 TB:
     * embeddings quantize to 8-bit codes plus one scale per vector (4x

@@ -13,34 +13,64 @@ import java.nio.file.{Files, Paths}
   * rather than an unexplainable red row. */
 private[graft] object Canon {
   /** Python `f"{v:.9g}"` equivalent: 9 significant digits, trailing
-    * zeros stripped, exponent form iff exp < -4 or >= 9. */
+    * zeros stripped, exponent form iff exp < -4 or >= 9. NOT
+    * `java.util.Formatter`'s `%.9g` — Java rounds decimal ties HALF_UP
+    * where Python rounds the EXACT binary value half-even (2^-13 renders
+    * `0.000122070313` in Java vs `0.000122070312` in Python), which made
+    * digests.json disagree with check.py's recomputation on identical
+    * values. `new BigDecimal(double)` is the exact binary value; rounding
+    * THAT to 9 significant digits HALF_EVEN is precisely Python's
+    * correctly-rounded `%g`. */
   def g9(d: Double): String =
     if (d.isNaN) "NaN"
     else if (d.isPosInfinity) "inf"
     else if (d.isNegInfinity) "-inf"
-    else {
-      val raw = String.format(java.util.Locale.ROOT, "%.9g", Double.box(d))
-      val ei = raw.indexWhere(c => c == 'e' || c == 'E')
-      if (ei >= 0) {
-        val (m, e) = (raw.substring(0, ei), raw.substring(ei))
-        stripZeros(m) + e.toLowerCase
-      } else stripZeros(raw)
+    else if (d == 0.0) {
+      if (java.lang.Double.doubleToRawLongBits(d) != 0L) "-0" else "0"
+    } else {
+      val bd = new java.math.BigDecimal(d)
+        .round(new java.math.MathContext(9, java.math.RoundingMode.HALF_EVEN))
+        .stripTrailingZeros()
+      val neg = bd.signum() < 0
+      val abs = bd.abs()
+      val digits = abs.unscaledValue().toString
+      val exp = digits.length - 1 - abs.scale() // floor(log10(|v|))
+      val sb = new StringBuilder(if (neg) "-" else "")
+      if (exp >= -4 && exp < 9) {            // fixed notation
+        if (exp >= 0) {
+          if (digits.length <= exp + 1)
+            sb.append(digits).append("0" * (exp + 1 - digits.length))
+          else sb.append(digits.substring(0, exp + 1)).append('.')
+            .append(digits.substring(exp + 1))
+        } else sb.append("0.").append("0" * (-exp - 1)).append(digits)
+      } else {                               // exponent notation, e±NN
+        sb.append(digits.charAt(0))
+        if (digits.length > 1) sb.append('.').append(digits.substring(1))
+        sb.append('e').append(if (exp < 0) '-' else '+')
+        val ea = math.abs(exp).toString
+        sb.append(if (ea.length < 2) "0" + ea else ea)
+      }
+      sb.toString
     }
-  private def stripZeros(m: String): String =
-    if (!m.contains('.')) m
-    else m.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
-  /** Python-style `str(bytes)` repr for BLOB cells. */
+  /** Python-style `str(bytes)` repr for BLOB cells — including repr's
+    * QUOTE-SWITCH rule: a payload containing `'` but no `"` renders
+    * double-quoted with `'` literal (`repr(b"it's") == b"it's"`);
+    * everything else single-quoted with `'` escaped. */
   private def pyBytes(b: Array[Byte]): String = {
-    val sb = new StringBuilder("b'")
+    val hasSq = b.contains(0x27.toByte)
+    val hasDq = b.contains(0x22.toByte)
+    val dq = hasSq && !hasDq
+    val quote = if (dq) '"' else '\''
+    val sb = new StringBuilder("b").append(quote)
     b.foreach {
       case 0x5c => sb.append("\\\\")
-      case 0x27 => sb.append("\\'")
+      case 0x27 if !dq => sb.append("\\'")
       case c if c >= 0x20 && c < 0x7f => sb.append(c.toChar)
       case 0x09 => sb.append("\\t"); case 0x0a => sb.append("\\n")
       case 0x0d => sb.append("\\r")
       case c => sb.append(f"\\x${c & 0xff}%02x")
     }
-    sb.append("'").toString
+    sb.append(quote).toString
   }
   private val tsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
@@ -59,16 +89,46 @@ private[graft] object Canon {
     case s: Seq[_] => s.map(norm).mkString("[", ",", "]")
     case a: Array[Byte] => pyBytes(a)
     case a: Array[_] => a.map(norm).mkString("[", ",", "]")
+    case r: org.apache.spark.sql.Row =>
+      // STRUCT cells: Python-side `str(dict)` shape (`{'f': v, ...}`) —
+      // keys and string values single-quoted, other values via norm.
+      // Best-effort, documented boundary: Python reprs nested floats
+      // (shortest round-trip) where norm renders %.9g, so a struct
+      // holding a float may still NOTE-mismatch; no current query dumps
+      // one (arrays and scalars cover the surface).
+      val names: Array[String] =
+        if (r.schema != null) r.schema.fieldNames
+        else Array.tabulate(r.length)(i => s"_$i")
+      names.zipWithIndex.map { case (n, i) =>
+        val vs = r.get(i) match {
+          case s: String => "'" + s.replace("\\", "\\\\")
+            .replace("'", "\\'") + "'"
+          case other => norm(other)
+        }
+        s"'$n': $vs"
+      }.mkString("{", ", ", "}")
     case other => String.valueOf(other) // Long/Int/String/Date share str()
   }
   def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
-  /** Digest of a result: cells (columns pre-sorted by name) joined with
-    * U+001F, row strings sorted lexicographically, joined with U+001E. */
+  /** Python's `sorted(strs)` compares CODE POINTS; Scala/Java `.sorted`
+    * compares UTF-16 code units, which inverts the order between astral
+    * chars (surrogate pairs, 0xD800-) and BMP chars above 0xE000 —
+    * Python order is what check.py recomputes, so the digest sorts by
+    * code point. */
+  private[graft] def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
   def digest(rowStrs: Array[String]): String = {
-    val sorted = rowStrs.sorted
+    val sorted = rowStrs.sortWith(cpCompare(_, _) < 0)
     md5Hex(sorted.mkString("\u001e"))
   }
 }

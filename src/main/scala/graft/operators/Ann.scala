@@ -249,24 +249,70 @@ object Ann {
     * Returns the centroids as (cell 0..k-1, vector) in init-hash order. */
   def trainCentroids(corpus: DataFrame, kCentroids: Int = 0, iters: Int = 5,
                      seed: String = "ivf",
-                     sampleRate: Double = 1.0): Array[Array[Double]] = {
+                     sampleRate: Double = 1.0,
+                     maxTrainVectors: Int = DefaultMaxTrainVectors)
+      : Array[Array[Double]] = {
     require(iters >= 1, "need at least one Lloyd iteration")
-    val base = sampleFrame(corpus, sampleRate).persist()
+    val base = sampleFrame(corpus, sampleRate, maxTrainVectors, seed).persist()
     try lloyd(base, initCentroids(base, resolveK(base, kCentroids), seed), iters)
     finally base.unpersist()
   }
 
-  /** The deterministic training sample (md5(vec_id)-rate draw) as
-    * `(vec_id, emb: array<double>)`. */
-  private def sampleFrame(corpus: DataFrame, sampleRate: Double): DataFrame = {
+  /** Hard CAP on quantizer-training set size — the FAISS posture: k-means
+    * and PQ codebooks train on a bounded sample (10⁵-10⁶ vectors), never
+    * the corpus, so training cost is O(sample) while assignment/encode
+    * still covers every vector. 65,536 is FAISS's default
+    * `max_points_per_centroid`-style budget scale: 256 training vectors
+    * per code at the PQx8 default, far past diminishing returns for a
+    * Lloyd update. Pass 0 to disable (train on everything the rate draw
+    * kept). */
+  val DefaultMaxTrainVectors: Int = 65536
+
+  /** Widen a frame to cluster parallelism when the source delivers fewer
+    * partitions than cores. A small parquet table arrives as ONE split (a
+    * single row group cannot be divided), so every map-side stage built on
+    * it — the per-iteration Lloyd assignment, the PQ encode — serializes
+    * onto one core no matter how wide the cluster; measured on the bench
+    * corpus this was ~4x the entire `ann_pq_train` line. Deterministic
+    * hash partitioning on `vec_id` (NOT round-robin: repartition(n) splits
+    * by input order, which a retried upstream task can change); a no-op
+    * whenever the source already has enough splits, so at 100 TB — where
+    * scans arrive thousands of partitions wide — no shuffle is added. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col("vec_id"))
+  }
+
+  /** The deterministic training sample as `(vec_id, emb: array<double>)`:
+    * the md5(vec_id)-rate draw, then — when `maxTrainVectors > 0` — the
+    * `maxTrainVectors` survivors with the smallest md5(seed‖vec_id)
+    * (seeded-hash order: partition- and insertion-independent, so the
+    * trained model is bit-identical across runs and replayable by an
+    * oracle that ranks the same hash). The cap runs as one
+    * scan + bounded-heap top-N (TakeOrdered — no full sort), and a
+    * non-binding cap keeps every row, so small-corpus training — and the
+    * SQL oracles that replay it in full — are byte-identical with the cap
+    * on. */
+  private def sampleFrame(corpus: DataFrame, sampleRate: Double,
+                          maxTrainVectors: Int = 0,
+                          seed: String = ""): DataFrame = {
     val base0 = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
-    if (sampleRate >= 1.0) base0
-    else {
-      val u = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 10000L
-      base0.filter(u < (lit(sampleRate) * 10000L).cast("long"))
-    }
+    val rated =
+      if (sampleRate >= 1.0) base0
+      else {
+        val u = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10000L
+        base0.filter(u < (lit(sampleRate) * 10000L).cast("long"))
+      }
+    val capped =
+      if (maxTrainVectors <= 0) rated
+      else rated.orderBy(
+          md5(concat(lit(s"${seed}cap_"), col("vec_id").cast("string"))),
+          col("vec_id"))
+        .limit(maxTrainVectors)
+    spread(capped)
   }
 
   private def resolveK(base: DataFrame, kCentroids: Int): Int =
@@ -351,10 +397,12 @@ object Ann {
                              sampleRate: Double = 1.0,
                              balanceFactor: Double = 3.0,
                              maxSplitRounds: Int = 8,
-                             splitIters: Int = 2): Array[Array[Double]] = {
+                             splitIters: Int = 2,
+                             maxTrainVectors: Int = DefaultMaxTrainVectors)
+      : Array[Array[Double]] = {
     require(balanceFactor > 1.0, "balanceFactor must exceed 1")
     val spark = corpus.sparkSession
-    val base = sampleFrame(corpus, sampleRate).persist()
+    val base = sampleFrame(corpus, sampleRate, maxTrainVectors, seed).persist()
     try {
       var cents = lloyd(base, initCentroids(base, resolveK(base, kCentroids),
         seed), iters)
@@ -481,10 +529,12 @@ object Ann {
   }
 
   private def trainedIndex(corpus: DataFrame, kCentroids: Int, iters: Int,
-                           seed: String,
-                           sampleRate: Double): (DataFrame, DataFrame) =
+                           seed: String, sampleRate: Double,
+                           maxTrainVectors: Int = DefaultMaxTrainVectors)
+      : (DataFrame, DataFrame) =
     indexFrames(corpus,
-      trainCentroids(corpus, kCentroids, iters, seed, sampleRate))
+      trainCentroids(corpus, kCentroids, iters, seed, sampleRate,
+        maxTrainVectors))
 
   /** IVF with a TRAINED quantizer: [[trainCentroids]] then the same
     * assignment/probe/scoring machinery as [[ivfTopK]]. This is the
@@ -492,8 +542,10 @@ object Ann {
     * below remains for reproducing a fixed index layout. */
   def ivfTopKTrained(corpus: DataFrame, isQuery: Column, k: Int,
                      nProbe: Int = 2, kCentroids: Int = 0, iters: Int = 5,
-                     seed: String = "ivf", sampleRate: Double = 1.0): DataFrame = {
-    val (e, cent) = trainedIndex(corpus, kCentroids, iters, seed, sampleRate)
+                     seed: String = "ivf", sampleRate: Double = 1.0,
+                     maxTrainVectors: Int = DefaultMaxTrainVectors): DataFrame = {
+    val (e, cent) = trainedIndex(corpus, kCentroids, iters, seed, sampleRate,
+      maxTrainVectors)
     ivfTopKFrom(e, isQuery, cent, k, nProbe)
   }
 
@@ -517,9 +569,10 @@ object Ann {
     * as a `lang`/`source` column. Same deterministic quantizer and
     * round-6/id-tiebreak assignment as every IVF path. */
   def semanticTopics(corpus: DataFrame, kCentroids: Int = 0, iters: Int = 5,
-                     seed: String = "ivf",
-                     sampleRate: Double = 1.0): DataFrame = {
-    val (e, cent) = trainedIndex(corpus, kCentroids, iters, seed, sampleRate)
+                     seed: String = "ivf", sampleRate: Double = 1.0,
+                     maxTrainVectors: Int = DefaultMaxTrainVectors): DataFrame = {
+    val (e, cent) = trainedIndex(corpus, kCentroids, iters, seed, sampleRate,
+      maxTrainVectors)
     assignCells(e, cent).select(col("vec_id"), col("cell").as("topic"))
   }
 
@@ -529,10 +582,12 @@ object Ann {
                              nProbe: Int = 2, kCentroids: Int = 0,
                              iters: Int = 5, seed: String = "ivf",
                              sampleRate: Double = 1.0,
-                             balanceFactor: Double = 3.0): DataFrame =
+                             balanceFactor: Double = 3.0,
+                             maxTrainVectors: Int = DefaultMaxTrainVectors)
+      : DataFrame =
     ivfTopKFromCentroids(corpus, isQuery,
       trainCentroidsBalanced(corpus, kCentroids, iters, seed, sampleRate,
-        balanceFactor), k, nProbe)
+        balanceFactor, maxTrainVectors = maxTrainVectors), k, nProbe)
 
   /** Vector→cell populations of a trained quantizer over the full corpus:
     * `(cell, n)` — the bench derives the max/mean imbalance from this (a
@@ -542,12 +597,14 @@ object Ann {
     * balanced path against the raw one. */
   def ivfCellCounts(corpus: DataFrame, kCentroids: Int = 0, iters: Int = 5,
                     seed: String = "ivf", sampleRate: Double = 1.0,
-                    balanceFactor: Double = 0.0): DataFrame = {
+                    balanceFactor: Double = 0.0,
+                    maxTrainVectors: Int = DefaultMaxTrainVectors): DataFrame = {
     val cents =
       if (balanceFactor > 0.0)
         trainCentroidsBalanced(corpus, kCentroids, iters, seed, sampleRate,
-          balanceFactor)
-      else trainCentroids(corpus, kCentroids, iters, seed, sampleRate)
+          balanceFactor, maxTrainVectors = maxTrainVectors)
+      else trainCentroids(corpus, kCentroids, iters, seed, sampleRate,
+        maxTrainVectors)
     val (e, cent) = indexFrames(corpus, cents)
     assignCells(e, cent).groupBy(col("cell")).agg(count(lit(1)).as("n"))
   }
@@ -566,10 +623,12 @@ object Ann {
   def ivfScanUnitCounts(corpus: DataFrame, kCentroids: Int = 0,
                         iters: Int = 5, seed: String = "ivf",
                         sampleRate: Double = 1.0,
-                        balanceFactor: Double = 3.0): DataFrame = {
+                        balanceFactor: Double = 3.0,
+                        maxTrainVectors: Int = DefaultMaxTrainVectors)
+      : DataFrame = {
     require(balanceFactor > 1.0, "balanceFactor must exceed 1")
     val cents = trainCentroidsBalanced(corpus, kCentroids, iters, seed,
-      sampleRate, balanceFactor)
+      sampleRate, balanceFactor, maxTrainVectors = maxTrainVectors)
     val (e, cent) = indexFrames(corpus, cents)
     val assign = assignCells(e, cent)
     saltAssignments(assign, cents.length, balanceFactor)
@@ -612,9 +671,10 @@ object Ann {
   def semanticDedup(corpus: DataFrame, threshold: Double = 0.7,
                     kCentroids: Int = 0, iters: Int = 5,
                     seed: String = "ivf", sampleRate: Double = 1.0,
-                    maxBlock: Long = 10000): DataFrame =
-    semanticDedupFrom(trainedIndex(corpus, kCentroids, iters, seed, sampleRate),
-      threshold, maxBlock)
+                    maxBlock: Long = 10000,
+                    maxTrainVectors: Int = DefaultMaxTrainVectors): DataFrame =
+    semanticDedupFrom(trainedIndex(corpus, kCentroids, iters, seed, sampleRate,
+      maxTrainVectors), threshold, maxBlock)
 
   /** [[semanticDedup]] from DRIVER-HELD centroids — lets the bench time
     * the dedup pass separately from the quantizer training. */
@@ -760,9 +820,11 @@ object Ann {
                            kCentroids: Int = 0, iters: Int = 5,
                            seed: String = "ivf",
                            sampleRate: Double = 1.0,
-                           balanceFactor: Double = 0.0): Unit =
+                           balanceFactor: Double = 0.0,
+                           maxTrainVectors: Int = DefaultMaxTrainVectors): Unit =
     if (balanceFactor <= 0.0) {
-      val (e, cent) = trainedIndex(corpus, kCentroids, iters, seed, sampleRate)
+      val (e, cent) = trainedIndex(corpus, kCentroids, iters, seed, sampleRate,
+        maxTrainVectors)
       ivfIndexWriteFrom(e, cent, path)
     } else {
       // BALANCED on-disk layout: hot cells split by 2-means where
@@ -771,7 +833,7 @@ object Ann {
       // the others. [[ivfIndexTopK]] prunes on the `cell` prefix and is
       // oblivious to the salt sub-dirs.
       val cents = trainCentroidsBalanced(corpus, kCentroids, iters, seed,
-        sampleRate, balanceFactor)
+        sampleRate, balanceFactor, maxTrainVectors = maxTrainVectors)
       val (e, cent) = indexFrames(corpus, cents)
       val salted = saltAssignments(assignCells(e, cent), cents.length,
         balanceFactor)
@@ -910,10 +972,12 @@ object Ann {
   def trainPqCodebooks(corpus: DataFrame, subspaces: Int = 8,
                        codes: Int = 256,
                        iters: Int = 4, seed: String = "pq",
-                       sampleRate: Double = 1.0): Array[Array[Array[Double]]] = {
+                       sampleRate: Double = 1.0,
+                       maxTrainVectors: Int = DefaultMaxTrainVectors)
+      : Array[Array[Array[Double]]] = {
     require(iters >= 1, "need at least one Lloyd iteration")
     require(subspaces >= 1 && codes >= 2, "need >= 1 subspaces and >= 2 codes")
-    val base = sampleFrame(corpus, sampleRate).persist()
+    val base = sampleFrame(corpus, sampleRate, maxTrainVectors, seed).persist()
     try {
       val dims = base.select(size(col("emb"))).head.getInt(0)
       require(dims % subspaces == 0,
@@ -1053,8 +1117,11 @@ object Ann {
     val subspaces = cb.length
     val dsub = cb(0)(0).length
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    val e = corpus.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("emb"), isQuery.as("_q"))
+    // spread(): the encode pass fans each vector into subspaces·codes
+    // distance rows — a single-split source serializes all of it onto one
+    // core (see [[spread]]); a no-op for wide sources
+    val e = spread(corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"), isQuery.as("_q")))
     val enc = pqAssign(subvectorFrame(e, subspaces, dsub),
       codebookFrame(spark, cb))
     val q = e.filter(col("_q")).select(col("vec_id").as("q_id"),
@@ -1143,9 +1210,11 @@ object Ann {
     * search (the `ann_topk` section's `pq` variant). */
   def pqTopK(corpus: DataFrame, isQuery: Column, k: Int, subspaces: Int = 8,
              codes: Int = 256, iters: Int = 4, seed: String = "pq",
-             sampleRate: Double = 1.0): DataFrame =
+             sampleRate: Double = 1.0,
+             maxTrainVectors: Int = DefaultMaxTrainVectors): DataFrame =
     pqTopKFromCodebooks(corpus, isQuery,
-      trainPqCodebooks(corpus, subspaces, codes, iters, seed, sampleRate), k)
+      trainPqCodebooks(corpus, subspaces, codes, iters, seed, sampleRate,
+        maxTrainVectors), k)
 
   // ------------------------------------------------------------ IVF-PQ
 
@@ -1172,14 +1241,22 @@ object Ann {
   def ivfPqTrain(corpus: DataFrame, kCentroids: Int = 16, subspaces: Int = 8,
                  codes: Int = 256, centIters: Int = 5, pqIters: Int = 4,
                  seed: String = "ivf", pqSeed: String = "pq",
-                 sampleRate: Double = 1.0)
+                 sampleRate: Double = 1.0,
+                 maxTrainVectors: Int = DefaultMaxTrainVectors)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val cents = trainCentroids(corpus, kCentroids, centIters, seed, sampleRate)
-    val e = sampleFrame(corpus, 1.0)
+    val cents = trainCentroids(corpus, kCentroids, centIters, seed, sampleRate,
+      maxTrainVectors)
+    // residuals are only needed for TRAINING here, so the cap applies
+    // BEFORE the residual subtraction (same pqSeed hash order — the inner
+    // trainPqCodebooks cap then keeps every row, selecting the identical
+    // set): computing x − c(x) over the full corpus to then train on a
+    // 65k sample would be an O(corpus·K) pass spent on vectors the
+    // trainer immediately drops.
+    val e = sampleFrame(corpus, 1.0, maxTrainVectors, pqSeed)
     val res = residualFrame(e, cents)
       .select(col("vec_id"), col("emb").as("embedding"))
     (cents, trainPqCodebooks(res, subspaces, codes, pqIters, pqSeed,
-      sampleRate))
+      sampleRate, maxTrainVectors))
   }
 
   /** IVF-PQ serving: probe `nProbe` coarse cells, score ONLY their members,
@@ -1208,8 +1285,10 @@ object Ann {
     val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
     def r6(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    val e = corpus.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("emb"))
+    // spread(): same single-split hazard as [[pqTopKFromCodebooks]] — the
+    // residual encode is the expensive map stage here
+    val e = spread(corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb")))
     // the residual subtree feeds TWO branches (the subspace encode and the
     // vec->cell map); materialize it once — localCheckpoint, not persist,
     // so the serving plan starts from the materialized RDD instead of
@@ -1293,9 +1372,10 @@ object Ann {
                 kCentroids: Int = 16, subspaces: Int = 8, codes: Int = 256,
                 nProbe: Int = 2, centIters: Int = 5, pqIters: Int = 4,
                 seed: String = "ivf", pqSeed: String = "pq",
-                sampleRate: Double = 1.0): DataFrame = {
+                sampleRate: Double = 1.0,
+                maxTrainVectors: Int = DefaultMaxTrainVectors): DataFrame = {
     val (cents, cb) = ivfPqTrain(corpus, kCentroids, subspaces, codes,
-      centIters, pqIters, seed, pqSeed, sampleRate)
+      centIters, pqIters, seed, pqSeed, sampleRate, maxTrainVectors)
     ivfPqTopKFrom(corpus, isQuery, cents, cb, k, nProbe)
   }
 

@@ -30,6 +30,13 @@ object SectionRegistry {
   private def in(df: Option[DataFrame]): DataFrame =
     df.getOrElse(throw new IllegalArgumentException("section requires an input"))
 
+  /** `train_max_vectors` — the quantizer-training sample cap every
+    * trained-ANN section forwards (see
+    * [[graft.operators.Ann.DefaultMaxTrainVectors]]); 0 disables. */
+  private def trainCap(c: Map[String, String]): Int =
+    c.getOrElse("train_max_vectors",
+      graft.operators.Ann.DefaultMaxTrainVectors.toString).toInt
+
   /** Registered sections. Source/transform/destination names follow the
     * reference registry (`config_registry/src/lib.rs:26-39`). */
   val entries: Map[String, Entry] = Map(
@@ -342,7 +349,8 @@ object SectionRegistry {
               kCentroids = c.getOrElse("k_centroids", "0").toInt,
               iters = c.getOrElse("train_iters", "5").toInt,
               seed = c.getOrElse("seed", "ivf"),
-              sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble)
+              sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
+              maxTrainVectors = trainCap(c))
           }
           // product quantization: trained codebooks + ADC serving — the
           // compressed-corpus path (codes, not floats, ride the scoring)
@@ -351,7 +359,8 @@ object SectionRegistry {
             codes = c.getOrElse("codes", "256").toInt,
             iters = c.getOrElse("train_iters", "4").toInt,
             seed = c.getOrElse("seed", "pq"),
-            sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble)
+            sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
+            maxTrainVectors = trainCap(c))
           // residual IVF-PQ (the FAISS IVFx,PQy shape): coarse cells
           // prune, residual codes score — the at-scale default
           case "ivf_pq" => graft.operators.Ann.ivfPqTopK(frame, isQuery, k,
@@ -361,7 +370,8 @@ object SectionRegistry {
             nProbe = c.getOrElse("probes", "2").toInt,
             seed = c.getOrElse("seed", "ivf"),
             pqSeed = c.getOrElse("pq_seed", "pq"),
-            sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble)
+            sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
+            maxTrainVectors = trainCap(c))
           case other => throw new IllegalArgumentException(
             s"ann_topk variant must be brute|lsh|lsh_single|lsh_probe|" +
             s"lsh_multi|ivf|pq|ivf_pq, got $other")
@@ -831,7 +841,8 @@ object SectionRegistry {
         iters = c.getOrElse("train_iters", "5").toInt,
         seed = c.getOrElse("seed", "ivf"),
         sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
-        maxBlock = c.getOrElse("max_block", "10000").toLong))),
+        maxBlock = c.getOrElse("max_block", "10000").toLong,
+        maxTrainVectors = trainCap(c)))),
     // on-disk IVF index build (destination) and query (source-shaped
     // transform: input frame = the query vectors)
     "ann_index_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
@@ -844,7 +855,8 @@ object SectionRegistry {
             kCentroids = c.getOrElse("k_centroids", "0").toInt,
             iters = c.getOrElse("train_iters", "5").toInt,
             seed = c.getOrElse("seed", "ivf"),
-            sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble)
+            sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
+            maxTrainVectors = trainCap(c))
         }
         scala.None
       }),
@@ -863,7 +875,8 @@ object SectionRegistry {
             subspaces = c.getOrElse("subspaces", "8").toInt,
             codes = c.getOrElse("codes", "256").toInt,
             centIters = c.getOrElse("cent_iters", "5").toInt,
-            pqIters = c.getOrElse("pq_iters", "4").toInt),
+            pqIters = c.getOrElse("pq_iters", "4").toInt,
+            maxTrainVectors = trainCap(c)),
           cfg(c, "path"), s)
         scala.None
       }),

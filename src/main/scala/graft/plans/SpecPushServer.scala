@@ -151,8 +151,13 @@ final class SpecPushServer(dir: Path, port: Int = 0,
     * deletes its files, so its pipelines stop on the next poll. */
   private def wsSpecPath(ws: String, name: String): Option[Path] =
     (ws, name) match {
+      // the member name gets the same `__` screen as the workspace and
+      // the ungrouped route: `PUT /workspaces/a/specs/b__c` would land as
+      // `a__b__c.json`, ambiguous under stripPrefix with a member
+      // literally named `b__c` vs nested-looking names
       case (NamePat(), NamePat()) if !ws.contains("..") &&
-          !ws.contains("__") && !name.contains("..") =>
+          !ws.contains("__") && !name.contains("..") &&
+          !name.contains("__") =>
         val base = if (name.endsWith(".json")) name else s"$name.json"
         Some(dir.resolve(s"${ws}__$base"))
       case _ => None
@@ -342,7 +347,14 @@ final class SpecPushServer(dir: Path, port: Int = 0,
     }
     (ex.getRequestMethod, rel) match {
       case ("GET", "") =>
-        val names = listing().map(n => s""""$n"""").mkString("[", ",", "]")
+        // UNGROUPED listing: workspace-member files (`ws__spec.json`) are
+        // this route's namespace collision, not its content — they list
+        // under `GET /workspaces/<ws>`. Filtering here also keeps a
+        // legacy `__`-named ungrouped file (pushed before the `__` guard)
+        // from being listed as reachable when GET-by-name now 400s; such
+        // files remain removable via DELETE below.
+        val names = listing().filterNot(_.contains("__"))
+          .map(n => s""""$n"""").mkString("[", ",", "]")
         respond(ex, 200, names + "\n")
       case ("GET", name) => specPath(name) match {
         case Some(p) if Files.exists(p) =>
@@ -368,7 +380,7 @@ final class SpecPushServer(dir: Path, port: Int = 0,
           }
         case None => respond(ex, 400, "bad spec name\n")
       }
-      case ("DELETE", name) => specPath(name) match {
+      case ("DELETE", name) => specPath(name).orElse(legacySpecPath(name)) match {
         case Some(p) =>
           if (Files.deleteIfExists(p)) { notifyChange(); respond(ex, 200, "deleted\n") }
           else respond(ex, 404, "no such spec\n")
@@ -376,6 +388,20 @@ final class SpecPushServer(dir: Path, port: Int = 0,
       }
       case _ => respond(ex, 405, "method not allowed\n")
     }
+  }
+
+  /** MIGRATION escape hatch for the `__` guard: an ungrouped spec file
+    * pushed as `a__b` BEFORE the guard existed can no longer be read or
+    * re-pushed through the API (by design — the name shadows workspace
+    * `a`'s namespace), but it must stay REMOVABLE, or it runs forever
+    * until someone deletes the file by hand. DELETE — and only DELETE —
+    * therefore accepts `__` names (path-escape screens intact; the
+    * authenticated caller may equally reach the same file through
+    * `DELETE /workspaces/a`, so no new capability is granted). */
+  private def legacySpecPath(name: String): Option[Path] = name match {
+    case NamePat() if !name.contains("..") =>
+      Some(dir.resolve(if (name.endsWith(".json")) name else s"$name.json"))
+    case _ => None
   }
 
   /** Reject anything that could escape the spec dir (separators, `..`) —

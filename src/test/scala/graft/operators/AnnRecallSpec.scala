@@ -125,6 +125,42 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(counts.sum == n && counts.max < n / 2)
   }
 
+  test("maxTrainVectors: binding cap is deterministic, partition-independent, " +
+    "and a non-binding cap changes nothing") {
+    val e = Tables.embeddings(spark, TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    // BINDING cap (100 of 500): same model across runs and partitionings —
+    // the seeded-hash draw is independent of layout, the property that
+    // makes a capped training run oracle-replayable
+    def flat2(m: Array[Array[Double]]): Seq[Seq[Double]] = m.map(_.toSeq).toSeq
+    def flat3(m: Array[Array[Array[Double]]]): Seq[Seq[Seq[Double]]] =
+      m.map(c => c.map(_.toSeq).toSeq).toSeq
+    val a = Ann.trainCentroids(e, kCentroids = 8, iters = 2,
+      maxTrainVectors = 100)
+    val b = Ann.trainCentroids(e.repartition(7, col("vec_id")),
+      kCentroids = 8, iters = 2, maxTrainVectors = 100)
+    assert(flat2(a) == flat2(b))
+    // the capped model differs from the full-corpus one (it trained on a
+    // strict subset) …
+    val full = Ann.trainCentroids(e, kCentroids = 8, iters = 2,
+      maxTrainVectors = 0)
+    assert(flat2(a) != flat2(full))
+    // … and a NON-binding cap (the 65k default over 500 rows) is a no-op:
+    // small-corpus training — and the SQL oracles replaying it in full —
+    // are byte-identical with the cap on
+    val dflt = Ann.trainCentroids(e, kCentroids = 8, iters = 2)
+    assert(flat2(dflt) == flat2(full))
+    // same discipline for the PQ trainer
+    val cbCap = Ann.trainPqCodebooks(e, subspaces = 4, codes = 8, iters = 1,
+      maxTrainVectors = 100)
+    val cbCap2 = Ann.trainPqCodebooks(e.repartition(5, col("vec_id")),
+      subspaces = 4, codes = 8, iters = 1, maxTrainVectors = 100)
+    assert(flat3(cbCap) == flat3(cbCap2))
+    val cbFull = Ann.trainPqCodebooks(e, subspaces = 4, codes = 8, iters = 1,
+      maxTrainVectors = 0)
+    assert(flat3(cbCap) != flat3(cbFull))
+  }
+
   test("trainCentroidsBalanced: separable hot cell splits; assignment stays complete") {
     import spark.implicits._
     // 80 vectors in one heavy direction with ± sub-structure on axis 1

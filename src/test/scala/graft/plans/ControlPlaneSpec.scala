@@ -202,6 +202,12 @@ class ControlPlaneSpec extends AnyFunSuite {
       assert(Files.exists(specDir.resolve("prod__ingest.json")))
       assert(http("PUT", s"$base/workspaces/ghost/specs/x", Some(spec),
         auth = Some("admin-secret"))._1 == 404) // unknown workspace
+      // the MEMBER name gets the same `__` screen as the workspace name:
+      // `b__c` would land as `prod__b__c.json`, ambiguous under the
+      // prefix-parse with nested-looking names
+      assert(http("PUT", s"$base/workspaces/prod/specs/b__c", Some(spec),
+        auth = Some("admin-secret"))._1 == 400)
+      assert(!Files.exists(specDir.resolve("prod__b__c.json")))
       // workspace read returns its members, secrets redacted
       val (_, wb) = http("GET", s"$base/workspaces/prod")
       assert(wb.contains("\"ingest\"") && wb.contains("parquet_source"))

@@ -161,6 +161,37 @@ class SpecPushServerSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("'__' names: hidden from the ungrouped listing, unreachable by " +
+    "GET/PUT, but legacy files stay DELETE-able") {
+    val specDir = Files.createTempDirectory("graft_push_uu")
+    val server = new SpecPushServer(specDir, port = 0)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}/specs"
+      val spec = """{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"/tmp/x"}}],
+        "edges":[]}"""
+      // a normal spec plus a PRE-GUARD legacy file written straight to
+      // the dir (how an old `a__b` push would have landed)
+      assert(http("POST", s"$base/plain", Some(spec))._1 == 200)
+      Files.writeString(specDir.resolve("legacy__old.json"), spec)
+      // the ungrouped listing shows only the non-namespaced spec — a
+      // `__` file is workspace namespace (or a legacy orphan), not
+      // ungrouped content
+      val (lc, listing) = http("GET", base)
+      assert(lc == 200 && listing.contains("plain.json") &&
+        !listing.contains("legacy__old"), listing)
+      // GET / PUT by `__` name stay 400 (the namespace-collision guard)
+      assert(http("GET", s"$base/legacy__old")._1 == 400)
+      assert(http("PUT", s"$base/legacy__old", Some(spec))._1 == 400)
+      // …but DELETE reaches the legacy file, so it does not run forever
+      assert(http("DELETE", s"$base/legacy__old")._1 == 200)
+      assert(!Files.exists(specDir.resolve("legacy__old.json")))
+      // path escapes stay rejected on the DELETE fallback too
+      assert(http("DELETE", s"$base/..%2Fevil__x")._1 == 400)
+    } finally server.stop()
+  }
+
   test("path escapes are rejected; GET redacts secrets") {
     val specDir = Files.createTempDirectory("graft_push_sec")
     val server = new SpecPushServer(specDir, port = 0)
