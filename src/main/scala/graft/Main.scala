@@ -100,10 +100,14 @@ object Main {
         Paths.get(dir).resolve(".control"), ca)
       // websocket push channel: spec mutations broadcast RefetchGraph so
       // connected daemons reconcile immediately; the poll loop below
-      // stays as the fallback for daemons that never connect
+      // stays as the fallback for daemons that never connect. The
+      // graphProvider serves GetGraph in-band (secret-real), so a
+      // dir-less GraphSyncDaemon bootstraps purely off this socket.
       val ws = new graft.plans.SpecPushWs(
         port = if (port == 0) 0 else port + 1,
-        token = sys.env.get("GRAFT_PUSH_TOKEN"))
+        token = sys.env.get("GRAFT_PUSH_TOKEN"),
+        graphProvider = Some(() =>
+          graft.plans.GraphSync.graphResponseJson(Paths.get(dir))))
       val server = new graft.plans.SpecPushServer(Paths.get(dir), port,
         status = Some(() => orch.snapshot),
         token = sys.env.get("GRAFT_PUSH_TOKEN"),
@@ -127,6 +131,19 @@ object Main {
         .foreach { case (name, e) =>
           println(f"$name%-32s ${e.io.input}%-16s -> ${e.io.output}")
         }
+
+    // the measured ANN recall ladder from the last bench record, mapped
+    // to the ann_topk section configs that reproduce each line — so a
+    // spec author picks a variant's quality/cost operating point from
+    // numbers, not blind
+    case "sections" :: "--recall" :: rest if rest.size <= 1 =>
+      val path = Paths.get(rest.headOption.getOrElse("bench_last.json"))
+      if (!Files.exists(path)) {
+        System.err.println(s"no bench record at $path — run graft.Bench " +
+          "first (or pass the record path)")
+        sys.exit(2)
+      }
+      println(graft.plans.RecallReport.render(readFile(path)))
 
     // plan inspection: print a registered query's physical plan against
     // a testdata dir — the .explain("formatted") loop made a command
@@ -176,7 +193,7 @@ object Main {
     case _ =>
       System.err.println("usage: graft run <spec.json>... | reconcile <dir> | " +
         "watch <dir> [intervalMs] | serve <dir> [port] [intervalMs] | " +
-        "validate <spec.json> | show <spec.json> | sections | " +
+        "validate <spec.json> | show <spec.json> | sections [--recall [record]] | " +
         "explain <query> [sfDir] | " +
         "compact <path> [targetMB] | zorder <in> <out> <cols> <files> | " +
         "replicate <dbGlob> <replicaDir> [stateDir]")

@@ -73,9 +73,11 @@ object Corpus {
     val nGrams = math.max(benchGrams.count(), 1L)
     val bf = benchGrams.stat.bloomFilter("g", nGrams, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
-    val mightOverlap = udf((gs: scala.collection.Seq[Long]) =>
-      gs != null && gs.exists(bfB.value.mightContainLong))
-    val candidates = corpus.filter(mightOverlap(WordNgramHashes(col(textCol), n)))
+    // codegen'd probe over the broadcast handle — keeps the prefilter
+    // scan inside WholeStageCodegen like every other text kernel (this
+    // replaced the last scala udf() in main)
+    val candidates = corpus.filter(
+      graft.functions.BloomMightContainAny(WordNgramHashes(col(textCol), n), bfB))
     deconOverlap(candidates, bench, n, idCol, textCol)
   }
 

@@ -418,4 +418,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct.length == a.length,
       "distinct vectors must stay distinct after projection")
   }
+
+  test("BloomMightContainAny: codegen and interpreted agree; null-safe; no udf") {
+    val hits = Seq(11L, 22L, 33L)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    hits.foreach(bf.putLong)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val df = Seq(
+      (1L, Seq(1L, 2L, 22L)),   // one hit
+      (2L, Seq(1L, 2L, 3L)),    // no hit (w.h.p. at this fpp/size)
+      (3L, Seq.empty[Long]),    // empty -> false
+      (4L, hits)                // all hits
+    ).toDF("id", "gs")
+      .union(Seq((5L, null.asInstanceOf[Seq[Long]])).toDF("id", "gs"))
+    def run(d: org.apache.spark.sql.DataFrame) = d
+      .select($"id", BloomMightContainAny($"gs", bfB).as("m"))
+      .orderBy($"id").as[(Long, Boolean)].collect().toSeq
+    val got = run(df)
+    assert(got == Seq(1L -> true, 2L -> false, 3L -> false, 4L -> true,
+      5L -> false), got)
+    // interpreted fallback (codegen off) must agree bit-for-bit
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run(df) == got)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }

@@ -223,8 +223,15 @@ class PlanShapeSpec extends AnyFunSuite {
     // per document); exploding first would defeat the prefilter
     val filterIdx = p.indexOf("Filter")
     val explodeIdx = p.indexOf("Generate explode")
-    assert(p.contains("word_ngram_hashes") || p.toLowerCase.contains("udf"),
-      s"prefilter UDF missing from the plan:\n${p.take(2000)}")
+    assert(p.contains("wordngramhashes"),
+      s"prefilter gram kernel missing from the plan:\n${p.take(2000)}")
+    // the probe is the codegen'd BloomMightContainAny EXPRESSION, not a
+    // scala udf (which would drop the scan out of WholeStageCodegen)
+    assert(p.contains("bloommightcontainany") ||
+        p.contains("BloomMightContainAny"),
+      s"codegen'd Bloom probe missing from the plan:\n${p.take(2000)}")
+    assert(!p.toLowerCase.contains("scalaudf"),
+      "the prefilter must not run as an interpreted scala udf")
     assert(explodeIdx < 0 || filterIdx >= 0,
       "prefilter must exist alongside the confirm-stage explode")
   }
