@@ -17,9 +17,20 @@ import java.nio.charset.StandardCharsets.UTF_8
   * HTTP routes, sharing the same [[TlsConfig]] material (same keystore,
   * same truststore, same needClientAuth) — one PKI, two sockets. Poll via
   * [[SpecDirWatcher]] stays as the fallback for daemons that never
-  * connect; the push channel only shortens the reconcile latency, never
-  * carries the spec itself (the watcher re-reads the directory, keeping
-  * one code path for what runs).
+  * connect.
+  *
+  * IN-BAND GRAPH DELIVERY (`graphProvider`): the reference daemon
+  * socket is bidirectional — a daemon sends `GetGraph` and the control
+  * plane answers `GetGraphResponse{graph}` with the spec graph ITSELF
+  * (`control_plane/src/http/daemon_api/mod.rs:66-68,117-135`), so a
+  * daemon with no filesystem path to the spec dir bootstraps purely off
+  * the socket. When `graphProvider` is set, a client TEXT frame whose
+  * JSON `message` is `GetGraph` (or the bare string) is answered on
+  * that socket with the provider's response — SECRET-REAL, unlike the
+  * redacted HTTP `GET /specs/<name>` display surface: this channel is
+  * daemon-facing (bearer/mTLS-gated), and a daemon must run the real
+  * config. Without a provider, inbound text stays ignored and the
+  * channel is notification-only (the pre-round-13 behavior).
   *
   * `token`: when set, the upgrade request must carry
   * `Authorization: Bearer <token>` (constant-time compare) or the
@@ -27,7 +38,8 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 final class SpecPushWs(port: Int = 0, host: String = "127.0.0.1",
                        tls: Option[TlsConfig] = scala.None,
-                       token: Option[String] = scala.None) {
+                       token: Option[String] = scala.None,
+                       graphProvider: Option[() => String] = scala.None) {
   /** The notification the reference pushes on spec-graph change. */
   val RefetchGraph = "RefetchGraph"
 
@@ -75,15 +87,24 @@ final class SpecPushWs(port: Int = 0, host: String = "127.0.0.1",
     clients.clear()
   }
 
+  /** One unmasked server→client TEXT frame with full RFC 6455 length
+    * encoding (7-bit / 16-bit / 64-bit) — notifications fit the short
+    * form, `GetGraphResponse` payloads generally do not. */
+  private def textFrame(msg: String): Array[Byte] = {
+    val p = msg.getBytes(UTF_8)
+    val header: Array[Byte] =
+      if (p.length < 126) Array(0x81.toByte, p.length.toByte)
+      else if (p.length < 65536) Array(0x81.toByte, 126.toByte,
+        ((p.length >> 8) & 0xff).toByte, (p.length & 0xff).toByte)
+      else Array(0x81.toByte, 127.toByte) ++
+        (56 to 0 by -8).map(s => ((p.length.toLong >> s) & 0xff).toByte)
+    header ++ p
+  }
+
   /** Send a TEXT frame to every connected client; peers whose socket is
     * dead are dropped (their daemon falls back to the poll loop). */
   def broadcast(msg: String): Unit = {
-    val payload = msg.getBytes(UTF_8)
-    require(payload.length < 126, "notification frames are short by design")
-    val frame = new Array[Byte](2 + payload.length)
-    frame(0) = 0x81.toByte // FIN + text
-    frame(1) = payload.length.toByte // server frames are unmasked
-    System.arraycopy(payload, 0, frame, 2, payload.length)
+    val frame = textFrame(msg)
     clients.forEach { s =>
       try s.synchronized {
         s.getOutputStream.write(frame); s.getOutputStream.flush()
@@ -218,7 +239,16 @@ final class SpecPushWs(port: Int = 0, host: String = "127.0.0.1",
                       out.write(Array(0x8a.toByte, p.length.toByte))
                       out.write(p); out.flush()
                     } catch { case _: Exception => open = false }
-                  case _ => () // text/binary/pong from client: ignored
+                  case 0x1 => // client text: GetGraph → the spec graph
+                    graphProvider match {
+                      case Some(provider)
+                          if GraphSync.isGetGraph(new String(p, UTF_8)) =>
+                        try sock.synchronized {
+                          out.write(textFrame(provider())); out.flush()
+                        } catch { case _: Exception => open = false }
+                      case _ => () // no provider / other text: ignored
+                    }
+                  case _ => () // binary/pong from client: ignored
                 }
               case _ => open = false
             }
@@ -244,8 +274,37 @@ final class SpecPushWs(port: Int = 0, host: String = "127.0.0.1",
 final class SpecPushWsClient(host: String, port: Int,
                              onMessage: String => Unit,
                              tls: Option[TlsConfig] = scala.None,
-                             token: Option[String] = scala.None) {
+                             token: Option[String] = scala.None,
+                             onOpen: () => Unit = () => (),
+                             maxFrameBytes: Long = 1L << 26) {
   import java.nio.charset.StandardCharsets.UTF_8
+
+  // the live connection's write side, for [[send]]; None between
+  // connections (send then raises, and the caller's reconnect loop —
+  // which re-fires onOpen — is the retry path)
+  @volatile private var writer: Option[(java.net.Socket, OutputStream)] =
+    scala.None
+
+  /** Send one MASKED client→server TEXT frame (RFC 6455 requires client
+    * frames masked; full 7/16/64-bit length encoding) on the current
+    * connection. Used by daemons to request the graph (`GetGraph`). */
+  def send(msg: String): Unit = writer match {
+    case scala.None => throw new java.io.IOException("websocket not connected")
+    case Some((sock, out)) =>
+      val p = msg.getBytes(UTF_8)
+      val mask = Array[Byte](5, 6, 7, 8) // static: masking is for proxy
+      val header: Array[Byte] =          // cache-busting, not security
+        if (p.length < 126) Array(0x81.toByte, (0x80 | p.length).toByte)
+        else if (p.length < 65536) Array(0x81.toByte, (0x80 | 126).toByte,
+          ((p.length >> 8) & 0xff).toByte, (p.length & 0xff).toByte)
+        else Array(0x81.toByte, (0x80 | 127).toByte) ++
+          (56 to 0 by -8).map(s => ((p.length.toLong >> s) & 0xff).toByte)
+      val masked = p.zipWithIndex.map { case (x, i) =>
+        (x ^ mask(i % 4)).toByte }
+      sock.synchronized {
+        out.write(header); out.write(mask); out.write(masked); out.flush()
+      }
+  }
 
   private def openSocket(): java.net.Socket = tls match {
     case Some(cfg) =>
@@ -283,6 +342,8 @@ final class SpecPushWsClient(host: String, port: Int,
       if (status != 101) throw new java.io.IOException(
         s"websocket upgrade rejected: HTTP $status")
       sock.setSoTimeout(1000) // poll `stop` between frames
+      writer = Some((sock, out))
+      onOpen()
       def readN(n: Int): Option[Array[Byte]] = {
         val buf = new Array[Byte](n); var off = 0
         while (off < n) {
@@ -306,7 +367,7 @@ final class SpecPushWsClient(host: String, port: Int,
               ((x(0) & 0xffL) << 8) | (x(1) & 0xffL)).getOrElse(-1L)
             else if (len == 127) len = readN(8).map(_.foldLeft(0L)(
               (acc, x) => (acc << 8) | (x & 0xffL))).getOrElse(-1L)
-            if (len < 0 || len > (1L << 20)) open = false
+            if (len < 0 || len > maxFrameBytes) open = false
             // RFC 6455 §5.5: a >125-byte control frame is a protocol
             // violation (and unechoable with a one-byte length) — drop
             else if ((h0 & 0x08) != 0 && len > 125) open = false
@@ -328,7 +389,10 @@ final class SpecPushWsClient(host: String, port: Int,
           }
         }
       }
-    } finally { try sock.close() catch { case _: Exception => () } }
+    } finally {
+      writer = scala.None
+      try sock.close() catch { case _: Exception => () }
+    }
   }
 
   /** Long-lived daemon loop: connect, dispatch, reconnect after
