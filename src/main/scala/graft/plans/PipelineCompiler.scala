@@ -1124,6 +1124,53 @@ object SectionRegistry {
         } finally sup.close()
         scala.None
       }),
+    // NOVELTY score-then-absorb — the other daily-crawl loop: each
+    // micro-batch is scored against the signature store AS OF BEFORE the
+    // batch (noveltyAgainstStored), the scores land through the
+    // idempotent append, and only THEN does the batch absorb into the
+    // store (becoming reference for later batches). ORDERING CONTRACT,
+    // load-bearing for at-least-once replay: the idempotent score
+    // append MUST precede the absorb — after a crash between absorb and
+    // epoch commit, the replayed batch re-scores against a store that
+    // now CONTAINS itself (novelty ~0), and only the key-idempotent
+    // append discards those wrong replay scores in favor of the
+    // pre-absorb truth that already landed. The absorb side is
+    // replay-tolerant by its own ordering (`exact` guard written last —
+    // see absorbIntoSignatures), so no doc double-absorbs. Crash sites
+    // on both sides of the absorb are pinned by NoveltyAbsorbSpec via
+    // the named failpoints below.
+    "stream_novelty_absorb_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (s, c, df) => {
+        val sig = cfg(c, "signatures")
+        val path = cfg(c, "path")
+        val idCol = c.getOrElse("id_column", "doc_id")
+        val textCol = c.getOrElse("text_column", "text")
+        val ngram = c.getOrElse("ngram", "3").toInt
+        val writer = graft.streaming.StreamingPipelines.ackSink(in(df),
+          cfg(c, "checkpoint"),
+          org.apache.spark.sql.streaming.OutputMode.Append()) { (batch, _) =>
+          val scores = graft.operators.NearDup.noveltyAgainstStored(
+            batch, sig, idCol = idCol, textCol = textCol, ngram = ngram)
+          Sinks.idempotentParquetAppend(scores, path, Seq("doc_id"))
+          Failpoints.hit("stream_novelty_absorb:pre_absorb")
+          graft.operators.NearDup.absorbIntoSignatures(batch, sig,
+            idCol = idCol, textCol = textCol, ngram = ngram,
+            slots = c.getOrElse("slots", "32").toInt,
+            rowsPerBand = c.getOrElse("rows_per_band", "4").toInt)
+          Failpoints.hit("stream_novelty_absorb:post_absorb")
+        }
+        val sup = new graft.streaming.StreamingSupervisor(s,
+          restartBackoffMs = c.getOrElse("restart_backoff_ms", "3000").toLong,
+          maxRestarts = c.getOrElse("max_restarts", "3").toInt)
+        try {
+          val handle = sup.supervise { () =>
+            writer.trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          }
+          handle.await()
+        } finally sup.close()
+        scala.None
+      }),
     // Streaming kafka sink over the pure-JDK wire client: each micro-batch
     // is kafkaEncode'd (key = origin, value = row JSON) and produced inside
     // an ack-ordered foreachBatch (epoch commit strictly after the produce
