@@ -66,6 +66,30 @@ object Main {
         watcher.watch(intervalMs, maxRounds = rounds, wake = Some(wake))
       } finally spark.stop()
 
+    // DIR-LESS daemon mode: no shared filesystem with the control plane —
+    // the spec graph arrives over the push websocket (GetGraph /
+    // GetGraphResponse, the reference daemon-socket exchange) into a
+    // private local dir, and the same SpecDirWatcher reconcile loop runs
+    // it. `graft serve`'s ws listener (HTTP port + 1) is the other end.
+    case "daemon" :: host :: wsPort :: rest if rest.size <= 1 =>
+      val spark = session()
+      try {
+        val localDir = rest.headOption.map(Paths.get(_)).getOrElse(
+          Files.createTempDirectory("graft_daemon_specs"))
+        val watcher = new SpecDirWatcher(new Orchestrator(spark), localDir)
+        val wake = new Object
+        val daemon = new graft.plans.GraphSyncDaemon(host, wsPort.toInt,
+          localDir, onSync = () => wake.synchronized { wake.notifyAll() },
+          token = sys.env.get("GRAFT_PUSH_TOKEN"))
+        daemon.start()
+        println(s"[graft daemon] syncing $host:$wsPort -> $localDir")
+        val rounds = sys.env.get("GRAFT_WATCH_ROUNDS").map(_.toInt)
+          .getOrElse(Int.MaxValue)
+        try watcher.watch(intervalMs = 5000L, maxRounds = rounds,
+          wake = Some(wake))
+        finally daemon.stop()
+      } finally spark.stop()
+
     case "validate" :: file :: Nil =>
       val spec = PipelineSpec.fromJson(readFile(Paths.get(file)))
       println(s"ok components=${spec.components.size} hash=${spec.specHash.take(12)}")
@@ -193,6 +217,7 @@ object Main {
     case _ =>
       System.err.println("usage: graft run <spec.json>... | reconcile <dir> | " +
         "watch <dir> [intervalMs] | serve <dir> [port] [intervalMs] | " +
+        "daemon <host> <wsPort> [localDir] | " +
         "validate <spec.json> | show <spec.json> | sections [--recall [record]] | " +
         "explain <query> [sfDir] | " +
         "compact <path> [targetMB] | zorder <in> <out> <cols> <files> | " +

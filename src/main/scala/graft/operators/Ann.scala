@@ -1246,17 +1246,24 @@ object Ann {
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val cents = trainCentroids(corpus, kCentroids, centIters, seed, sampleRate,
       maxTrainVectors)
-    // residuals are only needed for TRAINING here, so the cap applies
-    // BEFORE the residual subtraction (same pqSeed hash order — the inner
-    // trainPqCodebooks cap then keeps every row, selecting the identical
-    // set): computing x − c(x) over the full corpus to then train on a
-    // 65k sample would be an O(corpus·K) pass spent on vectors the
-    // trainer immediately drops.
-    val e = sampleFrame(corpus, 1.0, maxTrainVectors, pqSeed)
-    val res = residualFrame(e, cents)
-      .select(col("vec_id"), col("emb").as("embedding"))
-    (cents, trainPqCodebooks(res, subspaces, codes, pqIters, pqSeed,
-      sampleRate, maxTrainVectors))
+    // residuals are only needed for TRAINING here, so the rate draw AND
+    // the cap both apply BEFORE the residual subtraction: computing
+    // x − c(x) over the full corpus to then train on a 65k sample would
+    // be an O(corpus·K) pass spent on vectors the trainer immediately
+    // drops. The sample PERSISTS across its two uses inside
+    // residualFrame (assignment, then the subtraction join), and the
+    // inner trainer's own sampling is disabled (rate 1.0, cap 0) — the
+    // selection already happened here, by the same rate hash and the
+    // same pqSeed cap hash, so the trained codebooks are identical to
+    // sampling on the residual side while the TakeOrdered runs once
+    // over vectors, never over the residual lineage.
+    val e = sampleFrame(corpus, sampleRate, maxTrainVectors, pqSeed).persist()
+    try {
+      val res = residualFrame(e, cents)
+        .select(col("vec_id"), col("emb").as("embedding"))
+      (cents, trainPqCodebooks(res, subspaces, codes, pqIters, pqSeed,
+        1.0, 0))
+    } finally e.unpersist()
   }
 
   /** IVF-PQ serving: probe `nProbe` coarse cells, score ONLY their members,
