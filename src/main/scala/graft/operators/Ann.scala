@@ -289,11 +289,24 @@ object Ann {
     * `maxTrainVectors` survivors with the smallest md5(seed‖vec_id)
     * (seeded-hash order: partition- and insertion-independent, so the
     * trained model is bit-identical across runs and replayable by an
-    * oracle that ranks the same hash). The cap runs as one
-    * scan + bounded-heap top-N (TakeOrdered — no full sort), and a
-    * non-binding cap keeps every row, so small-corpus training — and the
-    * SQL oracles that replay it in full — are byte-identical with the cap
-    * on. */
+    * oracle that ranks the same hash). A non-binding cap keeps every
+    * row, so small-corpus training — and the SQL oracles that replay it
+    * in full — are byte-identical with the cap on.
+    *
+    * SCALE SHAPE of the cap: a bare `orderBy(hk).limit(N)` (TakeOrdered)
+    * computes a top-N per input partition and merges ALL of them on one
+    * task — at 100k scan partitions that single task would receive up to
+    * P·N rows, the exact straggler/OOM the cap exists to avoid. So when
+    * the candidate count exceeds 4·N, a HASH-PREFIX CUT runs first:
+    * survivors are the rows whose hash prefix falls below
+    * `ceil(4N/n · 2⁴⁸)` — the SAME hash the top-N orders by, so the cut
+    * is just "the smallest-hash region", and the global top-N is a
+    * subset of it whenever survivors ≥ N (expected 4N; by Chernoff the
+    * undershoot probability is e^{-Θ(N)} — nonexistent at N=65536). The
+    * TakeOrdered then merges ~4N rows, not the corpus. The one count()
+    * this costs is column-pruned (a parquet metadata read on plain
+    * scans), and the selected SET is provably identical to the uncut
+    * top-N, so plans with and without the cut train the same model. */
   private def sampleFrame(corpus: DataFrame, sampleRate: Double,
                           maxTrainVectors: Int = 0,
                           seed: String = ""): DataFrame = {
@@ -308,10 +321,23 @@ object Ann {
       }
     val capped =
       if (maxTrainVectors <= 0) rated
-      else rated.orderBy(
-          md5(concat(lit(s"${seed}cap_"), col("vec_id").cast("string"))),
-          col("vec_id"))
-        .limit(maxTrainVectors)
+      else {
+        val hk = md5(concat(lit(s"${seed}cap_"), col("vec_id").cast("string")))
+        val n = rated.count()
+        if (n <= maxTrainVectors) rated // non-binding: no sort, no limit
+        else {
+          val pre =
+            if (n <= 4L * maxTrainVectors) rated
+            else {
+              // fixed-width lowercase hex compares lexicographically ==
+              // numerically, so the cut is one string compare per row
+              val t = math.ceil(4.0 * maxTrainVectors / n * (1L << 48)).toLong
+              rated.filter(
+                substring(hk, 1, 12) < lit(f"${math.min(t, (1L << 48) - 1)}%012x"))
+            }
+          pre.orderBy(hk, col("vec_id")).limit(maxTrainVectors)
+        }
+      }
     spread(capped)
   }
 
