@@ -666,19 +666,18 @@ object Bench {
     // overwriting a clean full record; SPARK_GRAFT_BENCH_FORCE=1 overrides.
     val recordPath = java.nio.file.Paths.get("bench_last.json")
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
-    val existingClean =
-      try java.nio.file.Files.exists(recordPath) &&
-        !new String(java.nio.file.Files.readAllBytes(recordPath), "UTF-8")
-          .contains("\"contended\":true")
-      catch { case _: Throwable => false }
     val target =
       if (force) recordPath
       else if (only.isDefined) java.nio.file.Paths.get("bench_last_partial.json")
-      else if (contended && existingClean) {
-        System.err.println("[bench] REFUSING to overwrite the clean " +
-          "bench_last.json record with a contended run — writing " +
-          "bench_last_contended.json (set SPARK_GRAFT_BENCH_FORCE=1 to " +
-          "override)")
+      else if (contended) {
+        // unconditional, not "only when the existing record is clean":
+        // in a fresh workspace (no record) or after a contended record
+        // landed once, a contended run would otherwise still CREATE the
+        // canonical file with contention-skewed numbers — the record
+        // path holds clean full runs only
+        System.err.println("[bench] contended run — writing " +
+          "bench_last_contended.json, leaving bench_last.json alone " +
+          "(set SPARK_GRAFT_BENCH_FORCE=1 to override)")
         java.nio.file.Paths.get("bench_last_contended.json")
       } else recordPath
     try java.nio.file.Files.write(target, (line + "\n").getBytes("UTF-8"))

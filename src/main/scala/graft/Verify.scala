@@ -72,6 +72,27 @@ private[graft] object Canon {
     }
     sb.append(quote).toString
   }
+  /** Python `repr(str)` — what `str(dict)` applies to keys and string
+    * values: quote-switch (single quotes unless the text has `'` and no
+    * `"`), backslash/quote/\n/\r/\t escapes, other control chars as
+    * \xNN. Printable non-ASCII stays literal (Python 3 repr). */
+  private def pyStr(s: String): String = {
+    val hasSq = s.contains('\'')
+    val dq = hasSq && !s.contains('"')
+    val quote = if (dq) '"' else '\''
+    val sb = new StringBuilder(s.length + 2).append(quote)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '\'' if !dq => sb.append("\\'")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 || c == 0x7f => sb.append(f"\\x${c.toInt}%02x")
+      case c => sb.append(c)
+    }
+    sb.append(quote).toString
+  }
+
   private val tsFmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
   def norm(v: Any): String = v match {
@@ -91,21 +112,20 @@ private[graft] object Canon {
     case a: Array[_] => a.map(norm).mkString("[", ",", "]")
     case r: org.apache.spark.sql.Row =>
       // STRUCT cells: Python-side `str(dict)` shape (`{'f': v, ...}`) —
-      // keys and string values single-quoted, other values via norm.
-      // Best-effort, documented boundary: Python reprs nested floats
-      // (shortest round-trip) where norm renders %.9g, so a struct
-      // holding a float may still NOTE-mismatch; no current query dumps
-      // one (arrays and scalars cover the surface).
+      // keys and string values repr'd (quote-switch and all), other
+      // values via norm. Best-effort, documented boundary: Python reprs
+      // nested floats (shortest round-trip) where norm renders %.9g, so
+      // a struct holding a float may still NOTE-mismatch; no current
+      // query dumps one (arrays and scalars cover the surface).
       val names: Array[String] =
         if (r.schema != null) r.schema.fieldNames
         else Array.tabulate(r.length)(i => s"_$i")
       names.zipWithIndex.map { case (n, i) =>
         val vs = r.get(i) match {
-          case s: String => "'" + s.replace("\\", "\\\\")
-            .replace("'", "\\'") + "'"
+          case s: String => pyStr(s)
           case other => norm(other)
         }
-        s"'$n': $vs"
+        s"${pyStr(n)}: $vs"
       }.mkString("{", ", ", "}")
     case other => String.valueOf(other) // Long/Int/String/Date share str()
   }

@@ -3,7 +3,6 @@ package graft.plans
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path, StandardCopyOption}
 import com.fasterxml.jackson.databind.ObjectMapper
-import com.fasterxml.jackson.databind.node.ObjectNode
 
 /** In-band spec-graph delivery over the push websocket — the protocol
   * half of the reference's daemon socket, where a daemon sends
@@ -29,7 +28,9 @@ object GraphSync {
   val GetGraph = "GetGraph"
   val GetGraphResponse = "GetGraphResponse"
 
-  private def mapper = new ObjectMapper()
+  // thread-safe after construction; building one per call (worse, one
+  // per graph ENTRY) is the expensive part of Jackson
+  private val mapper = new ObjectMapper()
 
   /** Is this inbound text a graph request? Accepts the tagged JSON form
     * (`{"message":"GetGraph"}`) and the bare string. */
@@ -44,12 +45,17 @@ object GraphSync {
 
   /** Render the watched spec dir as a `GetGraphResponse`: every `*.json`
     * (dot-files — push temp files, the control-plane state dir — are
-    * never specs) parsed and embedded under its file name. Parse-embed,
-    * not string-embed: a spec that no longer parses must fail HERE on
-    * the serving side, not corrupt the whole graph for every daemon. */
+    * never specs) embedded VERBATIM as a JSON string under its file
+    * name. String-embed, not parse-embed, deliberately: the daemon must
+    * see exactly what a filesystem daemon would read from the dir — an
+    * invalid spec ships as-is and the DAEMON-side watcher applies its
+    * last-known-good policy, identical to the server-side watcher,
+    * instead of one bad file bricking every dir-less daemon's GetGraph.
+    * A file deleted between list and read (a concurrent DELETE) is
+    * skipped — the next RefetchGraph-triggered sync sees the final
+    * state. */
   def graphResponseJson(dir: Path): String = {
-    val m = mapper
-    val root = m.createObjectNode()
+    val root = mapper.createObjectNode()
     root.put("message", GetGraphResponse)
     val graph = root.putObject("graph")
     import scala.jdk.CollectionConverters._
@@ -59,14 +65,17 @@ object GraphSync {
         .filter(n => n.endsWith(".json") && !n.startsWith(".")).toSeq.sorted
       finally s.close()
     names.foreach { n =>
-      graph.set[ObjectNode](n.stripSuffix(".json"),
-        m.readTree(Files.readString(dir.resolve(n), UTF_8)))
+      try graph.put(n.stripSuffix(".json"),
+        Files.readString(dir.resolve(n), UTF_8))
+      catch { case _: java.io.IOException => () } // deleted mid-listing
     }
-    m.writeValueAsString(root)
+    mapper.writeValueAsString(root)
   }
 
-  /** Parse a `GetGraphResponse` into name → compact spec JSON; None when
-    * the message is anything else (e.g. the RefetchGraph notification). */
+  /** Parse a `GetGraphResponse` into name → raw spec text; None when
+    * the message is anything else (e.g. the RefetchGraph notification).
+    * Object-valued entries (an older parse-embedding peer) are rendered
+    * back to compact JSON. */
   def parseGraphResponse(msg: String): Option[Map[String, String]] =
     try {
       val node = mapper.readTree(msg)
@@ -79,7 +88,8 @@ object GraphSync {
           val it = g.fields()
           while (it.hasNext) {
             val e = it.next()
-            b += e.getKey -> mapper.writeValueAsString(e.getValue)
+            b += e.getKey -> (if (e.getValue.isTextual) e.getValue.asText()
+              else mapper.writeValueAsString(e.getValue))
           }
           Some(b.result())
         }
@@ -141,7 +151,13 @@ final class GraphSyncDaemon(host: String, port: Int, localDir: Path,
 
   private val client: SpecPushWsClient = new SpecPushWsClient(
     host, port,
-    onMessage = msg => {
+    // the whole handler is fenced: SpecPushWsClient.run reconnects only
+    // on IOException, so a materialize/reconcile throw (unsafe graph
+    // name, a sink failure inside onSync) escaping here would KILL the
+    // sync thread permanently — the daemon would keep running stale
+    // local specs with no re-sync and no error. A bad graph must be a
+    // logged, retried-on-next-push condition, not a silent outage.
+    onMessage = msg => try {
       GraphSync.parseGraphResponse(msg) match {
         case Some(graph) =>
           GraphSync.materialize(localDir, graph)
@@ -153,6 +169,11 @@ final class GraphSyncDaemon(host: String, port: Int, localDir: Path,
           // changed — re-request rather than trust a payload
           if (msg.contains("RefetchGraph")) client.send(GraphSync.getGraphRequest)
       }
+    } catch {
+      case e: java.io.IOException => throw e // socket-dead: reconnect path
+      case e: Exception =>
+        System.err.println(s"[graft graph-sync] sync failed (will retry " +
+          s"on next push/reconnect): ${e.getMessage}")
     },
     tls = tls, token = token,
     onOpen = () => client.send(GraphSync.getGraphRequest))

@@ -71,6 +71,23 @@ class CanonSpec extends AnyFunSuite {
     }
   }
 
+  test("norm on struct rows matches python str(dict), incl. repr quote-switch") {
+    import org.apache.spark.sql.types._
+    def row(vals: Array[Any], fields: (String, DataType)*) =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        vals, StructType(fields.map { case (n, t) => StructField(n, t) }))
+    val r1 = row(Array[Any]("it's", 7L),
+      "a" -> StringType, "b" -> LongType)
+    val r2 = row(Array[Any]("say \"hi\"\n\tnow", null),
+      "x" -> StringType, "y" -> StringType)
+    val want = python(
+      """print(str({'a': "it's", 'b': 7}))
+        |print(str({'x': 'say "hi"\n\tnow', 'y': None}))""".stripMargin)
+      .split("\n")
+    assert(Canon.norm(r1) == want(0), s"${Canon.norm(r1)} != ${want(0)}")
+    assert(Canon.norm(r2) == want(1), s"${Canon.norm(r2)} != ${want(1)}")
+  }
+
   test("digest row sort is python code-point order, not UTF-16 unit order") {
     // U+1F600 (astral, surrogate-coded 0xD83D 0xDE00) vs U+FF10
     // (fullwidth zero): python sorts by code point (0xFF10 < 0x1F600);

@@ -25,10 +25,17 @@ class GraphSyncSpec extends AnyFunSuite {
     Files.writeString(dir.resolve("ws__m.json"), """{"sections":[],"edges":[]}""")
     Files.writeString(dir.resolve(".a.json.push"), "tmp")   // push temp
     Files.writeString(dir.resolve("notes.txt"), "not a spec")
+    // an INVALID spec file must not brick the graph for every dir-less
+    // daemon: it ships VERBATIM (string-embedded) and the daemon-side
+    // watcher applies the same last-known-good policy as a filesystem
+    // daemon
+    Files.writeString(dir.resolve("broken.json"), "{not valid json")
     val resp = GraphSync.graphResponseJson(dir)
     assert(resp.contains("\"GetGraphResponse\""))
     val graph = GraphSync.parseGraphResponse(resp).get
-    assert(graph.keySet == Set("a", "ws__m"), graph.keySet)
+    assert(graph.keySet == Set("a", "ws__m", "broken"), graph.keySet)
+    assert(graph("broken") == "{not valid json", "specs must ship verbatim")
+    assert(graph("a") == """{"sections":[],"edges":[]}""")
     // request forms: tagged JSON and the bare string both recognized;
     // the response and the Refetch notification are NOT requests
     assert(GraphSync.isGetGraph(GraphSync.getGraphRequest))
