@@ -124,6 +124,146 @@ object Bpe {
     total
   }
 
+  /** Code-point order — what Spark's binary UTF8String comparison (and
+    * DuckDB's UTF-8 byte order) yields for `ORDER BY pair ASC`. Java's
+    * `String.compareTo` is UTF-16 code-UNIT order, which disagrees once
+    * astral code points meet U+E000..U+FFFF, so it cannot be used for
+    * the argmax tiebreak. */
+  def codePointCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** One word's adjacent-pair bag (every adjacent position, overlapping
+    * runs counted per-position — exactly the explode the distributed
+    * training round aggregates). */
+  private def pairBag(parts: Array[String]): java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int]()
+    var i = 0
+    while (i < parts.length - 1) {
+      m.merge(parts(i) + " " + parts(i + 1), 1, (a, b) => a + b)
+      i += 1
+    }
+    m
+  }
+
+  /** DRIVER-side BPE training over a collected `(word, count)` dictionary —
+    * the classic incremental algorithm every production trainer uses once
+    * corpus text has been reduced to word frequencies: global pair counts
+    * and a pair→words inverted index are maintained under exact long
+    * arithmetic, so each merge touches only the words that CONTAIN the
+    * chosen pair instead of recounting the dictionary (and instead of one
+    * engine job per merge — a 10k-merge vocabulary is a driver loop, not
+    * 10k scheduled jobs).
+    *
+    * Bit-identical to the distributed round
+    * ([[graft.operators.Corpus.bpeTrain]]'s fallback loop): same pair bag
+    * (overlap counted per adjacent position), same argmax tiebreak
+    * (count desc, then pair asc in CODE-POINT order — Spark/DuckDB binary
+    * string order, NOT Java compareTo), same all-occurrences
+    * left-to-right [[applyMerge]] fold, same `minPairCount` stop. The
+    * result is independent of dictionary row order: deltas are exact
+    * sums and the argmax is a total order.
+    */
+  def trainLocal(dict: Array[(String, Long)], maxMerges: Int,
+                 minPairCount: Long): Seq[String] = {
+    val nW = dict.length
+    val parts = new Array[Array[String]](nW)
+    val wcnt = new Array[Long](nW)
+    val pairCount = new java.util.HashMap[String, Long]()
+    val pairWords = new java.util.HashMap[String, java.util.BitSet]()
+    var i = 0
+    while (i < nW) {
+      val (w, c) = dict(i)
+      val p = new Array[String](w.codePointCount(0, w.length))
+      var ci = 0; var k = 0
+      while (ci < w.length) {
+        val cp = w.codePointAt(ci)
+        p(k) = new String(Character.toChars(cp)); k += 1
+        ci += Character.charCount(cp)
+      }
+      parts(i) = p; wcnt(i) = c
+      val bag = pairBag(p)
+      val it = bag.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        pairCount.merge(e.getKey, e.getValue.toLong * c, (a, b) => a + b)
+        pairWords.computeIfAbsent(e.getKey, _ => new java.util.BitSet()).set(i)
+      }
+      i += 1
+    }
+    // count desc, pair code-point asc — first() IS the round's argmax
+    val order = new java.util.TreeSet[(Long, String)](
+      new java.util.Comparator[(Long, String)] {
+        override def compare(a: (Long, String), b: (Long, String)): Int = {
+          val c = java.lang.Long.compare(b._1, a._1)
+          if (c != 0) c else codePointCompare(a._2, b._2)
+        }
+      })
+    val pcIt = pairCount.entrySet().iterator()
+    while (pcIt.hasNext) { val e = pcIt.next(); order.add((e.getValue, e.getKey)) }
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var done = false
+    while (!done && merges.size < maxMerges) {
+      if (order.isEmpty) done = true
+      else {
+        val best = order.first()
+        if (best._1 < minPairCount) done = true
+        else {
+          val pair = best._2
+          val sp = pair.indexOf(' ')
+          val l = pair.substring(0, sp); val r = pair.substring(sp + 1)
+          merges += pair
+          val members = pairWords.get(pair)
+          val delta = new java.util.HashMap[String, Long]()
+          var idx = members.nextSetBit(0)
+          while (idx >= 0) {
+            val before = pairBag(parts(idx))
+            val after = applyMerge(parts(idx), l, r)
+            parts(idx) = after
+            val abag = pairBag(after)
+            val c = wcnt(idx)
+            val bIt = before.entrySet().iterator()
+            while (bIt.hasNext) {
+              val e = bIt.next()
+              delta.merge(e.getKey, -e.getValue.toLong * c, (a, b) => a + b)
+              if (!abag.containsKey(e.getKey)) {
+                val bs = pairWords.get(e.getKey)
+                if (bs != null) bs.clear(idx)
+              }
+            }
+            val aIt = abag.entrySet().iterator()
+            while (aIt.hasNext) {
+              val e = aIt.next()
+              delta.merge(e.getKey, e.getValue.toLong * c, (a, b) => a + b)
+              pairWords.computeIfAbsent(e.getKey, _ => new java.util.BitSet())
+                .set(idx)
+            }
+            idx = members.nextSetBit(idx + 1)
+          }
+          val dIt = delta.entrySet().iterator()
+          while (dIt.hasNext) {
+            val e = dIt.next()
+            if (e.getValue != 0L) {
+              val old = pairCount.getOrDefault(e.getKey, 0L)
+              val neu = old + e.getValue
+              if (old > 0L) order.remove((old, e.getKey))
+              if (neu > 0L) { pairCount.put(e.getKey, neu); order.add((neu, e.getKey)) }
+              else { pairCount.remove(e.getKey); pairWords.remove(e.getKey) }
+            }
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
   /** Apply ALL occurrences of one pair left-to-right (the training-round
     * update: the chosen merge is folded into every word of the dict). */
   def applyMerge(parts: Array[String], left: String, right: String): Array[String] = {

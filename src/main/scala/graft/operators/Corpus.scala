@@ -1045,18 +1045,42 @@ object Corpus {
     * previous one, so lineage stays one round deep.
     *
     * Deterministic end to end: the argmax tie-breaks (count desc, pair
-    * string asc), counts are exact longs, and training stops early when
-    * the best pair drops below `minPairCount` (merging singletons is
-    * noise). Same corpus → same merge list, on any partitioning.
+    * string asc in binary/code-point order), counts are exact longs, and
+    * training stops early when the best pair drops below `minPairCount`
+    * (merging singletons is noise). Same corpus → same merge list, on
+    * any partitioning — and the SAME list from either execution path
+    * below.
+    *
+    * Two execution paths, chosen by measured dictionary size:
+    *  - `|dict| <= maxDriverVocab` (the realistic case — even web-scale
+    *    corpora reduce to a bounded distinct-word dictionary, and
+    *    production tokenizer trainers are in-memory at this stage): the
+    *    dictionary collects ONCE and [[graft.functions.Bpe.trainLocal]]
+    *    runs the classic incremental-pair-count loop — a 10k-merge
+    *    vocabulary is a driver loop over model-sized state, not 10k
+    *    driver-coordinated engine jobs.
+    *  - larger dictionaries fall back to the distributed round below
+    *    (one pair-count job per merge), which never collects: the
+    *    driver sees one argmax row per round regardless of dictionary
+    *    size. `maxDriverVocab = 0` forces this path (how the parity
+    *    spec pins the two paths against each other).
     *
     * @return learned merges, rank order — each `"left right"`.
     */
   def bpeTrain(docs: DataFrame, maxMerges: Int = 40, minPairCount: Long = 2L,
-               textCol: String = "text"): Seq[String] = {
+               textCol: String = "text",
+               maxDriverVocab: Int = 1 << 20): Seq[String] = {
     require(maxMerges >= 1, "maxMerges must be >= 1")
+    // the ONE corpus-sized scan; checkpointed so sizing + training reuse
+    // the materialized dictionary instead of re-aggregating text
     val words = docs
       .select(explode(TF.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    if (maxDriverVocab > 0 && words.count() <= maxDriverVocab) {
+      val dict = words.collect().map(r => (r.getString(0), r.getLong(1)))
+      return graft.functions.Bpe.trainLocal(dict, maxMerges, minPairCount)
+    }
     // localCheckpoint per round — NOT persist: caching keeps the data hot
     // but the LOGICAL plan would still chain one round deeper per merge,
     // and 40 rounds of compounding re-analysis/planning cost dwarf the

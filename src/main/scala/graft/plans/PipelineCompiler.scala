@@ -772,7 +772,9 @@ object SectionRegistry {
         val merges = graft.operators.Corpus.bpeTrain(frame,
           maxMerges = c.getOrElse("max_merges", "40").toInt,
           minPairCount = c.getOrElse("min_pair_count", "2").toLong,
-          textCol = c.getOrElse("text_column", "text"))
+          textCol = c.getOrElse("text_column", "text"),
+          maxDriverVocab = c.getOrElse("max_driver_vocab",
+            (1 << 20).toString).toInt)
         Some(graft.operators.Corpus.bpeTokenCounts(frame, merges,
           idCol = c.getOrElse("id_column", "doc_id"),
           textCol = c.getOrElse("text_column", "text")))

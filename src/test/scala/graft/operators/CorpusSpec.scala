@@ -489,6 +489,38 @@ class CorpusSpec extends AnyFunSuite {
     assert(m7 == merges)
   }
 
+  test("bpeTrain: driver and distributed paths learn the identical merge list") {
+    // a corpus with ties, overlapping runs (aaa: pair (a,a) counted at
+    // BOTH adjacent positions), and merges that surface new pairs
+    val df = docs(
+      1L -> "banana band ban aaa",
+      2L -> "banana banana bandana",
+      3L -> "cc cc ccd aaa aab")
+    for ((mm, mpc) <- Seq((12, 1L), (5, 2L), (40, 3L))) {
+      val local = Corpus.bpeTrain(df, maxMerges = mm, minPairCount = mpc)
+      val dist = Corpus.bpeTrain(df, maxMerges = mm, minPairCount = mpc,
+        maxDriverVocab = 0)
+      assert(local == dist,
+        s"maxMerges=$mm minPairCount=$mpc: driver $local vs distributed $dist")
+      assert(local.nonEmpty)
+    }
+  }
+
+  test("bpeTrain: argmax tiebreak is code-point order on both paths (astral vs U+E000+)") {
+    // pairs (x, U+FFFD) and (x, U+10000), both count 2 — the tiebreak
+    // must compare the astral char by CODE POINT (U+FFFD < U+10000, the
+    // Spark/DuckDB binary order) where Java String.compareTo's UTF-16
+    // code-unit order would invert it (surrogates 0xD8xx < 0xFFFD).
+    val astral = new String(Character.toChars(0x10000))
+    val bmp = "\uFFFD"
+    val df = docs(1L -> s"x$astral x$astral x$bmp x$bmp")
+    val local = Corpus.bpeTrain(df, maxMerges = 1, minPairCount = 1L)
+    val dist = Corpus.bpeTrain(df, maxMerges = 1, minPairCount = 1L,
+      maxDriverVocab = 0)
+    assert(local == Seq(s"x $bmp"), s"got $local")
+    assert(dist == local)
+  }
+
   test("dsirWeights: partitioning-invariant (DECIMAL sums, no order dependence)") {
     import org.apache.spark.sql.functions.col
     val corpus = (1L to 40L).map(i =>
