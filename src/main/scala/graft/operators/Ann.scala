@@ -246,13 +246,26 @@ object Ann {
     *    not the data (same O(K·dims) cost as broadcasting the centroids
     *    back out each round).
     *
+    * EXECUTION: with a cap in force (`maxTrainVectors > 0`) the sample is
+    * driver-bounded by construction, so it collects once and the Lloyd
+    * loop runs LOCALLY (see the local-twins block) — identical arithmetic,
+    * no per-iteration engine job. `maxTrainVectors = 0` (unbounded
+    * training set) or `localTrain = false` runs the distributed loop;
+    * the parity spec pins both paths bit-identical.
+    *
     * Returns the centroids as (cell 0..k-1, vector) in init-hash order. */
   def trainCentroids(corpus: DataFrame, kCentroids: Int = 0, iters: Int = 5,
                      seed: String = "ivf",
                      sampleRate: Double = 1.0,
-                     maxTrainVectors: Int = DefaultMaxTrainVectors)
+                     maxTrainVectors: Int = DefaultMaxTrainVectors,
+                     localTrain: Boolean = true)
       : Array[Array[Double]] = {
     require(iters >= 1, "need at least one Lloyd iteration")
+    if (localTrain && maxTrainVectors > 0) {
+      val s = collectSample(corpus, sampleRate, maxTrainVectors, seed)
+      return lloydLocal(s, initLocal(s, resolveKLocal(s, kCentroids), seed),
+        iters)
+    }
     val base = sampleFrame(corpus, sampleRate, maxTrainVectors, seed).persist()
     try lloyd(base, initCentroids(base, resolveK(base, kCentroids), seed), iters)
     finally base.unpersist()
@@ -309,7 +322,8 @@ object Ann {
     * top-N, so plans with and without the cut train the same model. */
   private def sampleFrame(corpus: DataFrame, sampleRate: Double,
                           maxTrainVectors: Int = 0,
-                          seed: String = ""): DataFrame = {
+                          seed: String = "",
+                          spreadOut: Boolean = true): DataFrame = {
     val base0 = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
     val rated =
@@ -338,12 +352,280 @@ object Ann {
           pre.orderBy(hk, col("vec_id")).limit(maxTrainVectors)
         }
       }
-    spread(capped)
+    if (spreadOut) spread(capped) else capped
   }
 
   private def resolveK(base: DataFrame, kCentroids: Int): Int =
     if (kCentroids > 0) kCentroids
     else math.max(2, math.round(math.sqrt(base.count().toDouble)).toInt)
+
+  // ---- LOCAL (driver-side) training twins ----------------------------
+  //
+  // Quantizer training operates on the CAPPED sample — by construction
+  // `maxTrainVectors` rows (~65k vectors ≈ tens of MB), i.e. model-side
+  // state, exactly what FAISS holds in memory when it trains. Running the
+  // Lloyd/PQ loops as engine jobs over that sample buys no parallelism a
+  // driver loop doesn't have (the per-iteration work is K·dims·n flops on
+  // kilobyte-to-megabyte state) and costs one scheduled multi-stage job
+  // PER ITERATION — which at bench scale WAS the entire training price.
+  // So when a cap is in force the sample collects once and these twins
+  // run the identical arithmetic locally; distributed loops remain for
+  // cap=0 (`localTrain = false` forces them, which is how the parity
+  // specs pin local == distributed bit-for-bit).
+  //
+  // Exactness contract (every op mirrors the engine expression it
+  // replaces — the SQL oracles that replay training catch any drift):
+  //  - md5 hex of the cast-to-string id (init order, cap order);
+  //  - round(x, s): java BigDecimal of Double.toString, HALF_UP — the
+  //    Round expression's own rule; NaN/Inf pass through;
+  //  - DECIMAL(38,12) member sums: setScale(12, HALF_UP) per element
+  //    (the double→decimal cast), exact addition, .doubleValue();
+  //  - cosine: sequential left-to-right dot (ArrayDotProduct's fold),
+  //    0.0 on zero norms;
+  //  - argmax/argmin tiebreaks: java.lang.Double.compare (Spark's
+  //    double total order: -0.0 < 0.0, NaN greatest), then cell/code
+  //    ascending — the min(struct(-score, id)) aggregate;
+  //  - id ordering: numeric for integral ids, UTF8String binary order
+  //    for strings (Spark's ORDER BY, not String.compareTo).
+
+  private object LT {
+    def md5Hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sb = new java.lang.StringBuilder(32)
+      d.foreach { b => sb.append(Character.forDigit((b >> 4) & 0xf, 16))
+        .append(Character.forDigit(b & 0xf, 16)) }
+      sb.toString
+    }
+    def round(x: Double, scale: Int): Double =
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+      else new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+    def dec12(x: Double): java.math.BigDecimal =
+      new java.math.BigDecimal(java.lang.Double.toString(x))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cosine6(emb: Array[Double], embNrm: Double, c: Array[Double],
+                cNrm: Double): Double = {
+      val cos = if (embNrm == 0.0 || cNrm == 0.0) 0.0
+                else dot(emb, c) / (embNrm * cNrm)
+      round(cos, 6)
+    }
+    def idCompare(a: Any, b: Any): Int = (a, b) match {
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: Int, y: Int) => Integer.compare(x, y)
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+      case (x, y) => x.toString.compareTo(y.toString)
+    }
+  }
+
+  /** The capped sample, collected: ids in the engine's cast-to-string
+    * form alongside the original values (hash order + tiebreaks), and
+    * the double vectors. */
+  private case class LocalSample(ids: Array[Any], embs: Array[Array[Double]]) {
+    def n: Int = ids.length
+    /** Row indices ordered by (md5(prefix‖id), id) — the seeded-hash
+      * draw every init uses. */
+    def hashOrder(prefix: String): Array[Int] = {
+      val hk = ids.map(id => LT.md5Hex(prefix + id.toString))
+      Array.range(0, n).sortWith { (i, j) =>
+        val c = hk(i).compareTo(hk(j))
+        if (c != 0) c < 0 else LT.idCompare(ids(i), ids(j)) < 0
+      }
+    }
+  }
+
+  private def collectSample(corpus: DataFrame, sampleRate: Double,
+                            maxTrainVectors: Int, seed: String): LocalSample = {
+    val rows = sampleFrame(corpus, sampleRate, maxTrainVectors, seed,
+      spreadOut = false).collect()
+    LocalSample(rows.map(_.get(0)),
+      rows.map(_.getSeq[Double](1).toArray))
+  }
+
+  private def resolveKLocal(s: LocalSample, kCentroids: Int): Int =
+    if (kCentroids > 0) kCentroids
+    else math.max(2, math.round(math.sqrt(s.n.toDouble)).toInt)
+
+  /** Smallest-k rows of the seeded hash order — [[initCentroids]]. */
+  private def initLocal(s: LocalSample, k: Int, seed: String)
+      : Array[Array[Double]] =
+    s.hashOrder(s"${seed}_").take(k).map(i => s.embs(i))
+
+  /** Per-vector nearest cell by (round-6 cosine desc, cell asc) —
+    * [[nearestCellAgg]]. */
+  private def assignLocal(s: LocalSample, cents: Array[Array[Double]])
+      : Array[Int] = {
+    val cNrm = cents.map(c => math.sqrt(LT.dot(c, c)))
+    val out = new Array[Int](s.n)
+    var i = 0
+    while (i < s.n) {
+      val e = s.embs(i)
+      val eNrm = math.sqrt(LT.dot(e, e))
+      var bestNeg = java.lang.Double.POSITIVE_INFINITY
+      var bestCell = -1
+      var c = 0
+      while (c < cents.length) {
+        val neg = -LT.cosine6(e, eNrm, cents(c), cNrm(c))
+        if (bestCell < 0 || java.lang.Double.compare(neg, bestNeg) < 0) {
+          bestNeg = neg; bestCell = c
+        }
+        c += 1
+      }
+      out(i) = bestCell
+      i += 1
+    }
+    out
+  }
+
+  /** Elementwise DECIMAL(38,12) member sums per cell; empty cells keep
+    * their previous centroid — [[lloyd]]'s update step. `weights` maps a
+    * row to its cell (or -1 to skip). */
+  private def decimalSumUpdate(s: LocalSample, assign: Array[Int],
+                               cents: Array[Array[Double]])
+      : Array[Array[Double]] = {
+    val dims = if (s.n > 0) s.embs(0).length else 0
+    val sums = new java.util.HashMap[Integer, Array[java.math.BigDecimal]]()
+    var i = 0
+    while (i < s.n) {
+      val cell = assign(i)
+      if (cell >= 0) {
+        var acc = sums.get(cell)
+        if (acc == null) {
+          acc = Array.fill(dims)(java.math.BigDecimal.ZERO)
+          sums.put(cell, acc)
+        }
+        val e = s.embs(i)
+        var d = 0
+        while (d < dims) { acc(d) = acc(d).add(LT.dec12(e(d))); d += 1 }
+      }
+      i += 1
+    }
+    val next = cents.map(_.clone())
+    sums.forEach { (cell, acc) =>
+      val v = new Array[Double](cents(cell).length)
+      var d = 0
+      while (d < acc.length) { v(d) = acc(d).doubleValue(); d += 1 }
+      next(cell) = v
+    }
+    next
+  }
+
+  private def lloydLocal(s: LocalSample, init: Array[Array[Double]],
+                         iters: Int): Array[Array[Double]] = {
+    var cents = init
+    for (_ <- 0 until iters)
+      cents = decimalSumUpdate(s, assignLocal(s, cents), cents)
+    cents
+  }
+
+  /** Local twin of [[trainCentroidsBalanced]]'s hot-cell split loop —
+    * same hot rule, same seeded per-round child inits, same 2-means
+    * updates and degenerate-cell freezing, over the collected sample. */
+  private def balancedLocal(s: LocalSample, init: Array[Array[Double]],
+                            iters: Int, seed: String, balanceFactor: Double,
+                            maxSplitRounds: Int, splitIters: Int)
+      : Array[Array[Double]] = {
+    var cents = lloydLocal(s, init, iters)
+    var frozen = Set.empty[Int]
+    var splitRound = 0
+    var balanced = false
+    while (!balanced && splitRound < maxSplitRounds) {
+      val assign = assignLocal(s, cents)
+      val counts = assign.groupBy(identity).map { case (c, a) =>
+        c -> a.length.toLong }
+      val mean = s.n.toDouble / cents.length
+      val hot = cents.indices.filter(i =>
+        !frozen(i) && counts.getOrElse(i, 0L) >= 2 &&
+        counts.getOrElse(i, 0L) > balanceFactor * mean).toSet
+      if (hot.isEmpty) balanced = true
+      else {
+        // member row indices per hot cell
+        val members: Map[Int, Array[Int]] = hot.map { c =>
+          c -> Array.range(0, s.n).filter(i => assign(i) == c)
+        }.toMap
+        // per-cell child inits: first 2 members by (split-round hash, id)
+        val prefix = s"${seed}_split${splitRound}_"
+        val hk = new java.util.HashMap[Integer, String]()
+        members.values.foreach(_.foreach { i =>
+          hk.put(i, LT.md5Hex(prefix + s.ids(i).toString)) })
+        var children: Map[(Int, Int), Array[Double]] = members.flatMap {
+          case (c, rows) =>
+            val top2 = rows.sortWith { (i, j) =>
+              val cmp = hk.get(i).compareTo(hk.get(j))
+              if (cmp != 0) cmp < 0 else LT.idCompare(s.ids(i), s.ids(j)) < 0
+            }.take(2)
+            top2.zipWithIndex.map { case (row, ch) => (c, ch) -> s.embs(row) }
+        }
+        // each member scores against ITS cell's two children:
+        // (round-6 cosine desc, child asc)
+        def assignChild(): Map[Int, Array[Int]] = members.map {
+          case (c, rows) =>
+            val ch0 = children((c, 0)); val ch1 = children((c, 1))
+            val n0 = math.sqrt(LT.dot(ch0, ch0))
+            val n1 = math.sqrt(LT.dot(ch1, ch1))
+            c -> rows.map { i =>
+              val e = s.embs(i)
+              val eNrm = math.sqrt(LT.dot(e, e))
+              val neg0 = -LT.cosine6(e, eNrm, ch0, n0)
+              val neg1 = -LT.cosine6(e, eNrm, ch1, n1)
+              if (java.lang.Double.compare(neg1, neg0) < 0) 1 else 0
+            }
+        }
+        for (_ <- 0 until splitIters) {
+          val asg = assignChild()
+          val upd = asg.toSeq.flatMap { case (c, childOf) =>
+            (0 to 1).flatMap { ch =>
+              val rows = members(c).indices.filter(k => childOf(k) == ch)
+                .map(k => members(c)(k))
+              if (rows.isEmpty) scala.None // empty child keeps its entry
+              else {
+                val dims = s.embs(rows.head).length
+                val acc = Array.fill(dims)(java.math.BigDecimal.ZERO)
+                rows.foreach { i =>
+                  val e = s.embs(i)
+                  var d = 0
+                  while (d < dims) { acc(d) = acc(d).add(LT.dec12(e(d))); d += 1 }
+                }
+                Some((c, ch) -> acc.map(_.doubleValue()))
+              }
+            }
+          }
+          children = children ++ upd
+        }
+        val finalAsg = assignChild()
+        val childPop: Map[(Int, Int), Long] = finalAsg.toSeq.flatMap {
+          case (c, childOf) => (0 to 1).map { ch =>
+            (c, ch) -> childOf.count(_ == ch).toLong }
+        }.toMap
+        val out = Array.newBuilder[Array[Double]]
+        var newFrozen = Set.empty[Int]
+        var nOut = 0
+        cents.indices.foreach { i =>
+          val degenerate = hot(i) &&
+            (childPop.getOrElse((i, 0), 0L) == 0L ||
+             childPop.getOrElse((i, 1), 0L) == 0L)
+          if (hot(i) && !degenerate) {
+            out += children((i, 0)); out += children((i, 1)); nOut += 2
+          } else {
+            if (frozen(i) || degenerate) newFrozen += nOut
+            out += cents(i); nOut += 1
+          }
+        }
+        cents = out.result()
+        frozen = newFrozen
+      }
+      splitRound += 1
+    }
+    cents
+  }
 
   /** Seeded deterministic init: the `k` sample vectors with the smallest
     * md5(seed_vec_id) — hash order, independent of partitioning. */
@@ -424,9 +706,15 @@ object Ann {
                              balanceFactor: Double = 3.0,
                              maxSplitRounds: Int = 8,
                              splitIters: Int = 2,
-                             maxTrainVectors: Int = DefaultMaxTrainVectors)
+                             maxTrainVectors: Int = DefaultMaxTrainVectors,
+                             localTrain: Boolean = true)
       : Array[Array[Double]] = {
     require(balanceFactor > 1.0, "balanceFactor must exceed 1")
+    if (localTrain && maxTrainVectors > 0) {
+      val s = collectSample(corpus, sampleRate, maxTrainVectors, seed)
+      return balancedLocal(s, initLocal(s, resolveKLocal(s, kCentroids), seed),
+        iters, seed, balanceFactor, maxSplitRounds, splitIters)
+    }
     val spark = corpus.sparkSession
     val base = sampleFrame(corpus, sampleRate, maxTrainVectors, seed).persist()
     try {
@@ -999,10 +1287,14 @@ object Ann {
                        codes: Int = 256,
                        iters: Int = 4, seed: String = "pq",
                        sampleRate: Double = 1.0,
-                       maxTrainVectors: Int = DefaultMaxTrainVectors)
+                       maxTrainVectors: Int = DefaultMaxTrainVectors,
+                       localTrain: Boolean = true)
       : Array[Array[Array[Double]]] = {
     require(iters >= 1, "need at least one Lloyd iteration")
     require(subspaces >= 1 && codes >= 2, "need >= 1 subspaces and >= 2 codes")
+    if (localTrain && maxTrainVectors > 0)
+      return pqLocal(collectSample(corpus, sampleRate, maxTrainVectors, seed),
+        subspaces, codes, iters, seed)
     val base = sampleFrame(corpus, sampleRate, maxTrainVectors, seed).persist()
     try {
       val dims = base.select(size(col("emb"))).head.getInt(0)
@@ -1045,6 +1337,92 @@ object Ann {
         cb
       } finally sub.unpersist()
     } finally base.unpersist()
+  }
+
+  /** Local twin of [[trainPqCodebooks]]'s joint Lloyd loop: same init
+    * draw, same packed (round-6 micro-d2, code) argmin with the same
+    * overflow guard, same DECIMAL sums and HALF_UP round-6 mean
+    * division. */
+  private def pqLocal(s: LocalSample, subspaces: Int, codes: Int,
+                      iters: Int, seed: String): Array[Array[Array[Double]]] = {
+    val dims = if (s.n > 0) s.embs(0).length
+               else throw new IllegalArgumentException("empty training sample")
+    require(dims % subspaces == 0,
+      s"dims $dims not divisible into $subspaces subspaces")
+    val dsub = dims / subspaces
+    val initVecs = initLocal(s, codes, seed)
+    require(initVecs.length == codes,
+      s"training sample has fewer than $codes vectors")
+    var cb: Array[Array[Array[Double]]] =
+      Array.tabulate(subspaces, codes)((m, j) =>
+        initVecs(j).slice(m * dsub, (m + 1) * dsub))
+    for (_ <- 0 until iters) {
+      // sums(m)(j) = (elementwise decimal sums, member count)
+      val sums = Array.fill(subspaces, codes)(
+        null: (Array[java.math.BigDecimal], Long))
+      var i = 0
+      while (i < s.n) {
+        val e = s.embs(i)
+        var m = 0
+        while (m < subspaces) {
+          val off = m * dsub
+          var bestKey = Long.MaxValue
+          var bestCode = -1
+          var j = 0
+          while (j < codes) {
+            val cv = cb(m)(j)
+            var d2 = 0.0
+            var d = 0
+            while (d < dsub) {
+              val diff = e(off + d) - cv(d); d2 += diff * diff; d += 1
+            }
+            val d2m = LT.round(LT.round(d2, 6) * 1000000.0, 0).toLong
+            if (d2m > MaxPackableD2Micro)
+              throw new IllegalStateException(
+                s"pqAssign: sub-vector squared L2 overflows the packed " +
+                s"argmin key (d2_micro=$d2m, max $MaxPackableD2Micro); " +
+                "normalize or rescale the embeddings")
+            val key = d2m * 1048576L + j
+            if (key < bestKey) { bestKey = key; bestCode = j }
+            j += 1
+          }
+          val cur = sums(m)(bestCode)
+          val acc = if (cur == null) {
+            val a = (Array.fill(dsub)(java.math.BigDecimal.ZERO), 0L)
+            a
+          } else cur
+          var d = 0
+          while (d < dsub) {
+            acc._1(d) = acc._1(d).add(LT.dec12(e(off + d))); d += 1
+          }
+          sums(m)(bestCode) = (acc._1, acc._2 + 1L)
+          m += 1
+        }
+        i += 1
+      }
+      val next = cb.map(_.map(_.clone())) // empty codes keep their entry
+      var m = 0
+      while (m < subspaces) {
+        var j = 0
+        while (j < codes) {
+          val cell = sums(m)(j)
+          if (cell != null) {
+            val v = next(m)(j)
+            var d = 0
+            while (d < dsub) {
+              v(d) = (scala.math.BigDecimal(cell._1(d)) / cell._2)
+                .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .toDouble
+              d += 1
+            }
+          }
+          j += 1
+        }
+        m += 1
+      }
+      cb = next
+    }
+    cb
   }
 
   /** `(vec_id, m, sub)` — each vector's `subspaces` contiguous slices. */
@@ -1268,10 +1646,25 @@ object Ann {
                  codes: Int = 256, centIters: Int = 5, pqIters: Int = 4,
                  seed: String = "ivf", pqSeed: String = "pq",
                  sampleRate: Double = 1.0,
-                 maxTrainVectors: Int = DefaultMaxTrainVectors)
+                 maxTrainVectors: Int = DefaultMaxTrainVectors,
+                 localTrain: Boolean = true)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val cents = trainCentroids(corpus, kCentroids, centIters, seed, sampleRate,
-      maxTrainVectors)
+      maxTrainVectors, localTrain)
+    if (localTrain && maxTrainVectors > 0) {
+      // the LOCAL residual path: the pqSeed-capped sample collects once,
+      // residuals x − c(x) are computed in place (same round-6 cosine
+      // argmax as residualFrame, same elementwise subtraction), and the
+      // codebooks train locally — the inner sampling stays disabled
+      // exactly as in the distributed branch below.
+      val s = collectSample(corpus, sampleRate, maxTrainVectors, pqSeed)
+      val cells = assignLocal(s, cents)
+      val res = LocalSample(s.ids, Array.tabulate(s.n) { i =>
+        val e = s.embs(i); val c = cents(cells(i))
+        Array.tabulate(e.length)(d => e(d) - c(d))
+      })
+      return (cents, pqLocal(res, subspaces, codes, pqIters, pqSeed))
+    }
     // residuals are only needed for TRAINING here, so the rate draw AND
     // the cap both apply BEFORE the residual subtraction: computing
     // x − c(x) over the full corpus to then train on a 65k sample would
