@@ -80,7 +80,10 @@ object Main {
         val wake = new Object
         val daemon = new graft.plans.GraphSyncDaemon(host, wsPort.toInt,
           localDir, onSync = () => wake.synchronized { wake.notifyAll() },
-          token = sys.env.get("GRAFT_PUSH_TOKEN"))
+          token = sys.env.get("GRAFT_PUSH_TOKEN"),
+          // joined identity for the control plane's presence tracking
+          // (GET /daemon Online/Offline + last_seen)
+          daemonId = sys.env.get("GRAFT_DAEMON_ID"))
         daemon.start()
         println(s"[graft daemon] syncing $host:$wsPort -> $localDir")
         val rounds = sys.env.get("GRAFT_WATCH_ROUNDS").map(_.toInt)
@@ -127,16 +130,21 @@ object Main {
       // stays as the fallback for daemons that never connect. The
       // graphProvider serves GetGraph in-band (secret-real), so a
       // dir-less GraphSyncDaemon bootstraps purely off this socket.
+      // presence registry: ws connects/disconnects flip Online/Offline in
+      // GET /daemon and stamp last_seen (the reference's DaemonTracker)
+      val presence = new graft.plans.DaemonPresence(cp)
       val ws = new graft.plans.SpecPushWs(
         port = if (port == 0) 0 else port + 1,
         token = sys.env.get("GRAFT_PUSH_TOKEN"),
         graphProvider = Some(() =>
-          graft.plans.GraphSync.graphResponseJson(Paths.get(dir))))
+          graft.plans.GraphSync.graphResponseJson(Paths.get(dir))),
+        presence = Some(presence))
       val server = new graft.plans.SpecPushServer(Paths.get(dir), port,
         status = Some(() => orch.snapshot),
         token = sys.env.get("GRAFT_PUSH_TOKEN"),
         control = Some(cp),
-        onChange = Some(() => ws.broadcast(ws.RefetchGraph)))
+        onChange = Some(() => ws.broadcast(ws.RefetchGraph)),
+        presence = Some(presence))
       try {
         server.start()
         ws.start()

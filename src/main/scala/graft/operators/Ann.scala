@@ -460,24 +460,58 @@ object Ann {
     s.hashOrder(s"${seed}_").take(k).map(i => s.embs(i))
 
   /** Per-vector nearest cell by (round-6 cosine desc, cell asc) —
-    * [[nearestCellAgg]]. */
+    * [[nearestCellAgg]].
+    *
+    * TWO-PASS argmax: the BigDecimal round-6 is ~100× a double compare,
+    * and doing it for every (vector, cell) pair dominates local
+    * training. Rounding is monotone, and two values can round equal
+    * only when they differ by < 1e-6 — so the rounded winner must have
+    * a RAW cosine within 1e-6 of the raw max. Pass 1 finds the raw max
+    * with plain doubles; pass 2 exact-rounds only the cells inside a
+    * 2e-6 window (normally one) and applies the true (rounded desc,
+    * cell asc) rule. Provably identical selection, pinned by the
+    * local-vs-distributed parity spec. */
   private def assignLocal(s: LocalSample, cents: Array[Array[Double]])
       : Array[Int] = {
     val cNrm = cents.map(c => math.sqrt(LT.dot(c, c)))
+    val raw = new Array[Double](cents.length)
     val out = new Array[Int](s.n)
     var i = 0
     while (i < s.n) {
       val e = s.embs(i)
       val eNrm = math.sqrt(LT.dot(e, e))
-      var bestNeg = java.lang.Double.POSITIVE_INFINITY
-      var bestCell = -1
+      var rawMax = java.lang.Double.NEGATIVE_INFINITY
       var c = 0
       while (c < cents.length) {
-        val neg = -LT.cosine6(e, eNrm, cents(c), cNrm(c))
-        if (bestCell < 0 || java.lang.Double.compare(neg, bestNeg) < 0) {
-          bestNeg = neg; bestCell = c
+        val cos = if (eNrm == 0.0 || cNrm(c) == 0.0) 0.0
+                  else LT.dot(e, cents(c)) / (eNrm * cNrm(c))
+        raw(c) = cos
+        if (cos > rawMax) rawMax = cos
+        c += 1
+      }
+      var bestNeg = java.lang.Double.POSITIVE_INFINITY
+      var bestCell = -1
+      c = 0
+      while (c < cents.length) {
+        // NaN cosines (never from finite embeddings) fail the window test
+        // and fall through to the exact all-cells scan below
+        if (raw(c) >= rawMax - 2e-6) {
+          val neg = -LT.round(raw(c), 6)
+          if (bestCell < 0 || java.lang.Double.compare(neg, bestNeg) < 0) {
+            bestNeg = neg; bestCell = c
+          }
         }
         c += 1
+      }
+      if (bestCell < 0) { // all-NaN row: replay the exact Spark ordering
+        c = 0
+        while (c < cents.length) {
+          val neg = -LT.round(raw(c), 6)
+          if (bestCell < 0 || java.lang.Double.compare(neg, bestNeg) < 0) {
+            bestNeg = neg; bestCell = c
+          }
+          c += 1
+        }
       }
       out(i) = bestCell
       i += 1
@@ -1356,6 +1390,20 @@ object Ann {
     var cb: Array[Array[Array[Double]]] =
       Array.tabulate(subspaces, codes)((m, j) =>
         initVecs(j).slice(m * dsub, (m + 1) * dsub))
+    // any distance at or past this raw screen gets the exact micro-key
+    // overflow check (the distributed guard fires on EVERY candidate
+    // row, so an overflowing loser must still fail loudly)
+    val overflowScreen = (MaxPackableD2Micro - 2L).toDouble / 1e6
+    def micro(d2: Double): Long = {
+      val d2m = LT.round(LT.round(d2, 6) * 1000000.0, 0).toLong
+      if (d2m > MaxPackableD2Micro)
+        throw new IllegalStateException(
+          s"pqAssign: sub-vector squared L2 overflows the packed " +
+          s"argmin key (d2_micro=$d2m, max $MaxPackableD2Micro); " +
+          "normalize or rescale the embeddings")
+      d2m
+    }
+    val d2s = new Array[Double](codes)
     for (_ <- 0 until iters) {
       // sums(m)(j) = (elementwise decimal sums, member count)
       val sums = Array.fill(subspaces, codes)(
@@ -1366,8 +1414,10 @@ object Ann {
         var m = 0
         while (m < subspaces) {
           val off = m * dsub
-          var bestKey = Long.MaxValue
-          var bestCode = -1
+          // TWO-PASS argmin (see assignLocal): raw double min first,
+          // exact micro keys only inside the 2e-6 rounding window —
+          // identical selection, none of the per-code BigDecimal cost
+          var rawMin = java.lang.Double.POSITIVE_INFINITY
           var j = 0
           while (j < codes) {
             val cv = cb(m)(j)
@@ -1376,15 +1426,28 @@ object Ann {
             while (d < dsub) {
               val diff = e(off + d) - cv(d); d2 += diff * diff; d += 1
             }
-            val d2m = LT.round(LT.round(d2, 6) * 1000000.0, 0).toLong
-            if (d2m > MaxPackableD2Micro)
-              throw new IllegalStateException(
-                s"pqAssign: sub-vector squared L2 overflows the packed " +
-                s"argmin key (d2_micro=$d2m, max $MaxPackableD2Micro); " +
-                "normalize or rescale the embeddings")
-            val key = d2m * 1048576L + j
-            if (key < bestKey) { bestKey = key; bestCode = j }
+            d2s(j) = d2
+            if (d2 < rawMin) rawMin = d2
+            if (d2 >= overflowScreen) micro(d2) // loud-failure parity
             j += 1
+          }
+          var bestKey = Long.MaxValue
+          var bestCode = -1
+          j = 0
+          while (j < codes) {
+            if (d2s(j) <= rawMin + 2e-6) {
+              val key = micro(d2s(j)) * 1048576L + j
+              if (key < bestKey) { bestKey = key; bestCode = j }
+            }
+            j += 1
+          }
+          if (bestCode < 0) { // all-NaN row: exact keys for every code
+            j = 0
+            while (j < codes) {
+              val key = micro(d2s(j)) * 1048576L + j
+              if (key < bestKey) { bestKey = key; bestCode = j }
+              j += 1
+            }
           }
           val cur = sums(m)(bestCode)
           val acc = if (cur == null) {

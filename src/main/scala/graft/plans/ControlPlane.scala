@@ -31,7 +31,8 @@ import scala.jdk.CollectionConverters._
 object ControlPlane {
   final case class DaemonToken(id: String, secret: String, issuedAt: Long,
                                usedAt: Option[Long])
-  final case class DaemonRec(id: String, name: Option[String], joinedAt: Long)
+  final case class DaemonRec(id: String, name: Option[String], joinedAt: Long,
+                             lastSeen: Option[Long] = scala.None)
 
   /** CA identity for signing join CSRs: a PKCS#12 keystore holding the
     * CA key pair under `alias` — typically the same store whose cert
@@ -86,7 +87,9 @@ final class ControlPlane(stateDir: Path,
       .elements().asScala.map { n =>
         DaemonRec(n.path("id").asText(),
           if (n.has("name")) Some(n.path("name").asText()) else scala.None,
-          n.path("joined_at").asLong())
+          n.path("joined_at").asLong(),
+          if (n.has("last_seen")) Some(n.path("last_seen").asLong())
+          else scala.None)
       }.toSeq
 
   private def writeDaemons(ds: Seq[DaemonRec]): Unit = {
@@ -95,6 +98,7 @@ final class ControlPlane(stateDir: Path,
       val n = root.addObject()
       n.put("id", d.id); d.name.foreach(n.put("name", _))
       n.put("joined_at", d.joinedAt)
+      d.lastSeen.foreach(n.put("last_seen", _))
     }
     writeAtomic(daemonsFile, mapper.writeValueAsString(root))
   }
@@ -261,5 +265,22 @@ final class ControlPlane(stateDir: Path,
     val ds = readDaemons()
     if (!ds.exists(_.id == id)) false
     else { writeDaemons(ds.map(d => if (d.id == id) d.copy(name = name) else d)); true }
+  }
+
+  def hasDaemon(id: String): Boolean = synchronized {
+    readDaemons().exists(_.id == id)
+  }
+
+  /** Stamp a daemon's `last_seen` — the reference sets it when the
+    * daemon's socket closes (`daemon_set_last_seen`,
+    * `control_plane/src/app/mod.rs:579-582`). */
+  def setDaemonLastSeen(id: String, ts: Long): Boolean = synchronized {
+    val ds = readDaemons()
+    if (!ds.exists(_.id == id)) false
+    else {
+      writeDaemons(ds.map(d =>
+        if (d.id == id) d.copy(lastSeen = Some(ts)) else d))
+      true
+    }
   }
 }

@@ -141,7 +141,8 @@ final class GraphSyncDaemon(host: String, port: Int, localDir: Path,
                             onSync: () => Unit,
                             tls: Option[TlsConfig] = scala.None,
                             token: Option[String] = scala.None,
-                            reconnectMs: Long = 1000L) {
+                            reconnectMs: Long = 1000L,
+                            daemonId: Option[String] = scala.None) {
   @volatile private var stopped = false
   @volatile private var syncs = 0L
 
@@ -176,7 +177,10 @@ final class GraphSyncDaemon(host: String, port: Int, localDir: Path,
           s"on next push/reconnect): ${e.getMessage}")
     },
     tls = tls, token = token,
-    onOpen = () => client.send(GraphSync.getGraphRequest))
+    onOpen = () => client.send(GraphSync.getGraphRequest),
+    // bearer-mode identity for the control plane's presence tracking
+    // (mTLS daemons are identified by their cert CN instead)
+    extraHeaders = daemonId.map("X-Graft-Daemon" -> _).toSeq)
 
   private val thread = new Thread(() =>
     client.run(() => stopped, reconnectMs), "graft-graph-sync")

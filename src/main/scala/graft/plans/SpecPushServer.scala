@@ -82,7 +82,8 @@ final class SpecPushServer(dir: Path, port: Int = 0,
                            token: Option[String] = scala.None,
                            tls: Option[TlsConfig] = scala.None,
                            control: Option[ControlPlane] = scala.None,
-                           onChange: Option[() => Unit] = scala.None) {
+                           onChange: Option[() => Unit] = scala.None,
+                           presence: Option[DaemonPresence] = scala.None) {
 
   /** Fire the change notification (e.g. [[SpecPushWs]] broadcasting
     * `RefetchGraph`) after a mutation LANDED — never let a listener
@@ -293,13 +294,23 @@ final class SpecPushServer(dir: Path, port: Int = 0,
         else respond(ex, 404, "no such token\n")
       }
       case ("GET", Nil) =>
+        // status/last_seen parity with the reference's list_daemons
+        // (`control_plane/src/app/mod.rs:558-572`): stored records
+        // default Offline; ids live on the push socket show Online
         respond(ex, 200, cp.listDaemons().map { d =>
           val nm = d.name.map(n => s""""${jsonEscape(n)}"""").getOrElse("null")
-          s"""{"id":"${jsonEscape(d.id)}","name":$nm,"joined_at":${d.joinedAt}}"""
+          val ls = d.lastSeen.map(_.toString).getOrElse("null")
+          val st = if (presence.exists(_.isOnline(d.id))) "Online" else "Offline"
+          s"""{"id":"${jsonEscape(d.id)}","name":$nm,"joined_at":${d.joinedAt},"last_seen":$ls,"status":"$st"}"""
         }.mkString("[", ",", "]") + "\n")
       case ("DELETE", id :: Nil) => if (admin()) {
-        if (cp.deleteDaemon(id)) respond(ex, 200, "deleted\n")
-        else respond(ex, 404, "no such daemon\n")
+        if (cp.deleteDaemon(id)) {
+          // kick the live connection (the reference's shutdown_daemon on
+          // delete, `control_plane/src/app/mod.rs:574-577`) — a deleted
+          // daemon must not keep receiving pushes or serving GetGraph
+          presence.foreach(_.kick(id))
+          respond(ex, 200, "deleted\n")
+        } else respond(ex, 404, "no such daemon\n")
       }
       case ("POST", "set_name" :: id :: Nil) => if (admin()) {
         val nm = mapper.readTree(body(ex)).path("name")

@@ -39,7 +39,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 final class SpecPushWs(port: Int = 0, host: String = "127.0.0.1",
                        tls: Option[TlsConfig] = scala.None,
                        token: Option[String] = scala.None,
-                       graphProvider: Option[() => String] = scala.None) {
+                       graphProvider: Option[() => String] = scala.None,
+                       presence: Option[DaemonPresence] = scala.None) {
   /** The notification the reference pushes on spec-graph change. */
   val RefetchGraph = "RefetchGraph"
 
@@ -149,6 +150,21 @@ final class SpecPushWs(port: Int = 0, host: String = "127.0.0.1",
         case Some(k) => k
         case scala.None => bad(400, "Bad Request"); return
       }
+      // DAEMON IDENTITY for presence tracking: the mTLS peer CN when a
+      // client certificate was verified (the reference's PeerInfo
+      // common_name), else the X-Graft-Daemon header (bearer mode's
+      // self-report — the channel is already credential-gated). A
+      // presence-tracked listener REJECTS ids the control plane has no
+      // record of (reference daemon_connected errors for unknown ids);
+      // anonymous clients stay notification-only and untracked.
+      val did: Option[String] =
+        peerCommonName(sock).orElse(headers.get("x-graft-daemon"))
+      val tracked: Option[(DaemonPresence, String)] = (presence, did) match {
+        case (Some(p), Some(id)) =>
+          if (p.connected(id, sock)) Some((p, id))
+          else { bad(403, "Forbidden"); return }
+        case _ => scala.None
+      }
       val accept = java.util.Base64.getEncoder.encodeToString(
         java.security.MessageDigest.getInstance("SHA-1")
           .digest((key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11")
@@ -159,11 +175,26 @@ final class SpecPushWs(port: Int = 0, host: String = "127.0.0.1",
       out.flush()
       sock.setSoTimeout(0) // post-handshake the reader may idle for hours
       clients.add(sock)
-      readerLoop(sock, in, out)
+      try readerLoop(sock, in, out)
+      finally tracked.foreach { case (p, id) => p.disconnected(id, sock) }
     } catch { case _: Exception =>
       clients.remove(sock)
       try sock.close() catch { case _: Exception => () }
     }
+  }
+
+  /** CN of a VERIFIED client certificate, when this is an mTLS socket
+    * with client auth — the identity the reference's daemon API trusts
+    * (`tls_server::PeerInfo.common_name`). */
+  private def peerCommonName(sock: Socket): Option[String] = sock match {
+    case s: javax.net.ssl.SSLSocket =>
+      try {
+        import scala.jdk.CollectionConverters._
+        new javax.naming.ldap.LdapName(s.getSession.getPeerPrincipal.getName)
+          .getRdns.asScala
+          .find(_.getType.equalsIgnoreCase("CN")).map(_.getValue.toString)
+      } catch { case _: Exception => scala.None } // no/unverified peer cert
+    case _ => scala.None
   }
 
   /** Read request line + headers up to the blank line (lowercased keys). */
@@ -276,7 +307,8 @@ final class SpecPushWsClient(host: String, port: Int,
                              tls: Option[TlsConfig] = scala.None,
                              token: Option[String] = scala.None,
                              onOpen: () => Unit = () => (),
-                             maxFrameBytes: Long = 1L << 26) {
+                             maxFrameBytes: Long = 1L << 26,
+                             extraHeaders: Seq[(String, String)] = Seq.empty) {
   import java.nio.charset.StandardCharsets.UTF_8
 
   // the live connection's write side, for [[send]]; None between
@@ -330,6 +362,7 @@ final class SpecPushWsClient(host: String, port: Int,
       hdr.append("Upgrade: websocket\r\nConnection: Upgrade\r\n")
       hdr.append(s"Sec-WebSocket-Key: $key\r\nSec-WebSocket-Version: 13\r\n")
       token.foreach(t => hdr.append(s"Authorization: Bearer $t\r\n"))
+      extraHeaders.foreach { case (k, v) => hdr.append(s"$k: $v\r\n") }
       hdr.append("\r\n")
       out.write(hdr.toString.getBytes(UTF_8)); out.flush()
       val head = new StringBuilder
