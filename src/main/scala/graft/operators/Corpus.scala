@@ -1006,19 +1006,28 @@ object Corpus {
         // (doc_id, _y, p) row per doc, persist so the forward pass
         // (feats ⋈ model join + sigmoid) prices once per iteration
         val p = qcProbs(feats, base, w, b).persist()
-        val grad = feats.join(p.select(col("doc_id"), col("p")), Seq("doc_id"))
+        // ONE action per iteration: the bias gradient (a global agg over
+        // p) rides the same collect as the per-bucket gradients, keyed
+        // by the sentinel bucket -1 (real buckets are non-negative).
+        // Identical arithmetic to separate jobs — DECIMAL sums are
+        // order-independent — just one scheduled job instead of two.
+        val bucketGrads = feats
+          .join(p.select(col("doc_id"), col("p")), Seq("doc_id"))
           .select(col("f"),
             round((col("p").cast("double") - col("_y")) * col("c")
                 / lit(nDocs), 12)
               .cast(DecimalType(24, 12)).as("t"))
           .groupBy(col("f")).agg(sum(col("t")).as("g"))
+        val biasGrad = p
+          .select(round((col("p").cast("double") - col("_y")) / lit(nDocs), 12)
+            .cast(DecimalType(24, 12)).as("t"))
+          .agg(sum(col("t")).as("g"))
+          .select(lit(-1).as("f"), col("g"))
+        val rows = bucketGrads.unionAll(biasGrad)
           .as[(Int, java.math.BigDecimal)].collect()
-        val gBias = p.agg(sum(
-            round((col("p").cast("double") - col("_y")) / lit(nDocs), 12)
-              .cast(DecimalType(24, 12))))
-          .head().getDecimal(0)
         p.unpersist()
-        w = grad.foldLeft(w) { case (m, (f, g)) =>
+        val gBias = rows.collectFirst { case (-1, g) => g }.orNull
+        w = rows.filter(_._1 != -1).foldLeft(w) { case (m, (f, g)) =>
           m.updated(f, (m(f) - lr * BigDecimal(g))
             .setScale(6, BigDecimal.RoundingMode.HALF_UP))
         }
