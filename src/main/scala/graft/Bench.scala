@@ -128,7 +128,7 @@ object Bench {
       "ann_ivf_disk_build", "ann_ivf_disk_query", "dd_semdedup_query",
       "ann_ivf_balanced_train", "ann_ivf_balanced_query",
       "ann_ivf_append_delta", "ann_pq_train", "ann_pq_query",
-      "ann_ivf_pq_train", "ann_ivf_pq_query")
+      "ann_ivf_pq_train", "ann_ivf_pq_query", "ann_ivf_pq_rerank")
     val ivfSplitResults: Seq[(String, Double, Double)] =
       if (!splitNames.exists(wanted)) Seq.empty else try {
         def rmTree(dir: String): Unit = {
@@ -159,7 +159,8 @@ object Bench {
         val pqCb = if (wanted("ann_pq_query"))
           operators.Ann.trainPqCodebooks(e)
         else Array.empty[Array[Array[Double]]]
-        val ivfPqModel = if (wanted("ann_ivf_pq_query"))
+        val ivfPqModel =
+          if (wanted("ann_ivf_pq_query") || wanted("ann_ivf_pq_rerank"))
           operators.Ann.ivfPqTrain(e, kCentroids = 16)
         else (Array.empty[Array[Double]], Array.empty[Array[Array[Double]]])
         // day-0 index the append-delta line appends day-1 batches into:
@@ -215,7 +216,14 @@ object Bench {
             { operators.Ann.ivfPqTrain(e, kCentroids = 16); () }),
           "ann_ivf_pq_query" -> (() =>
             { operators.Ann.ivfPqTopKFrom(e, col("vec_id") < 10,
-                ivfPqModel._1, ivfPqModel._2, 5, 2).count(); () })
+                ivfPqModel._1, ivfPqModel._2, 5, 2).count(); () }),
+          // exact-rerank serving (IVFx,PQy,RFlat): ADC top-100 at probe 6
+          // re-scored with true vectors — the recall harness gates this
+          // operating point's quality; this line prices its latency
+          "ann_ivf_pq_rerank" -> (() =>
+            { operators.Ann.ivfPqTopKRerank(e, col("vec_id") < 10,
+                ivfPqModel._1, ivfPqModel._2, 5, nProbe = 6,
+                refine = 100).count(); () })
         ).filter(q => wanted(q._1)).flatMap { case (name, f) =>
           timed(name, f) }
         rmTree(diskDir)
@@ -530,6 +538,19 @@ object Bench {
         "ann_pq_4bit" -> operators.Ann.pqTopK(e, isQuery, k, codes = 16),
         "ann_ivf_pq_4bit" -> operators.Ann.ivfPqTopK(e, isQuery, k,
           kCentroids = 16, nProbe = 2, codes = 16),
+        // EXACT-RERANK refinement (FAISS RefineFlat): the quantized pass
+        // widens to top-100 candidates, each re-scored with its true
+        // vector. For IVF-PQ the probe set is the recall CEILING no
+        // rerank can exceed (unprobed cells are never candidates:
+        // measured ceiling 0.60 at probe 4, rerank 0.56 — 93% of it), so
+        // the refined point pairs a wider probe (6/16) with the exact
+        // pass: measured 0.65 vs 0.21 unrefined. GATED >= 0.5 below.
+        "ann_ivf_pq_rerank" -> operators.Ann.ivfPqTopKRefined(e, isQuery,
+          k, kCentroids = 16, nProbe = 6, refine = 100),
+        // raw-vector PQ + rerank: no probe ceiling — reads the rerank
+        // lift in isolation (measured 0.91 vs ann_pq_topk's 0.40)
+        "ann_pq_rerank" -> operators.Ann.pqTopKRefined(e, isQuery, k,
+          refine = 100),
         "ann_quantized_topk" -> {
           val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
           val scale = maxabs / lit(127.0)
@@ -555,6 +576,16 @@ object Bench {
           failed += "ann_ivf_pq_recall_gate"
         }
       }
+      // the REFINED operating point exists to fix low PQ recall — if the
+      // rerank path itself regresses under 0.5 the refinement has
+      // stopped doing its one job, and the bench FAILS
+      out.find(_._1 == "ann_ivf_pq_rerank").foreach { case (_, r) =>
+        if (r < 0.5) {
+          System.err.println(f"[bench] ann_ivf_pq_rerank recall GATE " +
+            f"FAILED: recall@10 $r%.2f < 0.5 at the refined operating point")
+          failed += "ann_ivf_pq_rerank_recall_gate"
+        }
+      }
       out
     } catch { case e: Throwable =>
       System.err.println(s"[bench] recall harness FAILED: ${e.getMessage}")
@@ -571,8 +602,13 @@ object Bench {
     val cellBalance: Seq[(String, Double)] = if (
       only.exists(s => !s.exists(_.startsWith("ann_")))) Seq.empty else try {
       val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-      def balance(df: org.apache.spark.sql.DataFrame): Double = {
-        val r = operators.Ann.ivfCellCounts(df)
+      // balanceFactor mirrors the `ivf` SECTION default (balanced
+      // auto-split at 3.0 since r14); 0.0 times the raw trainer — the
+      // `skewed_raw` line keeps the unbalanced number visible so the
+      // split's effect stays measured, not assumed
+      def balance(df: org.apache.spark.sql.DataFrame,
+                  balanceFactor: Double): Double = {
+        val r = operators.Ann.ivfCellCounts(df, balanceFactor = balanceFactor)
           .agg(max(col("n")).cast("double"), avg(col("n"))).head()
         val b = r.getDouble(0) / r.getDouble(1)
         spark.catalog.clearCache()
@@ -601,7 +637,14 @@ object Bench {
           "pass is no longer bounding hot cells")
         failed += "ivf_cell_balance_gate"
       }
-      Seq("uniform" -> balance(e), "skewed" -> balance(skew),
+      // `uniform`/`skewed` measure the SECTION-DEFAULT trainer (balanced
+      // auto-split, factor 3.0). NOTE the mass-duplicate cell itself
+      // cannot split (identical vectors are 2-means degenerate — the
+      // trainer freezes it), so the cell-level `skewed` ratio stays high
+      // by construction; `skewed_balanced` is the SCAN-UNIT ratio after
+      // the salt pass — the actual straggler bound, and the gated line.
+      Seq("uniform" -> balance(e, 3.0), "skewed" -> balance(skew, 3.0),
+        "skewed_raw" -> balance(skew, 0.0),
         "skewed_balanced" -> skewBalanced)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] cell-balance harness FAILED: ${e.getMessage}")

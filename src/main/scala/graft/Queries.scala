@@ -2205,8 +2205,68 @@ object Queries {
     },
     () => ivfPqCapture.map { case (cents, cb) => ivfPqInjectedOracle(cents, cb) })
 
+  /** IVF-PQ + EXACT-RERANK ([[graft.operators.Ann.ivfPqTopKRerank]] —
+    * the FAISS `IVFx,PQy,RFlat` serving shape): the ADC pass produces a
+    * WIDE candidate list (top-`refine` per query), and each candidate is
+    * re-scored with its TRUE vector — exact round-6 cosine — before the
+    * final top-k. The oracle re-derives the ENTIRE pipeline from the
+    * injected models: every ADC CTE, the top-refine candidate cut, the
+    * exact rerank join, and the refined ranking — so drift in either the
+    * quantized pass or the exact pass is a hash mismatch. */
+  @volatile private var ivfPqRerankCapture
+      : Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = scala.None
+  private val annIvfPqRerank = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val (cents, cb) = graft.operators.Ann.ivfPqTrain(e, kCentroids = 16,
+        subspaces = 8, codes = 16)
+      ivfPqRerankCapture = Some((cents, cb))
+      graft.operators.Ann.ivfPqTopKRerank(e, $"vec_id" < 10, cents, cb,
+          k = 5, nProbe = 2, refine = 20)
+        .select($"q_id", $"n_id", $"cosine", $"rk")
+        .orderBy($"q_id", $"rk")
+    },
+    () => ivfPqRerankCapture.map { case (cents, cb) =>
+      ivfPqRerankInjectedOracle(cents, cb, refine = 20, k = 5) })
+
+  private def ivfPqRerankInjectedOracle(cents: Array[Array[Double]],
+                                        cb: Array[Array[Array[Double]]],
+                                        refine: Int, k: Int): String =
+    ivfPqAdcCtes(cents, cb) + s""",
+      pqtop AS (SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, n_id) AS rk
+          FROM cand)
+        WHERE rk <= $refine),
+      rr AS (SELECT p.q_id, p.n_id,
+          round(CASE WHEN isnan(list_cosine_similarity(q.q_vec, e.emb))
+            THEN 0.0 ELSE list_cosine_similarity(q.q_vec, e.emb) END, 6)
+            AS cosine
+        FROM pqtop p JOIN q ON q.q_id = p.q_id JOIN e ON e.vec_id = p.n_id)
+      SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q_id, n_id, cosine,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, n_id) AS rk
+        FROM rr)
+      WHERE rk <= $k ORDER BY q_id, rk"""
+
   private def ivfPqInjectedOracle(cents: Array[Array[Double]],
-                                  cb: Array[Array[Array[Double]]]): String = {
+                                  cb: Array[Array[Array[Double]]]): String =
+    ivfPqAdcCtes(cents, cb) + """
+      SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q_id, n_id, cosine,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, n_id) AS rk
+        FROM cand)
+      WHERE rk <= 5 ORDER BY q_id, rk"""
+
+  /** The shared ADC replay — `WITH e … cand` (per-(query, candidate)
+    * reconstruction cosines from the injected models); callers append
+    * their own ranking tail. */
+  private def ivfPqAdcCtes(cents: Array[Array[Double]],
+                           cb: Array[Array[Array[Double]]]): String = {
     val subspaces = cb.length
     val dsub = cb(0)(0).length
     val centRows = cents.zipWithIndex.map { case (v, i) =>
@@ -2285,13 +2345,7 @@ object Queries {
           CASE WHEN s.qn = 0 OR (w.cn2 + s.ccs) <= 0 THEN 0.0
           ELSE round((s.qc + s.qr)::DOUBLE
             / (s.qn * sqrt((w.cn2 + s.ccs)::DOUBLE)), 6) END AS cosine
-        FROM sc s JOIN cn w ON w.cell = s.cell)
-      SELECT q_id, n_id, cosine, rk FROM (
-        SELECT q_id, n_id, cosine,
-          row_number() OVER (PARTITION BY q_id
-            ORDER BY cosine DESC, n_id) AS rk
-        FROM cand)
-      WHERE rk <= 5 ORDER BY q_id, rk"""
+        FROM sc s JOIN cn w ON w.cell = s.cell)"""
   }
 
   /** Johnson-Lindenstrauss random projection + brute-force ANN over the
@@ -4798,6 +4852,7 @@ object Queries {
     "ann_quantized_topk" -> annQuantized,
     "ann_pq_topk" -> annPqTopk,
     "ann_ivf_pq" -> annIvfPq,
+    "ann_ivf_pq_rerank" -> annIvfPqRerank,
     "ann_rp_topk" -> annRpTopk,
     "ann_pca_topk" -> annPcaTopk,
     "dd_semdedup" -> ddSemDedup,

@@ -258,15 +258,18 @@ object Ann {
                      seed: String = "ivf",
                      sampleRate: Double = 1.0,
                      maxTrainVectors: Int = DefaultMaxTrainVectors,
-                     localTrain: Boolean = true)
+                     localTrain: Boolean = true,
+                     maxTrainBytes: Long = DefaultMaxTrainBytes)
       : Array[Array[Double]] = {
     require(iters >= 1, "need at least one Lloyd iteration")
     if (localTrain && maxTrainVectors > 0) {
-      val s = collectSample(corpus, sampleRate, maxTrainVectors, seed)
+      val s = collectSample(corpus, sampleRate, maxTrainVectors, seed,
+        maxTrainBytes)
       return lloydLocal(s, initLocal(s, resolveKLocal(s, kCentroids), seed),
         iters)
     }
-    val base = sampleFrame(corpus, sampleRate, maxTrainVectors, seed).persist()
+    val base = sampleFrame(corpus, sampleRate, maxTrainVectors, seed,
+      maxTrainBytes = maxTrainBytes).persist()
     try lloyd(base, initCentroids(base, resolveK(base, kCentroids), seed), iters)
     finally base.unpersist()
   }
@@ -280,6 +283,20 @@ object Ann {
     * Lloyd update. Pass 0 to disable (train on everything the rate draw
     * kept). */
   val DefaultMaxTrainVectors: Int = 65536
+
+  /** BYTE budget for the training sample the driver collects
+    * ([[collectSample]]) — the row cap alone is not a size bound: 65,536
+    * rows × 64 dims ≈ 34 MB of doubles, but the same rows at
+    * 1024-dim production embeddings are ~540 MB on one driver heap. When
+    * the per-vector width is known the effective row cap shrinks to
+    * `maxTrainBytes / (8·dims)` (never below [[MinByteCapRows]] — PQ
+    * init needs `codes` ≤ 256 vectors), so the collected sample is
+    * bounded by BYTES, not rows, at any dimensionality. 0 disables. */
+  val DefaultMaxTrainBytes: Long = 64L << 20
+
+  /** Floor of the byte-budgeted row cap: the PQ-init `codes` default —
+    * below this the trainers' own `require`s fail anyway. */
+  val MinByteCapRows: Int = 256
 
   /** Widen a frame to cluster parallelism when the source delivers fewer
     * partitions than cores. A small parquet table arrives as ONE split (a
@@ -323,7 +340,9 @@ object Ann {
   private def sampleFrame(corpus: DataFrame, sampleRate: Double,
                           maxTrainVectors: Int = 0,
                           seed: String = "",
-                          spreadOut: Boolean = true): DataFrame = {
+                          spreadOut: Boolean = true,
+                          maxTrainBytes: Long = DefaultMaxTrainBytes)
+      : DataFrame = {
     val base0 = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
     val rated =
@@ -338,18 +357,36 @@ object Ann {
       else {
         val hk = md5(concat(lit(s"${seed}cap_"), col("vec_id").cast("string")))
         val n = rated.count()
-        if (n <= maxTrainVectors) rated // non-binding: no sort, no limit
+        // BYTE-budget the row cap: probe the vector width (one limit-1
+        // job — a single partition is touched) and shrink the cap to
+        // maxTrainBytes/(8·dims), floored at MinByteCapRows. Skipped
+        // when n ≤ the floor (the budget cannot bind below it).
+        val cap =
+          if (maxTrainBytes <= 0 || n <= MinByteCapRows) maxTrainVectors
+          else rated.select(size(col("emb"))).head(1) match {
+            case Array(r) if !r.isNullAt(0) && r.getInt(0) > 0 =>
+              math.min(maxTrainVectors.toLong,
+                math.max(MinByteCapRows.toLong,
+                  maxTrainBytes / (8L * r.getInt(0)))).toInt
+            case _ => maxTrainVectors
+          }
+        if (n <= cap) rated // non-binding: no sort, no limit
         else {
           val pre =
-            if (n <= 4L * maxTrainVectors) rated
+            // the prefix cut's "survivors ⊇ top-N" claim rests on a
+            // Chernoff bound (undershoot prob e^{-Θ(N)}): real at the
+            // 65k default, NOT at a user-set single-digit cap — below
+            // 1024 skip the cut (the TakeOrdered merge is ≤ P·cap rows,
+            // tiny exactly when the cap is)
+            if (n <= 4L * cap || cap < 1024) rated
             else {
               // fixed-width lowercase hex compares lexicographically ==
               // numerically, so the cut is one string compare per row
-              val t = math.ceil(4.0 * maxTrainVectors / n * (1L << 48)).toLong
+              val t = math.ceil(4.0 * cap / n * (1L << 48)).toLong
               rated.filter(
                 substring(hk, 1, 12) < lit(f"${math.min(t, (1L << 48) - 1)}%012x"))
             }
-          pre.orderBy(hk, col("vec_id")).limit(maxTrainVectors)
+          pre.orderBy(hk, col("vec_id")).limit(cap)
         }
       }
     if (spreadOut) spread(capped) else capped
@@ -361,8 +398,10 @@ object Ann {
 
   // ---- LOCAL (driver-side) training twins ----------------------------
   //
-  // Quantizer training operates on the CAPPED sample — by construction
-  // `maxTrainVectors` rows (~65k vectors ≈ tens of MB), i.e. model-side
+  // Quantizer training operates on the CAPPED sample — bounded by the
+  // `maxTrainBytes` BYTE budget (default 64 MB: the row cap shrinks to
+  // budget/(8·dims) when the vectors are wide, so 1024-dim production
+  // embeddings collect ~8k rows, never a half-GB), i.e. model-side
   // state, exactly what FAISS holds in memory when it trains. Running the
   // Lloyd/PQ loops as engine jobs over that sample buys no parallelism a
   // driver loop doesn't have (the per-iteration work is K·dims·n flops on
@@ -401,9 +440,21 @@ object Ann {
       if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
       else new java.math.BigDecimal(java.lang.Double.toString(x))
         .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+    /** double→DECIMAL(38,12) with the CAST's semantics: non-finite values
+      * become null (the engine cast yields null and the decimal sum skips
+      * the element) — returning null here keeps the local twins
+      * divergence-free from the distributed loops on NaN/Inf embeddings
+      * instead of throwing where the engine silently skips. */
     def dec12(x: Double): java.math.BigDecimal =
-      new java.math.BigDecimal(java.lang.Double.toString(x))
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) null
+      else new java.math.BigDecimal(java.lang.Double.toString(x))
         .setScale(12, java.math.RoundingMode.HALF_UP)
+    /** `acc + dec12(x)`, skipping non-finite x exactly as the decimal sum
+      * skips the cast's null. */
+    def dec12Add(acc: java.math.BigDecimal, x: Double): java.math.BigDecimal = {
+      val b = dec12(x)
+      if (b == null) acc else acc.add(b)
+    }
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       val n = math.min(a.length, b.length)
@@ -443,9 +494,11 @@ object Ann {
   }
 
   private def collectSample(corpus: DataFrame, sampleRate: Double,
-                            maxTrainVectors: Int, seed: String): LocalSample = {
+                            maxTrainVectors: Int, seed: String,
+                            maxTrainBytes: Long = DefaultMaxTrainBytes)
+      : LocalSample = {
     val rows = sampleFrame(corpus, sampleRate, maxTrainVectors, seed,
-      spreadOut = false).collect()
+      spreadOut = false, maxTrainBytes = maxTrainBytes).collect()
     LocalSample(rows.map(_.get(0)),
       rows.map(_.getSeq[Double](1).toArray))
   }
@@ -538,7 +591,7 @@ object Ann {
         }
         val e = s.embs(i)
         var d = 0
-        while (d < dims) { acc(d) = acc(d).add(LT.dec12(e(d))); d += 1 }
+        while (d < dims) { acc(d) = LT.dec12Add(acc(d), e(d)); d += 1 }
       }
       i += 1
     }
@@ -626,7 +679,7 @@ object Ann {
                 rows.foreach { i =>
                   val e = s.embs(i)
                   var d = 0
-                  while (d < dims) { acc(d) = acc(d).add(LT.dec12(e(d))); d += 1 }
+                  while (d < dims) { acc(d) = LT.dec12Add(acc(d), e(d)); d += 1 }
                 }
                 Some((c, ch) -> acc.map(_.doubleValue()))
               }
@@ -705,7 +758,10 @@ object Ann {
       val next = cents.map(_.clone())
       sums.groupBy(_.getLong(0)).foreach { case (cell, rows) =>
         val v = new Array[Double](cents(cell.toInt).length)
-        rows.foreach(r => v(r.getInt(1)) = r.getDecimal(2).doubleValue())
+        // a null sum (every member non-finite at this position — the cast
+        // nulled them all) leaves 0.0, matching the local twin's ZERO acc
+        rows.foreach(r =>
+          if (!r.isNullAt(2)) v(r.getInt(1)) = r.getDecimal(2).doubleValue())
         next(cell.toInt) = v
       }
       cents = next
@@ -741,16 +797,19 @@ object Ann {
                              maxSplitRounds: Int = 8,
                              splitIters: Int = 2,
                              maxTrainVectors: Int = DefaultMaxTrainVectors,
-                             localTrain: Boolean = true)
+                             localTrain: Boolean = true,
+                             maxTrainBytes: Long = DefaultMaxTrainBytes)
       : Array[Array[Double]] = {
     require(balanceFactor > 1.0, "balanceFactor must exceed 1")
     if (localTrain && maxTrainVectors > 0) {
-      val s = collectSample(corpus, sampleRate, maxTrainVectors, seed)
+      val s = collectSample(corpus, sampleRate, maxTrainVectors, seed,
+        maxTrainBytes)
       return balancedLocal(s, initLocal(s, resolveKLocal(s, kCentroids), seed),
         iters, seed, balanceFactor, maxSplitRounds, splitIters)
     }
     val spark = corpus.sparkSession
-    val base = sampleFrame(corpus, sampleRate, maxTrainVectors, seed).persist()
+    val base = sampleFrame(corpus, sampleRate, maxTrainVectors, seed,
+      maxTrainBytes = maxTrainBytes).persist()
     try {
       var cents = lloyd(base, initCentroids(base, resolveK(base, kCentroids),
         seed), iters)
@@ -818,7 +877,10 @@ object Ann {
                 val upd = sums.groupBy(r => (r.getLong(0).toInt, r.getInt(1)))
                   .map { case (key, rows) =>
                     val v = new Array[Double](children(key).length)
-                    rows.foreach(r => v(r.getInt(2)) = r.getDecimal(3).doubleValue())
+                    // null sum (all-non-finite position) → 0.0, the local
+                    // twin's ZERO acc
+                    rows.foreach(r => if (!r.isNullAt(3))
+                      v(r.getInt(2)) = r.getDecimal(3).doubleValue())
                     key -> v
                   }
                 children = children ++ upd // empty child keeps its init
@@ -1322,14 +1384,16 @@ object Ann {
                        iters: Int = 4, seed: String = "pq",
                        sampleRate: Double = 1.0,
                        maxTrainVectors: Int = DefaultMaxTrainVectors,
-                       localTrain: Boolean = true)
+                       localTrain: Boolean = true,
+                       maxTrainBytes: Long = DefaultMaxTrainBytes)
       : Array[Array[Array[Double]]] = {
     require(iters >= 1, "need at least one Lloyd iteration")
     require(subspaces >= 1 && codes >= 2, "need >= 1 subspaces and >= 2 codes")
     if (localTrain && maxTrainVectors > 0)
-      return pqLocal(collectSample(corpus, sampleRate, maxTrainVectors, seed),
-        subspaces, codes, iters, seed)
-    val base = sampleFrame(corpus, sampleRate, maxTrainVectors, seed).persist()
+      return pqLocal(collectSample(corpus, sampleRate, maxTrainVectors, seed,
+        maxTrainBytes), subspaces, codes, iters, seed)
+    val base = sampleFrame(corpus, sampleRate, maxTrainVectors, seed,
+      maxTrainBytes = maxTrainBytes).persist()
     try {
       val dims = base.select(size(col("emb"))).head.getInt(0)
       require(dims % subspaces == 0,
@@ -1362,8 +1426,12 @@ object Ann {
             case ((m, j), rows) =>
               val v = next(m)(j)
               rows.foreach { r =>
-                v(r.getInt(2)) = (BigDecimal(r.getDecimal(3)) / r.getLong(4))
-                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                // null sum = every member non-finite at this position
+                // (cast-nulled): 0/n, matching the local twin's ZERO acc
+                v(r.getInt(2)) =
+                  if (r.isNullAt(3)) 0.0
+                  else (BigDecimal(r.getDecimal(3)) / r.getLong(4))
+                    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
               }
           }
           cb = next
@@ -1456,7 +1524,7 @@ object Ann {
           } else cur
           var d = 0
           while (d < dsub) {
-            acc._1(d) = acc._1(d).add(LT.dec12(e(off + d))); d += 1
+            acc._1(d) = LT.dec12Add(acc._1(d), e(off + d)); d += 1
           }
           sums(m)(bestCode) = (acc._1, acc._2 + 1L)
           m += 1
@@ -1710,17 +1778,19 @@ object Ann {
                  seed: String = "ivf", pqSeed: String = "pq",
                  sampleRate: Double = 1.0,
                  maxTrainVectors: Int = DefaultMaxTrainVectors,
-                 localTrain: Boolean = true)
+                 localTrain: Boolean = true,
+                 maxTrainBytes: Long = DefaultMaxTrainBytes)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val cents = trainCentroids(corpus, kCentroids, centIters, seed, sampleRate,
-      maxTrainVectors, localTrain)
+      maxTrainVectors, localTrain, maxTrainBytes)
     if (localTrain && maxTrainVectors > 0) {
       // the LOCAL residual path: the pqSeed-capped sample collects once,
       // residuals x − c(x) are computed in place (same round-6 cosine
       // argmax as residualFrame, same elementwise subtraction), and the
       // codebooks train locally — the inner sampling stays disabled
       // exactly as in the distributed branch below.
-      val s = collectSample(corpus, sampleRate, maxTrainVectors, pqSeed)
+      val s = collectSample(corpus, sampleRate, maxTrainVectors, pqSeed,
+        maxTrainBytes)
       val cells = assignLocal(s, cents)
       val res = LocalSample(s.ids, Array.tabulate(s.n) { i =>
         val e = s.embs(i); val c = cents(cells(i))
@@ -1739,7 +1809,8 @@ object Ann {
     // same pqSeed cap hash, so the trained codebooks are identical to
     // sampling on the residual side while the TakeOrdered runs once
     // over vectors, never over the residual lineage.
-    val e = sampleFrame(corpus, sampleRate, maxTrainVectors, pqSeed).persist()
+    val e = sampleFrame(corpus, sampleRate, maxTrainVectors, pqSeed,
+      maxTrainBytes = maxTrainBytes).persist()
     try {
       val res = residualFrame(e, cents)
         .select(col("vec_id"), col("emb").as("embedding"))
@@ -1847,6 +1918,89 @@ object Ann {
           .as("cosine"))
     rank(scored, k)
   }
+
+  // ---------------------------------------------- exact-rerank refinement
+
+  /** EXACT-RERANK refinement (the FAISS `IndexRefineFlat` posture): take
+    * a quantized retriever's top-`refine` candidate pairs and re-score
+    * each with the TRUE vectors — the [[bruteForceTopK]] round-6 cosine —
+    * keeping the exact order's top-k. The quantized pass does what it is
+    * good at (cheap candidate pruning); the exact pass runs over
+    * `queries·refine` rows only and repairs the reconstruction error
+    * that caps PQ recall.
+    *
+    * Scale shape: `cand` is queries×refine id pairs — BROADCAST against
+    * the corpus scan (one broadcast hash join fetches candidate vectors;
+    * the corpus never shuffles), query vectors broadcast as everywhere.
+    * At 1000 executors the exact pass touches `refine` vectors per query
+    * regardless of corpus size. */
+  private def exactRerank(corpus: DataFrame, isQuery: Column,
+                          cand: DataFrame, k: Int): DataFrame = {
+    val e = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .withColumn("nrm", VF.norm2(col("emb")))
+    val q = e.filter(isQuery).select(col("vec_id").as("q_id"),
+      col("emb").as("q_vec"), col("nrm").as("q_nrm"))
+    val scored = e.join(broadcast(cand.select(col("q_id"), col("n_id"))),
+        col("vec_id") === col("n_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("n_id"),
+        round(VF.cosineWithNorms(VF.dot(col("q_vec"), col("emb")),
+          col("q_nrm"), col("nrm")), 6).as("cosine"))
+    rank(scored, k)
+  }
+
+  /** [[ivfPqTopKFrom]] widened to `refine` candidates, then
+    * [[exactRerank]]ed to k — the `IVFx,PQy,RFlat` serving shape.
+    * Measured on the bench corpus: recall@10 0.21 (`ann_ivf_pq`) →
+    * the refined point's recall is gated in the bench
+    * (`ann_ivf_pq_rerank`). */
+  def ivfPqTopKRerank(corpus: DataFrame, isQuery: Column,
+                      cents: Array[Array[Double]],
+                      cb: Array[Array[Array[Double]]],
+                      k: Int, nProbe: Int = 2, refine: Int = 100)
+      : DataFrame = {
+    require(refine >= k, s"refine=$refine must be >= k=$k")
+    exactRerank(corpus, isQuery,
+      ivfPqTopKFrom(corpus, isQuery, cents, cb, refine, nProbe), k)
+  }
+
+  /** [[ivfPqTrain]] then [[ivfPqTopKRerank]] — the one-call refined
+    * IVF-PQ search (the `ann_topk` section's `ivf_pq` variant with
+    * `refine` set). */
+  def ivfPqTopKRefined(corpus: DataFrame, isQuery: Column, k: Int,
+                       kCentroids: Int = 16, subspaces: Int = 8,
+                       codes: Int = 256, nProbe: Int = 2, refine: Int = 100,
+                       centIters: Int = 5, pqIters: Int = 4,
+                       seed: String = "ivf", pqSeed: String = "pq",
+                       sampleRate: Double = 1.0,
+                       maxTrainVectors: Int = DefaultMaxTrainVectors)
+      : DataFrame = {
+    val (cents, cb) = ivfPqTrain(corpus, kCentroids, subspaces, codes,
+      centIters, pqIters, seed, pqSeed, sampleRate, maxTrainVectors)
+    ivfPqTopKRerank(corpus, isQuery, cents, cb, k, nProbe, refine)
+  }
+
+  /** [[pqTopKFromCodebooks]] widened to `refine` candidates, then
+    * [[exactRerank]]ed to k — raw-vector PQ with exact refinement. */
+  def pqTopKRerank(corpus: DataFrame, isQuery: Column,
+                   cb: Array[Array[Array[Double]]],
+                   k: Int, refine: Int = 100): DataFrame = {
+    require(refine >= k, s"refine=$refine must be >= k=$k")
+    exactRerank(corpus, isQuery,
+      pqTopKFromCodebooks(corpus, isQuery, cb, refine), k)
+  }
+
+  /** [[trainPqCodebooks]] then [[pqTopKRerank]] — one-call refined PQ. */
+  def pqTopKRefined(corpus: DataFrame, isQuery: Column, k: Int,
+                    subspaces: Int = 8, codes: Int = 256, refine: Int = 100,
+                    iters: Int = 4, seed: String = "pq",
+                    sampleRate: Double = 1.0,
+                    maxTrainVectors: Int = DefaultMaxTrainVectors)
+      : DataFrame =
+    pqTopKRerank(corpus, isQuery,
+      trainPqCodebooks(corpus, subspaces, codes, iters, seed, sampleRate,
+        maxTrainVectors), k, refine)
 
   /** Plain left-to-right double dot — matches the SQL oracle's fold. */
   private def dot64(a: Array[Double], b: Array[Double]): Double = {

@@ -22,23 +22,38 @@ final class DaemonPresence(cp: ControlPlane,
   private val live = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.Set[java.net.Socket]]()
 
+  /** True when the control plane has a record of `id` — the pre-handshake
+    * screen (unknown ids get 403 BEFORE the 101 is written, so rejection
+    * never races registration). */
+  def known(id: String): Boolean = cp.hasDaemon(id)
+
   /** Register a connection. False — reject the socket — when the
-    * control plane has no record of the daemon. */
+    * control plane has no record of the daemon. Add-and-create runs
+    * inside ONE per-key compute: a concurrent [[disconnected]] of the
+    * id's last other socket can never strand this add on a removed set. */
   def connected(id: String, sock: java.net.Socket): Boolean =
     cp.hasDaemon(id) && {
-      live.computeIfAbsent(id, _ => java.util.concurrent.ConcurrentHashMap
-        .newKeySet[java.net.Socket]()).add(sock)
+      live.compute(id, (_, cur) => {
+        val set = if (cur == null)
+          java.util.concurrent.ConcurrentHashMap.newKeySet[java.net.Socket]()
+        else cur
+        set.add(sock)
+        set
+      })
       true
     }
 
   /** Deregister; stamps `last_seen` (every close updates it — the
-    * freshest sighting wins, monotone by construction). */
+    * freshest sighting wins, monotone by construction). Remove-and-drop
+    * runs inside one per-key compute (returning null drops the entry),
+    * atomic against concurrent [[connected]] adds — a check-then-act
+    * `remove(id, set)` here could delete a set a fresh connection just
+    * registered into, reading a live daemon as Offline. */
   def disconnected(id: String, sock: java.net.Socket): Unit = {
-    val set = live.get(id)
-    if (set != null) {
+    live.computeIfPresent(id, (_, set) => {
       set.remove(sock)
-      if (set.isEmpty) live.remove(id, set)
-    }
+      if (set.isEmpty) null else set
+    })
     cp.setDaemonLastSeen(id, now())
     ()
   }

@@ -37,6 +37,13 @@ object SectionRegistry {
     c.getOrElse("train_max_vectors",
       graft.operators.Ann.DefaultMaxTrainVectors.toString).toInt
 
+  /** `train_max_bytes` — the byte budget bounding what the trainers
+    * collect to the driver ([[graft.operators.Ann.DefaultMaxTrainBytes]],
+    * 64 MB); 0 disables. */
+  private def trainBytes(c: Map[String, String]): Long =
+    c.getOrElse("train_max_bytes",
+      graft.operators.Ann.DefaultMaxTrainBytes.toString).toLong
+
   /** Registered sections. Source/transform/destination names follow the
     * reference registry (`config_registry/src/lib.rs:26-39`). */
   val entries: Map[String, Entry] = Map(
@@ -343,35 +350,79 @@ object SectionRegistry {
             case Some(w) => graft.operators.Ann.ivfTopK(frame, isQuery,
               isCentroid = expr(w), k,
               nProbe = c.getOrElse("probes", "2").toInt)
-            case scala.None => graft.operators.Ann.ivfTopKTrained(
-              frame, isQuery, k,
-              nProbe = c.getOrElse("probes", "2").toInt,
-              kCentroids = c.getOrElse("k_centroids", "0").toInt,
-              iters = c.getOrElse("train_iters", "5").toInt,
-              seed = c.getOrElse("seed", "ivf"),
-              sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
-              maxTrainVectors = trainCap(c))
+            case scala.None =>
+              // TRAINED default is the BALANCED quantizer: hot cells
+              // above `balance_factor ×` mean auto-split at train time
+              // (a no-op on balanced corpora — identical centroids —
+              // but a skewed corpus no longer ships a 10× hot cell by
+              // default; measured `ivf_cell_balance.skewed` 11.3 → ~2).
+              // `balance_factor: 0` opts back into the raw trainer.
+              val bf = c.getOrElse("balance_factor", "3.0").toDouble
+              if (bf > 0.0) graft.operators.Ann.ivfTopKTrainedBalanced(
+                frame, isQuery, k,
+                nProbe = c.getOrElse("probes", "2").toInt,
+                kCentroids = c.getOrElse("k_centroids", "0").toInt,
+                iters = c.getOrElse("train_iters", "5").toInt,
+                seed = c.getOrElse("seed", "ivf"),
+                sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
+                balanceFactor = bf,
+                maxTrainVectors = trainCap(c))
+              else graft.operators.Ann.ivfTopKTrained(
+                frame, isQuery, k,
+                nProbe = c.getOrElse("probes", "2").toInt,
+                kCentroids = c.getOrElse("k_centroids", "0").toInt,
+                iters = c.getOrElse("train_iters", "5").toInt,
+                seed = c.getOrElse("seed", "ivf"),
+                sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
+                maxTrainVectors = trainCap(c))
           }
           // product quantization: trained codebooks + ADC serving — the
-          // compressed-corpus path (codes, not floats, ride the scoring)
-          case "pq" => graft.operators.Ann.pqTopK(frame, isQuery, k,
-            subspaces = c.getOrElse("subspaces", "8").toInt,
-            codes = c.getOrElse("codes", "256").toInt,
-            iters = c.getOrElse("train_iters", "4").toInt,
-            seed = c.getOrElse("seed", "pq"),
-            sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
-            maxTrainVectors = trainCap(c))
+          // compressed-corpus path (codes, not floats, ride the scoring).
+          // `refine: R` adds the exact-rerank pass (PQ top-R candidates
+          // re-scored with true vectors — FAISS RefineFlat)
+          case "pq" =>
+            val refine = c.getOrElse("refine", "0").toInt
+            if (refine > 0) graft.operators.Ann.pqTopKRefined(frame, isQuery,
+              k,
+              subspaces = c.getOrElse("subspaces", "8").toInt,
+              codes = c.getOrElse("codes", "256").toInt,
+              refine = refine,
+              iters = c.getOrElse("train_iters", "4").toInt,
+              seed = c.getOrElse("seed", "pq"),
+              sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
+              maxTrainVectors = trainCap(c))
+            else graft.operators.Ann.pqTopK(frame, isQuery, k,
+              subspaces = c.getOrElse("subspaces", "8").toInt,
+              codes = c.getOrElse("codes", "256").toInt,
+              iters = c.getOrElse("train_iters", "4").toInt,
+              seed = c.getOrElse("seed", "pq"),
+              sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
+              maxTrainVectors = trainCap(c))
           // residual IVF-PQ (the FAISS IVFx,PQy shape): coarse cells
-          // prune, residual codes score — the at-scale default
-          case "ivf_pq" => graft.operators.Ann.ivfPqTopK(frame, isQuery, k,
-            kCentroids = c.getOrElse("k_centroids", "16").toInt,
-            subspaces = c.getOrElse("subspaces", "8").toInt,
-            codes = c.getOrElse("codes", "256").toInt,
-            nProbe = c.getOrElse("probes", "2").toInt,
-            seed = c.getOrElse("seed", "ivf"),
-            pqSeed = c.getOrElse("pq_seed", "pq"),
-            sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
-            maxTrainVectors = trainCap(c))
+          // prune, residual codes score — the at-scale default.
+          // `refine: R` = IVFx,PQy,RFlat (exact-rerank the PQ top-R)
+          case "ivf_pq" =>
+            val refine = c.getOrElse("refine", "0").toInt
+            if (refine > 0) graft.operators.Ann.ivfPqTopKRefined(frame,
+              isQuery, k,
+              kCentroids = c.getOrElse("k_centroids", "16").toInt,
+              subspaces = c.getOrElse("subspaces", "8").toInt,
+              codes = c.getOrElse("codes", "256").toInt,
+              nProbe = c.getOrElse("probes", "2").toInt,
+              refine = refine,
+              seed = c.getOrElse("seed", "ivf"),
+              pqSeed = c.getOrElse("pq_seed", "pq"),
+              sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
+              maxTrainVectors = trainCap(c))
+            else graft.operators.Ann.ivfPqTopK(frame, isQuery, k,
+              kCentroids = c.getOrElse("k_centroids", "16").toInt,
+              subspaces = c.getOrElse("subspaces", "8").toInt,
+              codes = c.getOrElse("codes", "256").toInt,
+              nProbe = c.getOrElse("probes", "2").toInt,
+              seed = c.getOrElse("seed", "ivf"),
+              pqSeed = c.getOrElse("pq_seed", "pq"),
+              sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
+              maxTrainVectors = trainCap(c))
           case other => throw new IllegalArgumentException(
             s"ann_topk variant must be brute|lsh|lsh_single|lsh_probe|" +
             s"lsh_multi|ivf|pq|ivf_pq, got $other")
@@ -878,7 +929,8 @@ object SectionRegistry {
             codes = c.getOrElse("codes", "256").toInt,
             centIters = c.getOrElse("cent_iters", "5").toInt,
             pqIters = c.getOrElse("pq_iters", "4").toInt,
-            maxTrainVectors = trainCap(c)),
+            maxTrainVectors = trainCap(c),
+            maxTrainBytes = trainBytes(c)),
           cfg(c, "path"), s)
         scala.None
       }),
@@ -886,7 +938,14 @@ object SectionRegistry {
       (s, c, df) => {
         val (cents, cb) = graft.operators.Ann.ivfPqModelRead(s, cfg(c, "path"))
         val frame = in(df)
-        Some(graft.operators.Ann.ivfPqTopKFrom(frame,
+        val refine = c.getOrElse("refine", "0").toInt
+        // `refine: R` — exact-rerank the PQ top-R with true vectors
+        // (FAISS RefineFlat over a stored index)
+        Some(if (refine > 0) graft.operators.Ann.ivfPqTopKRerank(frame,
+          expr(c.getOrElse("query_where", "vec_id < 10")), cents, cb,
+          k = c.getOrElse("k", "5").toInt,
+          nProbe = c.getOrElse("probes", "2").toInt, refine = refine)
+        else graft.operators.Ann.ivfPqTopKFrom(frame,
           expr(c.getOrElse("query_where", "vec_id < 10")), cents, cb,
           k = c.getOrElse("k", "5").toInt,
           nProbe = c.getOrElse("probes", "2").toInt))

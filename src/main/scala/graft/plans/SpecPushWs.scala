@@ -40,7 +40,22 @@ final class SpecPushWs(port: Int = 0, host: String = "127.0.0.1",
                        tls: Option[TlsConfig] = scala.None,
                        token: Option[String] = scala.None,
                        graphProvider: Option[() => String] = scala.None,
-                       presence: Option[DaemonPresence] = scala.None) {
+                       presence: Option[DaemonPresence] = scala.None,
+                       allowInsecureGraphDelivery: Boolean = false) {
+  // graph delivery ships SECRET-REAL configs; a bearer token
+  // authenticates but does not encrypt, so a non-loopback bind without
+  // TLS would put credentials on the wire in cleartext (the reference
+  // channel is always wss). Refuse at construction unless explicitly
+  // overridden — a misconfigured daemon fleet should fail to start, not
+  // leak.
+  require(graphProvider.isEmpty || tls.nonEmpty ||
+    allowInsecureGraphDelivery ||
+    java.net.InetAddress.getByName(host).isLoopbackAddress,
+    s"SpecPushWs: graph delivery on non-loopback host '$host' requires " +
+    "TLS (graphProvider responses carry real secrets; a bearer token " +
+    "does not encrypt). Configure `tls`, bind loopback, or set " +
+    "allowInsecureGraphDelivery=true to accept cleartext delivery.")
+
   /** The notification the reference pushes on spec-graph change. */
   val RefetchGraph = "RefetchGraph"
 
@@ -159,24 +174,37 @@ final class SpecPushWs(port: Int = 0, host: String = "127.0.0.1",
       // anonymous clients stay notification-only and untracked.
       val did: Option[String] =
         peerCommonName(sock).orElse(headers.get("x-graft-daemon"))
-      val tracked: Option[(DaemonPresence, String)] = (presence, did) match {
-        case (Some(p), Some(id)) =>
-          if (p.connected(id, sock)) Some((p, id))
-          else { bad(403, "Forbidden"); return }
-        case _ => scala.None
+      // UNKNOWN ids are rejected BEFORE the handshake (403, never a 101);
+      // registration itself waits until the 101 is ON THE WIRE — a client
+      // that drops mid-handshake must not leave a phantom Online entry
+      // (presence would otherwise register a socket whose handshake write
+      // throws before the reader loop's finally can deregister it).
+      (presence, did) match {
+        case (Some(p), Some(id)) if !p.known(id) =>
+          bad(403, "Forbidden"); return
+        case _ => ()
       }
       val accept = java.util.Base64.getEncoder.encodeToString(
         java.security.MessageDigest.getInstance("SHA-1")
           .digest((key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11")
             .getBytes(UTF_8)))
-      out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
-        "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
-        s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes(UTF_8))
-      out.flush()
-      sock.setSoTimeout(0) // post-handshake the reader may idle for hours
-      clients.add(sock)
-      try readerLoop(sock, in, out)
-      finally tracked.foreach { case (p, id) => p.disconnected(id, sock) }
+      var tracked: Option[(DaemonPresence, String)] = scala.None
+      try {
+        out.write(("HTTP/1.1 101 Switching Protocols\r\n" +
+          "Upgrade: websocket\r\nConnection: Upgrade\r\n" +
+          s"Sec-WebSocket-Accept: $accept\r\n\r\n").getBytes(UTF_8))
+        out.flush()
+        sock.setSoTimeout(0) // post-handshake the reader may idle for hours
+        tracked = (presence, did) match {
+          case (Some(p), Some(id)) =>
+            // deleted between the screen and here: treat as kicked
+            if (p.connected(id, sock)) Some((p, id))
+            else { sock.close(); return }
+          case _ => scala.None
+        }
+        clients.add(sock)
+        readerLoop(sock, in, out)
+      } finally tracked.foreach { case (p, id) => p.disconnected(id, sock) }
     } catch { case _: Exception =>
       clients.remove(sock)
       try sock.close() catch { case _: Exception => () }

@@ -72,6 +72,50 @@ class AnnLocalTrainSpec extends AnyFunSuite {
     assert(deep3(lcb) == deep3(dcb))
   }
 
+  test("maxTrainBytes binds the sample by BYTES and parity holds under it") {
+    // 64-dim vectors, 500-row table: a 300-vector byte budget
+    // (300·64·8 B) must shrink the huge row cap to exactly 300 rows —
+    // the model trained under the byte budget equals the one trained
+    // under an explicit 300-row cap, local == distributed still, and
+    // the budget demonstrably BINDS (differs from uncapped training).
+    val budget = 300L * 64 * 8
+    val byBytes = Ann.trainCentroids(emb, kCentroids = 8, iters = 2,
+      maxTrainVectors = 1 << 20, maxTrainBytes = budget)
+    val byRows = Ann.trainCentroids(emb, kCentroids = 8, iters = 2,
+      maxTrainVectors = 300, maxTrainBytes = 0)
+    assert(deep(byBytes) == deep(byRows))
+    val dist = Ann.trainCentroids(emb, kCentroids = 8, iters = 2,
+      maxTrainVectors = 1 << 20, maxTrainBytes = budget, localTrain = false)
+    assert(deep(byBytes) == deep(dist))
+    val uncapped = Ann.trainCentroids(emb, kCentroids = 8, iters = 2,
+      maxTrainVectors = 1 << 20, maxTrainBytes = 0)
+    assert(deep(byBytes) != deep(uncapped))
+  }
+
+  test("maxTrainBytes floor: never shrinks below MinByteCapRows") {
+    // a 1-byte budget cannot starve PQ init below `codes` vectors —
+    // the floor keeps >= 256 rows, so an 8-codes train still succeeds
+    val cb = Ann.trainPqCodebooks(emb, subspaces = 8, codes = 8, iters = 1,
+      maxTrainBytes = 1L)
+    assert(cb.length == 8 && cb(0).length == 8)
+  }
+
+  test("non-finite embeddings: local dec12 skips like the decimal cast") {
+    import spark.implicits._
+    // one NaN element among finite members: the distributed cast nulls
+    // it and sum() skips; the local twin must do the same, not throw
+    val rows = (0L until 12L).map { i =>
+      (i, Seq.tabulate(4)(d =>
+        if (i == 3L && d == 1) Double.NaN else (i * 4 + d).toDouble / 10.0))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val local = Ann.trainCentroids(df, kCentroids = 2, iters = 2,
+      maxTrainVectors = 1 << 20)
+    val dist = Ann.trainCentroids(df, kCentroids = 2, iters = 2,
+      maxTrainVectors = 1 << 20, localTrain = false)
+    assert(deep(local) == deep(dist))
+  }
+
   test("local PQ training enforces the packed-key overflow guard") {
     import spark.implicits._
     // squared L2 between huge sub-vectors overflows the 6dp micro key

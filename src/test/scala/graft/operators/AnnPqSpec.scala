@@ -57,6 +57,59 @@ class AnnPqSpec extends AnyFunSuite {
       "reconstruction cosine out of [-1, 1]")
   }
 
+  test("exact-rerank: refine >= corpus reproduces brute force exactly") {
+    // when every vector is a candidate the rerank IS brute force: the
+    // exact pass must reproduce bruteForceTopK row-for-row (scores,
+    // ranks, tiebreaks) — pins the rerank scorer to the exact scorer
+    val cb = Ann.trainPqCodebooks(emb, iters = 2)
+    val rerank = Ann.pqTopKRerank(emb, col("vec_id") < 5, cb, 5,
+        refine = 1 << 20)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
+      .orderBy(col("q_id"), col("rk")).collect()
+    val brute = Ann.bruteForceTopK(emb, col("vec_id") < 5, 5)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
+      .orderBy(col("q_id"), col("rk")).collect()
+    assert(rerank.toSeq == brute.toSeq)
+  }
+
+  test("exact-rerank: results are a re-scored subset of the PQ candidates") {
+    val cb = Ann.trainPqCodebooks(emb, iters = 2)
+    val cand = Ann.pqTopKFromCodebooks(emb, col("vec_id") < 5, cb, 20)
+      .select(col("q_id"), col("n_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rr = Ann.pqTopKRerank(emb, col("vec_id") < 5, cb, 5, refine = 20)
+      .select(col("q_id"), col("n_id"), col("rk")).collect()
+    assert(rr.length == 25)
+    assert(rr.forall(r => cand((r.getLong(0), r.getLong(1)))),
+      "rerank surfaced a non-candidate pair")
+    // refine below k is a config error, loudly
+    val ex = intercept[IllegalArgumentException] {
+      Ann.pqTopKRerank(emb, col("vec_id") < 5, cb, 5, refine = 3)
+    }
+    assert(ex.getMessage.contains("refine"))
+  }
+
+  test("ivf-pq exact-rerank lifts recall toward the probe ceiling") {
+    val k = 10
+    val exact = Ann.bruteForceTopK(emb, col("vec_id") < 10, k)
+    val (cents, cbr) = Ann.ivfPqTrain(emb, kCentroids = 8, codes = 16,
+      centIters = 2, pqIters = 2)
+    val plain = Ann.recallAtK(exact,
+      Ann.ivfPqTopKFrom(emb, col("vec_id") < 10, cents, cbr, k, nProbe = 4))
+    val refined = Ann.recallAtK(exact,
+      Ann.ivfPqTopKRerank(emb, col("vec_id") < 10, cents, cbr, k,
+        nProbe = 4, refine = 60))
+    // the exact ceiling at the same probe set: rerank can approach but
+    // never exceed it
+    val ceiling = Ann.recallAtK(exact,
+      Ann.ivfTopKTrained(emb, col("vec_id") < 10, k, nProbe = 4,
+        kCentroids = 8, iters = 2))
+    assert(refined >= plain,
+      s"rerank lowered recall: $refined < $plain")
+    assert(refined <= ceiling + 1e-9,
+      s"rerank recall $refined exceeds its probe ceiling $ceiling")
+  }
+
   test("codebook model store: write/read bit-identical, serving unchanged") {
     val cb = Ann.trainPqCodebooks(emb, subspaces = 4, codes = 8, iters = 2)
     val path = java.nio.file.Files.createTempDirectory("pq_store").toString

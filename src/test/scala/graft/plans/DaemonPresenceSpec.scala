@@ -68,6 +68,33 @@ class DaemonPresenceSpec extends AnyFunSuite {
     } finally { server.stop(); ws.stop() }
   }
 
+  test("registry survives concurrent connect/disconnect churn") {
+    // the old check-then-act disconnected() could remove a set a
+    // concurrent connected() had just registered into — a live daemon
+    // reading Offline. Hammer the per-key compute paths from many
+    // threads; the invariant: after every thread's connects have a
+    // matching disconnect EXCEPT one survivor, the daemon is Online,
+    // and after the survivor closes it is Offline.
+    val cp = cpWithDaemon("d-c")
+    val presence = new DaemonPresence(cp)
+    val survivor = new java.net.Socket()
+    assert(presence.connected("d-c", survivor))
+    val threads = (0 until 8).map { _ =>
+      new Thread(() => {
+        (0 until 500).foreach { _ =>
+          val s = new java.net.Socket()
+          presence.connected("d-c", s)
+          presence.disconnected("d-c", s)
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(presence.isOnline("d-c"),
+      "churn dropped a still-connected socket's registration")
+    presence.disconnected("d-c", survivor)
+    assert(!presence.isOnline("d-c"))
+  }
+
   test("unknown daemon id is rejected at the handshake; anonymous accepted") {
     val cp = cpWithDaemon("d-1")
     val presence = new DaemonPresence(cp)

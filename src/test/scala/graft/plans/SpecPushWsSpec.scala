@@ -86,6 +86,27 @@ class SpecPushWsSpec extends AnyFunSuite {
     c.getResponseCode
   }
 
+  test("graph delivery refuses cleartext on a non-loopback bind") {
+    // graphProvider responses carry real secrets; a bearer token does
+    // not encrypt — a non-loopback bind with no TLS must fail to
+    // CONSTRUCT (a misconfigured fleet fails to start, never leaks)
+    val provider = Some(() => "{}")
+    val ex = intercept[IllegalArgumentException] {
+      new SpecPushWs(host = "0.0.0.0", graphProvider = provider)
+    }
+    assert(ex.getMessage.contains("requires"), ex.getMessage)
+    // loopback stays fine; the explicit opt-out stays available; and a
+    // non-loopback bind WITHOUT a provider is notification-only (no
+    // secrets ride the channel) so it constructs as before
+    val ok1 = new SpecPushWs(host = "127.0.0.1", graphProvider = provider)
+    ok1.stop()
+    val ok2 = new SpecPushWs(host = "0.0.0.0", graphProvider = provider,
+      allowInsecureGraphDelivery = true)
+    ok2.stop()
+    val ok3 = new SpecPushWs(host = "0.0.0.0")
+    ok3.stop()
+  }
+
   test("push lands -> RefetchGraph arrives -> reconcile WITHOUT polling") {
     val tmp = Files.createTempDirectory("graft_ws").toString
     val specDir = Files.createTempDirectory("graft_ws_specs")

@@ -57,6 +57,61 @@ class TrainingSectionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_topk: trained ivf defaults to the BALANCED quantizer") {
+    import org.apache.spark.sql.functions.col
+    def run(extra: String) = {
+      val json =
+        s"""{"sections":[
+          {"id":"src","name":"parquet_source","config":{"path":"$sf/embeddings.parquet"}},
+          {"id":"ann","name":"ann_topk","config":{
+            "variant":"ivf","k":"3","query_where":"vec_id < 4",
+            "k_centroids":"8"$extra}}],
+          "edges":[["src","ann"]]}"""
+      PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+        .orderBy(col("q_id"), col("rk")).collect().toSeq
+    }
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val balanced = graft.operators.Ann.ivfTopKTrainedBalanced(e,
+        col("vec_id") < 4, 3, nProbe = 2, kCentroids = 8)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
+      .orderBy(col("q_id"), col("rk")).collect().toSeq
+    val raw = graft.operators.Ann.ivfTopKTrained(e, col("vec_id") < 4, 3,
+        nProbe = 2, kCentroids = 8)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
+      .orderBy(col("q_id"), col("rk")).collect().toSeq
+    assert(run("") == balanced, "section default is not the balanced trainer")
+    assert(run(""","balance_factor":"0"""") == raw,
+      "balance_factor: 0 does not opt back into the raw trainer")
+  }
+
+  test("ann_topk: `refine` adds the exact-rerank pass (pq and ivf_pq)") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def run(variant: String) = {
+      val json =
+        s"""{"sections":[
+          {"id":"src","name":"parquet_source","config":{"path":"$sf/embeddings.parquet"}},
+          {"id":"ann","name":"ann_topk","config":{
+            "variant":"$variant","k":"3","query_where":"vec_id < 4",
+            "codes":"16","refine":"15","k_centroids":"8"}}],
+          "edges":[["src","ann"]]}"""
+      PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+        .orderBy(col("q_id"), col("rk")).collect().toSeq
+    }
+    val pqRef = graft.operators.Ann.pqTopKRefined(e, col("vec_id") < 4, 3,
+        codes = 16, refine = 15)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
+      .orderBy(col("q_id"), col("rk")).collect().toSeq
+    assert(run("pq") == pqRef)
+    val ivfPqRef = graft.operators.Ann.ivfPqTopKRefined(e, col("vec_id") < 4,
+        3, kCentroids = 8, codes = 16, refine = 15)
+      .select(col("q_id"), col("n_id"), col("cosine"), col("rk"))
+      .orderBy(col("q_id"), col("rk")).collect().toSeq
+    assert(run("ivf_pq") == ivfPqRef)
+  }
+
   test("knn_classify section: majority-label prediction from a spec") {
     val json =
       s"""{"sections":[
