@@ -198,13 +198,7 @@ object Bpe {
       i += 1
     }
     // count desc, pair code-point asc — first() IS the round's argmax
-    val order = new java.util.TreeSet[(Long, String)](
-      new java.util.Comparator[(Long, String)] {
-        override def compare(a: (Long, String), b: (Long, String)): Int = {
-          val c = java.lang.Long.compare(b._1, a._1)
-          if (c != 0) c else codePointCompare(a._2, b._2)
-        }
-      })
+    val order = new java.util.TreeSet[(Long, String)](pairComparator)
     val pcIt = pairCount.entrySet().iterator()
     while (pcIt.hasNext) { val e = pcIt.next(); order.add((e.getValue, e.getKey)) }
 
@@ -256,6 +250,138 @@ object Bpe {
               if (old > 0L) order.remove((old, e.getKey))
               if (neu > 0L) { pairCount.put(e.getKey, neu); order.add((neu, e.getKey)) }
               else { pairCount.remove(e.getKey); pairWords.remove(e.getKey) }
+            }
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** The training argmax's total order: count desc, then pair asc in
+    * code-point order (Spark/DuckDB binary string order). */
+  private def pairComparator: java.util.Comparator[(Long, String)] =
+    new java.util.Comparator[(Long, String)] {
+      override def compare(a: (Long, String), b: (Long, String)): Int = {
+        val c = java.lang.Long.compare(b._1, a._1)
+        if (c != 0) c else codePointCompare(a._2, b._2)
+      }
+    }
+
+  /** One WINDOW of provably-global-argmax merges over a PARTIAL
+    * dictionary — the driver half of [[graft.operators.Corpus.bpeTrain]]'s
+    * batched distributed fallback. The engine collects only the words
+    * containing at least one HOT pair (global count > `thetaExcl`; every
+    * word holding a hot-pair occurrence is in `dict`, so hot-pair counts
+    * and all their future deltas are EXACT here), plus the hot pairs'
+    * global base counts. The window then replays the sequential
+    * algorithm locally, accepting a merge only while it can PROVE the
+    * local argmax is the global one:
+    *
+    *  - hot pairs: exact totals (base + exact deltas — all their
+    *    occurrences live in collected words, before and after merges);
+    *  - any other pair: unknown base ≤ `thetaExcl` (by hotness
+    *    definition) plus an exactly-tracked delta (merges only touch
+    *    collected words), so its total ≤ thetaExcl + max positive delta;
+    *  - the window CLOSES (returns) as soon as the best hot total is ≤
+    *    that intrusion bound — a created/boosted pair might outrank it,
+    *    and only a global recount can order them — or drops below
+    *    `minPairCount` (global termination is the outer loop's call).
+    *
+    * Window boundaries never change the merge sequence: each accepted
+    * merge is the true global argmax at its turn, and the outer loop
+    * resumes from an exact recount. Identical list, ~batch-size fewer
+    * jobs per merge. */
+  def trainWindow(dict: Array[(Array[String], Long)],
+                  hotCounts: Map[String, Long],
+                  thetaExcl: Long, maxMerges: Int,
+                  minPairCount: Long): Seq[String] = {
+    val nW = dict.length
+    val parts = new Array[Array[String]](nW)
+    val wcnt = new Array[Long](nW)
+    val pairWords = new java.util.HashMap[String, java.util.BitSet]()
+    var i = 0
+    while (i < nW) {
+      parts(i) = dict(i)._1; wcnt(i) = dict(i)._2
+      val bag = pairBag(parts(i))
+      val it = bag.entrySet().iterator()
+      while (it.hasNext) {
+        pairWords.computeIfAbsent(it.next().getKey,
+          _ => new java.util.BitSet()).set(i)
+      }
+      i += 1
+    }
+    val totals = new java.util.HashMap[String, Long]()
+    val order = new java.util.TreeSet[(Long, String)](pairComparator)
+    hotCounts.foreach { case (p, c) => totals.put(p, c); order.add((c, p)) }
+    // signed deltas of non-hot pairs; positive ones ride a TreeSet so the
+    // intrusion bound is O(1) per accepted merge
+    val unknown = new java.util.HashMap[String, Long]()
+    val unknownOrder = new java.util.TreeSet[(Long, String)](pairComparator)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var stop = false
+    while (!stop && merges.size < maxMerges) {
+      if (order.isEmpty) stop = true
+      else {
+        val best = order.first()
+        val maxUnknown =
+          if (unknownOrder.isEmpty) 0L else unknownOrder.first()._1
+        if (best._1 < minPairCount) stop = true
+        else if (best._1 <= thetaExcl + maxUnknown) stop = true
+        else {
+          val pair = best._2
+          val sp = pair.indexOf(' ')
+          val l = pair.substring(0, sp); val r = pair.substring(sp + 1)
+          merges += pair
+          val members = pairWords.get(pair)
+          require(members != null,
+            s"hot pair '$pair' has no collected occurrence — the hot-word " +
+            "collection predicate and the hot set disagree")
+          val delta = new java.util.HashMap[String, Long]()
+          var idx = members.nextSetBit(0)
+          while (idx >= 0) {
+            val before = pairBag(parts(idx))
+            val after = applyMerge(parts(idx), l, r)
+            parts(idx) = after
+            val abag = pairBag(after)
+            val c = wcnt(idx)
+            val bIt = before.entrySet().iterator()
+            while (bIt.hasNext) {
+              val e = bIt.next()
+              delta.merge(e.getKey, -e.getValue.toLong * c, (a, b) => a + b)
+              if (!abag.containsKey(e.getKey)) {
+                val bs = pairWords.get(e.getKey)
+                if (bs != null) bs.clear(idx)
+              }
+            }
+            val aIt = abag.entrySet().iterator()
+            while (aIt.hasNext) {
+              val e = aIt.next()
+              delta.merge(e.getKey, e.getValue.toLong * c, (a, b) => a + b)
+              pairWords.computeIfAbsent(e.getKey, _ => new java.util.BitSet())
+                .set(idx)
+            }
+            idx = members.nextSetBit(idx + 1)
+          }
+          val dIt = delta.entrySet().iterator()
+          while (dIt.hasNext) {
+            val e = dIt.next()
+            if (e.getValue != 0L) {
+              if (totals.containsKey(e.getKey)) {
+                val old = totals.get(e.getKey)
+                val neu = old + e.getValue
+                order.remove((old, e.getKey))
+                if (neu > 0L) { totals.put(e.getKey, neu)
+                  order.add((neu, e.getKey)) }
+                else totals.remove(e.getKey)
+              } else {
+                val old = unknown.getOrDefault(e.getKey, 0L)
+                val neu = old + e.getValue
+                if (old > 0L) unknownOrder.remove((old, e.getKey))
+                if (neu != 0L) unknown.put(e.getKey, neu)
+                else unknown.remove(e.getKey)
+                if (neu > 0L) unknownOrder.add((neu, e.getKey))
+              }
             }
           }
         }

@@ -1068,17 +1068,29 @@ object Corpus {
     *    runs the classic incremental-pair-count loop — a 10k-merge
     *    vocabulary is a driver loop over model-sized state, not 10k
     *    driver-coordinated engine jobs.
-    *  - larger dictionaries fall back to the distributed round below
-    *    (one pair-count job per merge), which never collects: the
-    *    driver sees one argmax row per round regardless of dictionary
-    *    size. `maxDriverVocab = 0` forces this path (how the parity
-    *    spec pins the two paths against each other).
+    *  - larger dictionaries fall back to the distributed loop below,
+    *    which never collects the dictionary — and since r14 batches
+    *    merges in WINDOWS: each round counts pairs once, collects ONLY
+    *    the words containing a top ("hot") pair (bounded by
+    *    `maxDriverVocab` rows — the same driver budget), and
+    *    [[graft.functions.Bpe.trainWindow]] accepts merges locally
+    *    while each is PROVABLY the global argmax (exact hot totals,
+    *    intrusion bound on everything uncollected), then one job folds
+    *    the whole window into the distributed state. ~3 jobs per
+    *    window instead of 2 per merge — identical merge list (window
+    *    boundaries never reorder; every accepted merge is the true
+    *    global argmax at its turn, pinned by the parity spec).
+    *    `maxDriverVocab = 0` forces the UNBATCHED one-job-per-merge
+    *    round (no driver collection at all — also how the parity spec
+    *    pins the paths against each other); `batchPairs` sizes the hot
+    *    set per window.
     *
     * @return learned merges, rank order — each `"left right"`.
     */
   def bpeTrain(docs: DataFrame, maxMerges: Int = 40, minPairCount: Long = 2L,
                textCol: String = "text",
-               maxDriverVocab: Int = 1 << 20): Seq[String] = {
+               maxDriverVocab: Int = 1 << 20,
+               batchPairs: Int = 64): Seq[String] = {
     require(maxMerges >= 1, "maxMerges must be >= 1")
     // the ONE corpus-sized scan; checkpointed so sizing + training reuse
     // the materialized dictionary instead of re-aggregating text
@@ -1100,25 +1112,65 @@ object Corpus {
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("parts"))
       .localCheckpoint(true)
+    def pairBagExpr = expr("transform(sequence(1, size(parts) - 1), " +
+      "i -> concat(parts[i-1], ' ', parts[i]))")
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
     var done = false
     while (!done && merges.size < maxMerges) {
       val pairs = state
         .filter(size(col("parts")) >= 2)
-        .select(col("cnt"), explode(
-          expr("transform(sequence(1, size(parts) - 1), " +
-            "i -> concat(parts[i-1], ' ', parts[i]))")).as("pair"))
+        .select(col("cnt"), explode(pairBagExpr).as("pair"))
         .groupBy(col("pair")).agg(sum(col("cnt")).as("c"))
-      val best = pairs.orderBy(col("c").desc, col("pair").asc).limit(1)
-        .collect()
-      if (best.isEmpty || best(0).getLong(1) < minPairCount) done = true
+      // the top `batchPairs` pairs seed a merge WINDOW; top(0) doubles as
+      // the plain argmax when the window cannot run
+      val top = pairs.orderBy(col("c").desc, col("pair").asc)
+        .limit(math.max(1, batchPairs)).collect()
+      if (top.isEmpty || top(0).getLong(1) < minPairCount) done = true
       else {
-        val pair = best(0).getString(0)
-        val Array(l, r) = pair.split(" ", 2)
-        merges += pair
-        state = state.select(col("cnt"),
-            graft.functions.BpeMergeApply(col("parts"), l, r).as("parts"))
-          .localCheckpoint(true)
+        // hot = every pair STRICTLY above the last collected count (ties
+        // at the boundary may extend past the limit, so the boundary
+        // count itself is the exclusive ceiling of the uncollected
+        // region); a short top holds ALL pairs — ceiling 0
+        val thetaExcl =
+          if (top.length < math.max(1, batchPairs)) 0L
+          else top.last.getLong(1)
+        val hot = top.filter(_.getLong(1) > thetaExcl)
+        val window: Seq[String] =
+          if (hot.isEmpty || maxDriverVocab <= 0) Seq.empty
+          else {
+            val hotPairs = hot.map(_.getString(0))
+            val cand = state.filter(size(col("parts")) >= 2)
+              .filter(arrays_overlap(pairBagExpr,
+                array(hotPairs.toIndexedSeq.map(lit): _*)))
+            // the hot-word subset must fit the same driver budget the
+            // dictionary itself exceeded; else this round stays unbatched
+            if (cand.count() > maxDriverVocab) Seq.empty
+            else graft.functions.Bpe.trainWindow(
+              cand.select(col("parts"), col("cnt")).collect()
+                .map(r => (r.getSeq[String](0).toArray, r.getLong(1))),
+              hot.map(r => r.getString(0) -> r.getLong(1)).toMap,
+              thetaExcl, maxMerges - merges.size, minPairCount)
+          }
+        if (window.nonEmpty) {
+          merges ++= window
+          // ONE rewrite job folds the whole window, in merge order —
+          // BpeMergeApply composes exactly as the per-merge rounds did
+          state = state.select(col("cnt"),
+              window.foldLeft(col("parts")) { (c, m) =>
+                val Array(l, r) = m.split(" ", 2)
+                graft.functions.BpeMergeApply(c, l, r)
+              }.as("parts"))
+            .localCheckpoint(true)
+        } else {
+          // unbatched round: flat counts (no strict top region), a
+          // forced maxDriverVocab=0, or an over-budget hot subset
+          val pair = top(0).getString(0)
+          val Array(l, r) = pair.split(" ", 2)
+          merges += pair
+          state = state.select(col("cnt"),
+              graft.functions.BpeMergeApply(col("parts"), l, r).as("parts"))
+            .localCheckpoint(true)
+        }
       }
     }
     merges.toSeq

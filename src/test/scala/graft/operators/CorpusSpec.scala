@@ -506,6 +506,33 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain: WINDOWED distributed batching learns the identical list") {
+    // a dictionary larger than the driver budget forces the distributed
+    // fallback; small batchPairs/budgets make hot-pair windows OPEN,
+    // CLOSE on intrusion, and interleave with unbatched rounds — across
+    // all of it the merge list must equal both the in-memory trainer
+    // and the unbatched per-merge loop (window boundaries never reorder)
+    val df = docs(
+      1L -> "banana band ban aaa",
+      2L -> "banana banana bandana",
+      3L -> "cc cc ccd aaa aab",
+      4L -> "abcabc abcabd xyz xyzw",
+      5L -> "mississippi missive misty")
+    for ((mm, mpc) <- Seq((15, 1L), (8, 2L))) {
+      val reference = Corpus.bpeTrain(df, maxMerges = mm, minPairCount = mpc)
+      val unbatched = Corpus.bpeTrain(df, maxMerges = mm, minPairCount = mpc,
+        maxDriverVocab = 0)
+      assert(unbatched == reference)
+      for ((budget, bp) <- Seq((8, 2), (10, 4), (14, 64))) {
+        val windowed = Corpus.bpeTrain(df, maxMerges = mm,
+          minPairCount = mpc, maxDriverVocab = budget, batchPairs = bp)
+        assert(windowed == reference,
+          s"windowed(budget=$budget, batchPairs=$bp, mm=$mm, mpc=$mpc) " +
+          s"diverged: $windowed vs $reference")
+      }
+    }
+  }
+
   test("bpeTrain: argmax tiebreak is code-point order on both paths (astral vs U+E000+)") {
     // pairs (x, U+FFFD) and (x, U+10000), both count 2 — the tiebreak
     // must compare the astral char by CODE POINT (U+FFFD < U+10000, the
