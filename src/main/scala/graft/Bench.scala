@@ -487,10 +487,13 @@ object Bench {
         "ann_ivf_balanced" -> operators.Ann.ivfTopKTrainedBalanced(e,
           isQuery, k, nProbe = 2, kCentroids = 16, balanceFactor = 1.2),
         // the API default: K ~ sqrt(n) TRAINED cells, probes scaled so the
-        // probed fraction stays ~1/4 as the corpus grows
+        // probed fraction stays ~1/4 as the corpus grows — through the
+        // BALANCED trainer, which IS the section default since r14 (a
+        // no-op split pass on this uniform corpus: identical centroids,
+        // so this line also pins that the default flip cost no recall)
         "ann_ivf_default" -> {
           val kDef = math.max(2, math.round(math.sqrt(e.count().toDouble)).toInt)
-          operators.Ann.ivfTopKTrained(e, isQuery, k,
+          operators.Ann.ivfTopKTrainedBalanced(e, isQuery, k,
             nProbe = math.max(2, (kDef + 3) / 4))
         },
         // recall cost of JL compression (exact search over projected

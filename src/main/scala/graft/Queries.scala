@@ -2131,7 +2131,61 @@ object Queries {
     },
     () => pqCodebooksCapture.map(pqInjectedOracle))
 
-  private def pqInjectedOracle(cb: Array[Array[Array[Double]]]): String = {
+  /** Raw-vector PQ + EXACT-RERANK ([[graft.operators.Ann.pqTopKRerank]]
+    * — FAISS `RefineFlat` over a flat PQ index): the ADC pass emits the
+    * top-`refine` candidates, the exact pass re-scores them with true
+    * vectors. The oracle re-derives encode → LUT → ADC → candidate cut →
+    * exact rerank → top-k from the injected codebooks. */
+  @volatile private var pqRerankCapture
+      : Option[Array[Array[Array[Double]]]] = scala.None
+  private val annPqRerank = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val cb = graft.operators.Ann.trainPqCodebooks(e, subspaces = 8,
+        codes = 16, iters = 4, seed = "pq")
+      pqRerankCapture = Some(cb)
+      graft.operators.Ann.pqTopKRerank(e, $"vec_id" < 10, cb, k = 5,
+          refine = 20)
+        .select($"q_id", $"n_id", $"cosine", $"rk")
+        .orderBy($"q_id", $"rk")
+    },
+    () => pqRerankCapture.map(cb =>
+      pqRerankInjectedOracle(cb, refine = 20, k = 5)))
+
+  private def pqRerankInjectedOracle(cb: Array[Array[Array[Double]]],
+                                     refine: Int, k: Int): String =
+    pqAdcCtes(cb) + s""",
+      pqtop AS (SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, n_id) AS rk
+          FROM cand)
+        WHERE rk <= $refine),
+      rr AS (SELECT p.q_id, p.n_id,
+          round(CASE WHEN isnan(list_cosine_similarity(q.q_vec, e.emb))
+            THEN 0.0 ELSE list_cosine_similarity(q.q_vec, e.emb) END, 6)
+            AS cosine
+        FROM pqtop p JOIN q ON q.q_id = p.q_id JOIN e ON e.vec_id = p.n_id)
+      SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q_id, n_id, cosine,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, n_id) AS rk
+        FROM rr)
+      WHERE rk <= $k ORDER BY q_id, rk"""
+
+  private def pqInjectedOracle(cb: Array[Array[Array[Double]]]): String =
+    pqAdcCtes(cb) + """
+      SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q_id, n_id, cosine,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, n_id) AS rk
+        FROM cand)
+      WHERE rk <= 5 ORDER BY q_id, rk"""
+
+  /** The shared raw-PQ ADC replay — `WITH e … cand`; callers append
+    * their ranking tail. */
+  private def pqAdcCtes(cb: Array[Array[Array[Double]]]): String = {
     val subspaces = cb.length
     val dsub = cb(0)(0).length
     val rows = cb.zipWithIndex.flatMap { case (cbm, m) =>
@@ -2171,13 +2225,7 @@ object Queries {
       cand AS (SELECT q_id, n_id,
           CASE WHEN qn = 0 OR rn2 <= 0 THEN 0.0
           ELSE round(dt::DOUBLE / (qn * sqrt(rn2::DOUBLE)), 6) END AS cosine
-        FROM sc)
-      SELECT q_id, n_id, cosine, rk FROM (
-        SELECT q_id, n_id, cosine,
-          row_number() OVER (PARTITION BY q_id
-            ORDER BY cosine DESC, n_id) AS rk
-        FROM cand)
-      WHERE rk <= 5 ORDER BY q_id, rk"""
+        FROM sc)"""
   }
 
   /** Residual IVF-PQ ([[graft.operators.Ann.ivfPqTopK]] — the FAISS
@@ -4853,6 +4901,7 @@ object Queries {
     "ann_pq_topk" -> annPqTopk,
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_pq_rerank" -> annIvfPqRerank,
+    "ann_pq_rerank" -> annPqRerank,
     "ann_rp_topk" -> annRpTopk,
     "ann_pca_topk" -> annPcaTopk,
     "dd_semdedup" -> ddSemDedup,
