@@ -18,9 +18,20 @@ import graft.functions.{VectorFunctions => VF}
   */
 object Ann {
 
+  /** Per-query top-k of a scored candidate frame — through the bounded-
+    * heap [[graft.plans.TopKPerKey]] (map-side ≤k-per-query partials →
+    * shuffle of k·queries rows), NOT a bare window: a window shuffles and
+    * sorts the ENTIRE scored set into per-query partitions, which for the
+    * PQ/ADC paths (every corpus vector is a candidate) is a corpus-sized
+    * skewed shuffle at scale. The final row_number only ranks the ≤k
+    * survivors — identical rows and ranks, the ordering is total
+    * ((cosine desc, n_id) ties broken). */
   private def rank(scored: DataFrame, k: Int): DataFrame = {
+    val topk = graft.plans.TopKPerKey(scored, Seq("q_id"),
+      Seq(graft.plans.TopKPerKey.desc("cosine"),
+          graft.plans.TopKPerKey.asc("n_id")), k)
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+    topk.withColumn("rk", row_number().over(w).cast("long"))
   }
 
   /** Exact brute-force top-k: broadcast query set × one corpus scan, the
@@ -837,12 +848,19 @@ object Ann {
               // members only ever score against their own cell's two
               val wInit = Window.partitionBy(col("cell"))
                 .orderBy(col("hk"), col("vec_id"))
-              var children: Map[(Int, Int), Array[Double]] = members
-                .select(col("cell"), col("vec_id"), col("emb"),
-                  md5(concat(lit(s"${seed}_split${splitRound}_"),
-                    col("vec_id").cast("string"))).as("hk"))
+              // smallest-2-per-cell via the bounded heap (map-side ≤2
+              // rows per cell per partition — a hot cell is corpus-scale
+              // at 100 TB, and a bare window would sort all its members);
+              // the row_number then ranks only the ≤2 survivors
+              var children: Map[(Int, Int), Array[Double]] = graft.plans
+                .TopKPerKey(members
+                  .select(col("cell"), col("vec_id"), col("emb"),
+                    md5(concat(lit(s"${seed}_split${splitRound}_"),
+                      col("vec_id").cast("string"))).as("hk")),
+                  Seq("cell"),
+                  Seq(graft.plans.TopKPerKey.asc("hk"),
+                      graft.plans.TopKPerKey.asc("vec_id")), 2)
                 .withColumn("rn", row_number().over(wInit))
-                .filter(col("rn") <= 2)
                 .select(col("cell"), col("rn"), col("emb")).collect()
                 .map(r => (r.getLong(0).toInt, r.getInt(1) - 1) ->
                   r.getSeq[Double](2).toArray).toMap
@@ -1165,36 +1183,43 @@ object Ann {
     ivfTopKFrom(e, isQuery, cent, k, nProbe)
   }
 
-  /** Corpus×centroid cell ranking shared by every IVF path: one broadcast
-    * of the centroid table, (vec_id, c_id, score) triples ranked per
-    * vector by round(6)-score desc, c_id asc. */
-  private def rankedCells(e: DataFrame, cent: DataFrame): DataFrame = {
-    val scored = e.join(broadcast(cent))
+  /** Nearest-cell assignment `(vec_id, cell)` against a (c_id, c_vec,
+    * c_nrm) centroid table — as an AGGREGATE (the [[nearestCellAgg]]
+    * shape): min over (−round-6 score, c_id), map-side partials, so the
+    * shuffle carries ONE row per vector instead of K ranked candidates.
+    * (The previous window form shuffled AND sorted corpus×K rows into
+    * per-vector partitions — a corpus-sized sort that exists nowhere in
+    * the semantics.) Same round(6)-desc, c_id-asc argmax as everywhere. */
+  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
+    e.join(broadcast(cent))
       .select(col("vec_id"), col("c_id"),
         round(VF.cosineWithNorms(
           VF.dot(col("embedding"), col("c_vec")), col("nrm"), col("c_nrm")), 6)
           .as("cscore"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cscore").desc, col("c_id"))
-    scored.withColumn("crk", row_number().over(wAssign))
-  }
-
-  /** Nearest-cell assignment `(vec_id, cell)` against a (c_id, c_vec,
-    * c_nrm) centroid table. */
-  private def assignCells(e: DataFrame, cent: DataFrame): DataFrame =
-    rankedCells(e, cent).filter(col("crk") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct((-col("cscore")).as("neg"), col("c_id").as("cell")))
+        .as("b"))
+      .select(col("vec_id"), col("b.cell").as("cell"))
 
   private def ivfTopKFrom(e: DataFrame, isQuery: Column, cent: DataFrame,
                           k: Int, nProbe: Int): DataFrame = {
-    val ranked = rankedCells(e, cent)
-    val assigned = ranked.filter(col("crk") === 1)
-      .select(col("vec_id"), col("c_id").as("cell"))
-      .join(e, "vec_id")
-    val qprobe = ranked.filter(isQuery && col("crk") <= nProbe)
-      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
-      .join(e.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-        col("nrm").as("q_nrm")), "q_id")
+    val assigned = assignCells(e, cent).join(e, "vec_id")
+    // probe ranking runs on the QUERY slice only — the window is over
+    // queries×K rows (broadcast-sized), never the corpus
+    val wProbe = Window.partitionBy(col("q_id"))
+      .orderBy(col("cscore").desc, col("c_id"))
+    val qprobe = e.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("nrm").as("q_nrm"))
+      .join(broadcast(cent))
+      .select(col("q_id"), col("q_vec"), col("q_nrm"), col("c_id"),
+        round(VF.cosineWithNorms(
+          VF.dot(col("q_vec"), col("c_vec")), col("q_nrm"), col("c_nrm")), 6)
+          .as("cscore"))
+      .withColumn("crk", row_number().over(wProbe))
+      .filter(col("crk") <= nProbe)
+      .select(col("q_id"), col("c_id").as("cell"), col("q_vec"),
+        col("q_nrm"))
     val cand = assigned.join(broadcast(qprobe), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),

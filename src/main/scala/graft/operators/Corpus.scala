@@ -889,12 +889,14 @@ object Corpus {
                              lr: BigDecimal = BigDecimal("0.02"),
                              nbInit: Boolean = true,
                              idCol: String = "doc_id",
-                             textCol: String = "text"): DataFrame = {
+                             textCol: String = "text",
+                             localTrain: Boolean = true): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(iters >= 1, "at least one GD iteration")
     val (feats, base) = qcFrames(docs, isPositive, buckets, idCol, textCol)
     try {
-      val (w, b) = qcTrainCore(feats, base, buckets, iters, lr, nbInit)
+      val (w, b) = qcTrainCore(feats, base, buckets, iters, lr, nbInit,
+        localTrain)
       qcProbs(feats, base, w, b)
         .select(col("doc_id"),
           col("p").cast("double").as("quality_prob"))
@@ -911,12 +913,13 @@ object Corpus {
                              lr: BigDecimal = BigDecimal("0.02"),
                              nbInit: Boolean = true,
                              idCol: String = "doc_id",
-                             textCol: String = "text")
+                             textCol: String = "text",
+                             localTrain: Boolean = true)
       : (Map[Int, BigDecimal], BigDecimal) = {
     require(buckets > 0, "buckets must be positive")
     require(iters >= 1, "at least one GD iteration")
     val (feats, base) = qcFrames(docs, isPositive, buckets, idCol, textCol)
-    try qcTrainCore(feats, base, buckets, iters, lr, nbInit)
+    try qcTrainCore(feats, base, buckets, iters, lr, nbInit, localTrain)
     finally { feats.unpersist(); base.unpersist() }
   }
 
@@ -972,12 +975,136 @@ object Corpus {
           .cast(DecimalType(10, 6)).as("p"))
   }
 
+  /** Row budget for DRIVER-LOCAL classifier training: when the labeled
+    * slice's feature rows (and its doc rows) fit, the GD loop runs on
+    * the driver with exact decimal twins — the [[graft.functions.Bpe]] /
+    * quantizer dividing line applied here: the labeled TRAINING slice is
+    * dictionary-like (bounded, collected once), while SCORING the 100 TB
+    * corpus stays a distributed one-pass. 2M rows × ~30 B ≈ 60 MB. */
+  val DefaultMaxDriverFeatureRows: Long = 1L << 21
+
+  /** Half-up round of a double at `scale` — the engine `round()` rule
+    * (java BigDecimal of the shortest decimal repr; NaN/Inf pass). */
+  private def roundD(x: Double, scale: Int): Double =
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Scale-12 half-up of a double as EXACT picos (the
+    * `round(t, 12)::DECIMAL(24,12)` term the gradient sums). */
+  private def pico12(x: Double): Long =
+    new java.math.BigDecimal(java.lang.Double.toString(x))
+      .setScale(12, java.math.RoundingMode.HALF_UP)
+      .movePointRight(12).longValueExact()
+
+  /** Local twin of [[qcTrainCore]]'s NB-init + GD loop over the COLLECTED
+    * labeled slice. Exactness contract, mirrored op-for-op against the
+    * engine expressions (the SQL training-replay oracle catches drift):
+    * micro-long dots (w is scale-6 decimal, ×long counts — exact; the
+    * decimal→double cast equals micros/1e6, both the nearest double of
+    * the same rational), `Math.exp`/`Math.log` (the same JVM intrinsics
+    * Catalyst codegen calls), round-6/round-12 via shortest-repr
+    * BigDecimal HALF_UP (the Round expression's rule), pico-long exact
+    * gradient sums, and the identical scale-6 weight update. */
+  private def qcTrainLocal(featRows: Array[(Int, Int, Long)], // docIdx, f, c
+                           y: Array[Int], buckets: Int, iters: Int,
+                           lr: BigDecimal, nbInit: Boolean)
+      : (Map[Int, BigDecimal], BigDecimal) = {
+    val nDocs = y.length
+    val present = featRows.map(_._2).distinct.sorted
+    var w: Map[Int, BigDecimal] =
+      if (nbInit) {
+        val cr = new java.util.HashMap[Integer, Long]()
+        val ct = new java.util.HashMap[Integer, Long]()
+        featRows.foreach { case (d, f, c) =>
+          cr.merge(f, c, (a, b) => a + b)
+          if (y(d) == 1) ct.merge(f, c, (a, b) => a + b)
+        }
+        var tr = 0L; var tt = 0L
+        cr.forEach((_, v) => tr += v)
+        ct.forEach((_, v) => tt += v)
+        present.map { f =>
+          val crf = cr.getOrDefault(f, 0L)
+          val ctf = ct.getOrDefault(f, 0L)
+          val v = roundD(
+            Math.log((ctf + 1L).toDouble / (tt + buckets)) -
+            Math.log((crf + 1L).toDouble / (tr + buckets)), 6)
+          f -> BigDecimal(new java.math.BigDecimal(
+            java.lang.Double.toString(v)).setScale(6,
+              java.math.RoundingMode.HALF_UP))
+        }.toMap
+      } else present.map(_ -> BigDecimal(0)).toMap
+    var b: BigDecimal = BigDecimal(0)
+    // per-doc feature slices for the dot pass
+    val byDoc = featRows.groupBy(_._1)
+    val pd = new Array[Double](nDocs)
+    for (_ <- 1 to iters) {
+      // forward: s = bias + Σ w_f·c (micro-exact), p = round(σ(s), 6)
+      val micro = new java.util.HashMap[Integer, Long]()
+      w.foreach { case (f, wf) =>
+        micro.put(f, wf.underlying.movePointRight(6).longValueExact()) }
+      var d = 0
+      while (d < nDocs) {
+        val rows = byDoc.getOrElse(d, Array.empty[(Int, Int, Long)])
+        var micros = 0L
+        rows.foreach { case (_, f, c) => micros += micro.get(f) * c }
+        val s = b.toDouble +
+          (if (rows.isEmpty) 0.0 else micros.toDouble / 1e6)
+        pd(d) = roundD(1.0 / (1.0 + Math.exp(-s)), 6)
+        d += 1
+      }
+      // gradients: per-f and bias pico sums of the round-12 terms
+      val gPico = new java.util.HashMap[Integer, Long]()
+      featRows.foreach { case (di, f, c) =>
+        gPico.merge(f,
+          pico12((pd(di) - y(di)) * c / nDocs), (a, x) => a + x)
+      }
+      var bPico = 0L
+      d = 0
+      while (d < nDocs) { bPico += pico12((pd(d) - y(d)) / nDocs); d += 1 }
+      w = present.foldLeft(w) { (m, f) =>
+        val g = BigDecimal(java.math.BigDecimal.valueOf(
+          gPico.getOrDefault(f, 0L), 12))
+        m.updated(f, (m(f) - lr * g)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      }
+      b = (b - lr * BigDecimal(java.math.BigDecimal.valueOf(bPico, 12)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    (w, b)
+  }
+
   private def qcTrainCore(feats: DataFrame, base: DataFrame, buckets: Int,
-                          iters: Int, lr: BigDecimal, nbInit: Boolean)
+                          iters: Int, lr: BigDecimal, nbInit: Boolean,
+                          localTrain: Boolean = true,
+                          maxDriverFeatureRows: Long = DefaultMaxDriverFeatureRows)
       : (Map[Int, BigDecimal], BigDecimal) = {
     import org.apache.spark.sql.types.DecimalType
     val spark = feats.sparkSession
     import spark.implicits._
+    // DRIVER-LOCAL path: the labeled slice fits the row budget — collect
+    // once, run the identical NB-init + GD arithmetic locally (zero
+    // engine jobs per iteration). Null labels or ids fall through to the
+    // distributed loop rather than guessing a skip rule.
+    if (localTrain && maxDriverFeatureRows > 0 &&
+        base.count() <= maxDriverFeatureRows &&
+        feats.count() <= maxDriverFeatureRows) {
+      val baseRows = base.collect()
+      if (baseRows.forall(r => !r.isNullAt(0) && !r.isNullAt(1))) {
+        val idx = new java.util.HashMap[Any, Integer]()
+        val y = new Array[Int](baseRows.length)
+        baseRows.zipWithIndex.foreach { case (r, i) =>
+          idx.put(r.get(0), i); y(i) = r.getInt(1) }
+        val fr = feats.collect()
+        if (fr.forall(r => !r.isNullAt(0) && idx.containsKey(r.get(0)) &&
+            !r.isNullAt(2) && !r.isNullAt(3))) {
+          return qcTrainLocal(
+            fr.map(r => (idx.get(r.get(0)).intValue(), r.getInt(2),
+              r.getLong(3))),
+            y, buckets, iters, lr, nbInit)
+        }
+      }
+    }
     {
       // the model: bucket -> weight, driver-held between iterations
       // (O(buckets) rows — model-sized, the k-means centroid discipline).

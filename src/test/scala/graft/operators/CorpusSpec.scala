@@ -430,6 +430,32 @@ class CorpusSpec extends AnyFunSuite {
     assert(out(4L) == (("x", 4L, 1L)))
   }
 
+  test("quality classifier: driver-local training == distributed, bit-for-bit") {
+    // the collected-slice GD twin must reproduce the engine loop exactly
+    // (micro dots, Math.exp sigmoid, round-6/round-12, pico gradient
+    // sums, scale-6 updates) — model AND scores identical, both inits
+    val d = spark.read.parquet(s"${graft.TestSpark.sf}/documents.parquet")
+    for (nb <- Seq(true, false)) {
+      val (lw, lb) = Corpus.qualityClassifierTrain(d,
+        org.apache.spark.sql.functions.col("lang") === "en",
+        buckets = 64, iters = 3, nbInit = nb)
+      val (dw, db) = Corpus.qualityClassifierTrain(d,
+        org.apache.spark.sql.functions.col("lang") === "en",
+        buckets = 64, iters = 3, nbInit = nb, localTrain = false)
+      assert(lb == db, s"nbInit=$nb bias")
+      assert(lw == dw, s"nbInit=$nb weights")
+    }
+    val s1 = Corpus.qualityClassifierScore(d,
+        org.apache.spark.sql.functions.col("lang") === "en",
+        buckets = 64, iters = 2)
+      .orderBy("doc_id").collect().toSeq
+    val s2 = Corpus.qualityClassifierScore(d,
+        org.apache.spark.sql.functions.col("lang") === "en",
+        buckets = 64, iters = 2, localTrain = false)
+      .orderBy("doc_id").collect().toSeq
+    assert(s1 == s2)
+  }
+
   test("qualityClassifierTrain + ScoreWith equals the one-call monolith exactly") {
     import org.apache.spark.sql.functions.col
     val monolith = Corpus.qualityClassifierScore(classifierCorpus,
@@ -529,6 +555,34 @@ class CorpusSpec extends AnyFunSuite {
         assert(windowed == reference,
           s"windowed(budget=$budget, batchPairs=$bp, mm=$mm, mpc=$mpc) " +
           s"diverged: $windowed vs $reference")
+      }
+    }
+  }
+
+  test("bpeTrain: window intrusion bound survives adversarial random corpora") {
+    // TINY alphabets maximize created-pair collisions (a merge's new
+    // symbol "ab" coinciding with later candidates, runs like "aaaa"
+    // where overlap counting and left-to-right application interact,
+    // dense count ties) — exactly the cases where an unsound window
+    // would accept a merge that is not the global argmax. Seeded
+    // generation: each failure is reproducible.
+    for (seed <- Seq(1, 7, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val words = (0 until 24).map { _ =>
+        val len = 3 + rnd.nextInt(6)
+        (0 until len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      // duplicate words with random multiplicities → interesting counts
+      val text = rnd.shuffle(words.flatMap(w =>
+        Seq.fill(1 + rnd.nextInt(5))(w))).mkString(" ")
+      val df = docs(1L -> text)
+      val reference = Corpus.bpeTrain(df, maxMerges = 10, minPairCount = 1L)
+      for ((budget, bp) <- Seq((6, 2), (12, 5))) {
+        val windowed = Corpus.bpeTrain(df, maxMerges = 10,
+          minPairCount = 1L, maxDriverVocab = budget, batchPairs = bp)
+        assert(windowed == reference,
+          s"seed=$seed budget=$budget batchPairs=$bp: " +
+          s"$windowed vs $reference")
       }
     }
   }

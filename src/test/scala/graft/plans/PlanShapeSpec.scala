@@ -35,9 +35,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "custom bounded-heap operator not planned")
   }
 
-  test("ann_lsh_multi: rank pruning via WindowGroupLimit, query filter pushed") {
+  test("ann_lsh_multi: rank pruning via the bounded heap, query filter pushed") {
+    // since r14 every ANN serving path's final top-k routes through
+    // TopKPerKey (map-side ≤k-per-query partials — stronger than the
+    // WindowGroupLimit prune this test previously accepted: the heap
+    // bounds the SHUFFLE, not just the post-shuffle sort)
     val p = plan("ann_lsh_multi")
-    assert(p.contains("WindowGroupLimit"), "top-k rank must prune before the window")
+    assert(p.contains("TopKPerKey"),
+      "top-k rank must prune through the bounded heap before the window")
     assert(p.contains("(vec_id") && p.contains("< 10)"),
       "query-side vec_id filter must be pushed")
   }
