@@ -587,6 +587,41 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTrain: windowed parity at depth (bigger corpus, deep merges)") {
+    // ~120 distinct words, alphabet 4, 25 merges: windows must open,
+    // accept multi-merge batches, close on intrusion, and reopen across
+    // many rounds — the merge list still equals the in-memory trainer's
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 120).map { _ =>
+      val len = 3 + rnd.nextInt(8)
+      (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }
+    val text = rnd.shuffle(words.flatMap(w =>
+      Seq.fill(1 + rnd.nextInt(4))(w))).mkString(" ")
+    val df = docs(1L -> text)
+    val ref = Corpus.bpeTrain(df, maxMerges = 25, minPairCount = 2L)
+    val win = Corpus.bpeTrain(df, maxMerges = 25, minPairCount = 2L,
+      maxDriverVocab = 40, batchPairs = 8)
+    assert(win == ref, s"$win vs $ref")
+  }
+
+  test("quality classifier: local == distributed under heavy bucket collisions") {
+    // buckets=8 forces mixed-class buckets (NB log-ratios near zero,
+    // gradients flipping sign) — the corner where rounding/tiebreak
+    // drift between the local and engine loops would surface
+    val d = (1L to 300L).map(i =>
+        (i, s"tok${i % 17} tok${i % 5} word${i % 3} filler common text",
+          i % 2 == 0))
+      .toDF("doc_id", "text", "pos")
+    for (nb <- Seq(true, false)) {
+      val (lw, lb) = Corpus.qualityClassifierTrain(d, org.apache.spark.sql.functions.col("pos"),
+        buckets = 8, iters = 4, nbInit = nb)
+      val (dw, db) = Corpus.qualityClassifierTrain(d, org.apache.spark.sql.functions.col("pos"),
+        buckets = 8, iters = 4, nbInit = nb, localTrain = false)
+      assert(lb == db && lw == dw, s"nbInit=$nb")
+    }
+  }
+
   test("bpeTrain: argmax tiebreak is code-point order on both paths (astral vs U+E000+)") {
     // pairs (x, U+FFFD) and (x, U+10000), both count 2 — the tiebreak
     // must compare the astral char by CODE POINT (U+FFFD < U+10000, the
