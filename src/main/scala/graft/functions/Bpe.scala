@@ -390,6 +390,32 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Persist a learned merge list as a parquet MODEL STORE `(rank,
+    * pair)` — the train-once/serve-later shape the ANN model stores
+    * follow ([[graft.operators.Ann.pqCodebooksWrite]]): the nightly
+    * tokenizer-training job writes the merges; encode jobs load them
+    * with zero retraining. Model-sized (one row per merge). */
+  def mergesWrite(merges: Seq[String], path: String,
+                  spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case (m, i) => (i, m) }
+      .toDF("rank", "pair")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[mergesWrite]] store back in rank order — bit-identical to
+    * what was written. Fails loudly on a sparse store (a missing rank
+    * renumbers every later merge and silently changes the encode). */
+  def mergesRead(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[String] = {
+    val rows = spark.read.parquet(path).select("rank", "pair")
+      .collect() // model-sized
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"sparse BPE merge store at $path: ranks ${rows.map(_._1).mkString(",")}")
+    rows.map(_._2).toSeq
+  }
+
   /** Apply ALL occurrences of one pair left-to-right (the training-round
     * update: the chosen merge is folded into every word of the dict). */
   def applyMerge(parts: Array[String], left: String, right: String): Array[String] = {

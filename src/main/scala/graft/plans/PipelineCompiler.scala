@@ -815,20 +815,39 @@ object SectionRegistry {
         lr = BigDecimal(c.getOrElse("learning_rate", "2.0")),
         idCol = c.getOrElse("id_column", "doc_id"),
         textCol = c.getOrElse("text_column", "text")))),
-    // trained BPE tokenizer: learn merges on the input corpus, emit per-doc
-    // subword token counts under the learned table
+    // trained BPE tokenizer: learn merges on the input corpus (or load a
+    // previously-trained store via `merges_path` — no retrain), emit
+    // per-doc subword token counts under the table
     "bpe_token_count" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
-      (_, c, df) => {
+      (s, c, df) => {
         val frame = in(df)
-        val merges = graft.operators.Corpus.bpeTrain(frame,
-          maxMerges = c.getOrElse("max_merges", "40").toInt,
-          minPairCount = c.getOrElse("min_pair_count", "2").toLong,
-          textCol = c.getOrElse("text_column", "text"),
-          maxDriverVocab = c.getOrElse("max_driver_vocab",
-            (1 << 20).toString).toInt)
+        val merges = c.get("merges_path") match {
+          case Some(p) => graft.functions.Bpe.mergesRead(s, p)
+          case scala.None => graft.operators.Corpus.bpeTrain(frame,
+            maxMerges = c.getOrElse("max_merges", "40").toInt,
+            minPairCount = c.getOrElse("min_pair_count", "2").toLong,
+            textCol = c.getOrElse("text_column", "text"),
+            maxDriverVocab = c.getOrElse("max_driver_vocab",
+              (1 << 20).toString).toInt)
+        }
         Some(graft.operators.Corpus.bpeTokenCounts(frame, merges,
           idCol = c.getOrElse("id_column", "doc_id"),
           textCol = c.getOrElse("text_column", "text")))
+      }),
+    // tokenizer model store (train-once/serve-later, the ann_model_*
+    // discipline): learn merges on the input corpus and persist them as
+    // a (rank, pair) parquet store for later `merges_path` serving
+    "bpe_model_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (s, c, df) => {
+        graft.functions.Bpe.mergesWrite(
+          graft.operators.Corpus.bpeTrain(in(df),
+            maxMerges = c.getOrElse("max_merges", "40").toInt,
+            minPairCount = c.getOrElse("min_pair_count", "2").toLong,
+            textCol = c.getOrElse("text_column", "text"),
+            maxDriverVocab = c.getOrElse("max_driver_vocab",
+              (1 << 20).toString).toInt),
+          cfg(c, "path"), s)
+        scala.None
       }),
     // sliding token-window chunking: (doc_id, chunk_idx, chunk_text, n_tokens)
     "chunk_tokens" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),

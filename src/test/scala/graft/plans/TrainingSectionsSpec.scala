@@ -112,6 +112,50 @@ class TrainingSectionsSpec extends AnyFunSuite {
     assert(run("ivf_pq") == ivfPqRef)
   }
 
+  test("bpe model store: train destination, then serve via merges_path (no retrain)") {
+    import org.apache.spark.sql.functions.col
+    val store = java.nio.file.Files.createTempDirectory("bpe_store")
+      .toString + "/merges"
+    // direct round trip is bit-identical
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val trained = graft.operators.Corpus.bpeTrain(d, maxMerges = 12,
+      minPairCount = 2L)
+    graft.functions.Bpe.mergesWrite(trained, store, spark)
+    assert(graft.functions.Bpe.mergesRead(spark, store) == trained)
+    // the section pair: destination writes the store, the count section
+    // serves against it and must equal the inline-training section
+    val trainJson =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"bpe","name":"bpe_model_destination","config":{
+          "path":"$store","max_merges":"12"}}],
+        "edges":[["src","bpe"]]}"""
+    PipelineCompiler.run(spark, PipelineSpec.fromJson(trainJson))
+    def countJson(extra: String) =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"cnt","name":"bpe_token_count","config":{
+          "max_merges":"12"$extra}}],
+        "edges":[["src","cnt"]]}"""
+    val served = PipelineCompiler.compileFrame(spark,
+        PipelineSpec.fromJson(countJson(s""","merges_path":"$store"""")))
+      .orderBy(col("doc_id")).collect().toSeq
+    val inline = PipelineCompiler.compileFrame(spark,
+        PipelineSpec.fromJson(countJson("")))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(served == inline)
+    // sparse store fails loudly
+    val bad = java.nio.file.Files.createTempDirectory("bpe_bad")
+      .toString + "/merges"
+    import spark.implicits._
+    Seq((0, "a b"), (2, "c d")).toDF("rank", "pair")
+      .write.parquet(bad)
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.Bpe.mergesRead(spark, bad)
+    }
+    assert(ex.getMessage.contains("sparse"))
+  }
+
   test("knn_classify section: majority-label prediction from a spec") {
     val json =
       s"""{"sections":[
