@@ -128,7 +128,8 @@ object Bench {
       "ann_ivf_disk_build", "ann_ivf_disk_query", "dd_semdedup_query",
       "ann_ivf_balanced_train", "ann_ivf_balanced_query",
       "ann_ivf_append_delta", "ann_pq_train", "ann_pq_query",
-      "ann_ivf_pq_train", "ann_ivf_pq_query", "ann_ivf_pq_rerank")
+      "ann_ivf_pq_train", "ann_ivf_pq_query", "ann_ivf_pq_rerank",
+      "ann_opq_train", "ann_opq_query")
     val ivfSplitResults: Seq[(String, Double, Double)] =
       if (!splitNames.exists(wanted)) Seq.empty else try {
         def rmTree(dir: String): Unit = {
@@ -162,6 +163,9 @@ object Bench {
         val ivfPqModel =
           if (wanted("ann_ivf_pq_query") || wanted("ann_ivf_pq_rerank"))
           operators.Ann.ivfPqTrain(e, kCentroids = 16)
+        else (Array.empty[Array[Double]], Array.empty[Array[Array[Double]]])
+        val opqModel = if (wanted("ann_opq_query"))
+          operators.Ann.opqTrain(e)
         else (Array.empty[Array[Double]], Array.empty[Array[Array[Double]]])
         // day-0 index the append-delta line appends day-1 batches into:
         // built once untimed, so the line prices ONLY the incremental
@@ -223,7 +227,15 @@ object Bench {
           "ann_ivf_pq_rerank" -> (() =>
             { operators.Ann.ivfPqTopKRerank(e, col("vec_id") < 10,
                 ivfPqModel._1, ivfPqModel._2, 5, nProbe = 6,
-                refine = 100).count(); () })
+                refine = 100).count(); () }),
+          // OPQ: alternating rotation+codebook training (driver-local
+          // over the capped sample + one engine pass for the serving
+          // codebooks) vs rotated-ADC serving from the prebuilt model
+          "ann_opq_train" -> (() =>
+            { operators.Ann.opqTrain(e); () }),
+          "ann_opq_query" -> (() =>
+            { operators.Ann.opqTopKFrom(e, col("vec_id") < 10,
+                opqModel._1, opqModel._2, 5).count(); () })
         ).filter(q => wanted(q._1)).flatMap { case (name, f) =>
           timed(name, f) }
         rmTree(diskDir)
@@ -461,6 +473,8 @@ object Bench {
       val k = 10
       val exact = operators.Ann.bruteForceTopK(e, isQuery, k).persist()
       exact.count()
+      // one OPQ model shared by the topk and rerank recall lines
+      lazy val opqModelR = operators.Ann.opqTrain(e)
       val out = Seq(
         "ann_lsh_topk" -> operators.Ann.lshTopK(e, isQuery, k),
         "ann_lsh_probe" -> operators.Ann.lshMultiProbeTopK(e, isQuery, k),
@@ -554,6 +568,24 @@ object Bench {
         // lift in isolation (measured 0.91 vs ann_pq_topk's 0.40)
         "ann_pq_rerank" -> operators.Ann.pqTopKRefined(e, isQuery, k,
           refine = 100),
+        // the 4-BIT floor + rerank: the refinement must repair even the
+        // max-compression rung (the same exact pass over a top-100 cut —
+        // candidate QUALITY is the only difference from ann_pq_rerank)
+        "ann_pq_4bit_rerank" -> operators.Ann.pqTopKRefined(e, isQuery, k,
+          codes = 16, refine = 100),
+        "ann_ivf_pq_4bit_rerank" -> operators.Ann.ivfPqTopKRefined(e,
+          isQuery, k, kCentroids = 16, nProbe = 6, codes = 16,
+          refine = 100),
+        // OPQ (learned rotation before the PQ split, Ge et al. CVPR 2013)
+        // at the PQx8 default budget, plus its RFlat refinement — what
+        // the rotation buys at equal code budget vs ann_pq_topk /
+        // ann_pq_rerank. On this near-isotropic synthetic corpus the
+        // rotation has little correlation to exploit; clustered real
+        // embeddings are where OPQ pulls ahead of PQ.
+        "ann_opq_topk" -> operators.Ann.opqTopKFrom(e, isQuery,
+          opqModelR._1, opqModelR._2, k),
+        "ann_opq_rerank" -> operators.Ann.opqTopKRerank(e, isQuery,
+          opqModelR._1, opqModelR._2, k, refine = 100),
         "ann_quantized_topk" -> {
           val maxabs = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
           val scale = maxabs / lit(127.0)

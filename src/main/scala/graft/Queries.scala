@@ -2184,15 +2184,21 @@ object Queries {
       WHERE rk <= 5 ORDER BY q_id, rk"""
 
   /** The shared raw-PQ ADC replay — `WITH e … cand`; callers append
-    * their ranking tail. */
-  private def pqAdcCtes(cb: Array[Array[Array[Double]]]): String = {
+    * their ranking tail. `prologue` must define the `e(vec_id, emb)`
+    * CTE the replay encodes/queries from — the default is the raw
+    * embeddings table; OPQ passes a rotated space
+    * ([[opqPrologue]]). */
+  private def pqAdcCtes(cb: Array[Array[Array[Double]]],
+                        prologue: String =
+                          "WITH e AS (SELECT vec_id, embedding::DOUBLE[] " +
+                            "AS emb FROM embeddings)"): String = {
     val subspaces = cb.length
     val dsub = cb(0)(0).length
     val rows = cb.zipWithIndex.flatMap { case (cbm, m) =>
       cbm.zipWithIndex.map { case (v, j) =>
         s"($m, $j, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])" }
     }.mkString(", ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""$prologue,
       cb(m, code, cv) AS (SELECT * FROM (VALUES $rows) v(m, code, cv)),
       ms AS (SELECT unnest(range(0, $subspaces)) AS m),
       sub AS (SELECT e.vec_id, ms.m,
@@ -2226,6 +2232,97 @@ object Queries {
           CASE WHEN qn = 0 OR rn2 <= 0 THEN 0.0
           ELSE round(dt::DOUBLE / (qn * sqrt(rn2::DOUBLE)), 6) END AS cosine
         FROM sc)"""
+  }
+
+  /** OPQ — optimized (rotated) product quantization
+    * ([[graft.operators.Ann.opqTrain]], Ge et al. CVPR 2013; the FAISS
+    * `OPQx` pretransform): a learned orthogonal rotation is applied
+    * before the PQ split so subspaces cut across correlated directions.
+    * Rotation AND codebooks are driver state, so the oracle INJECTS both
+    * and re-derives the full serving pipeline: the round-6 rotation
+    * (ordered `list_sum` fold — the exact [[graft.functions.ArrayRotate]]
+    * arithmetic), per-subspace encode, query LUTs, DECIMAL ADC sums, and
+    * the top-k — drift anywhere (rotation fold order, rounding, encode
+    * ties, ADC) is a hash mismatch. */
+  @volatile private var opqCapture
+      : Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = scala.None
+  private val annOpqTopk = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val (rot, cb) = graft.operators.Ann.opqTrain(e, subspaces = 8,
+        codes = 16, iters = 4, opqIters = 4, seed = "opq")
+      opqCapture = Some((rot, cb))
+      graft.operators.Ann.opqTopKFrom(e, $"vec_id" < 10, rot, cb, k = 5)
+        .select($"q_id", $"n_id", $"cosine", $"rk")
+        .orderBy($"q_id", $"rk")
+    },
+    () => opqCapture.map { case (rot, cb) =>
+      pqAdcCtes(cb, opqPrologue(rot)) + """
+      SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q_id, n_id, cosine,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, n_id) AS rk
+        FROM cand)
+      WHERE rk <= 5 ORDER BY q_id, rk""" })
+
+  /** OPQ + EXACT-RERANK ([[graft.operators.Ann.opqTopKRerank]] — the
+    * FAISS `OPQx,PQy,RFlat` shape): rotated-space ADC produces the
+    * top-`refine` candidates, each re-scored with its TRUE (unrotated)
+    * vector. The oracle re-derives rotation → encode → ADC → candidate
+    * cut → exact rerank against the ORIGINAL embeddings. */
+  @volatile private var opqRerankCapture
+      : Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = scala.None
+  private val annOpqRerank = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val (rot, cb) = graft.operators.Ann.opqTrain(e, subspaces = 8,
+        codes = 16, iters = 4, opqIters = 4, seed = "opq")
+      opqRerankCapture = Some((rot, cb))
+      graft.operators.Ann.opqTopKRerank(e, $"vec_id" < 10, rot, cb, k = 5,
+          refine = 20)
+        .select($"q_id", $"n_id", $"cosine", $"rk")
+        .orderBy($"q_id", $"rk")
+    },
+    () => opqRerankCapture.map { case (rot, cb) =>
+      pqAdcCtes(cb, opqPrologue(rot)) + s""",
+      pqtop AS (SELECT q_id, n_id FROM (
+          SELECT q_id, n_id,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, n_id) AS rk
+          FROM cand)
+        WHERE rk <= 20),
+      q0 AS (SELECT vec_id AS q_id, emb AS q_vec FROM e0 WHERE vec_id < 10),
+      rr AS (SELECT p.q_id, p.n_id,
+          round(CASE WHEN isnan(list_cosine_similarity(q0.q_vec, e0.emb))
+            THEN 0.0 ELSE list_cosine_similarity(q0.q_vec, e0.emb) END, 6)
+            AS cosine
+        FROM pqtop p JOIN q0 ON q0.q_id = p.q_id
+        JOIN e0 ON e0.vec_id = p.n_id)
+      SELECT q_id, n_id, cosine, rk FROM (
+        SELECT q_id, n_id, cosine,
+          row_number() OVER (PARTITION BY q_id
+            ORDER BY cosine DESC, n_id) AS rk
+        FROM rr)
+      WHERE rk <= 5 ORDER BY q_id, rk""" })
+
+  /** The OPQ oracle prologue: `e0` = raw embeddings, `e` = the round-6
+    * rotated space — `emb[i] = round(Σ_j R[i][j]·x[j], 6)` with the
+    * ordered list fold (DuckDB `list_sum(list_transform)` sums in
+    * element order, the same left-to-right double adds as
+    * [[graft.functions.ArrayRotate]]'s loop). */
+  private def opqPrologue(rot: Array[Array[Double]]): String = {
+    val d = rot.length
+    val flat = rot.flatten.map(_.toString).mkString(", ")
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        FROM embeddings),
+      rotm AS (SELECT [$flat]::DOUBLE[] AS rv),
+      e AS (SELECT e0.vec_id,
+          list_transform(range(0, $d), i ->
+            round(list_sum(list_transform(range(1, ${d + 1}),
+              j -> r.rv[i * $d + j] * e0.emb[j])), 6)) AS emb
+        FROM e0 CROSS JOIN rotm r)"""
   }
 
   /** Residual IVF-PQ ([[graft.operators.Ann.ivfPqTopK]] — the FAISS
@@ -3604,6 +3701,53 @@ object Queries {
       FROM documents d JOIN dim USING (lang)
       ORDER BY d.doc_id"""))
 
+  /** STREAMING online ANN serving — query vectors arrive as a stream and
+    * each micro-batch is answered against the ON-DISK IVF index
+    * ([[graft.operators.Ann.ivfIndexTopK]]: probe filter = partition
+    * prune) through the ack-ordered `foreachBatch` sink with an
+    * idempotent keyed append — the production serving loop (nightly
+    * index build, queries stream in all day; at-least-once replay
+    * upgraded to effectively-once by the (q_id, n_id) dedup key). The
+    * query slice is staged as THREE files served one per trigger, so the
+    * answer is assembled across genuinely separate micro-batches; each
+    * query's top-k is independent of batching, so the union must equal
+    * the batch answer — the SAME oracle as `ann_ivf_disk`
+    * (`ivfOracleSql` replays training + assignment + probe in SQL). */
+  private val stAnnTopk = Q(
+    (s, dir) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      import ss.implicits._
+      val e = Tables.embeddings(ss, dir).select($"vec_id", $"embedding")
+      val idx = scratchDir("st_ann_idx").toString
+      graft.operators.Ann.ivfIndexWriteTrained(e, idx,
+        kCentroids = 16, iters = 5, seed = "ivf")
+      val qDir = scratchDir("st_ann_q").toString
+      e.filter($"vec_id" < 10)
+        .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+        .repartition(3, $"vec_id")
+        .write.mode("overwrite").parquet(qDir)
+      // the sink path must NOT pre-exist as an empty dir (the idempotent
+      // append's existence probe would read it for schema) — land in a
+      // subdir the first batch creates
+      val out = scratchDir("st_ann_out").toString + "/data"
+      val ck = scratchDir("st_ann_ck").toString
+      val qs = ss.readStream.schema(ss.read.parquet(qDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet").parquet(qDir)
+      val writer = graft.streaming.StreamingPipelines.ackSink(qs, ck,
+        org.apache.spark.sql.streaming.OutputMode.Append()) { (batch, _) =>
+        graft.sources.Sinks.idempotentParquetAppend(
+          graft.operators.Ann.ivfIndexTopK(batch, idx, k = 5, nProbe = 2),
+          out, Seq("q_id", "n_id"))
+      }
+      graft.streaming.StreamingPipelines.runToCompletion(writer)
+      ss.read.parquet(out)
+        .select($"q_id", $"n_id", $"cosine", $"rk")
+        .orderBy($"q_id", $"rk")
+    },
+    Some(ivfOracleSql))
+
   /** Unigram-LM quality scoring (CCNet-style bits/token under the
     * corpus's own unigram distribution — see
     * [[graft.operators.Corpus.lmQualityScore]]). vocabSize=16 here so the
@@ -4902,6 +5046,8 @@ object Queries {
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_pq_rerank" -> annIvfPqRerank,
     "ann_pq_rerank" -> annPqRerank,
+    "ann_opq_topk" -> annOpqTopk,
+    "ann_opq_rerank" -> annOpqRerank,
     "ann_rp_topk" -> annRpTopk,
     "ann_pca_topk" -> annPcaTopk,
     "dd_semdedup" -> ddSemDedup,
@@ -4942,6 +5088,7 @@ object Queries {
     "st_stream_left_join" -> stStreamLeftJoin,
     "st_resample_ffill" -> stResampleFfill,
     "st_static_join" -> stStaticJoin,
+    "st_ann_topk" -> stAnnTopk,
     "cp_decon_overlap" -> cpDecon,
     "cp_decon_bloom" -> cpDeconBloom,
     "cp_segment_dedup" -> cpSegDedup,

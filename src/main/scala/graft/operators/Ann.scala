@@ -2027,6 +2027,232 @@ object Ann {
       trainPqCodebooks(corpus, subspaces, codes, iters, seed, sampleRate,
         maxTrainVectors), k, refine)
 
+  // ---------------------------------------------- OPQ (rotated PQ)
+
+  /** Apply an OPQ rotation to a frame's `embedding` column — the SERVING
+    * transform: `y[i] = round(Σ_j R[i][j]·x[j], 6)` via the codegen'd
+    * [[graft.functions.ArrayRotate]]. Round-6 coordinates make the
+    * rotated space exactly replayable by a SQL oracle (ordered
+    * `list_sum` fold + round-6, the family's proven parity shape); the
+    * ~1e-6 coordinate noise is far below quantization error. A pure
+    * column transform: no shuffle, no UDF, stays inside
+    * WholeStageCodegen — at 100 TB the rotation rides the scan. */
+  def rotateFrame(corpus: DataFrame, rot: Array[Array[Double]]): DataFrame = {
+    val d = rot.length
+    require(d > 0 && rot.forall(_.length == d),
+      s"rotation matrix must be square, got ${rot.length} rows")
+    corpus.withColumn("embedding",
+      graft.functions.ArrayRotate(col("embedding"), rot.flatten, d))
+  }
+
+  /** OPQ — Optimized Product Quantization (Ge et al. CVPR 2013; FAISS's
+    * `OPQx` pretransform): learn an orthogonal rotation R that minimizes
+    * PQ reconstruction error `Σᵢ ‖R·xᵢ − decode(encode(R·xᵢ))‖²`, so the
+    * subspace split cuts across the data's correlated directions instead
+    * of the raw coordinate blocks. Alternating minimization from R = I:
+    *
+    *   1. rotate the training sample (exact doubles — training internals
+    *      are driver-local and capture-injected, never replayed);
+    *   2. train codebooks on the rotated sample (the [[pqLocal]] twin —
+    *      the identical Lloyd arithmetic every PQ path trains with);
+    *   3. encode+decode the rotated sample, then solve the orthogonal
+    *      Procrustes problem `max_R tr(R·A)`, `A = Σᵢ xᵢ·ŷᵢᵀ` via SVD
+    *      (A = U·S·Vᵀ → R = V·Uᵀ) — the closed-form optimal rotation
+    *      given the current code assignments.
+    *
+    * Each substep is the exact minimizer of the shared objective given
+    * the other block, so reconstruction error is non-increasing (up to
+    * the round-6 centroid means). Vectors with non-finite elements are
+    * skipped by the Procrustes accumulation (they would poison the SVD;
+    * the PQ twin already null-skips them in its sums).
+    *
+    * Scale shape: the whole loop is O(sample·dims·(dims + codes)) on the
+    * byte-budgeted [[collectSample]] — model-side state, the FAISS
+    * training posture; the corpus is touched only by the final
+    * [[trainPqCodebooks]] pass over the SERVING rotation (round-6
+    * coords), so the stored model is trained in exactly the space
+    * serving scores in.
+    *
+    * Returns `(R, codebooks)` — persist with [[opqModelWrite]]. */
+  def opqTrain(corpus: DataFrame, subspaces: Int = 8, codes: Int = 256,
+               iters: Int = 4, opqIters: Int = 5, seed: String = "opq",
+               sampleRate: Double = 1.0,
+               maxTrainVectors: Int = DefaultMaxTrainVectors,
+               maxTrainBytes: Long = DefaultMaxTrainBytes)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    require(opqIters >= 1, "need at least one OPQ alternation")
+    require(maxTrainVectors > 0,
+      "OPQ training is sample-based; maxTrainVectors must be > 0")
+    val s0 = collectSample(corpus, sampleRate, maxTrainVectors, seed,
+      maxTrainBytes)
+    // the Procrustes accumulation sums DOUBLES in sample order, so the
+    // collected order (partitioning-dependent) must be canonicalized —
+    // id-sorted — for bit-reproducible rotations. (The PQ twin needs no
+    // such sort: its decimal sums and per-vector argmins are
+    // insertion-order-independent by construction.)
+    val order = Array.range(0, s0.n).sortWith((a, b) =>
+      LT.idCompare(s0.ids(a), s0.ids(b)) < 0)
+    val s = LocalSample(order.map(i => s0.ids(i)), order.map(i => s0.embs(i)))
+    require(s.n > 0, "empty training sample")
+    val d = s.embs(0).length
+    require(d % subspaces == 0,
+      s"dims $d not divisible into $subspaces subspaces")
+    val dsub = d / subspaces
+    val finite = s.embs.map(e => e.forall(x =>
+      !java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x)))
+    var rot = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    for (t <- 0 until opqIters) {
+      val rotated = s.embs.map(matvec(rot, _))
+      val cb = pqLocal(LocalSample(s.ids, rotated), subspaces, codes,
+        iters, seed)
+      if (t < opqIters - 1) {
+        // A = Σ x·ŷᵀ over finite rows; ŷ = decode(encode(R·x))
+        val a = breeze.linalg.DenseMatrix.zeros[Double](d, d)
+        var i = 0
+        while (i < s.n) {
+          if (finite(i)) {
+            val x = s.embs(i)
+            val y = reconstructPq(cb, rotated(i), subspaces, dsub)
+            var r = 0
+            while (r < d) {
+              val xr = x(r)
+              if (xr != 0.0) {
+                var c = 0
+                while (c < d) { a(r, c) += xr * y(c); c += 1 }
+              }
+              r += 1
+            }
+          }
+          i += 1
+        }
+        val dec = breeze.linalg.svd(a) // A = U·S·Vᵀ
+        // R = V·Uᵀ maximizes tr(R·A) (orthogonal Procrustes)
+        val rNew = dec.rightVectors.t * dec.leftVectors.t
+        rot = Array.tabulate(d, d)((i2, j2) => rNew(i2, j2))
+      }
+    }
+    // final serving codebooks: the standard trained path over the
+    // round-6 rotated frame — the model is trained in the exact space
+    // the oracle replays and serving encodes
+    val cbFinal = trainPqCodebooks(rotateFrame(corpus, rot), subspaces,
+      codes, iters, seed, sampleRate, maxTrainVectors,
+      maxTrainBytes = maxTrainBytes)
+    (rot, cbFinal)
+  }
+
+  /** `R·x` with plain doubles — OPQ training internal (the serving
+    * rotation is [[graft.functions.ArrayRotate]] with round-6). */
+  private def matvec(rot: Array[Array[Double]], x: Array[Double])
+      : Array[Double] = {
+    val d = rot.length
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < d) {
+      val row = rot(i)
+      var acc = 0.0
+      var j = 0
+      while (j < d) { acc += row(j) * x(j); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
+  /** decode(encode(y)) under per-subspace raw-double argmin (code-asc
+    * ties) — the OPQ rotation-update reconstruction. */
+  private def reconstructPq(cb: Array[Array[Array[Double]]],
+                            y: Array[Double], subspaces: Int, dsub: Int)
+      : Array[Double] = {
+    val out = new Array[Double](subspaces * dsub)
+    var m = 0
+    while (m < subspaces) {
+      val off = m * dsub
+      val cbm = cb(m)
+      var best = 0
+      var bestD2 = java.lang.Double.POSITIVE_INFINITY
+      var j = 0
+      while (j < cbm.length) {
+        val cv = cbm(j)
+        var d2 = 0.0
+        var k = 0
+        while (k < dsub) { val df = y(off + k) - cv(k); d2 += df * df; k += 1 }
+        if (d2 < bestD2) { bestD2 = d2; best = j }
+        j += 1
+      }
+      System.arraycopy(cbm(best), 0, out, off, dsub)
+      m += 1
+    }
+    out
+  }
+
+  /** OPQ serving against a trained (rotation, codebooks) model: rotate,
+    * then the standard PQ ADC pass ([[pqTopKFromCodebooks]]) in the
+    * rotated space — rotation is orthogonal, so rotated-space cosines
+    * estimate the true ones with strictly less reconstruction error
+    * than unrotated PQ at the same code budget. */
+  def opqTopKFrom(corpus: DataFrame, isQuery: Column,
+                  rot: Array[Array[Double]],
+                  cb: Array[Array[Array[Double]]], k: Int): DataFrame =
+    pqTopKFromCodebooks(rotateFrame(corpus, rot), isQuery, cb, k)
+
+  /** [[opqTopKFrom]] widened to `refine` candidates, then
+    * [[exactRerank]]ed with the TRUE (unrotated) vectors — the FAISS
+    * `OPQx,PQy,RFlat` serving shape. */
+  def opqTopKRerank(corpus: DataFrame, isQuery: Column,
+                    rot: Array[Array[Double]],
+                    cb: Array[Array[Array[Double]]],
+                    k: Int, refine: Int = 100): DataFrame = {
+    require(refine >= k, s"refine=$refine must be >= k=$k")
+    exactRerank(corpus, isQuery,
+      pqTopKFromCodebooks(rotateFrame(corpus, rot), isQuery, cb, refine), k)
+  }
+
+  /** [[opqTrain]] then [[opqTopKFrom]] — one-call OPQ search. */
+  def opqTopK(corpus: DataFrame, isQuery: Column, k: Int,
+              subspaces: Int = 8, codes: Int = 256, iters: Int = 4,
+              opqIters: Int = 5, seed: String = "opq",
+              sampleRate: Double = 1.0,
+              maxTrainVectors: Int = DefaultMaxTrainVectors)
+      : DataFrame = {
+    val (rot, cb) = opqTrain(corpus, subspaces, codes, iters, opqIters,
+      seed, sampleRate, maxTrainVectors)
+    opqTopKFrom(corpus, isQuery, rot, cb, k)
+  }
+
+  /** Persist a trained OPQ model (rotation + codebooks) as one parquet
+    * store — `rot/` rows are `(i, r_vec)` (row i of R), `codebooks/` the
+    * [[pqCodebooksWrite]] shape. Model-sized. */
+  def opqModelWrite(model: (Array[Array[Double]], Array[Array[Array[Double]]]),
+                    path: String,
+                    spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model._1.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq
+      .toDF("i", "r_vec").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/rot")
+    codebookFrame(spark, model._2)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Load an [[opqModelWrite]] store — bit-identical; fails loudly on a
+    * sparse or ragged rotation (a missing/short row silently zeroes a
+    * whole output direction). */
+  def opqModelRead(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val rows = spark.read.parquet(s"$path/rot").select(col("i"), col("r_vec"))
+      .collect() // model-sized
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    require(rows.nonEmpty, s"empty OPQ rotation store at $path/rot")
+    val d = rows.map(_._1).max + 1
+    require(rows.length == d && rows.map(_._1).sorted.sameElements(0 until d),
+      s"sparse OPQ rotation store at $path/rot: ${rows.length} rows for $d")
+    require(rows.forall(_._2.length == d),
+      s"ragged OPQ rotation store at $path/rot: row lengths " +
+        s"${rows.map(_._2.length).distinct.mkString(",")} for dims $d")
+    val rot = new Array[Array[Double]](d)
+    rows.foreach { case (i, v) => rot(i) = v }
+    (rot, pqCodebooksRead(spark, s"$path/codebooks"))
+  }
+
   /** Plain left-to-right double dot — matches the SQL oracle's fold. */
   private def dot64(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0

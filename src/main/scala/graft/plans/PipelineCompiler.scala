@@ -423,9 +423,31 @@ object SectionRegistry {
               pqSeed = c.getOrElse("pq_seed", "pq"),
               sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
               maxTrainVectors = trainCap(c))
+          // OPQ (learned rotation before the PQ split — Ge et al. CVPR
+          // 2013, the FAISS OPQx pretransform): trains rotation +
+          // codebooks, serves rotated ADC; `refine: R` adds the exact
+          // pass over the TRUE (unrotated) vectors (OPQx,PQy,RFlat).
+          // `model_path` serves a stored opq_model with zero retraining.
+          case "opq" =>
+            val refine = c.getOrElse("refine", "0").toInt
+            val (rotM, cbM) = c.get("model_path") match {
+              case Some(p) => graft.operators.Ann.opqModelRead(
+                frame.sparkSession, p)
+              case scala.None => graft.operators.Ann.opqTrain(frame,
+                subspaces = c.getOrElse("subspaces", "8").toInt,
+                codes = c.getOrElse("codes", "256").toInt,
+                iters = c.getOrElse("train_iters", "4").toInt,
+                opqIters = c.getOrElse("opq_iters", "5").toInt,
+                seed = c.getOrElse("seed", "opq"),
+                sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
+                maxTrainVectors = math.max(1, trainCap(c)))
+            }
+            if (refine > 0) graft.operators.Ann.opqTopKRerank(frame,
+              isQuery, rotM, cbM, k, refine = refine)
+            else graft.operators.Ann.opqTopKFrom(frame, isQuery, rotM, cbM, k)
           case other => throw new IllegalArgumentException(
             s"ann_topk variant must be brute|lsh|lsh_single|lsh_probe|" +
-            s"lsh_multi|ivf|pq|ivf_pq, got $other")
+            s"lsh_multi|ivf|pq|ivf_pq|opq, got $other")
         }
         Some(out.select("q_id", "n_id", "cosine", "rk"))
       }),
@@ -969,6 +991,24 @@ object SectionRegistry {
           k = c.getOrElse("k", "5").toInt,
           nProbe = c.getOrElse("probes", "2").toInt))
       }),
+    // OPQ model store (train-once/serve-later): learn rotation +
+    // codebooks on the input corpus, persist as rot/ + codebooks/;
+    // serve via `ann_topk` variant `opq` with `model_path`
+    "opq_model_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (s, c, df) => {
+        graft.operators.Ann.opqModelWrite(
+          graft.operators.Ann.opqTrain(in(df),
+            subspaces = c.getOrElse("subspaces", "8").toInt,
+            codes = c.getOrElse("codes", "256").toInt,
+            iters = c.getOrElse("train_iters", "4").toInt,
+            opqIters = c.getOrElse("opq_iters", "5").toInt,
+            seed = c.getOrElse("seed", "opq"),
+            sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
+            maxTrainVectors = math.max(1, trainCap(c)),
+            maxTrainBytes = trainBytes(c)),
+          cfg(c, "path"), s)
+        scala.None
+      }),
     // incremental index maintenance: assign the input frame's vectors
     // against the index's frozen centroids and append into its cell
     // partitions — the daily-arrival path, no retrain, no index rewrite
@@ -1219,6 +1259,36 @@ object SectionRegistry {
     // see absorbIntoSignatures), so no doc double-absorbs. Crash sites
     // on both sides of the absorb are pinned by NoveltyAbsorbSpec via
     // the named failpoints below.
+    // STREAMING online ANN serving: query vectors stream in, each
+    // micro-batch is answered against the ON-DISK IVF index (probe
+    // filter = partition prune — the nightly-build/all-day-serving
+    // loop) through the ack-ordered sink; the (q_id, n_id) dedup key
+    // upgrades at-least-once replay to effectively-once
+    "ann_stream_query_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (s, c, df) => {
+        val idx = cfg(c, "index")
+        val path = cfg(c, "path")
+        val k = c.getOrElse("k", "5").toInt
+        val nProbe = c.getOrElse("probes", "2").toInt
+        val writer = graft.streaming.StreamingPipelines.ackSink(in(df),
+          cfg(c, "checkpoint"),
+          org.apache.spark.sql.streaming.OutputMode.Append()) { (batch, _) =>
+          graft.sources.Sinks.idempotentParquetAppend(
+            graft.operators.Ann.ivfIndexTopK(batch, idx, k, nProbe),
+            path, Seq("q_id", "n_id"))
+        }
+        val sup = new graft.streaming.StreamingSupervisor(s,
+          restartBackoffMs = c.getOrElse("restart_backoff_ms", "3000").toLong,
+          maxRestarts = c.getOrElse("max_restarts", "3").toInt)
+        try {
+          val handle = sup.supervise { () =>
+            writer.trigger(
+              org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          }
+          handle.await()
+        } finally sup.close()
+        scala.None
+      }),
     "stream_novelty_absorb_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (s, c, df) => {
         val sig = cfg(c, "signatures")

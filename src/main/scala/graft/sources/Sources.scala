@@ -371,8 +371,20 @@ object Sinks {
     val spark = df.sparkSession
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // an existing-but-fileless target (a pre-created sink dir, or a dir
+    // holding only a _SUCCESS marker) is FRESH — reading it for schema
+    // would throw UNABLE_TO_INFER_SCHEMA
+    def hasData: Boolean = fs.exists(hPath) && {
+      val it = fs.listFiles(hPath, true)
+      var found = false
+      while (!found && it.hasNext) {
+        val n = it.next().getPath.getName
+        found = !n.startsWith("_") && !n.startsWith(".")
+      }
+      found
+    }
     val fresh =
-      if (!fs.exists(hPath)) df
+      if (!hasData) df
       else {
         val existing = spark.read.parquet(path)
         if (existingFilter.isEmpty) {
