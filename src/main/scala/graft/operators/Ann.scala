@@ -2066,12 +2066,11 @@ object Ann {
     * skipped by the Procrustes accumulation (they would poison the SVD;
     * the PQ twin already null-skips them in its sums).
     *
-    * Scale shape: the whole loop is O(sample·dims·(dims + codes)) on the
-    * byte-budgeted [[collectSample]] — model-side state, the FAISS
-    * training posture; the corpus is touched only by the final
-    * [[trainPqCodebooks]] pass over the SERVING rotation (round-6
-    * coords), so the stored model is trained in exactly the space
-    * serving scores in.
+    * Scale shape: ONE sample collection, then the whole loop —
+    * alternations AND the final serving-space codebooks — is
+    * O(sample·dims·(dims + codes)) driver work on the byte-budgeted
+    * [[collectSample]]: model-side state, the FAISS training posture;
+    * the corpus itself is never scanned a second time.
     *
     * Returns `(R, codebooks)` — persist with [[opqModelWrite]]. */
   def opqTrain(corpus: DataFrame, subspaces: Int = 8, codes: Int = 256,
@@ -2131,12 +2130,20 @@ object Ann {
         rot = Array.tabulate(d, d)((i2, j2) => rNew(i2, j2))
       }
     }
-    // final serving codebooks: the standard trained path over the
-    // round-6 rotated frame — the model is trained in the exact space
-    // the oracle replays and serving encodes
-    val cbFinal = trainPqCodebooks(rotateFrame(corpus, rot), subspaces,
-      codes, iters, seed, sampleRate, maxTrainVectors,
-      maxTrainBytes = maxTrainBytes)
+    // final serving codebooks: trained on the SERVING rotation (round-6
+    // coords — the space the oracle replays and serving encodes). The
+    // serving-rotated sample is derived LOCALLY from the one collected
+    // sample: `sampleFrame(rotateFrame(corpus))` would draw the same
+    // ids (the hash draw keys on vec_id alone, same seed/caps) and its
+    // collected values are exactly `round6(R·x)` per coordinate
+    // ([[graft.functions.ArrayRotate]]'s left-to-right fold — the same
+    // op order as [[matvec]] + round6), so training locally on the
+    // transformed sample is bit-identical to a second corpus pass while
+    // keeping OPQ training a ONE-COLLECT operation at any corpus size.
+    val servingRotated = s.embs.map(x =>
+      matvec(rot, x).map(graft.functions.ArrayRotate.round6))
+    val cbFinal = pqLocal(LocalSample(s.ids, servingRotated), subspaces,
+      codes, iters, seed)
     (rot, cbFinal)
   }
 
