@@ -440,7 +440,7 @@ object SectionRegistry {
                 opqIters = c.getOrElse("opq_iters", "5").toInt,
                 seed = c.getOrElse("seed", "opq"),
                 sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
-                maxTrainVectors = math.max(1, trainCap(c)))
+                maxTrainVectors = trainCap(c))
             }
             if (refine > 0) graft.operators.Ann.opqTopKRerank(frame,
               isQuery, rotM, cbM, k, refine = refine)
@@ -1004,7 +1004,7 @@ object SectionRegistry {
             opqIters = c.getOrElse("opq_iters", "5").toInt,
             seed = c.getOrElse("seed", "opq"),
             sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
-            maxTrainVectors = math.max(1, trainCap(c)),
+            maxTrainVectors = trainCap(c),
             maxTrainBytes = trainBytes(c)),
           cfg(c, "path"), s)
         scala.None

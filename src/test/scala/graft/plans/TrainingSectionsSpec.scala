@@ -57,6 +57,35 @@ class TrainingSectionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_topk opq variant: inline-trained == stored-model serving, rerank composes") {
+    val root = java.nio.file.Files.createTempDirectory("opq_sect").toString
+    val store =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/embeddings.parquet"}},
+        {"id":"m","name":"opq_model_destination","config":{
+          "path":"$root/model","subspaces":"4","codes":"8","opq_iters":"2"}}],
+        "edges":[["src","m"]]}"""
+    PipelineCompiler.run(spark, PipelineSpec.fromJson(store))
+    def served(extra: String): Seq[(Long, Long, Double, Long)] = {
+      val json =
+        s"""{"sections":[
+          {"id":"src","name":"parquet_source","config":{"path":"$sf/embeddings.parquet"}},
+          {"id":"ann","name":"ann_topk","config":{
+            "variant":"opq","k":"3","query_where":"vec_id < 4",
+            "subspaces":"4","codes":"8","opq_iters":"2"$extra}}],
+          "edges":[["src","ann"]]}"""
+      PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(json))
+        .as[(Long, Long, Double, Long)].collect().sorted.toSeq
+    }
+    val inline = served("")
+    val stored = served(s""","model_path":"$root/model"""")
+    assert(inline.nonEmpty)
+    assert(inline == stored,
+      "stored-model opq serving drifted from inline training")
+    val refined = served(s""","model_path":"$root/model","refine":"10"""")
+    assert(refined.nonEmpty && refined.forall(_._4 <= 3))
+  }
+
   test("ann_topk: trained ivf defaults to the BALANCED quantizer") {
     import org.apache.spark.sql.functions.col
     def run(extra: String) = {
