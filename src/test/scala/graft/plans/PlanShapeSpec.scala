@@ -334,4 +334,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("arraysquaredl2") || p.contains("ArraySquaredL2"),
       "PQ assignment must use the codegen'd distance kernel")
   }
+
+  test("opq serving rotates through the codegen'd ArrayRotate projection") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, graft.TestSpark.sf)
+      .select(col("vec_id"), col("embedding"))
+    val (rot, cb) = graft.operators.Ann.opqTrain(e, subspaces = 4,
+      codes = 4, iters = 1, opqIters = 1)
+    val df = graft.operators.Ann.opqTopKFrom(e, col("vec_id") < 3, rot, cb, 2)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    // the rotation is the native expression riding the scan as a
+    // projection — NOT an interpreted transform(aggregate(zip_with))
+    // (O(dims²) interpreted steps + O(dims) allocations per corpus row)
+    // and NOT a UDF (which would drop the scan out of codegen)
+    assert(p.contains("arrayrotate") || p.contains("ArrayRotate"),
+      s"OPQ serving must rotate through the native expression:\n${p.take(2000)}")
+    assert(!p.contains("UDF"), "no UDF in the OPQ serving plan")
+  }
 }
