@@ -177,6 +177,31 @@ final class SpecPushServer(dir: Path, port: Int = 0,
         catch { case e: Exception => respond(ex, 500, s"error: ${e.getMessage}\n") }
         finally ex.close()
     })
+    // section palette for the console's spec editor: the registry with
+    // IO kinds, rendered with the reference's SectionIO spelling
+    // (mycelial `config/src/lib.rs` none/bin/dataframe/bin_or_dataframe)
+    server.createContext("/sections", new HttpHandler {
+      private def kind(v: SectionIO.Value): String = v match {
+        case SectionIO.None => "none"
+        case SectionIO.Bin => "bin"
+        case SectionIO.DataFrameIO => "dataframe"
+        case _ => "bin_or_dataframe"
+      }
+      override def handle(ex: HttpExchange): Unit =
+        try {
+          if (ex.getRequestMethod != "GET") respond(ex, 405, "method not allowed\n")
+          else respond(ex, 200, SectionRegistry.entries.toSeq.sortBy(_._1)
+            .map { case (n, e) =>
+              s"""{"name":"${jsonEscape(n)}","input":"${kind(e.io.input)}","output":"${kind(e.io.output)}"}"""
+            }.mkString("[", ",", "]") + "\n")
+        } catch { case e: Exception => respond(ex, 500, s"error: ${e.getMessage}\n") }
+        finally ex.close()
+    })
+    // the operator console — the reference control plane's embedded-UI
+    // fallback (`http/api/mod.rs:35-38` + `assets.rs`): every path no
+    // API context claims serves the SPA. Longest-prefix dispatch keeps
+    // /pipelines /specs /workspaces /daemon /sections authoritative.
+    server.createContext("/", UiAssets.handler)
   }
 
   private def body(ex: HttpExchange): String =
