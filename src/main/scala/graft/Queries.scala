@@ -2723,6 +2723,66 @@ object Queries {
         ORDER BY d.doc_id"""
     })
 
+  @volatile private var unigramVocabCapture: Option[Seq[(String, Long)]] = scala.None
+
+  /** Unigram-LM (SentencePiece-family) token counts: train the vocab on
+    * the corpus ([[graft.operators.Corpus.unigramTrain]] — Viterbi-EM on
+    * the word dictionary, driver-local), then count each document's
+    * Viterbi pieces. The oracle INJECTS the captured vocab and replays
+    * the serving DP itself — integer micro-log-prob scores make the
+    * DuckDB recursive-CTE Viterbi bit-identical to the codegen'd
+    * expression (max score, then fewer pieces, then longer final piece,
+    * single-cp <unk> floor). */
+  private val taUnigram = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Corpus.unigramTrain(docs, vocabSize = 80)
+      unigramVocabCapture = Some(vocab)
+      graft.operators.Corpus.unigramTokenCounts(docs, vocab)
+        .orderBy($"doc_id")
+    },
+    () => unigramVocabCapture.map { vocab =>
+      def esc(t: String) = t.replace("'", "''")
+      val values = vocab.map { case (p, mlp) =>
+        s"('${esc(p)}', ${mlp}::BIGINT)"
+      }.mkString(", ")
+      val maxLen = vocab.map(p => p._1.codePointCount(0, p._1.length)).max
+      val unk = graft.functions.Unigram.UnkMicroLogProb
+      s"""WITH RECURSIVE $toksCte,
+        occ AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+        words AS (SELECT DISTINCT w FROM occ),
+        vocab(piece, mlp) AS (SELECT * FROM (VALUES $values) v),
+        -- candidate transition costs precomputed OUTSIDE the recursion
+        -- (DuckDB rejects a correlated LEFT JOIN inside the lateral; a
+        -- plain join here leaves only an inner correlated filter below)
+        pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS e FROM words),
+        cand0 AS (SELECT w, e,
+          unnest(range(greatest(0, e - $maxLen), e)) AS j FROM pos),
+        cand AS (SELECT c.w, c.e, c.j,
+            coalesce(v.mlp, ${unk}::BIGINT) AS cost
+          FROM cand0 c LEFT JOIN vocab v ON v.piece = c.w[c.j + 1 : c.e]
+          WHERE v.mlp IS NOT NULL OR c.e - c.j = 1),
+        dp(w, i, scores, pieces) AS (
+          SELECT w, 0, [0::BIGINT], [0::BIGINT] FROM words
+          UNION ALL
+          SELECT d.w, d.i + 1,
+            list_append(d.scores, b.sc), list_append(d.pieces, b.pc)
+          FROM dp d, LATERAL (
+            SELECT d.scores[c.j + 1] + c.cost AS sc,
+              d.pieces[c.j + 1] + 1 AS pc, c.j AS j
+            FROM cand c WHERE c.w = d.w AND c.e = d.i + 1
+            ORDER BY sc DESC, pc ASC, j ASC LIMIT 1) b
+          WHERE d.i < len(d.w)),
+        wn AS (SELECT w, pieces[len(w) + 1] AS nt FROM dp WHERE i = len(w))
+        SELECT d.doc_id, coalesce(s.n, 0)::BIGINT AS n_unigram_tokens
+        FROM documents d LEFT JOIN (
+          SELECT occ.doc_id, sum(wn.nt) AS n
+          FROM occ JOIN wn USING (w) GROUP BY occ.doc_id) s
+          USING (doc_id)
+        ORDER BY d.doc_id"""
+    })
+
   private val taFingerprint = Q(
     (s, dir) => {
       import s.implicits._
@@ -5055,6 +5115,7 @@ object Queries {
     "ta_quality" -> taQuality,
     "ta_tokens" -> taTokens,
     "ta_bpe_tokens" -> taBpe,
+    "ta_unigram_tokens" -> taUnigram,
     "ta_fingerprint" -> taFingerprint,
     "ta_split" -> taSplit,
     "ta_lm_score" -> taLmScore,

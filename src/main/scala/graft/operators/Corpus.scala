@@ -1317,6 +1317,51 @@ object Corpus {
       graft.functions.BpeTokenCount(col(textCol), merges)
         .cast("long").as("n_bpe_tokens"))
 
+  /** Train a unigram-LM (SentencePiece-family) vocabulary on the corpus —
+    * the [[bpeTrain]] execution shape: ONE distributed scan reduces the
+    * corpus to its (word, count) dictionary, then
+    * [[graft.functions.Unigram.trainLocal]] runs the Viterbi-EM + prune
+    * loop driver-local over that model-sized state (training is
+    * O(dictionary), never O(corpus) — the FAISS/tokenizers posture).
+    *
+    * Dictionaries beyond `maxDriverVocab` distinct words TRUNCATE to the
+    * top `maxDriverVocab` by (count desc, word asc) before collecting —
+    * an explicit, deterministic approximation (the tail of a web-scale
+    * dictionary is hapax noise, and SentencePiece itself trains on a
+    * bounded sentence sample); the cut is logged, never silent. */
+  def unigramTrain(docs: DataFrame, vocabSize: Int = 200,
+                   textCol: String = "text",
+                   maxDriverVocab: Int = 1 << 20): Seq[(String, Long)] = {
+    val words = docs
+      .select(explode(TF.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val n = words.count()
+    val bounded =
+      if (n <= maxDriverVocab) words
+      else {
+        System.err.println(s"[unigramTrain] dictionary $n words > " +
+          s"$maxDriverVocab budget: training on the top $maxDriverVocab " +
+          "by frequency")
+        words.orderBy(col("cnt").desc, col("w").asc).limit(maxDriverVocab)
+      }
+    val dict = bounded.collect().map(r => (r.getString(0), r.getLong(1)))
+    graft.functions.Unigram.trainLocal(dict, vocabSize)
+  }
+
+  /** Per-document token counts under a trained unigram-LM vocab — one
+    * narrow codegen'd pass ([[graft.functions.UnigramTokenCount]]), no
+    * shuffle; the Viterbi twin of [[bpeTokenCounts]].
+    *
+    * @return `(doc_id, n_unigram_tokens)`.
+    */
+  def unigramTokenCounts(docs: DataFrame, vocab: Seq[(String, Long)],
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.UnigramTokenCount(col(textCol), vocab)
+        .cast("long").as("n_unigram_tokens"))
+
   /** EXACT duplicated-substring scrubbing (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", ACL 2022 — the
     * ExactSubstr pass): remove every maximal token span of at least

@@ -871,6 +871,35 @@ object SectionRegistry {
           cfg(c, "path"), s)
         scala.None
       }),
+    // unigram-LM (SentencePiece-family) twin of the bpe pair: Viterbi
+    // token counts under a trained piece→log-prob vocab; inline training
+    // or `vocab_path` serving from a stored model
+    "unigram_token_count" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (s, c, df) => {
+        val frame = in(df)
+        val vocab = c.get("vocab_path") match {
+          case Some(p) => graft.functions.Unigram.vocabRead(s, p)
+          case scala.None => graft.operators.Corpus.unigramTrain(frame,
+            vocabSize = c.getOrElse("vocab_size", "200").toInt,
+            textCol = c.getOrElse("text_column", "text"),
+            maxDriverVocab = c.getOrElse("max_driver_vocab",
+              (1 << 20).toString).toInt)
+        }
+        Some(graft.operators.Corpus.unigramTokenCounts(frame, vocab,
+          idCol = c.getOrElse("id_column", "doc_id"),
+          textCol = c.getOrElse("text_column", "text")))
+      }),
+    "unigram_model_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (s, c, df) => {
+        graft.functions.Unigram.vocabWrite(
+          graft.operators.Corpus.unigramTrain(in(df),
+            vocabSize = c.getOrElse("vocab_size", "200").toInt,
+            textCol = c.getOrElse("text_column", "text"),
+            maxDriverVocab = c.getOrElse("max_driver_vocab",
+              (1 << 20).toString).toInt),
+          cfg(c, "path"), s)
+        scala.None
+      }),
     // sliding token-window chunking: (doc_id, chunk_idx, chunk_text, n_tokens)
     "chunk_tokens" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => Some(graft.operators.Corpus.chunkTokens(in(df),

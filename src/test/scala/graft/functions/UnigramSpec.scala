@@ -1,0 +1,143 @@
+package graft.functions
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The unigram-LM tokenizer's determinism contract: integer-cost Viterbi
+  * with (max score, fewer pieces, longer final piece) tiebreaks, a
+  * single-code-point <unk> floor, driver-local EM training that is a
+  * pure function of the word dictionary, and train-once/serve-later
+  * store parity. */
+class UnigramSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def m(vocab: (String, Long)*): Unigram.Model =
+    Unigram.model(vocab.toSeq)
+
+  test("viterbi picks the max-score segmentation") {
+    val model = m(("a", -100L), ("b", -200L), ("ab", -250L))
+    // [ab] = -250 beats [a,b] = -300
+    assert(Unigram.encodeCount("ab", model) == 1)
+    assert(Unigram.segment("ab", model).toSeq == Seq("ab"))
+    // "aab": [a,ab] = -350 beats [a,a,b] = -400
+    assert(Unigram.segment("aab", model).toSeq == Seq("a", "ab"))
+  }
+
+  test("score tie breaks to fewer pieces") {
+    val model = m(("a", -100L), ("b", -100L), ("ab", -200L))
+    // [ab] and [a,b] both -200; one piece wins
+    assert(Unigram.segment("ab", model).toSeq == Seq("ab"))
+  }
+
+  test("score+pieces tie breaks to the longer final piece") {
+    val model = m(("a", -100L), ("b", -100L), ("ab", -100L), ("aa", -100L))
+    // [aa,b] and [a,ab] both score -200 with 2 pieces; the smaller split
+    // point (longer final piece "ab") wins
+    assert(Unigram.segment("aab", model).toSeq == Seq("a", "ab"))
+  }
+
+  test("out-of-vocab code points score the <unk> floor, never throw") {
+    val model = m(("a", -100L))
+    assert(Unigram.encodeCount("axa", model) == 3)
+    assert(Unigram.segment("axa", model).toSeq == Seq("a", "x", "a"))
+    // a vocab piece above the unk floor displaces the per-cp unk path...
+    val model2 = m(("a", -100L), ("xa", -20_000_000L))
+    assert(Unigram.segment("axa", model2).toSeq == Seq("a", "xa"))
+    // ...but a piece BELOW the floor loses to it — max score rules
+    val model3 = m(("a", -100L), ("xa", -50_000_000L))
+    assert(Unigram.segment("axa", model3).toSeq == Seq("a", "x", "a"))
+  }
+
+  test("tokenCount sums words; empty-safe") {
+    val model = m(("a", -100L), ("b", -100L), ("ab", -100L))
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(Unigram.tokenCount(UTF8String.fromString("  ab  a b "), model) == 3)
+    assert(Unigram.tokenCount(UTF8String.fromString("   "), model) == 0)
+    assert(Unigram.tokenCount(UTF8String.fromString(""), model) == 0)
+  }
+
+  test("trainLocal: full char coverage, bounded vocab, deterministic") {
+    val dict = Array(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("lowest", 4L))
+    val v1 = Unigram.trainLocal(dict, vocabSize = 14)
+    val v2 = Unigram.trainLocal(dict.reverse, vocabSize = 14)
+    assert(v1 == v2, "training must not depend on dictionary order")
+    val chars = dict.flatMap(_._1.toCharArray).map(_.toString).distinct.toSet
+    val pieces = v1.map(_._1).toSet
+    assert(chars.subsetOf(pieces), "every corpus code point stays servable")
+    assert(v1.size <= math.max(14, chars.size))
+    assert(v1.map(_._1).distinct.size == v1.size)
+    // trained model segments every dict word without the unk floor
+    val model = Unigram.model(v1)
+    dict.foreach { case (w, _) =>
+      val segs = Unigram.segment(w, model)
+      assert(segs.mkString == w)
+      assert(segs.forall(pieces.contains))
+    }
+  }
+
+  test("engine expression == driver twin over real documents") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val vocab = graft.operators.Corpus.unigramTrain(docs, vocabSize = 60)
+    val engine = graft.operators.Corpus.unigramTokenCounts(docs, vocab)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val model = Unigram.model(vocab)
+    val local = docs.select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        (r.getLong(0), Unigram.tokenCount(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)),
+          model).toLong)
+      }.sortBy(_._1).toSeq
+    assert(engine == local)
+  }
+
+  test("model store: round trip, duplicate pieces fail loudly") {
+    val store = java.nio.file.Files.createTempDirectory("uni_store")
+      .toString + "/vocab"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val trained = graft.operators.Corpus.unigramTrain(docs, vocabSize = 60)
+    Unigram.vocabWrite(trained, store, spark)
+    assert(Unigram.vocabRead(spark, store) == trained)
+
+    val bad = java.nio.file.Files.createTempDirectory("uni_bad")
+      .toString + "/vocab"
+    import spark.implicits._
+    Seq(("a", -1L), ("a", -2L)).toDF("piece", "micro_log_prob")
+      .write.parquet(bad)
+    val ex = intercept[IllegalArgumentException] {
+      Unigram.vocabRead(spark, bad)
+    }
+    assert(ex.getMessage.contains("duplicate"))
+  }
+
+  test("sections: model destination + vocab_path serving == inline training") {
+    import org.apache.spark.sql.functions.col
+    import graft.plans.{PipelineCompiler, PipelineSpec}
+    val store = java.nio.file.Files.createTempDirectory("uni_sec")
+      .toString + "/vocab"
+    val trainJson =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"uni","name":"unigram_model_destination","config":{
+          "path":"$store","vocab_size":"60"}}],
+        "edges":[["src","uni"]]}"""
+    PipelineCompiler.run(spark, PipelineSpec.fromJson(trainJson))
+    def countJson(extra: String) =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"cnt","name":"unigram_token_count","config":{
+          "vocab_size":"60"$extra}}],
+        "edges":[["src","cnt"]]}"""
+    val served = PipelineCompiler.compileFrame(spark,
+        PipelineSpec.fromJson(countJson(s""","vocab_path":"$store"""")))
+      .orderBy(col("doc_id")).collect().toSeq
+    val inline = PipelineCompiler.compileFrame(spark,
+        PipelineSpec.fromJson(countJson("")))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(served == inline)
+    assert(served.nonEmpty)
+  }
+}
