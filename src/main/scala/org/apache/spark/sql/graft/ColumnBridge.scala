@@ -13,6 +13,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** FULL ColumnNode→Expression conversion (recursive — no lazy
+    * `ColumnNodeExpression` stubs left in the tree). Required wherever a
+    * Column composition must become a standalone catalyst expression
+    * OUTSIDE a Dataset operation — e.g. a FunctionRegistry builder: the
+    * lazy stubs report NullType until converted, so a higher-order
+    * function's lambda body would fail analysis inside `spark.sql`. */
+  def expressionConverted(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
