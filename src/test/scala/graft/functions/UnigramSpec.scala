@@ -94,6 +94,83 @@ class UnigramSpec extends AnyFunSuite {
     assert(engine == local)
   }
 
+  test("viterbi == brute force over all segmentations (adversarial random models)") {
+    // the DP's induced global order: max score, then fewest pieces, then
+    // right-to-left lexicographically SMALLEST split points (the per-cell
+    // smallest-j rule propagates recursively — last boundary first)
+    def better(a: (Seq[String], Long, List[Int]),
+               b: (Seq[String], Long, List[Int])): Boolean = {
+      if (a._2 != b._2) a._2 > b._2
+      else if (a._1.length != b._1.length) a._1.length < b._1.length
+      else {
+        val (ra, rb) = (a._3, b._3) // already reversed starts
+        val cmp = ra.zip(rb).find { case (x, y) => x != y }
+        cmp.forall { case (x, y) => x < y }
+      }
+    }
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet = Array("a", "b", "c", "𝕒") // incl. an astral cp
+    for (_ <- 1 to 400) {
+      // random model over random pieces from the alphabet
+      val nPieces = 2 + rnd.nextInt(6)
+      val vocab = (Seq.tabulate(alphabet.length)(i => alphabet(i)) ++
+        Seq.fill(nPieces) {
+          (1 to (1 + rnd.nextInt(3))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        }).distinct.map(p => (p, -100L - rnd.nextInt(2000).toLong))
+      val model = Unigram.model(vocab)
+      val word = (1 to (1 + rnd.nextInt(6)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      // brute force with the full comparator
+      val cps = word.codePoints.toArray.map(cp => new String(Character.toChars(cp)))
+      val n = cps.length
+      def segsFrom(from: Int): Seq[List[Int]] =
+        if (from == n) Seq(Nil)
+        else (from + 1 to n).flatMap { to =>
+          val piece = cps.slice(from, to).mkString
+          val ok = model.costs.containsKey(piece) || (to - from) == 1
+          if (ok) segsFrom(to).map(from :: _) else Seq.empty
+        }
+      def cost(piece: String): Long = {
+        val v = model.costs.get(piece)
+        if (v != null) v.longValue() else Unigram.UnkMicroLogProb
+      }
+      val candidates = segsFrom(0).map { starts =>
+        val bounds = starts.tail :+ n
+        val pieces = starts.zip(bounds).map { case (a, b) =>
+          cps.slice(a, b).mkString }
+        (pieces.toSeq, pieces.map(cost).sum, starts.reverse)
+      }
+      val expected = candidates.reduceLeft((a, b) => if (better(b, a)) b else a)
+      val got = Unigram.segment(word, model).toSeq
+      assert(got == expected._1,
+        s"word=$word vocab=${vocab.map(_._1)} got=$got expected=${expected._1}")
+      assert(Unigram.encodeCount(word, model) == expected._1.length)
+    }
+  }
+
+  test("engine == driver twin on adversarial random small-alphabet corpora") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42L)
+    // tiny code-point alphabet + space => brutal duplication; the astral
+    // cp exercises surrogate-pair handling end to end
+    val alphabet = Array("a", "b", "𝕒", " ")
+    val docsLocal = (1 to 120).map { i =>
+      val len = rnd.nextInt(40)
+      (i.toLong,
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    import spark.implicits._
+    val df = docsLocal.toDF("doc_id", "text")
+    val vocab = graft.operators.Corpus.unigramTrain(df, vocabSize = 12)
+    val model = Unigram.model(vocab)
+    val engine = graft.operators.Corpus.unigramTokenCounts(df, vocab)
+      .orderBy(col("doc_id")).collect().map(r => r.getLong(1)).toSeq
+    val local = docsLocal.sortBy(_._1).map { case (_, t) =>
+      Unigram.tokenCount(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), model).toLong }
+    assert(engine == local)
+  }
+
   test("model store: round trip, duplicate pieces fail loudly") {
     val store = java.nio.file.Files.createTempDirectory("uni_store")
       .toString + "/vocab"
