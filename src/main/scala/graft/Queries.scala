@@ -2783,6 +2783,82 @@ object Queries {
         ORDER BY d.doc_id"""
     })
 
+  @volatile private var unigramIdsVocabCapture: Option[Seq[(String, Long)]] =
+    scala.None
+
+  /** Token-ID stream export — the trainer-consumable output: Viterbi
+    * pieces mapped to piece-sorted vocab indices (unk = V), exploded to
+    * (doc_id, pos, token_id). The oracle extends the [[taUnigram]] DP
+    * with BACKTRACK lists, reconstructs each word's segmentation by a
+    * second recursive walk from the end, maps pieces to row_number ids
+    * over the injected vocab, and positions tokens by (word order,
+    * within-word order). */
+  private val taUnigramIds = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Corpus.unigramTrain(docs, vocabSize = 80)
+      unigramIdsVocabCapture = Some(vocab)
+      graft.operators.Corpus.unigramTokenIds(docs, vocab)
+        .select($"doc_id",
+          posexplode($"token_ids").as(Seq("pos", "token_id")))
+        .orderBy($"doc_id", $"pos")
+    },
+    () => unigramIdsVocabCapture.map { vocab =>
+      def esc(t: String) = t.replace("'", "''")
+      val values = vocab.map { case (p, mlp) =>
+        s"('${esc(p)}', ${mlp}::BIGINT)"
+      }.mkString(", ")
+      val maxLen = vocab.map(p => p._1.codePointCount(0, p._1.length)).max
+      val unk = graft.functions.Unigram.UnkMicroLogProb
+      s"""WITH RECURSIVE $toksCte,
+        occ AS (SELECT doc_id, ts,
+          unnest(range(1, len(ts) + 1)) AS wpos FROM toks),
+        wocc AS (SELECT doc_id, wpos, ts[wpos] AS w FROM occ),
+        words AS (SELECT DISTINCT w FROM wocc),
+        vocab(piece, mlp) AS (SELECT * FROM (VALUES $values) v),
+        idtab AS (SELECT piece,
+          (row_number() OVER (ORDER BY piece) - 1)::INT AS id FROM vocab),
+        pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS e FROM words),
+        cand0 AS (SELECT w, e,
+          unnest(range(greatest(0, e - $maxLen), e)) AS j FROM pos),
+        cand AS (SELECT c.w, c.e, c.j,
+            coalesce(v.mlp, ${unk}::BIGINT) AS cost
+          FROM cand0 c LEFT JOIN vocab v ON v.piece = c.w[c.j + 1 : c.e]
+          WHERE v.mlp IS NOT NULL OR c.e - c.j = 1),
+        dp(w, i, scores, pieces, backs) AS (
+          SELECT w, 0, [0::BIGINT], [0::BIGINT], [0::BIGINT] FROM words
+          UNION ALL
+          SELECT d.w, d.i + 1, list_append(d.scores, b.sc),
+            list_append(d.pieces, b.pc), list_append(d.backs, b.j)
+          FROM dp d, LATERAL (
+            SELECT d.scores[c.j + 1] + c.cost AS sc,
+              d.pieces[c.j + 1] + 1 AS pc, c.j AS j
+            FROM cand c WHERE c.w = d.w AND c.e = d.i + 1
+            ORDER BY sc DESC, pc ASC, j ASC LIMIT 1) b
+          WHERE d.i < len(d.w)),
+        dpf AS (SELECT w, pieces[len(w) + 1] AS nt, backs
+          FROM dp WHERE i = len(w) AND len(w) > 0),
+        walk(w, at, rord) AS (
+          SELECT w, len(w), 0 FROM dpf
+          UNION ALL
+          SELECT k.w, f.backs[k.at + 1]::BIGINT, k.rord + 1
+          FROM walk k JOIN dpf f USING (w) WHERE k.at > 0),
+        wpieces AS (SELECT k.w, f.nt - 1 - k.rord AS pidx,
+            k.w[f.backs[k.at + 1] + 1 : k.at] AS piece
+          FROM walk k JOIN dpf f USING (w) WHERE k.at > 0),
+        doctok AS (SELECT o.doc_id, o.wpos, p.pidx,
+            coalesce(i.id, ${vocab.size}) AS token_id
+          FROM wocc o JOIN wpieces p ON p.w = o.w
+          LEFT JOIN idtab i ON i.piece = p.piece)
+        SELECT doc_id,
+          (row_number() OVER (PARTITION BY doc_id
+             ORDER BY wpos, pidx) - 1)::INT AS pos,
+          token_id::INT AS token_id
+        FROM doctok
+        ORDER BY doc_id, pos"""
+    })
+
   private val taFingerprint = Q(
     (s, dir) => {
       import s.implicits._
@@ -5116,6 +5192,7 @@ object Queries {
     "ta_tokens" -> taTokens,
     "ta_bpe_tokens" -> taBpe,
     "ta_unigram_tokens" -> taUnigram,
+    "ta_unigram_ids" -> taUnigramIds,
     "ta_fingerprint" -> taFingerprint,
     "ta_split" -> taSplit,
     "ta_lm_score" -> taLmScore,

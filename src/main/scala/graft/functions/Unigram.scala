@@ -62,6 +62,51 @@ object UnigramTokenCount {
     ColumnBridge.column(UnigramTokenCount(ColumnBridge.expression(c), vocab))
 }
 
+/** Unigram-LM ENCODE to TOKEN IDS — the trainer-consumable output (what a
+  * 100 TB tokenization job actually exports): the same Viterbi
+  * segmentation as [[UnigramTokenCount]], each piece mapped to its id.
+  *
+  * Id contract (SentencePiece's shape — the model file IS the id space):
+  * id(piece) = index of the piece in the PIECE-SORTED vocab (0..V−1 —
+  * [[Unigram.trainLocal]] and [[Unigram.vocabRead]] both emit that
+  * order, so a stored model defines stable ids forever), and every
+  * out-of-vocab single code point gets the reserved id V (`<unk>`). Ids
+  * are contiguous, deterministic, and independent of the corpus being
+  * encoded. Words concatenate in order; whitespace itself is not a
+  * token (the [[Unigram.tokenCount]] contract — counts equal
+  * `size(ids)`). */
+case class UnigramEncodeIds(child: Expression, vocab: Seq[(String, Long)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"argument must be string, got $t")
+    }
+
+  @transient private lazy val model = Unigram.idModel(vocab)
+
+  override def nullSafeEval(v: Any): Any =
+    Unigram.encodeIds(v.asInstanceOf[UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramIdModel", model,
+      "graft.functions.Unigram$IdModel")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Unigram.encodeIds($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object UnigramEncodeIds {
+  def apply(c: Column, vocab: Seq[(String, Long)]): Column =
+    ColumnBridge.column(UnigramEncodeIds(ColumnBridge.expression(c), vocab))
+}
+
 object Unigram {
 
   /** Max piece length (code points) the trainer proposes — SentencePiece's
@@ -90,6 +135,55 @@ object Unigram {
       maxLen = math.max(maxLen, p.codePointCount(0, p.length))
     }
     new Model(m, maxLen)
+  }
+
+  /** Serving-side ID model: the cost [[Model]] plus piece→id (index in
+    * the piece-sorted vocab) and the reserved `<unk>` id V. Public and
+    * janino-visible — codegen references it by name. */
+  final class IdModel(val model: Model,
+                      val ids: java.util.HashMap[String, Integer],
+                      val unkId: Int) extends Serializable
+
+  /** Ids are defined by the PIECE-SORTED vocab order — the order
+    * [[trainLocal]] returns and [[vocabRead]] restores, so a stored
+    * model pins its id space permanently. Rejects unsorted input loudly
+    * (an unsorted vocab would silently renumber every id). */
+  def idModel(vocab: Seq[(String, Long)]): IdModel = {
+    var i = 1
+    while (i < vocab.length) {
+      require(vocab(i - 1)._1 < vocab(i)._1,
+        s"unigram vocab must be piece-sorted and duplicate-free for stable " +
+          s"ids: '${vocab(i - 1)._1}' !< '${vocab(i)._1}'")
+      i += 1
+    }
+    val ids = new java.util.HashMap[String, Integer](vocab.size * 2)
+    vocab.zipWithIndex.foreach { case ((p, _), id) => ids.put(p, id) }
+    new IdModel(model(vocab), ids, vocab.size)
+  }
+
+  /** Token-id stream of a whole text: Σ over whitespace words of the
+    * Viterbi pieces, each mapped to its vocab id (OOV single cp → unkId).
+    * Returns catalyst ArrayData — this is an expression eval body. */
+  def encodeIds(s: UTF8String, im: IdModel)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString.trim
+    if (str.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Int])
+    val words = str.split("\\s+")
+    val out = new scala.collection.mutable.ArrayBuffer[Int](words.length * 2)
+    var i = 0
+    while (i < words.length) {
+      val pieces = segment(words(i), im.model)
+      var j = 0
+      while (j < pieces.length) {
+        val id = im.ids.get(pieces(j))
+        out += (if (id != null) id.intValue() else im.unkId)
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
   /** Viterbi piece count of ONE word under the model. DP over code-point

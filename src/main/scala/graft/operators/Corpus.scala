@@ -1362,6 +1362,21 @@ object Corpus {
       graft.functions.UnigramTokenCount(col(textCol), vocab)
         .cast("long").as("n_unigram_tokens"))
 
+  /** Per-document TOKEN-ID streams under a trained unigram-LM vocab — the
+    * trainer-consumable export (what a tokenization job over the full
+    * corpus actually ships): one narrow codegen'd pass
+    * ([[graft.functions.UnigramEncodeIds]]), no shuffle; ids are the
+    * stored model's piece-sorted indices (stable forever), OOV single
+    * code points take the reserved id V.
+    *
+    * @return `(doc_id, token_ids array<int>)`.
+    */
+  def unigramTokenIds(docs: DataFrame, vocab: Seq[(String, Long)],
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.UnigramEncodeIds(col(textCol), vocab).as("token_ids"))
+
   /** EXACT duplicated-substring scrubbing (Lee et al., "Deduplicating
     * Training Data Makes Language Models Better", ACL 2022 — the
     * ExactSubstr pass): remove every maximal token span of at least

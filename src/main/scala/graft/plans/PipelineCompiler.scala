@@ -889,6 +889,23 @@ object SectionRegistry {
           idCol = c.getOrElse("id_column", "doc_id"),
           textCol = c.getOrElse("text_column", "text")))
       }),
+    // token-ID export — the trainer-consumable stream: (doc_id,
+    // token_ids array<int>) under a trained vocab (inline or vocab_path)
+    "unigram_encode" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (s, c, df) => {
+        val frame = in(df)
+        val vocab = c.get("vocab_path") match {
+          case Some(p) => graft.functions.Unigram.vocabRead(s, p)
+          case scala.None => graft.operators.Corpus.unigramTrain(frame,
+            vocabSize = c.getOrElse("vocab_size", "200").toInt,
+            textCol = c.getOrElse("text_column", "text"),
+            maxDriverVocab = c.getOrElse("max_driver_vocab",
+              (1 << 20).toString).toInt)
+        }
+        Some(graft.operators.Corpus.unigramTokenIds(frame, vocab,
+          idCol = c.getOrElse("id_column", "doc_id"),
+          textCol = c.getOrElse("text_column", "text")))
+      }),
     "unigram_model_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (s, c, df) => {
         graft.functions.Unigram.vocabWrite(

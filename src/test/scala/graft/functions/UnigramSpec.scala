@@ -171,6 +171,72 @@ class UnigramSpec extends AnyFunSuite {
     assert(engine == local)
   }
 
+  test("token ids: piece-sorted index contract, unk = V, engine == driver twin") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val vocab = graft.operators.Corpus.unigramTrain(docs, vocabSize = 60)
+    // id space = piece-sorted index; stored models pin it forever
+    val im = Unigram.idModel(vocab)
+    vocab.map(_._1).zipWithIndex.foreach { case (p, i) =>
+      assert(im.ids.get(p) == i)
+    }
+    assert(im.unkId == vocab.size)
+    // unsorted vocab would silently renumber ids — must throw
+    intercept[IllegalArgumentException] {
+      Unigram.idModel(vocab.reverse)
+    }
+    // engine expression == segment-based driver twin
+    val engine = graft.operators.Corpus.unigramTokenIds(docs, vocab)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSeq
+    val model = Unigram.model(vocab)
+    val pieceId = vocab.map(_._1).zipWithIndex.toMap
+    val local = docs.select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        val t = r.getString(1).trim
+        val ids =
+          if (t.isEmpty) List.empty[Int]
+          else t.split("\\s+").toList.flatMap(w =>
+            Unigram.segment(w, model).map(p =>
+              pieceId.getOrElse(p, vocab.size)))
+        (r.getLong(0), ids)
+      }.sortBy(_._1).toSeq
+    assert(engine == local)
+    // counts equal sizes — the two surfaces agree
+    val counts = graft.operators.Corpus.unigramTokenCounts(docs, vocab)
+      .orderBy(col("doc_id")).collect().map(_.getLong(1)).toSeq
+    assert(engine.map(_._2.length.toLong) == counts)
+    // OOV single cp takes the reserved id
+    val tiny = Unigram.idModel(Seq(("a", -100L)))
+    val out = Unigram.encodeIds(
+      org.apache.spark.unsafe.types.UTF8String.fromString("aqa"), tiny)
+    assert(out.toIntArray().toSeq == Seq(0, 1, 0))
+  }
+
+  test("unigram_encode section: vocab_path serving == inline; schema is array<int>") {
+    import org.apache.spark.sql.functions.col
+    import graft.plans.{PipelineCompiler, PipelineSpec}
+    val store = java.nio.file.Files.createTempDirectory("uni_ids")
+      .toString + "/vocab"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Unigram.vocabWrite(
+      graft.operators.Corpus.unigramTrain(docs, vocabSize = 60), store, spark)
+    def json(extra: String) =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"enc","name":"unigram_encode","config":{
+          "vocab_size":"60"$extra}}],
+        "edges":[["src","enc"]]}"""
+    val served = PipelineCompiler.compileFrame(spark,
+      PipelineSpec.fromJson(json(s""","vocab_path":"$store"""")))
+    assert(served.schema("token_ids").dataType.simpleString == "array<int>")
+    val a = served.orderBy(col("doc_id")).collect().toSeq
+    val b = PipelineCompiler.compileFrame(spark,
+        PipelineSpec.fromJson(json("")))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("model store: round trip, duplicate pieces fail loudly") {
     val store = java.nio.file.Files.createTempDirectory("uni_store")
       .toString + "/vocab"
