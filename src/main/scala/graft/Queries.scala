@@ -2859,6 +2859,91 @@ object Queries {
         ORDER BY doc_id, pos"""
     })
 
+  @volatile private var packIdsVocabCapture: Option[Seq[(String, Long)]] =
+    scala.None
+
+  /** Terminal training-sequence materialization: token-id streams packed
+    * into exact-`budget` `input_ids` rows, docs split at boundaries.
+    * Oracle = the [[taUnigramIds]] backtracking replay + pure window
+    * arithmetic: per-doc global offset (prefix sum of doc token counts
+    * in doc_id order), `gpos = off + pos`, `seq_id = gpos // budget`,
+    * `pos = gpos % budget` — packing adds NO new model state, so the
+    * oracle only adds arithmetic. */
+  private val cpPackIds = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val vocab = graft.operators.Corpus.unigramTrain(docs, vocabSize = 80)
+      packIdsVocabCapture = Some(vocab)
+      graft.operators.Corpus.packTokenIds(docs, vocab, budget = 128)
+        .select($"seq_id",
+          posexplode($"input_ids").as(Seq("pos", "token_id")))
+        .orderBy($"seq_id", $"pos")
+    },
+    () => packIdsVocabCapture.map { vocab =>
+      def esc(t: String) = t.replace("'", "''")
+      val values = vocab.map { case (p, mlp) =>
+        s"('${esc(p)}', ${mlp}::BIGINT)"
+      }.mkString(", ")
+      val maxLen = vocab.map(p => p._1.codePointCount(0, p._1.length)).max
+      val unk = graft.functions.Unigram.UnkMicroLogProb
+      s"""WITH RECURSIVE $toksCte,
+        occ AS (SELECT doc_id, ts,
+          unnest(range(1, len(ts) + 1)) AS wpos FROM toks),
+        wocc AS (SELECT doc_id, wpos, ts[wpos] AS w FROM occ),
+        words AS (SELECT DISTINCT w FROM wocc),
+        vocab(piece, mlp) AS (SELECT * FROM (VALUES $values) v),
+        idtab AS (SELECT piece,
+          (row_number() OVER (ORDER BY piece) - 1)::INT AS id FROM vocab),
+        pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS e FROM words),
+        cand0 AS (SELECT w, e,
+          unnest(range(greatest(0, e - $maxLen), e)) AS j FROM pos),
+        cand AS (SELECT c.w, c.e, c.j,
+            coalesce(v.mlp, ${unk}::BIGINT) AS cost
+          FROM cand0 c LEFT JOIN vocab v ON v.piece = c.w[c.j + 1 : c.e]
+          WHERE v.mlp IS NOT NULL OR c.e - c.j = 1),
+        dp(w, i, scores, pieces, backs) AS (
+          SELECT w, 0, [0::BIGINT], [0::BIGINT], [0::BIGINT] FROM words
+          UNION ALL
+          SELECT d.w, d.i + 1, list_append(d.scores, b.sc),
+            list_append(d.pieces, b.pc), list_append(d.backs, b.j)
+          FROM dp d, LATERAL (
+            SELECT d.scores[c.j + 1] + c.cost AS sc,
+              d.pieces[c.j + 1] + 1 AS pc, c.j AS j
+            FROM cand c WHERE c.w = d.w AND c.e = d.i + 1
+            ORDER BY sc DESC, pc ASC, j ASC LIMIT 1) b
+          WHERE d.i < len(d.w)),
+        dpf AS (SELECT w, pieces[len(w) + 1] AS nt, backs
+          FROM dp WHERE i = len(w) AND len(w) > 0),
+        walk(w, at, rord) AS (
+          SELECT w, len(w), 0 FROM dpf
+          UNION ALL
+          SELECT k.w, f.backs[k.at + 1]::BIGINT, k.rord + 1
+          FROM walk k JOIN dpf f USING (w) WHERE k.at > 0),
+        wpieces AS (SELECT k.w, f.nt - 1 - k.rord AS pidx,
+            k.w[f.backs[k.at + 1] + 1 : k.at] AS piece
+          FROM walk k JOIN dpf f USING (w) WHERE k.at > 0),
+        doctok AS (SELECT o.doc_id, o.wpos, p.pidx,
+            coalesce(i.id, ${vocab.size}) AS token_id
+          FROM wocc o JOIN wpieces p ON p.w = o.w
+          LEFT JOIN idtab i ON i.piece = p.piece),
+        dpos AS (SELECT doc_id, token_id,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY wpos, pidx) - 1 AS pos,
+            count(*) OVER (PARTITION BY doc_id) AS nt
+          FROM doctok),
+        doff AS (SELECT DISTINCT doc_id, nt FROM dpos),
+        offs AS (SELECT doc_id,
+            coalesce(sum(nt) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+          FROM doff)
+        SELECT (gpos // 128)::BIGINT AS seq_id, (gpos % 128)::INT AS pos,
+          token_id::INT AS token_id
+        FROM (SELECT d.token_id, o.off + d.pos AS gpos
+              FROM dpos d JOIN offs o USING (doc_id))
+        ORDER BY seq_id, pos"""
+    })
+
   private val taFingerprint = Q(
     (s, dir) => {
       import s.implicits._
@@ -5231,6 +5316,7 @@ object Queries {
     "cp_decon_bloom" -> cpDeconBloom,
     "cp_segment_dedup" -> cpSegDedup,
     "cp_pack_sequences" -> cpPack,
+    "cp_pack_ids" -> cpPackIds,
     "cp_pack_offsets" -> cpPackOffsets,
     "cp_chat_assembly" -> cpChatAssembly,
     "cp_mix_weighted" -> cpMix,

@@ -162,7 +162,13 @@ object GraftFunctions {
         "family) Viterbi token count under a trained vocab store (path a " +
         "literal; model cached per driver)", 2)(
       a => ex(UnigramTokenCount(c(a.head),
-        uniVocab(litString("graft_unigram_tokens", a(1), "vocab_path")))))
+        uniVocab(litString("graft_unigram_tokens", a(1), "vocab_path"))))),
+    fd("graft_unigram_ids",
+      "graft_unigram_ids(text, vocab_path) - unigram-LM token-ID stream " +
+        "(array<int>; ids = piece-sorted vocab index, unk = V) under a " +
+        "trained vocab store", 2)(
+      a => ex(UnigramEncodeIds(c(a.head),
+        uniVocab(litString("graft_unigram_ids", a(1), "vocab_path")))))
   )
 
   /** Ad-hoc registration on a live session (the extension-less path). */

@@ -214,6 +214,72 @@ object Corpus {
     cum.select(outCols: _*)
   }
 
+  /** TRAINING-SEQUENCE materialization — the pipeline's terminal
+    * deliverable: tokenize every document with a trained unigram vocab
+    * ([[graft.functions.UnigramEncodeIds]]), concatenate the id streams
+    * in doc_id order, and cut EXACTLY at `budget`-token boundaries —
+    * every output row is one trainer-ready `input_ids` sequence of
+    * exactly `budget` tokens (the final partial one excepted). Documents
+    * SPLIT across boundaries (the Megatron/GPT pre-processing rule;
+    * loss-mask resets come from [[packSequences]]`(withOffsets)` over
+    * the same counts — same cum, same boundaries).
+    *
+    * Scale shape: one narrow encode pass fused into the range
+    * repartition by doc_id; the global token offset uses the same
+    * two-pass prefix sum as [[packSequences]] (O(#partitions) rows to
+    * the driver, window bounded by one range partition); each doc then
+    * explodes into the ≤ ceil(n/budget)+1 sequences it overlaps
+    * (`slice` on the id array — no per-token rows ever exist) and ONE
+    * groupBy(seq_id) assembles sequences whose state is bounded by
+    * `budget` tokens. Two shuffles of id data total — the floor for a
+    * global ordering+regrouping operation.
+    *
+    * @return `(seq_id, input_ids array<int>)`, `size(input_ids) ==
+    *         budget` for all but the last sequence. */
+  def packTokenIds(docs: DataFrame, vocab: Seq[(String, Long)],
+                   budget: Int = 256, partitions: Int = 32,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   stageDir: Option[String] = None): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val b = lit(budget.toLong)
+    val ids = Staging.stageOrPersist(docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.UnigramEncodeIds(col(textCol), vocab).as("ids"))
+      .repartitionByRange(partitions, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("tok", size(col("ids")).cast("long")),
+      stageDir, "pack_ids")
+    val perPart = ids.groupBy(col("_pid")).agg(sum(col("tok")).as("_t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offBefore = perPart.map { case (p, t) => val o = (p, acc); acc += t; o }
+    val offDf = ids.sparkSession.createDataFrame(offBefore.toSeq)
+      .toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = ids.join(broadcast(offDf), Seq("_pid"))
+      .withColumn("_start", coalesce(sum(col("tok")).over(w), lit(0L)) + col("_off"))
+      .filter(col("tok") > 0)
+    // one row per (doc, overlapped sequence): slice the doc's ids to the
+    // chunk inside that sequence; `_gfrom` (global token offset of the
+    // chunk) orders chunks within a sequence
+    val chunks = cum
+      .withColumn("seq_id", explode(sequence(
+        floor(col("_start") / b),
+        floor((col("_start") + col("tok") - 1) / b))))
+      .withColumn("_gfrom", greatest(col("_start"), col("seq_id") * b))
+      .withColumn("_gto",
+        least(col("_start") + col("tok"), (col("seq_id") + 1) * b))
+      .withColumn("chunk", slice(col("ids"),
+        (col("_gfrom") - col("_start") + 1).cast("int"),
+        (col("_gto") - col("_gfrom")).cast("int")))
+    chunks.groupBy(col("seq_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("_gfrom"), col("chunk")))),
+        s => s("chunk"))).as("input_ids"))
+  }
+
   /** CHAT-TRANSCRIPT assembly from an event stream — the SFT-data prep
     * step: sessionize per user by inactivity gap (the same session rule
     * as the relational surface's q15), then concatenate each session's

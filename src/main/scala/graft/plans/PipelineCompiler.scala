@@ -906,6 +906,26 @@ object SectionRegistry {
           idCol = c.getOrElse("id_column", "doc_id"),
           textCol = c.getOrElse("text_column", "text")))
       }),
+    // terminal training-sequence materialization: (seq_id, input_ids)
+    // rows of exactly `budget` tokens, docs split at boundaries
+    "pack_token_ids" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (s, c, df) => {
+        val frame = in(df)
+        val vocab = c.get("vocab_path") match {
+          case Some(p) => graft.functions.Unigram.vocabRead(s, p)
+          case scala.None => graft.operators.Corpus.unigramTrain(frame,
+            vocabSize = c.getOrElse("vocab_size", "200").toInt,
+            textCol = c.getOrElse("text_column", "text"),
+            maxDriverVocab = c.getOrElse("max_driver_vocab",
+              (1 << 20).toString).toInt)
+        }
+        Some(graft.operators.Corpus.packTokenIds(frame, vocab,
+          budget = c.getOrElse("budget", "256").toInt,
+          partitions = c.getOrElse("partitions", "32").toInt,
+          idCol = c.getOrElse("id_column", "doc_id"),
+          textCol = c.getOrElse("text_column", "text"),
+          stageDir = c.get("stage_dir")))
+      }),
     "unigram_model_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (s, c, df) => {
         graft.functions.Unigram.vocabWrite(

@@ -237,6 +237,58 @@ class UnigramSpec extends AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 
+  test("packTokenIds: exact-budget sequences, boundary splits, stream == concat") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val vocab = graft.operators.Corpus.unigramTrain(docs, vocabSize = 60)
+    val budget = 64
+    val packed = graft.operators.Corpus.packTokenIds(docs, vocab, budget)
+      .orderBy(col("seq_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSeq
+    assert(packed.nonEmpty)
+    // seq ids are contiguous from 0; every row but the last is EXACTLY
+    // the budget; the last is the remainder
+    assert(packed.map(_._1) == packed.indices.map(_.toLong))
+    packed.init.foreach { case (sid, ids) =>
+      assert(ids.length == budget, s"seq $sid has ${ids.length} tokens") }
+    assert(packed.last._2.length <= budget && packed.last._2.nonEmpty)
+    // the concatenated stream equals per-doc ids concatenated in doc_id
+    // order — nothing lost, duplicated, or reordered by the splits
+    val stream = packed.flatMap(_._2)
+    val perDoc = graft.operators.Corpus.unigramTokenIds(docs, vocab)
+      .orderBy(col("doc_id"))
+      .collect().flatMap(_.getSeq[Int](1)).toList
+    assert(stream == perDoc)
+    // a doc longer than the budget must split across sequences: with
+    // budget 64 and mean docs >> 64 tokens, interior boundaries hit
+    // mid-doc — already proven by the stream equality; pin the shape too
+    assert(stream.length / budget + 1 == packed.length ||
+      stream.length % budget == 0 && stream.length / budget == packed.length)
+  }
+
+  test("pack_token_ids section: vocab_path serving == inline") {
+    import org.apache.spark.sql.functions.col
+    import graft.plans.{PipelineCompiler, PipelineSpec}
+    val store = java.nio.file.Files.createTempDirectory("uni_pack")
+      .toString + "/vocab"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Unigram.vocabWrite(
+      graft.operators.Corpus.unigramTrain(docs, vocabSize = 60), store, spark)
+    def json(extra: String) =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"pk","name":"pack_token_ids","config":{
+          "budget":"64","vocab_size":"60"$extra}}],
+        "edges":[["src","pk"]]}"""
+    val a = PipelineCompiler.compileFrame(spark,
+        PipelineSpec.fromJson(json(s""","vocab_path":"$store"""")))
+      .orderBy(col("seq_id")).collect().toSeq
+    val b = PipelineCompiler.compileFrame(spark,
+        PipelineSpec.fromJson(json("")))
+      .orderBy(col("seq_id")).collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("model store: round trip, duplicate pieces fail loudly") {
     val store = java.nio.file.Files.createTempDirectory("uni_store")
       .toString + "/vocab"
