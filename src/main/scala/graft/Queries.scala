@@ -2723,6 +2723,73 @@ object Queries {
         ORDER BY d.doc_id"""
     })
 
+  @volatile private var bpeIdsCapture
+      : Option[(Seq[String], Seq[(String, Int)])] = scala.None
+
+  /** BPE token-ID export — the HF vocab+merges shape: greedy-encoded
+    * pieces mapped to contiguous ids (alphabet first, merge outputs in
+    * rank order), exploded to (doc_id, pos, token_id). The oracle reuses
+    * [[taBpe]]'s recursive greedy-encode CTE, takes each word's FINAL
+    * segmentation via arg_min(parts, len(parts)), and maps pieces
+    * through the INJECTED (piece, id) table — ids are engine-side
+    * literals, never derived in SQL (collation independence). */
+  private val taBpeIds = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Corpus.bpeTrain(docs, maxMerges = 40)
+      val vocab = graft.functions.Bpe.vocabFromMerges(merges,
+        graft.operators.Corpus.bpeAlphabet(docs))
+      bpeIdsCapture = Some((merges, vocab))
+      graft.operators.Corpus.bpeTokenIds(docs, merges, vocab)
+        .select($"doc_id",
+          posexplode($"token_ids").as(Seq("pos", "token_id")))
+        .orderBy($"doc_id", $"pos")
+    },
+    () => bpeIdsCapture.map { case (merges, vocab) =>
+      def esc(t: String) = t.replace("'", "''")
+      val values = merges.zipWithIndex.map { case (pair, i) =>
+        val Array(l, r) = pair.split(" ", 2)
+        s"($i, '${esc(l)}', '${esc(r)}')"
+      }.mkString(", ")
+      val idValues = vocab.map { case (p, id) =>
+        s"('${esc(p)}', ${id}::INT)"
+      }.mkString(", ")
+      s"""WITH RECURSIVE $toksCte,
+        occ AS (SELECT doc_id, ts,
+          unnest(range(1, len(ts) + 1)) AS wpos FROM toks),
+        wocc AS (SELECT doc_id, wpos, ts[wpos] AS w FROM occ),
+        words AS (SELECT DISTINCT w FROM wocc),
+        merges(rank, l, r) AS (SELECT * FROM (VALUES $values) m),
+        idtab(piece, id) AS (SELECT * FROM (VALUES $idValues) t),
+        enc(w, parts) AS (
+          SELECT w, list_transform(range(1, len(w) + 1), i -> w[i:i])
+          FROM words
+          UNION ALL
+          SELECT e.w,
+            e.parts[1:b.i-1] || [e.parts[b.i] || e.parts[b.i+1]] || e.parts[b.i+2:]
+          FROM enc e, LATERAL (
+            SELECT m.rank, u.i
+            FROM (SELECT unnest(range(1, len(e.parts))) AS i) u
+            JOIN merges m ON m.l = e.parts[u.i] AND m.r = e.parts[u.i+1]
+            ORDER BY m.rank, u.i LIMIT 1) b),
+        wfinal AS (SELECT w, arg_min(parts, len(parts)) AS parts
+          FROM enc GROUP BY w),
+        wpieces AS (SELECT w, unnest(range(1, len(parts) + 1)) - 1 AS pidx,
+            parts[unnest(range(1, len(parts) + 1))] AS piece
+          FROM wfinal),
+        doctok AS (SELECT o.doc_id, o.wpos, p.pidx,
+            coalesce(i.id, ${vocab.size}) AS token_id
+          FROM wocc o JOIN wpieces p USING (w)
+          LEFT JOIN idtab i ON i.piece = p.piece)
+        SELECT doc_id,
+          (row_number() OVER (PARTITION BY doc_id
+             ORDER BY wpos, pidx) - 1)::INT AS pos,
+          token_id::INT AS token_id
+        FROM doctok
+        ORDER BY doc_id, pos"""
+    })
+
   @volatile private var unigramVocabCapture: Option[Seq[(String, Long)]] = scala.None
 
   /** Unigram-LM (SentencePiece-family) token counts: train the vocab on
@@ -2811,14 +2878,20 @@ object Queries {
       }.mkString(", ")
       val maxLen = vocab.map(p => p._1.codePointCount(0, p._1.length)).max
       val unk = graft.functions.Unigram.UnkMicroLogProb
+      // ids injected EXPLICITLY (engine-side piece order): deriving them
+      // in SQL via row_number(ORDER BY piece) would ride DuckDB's UTF-8
+      // byte collation, which diverges from the engine's piece sort for
+      // astral-vs-U+E000..FFFF pieces
+      val idValues = vocab.map(_._1).zipWithIndex.map { case (p, i) =>
+        s"('${esc(p)}', ${i}::INT)"
+      }.mkString(", ")
       s"""WITH RECURSIVE $toksCte,
         occ AS (SELECT doc_id, ts,
           unnest(range(1, len(ts) + 1)) AS wpos FROM toks),
         wocc AS (SELECT doc_id, wpos, ts[wpos] AS w FROM occ),
         words AS (SELECT DISTINCT w FROM wocc),
         vocab(piece, mlp) AS (SELECT * FROM (VALUES $values) v),
-        idtab AS (SELECT piece,
-          (row_number() OVER (ORDER BY piece) - 1)::INT AS id FROM vocab),
+        idtab(piece, id) AS (SELECT * FROM (VALUES $idValues) t),
         pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS e FROM words),
         cand0 AS (SELECT w, e,
           unnest(range(greatest(0, e - $maxLen), e)) AS j FROM pos),
@@ -2887,14 +2960,20 @@ object Queries {
       }.mkString(", ")
       val maxLen = vocab.map(p => p._1.codePointCount(0, p._1.length)).max
       val unk = graft.functions.Unigram.UnkMicroLogProb
+      // ids injected EXPLICITLY (engine-side piece order): deriving them
+      // in SQL via row_number(ORDER BY piece) would ride DuckDB's UTF-8
+      // byte collation, which diverges from the engine's piece sort for
+      // astral-vs-U+E000..FFFF pieces
+      val idValues = vocab.map(_._1).zipWithIndex.map { case (p, i) =>
+        s"('${esc(p)}', ${i}::INT)"
+      }.mkString(", ")
       s"""WITH RECURSIVE $toksCte,
         occ AS (SELECT doc_id, ts,
           unnest(range(1, len(ts) + 1)) AS wpos FROM toks),
         wocc AS (SELECT doc_id, wpos, ts[wpos] AS w FROM occ),
         words AS (SELECT DISTINCT w FROM wocc),
         vocab(piece, mlp) AS (SELECT * FROM (VALUES $values) v),
-        idtab AS (SELECT piece,
-          (row_number() OVER (ORDER BY piece) - 1)::INT AS id FROM vocab),
+        idtab(piece, id) AS (SELECT * FROM (VALUES $idValues) t),
         pos AS (SELECT w, unnest(range(1, len(w) + 1)) AS e FROM words),
         cand0 AS (SELECT w, e,
           unnest(range(greatest(0, e - $maxLen), e)) AS j FROM pos),
@@ -5276,6 +5355,7 @@ object Queries {
     "ta_quality" -> taQuality,
     "ta_tokens" -> taTokens,
     "ta_bpe_tokens" -> taBpe,
+    "ta_bpe_ids" -> taBpeIds,
     "ta_unigram_tokens" -> taUnigram,
     "ta_unigram_ids" -> taUnigramIds,
     "ta_fingerprint" -> taFingerprint,

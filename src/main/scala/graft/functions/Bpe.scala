@@ -58,6 +58,45 @@ object BpeTokenCount {
     ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(c), merges))
 }
 
+/** BPE ENCODE to TOKEN IDS — the HF-tokenizer-compatible output shape
+  * (vocab.json + merges.txt): the same greedy encode as [[BpeTokenCount]],
+  * each final piece mapped to its id under the model's vocab (base
+  * alphabet first, then merge outputs in rank order — [[Bpe.vocabFromMerges]]);
+  * characters outside the training alphabet take the reserved id V. */
+case class BpeEncodeIds(child: Expression, merges: Seq[String],
+                        vocab: Seq[(String, Int)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"argument must be string, got $t")
+    }
+
+  @transient private lazy val model = Bpe.idModel(merges, vocab)
+
+  override def nullSafeEval(v: Any): Any =
+    Bpe.encodeIds(v.asInstanceOf[UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeIdModel", model,
+      "graft.functions.Bpe$IdModel")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Bpe.encodeIds($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BpeEncodeIds {
+  def apply(c: Column, merges: Seq[String], vocab: Seq[(String, Int)]): Column =
+    ColumnBridge.column(
+      BpeEncodeIds(ColumnBridge.expression(c), merges, vocab))
+}
+
 object Bpe {
 
   /** Merge list ("left right", rank = position) → rank lookup. */
@@ -106,6 +145,88 @@ object Bpe {
       }
     }
     parts
+  }
+
+  /** The id space a (merges, alphabet) model defines — HF's vocab.json
+    * shape: the base ALPHABET first (in the given order — callers pass it
+    * code-point-sorted, [[graft.operators.Corpus.bpeAlphabet]]), then
+    * each merge's OUTPUT piece in rank order, skipping strings already
+    * assigned (two merge paths can concatenate to the same string; the
+    * FIRST assignment wins, matching a piece→id map built rank-ascending).
+    * Ids are contiguous 0..V−1; V is the reserved `<unk>`. */
+  def vocabFromMerges(merges: Seq[String], alphabet: Seq[String])
+      : Seq[(String, Int)] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    alphabet.foreach { c =>
+      require(c.nonEmpty, "empty alphabet symbol")
+      require(!out.contains(c), s"duplicate alphabet symbol '$c'")
+      out(c) = out.size
+    }
+    merges.foreach { pair =>
+      val piece = pair.replace(" ", "")
+      if (!out.contains(piece)) out(piece) = out.size
+    }
+    out.toSeq
+  }
+
+  /** Serving-side ID model: merge ranks for the encode loop + piece→id +
+    * the reserved `<unk>` id V. Janino-visible — codegen references it
+    * by name. */
+  final class IdModel(val ranks: java.util.HashMap[String, Integer],
+                      val ids: java.util.HashMap[String, Integer],
+                      val unkId: Int) extends Serializable
+
+  def idModel(merges: Seq[String], vocab: Seq[(String, Int)]): IdModel = {
+    val ids = new java.util.HashMap[String, Integer](vocab.size * 2)
+    vocab.foreach { case (p, id) =>
+      require(id >= 0 && id < vocab.size,
+        s"BPE vocab ids must be contiguous 0..V-1, got $id for '$p'")
+      require(ids.put(p, id) == null, s"duplicate piece '$p' in BPE vocab")
+    }
+    new IdModel(rankMap(merges), ids, vocab.size)
+  }
+
+  /** Token-id stream of a whole text: Σ over whitespace words of the
+    * greedy-encoded pieces, each mapped to its vocab id (out-of-alphabet
+    * single cp → unkId). Returns catalyst ArrayData — expression eval. */
+  def encodeIds(s: UTF8String, im: IdModel)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString.trim
+    if (str.isEmpty)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Int])
+    val words = str.split("\\s+")
+    val out = new scala.collection.mutable.ArrayBuffer[Int](words.length * 2)
+    var i = 0
+    while (i < words.length) {
+      val pieces = encodeWord(words(i), im.ranks)
+      var j = 0
+      while (j < pieces.length) {
+        val id = im.ids.get(pieces(j))
+        out += (if (id != null) id.intValue() else im.unkId)
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** Persist a (piece, id) vocab — the id-space half of the BPE model
+    * (the merge store is the encode half; HF ships the same pair). */
+  def vocabWrite(vocab: Seq[(String, Int)], path: String,
+                 spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    vocab.toDF("piece", "id")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[vocabWrite]] store in id order; [[idModel]] re-validates
+    * contiguity and uniqueness loudly. */
+  def vocabRead(spark: org.apache.spark.sql.SparkSession,
+                path: String): Seq[(String, Int)] = {
+    spark.read.parquet(path).select("piece", "id")
+      .collect() // model-sized
+      .map(r => (r.getString(0), r.getInt(1))).sortBy(_._2).toSeq
   }
 
   /** BPE token count of a whole text: Σ over whitespace words of the

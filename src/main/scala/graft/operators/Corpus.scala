@@ -1428,6 +1428,37 @@ object Corpus {
       graft.functions.UnigramTokenCount(col(textCol), vocab)
         .cast("long").as("n_unigram_tokens"))
 
+  /** The corpus's base ALPHABET — every distinct code point appearing in
+    * any whitespace token, code-point-sorted (the engine's canonical
+    * piece order). One distributed distinct over single characters
+    * (alphabet-sized result — hundreds of rows for any real corpus);
+    * Java-regex `.` matches per CODE POINT, so astral characters arrive
+    * whole. Train-time state: the alphabet is part of the BPE model
+    * (its id-space base), never derived from a serving corpus. */
+  def bpeAlphabet(docs: DataFrame, textCol: String = "text"): Seq[String] = {
+    docs.select(explode(TF.tokens(col(textCol))).as("w"))
+      .select(explode(regexp_extract_all(col("w"), lit("."), lit(0))).as("c"))
+      .distinct()
+      .collect().map(_.getString(0))
+      .sortWith(graft.functions.Bpe.codePointCompare(_, _) < 0).toSeq
+  }
+
+  /** Per-document TOKEN-ID streams under a trained BPE model — the
+    * HF-compatible export (vocab + merges): one narrow codegen'd pass
+    * ([[graft.functions.BpeEncodeIds]]), no shuffle; ids are
+    * [[graft.functions.Bpe.vocabFromMerges]]'s contiguous space
+    * (alphabet first, merge outputs in rank order), out-of-alphabet
+    * code points take the reserved id V.
+    *
+    * @return `(doc_id, token_ids array<int>)`. */
+  def bpeTokenIds(docs: DataFrame, merges: Seq[String],
+                  vocab: Seq[(String, Int)],
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.BpeEncodeIds(col(textCol), merges, vocab)
+        .as("token_ids"))
+
   /** Per-document TOKEN-ID streams under a trained unigram-LM vocab — the
     * trainer-consumable export (what a tokenization job over the full
     * corpus actually ships): one narrow codegen'd pass

@@ -856,19 +856,56 @@ object SectionRegistry {
           idCol = c.getOrElse("id_column", "doc_id"),
           textCol = c.getOrElse("text_column", "text")))
       }),
+    // token-ID export, HF vocab+merges shape: (doc_id, token_ids
+    // array<int>) — serve a stored model (merges_path + vocab_path) or
+    // train inline (alphabet derives from the TRAINING corpus)
+    "bpe_encode" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (s, c, df) => {
+        val frame = in(df)
+        val textCol = c.getOrElse("text_column", "text")
+        val (merges, vocab) = (c.get("merges_path"), c.get("vocab_path")) match {
+          case (Some(mp), Some(vp)) =>
+            (graft.functions.Bpe.mergesRead(s, mp),
+              graft.functions.Bpe.vocabRead(s, vp))
+          case (scala.None, scala.None) =>
+            val m = graft.operators.Corpus.bpeTrain(frame,
+              maxMerges = c.getOrElse("max_merges", "40").toInt,
+              minPairCount = c.getOrElse("min_pair_count", "2").toLong,
+              textCol = textCol,
+              maxDriverVocab = c.getOrElse("max_driver_vocab",
+                (1 << 20).toString).toInt)
+            (m, graft.functions.Bpe.vocabFromMerges(m,
+              graft.operators.Corpus.bpeAlphabet(frame, textCol)))
+          case _ => throw new IllegalArgumentException(
+            "bpe_encode needs BOTH merges_path and vocab_path (stored " +
+              "model) or NEITHER (inline training) — ids from a " +
+              "half-loaded model would silently renumber")
+        }
+        Some(graft.operators.Corpus.bpeTokenIds(frame, merges, vocab,
+          idCol = c.getOrElse("id_column", "doc_id"),
+          textCol = textCol))
+      }),
     // tokenizer model store (train-once/serve-later, the ann_model_*
     // discipline): learn merges on the input corpus and persist them as
-    // a (rank, pair) parquet store for later `merges_path` serving
+    // a (rank, pair) parquet store for later `merges_path` serving;
+    // `ids_path` additionally writes the (piece, id) vocab store the
+    // bpe_encode section serves from
     "bpe_model_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (s, c, df) => {
-        graft.functions.Bpe.mergesWrite(
-          graft.operators.Corpus.bpeTrain(in(df),
-            maxMerges = c.getOrElse("max_merges", "40").toInt,
-            minPairCount = c.getOrElse("min_pair_count", "2").toLong,
-            textCol = c.getOrElse("text_column", "text"),
-            maxDriverVocab = c.getOrElse("max_driver_vocab",
-              (1 << 20).toString).toInt),
-          cfg(c, "path"), s)
+        val frame = in(df)
+        val textCol = c.getOrElse("text_column", "text")
+        val merges = graft.operators.Corpus.bpeTrain(frame,
+          maxMerges = c.getOrElse("max_merges", "40").toInt,
+          minPairCount = c.getOrElse("min_pair_count", "2").toLong,
+          textCol = textCol,
+          maxDriverVocab = c.getOrElse("max_driver_vocab",
+            (1 << 20).toString).toInt)
+        graft.functions.Bpe.mergesWrite(merges, cfg(c, "path"), s)
+        c.get("ids_path").foreach { vp =>
+          graft.functions.Bpe.vocabWrite(
+            graft.functions.Bpe.vocabFromMerges(merges,
+              graft.operators.Corpus.bpeAlphabet(frame, textCol)), vp, s)
+        }
         scala.None
       }),
     // unigram-LM (SentencePiece-family) twin of the bpe pair: Viterbi

@@ -1,0 +1,108 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The BPE token-ID surface: HF's vocab+merges id space (alphabet first,
+  * merge outputs in rank order, first assignment wins on collisions),
+  * engine == driver twin, loud failures on broken models, store parity
+  * through the bpe_encode section. */
+class BpeIdsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("vocabFromMerges: alphabet first, rank order, collision keeps first id") {
+    val merges = Seq("a b", "ab c", "a bc", "b c")
+    // "ab c" and "a bc" both concatenate to "abc" — first (lower rank) wins
+    val vocab = Bpe.vocabFromMerges(merges, Seq("a", "b", "c"))
+    assert(vocab == Seq(("a", 0), ("b", 1), ("c", 2),
+      ("ab", 3), ("abc", 4), ("bc", 5)))
+    intercept[IllegalArgumentException] {
+      Bpe.vocabFromMerges(merges, Seq("a", "a"))
+    }
+  }
+
+  test("idModel rejects gaps and duplicates loudly") {
+    intercept[IllegalArgumentException] {
+      Bpe.idModel(Seq.empty, Seq(("a", 0), ("b", 2)))
+    }
+    intercept[IllegalArgumentException] {
+      Bpe.idModel(Seq.empty, Seq(("a", 0), ("a", 1)))
+    }
+  }
+
+  test("engine expression == driver twin over real documents; counts == sizes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = graft.operators.Corpus.bpeTrain(docs, maxMerges = 40)
+    val alphabet = graft.operators.Corpus.bpeAlphabet(docs)
+    // the alphabet is code-point sorted and duplicate-free
+    assert(alphabet.sliding(2).forall {
+      case Seq(a, b) => Bpe.codePointCompare(a, b) < 0
+      case _ => true
+    })
+    val vocab = Bpe.vocabFromMerges(merges, alphabet)
+    val engine = graft.operators.Corpus.bpeTokenIds(docs, merges, vocab)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSeq
+    val ranks = Bpe.rankMap(merges)
+    val pieceId = vocab.toMap
+    val local = docs.select(col("doc_id"), col("text"))
+      .collect().map { r =>
+        val t = r.getString(1).trim
+        val ids =
+          if (t.isEmpty) List.empty[Int]
+          else t.split("\\s+").toList.flatMap(w =>
+            Bpe.encodeWord(w, ranks).map(p =>
+              pieceId.getOrElse(p, vocab.size)))
+        (r.getLong(0), ids)
+      }.sortBy(_._1).toSeq
+    assert(engine == local)
+    // the training alphabet covers the corpus: no unk on the train set
+    assert(engine.forall(_._2.forall(_ < vocab.size)))
+    val counts = graft.operators.Corpus.bpeTokenCounts(docs, merges)
+      .orderBy(col("doc_id")).collect().map(_.getLong(1)).toSeq
+    assert(engine.map(_._2.length.toLong) == counts)
+  }
+
+  test("out-of-alphabet code points take the reserved id") {
+    val vocab = Bpe.vocabFromMerges(Seq("a b"), Seq("a", "b"))
+    val im = Bpe.idModel(Seq("a b"), vocab)
+    val out = Bpe.encodeIds(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ab qa"), im)
+    // "ab" merges -> id 2; "qa" -> q unknown (id 3 = V), a -> 0
+    assert(out.toIntArray().toSeq == Seq(2, 3, 0))
+  }
+
+  test("bpe_encode section: stored model == inline; half model refused") {
+    import graft.plans.{PipelineCompiler, PipelineSpec}
+    val dir = java.nio.file.Files.createTempDirectory("bpe_ids").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // train + write BOTH stores via the destination section
+    val trainJson =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"m","name":"bpe_model_destination","config":{
+          "path":"$dir/merges","ids_path":"$dir/vocab","max_merges":"40"}}],
+        "edges":[["src","m"]]}"""
+    PipelineCompiler.run(spark, PipelineSpec.fromJson(trainJson))
+    def encJson(extra: String) =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"e","name":"bpe_encode","config":{"max_merges":"40"$extra}}],
+        "edges":[["src","e"]]}"""
+    val served = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(
+        encJson(s""","merges_path":"$dir/merges","vocab_path":"$dir/vocab"""")))
+      .orderBy(col("doc_id")).collect().toSeq
+    val inline = PipelineCompiler.compileFrame(spark,
+        PipelineSpec.fromJson(encJson("")))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(served == inline && served.nonEmpty)
+    val ex = intercept[Exception] {
+      PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(
+        encJson(s""","merges_path":"$dir/merges"""")))
+    }
+    assert(ex.getMessage.contains("BOTH") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("BOTH"))
+  }
+}
