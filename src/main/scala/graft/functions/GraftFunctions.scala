@@ -84,6 +84,12 @@ object GraftFunctions {
     uniCache.computeIfAbsent(path,
       p => Unigram.vocabRead(SparkSession.active, p))
 
+  private val bpeIdCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Int)]]
+  private def bpeVocabIds(path: String): Seq[(String, Int)] =
+    bpeIdCache.computeIfAbsent(path,
+      p => Bpe.vocabRead(SparkSession.active, p))
+
   /** visible for tests — serving stores are cached per path */
   private[graft] def cachedPaths: (Set[String], Set[String]) = {
     import scala.jdk.CollectionConverters._
@@ -163,6 +169,13 @@ object GraftFunctions {
         "literal; model cached per driver)", 2)(
       a => ex(UnigramTokenCount(c(a.head),
         uniVocab(litString("graft_unigram_tokens", a(1), "vocab_path"))))),
+    fd("graft_bpe_ids",
+      "graft_bpe_ids(text, merges_path, vocab_path) - BPE token-ID stream " +
+        "(array<int>; HF vocab+merges id space, unk = V) under a stored " +
+        "model (paths literals; cached per driver)", 3)(
+      a => ex(BpeEncodeIds(c(a.head),
+        bpeMerges(litString("graft_bpe_ids", a(1), "merges_path")),
+        bpeVocabIds(litString("graft_bpe_ids", a(2), "vocab_path"))))),
     fd("graft_unigram_ids",
       "graft_unigram_ids(text, vocab_path) - unigram-LM token-ID stream " +
         "(array<int>; ids = piece-sorted vocab index, unk = V) under a " +

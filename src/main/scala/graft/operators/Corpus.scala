@@ -239,12 +239,30 @@ object Corpus {
   def packTokenIds(docs: DataFrame, vocab: Seq[(String, Long)],
                    budget: Int = 256, partitions: Int = 32,
                    idCol: String = "doc_id", textCol: String = "text",
-                   stageDir: Option[String] = None): DataFrame = {
+                   stageDir: Option[String] = None): DataFrame =
+    packIdsStream(docs.select(col(idCol).as("doc_id"),
+        graft.functions.UnigramEncodeIds(col(textCol), vocab).as("ids")),
+      budget, partitions, stageDir)
+
+  /** [[packTokenIds]] under a trained BPE model — same packing, the
+    * [[graft.functions.BpeEncodeIds]] id stream. */
+  def packBpeTokenIds(docs: DataFrame, merges: Seq[String],
+                      vocab: Seq[(String, Int)],
+                      budget: Int = 256, partitions: Int = 32,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      stageDir: Option[String] = None): DataFrame =
+    packIdsStream(docs.select(col(idCol).as("doc_id"),
+        graft.functions.BpeEncodeIds(col(textCol), merges, vocab).as("ids")),
+      budget, partitions, stageDir)
+
+  /** Tokenizer-agnostic packing core over a prebuilt `(doc_id, ids)`
+    * frame — see [[packTokenIds]] for the contract and scale shape. */
+  def packIdsStream(idsFrame: DataFrame, budget: Int, partitions: Int = 32,
+                    stageDir: Option[String] = None): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
     val b = lit(budget.toLong)
-    val ids = Staging.stageOrPersist(docs
-      .select(col(idCol).as("doc_id"),
-        graft.functions.UnigramEncodeIds(col(textCol), vocab).as("ids"))
+    val ids = Staging.stageOrPersist(idsFrame
+      .select(col("doc_id"), col("ids"))
       .repartitionByRange(partitions, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .withColumn("_pid", spark_partition_id())

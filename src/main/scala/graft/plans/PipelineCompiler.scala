@@ -944,24 +944,49 @@ object SectionRegistry {
           textCol = c.getOrElse("text_column", "text")))
       }),
     // terminal training-sequence materialization: (seq_id, input_ids)
-    // rows of exactly `budget` tokens, docs split at boundaries
+    // rows of exactly `budget` tokens, docs split at boundaries;
+    // tokenizer = unigram (default; vocab_path or inline) | bpe
+    // (merges_path+vocab_path or inline)
     "pack_token_ids" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (s, c, df) => {
         val frame = in(df)
-        val vocab = c.get("vocab_path") match {
-          case Some(p) => graft.functions.Unigram.vocabRead(s, p)
-          case scala.None => graft.operators.Corpus.unigramTrain(frame,
-            vocabSize = c.getOrElse("vocab_size", "200").toInt,
-            textCol = c.getOrElse("text_column", "text"),
-            maxDriverVocab = c.getOrElse("max_driver_vocab",
-              (1 << 20).toString).toInt)
+        val textCol = c.getOrElse("text_column", "text")
+        val budget = c.getOrElse("budget", "256").toInt
+        val partitions = c.getOrElse("partitions", "32").toInt
+        val idCol = c.getOrElse("id_column", "doc_id")
+        c.getOrElse("tokenizer", "unigram") match {
+          case "unigram" =>
+            val vocab = c.get("vocab_path") match {
+              case Some(p) => graft.functions.Unigram.vocabRead(s, p)
+              case scala.None => graft.operators.Corpus.unigramTrain(frame,
+                vocabSize = c.getOrElse("vocab_size", "200").toInt,
+                textCol = textCol,
+                maxDriverVocab = c.getOrElse("max_driver_vocab",
+                  (1 << 20).toString).toInt)
+            }
+            Some(graft.operators.Corpus.packTokenIds(frame, vocab,
+              budget, partitions, idCol, textCol, c.get("stage_dir")))
+          case "bpe" =>
+            val (merges, vocab) =
+              (c.get("merges_path"), c.get("vocab_path")) match {
+                case (Some(mp), Some(vp)) =>
+                  (graft.functions.Bpe.mergesRead(s, mp),
+                    graft.functions.Bpe.vocabRead(s, vp))
+                case (scala.None, scala.None) =>
+                  val m = graft.operators.Corpus.bpeTrain(frame,
+                    maxMerges = c.getOrElse("max_merges", "40").toInt,
+                    textCol = textCol)
+                  (m, graft.functions.Bpe.vocabFromMerges(m,
+                    graft.operators.Corpus.bpeAlphabet(frame, textCol)))
+                case _ => throw new IllegalArgumentException(
+                  "pack_token_ids tokenizer=bpe needs BOTH merges_path " +
+                    "and vocab_path or NEITHER")
+              }
+            Some(graft.operators.Corpus.packBpeTokenIds(frame, merges,
+              vocab, budget, partitions, idCol, textCol, c.get("stage_dir")))
+          case other => throw new IllegalArgumentException(
+            s"pack_token_ids: unknown tokenizer '$other' (unigram | bpe)")
         }
-        Some(graft.operators.Corpus.packTokenIds(frame, vocab,
-          budget = c.getOrElse("budget", "256").toInt,
-          partitions = c.getOrElse("partitions", "32").toInt,
-          idCol = c.getOrElse("id_column", "doc_id"),
-          textCol = c.getOrElse("text_column", "text"),
-          stageDir = c.get("stage_dir")))
       }),
     "unigram_model_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (s, c, df) => {

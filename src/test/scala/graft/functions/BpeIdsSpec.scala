@@ -74,6 +74,33 @@ class BpeIdsSpec extends AnyFunSuite {
     assert(out.toIntArray().toSeq == Seq(2, 3, 0))
   }
 
+  test("packBpeTokenIds: stream == per-doc concat; section tokenizer=bpe matches") {
+    import graft.plans.{PipelineCompiler, PipelineSpec}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = graft.operators.Corpus.bpeTrain(docs, maxMerges = 40)
+    val vocab = Bpe.vocabFromMerges(merges,
+      graft.operators.Corpus.bpeAlphabet(docs))
+    val budget = 64
+    val packed = graft.operators.Corpus
+      .packBpeTokenIds(docs, merges, vocab, budget)
+      .orderBy(col("seq_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSeq
+    packed.init.foreach { case (_, ids) => assert(ids.length == budget) }
+    val stream = packed.flatMap(_._2)
+    val perDoc = graft.operators.Corpus.bpeTokenIds(docs, merges, vocab)
+      .orderBy(col("doc_id")).collect().flatMap(_.getSeq[Int](1)).toList
+    assert(stream == perDoc)
+    val viaSection = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(
+        s"""{"sections":[
+          {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+          {"id":"pk","name":"pack_token_ids","config":{
+            "tokenizer":"bpe","budget":"64","max_merges":"40"}}],
+          "edges":[["src","pk"]]}"""))
+      .orderBy(col("seq_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSeq
+    assert(viaSection == packed)
+  }
+
   test("bpe_encode section: stored model == inline; half model refused") {
     import graft.plans.{PipelineCompiler, PipelineSpec}
     val dir = java.nio.file.Files.createTempDirectory("bpe_ids").toString

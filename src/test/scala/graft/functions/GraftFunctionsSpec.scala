@@ -84,14 +84,22 @@ class GraftFunctionsSpec extends AnyFunSuite {
     Unigram.vocabWrite(vocab, uniStore, spark)
     val merges = graft.operators.Corpus.bpeTrain(d, maxMerges = 40)
     Bpe.mergesWrite(merges, bpeStore, spark)
+    val bpeIdsStore = s"$dir/bpe_ids"
+    val bpeVocab = Bpe.vocabFromMerges(merges,
+      graft.operators.Corpus.bpeAlphabet(d))
+    Bpe.vocabWrite(bpeVocab, bpeIdsStore, spark)
 
     val viaSql = spark.sql(
       s"""SELECT doc_id, graft_unigram_tokens(text, '$uniStore') AS u,
-            graft_bpe_tokens(text, '$bpeStore') AS b
+            graft_bpe_tokens(text, '$bpeStore') AS b,
+            graft_unigram_ids(text, '$uniStore') AS ui,
+            graft_bpe_ids(text, '$bpeStore', '$bpeIdsStore') AS bi
           FROM documents ORDER BY doc_id""").collect().toSeq
     val viaApi = d.select(col("doc_id"),
         UnigramTokenCount(col("text"), vocab).as("u"),
-        BpeTokenCount(col("text"), merges).as("b"))
+        BpeTokenCount(col("text"), merges).as("b"),
+        UnigramEncodeIds(col("text"), vocab).as("ui"),
+        BpeEncodeIds(col("text"), merges, bpeVocab).as("bi"))
       .orderBy(col("doc_id")).collect().toSeq
     assert(viaSql == viaApi)
 
