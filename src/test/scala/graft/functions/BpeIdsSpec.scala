@@ -99,6 +99,7 @@ class BpeIdsSpec extends AnyFunSuite {
       .orderBy(col("seq_id"))
       .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSeq
     assert(viaSection == packed)
+    spark.catalog.clearCache() // drop the pack pass-1 persist (CorpusSpec discipline)
   }
 
   test("bpe_encode section: stored model == inline; half model refused") {

@@ -264,6 +264,7 @@ class UnigramSpec extends AnyFunSuite {
     // mid-doc — already proven by the stream equality; pin the shape too
     assert(stream.length / budget + 1 == packed.length ||
       stream.length % budget == 0 && stream.length / budget == packed.length)
+    spark.catalog.clearCache() // drop the pack pass-1 persist (CorpusSpec discipline)
   }
 
   test("pack_token_ids section: vocab_path serving == inline") {
@@ -287,6 +288,7 @@ class UnigramSpec extends AnyFunSuite {
         PipelineSpec.fromJson(json("")))
       .orderBy(col("seq_id")).collect().toSeq
     assert(a == b && a.nonEmpty)
+    spark.catalog.clearCache() // drop the pack pass-1 persist (CorpusSpec discipline)
   }
 
   test("model store: round trip, duplicate pieces fail loudly") {
