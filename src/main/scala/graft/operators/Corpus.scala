@@ -292,10 +292,20 @@ object Corpus {
       .withColumn("chunk", slice(col("ids"),
         (col("_gfrom") - col("_start") + 1).cast("int"),
         (col("_gto") - col("_gfrom")).cast("int")))
-    chunks.groupBy(col("seq_id"))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("_gfrom"), col("chunk")))),
-        s => s("chunk"))).as("input_ids"))
+    // `doc_spans` — the loss-mask/attention-reset input a loader needs:
+    // one (start, doc_id) per chunk, start = the chunk's offset inside
+    // the sequence; positions [start_k, start_{k+1}) belong to doc_k
+    chunks
+      .withColumn("_spos", (col("_gfrom") - col("seq_id") * b).cast("int"))
+      .groupBy(col("seq_id"))
+      .agg(
+        flatten(transform(
+          array_sort(collect_list(struct(col("_gfrom"), col("chunk")))),
+          s => s("chunk"))).as("input_ids"),
+        transform(
+          array_sort(collect_list(struct(col("_spos"), col("doc_id")))),
+          s => struct(s("_spos").as("start"), s("doc_id").as("doc_id")))
+          .as("doc_spans"))
   }
 
   /** CHAT-TRANSCRIPT assembly from an event stream — the SFT-data prep

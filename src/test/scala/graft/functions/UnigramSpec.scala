@@ -242,9 +242,10 @@ class UnigramSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val vocab = graft.operators.Corpus.unigramTrain(docs, vocabSize = 60)
     val budget = 64
-    val packed = graft.operators.Corpus.packTokenIds(docs, vocab, budget)
-      .orderBy(col("seq_id"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSeq
+    val packedRows = graft.operators.Corpus.packTokenIds(docs, vocab, budget)
+      .orderBy(col("seq_id")).collect()
+    val packed = packedRows
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList)).toSeq
     assert(packed.nonEmpty)
     // seq ids are contiguous from 0; every row but the last is EXACTLY
     // the budget; the last is the remainder
@@ -264,6 +265,23 @@ class UnigramSpec extends AnyFunSuite {
     // mid-doc — already proven by the stream equality; pin the shape too
     assert(stream.length / budget + 1 == packed.length ||
       stream.length % budget == 0 && stream.length / budget == packed.length)
+    // doc_spans reconstruct the per-position doc attribution exactly:
+    // expanding (start_k, doc_k) over [start_k, start_{k+1}) must equal
+    // the doc labels implied by per-doc token counts in doc_id order
+    val perDocIds = graft.operators.Corpus.unigramTokenIds(docs, vocab)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1).length)).toSeq
+    val expectedDocAt = perDocIds.flatMap { case (d, n) => Seq.fill(n)(d) }
+    val gotDocAt = packedRows.flatMap { r =>
+      val n = r.getSeq[Int](1).length
+      val spans = r.getSeq[org.apache.spark.sql.Row](2)
+        .map(s => (s.getInt(0), s.getLong(1)))
+      assert(spans == spans.sortBy(_._1) && spans.head._1 == 0)
+      spans.zipAll(spans.tail.map(_._1), (0, 0L), n).flatMap {
+        case ((st, d), nx) => Seq.fill(nx - st)(d)
+      }
+    }.toSeq
+    assert(gotDocAt == expectedDocAt)
     spark.catalog.clearCache() // drop the pack pass-1 persist (CorpusSpec discipline)
   }
 
