@@ -110,6 +110,8 @@ object ScaleSf1 {
       "dd_pagerank" -> queryFn("dd_pagerank"),
       "ann_ivf_pq" -> queryFn("ann_ivf_pq"),
       "dd_exact_substr" -> queryFn("dd_exact_substr"),
+      "cp_pack_ids" -> queryFn("cp_pack_ids"),
+      "ta_bpe_ids" -> queryFn("ta_bpe_ids"),
       "ann_pq_train" -> (dir => () => {
         graft.operators.Ann.trainPqCodebooks(
           graft.Tables.embeddings(spark, dir)
