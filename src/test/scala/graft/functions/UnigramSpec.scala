@@ -309,6 +309,35 @@ class UnigramSpec extends AnyFunSuite {
     spark.catalog.clearCache() // drop the pack pass-1 persist (CorpusSpec discipline)
   }
 
+  test("e2e spec DAG: train store -> pack under it -> parquet sink == direct API") {
+    import org.apache.spark.sql.functions.col
+    import graft.plans.{PipelineCompiler, PipelineSpec}
+    val dir = java.nio.file.Files.createTempDirectory("uni_e2e").toString
+    // nightly job: train the tokenizer once, persist the model
+    PipelineCompiler.run(spark, PipelineSpec.fromJson(
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"m","name":"unigram_model_destination","config":{
+          "path":"$dir/vocab","vocab_size":"60"}}],
+        "edges":[["src","m"]]}"""))
+    // corpus job: pack the corpus under the stored model, land parquet
+    PipelineCompiler.run(spark, PipelineSpec.fromJson(
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"pk","name":"pack_token_ids","config":{
+          "budget":"64","vocab_path":"$dir/vocab"}},
+        {"id":"out","name":"parquet_destination","config":{"path":"$dir/seqs"}}],
+        "edges":[["src","pk"],["pk","out"]]}"""))
+    val landed = spark.read.parquet(s"$dir/seqs")
+      .orderBy(col("seq_id")).collect().toSeq
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val direct = graft.operators.Corpus.packTokenIds(docs,
+        Unigram.vocabRead(spark, s"$dir/vocab"), budget = 64)
+      .orderBy(col("seq_id")).collect().toSeq
+    assert(landed == direct && landed.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("model store: round trip, duplicate pieces fail loudly") {
     val store = java.nio.file.Files.createTempDirectory("uni_store")
       .toString + "/vocab"
