@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   * stable against one stall, and the min bounds the query's true cost.
   */
 object Bench {
+
+  /** Median per-line ratio of `cur` canary medians over the committed
+    * record's — the host-degradation signal (the canary queries are fixed
+    * and timed FIRST, so they compare across runs; the median is robust
+    * to one noisy line). None below 5 shared lines (too little evidence
+    * to block a record write). */
+  def canaryDegradation(recordCanary: Map[String, Double],
+                        cur: Map[String, Double]): Option[Double] = {
+    val shared = recordCanary.keySet.intersect(cur.keySet).toSeq
+    if (shared.size < 5) scala.None
+    else {
+      val ratios = shared
+        .map(k => cur(k) / math.max(recordCanary(k), 1e-9)).sorted
+      Some(ratios(ratios.size / 2))
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -746,9 +762,37 @@ object Bench {
     // overwriting a clean full record; SPARK_GRAFT_BENCH_FORCE=1 overrides.
     val recordPath = java.nio.file.Paths.get("bench_last.json")
     val force = sys.env.get("SPARK_GRAFT_BENCH_FORCE").contains("1")
+    // HOST-DEGRADATION GUARD (r14): the VM has been observed to turn
+    // ~2.5× slower at loadavg ~0.1 — a clean-by-contention-signals run on
+    // a degraded host would silently replace a genuinely fast record. The
+    // canary block (fixed queries, timed FIRST) is cross-run comparable:
+    // if this run's canary medians are >1.4× the committed record's
+    // (median of per-line ratios — robust to one noisy line), route to
+    // bench_last_degraded.json instead.
+    val degradedVsRecord: Option[Double] =
+      if (force || only.isDefined || contended ||
+          !java.nio.file.Files.exists(recordPath)) scala.None
+      else try {
+        import scala.jdk.CollectionConverters._
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new String(java.nio.file.Files.readAllBytes(recordPath),
+            "UTF-8"))
+        val rc = root.path("canary").properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        Bench.canaryDegradation(rc,
+          canaryResults.map { case (k, med, _) => k -> med }.toMap)
+          .filter(_ > 1.4)
+      } catch { case _: Throwable => scala.None }
     val target =
       if (force) recordPath
       else if (only.isDefined) java.nio.file.Paths.get("bench_last_partial.json")
+      else if (degradedVsRecord.isDefined) {
+        System.err.println(f"[bench] canary ${degradedVsRecord.get}%.2fx " +
+          "slower than the committed record at comparable load — host " +
+          "degradation; writing bench_last_degraded.json, leaving " +
+          "bench_last.json alone (SPARK_GRAFT_BENCH_FORCE=1 to override)")
+        java.nio.file.Paths.get("bench_last_degraded.json")
+      }
       else if (contended) {
         // unconditional, not "only when the existing record is clean":
         // in a fresh workspace (no record) or after a contended record
