@@ -222,6 +222,39 @@ object Main {
         println(s"[graft replicate] $db -> $replicaDir: $n page rows shipped")
       } finally spark.stop()
 
+    // tokenizer training from the CLI — the nightly model job: train on
+    // a corpus, write the serving store(s); encode jobs (bpe_encode /
+    // unigram_encode / pack_token_ids sections, graft_* SQL functions)
+    // serve them with zero retraining
+    case "tokenize" :: docsPath :: outDir :: rest if rest.size <= 2 =>
+      val tokenizer = rest.headOption.getOrElse("unigram")
+      val vocabSize = rest.drop(1).headOption.map(_.toInt).getOrElse(200)
+      val spark = session()
+      try {
+        val docs = spark.read.parquet(docsPath)
+        tokenizer match {
+          case "unigram" =>
+            graft.functions.Unigram.vocabWrite(
+              graft.operators.Corpus.unigramTrain(docs, vocabSize),
+              s"$outDir/unigram_vocab", spark)
+            println(s"[graft tokenize] unigram vocab($vocabSize) -> " +
+              s"$outDir/unigram_vocab")
+          case "bpe" =>
+            val merges = graft.operators.Corpus.bpeTrain(docs,
+              maxMerges = vocabSize)
+            graft.functions.Bpe.mergesWrite(merges, s"$outDir/bpe_merges", spark)
+            graft.functions.Bpe.vocabWrite(
+              graft.functions.Bpe.vocabFromMerges(merges,
+                graft.operators.Corpus.bpeAlphabet(docs)),
+              s"$outDir/bpe_vocab", spark)
+            println(s"[graft tokenize] bpe merges($vocabSize) -> " +
+              s"$outDir/bpe_merges + $outDir/bpe_vocab")
+          case other =>
+            System.err.println(s"unknown tokenizer '$other' (unigram | bpe)")
+            sys.exit(2)
+        }
+      } finally spark.stop()
+
     case _ =>
       System.err.println("usage: graft run <spec.json>... | reconcile <dir> | " +
         "watch <dir> [intervalMs] | serve <dir> [port] [intervalMs] | " +
@@ -229,7 +262,8 @@ object Main {
         "validate <spec.json> | show <spec.json> | sections [--recall [record]] | " +
         "explain <query> [sfDir] | " +
         "compact <path> [targetMB] | zorder <in> <out> <cols> <files> | " +
-        "replicate <dbGlob> <replicaDir> [stateDir]")
+        "replicate <dbGlob> <replicaDir> [stateDir] | " +
+        "tokenize <docs.parquet> <outDir> [unigram|bpe] [vocabSize]")
       sys.exit(2)
   }
 
