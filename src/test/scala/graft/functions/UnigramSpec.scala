@@ -171,6 +171,25 @@ class UnigramSpec extends AnyFunSuite {
     assert(engine == local)
   }
 
+  test("unigramTrain: a binding maxDriverVocab truncates deterministically, still serves") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, s"alpha beta w$i w$i gamma"))
+      .toDF("doc_id", "text")
+    // budget 4 << distinct words: trains on the top-4 by (count desc,
+    // word asc) — deterministic, and the result still encodes EVERYTHING
+    // (chars of uncollected words fall to seeds from the kept top or unk)
+    val bounded = graft.operators.Corpus.unigramTrain(docs, vocabSize = 10,
+      maxDriverVocab = 4)
+    val again = graft.operators.Corpus.unigramTrain(docs, vocabSize = 10,
+      maxDriverVocab = 4)
+    assert(bounded == again, "truncated training must be deterministic")
+    assert(bounded.nonEmpty)
+    val counts = graft.operators.Corpus.unigramTokenCounts(docs, bounded)
+      .orderBy(col("doc_id")).collect().map(_.getLong(1))
+    assert(counts.forall(_ > 0), "truncated model must still serve every doc")
+  }
+
   test("token ids: piece-sorted index contract, unk = V, engine == driver twin") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sf/documents.parquet")
