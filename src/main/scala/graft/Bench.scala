@@ -30,6 +30,28 @@ object Bench {
       Some(ratios(ratios.size / 2))
     }
   }
+
+  /** Median ratio of this run's per-line MIN times over the committed
+    * record's, restricted to the record's top-`topN` heaviest shared
+    * lines. The 20-query canary is all LIGHT lines — a 1.07× canary
+    * median has been observed alongside 1.5-3× drift concentrated in the
+    * shuffle/JIT-heavy lines that dominate the total, so the heavy lines
+    * get their own comparison at the same threshold. Mins (not medians)
+    * are the cross-run comparable statistic here: a min is a lower bound
+    * on true cost, immune to a one-off stall in either run. None below
+    * 5 shared heavy lines (too little evidence to block). */
+  def heavyLineDegradation(recordMins: Map[String, Double],
+                           curMins: Map[String, Double],
+                           topN: Int = 10): Option[Double] = {
+    val heavy = recordMins.toSeq.sortBy(-_._2)
+      .filter { case (k, _) => curMins.contains(k) }.take(topN)
+    if (heavy.size < 5) scala.None
+    else {
+      val ratios =
+        heavy.map { case (k, v) => curMins(k) / math.max(v, 1e-9) }.sorted
+      Some(ratios(ratios.size / 2))
+    }
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -79,6 +101,17 @@ object Bench {
       q.awaitTermination()
     }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // first failure message per line, kept for the side artifact: r15's
+    // 39-failure run printed every diagnosis to stderr and the driver's
+    // capture kept none of it — the root cause had to be re-derived from
+    // the failure PATTERN a round later. bench_failed_msgs.json persists
+    // the messages whenever failed is non-empty.
+    val failedMsgs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def noteFail(name: String, msg: String): Unit = {
+      failed += name
+      failedMsgs.getOrElseUpdate(name, Option(msg).getOrElse(""))
+      System.err.println(s"[bench] $name FAILED: $msg")
+    }
     // (name, median, min) over `iters` SUCCESSFUL samples; a failing query
     // is not retried — it lands in `failed` (visible in the bench line) and
     // its elapsed time is never mixed into the stats, so a fast failure
@@ -93,8 +126,7 @@ object Bench {
         try action()
         catch { case e: Throwable =>
           ok = false
-          failed += name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          noteFail(name, String.valueOf(e.getMessage))
         }
         // cache drop INSIDE the measurement: a query that persists pays to
         // build AND to drop its cache, and no iteration or successor query
@@ -258,8 +290,7 @@ object Bench {
         rmTree(appendDir)
         out
       } catch { case ex: Throwable =>
-        System.err.println(s"[bench] ivf split harness FAILED: ${ex.getMessage}")
-        failed += "ivf_split"
+        noteFail("ivf_split", s"harness: ${ex.getMessage}")
         Seq.empty
       }
     // phase-split lines for the assembly composition (cp_assembly
@@ -334,8 +365,7 @@ object Bench {
         rmTree(tmp)
         out
       } catch { case ex: Throwable =>
-        System.err.println(s"[bench] assembly split harness FAILED: ${ex.getMessage}")
-        failed += "assembly_split"
+        noteFail("assembly_split", s"harness: ${ex.getMessage}")
         Seq.empty
       }
     // train/serve split for cp_quality_classifier (the heaviest bench
@@ -364,8 +394,7 @@ object Bench {
         ).filter(q => wanted(q._1)).flatMap { case (name, f) =>
           timed(name, f) }
       } catch { case ex: Throwable =>
-        System.err.println(s"[bench] qc split harness FAILED: ${ex.getMessage}")
-        failed += "qc_split"
+        noteFail("qc_split", s"harness: ${ex.getMessage}")
         Seq.empty
       }
     // phase-split lines for dd_ngram_jaccard (r9's 1.5-2.1× drifter):
@@ -405,8 +434,7 @@ object Bench {
         rmTree(tmp)
         out
       } catch { case ex: Throwable =>
-        System.err.println(s"[bench] ngram split harness FAILED: ${ex.getMessage}")
-        failed += "ngram_split"
+        noteFail("ngram_split", s"harness: ${ex.getMessage}")
         Seq.empty
       }
     val results =
@@ -468,10 +496,9 @@ object Bench {
             .map { case (_, smallMed, _) =>
               val r = m / math.max(smallMed, 1e-9)
               if (r > 12.0) {
-                System.err.println(f"[bench] scale gate FAILED: $n " +
+                noteFail(s"scale_gate_$n",
                   f"sf0.1/sf0.01 ratio $r%.1f > 12 (10x data) — growth " +
                   "is superlinear between the two scales")
-                failed += s"scale_gate_$n"
               }
               n -> r
             }
@@ -624,9 +651,8 @@ object Bench {
       // regressed to a floor no latency line can see, and the bench FAILS
       out.find(_._1 == "ann_ivf_pq").foreach { case (_, r) =>
         if (r < 0.2) {
-          System.err.println(f"[bench] ann_ivf_pq recall GATE FAILED: " +
+          noteFail("ann_ivf_pq_recall_gate",
             f"recall@10 $r%.2f < 0.2 at the API-default operating point")
-          failed += "ann_ivf_pq_recall_gate"
         }
       }
       // the REFINED operating point exists to fix low PQ recall — if the
@@ -634,15 +660,13 @@ object Bench {
       // stopped doing its one job, and the bench FAILS
       out.find(_._1 == "ann_ivf_pq_rerank").foreach { case (_, r) =>
         if (r < 0.5) {
-          System.err.println(f"[bench] ann_ivf_pq_rerank recall GATE " +
-            f"FAILED: recall@10 $r%.2f < 0.5 at the refined operating point")
-          failed += "ann_ivf_pq_rerank_recall_gate"
+          noteFail("ann_ivf_pq_rerank_recall_gate",
+            f"recall@10 $r%.2f < 0.5 at the refined operating point")
         }
       }
       out
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] recall harness FAILED: ${e.getMessage}")
-      failed += "recall"
+      noteFail("recall", s"harness: ${e.getMessage}")
       Seq.empty
     }
     // quantizer-balance audit: max/mean cell population of the TRAINED
@@ -685,10 +709,9 @@ object Bench {
       val skew = operators.SkewRehearsal.massDuplicatedEmbeddings(e)
       val skewBalanced = unitBalance(skew)
       if (skewBalanced > 3.5) {
-        System.err.println(f"[bench] ivf_cell_balance GATE FAILED: balanced " +
-          f"skewed unit ratio $skewBalanced%.2f > 3.5 — the split+salt " +
-          "pass is no longer bounding hot cells")
-        failed += "ivf_cell_balance_gate"
+        noteFail("ivf_cell_balance_gate",
+          f"balanced skewed unit ratio $skewBalanced%.2f > 3.5 — the " +
+          "split+salt pass is no longer bounding hot cells")
       }
       // `uniform`/`skewed` measure the SECTION-DEFAULT trainer (balanced
       // auto-split, factor 3.0). NOTE the mass-duplicate cell itself
@@ -700,8 +723,7 @@ object Bench {
         "skewed_raw" -> balance(skew, 0.0),
         "skewed_balanced" -> skewBalanced)
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] cell-balance harness FAILED: ${e.getMessage}")
-      failed += "ivf_cell_balance"
+      noteFail("ivf_cell_balance", s"harness: ${e.getMessage}")
       Seq.empty
     }
     // dedup-quality audit: MinHash-LSH pair recall against the EXACT
@@ -720,8 +742,7 @@ object Bench {
       spark.catalog.clearCache()
       Some(if (denom == 0) 1.0 else hit.toDouble / denom)
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] dedup recall harness FAILED: ${e.getMessage}")
-      failed += "dedup_recall"
+      noteFail("dedup_recall", s"harness: ${e.getMessage}")
       scala.None
     }
     val qs = results.map { case (k, med, _) => "\"" + k + f"""\":$med%.3f""" }
@@ -769,7 +790,13 @@ object Bench {
     // if this run's canary medians are >1.4× the committed record's
     // (median of per-line ratios — robust to one noisy line), route to
     // bench_last_degraded.json instead.
-    val degradedVsRecord: Option[Double] =
+    // Two comparisons against the committed record, either of which blocks
+    // the write above 1.4×: the light-line canary median (host-wide
+    // slowdown) and the top-10 heaviest queries_min lines (drift
+    // concentrated in shuffle/JIT-heavy work that the light canary
+    // provably misses — r14 shipped a "clean" record whose heavy lines ran
+    // 1.5-3× slow behind a 1.07× canary).
+    val degradedVsRecord: Option[(String, Double)] =
       if (force || only.isDefined || contended ||
           !java.nio.file.Files.exists(recordPath)) scala.None
       else try {
@@ -777,17 +804,35 @@ object Bench {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(new String(java.nio.file.Files.readAllBytes(recordPath),
             "UTF-8"))
-        val rc = root.path("canary").properties().asScala
-          .map(e => e.getKey -> e.getValue.asDouble()).toMap
-        Bench.canaryDegradation(rc,
+        def block(field: String): Map[String, Double] =
+          root.path(field).properties().asScala
+            .map(e => e.getKey -> e.getValue.asDouble()).toMap
+        val canaryRatio = Bench.canaryDegradation(block("canary"),
           canaryResults.map { case (k, med, _) => k -> med }.toMap)
-          .filter(_ > 1.4)
+          .filter(_ > 1.4).map("canary" -> _)
+        val heavyRatio = Bench.heavyLineDegradation(block("queries_min"),
+          results.map { case (k, _, mn) => k -> mn }.toMap)
+          .filter(_ > 1.4).map("heavy-line" -> _)
+        canaryRatio.orElse(heavyRatio)
       } catch { case _: Throwable => scala.None }
     val target =
       if (force) recordPath
       else if (only.isDefined) java.nio.file.Paths.get("bench_last_partial.json")
+      else if (failed.nonEmpty) {
+        // a run with failed lines is a PARTIAL record even when every
+        // contention/degradation signal is clean: its total undercounts
+        // the missing work and its gate blocks may be empty — r15
+        // committed exactly such a run (39 failures, empty recall /
+        // cell-balance / scale blocks) over the clean baseline
+        System.err.println(s"[bench] ${failed.size} failed line(s) " +
+          s"(${failed.take(5).mkString(", ")}${if (failed.size > 5) ", …" else ""}) " +
+          "— writing bench_last_failed.json, leaving bench_last.json " +
+          "alone (SPARK_GRAFT_BENCH_FORCE=1 to override)")
+        java.nio.file.Paths.get("bench_last_failed.json")
+      }
       else if (degradedVsRecord.isDefined) {
-        System.err.println(f"[bench] canary ${degradedVsRecord.get}%.2fx " +
+        val (which, ratio) = degradedVsRecord.get
+        System.err.println(f"[bench] $which%s median $ratio%.2fx " +
           "slower than the committed record at comparable load — host " +
           "degradation; writing bench_last_degraded.json, leaving " +
           "bench_last.json alone (SPARK_GRAFT_BENCH_FORCE=1 to override)")
@@ -807,6 +852,25 @@ object Bench {
     try java.nio.file.Files.write(target, (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $target: ${e.getMessage}") }
+    // diagnosis artifact: stderr is routinely lost by the driver's
+    // tail-capture, so the per-line failure messages also land in a file
+    if (failedMsgs.nonEmpty) {
+      def jstr(s: String): String =
+        "\"" + s.flatMap {
+          case '"'           => "\\\""
+          case '\\'          => "\\\\"
+          case c if c < ' '  => f"\\u${c.toInt}%04x"
+          case c             => c.toString
+        } + "\""
+      val msgs = failedMsgs
+        .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+        .mkString("{", ",", "}")
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_failed_msgs.json"),
+        (msgs + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write bench_failed_msgs.json: ${e.getMessage}") }
+    }
     println(line)
     // compact env+total summary printed LAST: short enough that no tail
     // truncation can ever lose the contention evidence again

@@ -37,4 +37,52 @@ class BenchGuardSpec extends AnyFunSuite {
       Map("q1" -> 1.0, "q2" -> 1.0), Map("q1" -> 9.0, "q2" -> 9.0)).isEmpty)
     assert(Bench.canaryDegradation(Map.empty, canary(1.0)).isEmpty)
   }
+
+  // ---- heavy-line guard: drift concentrated in the heaviest queries_min
+  // lines that the light canary misses (r14: 1.07x canary, 1.5-3x heavy)
+
+  /** 20 lines: 10 heavy (2.0-6.5s) + 10 light (0.05-0.5s). */
+  private def mins(heavyScale: Double, lightScale: Double = 1.0): Map[String, Double] =
+    (1 to 10).map(i => s"heavy_$i" -> (1.5 + 0.5 * i) * heavyScale).toMap ++
+      (1 to 10).map(i => s"light_$i" -> 0.05 * i * lightScale).toMap
+
+  test("heavy lines 2x slow while light lines flat -> blocked") {
+    val d = Bench.heavyLineDegradation(mins(1.0), mins(2.0))
+    assert(d.exists(r => r > 1.8 && r < 2.2), s"expected ~2.0: $d")
+  }
+
+  test("heavy comparison ignores light-line noise") {
+    // light lines 3x slow, heavy flat: the HEAVY guard must not fire
+    // (that case is the canary's job)
+    val d = Bench.heavyLineDegradation(mins(1.0), mins(1.02, lightScale = 3.0))
+    assert(d.exists(_ < 1.2), s"light noise must not trip the heavy guard: $d")
+  }
+
+  test("heavy median robust to one outlier heavy line") {
+    val cur = mins(1.05) + ("heavy_7" -> 60.0)
+    val d = Bench.heavyLineDegradation(mins(1.0), cur)
+    assert(d.exists(_ < 1.4), s"one outlier must not block: $d")
+  }
+
+  test("fewer than 5 shared lines -> None (never block on thin evidence)") {
+    assert(Bench.heavyLineDegradation(
+      Map("a" -> 3.0, "b" -> 2.0), Map("a" -> 9.0, "b" -> 9.0)).isEmpty)
+    assert(Bench.heavyLineDegradation(mins(1.0), Map.empty).isEmpty)
+  }
+
+  test("missing heavy lines re-base on shared lines without a false block") {
+    // the run dropped the record's 8 heaviest lines but ran everything
+    // else at full speed: the comparison re-bases on the heaviest lines
+    // BOTH runs have (2 slow heavy + 8 flat light) and must NOT block —
+    // a run with missing lines is a failed/partial run, and THAT route
+    // (failed.nonEmpty -> bench_last_failed.json) is what catches it
+    val cur = mins(2.0) -- (3 to 10).map(i => s"heavy_$i")
+    val d = Bench.heavyLineDegradation(mins(1.0), cur)
+    assert(d.exists(_ < 1.4), s"mostly-flat shared lines must not block: $d")
+  }
+
+  test("faster heavy lines report < 1 (never block an improvement)") {
+    val d = Bench.heavyLineDegradation(mins(1.0), mins(0.5))
+    assert(d.exists(_ < 0.7))
+  }
 }
