@@ -169,6 +169,24 @@ object Bpe {
     out.toSeq
   }
 
+  /** A (merges, vocab) pair must be two halves of ONE trained model:
+    * every merge's parts and its product piece must have vocab ids (a
+    * vocab from a DIFFERENT training run maps them to `<unk>` and the id
+    * stream silently degenerates — no exception, just wrong ids). Fails
+    * loudly naming both stores so a mismatched nightly deploy is caught
+    * at load, not in a training run weeks later. */
+  def requireCompanion(merges: Seq[String], vocab: Seq[(String, Int)],
+                       mergesPath: String, vocabPath: String): Unit = {
+    val pieces = vocab.iterator.map(_._1).toSet
+    val missing = merges.iterator
+      .flatMap(m => m.split(" ", 2).toSeq :+ m.replace(" ", ""))
+      .filterNot(pieces).take(3).toSeq
+    require(missing.isEmpty,
+      s"BPE vocab store at $vocabPath is not the companion of the merge " +
+        s"store at $mergesPath: ${missing.mkString("'", "', '", "'")} " +
+        "carry no id (stores from different training runs?)")
+  }
+
   /** Serving-side ID model: merge ranks for the encode loop + piece→id +
     * the reserved `<unk>` id V. Janino-visible — codegen references it
     * by name. */
@@ -581,6 +599,66 @@ case class BpeMergeApply(child: Expression, left: String, right: String)
 
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
+}
+
+/** Apply a WINDOW of merges in rank order as ONE expression. A
+  * [[BpeMergeApply]] chain nests one call per merge, so a 64-merge
+  * window compiles a 64-deep expression tree — wide enough to push the
+  * generated method toward Janino's 64KB limit, where whole-stage
+  * codegen silently falls back to interpreted eval; it also
+  * re-materializes the parts array once per level. This form keeps the
+  * tree depth at 1 for ANY window size (the merge loop runs in data
+  * space) and materializes the array once per row. */
+case class BpeMergesApply(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  private val lefts: Array[String] = merges.map(_._1).toArray
+  private val rights: Array[String] = merges.map(_._2).toArray
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"argument must be array<string>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    BpeMergesApply.compute(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lefts, rights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("bpeLefts", lefts, "java.lang.String[]")
+    val r = ctx.addReferenceObj("bpeRights", rights, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BpeMergesApply.compute($c, $l, $r)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BpeMergesApply {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  def compute(parts: ArrayData, lefts: Array[String],
+              rights: Array[String]): ArrayData = {
+    val n = parts.numElements()
+    var arr = new Array[String](n)
+    var i = 0
+    while (i < n) { arr(i) = parts.getUTF8String(i).toString; i += 1 }
+    var k = 0
+    while (k < lefts.length && arr.length >= 2) {
+      arr = Bpe.applyMerge(arr, lefts(k), rights(k))
+      k += 1
+    }
+    new GenericArrayData(arr.map(UTF8String.fromString(_)))
+  }
+
+  def apply(c: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(BpeMergesApply(ColumnBridge.expression(c), merges))
 }
 
 object BpeMergeApply {

@@ -70,30 +70,73 @@ object GraftFunctions {
         s"$name: $what must be an integer literal, got $other")
     }
 
-  // model-sized, loaded once per driver per path; serving queries hit the
-  // cache on every re-plan (ConcurrentHashMap computeIfAbsent)
+  // Serving-store caches: model-sized, loaded once per driver per (path,
+  // content-fingerprint). Steady-state serving hits the cache on every
+  // re-plan, but the nightly `graft tokenize` retrain that OVERWRITES a
+  // store is picked up on the next query without a driver restart: the
+  // fingerprint — the store directory's data-file listing as
+  // name:length:mtime — changes when mergesWrite/vocabWrite rewrite the
+  // part file, and a stale entry is replaced under the same map compute.
+  private final case class Cached[A](fp: String, model: A)
+
+  /** One LIST of the store directory per plan — cheap against the cost of
+    * re-collecting the model, and valid for any Hadoop-visible scheme. */
+  private def storeFingerprint(path: String): String = {
+    val spark = SparkSession.active
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .filter { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .sortBy(_.getPath.getName)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .mkString(";")
+  }
+
   private val bpeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]
+    new java.util.concurrent.ConcurrentHashMap[String, Cached[Seq[String]]]
   private val uniCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]
+    new java.util.concurrent.ConcurrentHashMap[String, Cached[Seq[(String, Long)]]]
+  // the (merges, vocab) PAIR is ONE cache entry keyed on both paths and
+  // loaded under one compute: version-A merges can never be paired with
+  // version-B vocab even when a retrain lands between two plans
+  private val bpePairCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Cached[(Seq[String], Seq[(String, Int)])]]
 
-  private def bpeMerges(path: String): Seq[String] =
-    bpeCache.computeIfAbsent(path,
-      p => Bpe.mergesRead(SparkSession.active, p))
-  private def uniVocab(path: String): Seq[(String, Long)] =
-    uniCache.computeIfAbsent(path,
-      p => Unigram.vocabRead(SparkSession.active, p))
-
-  private val bpeIdCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Int)]]
-  private def bpeVocabIds(path: String): Seq[(String, Int)] =
-    bpeIdCache.computeIfAbsent(path,
-      p => Bpe.vocabRead(SparkSession.active, p))
+  private def bpeMerges(path: String): Seq[String] = {
+    val fp = storeFingerprint(path)
+    bpeCache.compute(path, (p, old) =>
+      if (old != null && old.fp == fp) old
+      else Cached(fp, Bpe.mergesRead(SparkSession.active, p))).model
+  }
+  private def uniVocab(path: String): Seq[(String, Long)] = {
+    val fp = storeFingerprint(path)
+    uniCache.compute(path, (p, old) =>
+      if (old != null && old.fp == fp) old
+      else Cached(fp, Unigram.vocabRead(SparkSession.active, p))).model
+  }
+  private def bpePair(mergesPath: String, vocabPath: String)
+      : (Seq[String], Seq[(String, Int)]) = {
+    val fp = storeFingerprint(mergesPath) + "|" + storeFingerprint(vocabPath)
+    bpePairCache.compute((mergesPath, vocabPath), (k, old) =>
+      if (old != null && old.fp == fp) old
+      else {
+        val spark = SparkSession.active
+        val merges = Bpe.mergesRead(spark, k._1)
+        val vocab = Bpe.vocabRead(spark, k._2)
+        Bpe.requireCompanion(merges, vocab, k._1, k._2)
+        Cached(fp, (merges, vocab))
+      }).model
+  }
 
   /** visible for tests — serving stores are cached per path */
   private[graft] def cachedPaths: (Set[String], Set[String]) = {
     import scala.jdk.CollectionConverters._
-    (bpeCache.keySet.asScala.toSet, uniCache.keySet.asScala.toSet)
+    (bpeCache.keySet.asScala.toSet ++
+       bpePairCache.keySet.asScala.map(_._1),
+      uniCache.keySet.asScala.toSet)
   }
 
   type FunctionDescription =
@@ -173,9 +216,12 @@ object GraftFunctions {
       "graft_bpe_ids(text, merges_path, vocab_path) - BPE token-ID stream " +
         "(array<int>; HF vocab+merges id space, unk = V) under a stored " +
         "model (paths literals; cached per driver)", 3)(
-      a => ex(BpeEncodeIds(c(a.head),
-        bpeMerges(litString("graft_bpe_ids", a(1), "merges_path")),
-        bpeVocabIds(litString("graft_bpe_ids", a(2), "vocab_path"))))),
+      a => {
+        val (merges, vocab) = bpePair(
+          litString("graft_bpe_ids", a(1), "merges_path"),
+          litString("graft_bpe_ids", a(2), "vocab_path"))
+        ex(BpeEncodeIds(c(a.head), merges, vocab))
+      }),
     fd("graft_unigram_ids",
       "graft_unigram_ids(text, vocab_path) - unigram-LM token-ID stream " +
         "(array<int>; ids = piece-sorted vocab index, unk = V) under a " +

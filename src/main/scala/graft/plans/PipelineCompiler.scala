@@ -865,8 +865,10 @@ object SectionRegistry {
         val textCol = c.getOrElse("text_column", "text")
         val (merges, vocab) = (c.get("merges_path"), c.get("vocab_path")) match {
           case (Some(mp), Some(vp)) =>
-            (graft.functions.Bpe.mergesRead(s, mp),
-              graft.functions.Bpe.vocabRead(s, vp))
+            val m = graft.functions.Bpe.mergesRead(s, mp)
+            val v = graft.functions.Bpe.vocabRead(s, vp)
+            graft.functions.Bpe.requireCompanion(m, v, mp, vp)
+            (m, v)
           case (scala.None, scala.None) =>
             val m = graft.operators.Corpus.bpeTrain(frame,
               maxMerges = c.getOrElse("max_merges", "40").toInt,

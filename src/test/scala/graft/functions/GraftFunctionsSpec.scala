@@ -110,6 +110,83 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(uniPaths.contains(uniStore) && bpePaths.contains(bpeStore))
   }
 
+  test("retrain over the same store path is served without a restart") {
+    val d = docs
+    val dir = java.nio.file.Files.createTempDirectory("graft_fn_rt").toString
+    val store = s"$dir/bpe"
+    val vocabStore = s"$dir/bpe_vocab"
+    val alphabet = graft.operators.Corpus.bpeAlphabet(d)
+
+    // v1: tiny model, serve once (populates the caches)
+    val m1 = graft.operators.Corpus.bpeTrain(d, maxMerges = 5)
+    Bpe.mergesWrite(m1, store, spark)
+    Bpe.vocabWrite(Bpe.vocabFromMerges(m1, alphabet), vocabStore, spark)
+    val r1 = spark.sql(
+      s"""SELECT sum(graft_bpe_tokens(text, '$store')) AS n,
+            sum(size(graft_bpe_ids(text, '$store', '$vocabStore'))) AS ni
+          FROM documents""").collect().head
+
+    // v2: deeper model OVERWRITES the same paths — the nightly `graft
+    // tokenize` deploy shape; next query must serve v2 (fewer tokens)
+    val m2 = graft.operators.Corpus.bpeTrain(d, maxMerges = 40)
+    assert(m2.length > m1.length)
+    Bpe.mergesWrite(m2, store, spark)
+    Bpe.vocabWrite(Bpe.vocabFromMerges(m2, alphabet), vocabStore, spark)
+    val r2 = spark.sql(
+      s"""SELECT sum(graft_bpe_tokens(text, '$store')) AS n,
+            sum(size(graft_bpe_ids(text, '$store', '$vocabStore'))) AS ni
+          FROM documents""").collect().head
+    assert(r2.getLong(0) < r1.getLong(0),
+      s"retrained (deeper) model must merge more: v1=${r1.getLong(0)} v2=${r2.getLong(0)}")
+    // the id stream and the token count must come from the SAME model
+    assert(r1.getLong(0) == r1.getLong(1) && r2.getLong(0) == r2.getLong(1))
+
+    // unigram twin: retrain over the same vocab path is picked up too
+    val uniStore = s"$dir/uni"
+    Unigram.vocabWrite(
+      graft.operators.Corpus.unigramTrain(d, vocabSize = 30), uniStore, spark)
+    val u1 = spark.sql(
+      s"SELECT sum(graft_unigram_tokens(text, '$uniStore')) FROM documents")
+      .collect().head.getLong(0)
+    Unigram.vocabWrite(
+      graft.operators.Corpus.unigramTrain(d, vocabSize = 120), uniStore, spark)
+    val u2 = spark.sql(
+      s"SELECT sum(graft_unigram_tokens(text, '$uniStore')) FROM documents")
+      .collect().head.getLong(0)
+    assert(u2 < u1,
+      s"bigger unigram vocab must tokenize shorter: v1=$u1 v2=$u2")
+  }
+
+  test("mismatched merges/vocab stores fail loudly at load") {
+    val d = docs
+    val dir = java.nio.file.Files.createTempDirectory("graft_fn_mm").toString
+    val alphabet = graft.operators.Corpus.bpeAlphabet(d)
+    val mA = graft.operators.Corpus.bpeTrain(d, maxMerges = 40)
+    Bpe.mergesWrite(mA, s"$dir/mergesA", spark)
+    // a vocab from a DIFFERENT (shallower) training run: missing the
+    // deeper merge products — pairing it with mergesA would silently
+    // send those pieces to <unk>
+    val mB = mA.take(2)
+    Bpe.vocabWrite(Bpe.vocabFromMerges(mB, alphabet), s"$dir/vocabB", spark)
+    val e = intercept[Exception] {
+      spark.sql(s"""SELECT graft_bpe_ids(text, '$dir/mergesA',
+          '$dir/vocabB') FROM documents""").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("not the companion")),
+      s"expected companion failure, got: ${msgs(e).mkString(" | ")}")
+    // the pipeline-section path rejects the same mismatch
+    val e2 = intercept[Exception] {
+      graft.functions.Bpe.requireCompanion(
+        graft.functions.Bpe.mergesRead(spark, s"$dir/mergesA"),
+        graft.functions.Bpe.vocabRead(spark, s"$dir/vocabB"),
+        s"$dir/mergesA", s"$dir/vocabB")
+    }
+    assert(e2.getMessage.contains("not the companion"))
+  }
+
   test("literal-argument misuse fails loudly at plan time") {
     docs
     val e1 = intercept[Exception] {
