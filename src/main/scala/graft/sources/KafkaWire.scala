@@ -238,10 +238,12 @@ object KafkaWire {
     * Returns the base offset the broker assigned. */
   def produce(host: String, port: Int, topic: String, partition: Int,
               records: Seq[(Array[Byte], Array[Byte])],
-              dialect: Dialect = V0): Long = {
+              dialect: Dialect = V0, codec: Int = 0): Long = {
     require(records.nonEmpty, "empty produce batch")
     val pv = dialect.produceV
-    val set = if (pv >= 3) recordBatchV2(records) else messageSet(records)
+    require(codec == 0 || pv >= 3,
+      s"codec $codec needs the v2 record-batch format (legacy dialect is plain)")
+    val set = if (pv >= 3) recordBatchV2(records, codec) else messageSet(records)
     val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
     if (pv >= 3) o.writeShort(-1) // transactional_id: null
     o.writeShort(1) // acks: leader
@@ -349,14 +351,16 @@ object KafkaWire {
     * never invalidates the checksum. Timestamps are -1 (unset
     * CreateTime): the engine's ordering contract is offsets, and a
     * fabricated wall-clock would just leak nondeterminism into tests. */
-  private[sources] def recordBatchV2(records: Seq[(Array[Byte], Array[Byte])]): Array[Byte] = {
-    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
-    o.writeShort(0) // attributes: no compression, CreateTime, not txn/control
-    o.writeInt(records.size - 1) // lastOffsetDelta
-    o.writeLong(-1L); o.writeLong(-1L) // base/max timestamp: unset
-    o.writeLong(-1L) // producerId: non-idempotent
-    o.writeShort(-1); o.writeInt(-1) // producerEpoch, baseSequence
-    o.writeInt(records.size)
+  /** codec: 0 = none, 1 = gzip (the only compressed codec a pure-JDK
+    * client can emit; snappy/lz4/zstd need native libs). Per the v2
+    * format only the concatenated records compress — the batch header
+    * through the record count stays plain, and the CRC covers the wire
+    * bytes (i.e. the compressed form). */
+  private[sources] def recordBatchV2(records: Seq[(Array[Byte], Array[Byte])],
+                                     codec: Int = 0): Array[Byte] = {
+    require(codec == 0 || codec == 1,
+      s"producer supports none(0)/gzip(1), got codec $codec")
+    val recBytes = new ByteArrayOutputStream(); val ro = new DataOutputStream(recBytes)
     records.zipWithIndex.foreach { case ((k, v), i) =>
       val rec = new ByteArrayOutputStream(); val r = new DataOutputStream(rec)
       r.writeByte(0) // record attributes (unused)
@@ -365,8 +369,24 @@ object KafkaWire {
       writeVarBytes(r, k); writeVarBytes(r, v)
       writeVarlong(r, 0L) // header count
       val bytes = rec.toByteArray
-      writeVarlong(o, bytes.length.toLong); o.write(bytes)
+      writeVarlong(ro, bytes.length.toLong); ro.write(bytes)
     }
+    val recs =
+      if (codec == 0) recBytes.toByteArray
+      else {
+        val bo = new ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bo)
+        gz.write(recBytes.toByteArray); gz.close()
+        bo.toByteArray
+      }
+    val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
+    o.writeShort(codec) // attributes: codec bits 0-2, CreateTime, not txn/control
+    o.writeInt(records.size - 1) // lastOffsetDelta
+    o.writeLong(-1L); o.writeLong(-1L) // base/max timestamp: unset
+    o.writeLong(-1L) // producerId: non-idempotent
+    o.writeShort(-1); o.writeInt(-1) // producerEpoch, baseSequence
+    o.writeInt(records.size)
+    o.write(recs)
     val payload = body.toByteArray
     val crc = new CRC32C(); crc.update(payload)
     val out = new ByteArrayOutputStream(); val w = new DataOutputStream(out)
@@ -430,22 +450,40 @@ object KafkaWire {
     require(crc.getValue.toInt == crcWire,
       s"CRC32C mismatch in batch at offset $baseOffset — corrupt batch")
     val attributes = b.getShort
-    require((attributes & 0x07) == 0,
-      s"compressed record batch (codec ${attributes & 0x07}) unsupported")
     val isControl = (attributes & 0x20) != 0
     b.getInt // lastOffsetDelta
     b.getLong; b.getLong // base/max timestamp
     b.getLong; b.getShort; b.getInt // producer id/epoch/baseSequence
     val n = b.getInt
+    // production topics overwhelmingly carry producer compression; gzip
+    // is pure JDK so it decodes here — the native-lib codecs fail
+    // LOUDLY BY NAME so the operator error says what the topic needs
+    // rather than "corrupt batch"
+    val rb: ByteBuffer = (attributes & 0x07) match {
+      case 0 => b
+      case 1 =>
+        val comp = new Array[Byte](end - b.position()); b.get(comp)
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(comp))
+        try ByteBuffer.wrap(in.readAllBytes()) finally in.close()
+      case c =>
+        val name = c match {
+          case 2 => "snappy"; case 3 => "lz4"; case 4 => "zstd"
+          case x => s"codec $x"
+        }
+        throw new IllegalArgumentException(
+          s"$name-compressed record batch at offset $baseOffset " +
+            "unsupported (uncompressed and gzip decode)")
+    }
     (0 until n).foreach { _ =>
-      val len = readVarlong(b).toInt
-      val recEnd = b.position() + len
-      b.get // record attributes
-      readVarlong(b) // timestampDelta
-      val offsetDelta = readVarlong(b)
-      val key = readVarBytes(b)
-      val value = readVarBytes(b)
-      b.position(recEnd) // headers (and anything trailing) skipped
+      val len = readVarlong(rb).toInt
+      val recEnd = rb.position() + len
+      rb.get // record attributes
+      readVarlong(rb) // timestampDelta
+      val offsetDelta = readVarlong(rb)
+      val key = readVarBytes(rb)
+      val value = readVarBytes(rb)
+      rb.position(recEnd) // headers (and anything trailing) skipped
       // control batches (txn markers) carry no user data
       if (!isControl) out += Record(partition, baseOffset + offsetDelta, key, value)
     }
