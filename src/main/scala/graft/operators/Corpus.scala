@@ -261,13 +261,29 @@ object Corpus {
                     stageDir: Option[String] = None): DataFrame = {
     require(budget >= 1, "budget must be >= 1")
     val b = lit(budget.toLong)
-    val ids = Staging.stageOrPersist(idsFrame
+    // The tokenized corpus is ALWAYS staged to parquet, never persist()ed:
+    // the operator returns a lazy frame, so it owns no "after the final
+    // aggregation" moment at which it could unpersist — a persist here
+    // pinned a corpus-sized cache until some unrelated clearCache.
+    // Staging is also the only DETERMINISTIC snapshot: the per-partition
+    // token offsets collected below must see the exact range partitioning
+    // the final plan reads, which a recomputed-after-eviction cache does
+    // not guarantee. Without a caller-provided stageDir the stage lands
+    // under a JVM-lifetime temp root (unique name per call so earlier
+    // results stay readable), deleted on shutdown.
+    val (dir, name) = stageDir match {
+      case Some(d) => (d, "pack_ids")
+      case None =>
+        (Staging.defaultStageRoot,
+          s"pack_ids_${Staging.stageCounter.incrementAndGet()}")
+    }
+    val ids = Staging.stage(idsFrame
       .select(col("doc_id"), col("ids"))
       .repartitionByRange(partitions, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))
       .withColumn("_pid", spark_partition_id())
       .withColumn("tok", size(col("ids")).cast("long")),
-      stageDir, "pack_ids")
+      dir, name)
     val perPart = ids.groupBy(col("_pid")).agg(sum(col("tok")).as("_t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
@@ -1374,13 +1390,15 @@ object Corpus {
           }
         if (window.nonEmpty) {
           merges ++= window
-          // ONE rewrite job folds the whole window, in merge order —
-          // BpeMergeApply composes exactly as the per-merge rounds did
+          // ONE rewrite job applies the whole window in merge order via a
+          // single flat expression — a foldLeft of per-merge BpeMergeApply
+          // would nest one codegen call per merge and a 64-deep chain
+          // courts Janino's 64KB method limit (silent interpreted fallback)
           state = state.select(col("cnt"),
-              window.foldLeft(col("parts")) { (c, m) =>
-                val Array(l, r) = m.split(" ", 2)
-                graft.functions.BpeMergeApply(c, l, r)
-              }.as("parts"))
+              graft.functions.BpeMergesApply(col("parts"),
+                window.map { m =>
+                  val Array(l, r) = m.split(" ", 2); (l, r)
+                }).as("parts"))
             .localCheckpoint(true)
         } else {
           // unbatched round: flat counts (no strict top region), a

@@ -35,4 +35,23 @@ object Staging {
     case Some(d) => stage(df, d, name)
     case None => df.persist()
   }
+
+  /** Unique per-call stage names under [[defaultStageRoot]]. */
+  val stageCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** JVM-lifetime stage root for operators whose caller configured no
+    * `stageDir`: disk-bounded (not executor memory), deleted on
+    * shutdown — the lifetime a `persist()` would have had, without the
+    * cache pin. */
+  lazy val defaultStageRoot: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stage")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }))
+    d.toString
+  }
 }

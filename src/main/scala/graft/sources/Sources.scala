@@ -374,12 +374,20 @@ object Sinks {
     // an existing-but-fileless target (a pre-created sink dir, or a dir
     // holding only a _SUCCESS marker) is FRESH — reading it for schema
     // would throw UNABLE_TO_INFER_SCHEMA
+    // Spark's InMemoryFileIndex rule: a file is data only if NO path
+    // component under the table root is _/.-prefixed — checking just the
+    // LEAF name would let `_temporary/.../part-0.parquet` residue from a
+    // crashed write masquerade as data (the read below would then throw,
+    // or worse, read a half-committed file)
     def hasData: Boolean = fs.exists(hPath) && {
+      val rootUri = fs.makeQualified(hPath).toUri.getPath.stripSuffix("/")
       val it = fs.listFiles(hPath, true)
       var found = false
       while (!found && it.hasNext) {
-        val n = it.next().getPath.getName
-        found = !n.startsWith("_") && !n.startsWith(".")
+        val p = it.next().getPath.toUri.getPath
+        val rel = p.stripPrefix(rootUri).stripPrefix("/")
+        found = rel.split("/").forall(c =>
+          c.nonEmpty && !c.startsWith("_") && !c.startsWith("."))
       }
       found
     }

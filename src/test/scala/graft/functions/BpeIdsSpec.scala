@@ -65,6 +65,49 @@ class BpeIdsSpec extends AnyFunSuite {
     assert(engine.map(_._2.length.toLong) == counts)
   }
 
+  test("BpeMergesApply: 64-merge window == sequential folds, inside codegen") {
+    import org.apache.spark.sql.functions.{col, expr}
+    // 64 synthetic merges over a digit alphabet: "0 1"->"01", "01 2"->
+    // "012", ... — each rank extends the previous product, so ORDER
+    // matters and any reordering/skip changes the result
+    val merges = (1 until 65).map(i =>
+      ((0 until i).map(_ % 10).mkString, (i % 10).toString))
+    // input built from codegen-capable split() — a higher-order function
+    // here would itself evict the Project from codegen and mask the check
+    val digits = (0 until 80).map(_ % 10).mkString(",")
+    val docs = spark.range(200).selectExpr(
+      s"split('$digits', ',') AS parts")
+    val wide = docs.select(
+      BpeMergesApply(col("parts"), merges).as("out"))
+    val folded = docs.select(
+      merges.foldLeft(col("parts")) { case (c, (l, r)) =>
+        BpeMergeApply(c, l, r)
+      }.as("out"))
+    assert(wide.collect().toSeq == folded.collect().toSeq)
+    // the wide window must stay INSIDE whole-stage codegen: with
+    // fallback disabled a Janino failure would throw instead of
+    // silently interpreting
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val plan = wide.queryExecution.executedPlan.toString
+      assert("""\*\(\d+\) Project""".r.findFirstIn(plan).isDefined,
+        s"wide merge window fell out of codegen (no starred Project):\n$plan")
+      assert(wide.count() == 200)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+    // and bpeTrain's distributed path (maxDriverVocab = 0 forces it)
+    // agrees with the driver-local trainer over real documents
+    val real = spark.read.parquet(s"$sf/documents.parquet").limit(120)
+    val distributed = graft.operators.Corpus.bpeTrain(real, maxMerges = 24,
+      maxDriverVocab = 0)
+    val local = graft.operators.Corpus.bpeTrain(real, maxMerges = 24)
+    assert(distributed == local,
+      s"window-batched distributed training diverged:\n$distributed\nvs\n$local")
+  }
+
   test("out-of-alphabet code points take the reserved id") {
     val vocab = Bpe.vocabFromMerges(Seq("a b"), Seq("a", "b"))
     val im = Bpe.idModel(Seq("a b"), vocab)

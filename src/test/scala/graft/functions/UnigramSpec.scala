@@ -301,7 +301,19 @@ class UnigramSpec extends AnyFunSuite {
       }
     }.toSeq
     assert(gotDocAt == expectedDocAt)
-    spark.catalog.clearCache() // drop the pack pass-1 persist (CorpusSpec discipline)
+  }
+
+  test("packTokenIds leaves no cache pin behind (corpus ids are staged, not persisted)") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val vocab = graft.operators.Corpus.unigramTrain(docs, vocabSize = 60)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = graft.operators.Corpus.packTokenIds(docs, vocab, budget = 64)
+    assert(out.count() > 0)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty,
+      s"packTokenIds pinned ${added.size} RDD block set(s) in the cache " +
+        "manager — the tokenized corpus must stage to disk, not persist")
   }
 
   test("pack_token_ids section: vocab_path serving == inline") {

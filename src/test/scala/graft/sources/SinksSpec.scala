@@ -73,6 +73,32 @@ class SinksSpec extends AnyFunSuite {
     assert(back.select("id").as[Long].collect().sorted.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("idempotentParquetAppend treats _temporary residue as a FRESH target") {
+    // a crashed write leaves _temporary/<attempt>/.../part-*.parquet —
+    // every leaf name looks like data, but every path sits under a
+    // hidden component Spark's file index would skip; the existence
+    // probe must agree or the first real append dies in schema inference
+    val dir = Files.createTempDirectory("graft_idem4").toString
+    val residue = java.nio.file.Paths.get(
+      s"$dir/t/_temporary/0/_temporary/attempt_0/")
+    java.nio.file.Files.createDirectories(residue)
+    java.nio.file.Files.write(residue.resolve("part-00000.parquet"),
+      "not parquet".getBytes("UTF-8"))
+    // also a dot-dir variant (.staging from other writers)
+    val dot = java.nio.file.Paths.get(s"$dir/t/.staging/")
+    java.nio.file.Files.createDirectories(dot)
+    java.nio.file.Files.write(dot.resolve("part-00001.parquet"),
+      "junk".getBytes("UTF-8"))
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    Sinks.idempotentParquetAppend(batch, s"$dir/t", Seq("id"))
+    val back = spark.read.parquet(s"$dir/t")
+    assert(back.count() == 2)
+    // and once REAL data exists next to the residue, dedup still works
+    Sinks.idempotentParquetAppend(
+      Seq((2L, "b"), (3L, "c")).toDF("id", "v"), s"$dir/t", Seq("id"))
+    assert(spark.read.parquet(s"$dir/t").count() == 3)
+  }
+
   test("idempotentParquetAppend existingFilter prunes the existence scan") {
     val dir = Files.createTempDirectory("graft_idem2").toString
     val day1 = Seq((1L, "d1"), (2L, "d1")).toDF("id", "day")
