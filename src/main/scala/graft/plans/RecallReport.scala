@@ -47,7 +47,15 @@ object RecallReport {
     ("ann_ivf_pq", "variant: ivf_pq (K 16, probes 2, 8-bit)",
       "GATED >= 0.2 - the at-scale default"),
     ("ann_ivf_pq_4bit", "variant: ivf_pq, codes: 16",
-      "max compression - bottom rung"))
+      "max compression - bottom rung, floor recall BY DESIGN"),
+    ("ann_pq_rerank", "variant: pq, refine: 100",
+      "exact rerank repairs 8-bit codes"),
+    ("ann_pq_4bit_rerank", "variant: pq, codes: 16, refine: 100",
+      "rerank over the 4-bit floor"),
+    ("ann_ivf_pq_rerank", "variant: ivf_pq, probes: 6, refine: 100",
+      "GATED >= 0.5 - the refined default"),
+    ("ann_ivf_pq_4bit_rerank", "variant: ivf_pq, codes: 16, probes: 6, refine: 600",
+      "GATED >= 0.5 - wide cut repairs 4-bit"))
 
   /** Extract `recall_at_10` from a bench record line (the one-line JSON
     * Bench prints and writes to bench_last.json). */

@@ -31,7 +31,9 @@ class RecallReportSpec extends AnyFunSuite {
       "ann_lsh_default", "ann_ivf_topk", "ann_ivf_untrained",
       "ann_ivf_balanced", "ann_ivf_default", "ann_rp_brute",
       "ann_rp_brute32", "ann_pca_brute", "ann_pq_topk", "ann_ivf_pq",
-      "ann_pq_4bit", "ann_ivf_pq_4bit", "ann_quantized_topk")
+      "ann_pq_4bit", "ann_ivf_pq_4bit", "ann_quantized_topk",
+      "ann_pq_rerank", "ann_pq_4bit_rerank", "ann_ivf_pq_rerank",
+      "ann_ivf_pq_4bit_rerank")
     assert(RecallReport.variants.map(_._1).toSet == expected)
   }
 
