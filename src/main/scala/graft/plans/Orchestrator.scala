@@ -16,6 +16,18 @@ object Orchestrator {
 
   final case class RunningPipeline(hash: String, spec: PipelineSpec,
                                    state: RunState, restarts: Int)
+
+  /** Render a failure's cause chain for the status endpoint: class +
+    * message per link, deepest last, bounded in links and length (an
+    * analysis exception can carry a whole plan tree in its message). */
+  def causeChain(e: Throwable, maxLinks: Int = 5, maxLen: Int = 2000): String = {
+    val chain = Iterator.iterate(e)(_.getCause)
+      .takeWhile(_ != null).take(maxLinks)
+      .map(t => s"${t.getClass.getSimpleName}: " +
+        Option(t.getMessage).getOrElse("(no message)"))
+      .mkString("\n caused by: ")
+    if (chain.length <= maxLen) chain else chain.take(maxLen) + " …"
+  }
 }
 
 final class Orchestrator(spark: SparkSession,
@@ -28,15 +40,21 @@ final class Orchestrator(spark: SparkSession,
   def runningHashes: Set[String] = running.keySet
 
   /** Read-side snapshot for the daemon status endpoint: (hash, state,
-    * restarts) per tracked pipeline. Safe from any thread (the map
-    * reference is volatile; entries are immutable). */
-  def snapshot: Seq[(String, String, Int)] =
+    * restarts, error detail) per tracked pipeline. Safe from any thread
+    * (the map reference is volatile; entries are immutable). The state
+    * label keeps only the top message (table-cell sized); `detail` is
+    * the full cause chain the console's row expander shows — "failed:
+    * Job aborted" alone sends an operator to the daemon logs, the chain
+    * usually names the actual section/file/column. */
+  def snapshot: Seq[(String, String, Int, Option[String])] =
     running.values.toSeq.sortBy(_.hash).map { r =>
-      val state = r.state match {
-        case Succeeded => "succeeded"
-        case Failed(e) => s"failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}"
+      val (state, detail) = r.state match {
+        case Succeeded => ("succeeded", scala.None)
+        case Failed(e) =>
+          (s"failed: ${Option(e.getMessage).getOrElse(e.getClass.getName)}",
+            Some(Orchestrator.causeChain(e)))
       }
-      (r.hash, state, r.restarts)
+      (r.hash, state, r.restarts, detail)
     }
 
   /** Reconcile desired specs against running components. Returns

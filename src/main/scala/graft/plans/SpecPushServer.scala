@@ -77,7 +77,7 @@ object TlsConfig {
   */
 final class SpecPushServer(dir: Path, port: Int = 0,
                            host: String = "127.0.0.1",
-                           status: Option[() => Seq[(String, String, Int)]] =
+                           status: Option[() => Seq[(String, String, Int, Option[String])]] =
                              scala.None,
                            token: Option[String] = scala.None,
                            tls: Option[TlsConfig] = scala.None,
@@ -110,14 +110,17 @@ final class SpecPushServer(dir: Path, port: Int = 0,
   @volatile private var started = false
 
   // read-side status (reference daemons report pipeline state back to the
-  // control plane): GET /pipelines → [{hash, state, restarts}] from the
-  // orchestrator snapshot, when one is wired in (graft serve does)
+  // control plane): GET /pipelines → [{hash, state, restarts[, error]}]
+  // from the orchestrator snapshot, when one is wired in (graft serve
+  // does); `error` carries the failure's cause chain for the console's
+  // row expander and is present only on failed rows
   server.createContext("/pipelines", new HttpHandler {
     override def handle(ex: HttpExchange): Unit =
       try status match {
         case Some(snap) if ex.getRequestMethod == "GET" =>
-          val rows = snap().map { case (h, st, r) =>
-            s"""{"hash":"${jsonEscape(h)}","state":"${jsonEscape(st)}","restarts":$r}"""
+          val rows = snap().map { case (h, st, r, err) =>
+            val e = err.map(d => s""","error":"${jsonEscape(d)}"""").getOrElse("")
+            s"""{"hash":"${jsonEscape(h)}","state":"${jsonEscape(st)}","restarts":$r$e}"""
           }.mkString("[", ",", "]")
           respond(ex, 200, rows + "\n")
         case Some(_) => respond(ex, 405, "method not allowed\n")

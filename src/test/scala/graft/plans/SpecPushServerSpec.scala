@@ -146,7 +146,8 @@ class SpecPushServerSpec extends AnyFunSuite {
     val specDir = Files.createTempDirectory("graft_push_esc")
     val server = new SpecPushServer(specDir, port = 0,
       status = Some(() => Seq(
-        ("h1", "Failed: line one\n\tline \"two\"\r", 2))))
+        ("h1", "Failed: line one\n\tline \"two\"\r", 2,
+          Some("detail with \"quotes\"\nand a newline")))))
     server.start()
     try {
       val (code, body) = http(
@@ -158,6 +159,45 @@ class SpecPushServerSpec extends AnyFunSuite {
       assert(arr.get(0).get("state").asText() ==
         "Failed: line one\n\tline \"two\"\r")
       assert(arr.get(0).get("restarts").asInt() == 2)
+      assert(arr.get(0).get("error").asText() ==
+        "detail with \"quotes\"\nand a newline")
+    } finally server.stop()
+  }
+
+  test("a failed pipeline's cause chain round-trips to /pipelines; succeeded rows carry no error") {
+    val tmp = Files.createTempDirectory("graft_errdetail").toString
+    val specDir = Files.createTempDirectory("graft_errdetail_specs")
+    // zero restarts so the failing spec fails fast
+    val orch = new Orchestrator(spark, restartBackoffMs = 1, maxRestarts = 0)
+    val watcher = new SpecDirWatcher(orch, specDir)
+    val server = new SpecPushServer(specDir, port = 0,
+      status = Some(() => orch.snapshot))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.boundPort}"
+      // one good spec, one whose source path does not exist
+      val good = specJson(tmp, "ok1")
+      val bad = """{"sections":[
+          {"id":"s","name":"parquet_source",
+           "config":{"path":"/nonexistent/graft_missing.parquet"}},
+          {"id":"d","name":"inspect","config":{}}],
+        "edges":[["s","d"]]}"""
+      assert(http("POST", s"$base/specs/good", Some(good))._1 == 200)
+      assert(http("POST", s"$base/specs/bad", Some(bad))._1 == 200)
+      watcher.poll()
+      val (code, body) = http("GET", s"$base/pipelines")
+      assert(code == 200)
+      val arr = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val rows = (0 until arr.size).map(arr.get)
+      val failed = rows.find(_.get("state").asText.startsWith("failed")).get
+      // the expander payload: a cause chain naming the actual problem,
+      // not just the top-level "failed: ..." label
+      assert(failed.has("error"), body)
+      val detail = failed.get("error").asText
+      assert(detail.contains("graft_missing") || detail.contains("PATH_NOT_FOUND")
+        || detail.toLowerCase.contains("path"), detail)
+      val ok = rows.find(_.get("state").asText == "succeeded").get
+      assert(!ok.has("error"), body)
     } finally server.stop()
   }
 

@@ -50,6 +50,11 @@ class UiAssetsSpec extends AnyFunSuite {
 
       // the UI is a read surface — mutations through it don't exist
       assert(http("POST", s"$base/")._1 == 405)
+
+      // the pipelines view renders the /pipelines `error` field behind
+      // a row expander (failed rows expand to the cause chain)
+      assert(b1.contains("p.error") && b1.contains("errd-") &&
+        b1.contains("errpre"), "console lost the failure-detail expander")
     } finally server.stop()
   }
 
