@@ -103,7 +103,7 @@ object ScaleSf1 {
         case scala.None => throw new IllegalArgumentException(name)
       }
     }
-    val fns: Seq[(String, String => () => Unit)] = Seq(
+    val baseFns: Seq[(String, String => () => Unit)] = Seq(
       "dd_minhash_lsh" -> queryFn("dd_minhash_lsh"),
       "dd_semdedup" -> queryFn("dd_semdedup"),
       "cp_assembly" -> queryFn("cp_assembly"),
@@ -122,6 +122,29 @@ object ScaleSf1 {
           graft.Tables.embeddings(spark, dir)
             .select(col("vec_id"), col("embedding")), kCentroids = 16); ()
       }))
+    // BINDING-CAP twin lines: the uncapped train ratios above scale
+    // with the corpus because the 65,536-vector default cap is far
+    // above both measured corpus sizes — they demonstrate the
+    // pre-plateau regime, not the production one. Setting the cap to
+    // the SMALL corpus size makes it binding at sf1 (same training
+    // work at both scales), so the measured ratio isolates what
+    // training costs once the sample cap rules: ~1.0 + the scan.
+    val cap = spark.read.parquet(s"$sf01/embeddings.parquet")
+      .count().toInt
+    val cappedFns: Seq[(String, String => () => Unit)] = Seq(
+      s"ann_pq_train_cap$cap" -> (dir => () => {
+        graft.operators.Ann.trainPqCodebooks(
+          graft.Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding")),
+          maxTrainVectors = cap); ()
+      }),
+      s"ann_ivf_pq_train_cap$cap" -> (dir => () => {
+        graft.operators.Ann.ivfPqTrain(
+          graft.Tables.embeddings(spark, dir)
+            .select(col("vec_id"), col("embedding")),
+          kCentroids = 16, maxTrainVectors = cap); ()
+      }))
+    val fns = baseFns ++ cappedFns
     def timeIt(f: () => Unit): Double = {
       // min of 2: first run absorbs codegen/JIT for the shape
       val ts = (0 until 2).map { _ =>
