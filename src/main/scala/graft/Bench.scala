@@ -52,6 +52,28 @@ object Bench {
       Some(ratios(ratios.size / 2))
     }
   }
+  /** Best-effort removal of every temp-dir whose name starts with one of
+    * `prefixes` — called from harness `finally` blocks so a mid-harness
+    * throw can never strand corpus-sized staging under /tmp (the
+    * disk-pressure signature behind r15's cascading write-line
+    * failures). Prefix-wide on purpose: it also heals leftovers from a
+    * previously crashed run, and a bench run owns the box by design. */
+  private def sweepTmpDirs(prefixes: String*): Unit = {
+    val tmpRoot = new java.io.File(
+      System.getProperty("java.io.tmpdir", "/tmp"))
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(d => prefixes.exists(d.getName.startsWith)).foreach { d =>
+        try {
+          import java.nio.file.Files
+          import scala.jdk.CollectionConverters._
+          val walk = Files.walk(d.toPath)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+          finally walk.close()
+        } catch { case _: Throwable => () }
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -286,13 +308,12 @@ object Bench {
                 opqModel._1, opqModel._2, 5).count(); () })
         ).filter(q => wanted(q._1)).flatMap { case (name, f) =>
           timed(name, f) }
-        rmTree(diskDir)
-        rmTree(appendDir)
         out
       } catch { case ex: Throwable =>
         noteFail("ivf_split", s"harness: ${ex.getMessage}")
         Seq.empty
-      }
+      } finally Bench.sweepTmpDirs("bench_ivf_app", "bench_ivf_idx",
+        "bench_ivf_build")
     // phase-split lines for the assembly composition (cp_assembly
     // conflates four stages; a creep in its line is unattributable
     // without these): each stage is timed against its PREDECESSOR'S
@@ -367,7 +388,7 @@ object Bench {
       } catch { case ex: Throwable =>
         noteFail("assembly_split", s"harness: ${ex.getMessage}")
         Seq.empty
-      }
+      } finally Bench.sweepTmpDirs("bench_asm")
     // train/serve split for cp_quality_classifier (the heaviest bench
     // line): _train prices features + NB init + the GD iterations at the
     // oracle config; _score prices one serving pass over the corpus
@@ -436,7 +457,7 @@ object Bench {
       } catch { case ex: Throwable =>
         noteFail("ngram_split", s"harness: ${ex.getMessage}")
         Seq.empty
-      }
+      } finally Bench.sweepTmpDirs("bench_ngram")
     val results =
       Queries.all.filter(q => wanted(q._1)).flatMap { case (name, q) =>
         timed(name, () => { q.fn(spark, sfDir).count(); () }) } ++
