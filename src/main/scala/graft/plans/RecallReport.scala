@@ -55,7 +55,11 @@ object RecallReport {
     ("ann_ivf_pq_rerank", "variant: ivf_pq, probes: 6, refine: 100",
       "GATED >= 0.5 - the refined default"),
     ("ann_ivf_pq_4bit_rerank", "variant: ivf_pq, codes: 16, probes: 6, refine: 600",
-      "GATED >= 0.5 - wide cut repairs 4-bit"))
+      "GATED >= 0.5 - wide cut repairs 4-bit"),
+    ("ann_opq_topk", "variant: opq (learned rotation + PQx8)",
+      "what the rotation buys at equal budget"),
+    ("ann_opq_rerank", "variant: opq, refine: 100",
+      "rotated ADC + exact rerank"))
 
   /** Extract `recall_at_10` from a bench record line (the one-line JSON
     * Bench prints and writes to bench_last.json). */

@@ -33,7 +33,7 @@ class RecallReportSpec extends AnyFunSuite {
       "ann_rp_brute32", "ann_pca_brute", "ann_pq_topk", "ann_ivf_pq",
       "ann_pq_4bit", "ann_ivf_pq_4bit", "ann_quantized_topk",
       "ann_pq_rerank", "ann_pq_4bit_rerank", "ann_ivf_pq_rerank",
-      "ann_ivf_pq_4bit_rerank")
+      "ann_ivf_pq_4bit_rerank", "ann_opq_topk", "ann_opq_rerank")
     assert(RecallReport.variants.map(_._1).toSet == expected)
   }
 
