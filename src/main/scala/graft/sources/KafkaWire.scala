@@ -351,15 +351,42 @@ object KafkaWire {
     * never invalidates the checksum. Timestamps are -1 (unset
     * CreateTime): the engine's ordering contract is offsets, and a
     * fabricated wall-clock would just leak nondeterminism into tests. */
-  /** codec: 0 = none, 1 = gzip (the only compressed codec a pure-JDK
-    * client can emit; snappy/lz4/zstd need native libs). Per the v2
-    * format only the concatenated records compress — the batch header
-    * through the record count stays plain, and the CRC covers the wire
-    * bytes (i.e. the compressed form). */
+  /** Producer-compression codecs, by attribute bits 0-2: 0 none, 1 gzip
+    * (JDK), 2 snappy (xerial block stream — the framing Kafka clients
+    * write), 3 lz4 (LZ4 Frame; the broken-HC quirk only afflicted
+    * magic-0 messages, never v2 batches), 4 zstd. snappy/lz4/zstd ride
+    * the libraries Spark already ships for shuffle/parquet compression
+    * — no extra dependency. */
+  private def compressionOut(codec: Int,
+                             raw: java.io.OutputStream): java.io.OutputStream =
+    codec match {
+      case 1 => new java.util.zip.GZIPOutputStream(raw)
+      case 2 => new org.xerial.snappy.SnappyOutputStream(raw)
+      case 3 => new net.jpountz.lz4.LZ4FrameOutputStream(raw)
+      case 4 => new com.github.luben.zstd.ZstdOutputStream(raw)
+      case c => throw new IllegalArgumentException(
+        s"producer codec $c unsupported (0=none 1=gzip 2=snappy 3=lz4 4=zstd)")
+    }
+
+  private def compressionIn(codec: Int,
+                            raw: java.io.InputStream): java.io.InputStream =
+    codec match {
+      case 1 => new java.util.zip.GZIPInputStream(raw)
+      case 2 => new org.xerial.snappy.SnappyInputStream(raw)
+      case 3 => new net.jpountz.lz4.LZ4FrameInputStream(raw)
+      case 4 => new com.github.luben.zstd.ZstdInputStreamNoFinalizer(raw)
+      case c => throw new IllegalArgumentException(
+        s"record batch compressed with undefined codec $c " +
+          "(decodable: 1=gzip 2=snappy 3=lz4 4=zstd)")
+    }
+
+  /** Per the v2 format only the concatenated records compress — the
+    * batch header through the record count stays plain, and the CRC
+    * covers the wire bytes (i.e. the compressed form). */
   private[sources] def recordBatchV2(records: Seq[(Array[Byte], Array[Byte])],
                                      codec: Int = 0): Array[Byte] = {
-    require(codec == 0 || codec == 1,
-      s"producer supports none(0)/gzip(1), got codec $codec")
+    require(codec >= 0 && codec <= 4,
+      s"producer supports none(0)/gzip(1)/snappy(2)/lz4(3)/zstd(4), got codec $codec")
     val recBytes = new ByteArrayOutputStream(); val ro = new DataOutputStream(recBytes)
     records.zipWithIndex.foreach { case ((k, v), i) =>
       val rec = new ByteArrayOutputStream(); val r = new DataOutputStream(rec)
@@ -375,8 +402,8 @@ object KafkaWire {
       if (codec == 0) recBytes.toByteArray
       else {
         val bo = new ByteArrayOutputStream()
-        val gz = new java.util.zip.GZIPOutputStream(bo)
-        gz.write(recBytes.toByteArray); gz.close()
+        val cs = compressionOut(codec, bo)
+        cs.write(recBytes.toByteArray); cs.close()
         bo.toByteArray
       }
     val body = new ByteArrayOutputStream(); val o = new DataOutputStream(body)
@@ -455,25 +482,16 @@ object KafkaWire {
     b.getLong; b.getLong // base/max timestamp
     b.getLong; b.getShort; b.getInt // producer id/epoch/baseSequence
     val n = b.getInt
-    // production topics overwhelmingly carry producer compression; gzip
-    // is pure JDK so it decodes here — the native-lib codecs fail
-    // LOUDLY BY NAME so the operator error says what the topic needs
-    // rather than "corrupt batch"
+    // production topics overwhelmingly carry producer compression: all
+    // four defined codecs decode (via libraries Spark already ships);
+    // an UNDEFINED codec value still fails loudly by number rather
+    // than as "corrupt batch"
     val rb: ByteBuffer = (attributes & 0x07) match {
       case 0 => b
-      case 1 =>
-        val comp = new Array[Byte](end - b.position()); b.get(comp)
-        val in = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(comp))
-        try ByteBuffer.wrap(in.readAllBytes()) finally in.close()
       case c =>
-        val name = c match {
-          case 2 => "snappy"; case 3 => "lz4"; case 4 => "zstd"
-          case x => s"codec $x"
-        }
-        throw new IllegalArgumentException(
-          s"$name-compressed record batch at offset $baseOffset " +
-            "unsupported (uncompressed and gzip decode)")
+        val comp = new Array[Byte](end - b.position()); b.get(comp)
+        val in = compressionIn(c, new java.io.ByteArrayInputStream(comp))
+        try ByteBuffer.wrap(in.readAllBytes()) finally in.close()
     }
     (0 until n).foreach { _ =>
       val len = readVarlong(rb).toInt

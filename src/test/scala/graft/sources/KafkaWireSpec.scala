@@ -214,7 +214,9 @@ class KafkaWireSpec extends AnyFunSuite {
     assert(got(2).value.isEmpty)
   }
 
-  test("gzip v2 batch (codec 1) round-trips, shrinks, and survives the wire + DSv2 stream") {
+  private val codecs = Seq(1 -> "gzip", 2 -> "snappy", 3 -> "lz4", 4 -> "zstd")
+
+  test("compressed v2 batches (gzip/snappy/lz4/zstd) round-trip, shrink, and survive the wire") {
     // codec level: repetitive payloads must actually shrink, and decode
     // bit-identically — null keys and empty values included
     val recs = Seq[(Array[Byte], Array[Byte])](
@@ -222,19 +224,36 @@ class KafkaWireSpec extends AnyFunSuite {
       ("empty".getBytes, Array.empty[Byte])) ++
       (0 until 20).map(i => (s"k$i".getBytes, ("text " * 30 + i).getBytes))
     val plain = KafkaWire.recordBatchV2(recs)
-    val gz = KafkaWire.recordBatchV2(recs, codec = 1)
-    assert(gz.length < plain.length / 2,
-      s"gzip must compress the repetitive batch: ${gz.length} vs ${plain.length}")
-    assert((java.nio.ByteBuffer.wrap(gz).getShort(21) & 0x07) == 1,
-      "attributes codec bits must say gzip")
-    val got = KafkaWire.readRecordSet(gz, 7)
-    assert(got.map(_.offset) == (0L until recs.size.toLong))
-    assert(got.head.partition == 7 &&
-      new String(got.head.value) == "payload-" * 40)
-    assert(got(1).key == null && got(2).value.isEmpty)
+    codecs.foreach { case (codec, name) =>
+      val comp = KafkaWire.recordBatchV2(recs, codec = codec)
+      assert(comp.length < plain.length / 2,
+        s"$name must compress the repetitive batch: ${comp.length} vs ${plain.length}")
+      assert((java.nio.ByteBuffer.wrap(comp).getShort(21) & 0x07) == codec,
+        s"attributes codec bits must say $name")
+      val got = KafkaWire.readRecordSet(comp, 7)
+      assert(got.map(_.offset) == (0L until recs.size.toLong), name)
+      assert(got.head.partition == 7 &&
+        new String(got.head.value) == "payload-" * 40, name)
+      assert(got(1).key == null && got(2).value.isEmpty, name)
+    }
 
-    // wire level: a gzip produce fetches back through a real socket,
-    // and the DSv2 STREAMING path decodes the same log
+    // wire level: every codec's produce fetches back through a real
+    // socket (the broker stores and serves the batch verbatim)
+    val broker = new EmbeddedKafkaBroker(numPartitions = 1, dialect = "v2")
+    try codecs.foreach { case (codec, name) =>
+      val wire = (0 until 10).map(i =>
+        (s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8")))
+      KafkaWire.produce(broker.host, broker.port, s"c$name", 0, wire,
+        KafkaWire.V2, codec = codec)
+      val fetched = KafkaWire.fetchAll(broker.host, broker.port, s"c$name", 0,
+        dialect = KafkaWire.V2)
+      assert(fetched.map(r => new String(r.key, "UTF-8")) ==
+        (0 until 10).map(i => s"k$i"), name)
+      assert(fetched.map(_.offset) == (0L until 10L), name)
+    } finally broker.close()
+  }
+
+  test("a gzip-compressed log decodes through the DSv2 streaming path") {
     val broker = new EmbeddedKafkaBroker(numPartitions = 1, dialect = "v2")
     val root = java.nio.file.Files.createTempDirectory("graft_kwgz").toString
     try {
@@ -242,11 +261,6 @@ class KafkaWireSpec extends AnyFunSuite {
         (s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8")))
       KafkaWire.produce(broker.host, broker.port, "gz", 0, wire,
         KafkaWire.V2, codec = 1)
-      val fetched = KafkaWire.fetchAll(broker.host, broker.port, "gz", 0,
-        dialect = KafkaWire.V2)
-      assert(fetched.map(r => new String(r.key, "UTF-8")) ==
-        (0 until 10).map(i => s"k$i"))
-      assert(fetched.map(_.offset) == (0L until 10L))
       val q = spark.readStream.format("kafka-wire")
         .option("host", broker.host).option("port", broker.port.toString)
         .option("topic", "gz").load()
@@ -262,19 +276,19 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
-  test("snappy/lz4/zstd batches fail loudly BY NAME, not as corruption") {
-    // craft a codec-2 batch: take a plain batch, patch the attributes
+  test("undefined codec bits fail loudly by number, not as corruption") {
+    // craft a codec-5 batch: take a plain batch, patch the attributes
     // codec bits, re-sign the CRC32C (it covers attributes..end)
     val batch = KafkaWire.recordBatchV2(Seq(("k".getBytes, "v".getBytes)))
     val bb = java.nio.ByteBuffer.wrap(batch)
-    bb.putShort(21, (bb.getShort(21) | 0x02).toShort)
+    bb.putShort(21, (bb.getShort(21) | 0x05).toShort)
     val crc = new java.util.zip.CRC32C()
     crc.update(batch, 21, batch.length - 21)
     bb.putInt(17, crc.getValue.toInt)
     val e = intercept[IllegalArgumentException] {
       KafkaWire.readRecordSet(batch, 0)
     }
-    assert(e.getMessage.contains("snappy"), e.getMessage)
+    assert(e.getMessage.contains("codec 5"), e.getMessage)
     // the legacy dialect cannot carry compression — refused at produce
     val e2 = intercept[IllegalArgumentException] {
       KafkaWire.produce("localhost", 1, "t", 0,
