@@ -31,3 +31,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 64-query bench run (st_* swinging 1.3s -> 16s run-to-run)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Test fixtures create dozens of Files.createTempDirectory dirs and
+// (deliberately) never delete them mid-run; pointing the forked JVM's
+// tmpdir at target/ keeps them out of the machine's /tmp — they die
+// with `sbt clean` instead of accumulating across rounds (the
+// disk-pressure pattern behind r15's bench failures).
+Test / javaOptions += {
+  val d = target.value / "test-tmp"
+  java.nio.file.Files.createDirectories(d.toPath)
+  s"-Djava.io.tmpdir=${d.getAbsolutePath}"
+}
