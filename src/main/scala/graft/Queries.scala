@@ -4069,11 +4069,12 @@ object Queries {
       scored AS (SELECT t.doc_id,
           CAST(round(-log2(coalesce(v.c, 0.5) / total.n), 6) AS DECIMAL(18,6)) AS bits
         FROM tok t LEFT JOIN vocab v USING (w) CROSS JOIN total),
-      agg AS (SELECT doc_id, CAST(SUM(bits) AS DOUBLE) / count(*) AS mean_bits,
+      agg AS (SELECT doc_id, CAST(SUM(bits) * 1000000 AS BIGINT) AS sum_micro,
           count(*) AS n_tokens
         FROM scored GROUP BY doc_id)
       SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
-        round(coalesce(a.mean_bits, 0.0), 6) AS lm_bits_per_token
+        coalesce((2 * a.sum_micro + a.n_tokens) // (2 * a.n_tokens), 0)::DOUBLE
+          / 1000000.0 AS lm_bits_per_token
       FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""))
 
   /** Bigram LM with stupid backoff ([[graft.operators.Corpus
@@ -4112,12 +4113,13 @@ object Queries {
         FROM bg g LEFT JOIN bc b USING (prev, w)
         LEFT JOIN ctx c USING (prev)
         LEFT JOIN vocab v USING (w) CROSS JOIN total),
-      ab AS (SELECT doc_id, CAST(SUM(bits) AS DOUBLE) / count(*) AS mean_bits,
+      ab AS (SELECT doc_id, CAST(SUM(bits) * 1000000 AS BIGINT) AS sum_micro,
           count(*) AS n_tokens
         FROM (SELECT * FROM firstb UNION ALL SELECT * FROM bgb)
         GROUP BY doc_id)
       SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
-        round(coalesce(a.mean_bits, 0.0), 6) AS bigram_bits_per_token
+        coalesce((2 * a.sum_micro + a.n_tokens) // (2 * a.n_tokens), 0)::DOUBLE
+          / 1000000.0 AS bigram_bits_per_token
       FROM documents d LEFT JOIN ab a USING (doc_id) ORDER BY d.doc_id"""))
 
   /** The Gopher rule battery ([[graft.functions.TextFunctions.gopherRules]])
@@ -4352,10 +4354,11 @@ object Queries {
       terms AS (SELECT h.doc_id,
           CAST(round(-(h.c / t.n) * log2(h.c / t.n), 9) AS DECIMAL(18,9)) AS bits
         FROM hist h JOIN tot t USING (doc_id)),
-      agg AS (SELECT doc_id, CAST(SUM(bits) AS DOUBLE) AS h
+      agg AS (SELECT doc_id, CAST(SUM(bits) * 1000000000 AS BIGINT) AS nano
         FROM terms GROUP BY doc_id)
       SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
-        round(coalesce(a.h, 0.0), 6) AS char_entropy_bits
+        coalesce((a.nano + 500) // 1000, 0)::DOUBLE / 1000000.0
+          AS char_entropy_bits
       FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id"""))
 
   /** Temperature mixing at α=0.5 ([[graft.operators.Corpus.mixTemperature]])

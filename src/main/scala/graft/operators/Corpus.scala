@@ -659,13 +659,23 @@ object Corpus {
       .select(col("doc_id"),
         round(-log2(coalesce(col("c"), lit(0.5)) / col("n")), 6)
           .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("bits"))
+    // Mean + final rounding in EXACT INTEGER micro-bits (the pageRank
+    // discipline): `sum(bits)` is decimal-exact, and `(2a+b) div (2b)`
+    // IS round-half-up of a/b — so the only floating-point op left is
+    // one IEEE division by 1e6, bit-identical in any engine. The
+    // previous `cast(sum as double)/n -> round(..,6)` shape was correct
+    // at sf0.01 but flipped the last digit at sf0.1: a mean landing
+    // exactly on a …5e-7 boundary rounds differently once it has passed
+    // through binary doubles.
     val agg = scored.groupBy(col("doc_id"))
-      .agg((sum(col("bits")).cast("double") / count(lit(1))).as("mean_bits"),
-        count(lit(1)).as("n_tokens"))
+      .agg(sum(col("bits")).as("sum_bits"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_bits") * lit(1000000L)).cast("long").as("sum_micro"))
     docs.select(col(idCol).as("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        round(coalesce(col("mean_bits"), lit(0.0)), 6).as("lm_bits_per_token"))
+        (coalesce(expr("(2 * sum_micro + n_tokens) div (2 * n_tokens)"),
+          lit(0L)).cast("double") / lit(1e6)).as("lm_bits_per_token"))
   }
 
   /** BIGRAM language-model quality scoring with STUPID BACKOFF — one rung
@@ -756,14 +766,17 @@ object Corpus {
           .otherwise(-log2(lit(alpha) *
             coalesce(col("uc"), lit(0.5)) / n)), 6)
           .cast(dec).as("bits"))
+    // exact integer micro-bit mean — see [[lmQualityScore]]'s tail for
+    // why the double-cast mean flips last digits at larger SFs
     val agg = firstBits.union(bgBits).groupBy(col("doc_id"))
-      .agg((sum(col("bits")).cast("double") / count(lit(1))).as("mean_bits"),
-        count(lit(1)).as("n_tokens"))
+      .agg(sum(col("bits")).as("sum_bits"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("sum_bits") * lit(1000000L)).cast("long").as("sum_micro"))
     base.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        round(coalesce(col("mean_bits"), lit(0.0)), 6)
-          .as("bigram_bits_per_token"))
+        (coalesce(expr("(2 * sum_micro + n_tokens) div (2 * n_tokens)"),
+          lit(0L)).cast("double") / lit(1e6)).as("bigram_bits_per_token"))
   }
 
   /** Token-array spine, persisted — train and score of the SAME corpus
@@ -821,13 +834,22 @@ object Corpus {
       round(-(col("c") / col("n")) *
         log2(col("c").cast("double") / col("n")), 9)
         .cast(org.apache.spark.sql.types.DecimalType(18, 9)).as("bits"))
+    // Final rounding in EXACT INTEGER nano->micro bits: the per-term
+    // decimal sum is exact, and `(nano + 500) div 1000` IS
+    // round-half-up to 6 dp for the non-negative entropy — no double
+    // touches the value until one final IEEE division by 1e6. (The
+    // previous `cast(sum as double) -> round(..,6)` flipped the last
+    // digit at sf0.1 when a sum landed exactly on a …5e-7 boundary.)
     val agg = terms.groupBy(col("doc_id"))
-      .agg(sum(col("bits")).cast("double").as("h"))
+      .agg(sum(col("bits")).as("sum_bits"))
+      .select(col("doc_id"),
+        (col("sum_bits") * lit(1000000000L)).cast("long").as("nano"))
     docs.select(col(idCol).as("doc_id"),
         length(col(textCol)).cast("long").as("n_chars"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"),
-        round(coalesce(col("h"), lit(0.0)), 6).as("char_entropy_bits"))
+        (coalesce(expr("(nano + 500) div 1000"), lit(0L)).cast("double") /
+          lit(1e6)).as("char_entropy_bits"))
   }
 
   /** BM25 relevance scoring of the corpus against a fixed term set —
