@@ -203,19 +203,21 @@ object GraftFunctions {
       a => ex(VectorFunctions.cosine(c(a.head), c(a(1))))),
     fd("graft_bpe_tokens",
       "graft_bpe_tokens(text, merges_path) - BPE token count under a trained " +
-        "merge store (path a literal; model cached per driver)", 2)(
+        "merge store (path a literal; model cached per store fingerprint " +
+        "- a retrain over the same path serves fresh)", 2)(
       a => ex(BpeTokenCount(c(a.head),
         bpeMerges(litString("graft_bpe_tokens", a(1), "merges_path"))))),
     fd("graft_unigram_tokens",
       "graft_unigram_tokens(text, vocab_path) - unigram-LM (SentencePiece-" +
         "family) Viterbi token count under a trained vocab store (path a " +
-        "literal; model cached per driver)", 2)(
+        "literal; model cached per store fingerprint)", 2)(
       a => ex(UnigramTokenCount(c(a.head),
         uniVocab(litString("graft_unigram_tokens", a(1), "vocab_path"))))),
     fd("graft_bpe_ids",
       "graft_bpe_ids(text, merges_path, vocab_path) - BPE token-ID stream " +
         "(array<int>; HF vocab+merges id space, unk = V) under a stored " +
-        "model (paths literals; cached per driver)", 3)(
+        "model (paths literals; merges+vocab cached as ONE fingerprinted " +
+        "unit - mismatched stores refuse at load)", 3)(
       a => {
         val (merges, vocab) = bpePair(
           litString("graft_bpe_ids", a(1), "merges_path"),

@@ -42,16 +42,31 @@ object Staging {
   /** JVM-lifetime stage root for operators whose caller configured no
     * `stageDir`: disk-bounded (not executor memory), deleted on
     * shutdown — the lifetime a `persist()` would have had, without the
-    * cache pin. */
+    * cache pin. The schemeless path resolves against `fs.defaultFS`
+    * when the stage is written, so on a real cluster the data lands on
+    * the shared filesystem (HDFS `/tmp/...`), not the driver's local
+    * disk — which is why the shutdown sweep deletes through the Hadoop
+    * FS abstraction too, not just local NIO. Long pipelines at scale
+    * should still set `stageDir` explicitly (lake paths, owned
+    * lifecycle); this root is the safe default, not the recommendation. */
   lazy val defaultStageRoot: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_stage")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
       try {
         import java.nio.file.{Files, Path}
         import java.util.Comparator
         Files.walk(d).sorted(Comparator.reverseOrder[Path]())
           .forEach(p => Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }))
+      } catch { case _: Throwable => () }
+      try {
+        // cluster case: the staged parquet lives under defaultFS, which
+        // local NIO cannot see (no-op when defaultFS IS the local fs —
+        // the walk above already removed it)
+        val p = new org.apache.hadoop.fs.Path(d.toString)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        if (fs.exists(p)) { fs.delete(p, true); () }
+      } catch { case _: Throwable => () }
+    }))
     d.toString
   }
 }
