@@ -1241,8 +1241,8 @@ object Queries {
       graft.operators.NearDup.writeReferenceSignatures(
         docsRaw.filter($"doc_id" % 3 === 0), sig)
       val out = scratchDir("graft_nov_out").toString
-      val stream = ss.readStream.schema(docsRaw.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val stream = Tables
+        .streamTable(ss, dir, "documents.parquet", docsRaw.schema)
         .filter($"doc_id" % 3 =!= 0)
       val q = stream.writeStream
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
@@ -3738,9 +3738,8 @@ object Queries {
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import ss.implicits._
       val raw = ss.read.parquet(s"$dir/events.parquet")
-      // file stream source needs a directory; glob-filter to the one table
-      val stream = Tables.normalizeEventsTs(ss.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      val stream = Tables.normalizeEventsTs(
+        Tables.streamTable(ss, dir, "events.parquet", raw.schema))
       val agg = stream
         .groupBy(window($"ts", "5 minutes").getField("start").cast("string").as("window_start"),
                  $"event_type")
@@ -3774,8 +3773,7 @@ object Queries {
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import ss.implicits._
       val raw = ss.read.parquet(s"$dir/events.parquet")
-      val stream = ss.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val stream = Tables.streamTable(ss, dir, "events.parquet", raw.schema)
       val deduped = stream.select($"user_id", $"event_type")
         .dropDuplicates("user_id", "event_type")
       graft.streaming.StreamingPipelines
@@ -3802,8 +3800,8 @@ object Queries {
       ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import ss.implicits._
       val raw = ss.read.parquet(s"$dir/events.parquet")
-      def stream = Tables.normalizeEventsTs(ss.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      def stream = Tables.normalizeEventsTs(
+        Tables.streamTable(ss, dir, "events.parquet", raw.schema))
       val views = stream.filter($"event_type" === "view")
         .select($"user_id".as("v_user"), $"ts".as("view_ts"))
         .withWatermark("view_ts", "1 hour")
@@ -3982,8 +3980,8 @@ object Queries {
       ss.conf.set("spark.sql.shuffle.partitions", "8")
       import ss.implicits._
       val raw = ss.read.parquet(s"$dir/documents.parquet")
-      val stream = ss.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val stream = Tables
+        .streamTable(ss, dir, "documents.parquet", raw.schema)
         .select($"doc_id", $"lang")
       val dim = Seq(("en", "english"), ("de", "german"), ("es", "spanish"),
         ("fr", "french"), ("zh", "chinese")).toDF("lang", "lang_name")

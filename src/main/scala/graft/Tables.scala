@@ -18,6 +18,24 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Stream a table regardless of its on-disk layout. Streaming file
+    * sources REQUIRE a directory path ("Option 'basePath' must be a
+    * directory"): the driver's testdata ships single-FILE tables, so
+    * those stream the parent dir with a `pathGlobFilter` — but a
+    * Spark/lake-written table is a DIRECTORY of part files, where that
+    * glob matches nothing and the stream silently sees zero files.
+    * Pick by what is actually on disk. */
+  def streamTable(spark: SparkSession, dir: String, table: String,
+                  schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      spark.readStream.schema(schema).parquet(p.toString)
+    else
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", table).parquet(dir)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
