@@ -670,18 +670,22 @@ object Queries {
     (s, dir) => {
       import s.implicits._
       val v = $"embedding".cast("array<double>")
+      // `+ 0.0` after each round: IEEE addition normalizes a -0.0 result
+      // (a mean rounding to zero from below renders "-0" in one engine
+      // and "0" in the other — seen at the sf1 rehearsal)
       Tables.embeddings(s, dir).select($"vec_id",
-          round(array_min(v), 6).as("vmin"),
-          round(array_max(v), 6).as("vmax"),
-          round(aggregate(v, lit(0.0), (a, x) => a + x) / size(v), 6).as("vmean"),
+          (round(array_min(v), 6) + lit(0.0)).as("vmin"),
+          (round(array_max(v), 6) + lit(0.0)).as("vmax"),
+          (round(aggregate(v, lit(0.0), (a, x) => a + x) / size(v), 6) +
+            lit(0.0)).as("vmean"),
           size(filter(v, x => x > 0.0)).cast("long").as("n_pos"))
         .orderBy($"vec_id")
     },
     Some("""SELECT vec_id,
-      round(list_min(embedding::DOUBLE[]), 6) AS vmin,
-      round(list_max(embedding::DOUBLE[]), 6) AS vmax,
+      round(list_min(embedding::DOUBLE[]), 6) + 0.0 AS vmin,
+      round(list_max(embedding::DOUBLE[]), 6) + 0.0 AS vmax,
       round(list_reduce(list_prepend(0.0, embedding::DOUBLE[]), (a, x) -> a + x)
-        / len(embedding), 6) AS vmean,
+        / len(embedding), 6) + 0.0 AS vmean,
       len(list_filter(embedding::DOUBLE[], x -> x > 0.0)) AS n_pos
       FROM embeddings ORDER BY vec_id"""))
 
@@ -1360,7 +1364,7 @@ object Queries {
           CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
             ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts,
           length(text)::DOUBLE AS nc,
-          length(regexp_replace(text, '[^!-:-@\\[-`{-~]', '', 'g'))::DOUBLE AS punct,
+          length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g'))::DOUBLE AS punct,
           length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE AS digits,
           length(regexp_replace(text, '[^ \\t\\n]', '', 'g'))::DOUBLE AS spaces
         FROM documents),
@@ -1499,7 +1503,13 @@ object Queries {
     * population grows linearly with corpus instead of the old 8-bit bands'
     * fixed 1,024 buckets going quadratic), candidates through the capped
     * generator with observed star compression. Pigeonhole keeps the
-    * hamming<=3 result exact while every bucket stays under the cap. */
+    * hamming<=3 result exact WHILE every bucket stays under the cap; on a
+    * mass-duplicated corpus whose copies share simhash bands (the sf1
+    * rehearsal twin — word-substitution mutations barely move a
+    * majority-vote signature) the true pair set itself goes quadratic and
+    * the capped generator deliberately under-enumerates (star compression
+    * preserves the CLUSTERING answer, which is the at-scale use; the
+    * compression event is logged by Blocking). */
   private val ddSimhashPairs = Q(
     (s, dir) => {
       import s.implicits._
@@ -2668,9 +2678,9 @@ object Queries {
         ELSE regexp_split_to_array(trim(text), '\s+') END)::BIGINT AS n_ws_tokens,
       (len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), w -> len(w) > 0))
        + length(regexp_replace(text, '[A-Za-z0-9\s]+', '', 'g'))
-       + list_sum(list_transform(
+       + coalesce(list_sum(list_transform(
            list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), w -> len(w) > 4),
-           w -> (len(w) - 1) // 4)))::BIGINT AS n_bpeish_tokens
+           w -> (len(w) - 1) // 4)), 0))::BIGINT AS n_bpeish_tokens
       FROM documents ORDER BY doc_id"""))
 
   /** Trained BPE tokenizer ([[graft.operators.Corpus.bpeTrain]] — real
