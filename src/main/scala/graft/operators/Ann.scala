@@ -241,9 +241,10 @@ object Ann {
     *    partition order), the "sampled init, fixed seed" half of
     *    k-means‖ without its weighted rounds, which cannot be reproduced
     *    portably in the SQL oracle.
-    *  - K: `kCentroids`, defaulting to ~√n when 0 — cells hold ~√n
-    *    vectors each, the classic balance between probe fan-out (O(K))
-    *    and cell scan cost (O(n/K)).
+    *  - K: `kCentroids`, defaulting to ~√n_CORPUS when 0 (resolved
+    *    against the corpus, not the sample — see [[resolveKCorpus]]) —
+    *    cells hold ~√n vectors each, the classic balance between probe
+    *    fan-out (O(K)) and cell scan cost (O(n/K)).
     *  - LLOYD step: assign every sampled vector to its nearest centroid
     *    by round(cosine,6) with cell-id tiebreak (a partial+final
     *    aggregate, not a window — only (vec_id, cell, score) triples
@@ -273,15 +274,15 @@ object Ann {
                      maxTrainBytes: Long = DefaultMaxTrainBytes)
       : Array[Array[Double]] = {
     require(iters >= 1, "need at least one Lloyd iteration")
+    val kEff = resolveKCorpus(corpus, kCentroids)
     if (localTrain && maxTrainVectors > 0) {
       val s = collectSample(corpus, sampleRate, maxTrainVectors, seed,
         maxTrainBytes)
-      return lloydLocal(s, initLocal(s, resolveKLocal(s, kCentroids), seed),
-        iters)
+      return lloydLocal(s, initLocal(s, math.min(kEff, s.n), seed), iters)
     }
     val base = sampleFrame(corpus, sampleRate, maxTrainVectors, seed,
       maxTrainBytes = maxTrainBytes).persist()
-    try lloyd(base, initCentroids(base, resolveK(base, kCentroids), seed), iters)
+    try lloyd(base, initCentroids(base, kEff, seed), iters)
     finally base.unpersist()
   }
 
@@ -403,9 +404,18 @@ object Ann {
     if (spreadOut) spread(capped) else capped
   }
 
-  private def resolveK(base: DataFrame, kCentroids: Int): Int =
+  /** Resolve `kCentroids = 0` as ~√(CORPUS rows) — the corpus, never the
+    * training sample. Under a binding train cap, √sample pins K at
+    * √cap (√65536 = 256 at the default) no matter how large the data
+    * grows, and per-query probe cost O(nProbe·corpus/K) silently
+    * returns to LINEAR in corpus size — the auto default must keep
+    * cells at ~√n_corpus for the probe cost to stay O(√n). The price
+    * is one count job, paid only on the auto path; callers clamp the
+    * result to the training-sample size (init draws K distinct sample
+    * rows, so K can never exceed it). */
+  private def resolveKCorpus(corpus: DataFrame, kCentroids: Int): Int =
     if (kCentroids > 0) kCentroids
-    else math.max(2, math.round(math.sqrt(base.count().toDouble)).toInt)
+    else math.max(2, math.round(math.sqrt(corpus.count().toDouble)).toInt)
 
   // ---- LOCAL (driver-side) training twins ----------------------------
   //
@@ -513,10 +523,6 @@ object Ann {
     LocalSample(rows.map(_.get(0)),
       rows.map(_.getSeq[Double](1).toArray))
   }
-
-  private def resolveKLocal(s: LocalSample, kCentroids: Int): Int =
-    if (kCentroids > 0) kCentroids
-    else math.max(2, math.round(math.sqrt(s.n.toDouble)).toInt)
 
   /** Smallest-k rows of the seeded hash order — [[initCentroids]]. */
   private def initLocal(s: LocalSample, k: Int, seed: String)
@@ -812,18 +818,18 @@ object Ann {
                              maxTrainBytes: Long = DefaultMaxTrainBytes)
       : Array[Array[Double]] = {
     require(balanceFactor > 1.0, "balanceFactor must exceed 1")
+    val kEff = resolveKCorpus(corpus, kCentroids)
     if (localTrain && maxTrainVectors > 0) {
       val s = collectSample(corpus, sampleRate, maxTrainVectors, seed,
         maxTrainBytes)
-      return balancedLocal(s, initLocal(s, resolveKLocal(s, kCentroids), seed),
+      return balancedLocal(s, initLocal(s, math.min(kEff, s.n), seed),
         iters, seed, balanceFactor, maxSplitRounds, splitIters)
     }
     val spark = corpus.sparkSession
     val base = sampleFrame(corpus, sampleRate, maxTrainVectors, seed,
       maxTrainBytes = maxTrainBytes).persist()
     try {
-      var cents = lloyd(base, initCentroids(base, resolveK(base, kCentroids),
-        seed), iters)
+      var cents = lloyd(base, initCentroids(base, kEff, seed), iters)
       var frozen = Set.empty[Int] // degenerate cells that cannot split
       var splitRound = 0
       var balanced = false

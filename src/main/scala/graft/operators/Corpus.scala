@@ -274,7 +274,7 @@ object Corpus {
     val (dir, name) = stageDir match {
       case Some(d) => (d, "pack_ids")
       case None =>
-        (Staging.defaultStageRoot,
+        (Staging.defaultStageRoot(idsFrame.sparkSession),
           s"pack_ids_${Staging.stageCounter.incrementAndGet()}")
     }
     val ids = Staging.stage(idsFrame
@@ -1046,11 +1046,30 @@ object Corpus {
                              nbInit: Boolean = true,
                              idCol: String = "doc_id",
                              textCol: String = "text",
-                             localTrain: Boolean = true)
+                             localTrain: Boolean = true,
+                             maxTrainDocs: Long = 0L,
+                             trainSeed: String = "qc")
       : (Map[Int, BigDecimal], BigDecimal) = {
     require(buckets > 0, "buckets must be positive")
     require(iters >= 1, "at least one GD iteration")
-    val (feats, base) = qcFrames(docs, isPositive, buckets, idCol, textCol)
+    // LABELED-SLICE CAP (the quantizer-training posture applied to the
+    // classifier, [[graft.operators.Ann.DefaultMaxTrainVectors]]): when
+    // `maxTrainDocs > 0`, training sees at most that many docs — the N
+    // smallest md5(seed+id) rows, a seeded uniform draw that is
+    // deterministic and partition-independent (TakeOrdered, never a full
+    // sort). Feature extraction, NB init, and every GD iteration then
+    // price O(cap), not O(labeled slice) — at 100 TB the labeled slice
+    // itself can be corpus-scale (e.g. "lang = en"), and an uncapped
+    // trainer would re-scan it once per iteration. SCORING
+    // ([[qualityClassifierScoreWith]]) still covers every document.
+    // 0 disables (train on the whole slice — the oracle-replayed shape).
+    val capped =
+      if (maxTrainDocs <= 0) docs
+      else docs.orderBy(
+        md5(concat(lit(s"${trainSeed}cap_"), col(idCol).cast("string"))),
+        col(idCol)).limit(
+          math.min(maxTrainDocs, Int.MaxValue.toLong).toInt)
+    val (feats, base) = qcFrames(capped, isPositive, buckets, idCol, textCol)
     try qcTrainCore(feats, base, buckets, iters, lr, nbInit, localTrain)
     finally { feats.unpersist(); base.unpersist() }
   }

@@ -31,10 +31,19 @@ class AnnLocalTrainSpec extends AnyFunSuite {
     }
   }
 
-  test("trainCentroids: default K (sqrt of sample) agrees across paths") {
+  test("trainCentroids: default K resolves as sqrt(CORPUS), not sqrt(sample), " +
+    "and agrees across paths under a binding cap") {
+    val n = emb.count()
+    val kCorpus = math.max(2, math.round(math.sqrt(n.toDouble)).toInt)
+    // cap 48 binds (corpus is larger), yet K must track the corpus:
+    // sqrt(sample) would pin K at sqrt(48) ≈ 7 — at 100 TB that pin
+    // makes per-query probe cost linear in corpus size again
+    assert(n > 48 && kCorpus > 7,
+      s"fixture too small to make the cap binding: n=$n")
     val local = Ann.trainCentroids(emb, iters = 2, maxTrainVectors = 48)
     val dist = Ann.trainCentroids(emb, iters = 2, maxTrainVectors = 48,
       localTrain = false)
+    assert(local.length == math.min(kCorpus, 48))
     assert(local.length == dist.length)
     assert(deep(local) == deep(dist))
   }

@@ -470,6 +470,29 @@ class CorpusSpec extends AnyFunSuite {
       "serving from the prebuilt model must be bit-identical to train+score")
   }
 
+  test("qualityClassifierTrain maxTrainDocs: binding cap is deterministic, " +
+    "partition-independent; non-binding changes nothing") {
+    import org.apache.spark.sql.functions.col
+    val d = spark.read.parquet(s"${graft.TestSpark.sf}/documents.parquet")
+    val n = d.count()
+    assert(n > 60, s"fixture too small: $n")
+    // binding: same model regardless of physical partitioning (the draw
+    // is a seeded hash order, never input order)
+    val a = Corpus.qualityClassifierTrain(d, col("lang") === "en",
+      buckets = 64, iters = 2, maxTrainDocs = 60)
+    val b = Corpus.qualityClassifierTrain(d.repartition(7, col("doc_id")),
+      col("lang") === "en", buckets = 64, iters = 2, maxTrainDocs = 60)
+    assert(a == b, "binding cap must be partition-independent")
+    // binding cap changes the model vs full training (it really binds)
+    val full = Corpus.qualityClassifierTrain(d, col("lang") === "en",
+      buckets = 64, iters = 2)
+    assert(a != full, "a binding cap must train on fewer docs")
+    // non-binding cap is a no-op
+    val loose = Corpus.qualityClassifierTrain(d, col("lang") === "en",
+      buckets = 64, iters = 2, maxTrainDocs = n * 10)
+    assert(loose == full, "a non-binding cap must change nothing")
+  }
+
   test("qualityClassifierScore: partitioning-invariant training (DECIMAL gradient sums)") {
     import org.apache.spark.sql.functions.col
     val corpus = (1L to 40L).map(i =>
