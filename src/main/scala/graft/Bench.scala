@@ -52,26 +52,100 @@ object Bench {
       Some(ratios(ratios.size / 2))
     }
   }
-  /** Best-effort removal of every temp-dir whose name starts with one of
-    * `prefixes` — called from harness `finally` blocks so a mid-harness
-    * throw can never strand corpus-sized staging under /tmp (the
-    * disk-pressure signature behind r15's cascading write-line
-    * failures). Prefix-wide on purpose: it also heals leftovers from a
-    * previously crashed run, and a bench run owns the box by design. */
-  private def sweepTmpDirs(prefixes: String*): Unit = {
-    val tmpRoot = new java.io.File(
-      System.getProperty("java.io.tmpdir", "/tmp"))
-    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
-      .filter(d => prefixes.exists(d.getName.startsWith)).foreach { d =>
-        try {
-          import java.nio.file.Files
-          import scala.jdk.CollectionConverters._
-          val walk = Files.walk(d.toPath)
+
+  /** ANCHOR-SHIFT guard for record refreshes: the committed record is
+    * the baseline every future [[canaryDegradation]] comparison anchors
+    * on, so overwriting it with a run whose canary median sits anywhere
+    * outside `[1/tol, tol]` of the OUTGOING record's silently re-anchors
+    * the 1.4× degradation threshold — a 1.3× slow-host run passes the
+    * degradation guard today and then makes a further 1.3× slide
+    * invisible tomorrow (and an anomalously FAST canary re-anchors the
+    * other way, turning normal runs into false "degraded" blocks).
+    * Returns the median ratio when it falls outside the band; None means
+    * the refresh is anchor-compatible. Same thin-evidence rule as the
+    * other guards (None below 5 shared lines). A legitimate step change
+    * (host upgrade, canary-touching perf work) goes through
+    * SPARK_GRAFT_BENCH_FORCE=1, which is already the explicit
+    * re-anchoring act. */
+  def anchorShift(recordCanary: Map[String, Double],
+                  cur: Map[String, Double],
+                  tol: Double = 1.15): Option[Double] =
+    canaryDegradation(recordCanary, cur)
+      .filter(r => r > tol || r < 1.0 / tol)
+
+  /** Serving-quality floors gated on every full bench run: recall@10 of
+    * each line must hold its floor or the run FAILS (and the record
+    * guard's failed-route keeps it out of bench_last.json). The first
+    * three have been gated since r10/r16; the last three held
+    * 0.91/0.92/0.97 across rounds UNGATED — a serving regression there
+    * would still have committed a "clean" record. Floors sit ~0.05-0.07
+    * under the measured points: real regressions at these operating
+    * points collapse (0.9 → 0.2-0.5), they don't drift by 0.02. */
+  val RecallFloors: Seq[(String, Double)] = Seq(
+    "ann_ivf_pq" -> 0.2,
+    "ann_ivf_pq_rerank" -> 0.5,
+    "ann_ivf_pq_4bit_rerank" -> 0.5,
+    "ann_pq_rerank" -> 0.85,
+    "ann_opq_rerank" -> 0.85,
+    "ann_quantized_topk" -> 0.90)
+
+  /** The floor breaches in a recall block: (line, measured, floor). */
+  def recallFloorBreaches(recall: Map[String, Double])
+      : Seq[(String, Double, Double)] =
+    RecallFloors.flatMap { case (n, f) =>
+      recall.get(n).filter(_ < f).map(r => (n, r, f)) }
+
+  /** Temp dirs THIS JVM created through [[ownedTmpDir]] — the only set
+    * the default [[sweepTmpDirs]] touches. The harness `finally` blocks
+    * used to sweep PREFIX-WIDE, which deletes the live staging of any
+    * concurrently running bench/test JVM — the same contention scenario
+    * the loadavg/java_procs guard treats as possible. */
+  private val ownedTmp =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  /** `Files.createTempDirectory` + registration for the end-of-harness
+    * sweep — every bench harness allocates its staging through this. */
+  private[graft] def ownedTmpDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    ownedTmp.add(p)
+    p
+  }
+
+  /** Best-effort removal of the temp-dirs this JVM created (via
+    * [[ownedTmpDir]]) whose names start with one of `prefixes` — called
+    * from harness `finally` blocks so a mid-harness throw can never
+    * strand corpus-sized staging under /tmp (the disk-pressure signature
+    * behind r15's cascading write-line failures). Only THIS JVM's dirs
+    * by default; `SPARK_GRAFT_SWEEP_ALL=1` opts into the prefix-wide
+    * sweep of the whole tmpdir for explicit crash cleanup (leftovers of
+    * a previously killed run), accepting that it would also hit another
+    * live JVM's staging. */
+  private[graft] def sweepTmpDirs(prefixes: String*): Unit = {
+    def rm(p: java.nio.file.Path): Unit =
+      try {
+        import java.nio.file.Files
+        import scala.jdk.CollectionConverters._
+        if (Files.exists(p)) {
+          val walk = Files.walk(p)
           try walk.sorted(java.util.Comparator.reverseOrder())
             .iterator().asScala.foreach(Files.delete)
           finally walk.close()
-        } catch { case _: Throwable => () }
+        }
+      } catch { case _: Throwable => () }
+    val it = ownedTmp.iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (prefixes.exists(p.getFileName.toString.startsWith)) {
+        rm(p); it.remove()
       }
+    }
+    if (sys.env.get("SPARK_GRAFT_SWEEP_ALL").contains("1")) {
+      val tmpRoot = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"))
+      Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+        .filter(d => prefixes.exists(d.getName.startsWith))
+        .foreach(d => rm(d.toPath))
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -240,13 +314,11 @@ object Bench {
         // day-0 index the append-delta line appends day-1 batches into:
         // built once untimed, so the line prices ONLY the incremental
         // assign+append of the 20% batch (the r9 daily-arrival path)
-        val appendDir = java.nio.file.Files
-          .createTempDirectory("bench_ivf_app").toString
+        val appendDir = Bench.ownedTmpDir("bench_ivf_app").toString
         if (wanted("ann_ivf_append_delta"))
           operators.Ann.ivfIndexWriteTrained(
             e.filter(col("vec_id") % 5 =!= 0), appendDir, kCentroids = 16)
-        val diskDir = java.nio.file.Files
-          .createTempDirectory("bench_ivf_idx").toString
+        val diskDir = Bench.ownedTmpDir("bench_ivf_idx").toString
         if (wanted("ann_ivf_disk_query"))
           operators.Ann.ivfIndexWriteTrained(e, diskDir, kCentroids = 16)
         spark.catalog.clearCache()
@@ -257,8 +329,7 @@ object Bench {
             { operators.Ann.ivfTopKFromCentroids(e, col("vec_id") < 10,
                 cents, 5, 2).count(); () }),
           "ann_ivf_disk_build" -> (() => {
-            val d = java.nio.file.Files
-              .createTempDirectory("bench_ivf_build").toString
+            val d = Bench.ownedTmpDir("bench_ivf_build").toString
             try operators.Ann.ivfIndexWriteTrained(e, d, kCentroids = 16)
             finally rmTree(d)
           }),
@@ -334,7 +405,7 @@ object Bench {
             finally walk.close()
           }
         }
-        val tmp = java.nio.file.Files.createTempDirectory("bench_asm").toString
+        val tmp = Bench.ownedTmpDir("bench_asm").toString
         val docs = Tables.documents(spark, sfDir)
         val rates = Seq("en" -> 0.8, "de" -> 0.5, "es" -> 0.25,
           "fr" -> 0.5, "zh" -> 0.1)
@@ -437,7 +508,7 @@ object Bench {
             finally walk.close()
           }
         }
-        val tmp = java.nio.file.Files.createTempDirectory("bench_ngram").toString
+        val tmp = Bench.ownedTmpDir("bench_ngram").toString
         val docs = Tables.documents(spark, sfDir)
         if (wanted("dd_ngram_candidates"))
           operators.NearDup.ngramHashRows(docs).write.parquet(s"$tmp/hv")
@@ -671,34 +742,17 @@ object Bench {
       ).map { case (n, approx) => n -> operators.Ann.recallAtK(exact, approx) }
       exact.unpersist()
       spark.catalog.clearCache()
-      // recall GATE on the ivf_pq DEFAULT operating point: a section user
-      // who writes `variant: ivf_pq` with no tuning gets these exact
-      // parameters — if their recall@10 drops under 0.2 the default has
-      // regressed to a floor no latency line can see, and the bench FAILS
-      out.find(_._1 == "ann_ivf_pq").foreach { case (_, r) =>
-        if (r < 0.2) {
-          noteFail("ann_ivf_pq_recall_gate",
-            f"recall@10 $r%.2f < 0.2 at the API-default operating point")
-        }
-      }
-      // the REFINED operating point exists to fix low PQ recall — if the
-      // rerank path itself regresses under 0.5 the refinement has
-      // stopped doing its one job, and the bench FAILS
-      out.find(_._1 == "ann_ivf_pq_rerank").foreach { case (_, r) =>
-        if (r < 0.5) {
-          noteFail("ann_ivf_pq_rerank_recall_gate",
-            f"recall@10 $r%.2f < 0.5 at the refined operating point")
-        }
-      }
-      // the refined MAX-COMPRESSION rung gets the same floor: its whole
-      // point is that exact rerank repairs 4-bit codes to a usable
-      // operating point — if it slides back toward the 0.16 unrepaired
-      // floor the wide-cut repair has regressed
-      out.find(_._1 == "ann_ivf_pq_4bit_rerank").foreach { case (_, r) =>
-        if (r < 0.5) {
-          noteFail("ann_ivf_pq_4bit_rerank_recall_gate",
-            f"recall@10 $r%.2f < 0.5 at the refined 4-bit operating point")
-        }
+      // recall GATES ([[Bench.RecallFloors]]): each serving operating
+      // point must hold its floor or the run FAILS. Why each floor:
+      // ann_ivf_pq 0.2 — the untouched API default must not regress to
+      // the max-compression floor (r10 shipped 0.04); the two rerank
+      // points 0.5 — refinement's one job is repairing quantized recall;
+      // ann_pq_rerank/ann_opq_rerank 0.85 and ann_quantized_topk 0.90 —
+      // these held 0.91/0.92/0.97 ungated for rounds, and a regression
+      // there would still have committed a "clean" record.
+      Bench.recallFloorBreaches(out.toMap).foreach { case (name, r, floor) =>
+        noteFail(s"${name}_recall_gate",
+          f"recall@10 $r%.2f < floor $floor%.2f at this operating point")
       }
       out
     } catch { case e: Throwable =>
@@ -832,9 +886,9 @@ object Bench {
     // concentrated in shuffle/JIT-heavy work that the light canary
     // provably misses — r14 shipped a "clean" record whose heavy lines ran
     // 1.5-3× slow behind a 1.07× canary).
-    val degradedVsRecord: Option[(String, Double)] =
+    val (degradedVsRecord, anchorVsRecord): (Option[(String, Double)], Option[Double]) =
       if (force || only.isDefined || contended ||
-          !java.nio.file.Files.exists(recordPath)) scala.None
+          !java.nio.file.Files.exists(recordPath)) (scala.None, scala.None)
       else try {
         import scala.jdk.CollectionConverters._
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -843,14 +897,20 @@ object Bench {
         def block(field: String): Map[String, Double] =
           root.path(field).properties().asScala
             .map(e => e.getKey -> e.getValue.asDouble()).toMap
-        val canaryRatio = Bench.canaryDegradation(block("canary"),
-          canaryResults.map { case (k, med, _) => k -> med }.toMap)
+        val curCanary = canaryResults.map { case (k, med, _) => k -> med }.toMap
+        val canaryRatio = Bench.canaryDegradation(block("canary"), curCanary)
           .filter(_ > 1.4).map("canary" -> _)
         val heavyRatio = Bench.heavyLineDegradation(block("queries_min"),
           results.map { case (k, _, mn) => k -> mn }.toMap)
           .filter(_ > 1.4).map("heavy-line" -> _)
-        canaryRatio.orElse(heavyRatio)
-      } catch { case _: Throwable => scala.None }
+        // ANCHOR check on the refresh itself ([[Bench.anchorShift]]): a
+        // run inside the 1.4× degradation band but outside ±1.15× of the
+        // outgoing record's canary would re-anchor every future
+        // degradation comparison — route it aside instead of letting it
+        // become the new baseline
+        (canaryRatio.orElse(heavyRatio),
+          Bench.anchorShift(block("canary"), curCanary))
+      } catch { case _: Throwable => (scala.None, scala.None) }
     val target =
       if (force) recordPath
       else if (only.isDefined) java.nio.file.Paths.get("bench_last_partial.json")
@@ -874,6 +934,14 @@ object Bench {
           "bench_last.json alone (SPARK_GRAFT_BENCH_FORCE=1 to override)")
         java.nio.file.Paths.get("bench_last_degraded.json")
       }
+      else if (anchorVsRecord.isDefined) {
+        System.err.println(f"[bench] canary median ${anchorVsRecord.get}%.2fx " +
+          "the committed record's — outside the ±1.15x anchor band for a " +
+          "record refresh; writing bench_last_anchor.json, leaving " +
+          "bench_last.json alone (a legitimate step change re-anchors " +
+          "explicitly via SPARK_GRAFT_BENCH_FORCE=1)")
+        java.nio.file.Paths.get("bench_last_anchor.json")
+      }
       else if (contended) {
         // unconditional, not "only when the existing record is clean":
         // in a fresh workspace (no record) or after a contended record
@@ -888,16 +956,50 @@ object Bench {
     try java.nio.file.Files.write(target, (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $target: ${e.getMessage}") }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'           => "\\\""
+        case '\\'          => "\\\\"
+        case c if c < ' '  => f"\\u${c.toInt}%04x"
+        case c             => c.toString
+      } + "\""
+    // guard-decision artifact for the ops surface (SpecPushServer's
+    // GET /bench/guard): which route this run took and WHY — the stderr
+    // diagnosis above is lost to tail-capture, and "why didn't the
+    // record refresh?" should be answerable from the console
+    locally {
+      val (routeName, reason): (String, String) =
+        if (force) ("forced", "SPARK_GRAFT_BENCH_FORCE=1 overrides every guard")
+        else if (only.isDefined)
+          ("partial", s"SPARK_GRAFT_BENCH_ONLY=${only.get.mkString(",")}")
+        else if (failed.nonEmpty)
+          ("failed", s"${failed.size} failed line(s): " +
+            failed.take(5).mkString(", ") + (if (failed.size > 5) ", …" else ""))
+        else if (degradedVsRecord.isDefined) {
+          val (which, ratio) = degradedVsRecord.get
+          ("degraded", f"$which median $ratio%.2fx slower than the " +
+            "committed record at comparable load")
+        }
+        else if (anchorVsRecord.isDefined)
+          ("anchor", f"canary median ${anchorVsRecord.get}%.2fx the " +
+            "committed record's — outside the ±1.15x refresh band")
+        else if (contended)
+          ("contended", s"java_procs=$javaProcs loadavg_start=$loadavgStart")
+        else ("clean", "full run, all guards green — record refreshed")
+      val guard = s"""{"route":${jstr(routeName)},"reason":${jstr(reason)},""" +
+        s""""target":${jstr(target.toString)},""" +
+        s""""written_at_epoch_ms":${System.currentTimeMillis()},""" +
+        s""""contended":$contended,"failed_count":${failed.size},""" +
+        f""""total_sec":$total%.3f,"sf":${jstr(sfDir)}}"""
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_guard.json"),
+        (guard + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write bench_guard.json: ${e.getMessage}") }
+    }
     // diagnosis artifact: stderr is routinely lost by the driver's
     // tail-capture, so the per-line failure messages also land in a file
     if (failedMsgs.nonEmpty) {
-      def jstr(s: String): String =
-        "\"" + s.flatMap {
-          case '"'           => "\\\""
-          case '\\'          => "\\\\"
-          case c if c < ' '  => f"\\u${c.toInt}%04x"
-          case c             => c.toString
-        } + "\""
       val msgs = failedMsgs
         .map { case (k, v) => jstr(k) + ":" + jstr(v) }
         .mkString("{", ",", "}")

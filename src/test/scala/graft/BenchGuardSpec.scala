@@ -85,4 +85,73 @@ class BenchGuardSpec extends AnyFunSuite {
     val d = Bench.heavyLineDegradation(mins(1.0), mins(0.5))
     assert(d.exists(_ < 0.7))
   }
+
+  // ---- anchor-shift guard: a record refresh must not silently re-anchor
+  // the degradation baseline (r15 ADVICE #4, automated in r17)
+
+  test("anchor: refresh within ±1.15x passes") {
+    assert(Bench.anchorShift(canary(1.0), canary(1.1)).isEmpty)
+    assert(Bench.anchorShift(canary(1.0), canary(0.92)).isEmpty)
+  }
+
+  test("anchor: slow-but-not-degraded run (1.3x) is blocked from re-anchoring") {
+    // 1.3x passes the 1.4x degradation guard — without the anchor check
+    // it becomes the new baseline and a FURTHER 1.3x slide reads as 1.3x
+    val d = Bench.anchorShift(canary(1.0), canary(1.3))
+    assert(d.exists(r => r > 1.25 && r < 1.35), s"expected ~1.3: $d")
+  }
+
+  test("anchor: anomalously fast canary (0.7x) is blocked both directions") {
+    val d = Bench.anchorShift(canary(1.0), canary(0.7))
+    assert(d.isDefined, "a fast outlier record would turn normal runs " +
+      "into false degraded blocks")
+  }
+
+  test("anchor: thin evidence -> None") {
+    assert(Bench.anchorShift(
+      Map("q1" -> 1.0, "q2" -> 1.0), Map("q1" -> 9.0, "q2" -> 9.0)).isEmpty)
+  }
+
+  // ---- recall floors: every serving operating point is gated; a breach
+  // must surface (it routes the run to bench_last_failed.json)
+
+  test("recall floors: committed-record levels pass every gate") {
+    val healthy = Map("ann_ivf_pq" -> 0.21, "ann_ivf_pq_rerank" -> 0.65,
+      "ann_ivf_pq_4bit_rerank" -> 0.58, "ann_pq_rerank" -> 0.91,
+      "ann_opq_rerank" -> 0.92, "ann_quantized_topk" -> 0.97)
+    assert(Bench.recallFloorBreaches(healthy).isEmpty)
+  }
+
+  test("recall floors: a breach on a newly gated line is reported") {
+    val regressed = Map("ann_pq_rerank" -> 0.41, "ann_opq_rerank" -> 0.92,
+      "ann_quantized_topk" -> 0.72)
+    val b = Bench.recallFloorBreaches(regressed)
+    assert(b.map(_._1).toSet == Set("ann_pq_rerank", "ann_quantized_topk"))
+    assert(b.forall { case (_, r, f) => r < f })
+  }
+
+  test("recall floors: absent lines (partial run) never breach") {
+    assert(Bench.recallFloorBreaches(Map.empty).isEmpty)
+  }
+
+  // ---- tmp-dir sweep scoping: only dirs THIS JVM registered are swept
+
+  test("sweepTmpDirs deletes owned dirs only, leaving foreign dirs alone") {
+    // a "foreign" dir simulating a concurrently running JVM's staging —
+    // same prefix, NOT registered through ownedTmpDir
+    val foreign = java.nio.file.Files.createTempDirectory("graftguard_x")
+    java.nio.file.Files.write(foreign.resolve("live.bin"),
+      Array[Byte](1, 2, 3))
+    val owned = Bench.ownedTmpDir("graftguard_x")
+    java.nio.file.Files.write(owned.resolve("stage.bin"), Array[Byte](9))
+    try {
+      Bench.sweepTmpDirs("graftguard_x")
+      assert(!java.nio.file.Files.exists(owned), "owned dir must be swept")
+      assert(java.nio.file.Files.exists(foreign.resolve("live.bin")),
+        "a foreign JVM's staging must survive the default sweep")
+    } finally {
+      java.nio.file.Files.deleteIfExists(foreign.resolve("live.bin"))
+      java.nio.file.Files.deleteIfExists(foreign)
+    }
+  }
 }
