@@ -44,6 +44,7 @@ object UiAssets {
       case "svg"  => "image/svg+xml"
       case "png"  => "image/png"
       case "json" => "application/json"
+      case "md"   => "text/markdown; charset=utf-8"
       case _      => "application/octet-stream"
     }
   }
