@@ -39,34 +39,60 @@ object Staging {
   /** Unique per-call stage names under [[defaultStageRoot]]. */
   val stageCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** JVM-lifetime stage root for operators whose caller configured no
-    * `stageDir`: disk-bounded (not executor memory), deleted on
-    * shutdown — the lifetime a `persist()` would have had, without the
-    * cache pin. The schemeless path resolves against `fs.defaultFS`
-    * when the stage is written, so on a real cluster the data lands on
-    * the shared filesystem (HDFS `/tmp/...`), not the driver's local
-    * disk — which is why the shutdown sweep deletes through the Hadoop
-    * FS abstraction too, not just local NIO. Long pipelines at scale
-    * should still set `stageDir` explicitly (lake paths, owned
-    * lifecycle); this root is the safe default, not the recommendation. */
-  lazy val defaultStageRoot: String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_stage")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        import java.nio.file.{Files, Path}
-        import java.util.Comparator
-        Files.walk(d).sorted(Comparator.reverseOrder[Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
-      try {
-        // cluster case: the staged parquet lives under defaultFS, which
-        // local NIO cannot see (no-op when defaultFS IS the local fs —
-        // the walk above already removed it)
-        val p = new org.apache.hadoop.fs.Path(d.toString)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        if (fs.exists(p)) { fs.delete(p, true); () }
-      } catch { case _: Throwable => () }
-    }))
-    d.toString
+  /** Root path for application `appId`:
+    * `<java.io.tmpdir>/graft_stage_<sanitized appId>_<suffix>`. The app
+    * id carries the cross-driver uniqueness (the cluster manager hands
+    * each application a distinct one), the suffix guards against appId
+    * reuse within one shared-FS lifetime; non-path characters in the id
+    * are folded to `-`. */
+  private[operators] def stageRootPath(appId: String, suffix: String): String = {
+    val safe = appId.map(c => if (c.isLetterOrDigit || c == '-' || c == '.'
+      || c == '_') c else '-')
+    s"${System.getProperty("java.io.tmpdir", "/tmp")}/graft_stage_${safe}_$suffix"
   }
+
+  private val stageRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Application-lifetime stage root for operators whose caller
+    * configured no `stageDir`: disk-bounded (not executor memory),
+    * deleted on shutdown — the lifetime a `persist()` would have had,
+    * without the cache pin. One root per Spark application id, CREATED
+    * THROUGH the session's Hadoop filesystem (so on a real cluster it
+    * exists on `fs.defaultFS` — the shared filesystem the stages are
+    * written to — not merely on the driver's local disk): a
+    * driver-local temp name alone is unique only on its own host, and
+    * two drivers on different hosts re-resolving their local names
+    * against a shared defaultFS could collide; the app id in the name
+    * removes that. Cleanup registers with Hadoop's ShutdownHookManager
+    * ABOVE the FileSystem-close priority — a plain JVM hook raced
+    * Hadoop's own FileSystem shutdown and could find every FS already
+    * closed, silently leaking corpus-sized staging under the shared
+    * /tmp — and a cleanup failure now logs instead of vanishing. Long
+    * pipelines at scale should still set `stageDir` explicitly (lake
+    * paths, owned lifecycle); this root is the safe default, not the
+    * recommendation. */
+  def defaultStageRoot(spark: org.apache.spark.sql.SparkSession): String =
+    stageRoots.computeIfAbsent(spark.sparkContext.applicationId, appId => {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val suffix = java.lang.Long.toHexString(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong())
+      val p = new org.apache.hadoop.fs.Path(stageRootPath(appId, suffix))
+      val fs = p.getFileSystem(conf)
+      fs.mkdirs(p)
+      val qualified = fs.makeQualified(p)
+      org.apache.hadoop.util.ShutdownHookManager.get().addShutdownHook(
+        new Runnable {
+          def run(): Unit =
+            try {
+              val fs2 = qualified.getFileSystem(conf)
+              if (fs2.exists(qualified)) { fs2.delete(qualified, true); () }
+            } catch { case e: Throwable =>
+              System.err.println(
+                s"[graft] stage-root cleanup failed for $qualified: $e")
+            }
+        },
+        org.apache.hadoop.fs.FileSystem.SHUTDOWN_HOOK_PRIORITY + 20)
+      qualified.toString
+    })
 }
