@@ -80,7 +80,21 @@ object GraftFunctions {
   private final case class Cached[A](fp: String, model: A)
 
   /** One LIST of the store directory per plan — cheap against the cost of
-    * re-collecting the model, and valid for any Hadoop-visible scheme. */
+    * re-collecting the model, and valid for any Hadoop-visible scheme.
+    *
+    * STALENESS CONTRACT: the fingerprint is the top-level data files'
+    * name:length:mtime — sufficient for SPARK-WRITTEN stores, the only
+    * writers of this layout (`mergesWrite`/`vocabWrite` overwrite via
+    * fresh task/part file NAMES, so a retrain always changes the
+    * listing even if lengths collide and the filesystem's mtime is
+    * coarse). A NON-Spark writer that rewrites a part file IN PLACE,
+    * preserving name and length within the FS's mtime granularity (1 s
+    * on some local filesystems; undefined on some object stores),
+    * would serve the stale model until any of the three components
+    * moves. If such writers ever exist, fold a content hash into the
+    * store format (e.g. a _CHECKSUM sidecar the writer refreshes)
+    * rather than hashing file bytes here — a per-plan full read of the
+    * store defeats the cache's purpose. */
   private def storeFingerprint(path: String): String = {
     val spark = SparkSession.active
     val p = new org.apache.hadoop.fs.Path(path)

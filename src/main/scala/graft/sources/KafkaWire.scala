@@ -318,7 +318,11 @@ object KafkaWire {
     // a v2 batch is returned WHOLE even when the fetch offset points
     // inside it — dropping the records below the requested offset is the
     // client's job (same rule real consumers apply)
-    (readRecordSet(set, partition).filter(_.offset >= offset), hw)
+    // decompression bound derived from the fetch's own maxBytes: far
+    // past any real producer ratio for record data, but finite — see
+    // readAllBounded
+    (readRecordSet(set, partition,
+      math.max(64L << 20, 32L * maxBytes)).filter(_.offset >= offset), hw)
   }
 
   // ---- v0 message-set codec ----
@@ -431,7 +435,9 @@ object KafkaWire {
     * 2 → record batch, 0 → legacy message. A truncated tail entry
     * (broker cut at maxBytes) ends the parse; the caller resumes from
     * the next offset. */
-  private[sources] def readRecordSet(set: Array[Byte], partition: Int): Seq[Record] = {
+  private[sources] def readRecordSet(set: Array[Byte], partition: Int,
+                                     maxDecompressedBatchBytes: Long = 64L << 20)
+      : Seq[Record] = {
     val b = ByteBuffer.wrap(set)
     val out = Seq.newBuilder[Record]
     var done = false
@@ -443,11 +449,38 @@ object KafkaWire {
         // maxBytes) — the next fetch re-reads it from its offset
         done = true
       } else set(b.position() + 4) match { // magic: entry offset 16
-        case 2 => readBatchV2(b, size, head, partition, out)
+        case 2 => readBatchV2(b, size, head, partition, out,
+          maxDecompressedBatchBytes)
         case _ => readMessageV0(b, size, head, partition, out)
       }
     }
     out.result()
+  }
+
+  /** Read `in` fully, refusing past `limit` bytes. A compressed batch
+    * carries no trustworthy decompressed-size field, so a corrupt or
+    * hostile broker could hand the executor-side fetch a kilobyte
+    * zstd/gzip bomb that an unbounded `readAllBytes` inflates into an
+    * OOM before any record-count check applies. The limit (32× the
+    * fetch `maxBytes`, floored at 64 MB) sits far past real producer
+    * compression ratios for record data — its job is bounding memory,
+    * not policing compression. */
+  private def readAllBounded(in: java.io.InputStream,
+                             limit: Long): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](64 * 1024)
+    var total = 0L
+    var n = in.read(buf)
+    while (n >= 0) {
+      total += n
+      require(total <= limit,
+        s"compressed batch inflates past the $limit-byte decompression " +
+        "bound (~32x fetch maxBytes) — refusing a potential " +
+        "decompression bomb")
+      out.write(buf, 0, n)
+      n = in.read(buf)
+    }
+    out.toByteArray
   }
 
   private def readMessageV0(b: ByteBuffer, size: Int, offset: Long,
@@ -467,7 +500,8 @@ object KafkaWire {
 
   private def readBatchV2(b: ByteBuffer, batchLength: Int, baseOffset: Long,
                           partition: Int,
-                          out: scala.collection.mutable.Builder[Record, Seq[Record]]): Unit = {
+                          out: scala.collection.mutable.Builder[Record, Seq[Record]],
+                          maxDecompressedBytes: Long = 64L << 20): Unit = {
     val end = b.position() + batchLength
     b.getInt // partitionLeaderEpoch
     val magic = b.get; require(magic == 2, s"batch magic $magic (want 2)")
@@ -491,7 +525,8 @@ object KafkaWire {
       case c =>
         val comp = new Array[Byte](end - b.position()); b.get(comp)
         val in = compressionIn(c, new java.io.ByteArrayInputStream(comp))
-        try ByteBuffer.wrap(in.readAllBytes()) finally in.close()
+        try ByteBuffer.wrap(readAllBounded(in, maxDecompressedBytes))
+        finally in.close()
     }
     (0 until n).foreach { _ =>
       val len = readVarlong(rb).toInt

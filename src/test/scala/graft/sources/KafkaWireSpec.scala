@@ -253,6 +253,22 @@ class KafkaWireSpec extends AnyFunSuite {
     } finally broker.close()
   }
 
+  test("compressed batch inflating past the decompression bound fails loudly") {
+    // a 1 MB all-zeros value gzips to ~1 KB — exactly the bomb shape; a
+    // 64 KB bound must refuse it BEFORE buffering the inflated bytes,
+    // while a roomy bound decodes it fine
+    val bomb = KafkaWire.recordBatchV2(
+      Seq(("k".getBytes, new Array[Byte](1 << 20))), codec = 1)
+    assert(bomb.length < 64 * 1024, s"fixture must be small: ${bomb.length}")
+    val ex = intercept[IllegalArgumentException] {
+      KafkaWire.readRecordSet(bomb, 0, maxDecompressedBatchBytes = 64L * 1024)
+    }
+    assert(ex.getMessage.contains("inflates past"), ex.getMessage)
+    val ok = KafkaWire.readRecordSet(bomb, 0,
+      maxDecompressedBatchBytes = 4L << 20)
+    assert(ok.size == 1 && ok.head.value.length == (1 << 20))
+  }
+
   test("a gzip-compressed log decodes through the DSv2 streaming path") {
     val broker = new EmbeddedKafkaBroker(numPartitions = 1, dialect = "v2")
     val root = java.nio.file.Files.createTempDirectory("graft_kwgz").toString
