@@ -752,13 +752,31 @@ object Queries {
       WHERE o_orderkey > 0 AND o_orderkey <= 1000 ORDER BY o_orderkey"""))
 
   private val opDirSource = Q(
-    (s, dir) => {
+    (s, _) => {
       import s.implicits._
-      graft.sources.Sources.dir(s, dir, pattern = ".*\\.parquet$")
+      // LAYOUT-PORTABLE fixture: the sf dir's table layout varies (bare
+      // files in driver testdata, directories of parts in lake-written
+      // corpora like the sf1 rehearsal twin — where a file listing of
+      // the data dir is legitimately different), so the dir source is
+      // exercised against a deterministic manifest dir the query
+      // materializes itself: the 10 table names as plain files plus a
+      // non-matching entry that proves the regex filter.
+      val fx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_dirsrc_fixture")
+      java.nio.file.Files.createDirectories(fx)
+      Seq("customer", "documents", "embeddings", "events", "lineitem",
+          "nation", "orders", "part", "region", "supplier").foreach { t =>
+        val f = fx.resolve(s"$t.parquet")
+        if (!java.nio.file.Files.exists(f))
+          java.nio.file.Files.write(f, "PAR1".getBytes("UTF-8"))
+      }
+      val noise = fx.resolve("ignore.txt")
+      if (!java.nio.file.Files.exists(noise))
+        java.nio.file.Files.write(noise, "x".getBytes("UTF-8"))
+      graft.sources.Sources.dir(s, fx.toString, pattern = ".*\\.parquet$")
         .select(regexp_extract($"path", "([^/]+)$", 1).as("file"))
         .orderBy($"file")
     },
-    // deterministic manifest: the sf dir always holds exactly the 10 tables
     Some("""SELECT file FROM (VALUES ('customer.parquet'),('documents.parquet'),
       ('embeddings.parquet'),('events.parquet'),('lineitem.parquet'),
       ('nation.parquet'),('orders.parquet'),('part.parquet'),
@@ -1499,23 +1517,19 @@ object Queries {
     Some(s"WITH $simhashCte SELECT doc_id, simhash FROM sims ORDER BY doc_id"))
 
   /** SimHash near-dup pairs — [[graft.operators.NearDup.simhashPairs]]:
-    * 60-bit signature, 4 bands × 15 bits (131,072 buckets, so band
-    * population grows linearly with corpus instead of the old 8-bit bands'
-    * fixed 1,024 buckets going quadratic), candidates through the capped
-    * generator with observed star compression. Pigeonhole keeps the
-    * hamming<=3 result exact WHILE every bucket stays under the cap; on a
-    * mass-duplicated corpus whose copies share simhash bands (the sf1
-    * rehearsal twin — word-substitution mutations barely move a
-    * majority-vote signature) the true pair set itself goes quadratic and
-    * the capped generator deliberately compresses the pair LIST. Because
-    * the hamming verify is a pure function of the carried signatures,
-    * over-cap buckets collapse per DISTINCT signature (group-star edges
-    * carry identical signatures, so the verify can never reject them;
-    * representative cross pairs decide cross-group edges exactly) — the
-    * CLUSTERING answer equals full enumeration whenever the bucket's
-    * distinct-signature count fits the cap (NearDupSpec pins this
-    * boundary); only past THAT does the rep-hub fallback approximate,
-    * and every compression event is logged by Blocking. */
+    * 60-bit signature blocked by BAND PAIRS (5 bands × 12 bits, C(5,2)
+    * keys of 24 value bits — two untouched bands guaranteed at
+    * hamming<=3, so the candidate set stays pigeonhole-complete while a
+    * degenerate bucket needs a 24-bit key collision instead of a 15-bit
+    * one), candidates through the capped generator. The ORACLE
+    * enumerates candidates its own way (4 single 15-bit bands — also
+    * complete at hamming<=3) and both sides land on the identical
+    * verified pair set; the engine's blocking is free to differ because
+    * completeness, not the candidate route, is what the result pins.
+    * Mass-IDENTICAL signatures still concentrate past any cap; the
+    * generator's per-signature group compression keeps the CLUSTERING
+    * answer exact there (NearDupSpec pins this boundary) while the pair
+    * LIST compresses, observed + logged by Blocking. */
   private val ddSimhashPairs = Q(
     (s, dir) => {
       import s.implicits._
