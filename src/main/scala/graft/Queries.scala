@@ -2405,6 +2405,33 @@ object Queries {
     () => ivfPqRerankCapture.map { case (cents, cb) =>
       ivfPqRerankInjectedOracle(cents, cb, refine = 20, k = 5) })
 
+  /** PERSISTED IVF-PQ index ([[graft.operators.Ann.ivfPqIndexWrite]] /
+    * [[graft.operators.Ann.ivfPqIndexTopK]] — the FAISS `IVFx,PQy` shape
+    * as a lake artifact): codes partitioned by cell so probing is a
+    * PARTITION PRUNE, models persisted beside them. The on-disk path
+    * must answer bit-identically to the in-memory one, so the oracle is
+    * the SAME injected-model ADC replay as `ann_ivf_pq` — models
+    * captured by reading them back from the store the query just wrote
+    * (round-tripping the persistence INSIDE the verified surface). */
+  @volatile private var ivfPqDiskCapture
+      : Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = scala.None
+  private val annIvfPqDisk = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val idx = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft_ivfpq_index").toString
+      graft.operators.Ann.ivfPqIndexWrite(e, idx, kCentroids = 16,
+        subspaces = 8, codes = 16)
+      ivfPqDiskCapture = Some(graft.operators.Ann.ivfPqIndexModels(s, idx))
+      graft.operators.Ann.ivfPqIndexTopK(e.filter($"vec_id" < 10), idx,
+          k = 5, nProbe = 2)
+        .select($"q_id", $"n_id", $"cosine", $"rk")
+        .orderBy($"q_id", $"rk")
+    },
+    () => ivfPqDiskCapture.map { case (cents, cb) =>
+      ivfPqInjectedOracle(cents, cb) })
+
   private def ivfPqRerankInjectedOracle(cents: Array[Array[Double]],
                                         cb: Array[Array[Array[Double]]],
                                         refine: Int, k: Int): String =
@@ -5437,6 +5464,7 @@ object Queries {
     "ann_pq_topk" -> annPqTopk,
     "ann_ivf_pq" -> annIvfPq,
     "ann_ivf_pq_rerank" -> annIvfPqRerank,
+    "ann_ivf_pq_disk" -> annIvfPqDisk,
     "ann_pq_rerank" -> annPqRerank,
     "ann_opq_topk" -> annOpqTopk,
     "ann_opq_rerank" -> annOpqRerank,

@@ -1873,9 +1873,6 @@ object Ann {
     val spark = corpus.sparkSession
     val subspaces = cb.length
     val dsub = cb(0)(0).length
-    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
-    def r6(x: Double) = BigDecimal(x)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
     // spread(): same single-split hazard as [[pqTopKFromCodebooks]] — the
     // residual encode is the expensive map stage here
     val e = spread(corpus.select(col("vec_id"),
@@ -1889,14 +1886,21 @@ object Ann {
     val enc = pqAssign(subvectorFrame(res, subspaces, dsub),
         codebookFrame(spark, cb))
       .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
-    // query side: probe the nProbe nearest cells (round-6 cosine, cell
-    // tiebreak — the IVF probe rule), carrying dot(q, c) for the ADC
-    val cent = centroidFrame(spark, cents)
     val q = e.filter(isQuery).select(col("vec_id").as("q_id"),
       col("emb").as("q_vec"), VF.norm2(col("emb")).as("q_nrm"))
+    ivfPqAdcScore(enc, q, ivfPqProbes(q, cents, nProbe), cents, cb, k)
+  }
+
+  /** The IVF-PQ probe set: the `nProbe` nearest cells per query (round-6
+    * cosine, cell tiebreak — the IVF probe rule), carrying dot(q, c) for
+    * the ADC decomposition. */
+  private def ivfPqProbes(q: DataFrame, cents: Array[Array[Double]],
+                          nProbe: Int): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val cent = centroidFrame(q.sparkSession, cents)
     val wProbe = Window.partitionBy(col("q_id"))
       .orderBy(col("cscore").desc, col("cell"))
-    val probes = q.crossJoin(broadcast(cent))
+    q.crossJoin(broadcast(cent))
       .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"),
         round(VF.cosineWithNorms(VF.dot(col("q_vec"), col("c_vec")),
           col("q_nrm"), col("c_nrm")), 6).as("cscore"),
@@ -1904,6 +1908,23 @@ object Ann {
       .withColumn("crk", row_number().over(wProbe))
       .filter(col("crk") <= nProbe)
       .select(col("q_id"), col("q_vec"), col("q_nrm"), col("cell"), col("qc"))
+  }
+
+  /** The ADC scoring tail shared by the in-memory ([[ivfPqTopKFrom]]) and
+    * on-disk ([[ivfPqIndexTopK]]) IVF-PQ paths: per-(q, m, code) residual
+    * LUT + driver-computed cell-cross terms + the DECIMAL reconstruction
+    * sums, ranked to top-k. `enc` carries `(vec_id, cell, m, code)` —
+    * whether freshly encoded or read back from a persisted index. */
+  private def ivfPqAdcScore(enc: DataFrame, q: DataFrame, probes: DataFrame,
+                            cents: Array[Array[Double]],
+                            cb: Array[Array[Array[Double]]],
+                            k: Int): DataFrame = {
+    val spark = q.sparkSession
+    val subspaces = cb.length
+    val dsub = cb(0)(0).length
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
     // per-(q, m, code) residual-dot LUT — broadcast-sized by construction
     // (built from the query frame, not from probes: no array-keyed distinct)
     val qlut = q.select(col("q_id"), col("q_vec"))
@@ -1948,6 +1969,89 @@ object Ann {
           .otherwise(round(col("dt") / (col("q_nrm") * sqrt(col("rn2"))), 6))
           .as("cosine"))
     rank(scored, k)
+  }
+
+  /** Materialize the IVF-PQ index ON DISK — the FAISS `IVFx,PQy` shape as
+    * a lake artifact: `(vec_id, m, code)` rows partitioned by `cell`
+    * under `path/codes` (8-ish bytes per subspace per vector — the 32×
+    * compression is now a STORAGE property, not just a scoring one), the
+    * coarse centroids under `path/centroids` and the codebooks under
+    * `path/codebooks` (both model-sized). Like [[ivfIndexWrite]], the
+    * partition-by-cell layout is what makes serving pay at 100 TB:
+    * [[ivfPqIndexTopK]]'s probe filter becomes a PARTITION prune, so a
+    * query opens nProbe/K of the code files and never touches a corpus
+    * float — and unlike the in-memory path, the residual encode is paid
+    * ONCE at build instead of per serving call. Training, assignment and
+    * encode are the exact arithmetic of [[ivfPqTrain]]/[[ivfPqTopKFrom]],
+    * so the on-disk index answers queries bit-identically to the
+    * in-memory path (the `ann_ivf_pq_disk` oracle pins this). */
+  def ivfPqIndexWrite(corpus: DataFrame, path: String, kCentroids: Int = 0,
+                      subspaces: Int = 8, codes: Int = 256,
+                      centIters: Int = 5, pqIters: Int = 4,
+                      seed: String = "ivf", pqSeed: String = "pq",
+                      sampleRate: Double = 1.0,
+                      maxTrainVectors: Int = DefaultMaxTrainVectors): Unit = {
+    val spark = corpus.sparkSession
+    val (cents, cb) = ivfPqTrain(corpus, kCentroids, subspaces, codes,
+      centIters, pqIters, seed, pqSeed, sampleRate, maxTrainVectors)
+    val dsub = cb(0)(0).length
+    val e = spread(corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb")))
+    val res = residualFrame(e, cents).localCheckpoint(true)
+    pqAssign(subvectorFrame(res, subspaces, dsub), codebookFrame(spark, cb))
+      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id"), col("m"), col("code"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    centroidFrame(spark, cents).write.mode("overwrite")
+      .parquet(s"$path/centroids")
+    codebookFrame(spark, cb).write.mode("overwrite")
+      .parquet(s"$path/codebooks")
+  }
+
+  /** Load a persisted IVF-PQ index's two models back as driver arrays —
+    * model-sized collects (K·dims + M·codes·dsub doubles), the identical
+    * shapes [[ivfPqTrain]] returns. */
+  def ivfPqIndexModels(spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("c_vec")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select(col("m"), col("code"), col("c_vec")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val subspaces = rows.map(_._1).max + 1
+    val codes = rows.map(_._2).max + 1
+    val cb = Array.ofDim[Array[Double]](subspaces, codes)
+    rows.foreach { case (m, j, v) => cb(m)(j) = v }
+    (cents, cb)
+  }
+
+  /** Query a persisted [[ivfPqIndexWrite]] index: models load from the
+    * store, probe cells are decided against the broadcast centroids, the
+    * O(queries·nProbe) probed-cell set becomes a LITERAL partition-prune
+    * filter on the codes scan (the [[ivfIndexTopK]] discipline, schema
+    * pinned so the prune never rides an implicit cast), and the shared
+    * ADC tail scores candidates from their codes alone. Query vectors
+    * need not be index members. */
+  def ivfPqIndexTopK(queries: DataFrame, path: String, k: Int,
+                     nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    val (cents, cb) = ivfPqIndexModels(spark, path)
+    val q = queries.select(col("vec_id").as("q_id"),
+      col("embedding").cast("array<double>").as("q_vec"))
+      .withColumn("q_nrm", VF.norm2(col("q_vec")))
+    val probes = ivfPqProbes(q, cents, nProbe)
+    val cells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val inferred = spark.read.parquet(s"$path/codes").schema
+    val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == "cell")
+        f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
+    val enc = spark.read.schema(pinned).parquet(s"$path/codes")
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    ivfPqAdcScore(enc, q, probes, cents, cb, k)
   }
 
   // ---------------------------------------------- exact-rerank refinement

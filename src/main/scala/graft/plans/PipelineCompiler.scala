@@ -1147,6 +1147,26 @@ object SectionRegistry {
         graft.operators.Ann.ivfIndexAppend(in(df), cfg(c, "path"))
         scala.None
       }),
+    // persisted IVF-PQ index (codes partitioned by cell + both models):
+    // the residual encode is paid once at build; queries partition-prune
+    // to their probed cells and score from codes alone
+    "ann_pq_index_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        graft.operators.Ann.ivfPqIndexWrite(in(df), cfg(c, "path"),
+          kCentroids = c.getOrElse("k_centroids", "0").toInt,
+          subspaces = c.getOrElse("subspaces", "8").toInt,
+          codes = c.getOrElse("codes", "256").toInt,
+          centIters = c.getOrElse("cent_iters", "5").toInt,
+          pqIters = c.getOrElse("pq_iters", "4").toInt,
+          seed = c.getOrElse("seed", "ivf"),
+          sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
+          maxTrainVectors = trainCap(c))
+        scala.None
+      }),
+    "ann_pq_index_query" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
+      (_, c, df) => Some(graft.operators.Ann.ivfPqIndexTopK(in(df),
+        cfg(c, "path"), k = c.getOrElse("k", "5").toInt,
+        nProbe = c.getOrElse("probes", "2").toInt))),
 
     // ---- destinations (SURVEY §2.3) ----
     // SQLite physical replication apply (D9): page rows → byte-identical

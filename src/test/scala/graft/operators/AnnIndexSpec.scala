@@ -54,6 +54,45 @@ class AnnIndexSpec extends AnyFunSuite {
       s"partition filter must be the probed-cell IN-list: $pf")
   }
 
+  test("persisted IVF-PQ index: cell-partitioned codes, model round-trip, " +
+    "bit-parity with the in-memory ADC path, partition-pruned probes") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    Ann.ivfPqIndexWrite(corpus, path, kCentroids = 16, subspaces = 8,
+      codes = 16)
+    // layout: one dir per cell; codes rows = vectors × subspaces
+    val cellDirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty && cellDirs.length <= 16)
+    assert(spark.read.parquet(s"$path/codes").count() ==
+      corpus.count() * 8)
+    // models round-trip bit-identically to what training returns
+    val (cents, cb) = Ann.ivfPqTrain(corpus, kCentroids = 16,
+      subspaces = 8, codes = 16)
+    val (rc, rcb) = Ann.ivfPqIndexModels(spark, path)
+    assert(rc.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(rcb.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.map(_.map(_.toSeq).toSeq).toSeq)
+    // the disk index answers exactly like the in-memory ADC path (which
+    // the ann_ivf_pq oracle verifies)
+    val mem = Ann.ivfPqTopKFrom(corpus, isQuery = $"vec_id" < 10,
+        cents, cb, k = 5, nProbe = 2)
+      .select($"q_id", $"n_id", $"cosine", $"rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val disk = Ann.ivfPqIndexTopK(corpus.filter($"vec_id" < 10), path,
+        k = 5, nProbe = 2)
+      .select($"q_id", $"n_id", $"cosine", $"rk")
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(disk == mem)
+    // probes partition-prune the codes scan — the 100 TB property
+    val p = Ann.ivfPqIndexTopK(corpus.filter($"vec_id" < 2), path,
+        k = 3, nProbe = 2)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    val pf = p.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(l => l.contains("cell") &&
+      (l.contains("IN") || l.contains("in("))),
+      s"codes scan must carry the probed-cell IN-list:\n$p")
+  }
+
   test("BALANCED disk index: salted sub-dirs bound partitions, cell prune intact, parity") {
     val path = java.nio.file.Files.createTempDirectory("ivfb").toString
     Ann.ivfIndexWriteTrained(corpus, path, kCentroids = 8, iters = 2,
