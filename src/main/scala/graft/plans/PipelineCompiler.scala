@@ -1420,11 +1420,22 @@ object SectionRegistry {
         val path = cfg(c, "path")
         val k = c.getOrElse("k", "5").toInt
         val nProbe = c.getOrElse("probes", "2").toInt
+        // `variant: ivf` (default) serves the exact on-disk IVF index;
+        // `ivf_pq` serves a persisted IVF-PQ index (codes-only scan —
+        // the probe never touches a corpus float)
+        val serve: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          c.getOrElse("variant", "ivf") match {
+            case "ivf" => b => graft.operators.Ann.ivfIndexTopK(b, idx, k, nProbe)
+            case "ivf_pq" =>
+              b => graft.operators.Ann.ivfPqIndexTopK(b, idx, k, nProbe)
+            case v => throw new IllegalArgumentException(
+              s"ann_stream_query_destination: unknown variant '$v' " +
+              "(ivf | ivf_pq)")
+          }
         val writer = graft.streaming.StreamingPipelines.ackSink(in(df),
           cfg(c, "checkpoint"),
           org.apache.spark.sql.streaming.OutputMode.Append()) { (batch, _) =>
-          graft.sources.Sinks.idempotentParquetAppend(
-            graft.operators.Ann.ivfIndexTopK(batch, idx, k, nProbe),
+          graft.sources.Sinks.idempotentParquetAppend(serve(batch),
             path, Seq("q_id", "n_id"))
         }
         val sup = new graft.streaming.StreamingSupervisor(s,

@@ -31,12 +31,12 @@ class AnnStreamServeSpec extends AnyFunSuite {
     dst.setLastModified(mtime)
   }
 
-  private def specJson(root: String): String =
+  private def specJson(root: String, variant: String = "ivf"): String =
     s"""{"sections":[
       {"id":"src","name":"stream_parquet_source","config":{
         "path":"$root/in","glob":"*.parquet","max_files_per_trigger":"1"}},
       {"id":"serve","name":"ann_stream_query_destination","config":{
-        "index":"$root/idx","path":"$root/out",
+        "index":"$root/idx","path":"$root/out","variant":"$variant",
         "checkpoint":"$root/ckpt","k":"3","probes":"2",
         "restart_backoff_ms":"100"}}],
       "edges":[["src","serve"]]}"""
@@ -71,5 +71,32 @@ class AnnStreamServeSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Long)].collect().sorted.toSeq
     assert(after == want, "replayed query rows duplicated in the sink")
     assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("ivf_pq variant serves a persisted IVF-PQ index codes-only") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annsvpq").toString
+    val corpus = vecs(0 until 60).toDF("vec_id", "embedding")
+    graft.operators.Ann.ivfPqIndexWrite(corpus, s"$root/idx",
+      kCentroids = 4, subspaces = 4, codes = 8)
+    val queries = vecs(0 until 4)
+    writeFlat(root, "q1", System.currentTimeMillis(), queries)
+    graft.plans.PipelineCompiler.run(spark,
+      graft.plans.PipelineSpec.fromJson(specJson(root, variant = "ivf_pq")))
+    val got = spark.read.parquet(s"$root/out")
+      .select("q_id", "n_id", "cosine", "rk")
+      .as[(Long, Long, Double, Long)].collect().sorted.toSeq
+    val want = graft.operators.Ann.ivfPqIndexTopK(
+        queries.toDF("vec_id", "embedding"), s"$root/idx", k = 3, nProbe = 2)
+      .select("q_id", "n_id", "cosine", "rk")
+      .as[(Long, Long, Double, Long)].collect().sorted.toSeq
+    assert(got.nonEmpty && got == want,
+      "streamed PQ-index serving drifted from the batch answer")
+    // an unknown variant is rejected at compile, not silently defaulted
+    val bad = intercept[Exception] {
+      graft.plans.PipelineCompiler.run(spark,
+        graft.plans.PipelineSpec.fromJson(specJson(root, variant = "nope")))
+    }
+    assert(bad.getMessage != null && bad.getMessage.contains("variant"),
+      s"unexpected: ${bad.getMessage}")
   }
 }
