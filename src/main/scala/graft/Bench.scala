@@ -85,9 +85,37 @@ object Bench {
     "ann_ivf_pq" -> 0.2,
     "ann_ivf_pq_rerank" -> 0.5,
     "ann_ivf_pq_4bit_rerank" -> 0.5,
+    // the PERSISTED index serves from the same trained models as the
+    // in-memory points above, so the same operating-point floors apply:
+    // ADC from partition-pruned codes at the API default, and the RFlat
+    // rerank over disk candidates — a serving regression in the store
+    // round-trip (codes, models, prune) must fail the run like any other
+    "ann_ivf_pq_disk" -> 0.2,
+    "ann_ivf_pq_disk_rerank" -> 0.5,
     "ann_pq_rerank" -> 0.85,
     "ann_opq_rerank" -> 0.85,
     "ann_quantized_topk" -> 0.90)
+
+  /** MID-TAIL regression guard for record refreshes: individual shared
+    * lines whose record min exceeds `minSec` and whose current min runs
+    * past `ratio`× the record's, worst first. The median-based guards
+    * above are deliberately blind to a handful of big movers (that
+    * robustness is their job against noise) — r17 refreshed a record
+    * whose canary median was 1.002 while seven band-candidate consumers
+    * ran 1.4-2.7×: a real algorithmic regression rode a clean-canary
+    * refresh silently. A deliberate algorithmic change routes through
+    * SPARK_GRAFT_BENCH_FORCE=1 — the explicit, visible accept. The
+    * `minSec` floor keeps sub-second lines (where JIT/scheduling noise
+    * alone reaches 2×) out of the signal. */
+  def midTailRegressions(recordMins: Map[String, Double],
+                         curMins: Map[String, Double],
+                         minSec: Double = 0.5,
+                         ratio: Double = 2.0): Seq[(String, Double)] =
+    recordMins.toSeq
+      .filter { case (k, v) => v > minSec && curMins.contains(k) }
+      .map { case (k, v) => k -> curMins(k) / math.max(v, 1e-9) }
+      .filter { case (_, r) => r > ratio }
+      .sortBy(-_._2)
 
   /** The floor breaches in a recall block: (line, measured, floor). */
   def recallFloorBreaches(recall: Map[String, Double])
@@ -273,6 +301,7 @@ object Bench {
       "ann_ivf_balanced_train", "ann_ivf_balanced_query",
       "ann_ivf_append_delta", "ann_pq_train", "ann_pq_query",
       "ann_ivf_pq_train", "ann_ivf_pq_query", "ann_ivf_pq_rerank",
+      "ann_ivf_pq_disk_build", "ann_ivf_pq_disk_query",
       "ann_opq_train", "ann_opq_query")
     val ivfSplitResults: Seq[(String, Double, Double)] =
       if (!splitNames.exists(wanted)) Seq.empty else try {
@@ -321,6 +350,14 @@ object Bench {
         val diskDir = Bench.ownedTmpDir("bench_ivf_idx").toString
         if (wanted("ann_ivf_disk_query"))
           operators.Ann.ivfIndexWriteTrained(e, diskDir, kCentroids = 16)
+        // persisted IVF-PQ index for the _query line: built once untimed
+        // at the oracle query's config (the conflated ann_ivf_pq_disk
+        // line keeps build+train+encode+write+query in one number; these
+        // attribute it)
+        val pqDiskDir = Bench.ownedTmpDir("bench_ivfpq_idx").toString
+        if (wanted("ann_ivf_pq_disk_query"))
+          operators.Ann.ivfPqIndexWrite(e, pqDiskDir, kCentroids = 16,
+            subspaces = 8, codes = 16)
         spark.catalog.clearCache()
         val out = Seq[(String, () => Unit)](
           "ann_ivf_train" -> (() =>
@@ -369,6 +406,20 @@ object Bench {
             { operators.Ann.ivfPqTopKRerank(e, col("vec_id") < 10,
                 ivfPqModel._1, ivfPqModel._2, 5, nProbe = 6,
                 refine = 100).count(); () }),
+          // persisted IVF-PQ index, split like ann_ivf_disk: _build
+          // prices train+encode+partitioned-write, _query prices serving
+          // against the PREBUILT store (partition-pruned codes scan +
+          // broadcast ADC — the shape a 100 TB deployment actually pays
+          // per query)
+          "ann_ivf_pq_disk_build" -> (() => {
+            val d = Bench.ownedTmpDir("bench_ivfpq_build").toString
+            try operators.Ann.ivfPqIndexWrite(e, d, kCentroids = 16,
+              subspaces = 8, codes = 16)
+            finally rmTree(d)
+          }),
+          "ann_ivf_pq_disk_query" -> (() =>
+            { operators.Ann.ivfPqIndexTopK(e.filter(col("vec_id") < 10),
+                pqDiskDir, 5, 2).count(); () }),
           // OPQ: alternating rotation+codebook training (driver-local
           // over the capped sample + one engine pass for the serving
           // codebooks) vs rotated-ADC serving from the prebuilt model
@@ -384,7 +435,7 @@ object Bench {
         noteFail("ivf_split", s"harness: ${ex.getMessage}")
         Seq.empty
       } finally Bench.sweepTmpDirs("bench_ivf_app", "bench_ivf_idx",
-        "bench_ivf_build")
+        "bench_ivf_build", "bench_ivfpq_idx", "bench_ivfpq_build")
     // phase-split lines for the assembly composition (cp_assembly
     // conflates four stages; a creep in its line is unattributable
     // without these): each stage is timed against its PREDECESSOR'S
@@ -610,6 +661,11 @@ object Bench {
       exact.count()
       // one OPQ model shared by the topk and rerank recall lines
       lazy val opqModelR = operators.Ann.opqTrain(e)
+      // persisted IVF-PQ index at the API default (codes=256, the same
+      // config as the gated ann_ivf_pq point) — the disk serving points
+      // below are gated at the same floors as their in-memory twins
+      val pqIdxDir = Bench.ownedTmpDir("bench_ivfpq_recall").toString
+      operators.Ann.ivfPqIndexWrite(e, pqIdxDir, kCentroids = 16)
       val out = Seq(
         "ann_lsh_topk" -> operators.Ann.lshTopK(e, isQuery, k),
         "ann_lsh_probe" -> operators.Ann.lshMultiProbeTopK(e, isQuery, k),
@@ -699,6 +755,16 @@ object Bench {
         // pass: measured 0.65 vs 0.21 unrefined. GATED >= 0.5 below.
         "ann_ivf_pq_rerank" -> operators.Ann.ivfPqTopKRefined(e, isQuery,
           k, kCentroids = 16, nProbe = 6, refine = 100),
+        // the PERSISTED index's serving points (gated like their
+        // in-memory twins): ADC from the partition-pruned codes scan at
+        // the API default, and the RFlat rerank over disk candidates —
+        // a regression anywhere in the store round-trip (write, models,
+        // prune, ADC from stored codes) collapses these, not the
+        // in-memory lines
+        "ann_ivf_pq_disk" -> operators.Ann.ivfPqIndexTopK(
+          e.filter(isQuery), pqIdxDir, k, nProbe = 2),
+        "ann_ivf_pq_disk_rerank" -> operators.Ann.ivfPqIndexTopKRerank(
+          e, isQuery, pqIdxDir, k, nProbe = 6, refine = 100),
         // raw-vector PQ + rerank: no probe ceiling — reads the rerank
         // lift in isolation (measured 0.91 vs ann_pq_topk's 0.40)
         "ann_pq_rerank" -> operators.Ann.pqTopKRefined(e, isQuery, k,
@@ -758,7 +824,7 @@ object Bench {
     } catch { case e: Throwable =>
       noteFail("recall", s"harness: ${e.getMessage}")
       Seq.empty
-    }
+    } finally Bench.sweepTmpDirs("bench_ivfpq_recall")
     // quantizer-balance audit: max/mean cell population of the TRAINED
     // IVF quantizer (default K ~ sqrt(n)) on the uniform corpus and on a
     // mass-duplicated one (a third of the vectors collapse to one
@@ -886,9 +952,10 @@ object Bench {
     // concentrated in shuffle/JIT-heavy work that the light canary
     // provably misses — r14 shipped a "clean" record whose heavy lines ran
     // 1.5-3× slow behind a 1.07× canary).
-    val (degradedVsRecord, anchorVsRecord): (Option[(String, Double)], Option[Double]) =
+    val (degradedVsRecord, anchorVsRecord, midTailVsRecord)
+        : (Option[(String, Double)], Option[Double], Seq[(String, Double)]) =
       if (force || only.isDefined || contended ||
-          !java.nio.file.Files.exists(recordPath)) (scala.None, scala.None)
+          !java.nio.file.Files.exists(recordPath)) (scala.None, scala.None, Seq.empty)
       else try {
         import scala.jdk.CollectionConverters._
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -898,19 +965,23 @@ object Bench {
           root.path(field).properties().asScala
             .map(e => e.getKey -> e.getValue.asDouble()).toMap
         val curCanary = canaryResults.map { case (k, med, _) => k -> med }.toMap
+        val curMins = results.map { case (k, _, mn) => k -> mn }.toMap
         val canaryRatio = Bench.canaryDegradation(block("canary"), curCanary)
           .filter(_ > 1.4).map("canary" -> _)
         val heavyRatio = Bench.heavyLineDegradation(block("queries_min"),
-          results.map { case (k, _, mn) => k -> mn }.toMap)
-          .filter(_ > 1.4).map("heavy-line" -> _)
+          curMins).filter(_ > 1.4).map("heavy-line" -> _)
         // ANCHOR check on the refresh itself ([[Bench.anchorShift]]): a
         // run inside the 1.4× degradation band but outside ±1.15× of the
         // outgoing record's canary would re-anchor every future
         // degradation comparison — route it aside instead of letting it
         // become the new baseline
         (canaryRatio.orElse(heavyRatio),
-          Bench.anchorShift(block("canary"), curCanary))
-      } catch { case _: Throwable => (scala.None, scala.None) }
+          Bench.anchorShift(block("canary"), curCanary),
+          // MID-TAIL check ([[Bench.midTailRegressions]]): individual
+          // multi-second lines past 2× the record even when every median
+          // sits clean — the r17 blind spot
+          Bench.midTailRegressions(block("queries_min"), curMins))
+      } catch { case _: Throwable => (scala.None, scala.None, Seq.empty) }
     val target =
       if (force) recordPath
       else if (only.isDefined) java.nio.file.Paths.get("bench_last_partial.json")
@@ -941,6 +1012,16 @@ object Bench {
           "bench_last.json alone (a legitimate step change re-anchors " +
           "explicitly via SPARK_GRAFT_BENCH_FORCE=1)")
         java.nio.file.Paths.get("bench_last_anchor.json")
+      }
+      else if (midTailVsRecord.nonEmpty) {
+        val worst = midTailVsRecord.take(8)
+          .map { case (k, r) => f"$k $r%.2fx" }.mkString(", ")
+        System.err.println(s"[bench] ${midTailVsRecord.size} multi-second " +
+          s"line(s) past 2x the committed record ($worst) behind clean " +
+          "medians — writing bench_last_regressed.json, leaving " +
+          "bench_last.json alone (a deliberate algorithmic change " +
+          "re-anchors explicitly via SPARK_GRAFT_BENCH_FORCE=1)")
+        java.nio.file.Paths.get("bench_last_regressed.json")
       }
       else if (contended) {
         // unconditional, not "only when the existing record is clean":
@@ -983,6 +1064,10 @@ object Bench {
         else if (anchorVsRecord.isDefined)
           ("anchor", f"canary median ${anchorVsRecord.get}%.2fx the " +
             "committed record's — outside the ±1.15x refresh band")
+        else if (midTailVsRecord.nonEmpty)
+          ("regressed", s"${midTailVsRecord.size} multi-second line(s) " +
+            "past 2x the record: " + midTailVsRecord.take(8)
+              .map { case (k, r) => f"$k $r%.2fx" }.mkString(", "))
         else if (contended)
           ("contended", s"java_procs=$javaProcs loadavg_start=$loadavgStart")
         else ("clean", "full run, all guards green — record refreshed")

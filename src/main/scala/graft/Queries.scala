@@ -751,6 +751,30 @@ object Queries {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       WHERE o_orderkey > 0 AND o_orderkey <= 1000 ORDER BY o_orderkey"""))
 
+  /** Per-JVM manifest fixture for `op_dir_source`: a fresh unique temp
+    * dir holding the 10 table names as plain files plus one regex-reject
+    * entry, deleted on JVM exit. Memoized so the gate's repeated runs of
+    * the query within one JVM list identical content. */
+  private lazy val dirSrcFixture: String = {
+    val fx = java.nio.file.Files.createTempDirectory("graft_dirsrc_fixture")
+    Seq("customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "part", "region", "supplier").foreach { t =>
+      java.nio.file.Files.write(fx.resolve(s"$t.parquet"),
+        "PAR1".getBytes("UTF-8"))
+      ()
+    }
+    java.nio.file.Files.write(fx.resolve("ignore.txt"), "x".getBytes("UTF-8"))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(fx)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+        finally walk.close()
+      } catch { case _: Throwable => () }))
+    fx.toString
+  }
+
   private val opDirSource = Q(
     (s, _) => {
       import s.implicits._
@@ -760,20 +784,12 @@ object Queries {
       // the data dir is legitimately different), so the dir source is
       // exercised against a deterministic manifest dir the query
       // materializes itself: the 10 table names as plain files plus a
-      // non-matching entry that proves the regex filter.
-      val fx = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_dirsrc_fixture")
-      java.nio.file.Files.createDirectories(fx)
-      Seq("customer", "documents", "embeddings", "events", "lineitem",
-          "nation", "orders", "part", "region", "supplier").foreach { t =>
-        val f = fx.resolve(s"$t.parquet")
-        if (!java.nio.file.Files.exists(f))
-          java.nio.file.Files.write(f, "PAR1".getBytes("UTF-8"))
-      }
-      val noise = fx.resolve("ignore.txt")
-      if (!java.nio.file.Files.exists(noise))
-        java.nio.file.Files.write(noise, "x".getBytes("UTF-8"))
-      graft.sources.Sources.dir(s, fx.toString, pattern = ".*\\.parquet$")
+      // non-matching entry that proves the regex filter. The dir is
+      // PER-JVM UNIQUE and built fresh ([[dirSrcFixture]]) — a fixed
+      // append-only /tmp name let any stale file from an older code
+      // version or a concurrent JVM silently break the pinned 10-row
+      // oracle.
+      graft.sources.Sources.dir(s, dirSrcFixture, pattern = ".*\\.parquet$")
         .select(regexp_extract($"path", "([^/]+)$", 1).as("file"))
         .orderBy($"file")
     },
@@ -1517,19 +1533,21 @@ object Queries {
     Some(s"WITH $simhashCte SELECT doc_id, simhash FROM sims ORDER BY doc_id"))
 
   /** SimHash near-dup pairs — [[graft.operators.NearDup.simhashPairs]]:
-    * 60-bit signature blocked by BAND PAIRS (5 bands × 12 bits, C(5,2)
-    * keys of 24 value bits — two untouched bands guaranteed at
-    * hamming<=3, so the candidate set stays pigeonhole-complete while a
-    * degenerate bucket needs a 24-bit key collision instead of a 15-bit
-    * one), candidates through the capped generator. The ORACLE
+    * identical signatures collapse to one representative FIRST, then the
+    * 60-bit signature blocks by BAND PAIRS (6 bands × 10 bits, two
+    * 3-cliques → 6 keys of 20 value bits — the clique covering leaves
+    * some key's both bands untouched at hamming<=3, so the candidate set
+    * stays pigeonhole-complete while a degenerate bucket needs a 20-bit
+    * key collision of DISTINCT signatures), candidates through the
+    * capped generator, members fanned back at the end. The ORACLE
     * enumerates candidates its own way (4 single 15-bit bands — also
     * complete at hamming<=3) and both sides land on the identical
     * verified pair set; the engine's blocking is free to differ because
     * completeness, not the candidate route, is what the result pins.
-    * Mass-IDENTICAL signatures still concentrate past any cap; the
-    * generator's per-signature group compression keeps the CLUSTERING
-    * answer exact there (NearDupSpec pins this boundary) while the pair
-    * LIST compresses, observed + logged by Blocking. */
+    * Mass-IDENTICAL signatures hit the pre-banding GROUP cap instead of
+    * any bucket: within-group stars plus representative cross edges keep
+    * the CLUSTERING answer exact (NearDupSpec pins this boundary) while
+    * the pair LIST compresses, observed + logged. */
   private val ddSimhashPairs = Q(
     (s, dir) => {
       import s.implicits._
@@ -2419,8 +2437,11 @@ object Queries {
     (s, dir) => {
       import s.implicits._
       val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
-      val idx = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft_ivfpq_index").toString
+      // collision-safe store: under the app-id-keyed stage root (unique
+      // per SparkContext, cleaned at shutdown) — a fixed shared /tmp name
+      // let two concurrent JVMs (gate + bench) read each other's codes
+      // mid-overwrite. The oracle is path-blind (capture-and-inject).
+      val idx = graft.operators.Staging.defaultStageRoot(s) + "/ivfpq_index"
       graft.operators.Ann.ivfPqIndexWrite(e, idx, kCentroids = 16,
         subspaces = 8, codes = 16)
       ivfPqDiskCapture = Some(graft.operators.Ann.ivfPqIndexModels(s, idx))

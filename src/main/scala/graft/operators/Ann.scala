@@ -2054,6 +2054,20 @@ object Ann {
     ivfPqAdcScore(enc, q, probes, cents, cb, k)
   }
 
+  /** [[ivfPqIndexTopK]] widened to `refine` candidates, then
+    * [[exactRerank]]ed to k — the FAISS `IVFx,PQy,RFlat` serving shape
+    * over a PERSISTED index: candidates come off the partition-pruned
+    * codes scan (the residual encode stays paid-at-build), and only the
+    * exact re-score touches corpus floats — `queries·refine` of them,
+    * fetched through one broadcast join against the corpus scan. */
+  def ivfPqIndexTopKRerank(corpus: DataFrame, isQuery: Column, path: String,
+                           k: Int, nProbe: Int = 6,
+                           refine: Int = 100): DataFrame = {
+    require(refine >= k, s"refine=$refine must be >= k=$k")
+    exactRerank(corpus, isQuery,
+      ivfPqIndexTopK(corpus.filter(isQuery), path, refine, nProbe), k)
+  }
+
   // ---------------------------------------------- exact-rerank refinement
 
   /** EXACT-RERANK refinement (the FAISS `IndexRefineFlat` posture): take

@@ -36,6 +36,7 @@ object Blocking {
   private[operators] val BlockCapMetric = "graft_block_cap"
   private[operators] val BandCapMetric = "graft_band_cap"
   private[operators] val PostingCapMetric = "graft_posting_cap"
+  private[operators] val GroupCapMetric = "graft_group_cap"
 
   // weakly-keyed: a per-query cloned session (spark.newSession pattern)
   // must stay GC-able — a strong static set would pin every session and
@@ -62,7 +63,9 @@ object Blocking {
           }
         override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit = {
           report(qe, BlockCapMetric, "routed through LSH sub-buckets")
-          report(qe, BandCapMetric, "dropped from band candidates")
+          report(qe, BandCapMetric, "star-compressed in band candidates")
+          report(qe, GroupCapMetric,
+            "in identical-signature groups star-compressed before banding")
           report(qe, PostingCapMetric,
             "in stop-shingle postings excluded from candidate generation")
         }
@@ -115,34 +118,29 @@ object Blocking {
   /** Candidate pairs from MinHash band buckets, degenerate-bucket capped:
     * a bucket holding more than `maxBucket` members (mass duplicates, or
     * many near-empty documents sharing a signature) would make the
-    * self-join quadratic in that bucket. Such buckets switch to a bounded
-    * strategy — O(members + representatives²) edges instead of
-    * O(members²) — structured so the CLUSTERING answer survives:
+    * self-join quadratic in that bucket. Such buckets switch to STAR
+    * compression — every member pairs with the bucket's hub (min doc_id),
+    * O(n) edges instead of O(n²) — which preserves connected-components
+    * connectivity, so mass-duplicated content still collapses into one
+    * cluster instead of silently escaping. Pair-level recall inside a
+    * starred bucket is reduced (only hub pairs are emitted for
+    * verification); the switch is observed and logged. Standard buckets
+    * are exact.
     *
-    *  - members collapse to one REPRESENTATIVE (min doc_id) per distinct
-    *    `carry` tuple in the bucket, and every member pairs with its own
-    *    group's representative. When the downstream verify is a function
-    *    of the carried columns (simhash: hamming over the carried
-    *    signatures), these star edges carry IDENTICAL tuples on both
-    *    sides, so the verify can never reject them — the failure mode
-    *    where a hub-star edge failed the hamming filter and split a true
-    *    cluster cannot occur;
-    *  - representative pairs enumerate EXACTLY (cross-group edges are
-    *    decided by carry tuples alone under a carry-determined verify,
-    *    so a representative pair passes iff every member pair between
-    *    the two groups would — connected components come out identical
-    *    to full enumeration);
-    *  - a bucket whose REPRESENTATIVE set itself exceeds the cap (many
-    *    distinct signatures colliding on one band value) falls back to
-    *    hub-star across representatives — the residual approximation,
-    *    O(#degenerate templates) by construction.
-    *
-    * With no `carry` the whole bucket is one group and this degenerates
-    * to plain hub-star compression (MinHash's jaccard verify is not
-    * carry-determined, so nothing stronger is claimable there).
-    * Pair-level recall inside an over-cap bucket is still reduced (star
-    * edges replace within-group cliques); the switch is observed and
-    * logged. Standard buckets are exact.
+    * CONTRACT for non-empty `carry` with a carry-determined verify
+    * (simhash: hamming over the carried signatures): callers must
+    * pre-collapse identical carry tuples to one representative BEFORE
+    * banding — [[NearDup.simhashPairs]]'s identical-signature collapse —
+    * so every bucket holds DISTINCT tuples. A hub-star edge between
+    * distinct tuples that fails the verify then never splits a true
+    * cluster: the caller's within-group edges supply the intra-group
+    * connectivity, and cross-group connectivity is decided by tuples
+    * alone, which star edges sample one representative pair of. (r17
+    * guarded duplicate-tuple buckets inside this generator instead —
+    * per-group representative machinery whose four extra aggregates/
+    * joins measured ~2× on every dedup pipeline while being bit-identical
+    * to hub-star on the distinct-tuple buckets that pre-collapsed callers
+    * actually produce, so the guard moved to the source.)
     *
     * Input frame: `(doc_id, band, carry...)`; output: distinct `(a_id,
     * b_id, a_<carry>..., b_<carry>...)` with a_id < b_id.
@@ -166,20 +164,26 @@ object Blocking {
     // branch. Rows are compact (ids + band + carry scalars, ~1% of the
     // text they derive from). Lifecycle is session-managed like
     // [[NearDup.pairs]]' hash cache: long-lived sessions should
-    // `spark.catalog.clearCache()` between corpora.
+    // `spark.catalog.clearCache()` between corpora (this also covers the
+    // derived frames the over-cap branch computes from `b`).
     val b = bands.persist()
     // Bucket sizing is a partial+final AGGREGATE, never a window: a window
     // over `band` would buffer each bucket on one task — the degenerate
     // hot bucket this cap exists for becoming the straggler — while the
-    // aggregate ships only (band, count) rows. The cap metrics ride this
-    // (small) frame: capped_rows = member rows in over-cap buckets.
+    // aggregate ships only (band, count, hub) rows. hub = min by doc_id
+    // WITH its carry columns: struct comparison orders by the leading id
+    // field, so the min-aggregate is the hub row itself. The cap metrics
+    // ride this (small) frame: capped_rows = member rows in over-cap
+    // buckets.
     val m = Seq(
       sum(when(col("_bsz") > maxBucket, col("_bsz")).otherwise(0L)).as("capped_rows"),
       coalesce(max(col("_bsz")), lit(0L)).as("max_group"))
-    val stats = b.groupBy(col("band")).agg(count(lit(1)).as("_bsz"))
+    val stats = b.groupBy(col("band")).agg(
+        count(lit(1)).as("_bsz"),
+        min(struct(col("doc_id") +: carry.map(col): _*)).as("_hub"))
       .observe(BandCapMetric, m.head, m.tail: _*)
     // over-cap buckets are O(#degenerate templates) — tiny by construction
-    // (that degeneracy is what the cap detects), so the joins against
+    // (that degeneracy is what the cap detects), so BOTH joins against
     // them resolve as broadcasts under AQE: the exact path's anti-join
     // passes the band rows through WITHOUT shuffling them for sizing, and
     // the band shuffle happens exactly once, in the self-join below
@@ -191,42 +195,14 @@ object Blocking {
       .select(col("a.doc_id").as("a_id") +: col("b.doc_id").as("b_id") +:
         (carry.map(c => col(s"a.$c").as(s"a_$c")) ++
          carry.map(c => col(s"b.$c").as(s"b_$c"))): _*)
-    // ---- over-cap paths ----
-    val bigMembers = b.join(big.select(col("band")), Seq("band"))
-    // one representative per distinct (band, carry...) group — with no
-    // carry this is the bucket hub and the plain star below is the whole
-    // strategy
-    val groupCols = Seq("band") ++ carry
-    val reps = bigMembers
-      .groupBy(groupCols.map(col): _*)
-      .agg(min(col("doc_id")).as("_rep"))
-      .persist()
-    // star: every member pairs with ITS OWN group's representative —
-    // both sides carry the identical tuple, so a carry-determined verify
-    // always keeps these edges
-    val groupStar = bigMembers.join(reps, groupCols)
-      .filter(col("doc_id") =!= col("_rep"))
-      .select(col("_rep").as("a_id") +: col("doc_id").as("b_id") +:
-        (carry.map(c => col(c).as(s"a_$c")) ++
+    // star across the over-cap bucket: the hub came free with the stats
+    // aggregate, so this is exactly one (broadcast) join over the member
+    // rows — the shape every mass-duplicate bucket pays
+    val starred = b.join(big.select(col("band"), col("_hub")), Seq("band"))
+      .filter(col("doc_id") =!= col("_hub.doc_id"))
+      .select(col("_hub.doc_id").as("a_id") +: col("doc_id").as("b_id") +:
+        (carry.map(c => col(s"_hub.$c").as(s"a_$c")) ++
          carry.map(c => col(c).as(s"b_$c"))): _*)
-    // representative cross pairs: exact while the rep set fits the cap,
-    // hub-star across reps past it
-    val repStats = reps.groupBy(col("band")).agg(
-      count(lit(1)).as("_rsz"),
-      min(struct(col("_rep").as("doc_id") +: carry.map(col): _*)).as("_rhub"))
-    val repRows = reps.join(repStats, Seq("band"))
-    val repSmall = repRows.filter(col("_rsz") <= maxBucket)
-    val repExact = repSmall.as("a").join(repSmall.as("b"),
-        col("a.band") === col("b.band") && col("a._rep") < col("b._rep"))
-      .select(col("a._rep").as("a_id") +: col("b._rep").as("b_id") +:
-        (carry.map(c => col(s"a.$c").as(s"a_$c")) ++
-         carry.map(c => col(s"b.$c").as(s"b_$c"))): _*)
-    val repStarred = repRows.filter(col("_rsz") > maxBucket)
-      .filter(col("_rep") =!= col("_rhub.doc_id"))
-      .select(col("_rhub.doc_id").as("a_id") +: col("_rep").as("b_id") +:
-        (carry.map(c => col(s"_rhub.$c").as(s"a_$c")) ++
-         carry.map(c => col(c).as(s"b_$c"))): _*)
-    preDedup(exact.union(groupStar).union(repExact).union(repStarred))
-      .distinct()
+    preDedup(exact.union(starred)).distinct()
   }
 }

@@ -112,14 +112,69 @@ class BenchGuardSpec extends AnyFunSuite {
       Map("q1" -> 1.0, "q2" -> 1.0), Map("q1" -> 9.0, "q2" -> 9.0)).isEmpty)
   }
 
+  // ---- mid-tail guard: individual multi-second lines past 2x the record
+  // while every median sits clean (r17: seven band-candidate consumers at
+  // 1.4-2.7x rode a 1.002 canary median into the record silently)
+
+  /** the r17 shape: 8 light sub-0.5s lines, 8 clean multi-second lines,
+    * and a configurable set of mid-tail movers. */
+  private def lights(scale: Double): Map[String, Double] =
+    (1 to 8).map(i => s"light_$i" -> 0.05 * i * scale).toMap
+  private def tail(moved: Map[String, Double] = Map.empty): Map[String, Double] =
+    lights(1.0) ++
+      (1 to 8).map(i => s"mid_$i" -> (0.6 + 0.3 * i)).toMap ++ moved
+
+  test("mid-tail: clean refresh reports nothing") {
+    assert(Bench.midTailRegressions(tail(), tail()).isEmpty)
+  }
+
+  test("mid-tail: one multi-second line at 2.7x is caught behind clean medians") {
+    val cur = tail() + ("mid_3" -> (0.6 + 0.3 * 3) * 2.7)
+    // both medians stay clean on this shape — the exact r17 blind spot
+    assert(Bench.canaryDegradation(canary(1.0), canary(1.0)).exists(_ < 1.4))
+    val got = Bench.midTailRegressions(tail(), cur)
+    assert(got.map(_._1) == Seq("mid_3"), s"expected mid_3: $got")
+    assert(got.head._2 > 2.6 && got.head._2 < 2.8)
+  }
+
+  test("mid-tail: worst movers order and multi-line reporting") {
+    val cur = tail() + ("mid_2" -> (0.6 + 0.3 * 2) * 2.2) +
+      ("mid_6" -> (0.6 + 0.3 * 6) * 3.0)
+    assert(Bench.midTailRegressions(tail(), cur).map(_._1) ==
+      Seq("mid_6", "mid_2"))
+  }
+
+  test("mid-tail: sub-second lines never trip it (JIT noise territory)") {
+    // every light line 3x slower — all under the 0.5s record floor
+    val cur = tail() ++ lights(3.0)
+    assert(Bench.midTailRegressions(tail(), cur).isEmpty,
+      "sub-second noise must be the canary guard's job, not this one's")
+  }
+
+  test("mid-tail: exactly-2x and missing lines do not trip") {
+    val cur = (tail() + ("mid_4" -> (0.6 + 0.3 * 4) * 2.0)) - "mid_5"
+    assert(Bench.midTailRegressions(tail(), cur).isEmpty)
+  }
+
   // ---- recall floors: every serving operating point is gated; a breach
   // must surface (it routes the run to bench_last_failed.json)
 
   test("recall floors: committed-record levels pass every gate") {
     val healthy = Map("ann_ivf_pq" -> 0.21, "ann_ivf_pq_rerank" -> 0.65,
       "ann_ivf_pq_4bit_rerank" -> 0.58, "ann_pq_rerank" -> 0.91,
-      "ann_opq_rerank" -> 0.92, "ann_quantized_topk" -> 0.97)
+      "ann_opq_rerank" -> 0.92, "ann_quantized_topk" -> 0.97,
+      "ann_ivf_pq_disk" -> 0.21, "ann_ivf_pq_disk_rerank" -> 0.65)
     assert(Bench.recallFloorBreaches(healthy).isEmpty)
+  }
+
+  test("recall floors: the persisted-index serving points are gated") {
+    // a store round-trip regression (codes/models/prune) collapses the
+    // DISK points while the in-memory twins stay healthy — the gate must
+    // name exactly the disk lines
+    val diskBroken = Map("ann_ivf_pq" -> 0.21, "ann_ivf_pq_rerank" -> 0.65,
+      "ann_ivf_pq_disk" -> 0.02, "ann_ivf_pq_disk_rerank" -> 0.11)
+    assert(Bench.recallFloorBreaches(diskBroken).map(_._1).toSet ==
+      Set("ann_ivf_pq_disk", "ann_ivf_pq_disk_rerank"))
   }
 
   test("recall floors: a breach on a newly gated line is reported") {

@@ -52,12 +52,11 @@ class NearDupSpec extends AnyFunSuite {
     // anyone can consume), while the CLUSTERING answer — what dedup
     // consumes — must be exactly the unbounded one.
     // three template VARIANTS (each substitutes its own token at its own
-    // position): a dominant one with 16 identical copies — large enough
-    // that ALL FOUR of its band buckets are over an 8-cap, so no
-    // under-cap bucket can heal its within-clique pairs through the
-    // exact path — plus two 4-copy variants sharing the template's
-    // unmutated bands with it. The over-cap buckets hold only 3 DISTINCT
-    // signatures: the mass-duplicate degeneracy the cap exists for.
+    // position): a dominant one with 16 identical copies — an
+    // identical-signature GROUP over the 8-cap, so its within-group
+    // pairs star-compress (the pre-banding collapse path) — plus two
+    // 4-copy variants within hamming range of it, whose cross pairs the
+    // over-cap group forces down the rep-to-rep compressed route.
     val template = "the quick brown fox jumps over the lazy dog again and " +
       "again today tomorrow forever under a pale sky near the old bridge"
     val copies = (0L until 24L).map { i =>
@@ -68,8 +67,9 @@ class NearDupSpec extends AnyFunSuite {
     } :+ (100L -> ("completely unrelated text about spark catalyst plans " +
       "optimizing distributed columnar execution engines at scale"))
     val d = docs(copies: _*)
-    // pigeonhole truth (nBands 4 > hammingMax 3 ⇒ every true pair shares
-    // a band): ALL pairs at hamming <= 3, computed by brute self-join
+    // pigeonhole truth (the clique-covering key set guarantees every
+    // pair at hamming <= 3 shares a band-pair key — see simhashPairs'
+    // covering argument): ALL pairs at hamming <= 3, by brute self-join
     val sh = NearDup.simhashSignatures(d).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val truth = (for {
@@ -77,9 +77,20 @@ class NearDupSpec extends AnyFunSuite {
       if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
     } yield (a, b)).toSet
     assert(truth.size > 24, s"fixture must have a quadratic clique: ${truth.size}")
-    // UNHIT cap -> exact pigeonhole enumeration
-    val exact = NearDup.simhashPairs(d, maxBucket = 10000)
-      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // UNHIT cap -> exact pigeonhole enumeration, hamming values included
+    // (the duplicate groups exercise the identical-signature collapse and
+    // its member fan-back: within-group pairs at hamming 0, cross-group
+    // member products inheriting the representatives' exact distance)
+    val truthH = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      h = java.lang.Long.bitCount(sh(a) ^ sh(b)) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val exactH = NearDup.simhashPairs(d, maxBucket = 10000)
+      .select("a_id", "b_id", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = exactH.map(t => (t._1, t._2))
+    assert(exactH == truthH, "with every group and bucket under the cap " +
+      "the (pair, hamming) set must be the full pigeonhole truth")
     assert(exact == truth, "with every bucket under the cap the pair set " +
       "must be the full pigeonhole truth")
     // HIT cap (star compression) -> fewer pairs, SAME clustering
