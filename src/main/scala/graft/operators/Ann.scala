@@ -1117,10 +1117,80 @@ object Ann {
                         maxBlock: Long = 10000): DataFrame =
     semanticDedupFrom(indexFrames(corpus, cents), threshold, maxBlock)
 
+  /** TWO-LEVEL SemDeDup — the O(n^{4/3}) batch posture. Single-level
+    * SemDeDup is O(n^{3/2}) BY CONSTRUCTION at its optimal K = √n
+    * (assignment n·K and within-cell pairs n·(n/K) meet there; any fixed
+    * K makes one term worse). This variant buys finer cells without the
+    * assignment blowup: a COARSE quantizer of K₁ ≈ n^{1/3} cells, then a
+    * FINE quantizer of K₂ ≈ n^{1/3} cells trained on the RESIDUALS
+    * x − c₁(x) (the IVF-PQ discipline: residuals concentrate once the
+    * coarse level absorbs cluster structure, so one GLOBAL fine
+    * quantizer approximates per-cell quantizers without K₁ separate
+    * trainings). Dedup blocks = the (coarse, fine) product: ~n^{2/3}
+    * composite cells of ~n^{1/3} occupancy — assignment n·(K₁+K₂) and
+    * within-cell pairs n·n^{1/3} both land on O(n^{4/3}), a decade
+    * ratio of ~10^{4/3} ≈ 21.5 against single-level's 31.6. The price
+    * is recall: a near-dup pair must agree on BOTH levels, so each
+    * composite boundary splits what a single √n-cell index might keep
+    * together — the same dedup-vs-split tradeoff a single-level K=n^{2/3}
+    * would have, at 2·n^{1/3} instead of n^{2/3} assignment width.
+    * Exact duplicates are immune (the pre-collapse merges them before
+    * any cell is consulted). Measured across the sf1→sf10 decade as the
+    * `dd_semdedup_two` contrast line in `scale_sf10.json`. */
+  def semanticDedupTwoLevel(corpus: DataFrame, threshold: Double = 0.7,
+                            k1: Int = 0, k2: Int = 0, iters: Int = 5,
+                            seed: String = "ivf", sampleRate: Double = 1.0,
+                            maxBlock: Long = 10000,
+                            maxTrainVectors: Int = DefaultMaxTrainVectors)
+      : DataFrame = {
+    // auto-K: cbrt(n) PER LEVEL (the composite-occupancy optimum above);
+    // like the IVF auto-K this resolves against the CORPUS, never the
+    // training sample — a binding train cap must not pin the cell count
+    val cbrtN = if (k1 > 0 && k2 > 0) 0 else math.max(2,
+      math.round(math.cbrt(corpus.count().toDouble)).toInt)
+    val k1e = if (k1 > 0) k1 else cbrtN
+    val k2e = if (k2 > 0) k2 else cbrtN
+    val cents1 = trainCentroids(corpus, k1e, iters, seed, sampleRate,
+      maxTrainVectors)
+    val eEmb = spread(corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb")))
+    val cents2 = trainCentroids(
+      residualFrame(eEmb, cents1)
+        .select(col("vec_id"), col("emb").as("embedding")),
+      k2e, iters, s"$seed-fine", sampleRate, maxTrainVectors)
+    val (e0, _) = indexFrames(corpus, cents1)
+    semanticDedupCore(e0, reps => {
+      val rres = residualFrame(spread(reps.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))), cents1)
+      val (re, cent2f) = indexFrames(
+        rres.select(col("vec_id"), col("emb").as("embedding")), cents2)
+      rres.select(col("vec_id"), col("cell").as("_c1"))
+        .join(assignCells(re, cent2f), "vec_id")
+        .select(col("vec_id"),
+          (col("_c1") * cents2.length + col("cell")).as("label"))
+    }, threshold, maxBlock)
+  }
+
   private def semanticDedupFrom(frames: (DataFrame, DataFrame),
                                 threshold: Double,
                                 maxBlock: Long): DataFrame = {
     val (e0, cent) = frames
+    semanticDedupCore(e0, reps =>
+      assignCells(reps, cent)
+        .select(col("vec_id"), col("cell").as("label")),
+      threshold, maxBlock)
+  }
+
+  /** The shared SemDeDup body: exact-duplicate pre-collapse, then
+    * `labelOf(representatives) → (vec_id, label)` decides the blocking
+    * cells (single-level: nearest trained centroid; two-level: the
+    * (coarse, fine-residual) composite), bounded cosine pairs within
+    * each label, connected components, min-id survivors over ORIGINAL
+    * ids. */
+  private def semanticDedupCore(e0: DataFrame,
+                                labelOf: DataFrame => DataFrame,
+                                threshold: Double,
+                                maxBlock: Long): DataFrame = {
     // EXACT-duplicate pre-collapse (the [[NearDup.dedupAgainstReference]]
     // trick, vector edition): identical non-zero embeddings have cosine
     // exactly 1 ≥ any threshold, AND they agree on every LSH sign bit —
@@ -1159,8 +1229,8 @@ object Ann {
           .otherwise(col("vec_id")).as("rep"))
     val reps = e0.join(repOf.filter(col("vec_id") === col("rep"))
       .select(col("vec_id")), "vec_id")
-    val labeled = assignCells(reps, cent).join(reps, "vec_id")
-      .select(col("vec_id"), col("cell").as("label"),
+    val labeled = labelOf(reps).join(reps, "vec_id")
+      .select(col("vec_id"), col("label"),
         col("embedding"), col("nrm"))
     val pairs = Blocking.boundedCosinePairs(labeled, maxBlock)
       .filter(col("cosine") >= threshold)

@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   * both land on n^1.5 — any fixed K makes one of the two terms worse),
   * so its per-decade ratio legitimately RISES toward 10^1.5 ≈ 31.6 as
   * fixed costs amortize; measured drift across decades (2.0 → ~8)
-  * is that profile emerging, not a regression. The serving-side story
-  * is different: per-QUERY probe cost stays O(√n), which is what the
-  * ann_ivf_pq line and its recall audit measure.
+  * is that profile emerging, not a regression. `dd_semdedup_two`
+  * ([[graft.operators.Ann.semanticDedupTwoLevel]]) is the O(n^{4/3})
+  * contrast: coarse+residual-fine composite cells whose per-decade
+  * ceiling is 10^{4/3} ≈ 21.5 — kept only if the measured ratio
+  * actually lands under the single-level line at these scales. The
+  * serving-side story is different: per-QUERY probe cost stays O(√n),
+  * which is what the ann_ivf_pq line and its recall audit measure.
   *
   * The twin reuses [[ScaleSf1]]'s mutation machinery (every 5th word
   * rewritten per copy, hash-noise on embeddings), applied to the sf1
@@ -79,6 +83,14 @@ object ScaleSf10 {
       "dd_semdedup" -> (dir => () => {
         graft.operators.Ann.semanticDedup(emb(dir),
           threshold = 0.35, kCentroids = 0, iters = 5, seed = "ivf",
+          maxTrainVectors = embCap).count(); ()
+      }),
+      // the O(n^{4/3}) contrast line: coarse+residual-fine composite
+      // cells at auto-cbrt K per level — same threshold/caps, so the
+      // per-decade ratio against dd_semdedup reads the exponent change
+      "dd_semdedup_two" -> (dir => () => {
+        graft.operators.Ann.semanticDedupTwoLevel(emb(dir),
+          threshold = 0.35, iters = 5, seed = "ivf",
           maxTrainVectors = embCap).count(); ()
       }),
       "ann_ivf_pq" -> (dir => () => {

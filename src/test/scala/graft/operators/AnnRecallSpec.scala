@@ -106,6 +106,40 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L), s"got $got")
   }
 
+  test("semanticDedupTwoLevel: separated clusters dedup like the single level") {
+    import spark.implicits._
+    // three well-separated directions, each with exact + near copies:
+    // every within-threshold pair shares both the coarse cell and the
+    // residual fine cell (tight clusters → near-identical residuals), so
+    // the composite blocking loses nothing here and both variants must
+    // land on identical survivors
+    val a = Seq(1.0, 0.0, 0.0, 0.5)
+    val b = Seq(0.0, 1.0, 0.0, -0.5)
+    val c = Seq(0.0, 0.0, 1.0, 0.0)
+    val d = Seq(1L -> a, 2L -> a, 3L -> a, 10L -> b, 11L -> b, 20L -> c)
+      .toDF("vec_id", "embedding")
+    val one = Ann.semanticDedup(d, threshold = 0.99, kCentroids = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    val two = Ann.semanticDedupTwoLevel(d, threshold = 0.99,
+        k1 = 2, k2 = 2, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(two == one && two == Map(1L -> 3L, 10L -> 2L, 20L -> 1L),
+      s"single=$one two-level=$two")
+  }
+
+  test("semanticDedupTwoLevel: zero-norm singletons and auto-cbrt K resolve") {
+    import spark.implicits._
+    val z = Seq(0.0, 0.0, 0.0, 0.0)
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val d = Seq(1L -> z, 2L -> z, 3L -> a, 4L -> a)
+      .toDF("vec_id", "embedding")
+    // k1 = k2 = 0 resolves cbrt(4) ≈ 2 per level against the CORPUS —
+    // the auto-K path must run end to end, zero vectors stay singletons
+    val got = Ann.semanticDedupTwoLevel(d, threshold = 0.5, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L), s"got $got")
+  }
+
   test("trainCentroids: deterministic, K defaults to ~sqrt(n), cells nonempty-ish") {
     val e = Tables.embeddings(spark, TestSpark.sf)
       .select(col("vec_id"), col("embedding"))
