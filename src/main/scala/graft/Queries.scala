@@ -1856,6 +1856,81 @@ object Queries {
       SELECT cluster_id AS vec_id, count(*) AS n_merged
       FROM comp GROUP BY cluster_id ORDER BY vec_id"""))
 
+  /** TWO-LEVEL SemDeDup ([[graft.operators.Ann.semanticDedupTwoLevel]] —
+    * the O(n^{4/3}) batch posture): a coarse quantizer plus a fine
+    * quantizer over the residuals x − c₁(x); dedup pairs block by the
+    * (coarse, fine) COMPOSITE cell. The oracle captures BOTH trained
+    * models and replays assignment level by level as injected literals —
+    * coarse argmax, elementwise residual, fine argmax over residuals,
+    * composite cell id — then the same within-cell pair generation and
+    * recursive-CTE components as `dd_semdedup`. k₁ = k₂ = 8 pins the
+    * cbrt-scale cell count at the gate corpus (cbrt(500) ≈ 8). */
+  @volatile private var semDedupTwoCapture
+      : Option[(Array[Array[Double]], Array[Array[Double]])] = scala.None
+  private val ddSemDedupTwo = Q.dynamicOpt(
+    (s, dir) => {
+      import s.implicits._
+      val e = Tables.embeddings(s, dir).select($"vec_id", $"embedding")
+      val (c1, c2) = graft.operators.Ann.semanticDedupTwoLevelTrain(e,
+        k1 = 8, k2 = 8, iters = 5, seed = "ivf")
+      semDedupTwoCapture = Some((c1, c2))
+      graft.operators.Ann.semanticDedupTwoLevelWith(e, c1, c2,
+          threshold = 0.35)
+        .orderBy($"vec_id")
+    },
+    () => semDedupTwoCapture.map { case (c1, c2) =>
+      semDedupTwoInjectedOracle(c1, c2) })
+
+  private def semDedupTwoInjectedOracle(c1: Array[Array[Double]],
+                                        c2: Array[Array[Double]]): String = {
+    val dims = c1(0).length
+    def rows(cs: Array[Array[Double]]) = cs.zipWithIndex.map { case (v, i) =>
+      s"($i, [${v.map(_.toString).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      c1(cell, c_vec) AS (SELECT * FROM (VALUES ${rows(c1)}) v(cell, c_vec)),
+      c2(cell, c_vec) AS (SELECT * FROM (VALUES ${rows(c2)}) v(cell, c_vec)),
+      sf1 AS (SELECT vec_id, cell,
+          round(CASE WHEN isnan(cs) THEN 0.0 ELSE cs END, 6) AS cscore
+        FROM (SELECT e.vec_id, c.cell,
+            list_cosine_similarity(e.emb, c.c_vec) AS cs
+          FROM e CROSS JOIN c1 c)),
+      a1 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cscore DESC, cell) AS crk
+        FROM sf1) WHERE crk = 1),
+      res AS (SELECT a.vec_id, a.cell,
+          list_transform(range(1, ${dims + 1}),
+            i -> e.emb[i] - c.c_vec[i]) AS rv
+        FROM a1 a JOIN e ON e.vec_id = a.vec_id JOIN c1 c ON c.cell = a.cell),
+      sf2 AS (SELECT vec_id, cell,
+          round(CASE WHEN isnan(cs) THEN 0.0 ELSE cs END, 6) AS cscore
+        FROM (SELECT r.vec_id, c.cell,
+            list_cosine_similarity(r.rv, c.c_vec) AS cs
+          FROM res r CROSS JOIN c2 c)),
+      a2 AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id
+            ORDER BY cscore DESC, cell) AS crk
+        FROM sf2) WHERE crk = 1),
+      assigned AS (SELECT a1.vec_id, a1.cell * ${c2.length} + a2.cell AS cell,
+          e.emb
+        FROM a1 JOIN a2 USING (vec_id) JOIN e USING (vec_id)),
+      prs AS (SELECT s, d FROM (
+          SELECT a.vec_id AS s, b.vec_id AS d,
+            list_cosine_similarity(a.emb, b.emb) AS cs
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id)
+        WHERE round(CASE WHEN isnan(cs) THEN 0.0 ELSE cs END, 6) >= 0.35),
+      edges AS (SELECT s, d FROM prs UNION ALL SELECT d, s FROM prs),
+      reach(id, r) AS (
+        SELECT vec_id, vec_id FROM assigned
+        UNION
+        SELECT reach.id, edges.d FROM reach JOIN edges ON reach.r = edges.s),
+      comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      SELECT cluster_id AS vec_id, count(*) AS n_merged
+      FROM comp GROUP BY cluster_id ORDER BY vec_id"""
+  }
+
   private val annIvf = Q(
     (s, dir) => {
       import s.implicits._
@@ -5492,6 +5567,7 @@ object Queries {
     "ann_rp_topk" -> annRpTopk,
     "ann_pca_topk" -> annPcaTopk,
     "dd_semdedup" -> ddSemDedup,
+    "dd_semdedup_two" -> ddSemDedupTwo,
     "ta_langid" -> taLangId,
     "ta_quality" -> taQuality,
     "ta_tokens" -> taTokens,

@@ -1143,6 +1143,21 @@ object Ann {
                             maxBlock: Long = 10000,
                             maxTrainVectors: Int = DefaultMaxTrainVectors)
       : DataFrame = {
+    val (cents1, cents2) = semanticDedupTwoLevelTrain(corpus, k1, k2, iters,
+      seed, sampleRate, maxTrainVectors)
+    semanticDedupTwoLevelWith(corpus, cents1, cents2, threshold, maxBlock)
+  }
+
+  /** The two quantizers of [[semanticDedupTwoLevel]] as driver arrays —
+    * coarse over the corpus, fine over the residuals x − c₁(x). Split
+    * out so the bench can price training separately and the oracle can
+    * capture-and-inject both models. */
+  def semanticDedupTwoLevelTrain(corpus: DataFrame, k1: Int = 0,
+                                 k2: Int = 0, iters: Int = 5,
+                                 seed: String = "ivf",
+                                 sampleRate: Double = 1.0,
+                                 maxTrainVectors: Int = DefaultMaxTrainVectors)
+      : (Array[Array[Double]], Array[Array[Double]]) = {
     // auto-K: cbrt(n) PER LEVEL (the composite-occupancy optimum above);
     // like the IVF auto-K this resolves against the CORPUS, never the
     // training sample — a binding train cap must not pin the cell count
@@ -1158,6 +1173,17 @@ object Ann {
       residualFrame(eEmb, cents1)
         .select(col("vec_id"), col("emb").as("embedding")),
       k2e, iters, s"$seed-fine", sampleRate, maxTrainVectors)
+    (cents1, cents2)
+  }
+
+  /** [[semanticDedupTwoLevel]] from DRIVER-HELD models (the
+    * [[semanticDedupWith]] twin): composite (coarse, fine-residual)
+    * cells decide the blocking label. */
+  def semanticDedupTwoLevelWith(corpus: DataFrame,
+                                cents1: Array[Array[Double]],
+                                cents2: Array[Array[Double]],
+                                threshold: Double = 0.7,
+                                maxBlock: Long = 10000): DataFrame = {
     val (e0, _) = indexFrames(corpus, cents1)
     semanticDedupCore(e0, reps => {
       val rres = residualFrame(spread(reps.select(col("vec_id"),

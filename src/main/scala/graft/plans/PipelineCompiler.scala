@@ -1056,17 +1056,31 @@ object SectionRegistry {
         scala.None
       }),
     // SemDeDup: semantic dedup inside trained k-means cells
-    // (Ann.semanticDedup) — survivors (min vec_id per cosine group) out
+    // (Ann.semanticDedup) — survivors (min vec_id per cosine group) out.
+    // `two_level: true` switches to the coarse+residual-fine composite
+    // cells (Ann.semanticDedupTwoLevel, O(n^{4/3}) vs O(n^{3/2}) — the
+    // batch posture for corpora past ~10^5 vectors); `k_centroids` then
+    // reads as the PER-LEVEL cell count (0 = auto-cbrt each level)
     "semantic_dedup" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
-      (_, c, df) => Some(graft.operators.Ann.semanticDedup(
-        in(df).select(col("vec_id"), col("embedding")),
-        threshold = c.getOrElse("threshold", "0.7").toDouble,
-        kCentroids = c.getOrElse("k_centroids", "0").toInt,
-        iters = c.getOrElse("train_iters", "5").toInt,
-        seed = c.getOrElse("seed", "ivf"),
-        sampleRate = c.getOrElse("train_sample_rate", "1.0").toDouble,
-        maxBlock = c.getOrElse("max_block", "10000").toLong,
-        maxTrainVectors = trainCap(c)))),
+      (_, c, df) => {
+        val e = in(df).select(col("vec_id"), col("embedding"))
+        val threshold = c.getOrElse("threshold", "0.7").toDouble
+        val k = c.getOrElse("k_centroids", "0").toInt
+        val iters = c.getOrElse("train_iters", "5").toInt
+        val seed = c.getOrElse("seed", "ivf")
+        val rate = c.getOrElse("train_sample_rate", "1.0").toDouble
+        val maxBlock = c.getOrElse("max_block", "10000").toLong
+        Some(
+          if (c.getOrElse("two_level", "false").toBoolean)
+            graft.operators.Ann.semanticDedupTwoLevel(e, threshold,
+              k1 = k, k2 = k, iters = iters, seed = seed,
+              sampleRate = rate, maxBlock = maxBlock,
+              maxTrainVectors = trainCap(c))
+          else graft.operators.Ann.semanticDedup(e, threshold,
+            kCentroids = k, iters = iters, seed = seed,
+            sampleRate = rate, maxBlock = maxBlock,
+            maxTrainVectors = trainCap(c)))
+      }),
     // on-disk IVF index build (destination) and query (source-shaped
     // transform: input frame = the query vectors)
     "ann_index_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
