@@ -167,6 +167,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(arrayKeyed.isEmpty, s"exchanges keyed on arrays: $arrayKeyed")
   }
 
+  test("dd_semdedup_two: no Exchange keys on an embedding array (both levels)") {
+    // the two-level path adds a residual frame and a second assignment —
+    // both must key their joins/exchanges on vec_id/cell/hash longs; an
+    // array-keyed Exchange anywhere would ship the embedding (or its
+    // residual) column as shuffle key at 100 TB
+    val qe = queries("dd_semdedup_two").fn(spark, TestSpark.sf).queryExecution
+    val arrayKeyed = qe.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        s.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.filter(_.dataType
+              .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          case _ => Seq.empty
+        }
+    }.flatten
+    assert(arrayKeyed.isEmpty, s"exchanges keyed on arrays: $arrayKeyed")
+  }
+
   test("cp_pack_sequences: prefix-sum window is per range partition, never global") {
     val p = plan("cp_pack_sequences")
     assert(p.contains("Window") && p.contains("_pid"),
