@@ -580,11 +580,61 @@ object Bench {
         noteFail("ngram_split", s"harness: ${ex.getMessage}")
         Seq.empty
       } finally Bench.sweepTmpDirs("bench_ngram")
+    // build/probe split for the v2 dedup signature index, plus the v1
+    // stored-signature probe as a CONTRAST line: same 10% daily batch,
+    // same 90% reference store — the delta is the corpus-scale
+    // `collect_set` + full table scans the v2 layout moved to build time
+    // (dd_index_probe is the serving-side number of the 100 TB
+    // daily-crawl claim, like ann_ivf_pq_disk_query for ANN)
+    val sigIndexSplitNames =
+      Seq("dd_index_build", "dd_index_probe", "dd_stored_probe")
+    val sigIndexSplitResults: Seq[(String, Double, Double)] =
+      if (!sigIndexSplitNames.exists(wanted)) Seq.empty else try {
+        def rmTree(dir: String): Unit = {
+          import java.nio.file.{Files, Paths}
+          import scala.jdk.CollectionConverters._
+          val root = Paths.get(dir)
+          if (Files.exists(root)) {
+            val walk = Files.walk(root)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.delete)
+            finally walk.close()
+          }
+        }
+        val docs = Tables.documents(spark, sfDir)
+        val ref = docs.filter(col("doc_id") % 10 =!= 0)
+        val batch = docs.filter(col("doc_id") % 10 === 0)
+        val idxDir = Bench.ownedTmpDir("bench_sigidx").toString
+        if (wanted("dd_index_probe"))
+          operators.NearDup.writeSignatureIndex(ref, idxDir)
+        val v1Dir = Bench.ownedTmpDir("bench_sigv1").toString
+        if (wanted("dd_stored_probe"))
+          operators.NearDup.writeReferenceSignatures(ref, v1Dir)
+        spark.catalog.clearCache()
+        Seq[(String, () => Unit)](
+          "dd_index_build" -> (() => {
+            val d = Bench.ownedTmpDir("bench_sigbuild").toString
+            try operators.NearDup.writeSignatureIndex(ref, d)
+            finally rmTree(d)
+          }),
+          "dd_index_probe" -> (() =>
+            { operators.NearDup.dedupAgainstIndex(batch, idxDir)
+                .count(); () }),
+          "dd_stored_probe" -> (() =>
+            { operators.NearDup.dedupAgainstStored(batch, v1Dir)
+                .count(); () })
+        ).filter(q => wanted(q._1)).flatMap { case (name, f) =>
+          timed(name, f) }
+      } catch { case ex: Throwable =>
+        noteFail("sig_index_split", s"harness: ${ex.getMessage}")
+        Seq.empty
+      } finally Bench.sweepTmpDirs("bench_sigidx", "bench_sigv1",
+        "bench_sigbuild")
     val results =
       Queries.all.filter(q => wanted(q._1)).flatMap { case (name, q) =>
         timed(name, () => { q.fn(spark, sfDir).count(); () }) } ++
       ivfSplitResults ++ assemblySplitResults ++ qcSplitResults ++
-      ngramSplitResults ++
+      ngramSplitResults ++ sigIndexSplitResults ++
       // scale rehearsal: worst-case skewed corpora through the capped pair
       // generators — each skewed_* line should stay within ~2x of its
       // uniform twin above, or a cap has stopped doing its job

@@ -1431,15 +1431,7 @@ object Queries {
     * oracle reuses the all-pairs minhash CTE restricted to MIXED pairs
     * (one side reference), plus the exact-md5 guard. See
     * [[graft.operators.NearDup.dedupAgainstReference]]. */
-  private val ddRefDedup = Q(
-    (s, dir) => {
-      import s.implicits._
-      val docs = Tables.documents(s, dir)
-      graft.operators.NearDup.dedupAgainstReference(
-          docs.filter($"doc_id" % 3 === 0), docs.filter($"doc_id" % 3 =!= 0))
-        .orderBy($"doc_id")
-    },
-    Some(s"""WITH $minhashPairsCte,
+  private lazy val refDedupOracleSql = s"""WITH $minhashPairsCte,
       exact AS (
         SELECT DISTINCT i.doc_id FROM documents i JOIN documents r
           ON i.doc_id % 3 <> 0 AND r.doc_id % 3 = 0
@@ -1450,6 +1442,70 @@ object Queries {
       dropped AS (SELECT doc_id FROM exact UNION SELECT doc_id FROM near)
       SELECT doc_id FROM documents
       WHERE doc_id % 3 <> 0 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+      ORDER BY doc_id"""
+
+  private val ddRefDedup = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      graft.operators.NearDup.dedupAgainstReference(
+          docs.filter($"doc_id" % 3 === 0), docs.filter($"doc_id" % 3 =!= 0))
+        .orderBy($"doc_id")
+    },
+    Some(refDedupOracleSql))
+
+  /** [[ddRefDedup]] served from the v2 SIGNATURE INDEX
+    * ([[graft.operators.NearDup.writeSignatureIndex]] /
+    * [[graft.operators.NearDup.dedupAgainstIndex]]): the store is built
+    * once from the reference slice, then the incoming slice probes it —
+    * identical survivors to the inline pass (same oracle), but the probe
+    * plan reads the three signature tables partition-pruned and pays no
+    * corpus-scale aggregate (the `collect_set` the v1 store re-ran per
+    * batch is paid at build). */
+  private val ddIndexDedup = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val idx = scratchDir("graft_sigidx").toString
+      graft.operators.NearDup.writeSignatureIndex(
+        docs.filter($"doc_id" % 3 === 0), idx)
+      graft.operators.NearDup.dedupAgainstIndex(
+          docs.filter($"doc_id" % 3 =!= 0), idx)
+        .orderBy($"doc_id")
+    },
+    Some(refDedupOracleSql))
+
+  /** The signature index's DAILY LOOP end to end: build from the %3=0
+    * slice, ABSORB the %3=1 slice ([[graft.operators.NearDup
+    * .absorbIntoIndex]] — bloom merged, appends guarded by the pruned
+    * exact anti-check), then probe the %3=2 slice against the grown
+    * store. The oracle re-renders the reference side as %3 IN (0,1):
+    * absorb keeps one representative per distinct new text, and dedup
+    * decisions are invariant to which duplicate represents a text. */
+  private val ddIndexAbsorb = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val idx = scratchDir("graft_sigidx_abs").toString
+      graft.operators.NearDup.writeSignatureIndex(
+        docs.filter($"doc_id" % 3 === 0), idx)
+      graft.operators.NearDup.absorbIntoIndex(
+        docs.filter($"doc_id" % 3 === 1), idx)
+      graft.operators.NearDup.dedupAgainstIndex(
+          docs.filter($"doc_id" % 3 === 2), idx)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $minhashPairsCte,
+      exact AS (
+        SELECT DISTINCT i.doc_id FROM documents i JOIN documents r
+          ON i.doc_id % 3 = 2 AND r.doc_id % 3 <> 2
+          AND md5(i.text) = md5(r.text)),
+      near AS (
+        SELECT CASE WHEN a_id % 3 = 2 THEN a_id ELSE b_id END AS doc_id
+        FROM pairs WHERE (a_id % 3 = 2) <> (b_id % 3 = 2)),
+      dropped AS (SELECT doc_id FROM exact UNION SELECT doc_id FROM near)
+      SELECT doc_id FROM documents
+      WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM dropped)
       ORDER BY doc_id"""))
 
   /** PageRank centrality over the near-dup pair graph
@@ -5543,6 +5599,8 @@ object Queries {
     "dd_dup_clusters" -> ddClusters,
     "dd_cluster_best" -> ddClusterBest,
     "dd_ref_dedup" -> ddRefDedup,
+    "dd_dedup_index" -> ddIndexDedup,
+    "dd_dedup_index_absorb" -> ddIndexAbsorb,
     "dd_exact_substr" -> ddExactSubstr,
     "dd_pagerank" -> ddPageRank,
     "ann_topk" -> annTopk,

@@ -1010,20 +1010,26 @@ object SectionRegistry {
         textCol = c.getOrElse("text_column", "text")))),
     // incremental dedup against a reference corpus: reference_where splits
     // the input frame; output = surviving incoming ids
-    // with `signatures_path` set, the reference side is the precomputed
-    // signature store (NearDup.dedupAgainstStored — the 100 TB daily-crawl
-    // shape: reference text never re-scanned); otherwise reference_where
-    // splits the input frame and signatures compute inline
+    // with `index_path` set, the reference side is the v2 SIGNATURE INDEX
+    // (NearDup.dedupAgainstIndex — partition-pruned probe, zero
+    // corpus-scale aggregates per batch, build params self-describing);
+    // with `signatures_path`, the v1 store (NearDup.dedupAgainstStored);
+    // otherwise reference_where splits the input frame and signatures
+    // compute inline
     "dedup_against" -> Entry(SectionIOSpec(DataFrameIO, DataFrameIO),
       (_, c, df) => {
         val frame = in(df)
         val idCol = c.getOrElse("id_column", "doc_id")
         val textCol = c.getOrElse("text_column", "text")
         val threshold = c.getOrElse("threshold", "0.2").toDouble
-        Some(c.get("signatures_path") match {
-          case Some(p) => graft.operators.NearDup.dedupAgainstStored(
+        Some((c.get("index_path"), c.get("signatures_path")) match {
+          case (Some(p), _) => graft.operators.NearDup.dedupAgainstIndex(
             frame, p, idCol = idCol, textCol = textCol, threshold = threshold)
-          case scala.None =>
+          case (scala.None, Some(p)) =>
+            graft.operators.NearDup.dedupAgainstStored(
+              frame, p, idCol = idCol, textCol = textCol,
+              threshold = threshold)
+          case (scala.None, scala.None) =>
             val isRef = expr(cfg(c, "reference_where"))
             graft.operators.NearDup.dedupAgainstReference(
               frame.filter(isRef), frame.filter(!isRef),
@@ -1053,6 +1059,36 @@ object SectionRegistry {
           ngram = c.getOrElse("ngram", "3").toInt,
           slots = c.getOrElse("slots", "32").toInt,
           rowsPerBand = c.getOrElse("rows_per_band", "4").toInt)
+        scala.None
+      }),
+    // build the v2 SIGNATURE INDEX (pre-aggregated verify sets +
+    // bucket-partitioned postings + bloom-gated exact guard) that
+    // dedup_against's index_path mode probes partition-pruned — the
+    // nightly-build/all-day-serving loop for dedup, like
+    // ann_index_destination for ANN
+    "dedup_index_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        graft.operators.NearDup.writeSignatureIndex(in(df),
+          cfg(c, "path"),
+          idCol = c.getOrElse("id_column", "doc_id"),
+          textCol = c.getOrElse("text_column", "text"),
+          ngram = c.getOrElse("ngram", "3").toInt,
+          slots = c.getOrElse("slots", "32").toInt,
+          rowsPerBand = c.getOrElse("rows_per_band", "4").toInt,
+          exactBuckets = c.getOrElse("exact_buckets", "64").toInt,
+          bandBuckets = c.getOrElse("band_buckets", "64").toInt,
+          setBuckets = c.getOrElse("set_buckets", "64").toInt,
+          bloomItems = c.getOrElse("bloom_items", "0").toLong,
+          bloomFpp = c.getOrElse("bloom_fpp", "0.03").toDouble)
+        scala.None
+      }),
+    // absorb into a v2 signature index: signature params are read from
+    // the store itself (self-describing), so only the path is config
+    "dedup_index_absorb_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (_, c, df) => {
+        graft.operators.NearDup.absorbIntoIndex(in(df), cfg(c, "path"),
+          idCol = c.getOrElse("id_column", "doc_id"),
+          textCol = c.getOrElse("text_column", "text"))
         scala.None
       }),
     // SemDeDup: semantic dedup inside trained k-means cells
@@ -1367,19 +1403,35 @@ object SectionRegistry {
     // one persisted frame per micro-batch.
     "stream_dedup_against_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
       (s, c, df) => {
-        val sig = cfg(c, "signatures")
+        // `index_path` serves each micro-batch from the v2 signature
+        // index (partition-pruned probe, params self-describing);
+        // `signatures` from the v1 store. Both keep the batch-scoped
+        // cache lifecycle and the same absorb loop.
+        val idxPath = c.get("index_path")
+        val sig = if (idxPath.isDefined) c.getOrElse("signatures", "")
+          else cfg(c, "signatures")
         val path = cfg(c, "path")
         val ckpt = cfg(c, "checkpoint")
         val idCol = c.getOrElse("id_column", "doc_id")
+        val textCol = c.getOrElse("text_column", "text")
+        val threshold = c.getOrElse("threshold", "0.2").toDouble
+        def scoped(batch: org.apache.spark.sql.DataFrame)
+                  (use: org.apache.spark.sql.DataFrame => Unit): Unit =
+          idxPath match {
+            case Some(p) => graft.operators.NearDup.dedupAgainstIndexScoped(
+              batch, p, idCol = idCol, textCol = textCol,
+              threshold = threshold)(use)
+            case scala.None =>
+              graft.operators.NearDup.dedupAgainstStoredScoped(batch, sig,
+                idCol = idCol, textCol = textCol,
+                ngram = c.getOrElse("ngram", "3").toInt,
+                slots = c.getOrElse("slots", "32").toInt,
+                rowsPerBand = c.getOrElse("rows_per_band", "4").toInt,
+                threshold = threshold)(use)
+          }
         val writer = graft.streaming.StreamingPipelines.ackSink(in(df), ckpt,
           org.apache.spark.sql.streaming.OutputMode.Append()) { (batch, _) =>
-          graft.operators.NearDup.dedupAgainstStoredScoped(batch, sig,
-            idCol = idCol,
-            textCol = c.getOrElse("text_column", "text"),
-            ngram = c.getOrElse("ngram", "3").toInt,
-            slots = c.getOrElse("slots", "32").toInt,
-            rowsPerBand = c.getOrElse("rows_per_band", "4").toInt,
-            threshold = c.getOrElse("threshold", "0.2").toDouble) { survivors =>
+          scoped(batch) { survivors =>
             val kept = batch.join(survivors, Seq(idCol), "left_semi")
             Sinks.idempotentParquetAppend(kept, path, Seq(idCol))
             // "absorb": survivors join the signature store, so LATER
@@ -1388,12 +1440,16 @@ object SectionRegistry {
             // Runs after the idempotent append; both halves tolerate
             // replay, so a crash anywhere in between converges.
             if (c.getOrElse("absorb", "false").toBoolean)
-              graft.operators.NearDup.absorbIntoSignatures(kept, sig,
-                idCol = idCol,
-                textCol = c.getOrElse("text_column", "text"),
-                ngram = c.getOrElse("ngram", "3").toInt,
-                slots = c.getOrElse("slots", "32").toInt,
-                rowsPerBand = c.getOrElse("rows_per_band", "4").toInt)
+              idxPath match {
+                case Some(p) => graft.operators.NearDup.absorbIntoIndex(
+                  kept, p, idCol = idCol, textCol = textCol)
+                case scala.None =>
+                  graft.operators.NearDup.absorbIntoSignatures(kept, sig,
+                    idCol = idCol, textCol = textCol,
+                    ngram = c.getOrElse("ngram", "3").toInt,
+                    slots = c.getOrElse("slots", "32").toInt,
+                    rowsPerBand = c.getOrElse("rows_per_band", "4").toInt)
+              }
           }
         }
         val sup = new graft.streaming.StreamingSupervisor(s,

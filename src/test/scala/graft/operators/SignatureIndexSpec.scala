@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The v2 dedup signature index ([[NearDup.writeSignatureIndex]] /
+  * [[NearDup.dedupAgainstIndex]] / [[NearDup.absorbIntoIndex]]): result
+  * parity with the inline reference pass, the partition-pruned probe
+  * plan, the bloom-gated exact guard, and the absorb lifecycle. The
+  * whole-corpus results are oracle-verified as `dd_dedup_index` /
+  * `dd_dedup_index_absorb`. */
+class SignatureIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private val long = (1 to 30).map(i => s"w$i").mkString(" ")
+  private val longVariant =
+    (1 to 30).map(i => if (i == 15) "CHANGED" else s"w$i").mkString(" ")
+
+  test("index probe answers identically to the inline reference pass") {
+    val ref = docs(
+      1L -> long,
+      2L -> "x") // shorter than one shingle: only the exact guard catches it
+    val inc = docs(
+      10L -> long,         // exact dup
+      11L -> longVariant,  // near dup, jaccard ~0.81
+      12L -> "p q r s t u v w completely fresh content here",
+      13L -> "x",          // exact dup of the short reference doc
+      14L -> "y")          // fresh short doc
+    val inline = NearDup.dedupAgainstReference(ref, inc)
+      .as[Long].collect().toSet
+    spark.catalog.clearCache()
+    val path = java.nio.file.Files.createTempDirectory("sigidx").toString
+    NearDup.writeSignatureIndex(ref, path)
+    val got = NearDup.dedupAgainstIndex(inc, path).as[Long].collect().toSet
+    assert(got == inline && got == Set(12L, 14L))
+    // layout: pre-aggregated sets, band postings, exact guard, bloom, params
+    for (part <- Seq("sets", "bands", "exact", "params"))
+      assert(new java.io.File(path, part).exists(), s"missing $part")
+    assert(new java.io.File(s"$path/bloom/current").exists(), "missing bloom")
+    // the partitioned tables carry their bucket dirs
+    assert(new java.io.File(s"$path/sets").listFiles()
+      .exists(_.getName.startsWith("sb=")))
+    assert(new java.io.File(s"$path/bands").listFiles()
+      .exists(_.getName.startsWith("bb=")))
+    // a second batch reuses the same store
+    val inc2 = docs(20L -> long, 21L -> "another genuinely new document text")
+    assert(NearDup.dedupAgainstIndex(inc2, path)
+      .as[Long].collect().toSet == Set(21L))
+    spark.catalog.clearCache()
+  }
+
+  test("parity with the inline pass on a mixed 120-doc corpus") {
+    // 40 reference docs; incoming = exact dups, near variants (one word
+    // changed), and fresh docs — enough spread to hit many buckets of all
+    // three tables
+    val refRows = (0L until 40L).map(i =>
+      i -> (1 to 25).map(w => s"r${i % 8}w$w").mkString(" "))
+    val incRows = (0L until 80L).map { i =>
+      val id = 100L + i
+      if (i % 4 == 0) id -> (1 to 25).map(w => s"r${i % 8}w$w").mkString(" ")
+      else if (i % 4 == 1) id -> (1 to 25)
+        .map(w => if (w == 13) "X" else s"r${i % 8}w$w").mkString(" ")
+      else id -> (1 to 25).map(w => s"fresh${i}w$w").mkString(" ")
+    }
+    val ref = refRows.toDF("doc_id", "text")
+    val inc = incRows.toDF("doc_id", "text")
+    val inline = NearDup.dedupAgainstReference(ref, inc)
+      .as[Long].collect().toSet
+    spark.catalog.clearCache()
+    val path = java.nio.file.Files.createTempDirectory("sigidx_par").toString
+    NearDup.writeSignatureIndex(ref, path)
+    val got = NearDup.dedupAgainstIndex(inc, path).as[Long].collect().toSet
+    assert(got == inline, s"index=${got.size} inline=${inline.size}")
+    spark.catalog.clearCache()
+  }
+
+  test("params are self-describing: a non-default build probes correctly") {
+    val ref = docs(1L -> long)
+    val inc = docs(10L -> longVariant, 11L -> "totally different words here")
+    val inline = NearDup.dedupAgainstReference(ref, inc, ngram = 5,
+      slots = 16, rowsPerBand = 2).as[Long].collect().toSet
+    spark.catalog.clearCache()
+    val path = java.nio.file.Files.createTempDirectory("sigidx_ng").toString
+    NearDup.writeSignatureIndex(ref, path, ngram = 5, slots = 16,
+      rowsPerBand = 2, exactBuckets = 8, bandBuckets = 8, setBuckets = 8)
+    // no signature params passed — the probe reads them from the store
+    val got = NearDup.dedupAgainstIndex(inc, path).as[Long].collect().toSet
+    assert(got == inline)
+    val p = NearDup.signatureIndexParams(spark, path)
+    assert(p.ngram == 5 && p.slots == 16 && p.rowsPerBand == 2 &&
+      p.setBuckets == 8)
+    spark.catalog.clearCache()
+  }
+
+  test("probe plan: every store scan is partition-pruned by a literal") {
+    val ref = docs(1L -> long, 2L -> "x")
+    val inc = docs(10L -> long, 11L -> longVariant, 13L -> "x")
+    val path = java.nio.file.Files.createTempDirectory("sigidx_plan").toString
+    NearDup.writeSignatureIndex(ref, path)
+    // a multi-bucket key set renders as an IN-list; Catalyst folds a
+    // single-bucket set to equality — both are literal prunes
+    def assertPruned(plan: String, c: String): Unit = {
+      val pf = plan.linesIterator.filter(_.contains("PartitionFilters"))
+        .find(_.contains(s"$c#"))
+      assert(pf.isDefined, s"no partition filter over $c:\n$plan")
+      assert(pf.get.contains("IN") || pf.get.contains("in(") ||
+        pf.get.contains(" = "),
+        s"partition filter over $c must be a literal prune: ${pf.get}")
+    }
+    // the final probe plan carries the exact-guard (tb) and verify-set
+    // (sb) prunes; the band (bb) prune lives in the candidate subplan,
+    // which the probe eagerly checkpoints — assert it pre-checkpoint
+    val p = NearDup.dedupAgainstIndex(inc, path)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assertPruned(p, "tb")
+    assertPruned(p, "sb")
+    val params = NearDup.signatureIndexParams(spark, path)
+    val candPlan = NearDup.indexBandCandidates(
+        NearDup.hvOf(inc, "doc_id", "text", params.ngram), path, params)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    assertPruned(candPlan, "bb")
+    spark.catalog.clearCache()
+  }
+
+  test("fresh batch: the bloom gate folds the exact scan out of the plan") {
+    val ref = docs(1L -> long, 2L -> "x")
+    val path = java.nio.file.Files.createTempDirectory("sigidx_bloom").toString
+    NearDup.writeSignatureIndex(ref, path)
+    // all-fresh batch: every md5 misses the bloom (deterministic for this
+    // fixture), the suspect set is empty, and PropagateEmptyRelation
+    // removes the exact scan from the physical plan entirely — the
+    // "healthy crawl never opens the guard table" property
+    val fresh = docs(
+      20L -> "alpha beta gamma delta epsilon zeta eta theta",
+      21L -> "one two three four five six seven eight nine")
+    val plan = NearDup.dedupAgainstIndex(fresh, path)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("/exact"),
+      s"fresh batch must not scan the exact table:\n$plan")
+    assert(NearDup.dedupAgainstIndex(fresh, path)
+      .as[Long].collect().toSet == Set(20L, 21L))
+    spark.catalog.clearCache()
+  }
+
+  test("absorbIntoIndex: survivors become reference; re-absorption no-op") {
+    val base = (1 to 30).map(i => s"r$i").mkString(" ")
+    val path = java.nio.file.Files.createTempDirectory("sigidx_abs").toString
+    NearDup.writeSignatureIndex(docs(1L -> base), path)
+    val day1 = docs(
+      10L -> ((1 to 30).map(i => s"a$i").mkString(" ")),
+      11L -> "one two three four five six seven")
+    assert(NearDup.dedupAgainstIndex(day1, path)
+      .as[Long].collect().toSet == Set(10L, 11L))
+    NearDup.absorbIntoIndex(day1, path)
+    // day 2: duplicates of day-1 docs are now dropped, including the
+    // sub-shingle doc (caught by the absorbed exact guard + bloom)
+    val day2 = docs(
+      20L -> ((1 to 30).map(i => s"a$i").mkString(" ")),     // exact of 10
+      21L -> ((1 to 30).map(i => if (i == 7) "Z" else s"a$i")
+        .mkString(" ")),                                      // near of 10
+      22L -> "one two three four five six seven",             // exact of 11
+      23L -> ((1 to 30).map(i => s"b$i").mkString(" ")))      // fresh
+    assert(NearDup.dedupAgainstIndex(day2, path)
+      .as[Long].collect().toSet == Set(23L))
+    // re-absorbing the same batch adds nothing: one exact row per
+    // distinct text, before and after
+    val exactBefore = spark.read.parquet(s"$path/exact").count()
+    NearDup.absorbIntoIndex(day1, path)
+    assert(spark.read.parquet(s"$path/exact").count() == exactBefore)
+    spark.catalog.clearCache()
+  }
+}

@@ -437,6 +437,52 @@ class TrainingSectionsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dedup index sections: build, probe (index_path), absorb — " +
+    "identical survivors to the inline split") {
+    val path = java.nio.file.Files.createTempDirectory("sigidx_sec").toString
+    val build =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"ref","name":"sql","config":{"query":"SELECT * FROM input WHERE doc_id % 3 = 0"}},
+        {"id":"ix","name":"dedup_index_destination","config":{"path":"$path"}}],
+        "edges":[["src","ref"],["ref","ix"]]}"""
+    PipelineCompiler.run(spark, PipelineSpec.fromJson(build))
+    assert(new java.io.File(s"$path/sets").exists() &&
+      new java.io.File(s"$path/bloom/current").exists())
+    val probe =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"inc","name":"sql","config":{"query":"SELECT * FROM input WHERE doc_id % 3 <> 0"}},
+        {"id":"dd","name":"dedup_against","config":{"index_path":"$path"}}],
+        "edges":[["src","inc"],["inc","dd"]]}"""
+    val viaIndex = PipelineCompiler
+      .compileFrame(spark, PipelineSpec.fromJson(probe))
+      .collect().map(_.getLong(0)).toSet
+    val inline =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"dd","name":"dedup_against","config":{"reference_where":"doc_id % 3 = 0"}}],
+        "edges":[["src","dd"]]}"""
+    val viaInline = PipelineCompiler
+      .compileFrame(spark, PipelineSpec.fromJson(inline))
+      .collect().map(_.getLong(0)).toSet
+    assert(viaIndex == viaInline && viaIndex.nonEmpty)
+    spark.catalog.clearCache()
+    // absorb the survivors through the destination section; their exact
+    // duplicates are then dropped on a re-probe of the same slice
+    val absorb =
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"inc","name":"sql","config":{"query":"SELECT * FROM input WHERE doc_id % 3 <> 0"}},
+        {"id":"ab","name":"dedup_index_absorb_destination","config":{"path":"$path"}}],
+        "edges":[["src","inc"],["inc","ab"]]}"""
+    PipelineCompiler.run(spark, PipelineSpec.fromJson(absorb))
+    val reProbe = PipelineCompiler
+      .compileFrame(spark, PipelineSpec.fromJson(probe)).count()
+    assert(reProbe == 0, s"re-probe after absorb must drop everything, kept $reProbe")
+    spark.catalog.clearCache()
+  }
+
   test("ann model sections: train+write via destination spec, serve from the store") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq_sec").toString
     val build =

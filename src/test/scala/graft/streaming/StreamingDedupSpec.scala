@@ -110,6 +110,51 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("index_path mode: the v2 signature index serves and absorbs in-stream") {
+    // same daily-crawl loop as the absorb test, served from the
+    // partition-pruned v2 index (dedupAgainstIndexScoped /
+    // absorbIntoIndex) — batch 1's survivor is absorbed, batch 2's
+    // near-dup of it is dropped, fresh content passes
+    val root = java.nio.file.Files.createTempDirectory("graft_absorb_idx").toString
+    val seed = (1 to 30).map(i => s"s$i").mkString(" ")
+    graft.operators.NearDup.writeSignatureIndex(
+      Seq((1L, seed)).toDF("doc_id", "text"), s"$root/idx")
+    val docA = (1 to 30).map(i => s"a$i").mkString(" ")
+    val docA2 = (1 to 30).map(i => if (i == 5) "X" else s"a$i").mkString(" ")
+    new java.io.File(s"$root/in").mkdirs()
+    def writeFlat(name: String, mtime: Long,
+                  rows: Seq[(Long, String)]): Unit = {
+      val tmp = s"$root/tmp_$name"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$root/in/$name.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val now = System.currentTimeMillis()
+    writeFlat("f1", now - 60000, Seq((10L, docA), (11L, seed)))
+    writeFlat("f2", now, Seq((20L, docA2),
+      (21L, "fresh words entirely new today")))
+    val spec = graft.plans.PipelineSpec.fromJson(
+      s"""{"sections":[
+        {"id":"src","name":"stream_parquet_source","config":{
+          "path":"$root/in","glob":"*.parquet",
+          "max_files_per_trigger":"1"}},
+        {"id":"dd","name":"stream_dedup_against_destination","config":{
+          "index_path":"$root/idx","path":"$root/out",
+          "checkpoint":"$root/ckpt","absorb":"true"}}],
+        "edges":[["src","dd"]]}""")
+    graft.plans.PipelineCompiler.run(spark, spec)
+    val out = spark.read.parquet(s"$root/out")
+      .select("doc_id").as[Long].collect().toSet
+    // 11 dups the original reference; 10 survives batch 1 and absorbs;
+    // 20 (near-dup of 10) drops in batch 2; 21 is fresh
+    assert(out == Set(10L, 21L), s"got $out")
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "index-mode stream leaked a persisted frame")
+  }
+
   test("watermarked dedup suppresses within the horizon, re-admits after eviction") {
     val root = java.nio.file.Files.createTempDirectory("graft_streamdedup").toString
     def write(sub: String, rows: Seq[(String, String)]): Unit =
