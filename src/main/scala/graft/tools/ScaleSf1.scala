@@ -196,7 +196,39 @@ object ScaleSf1 {
           buckets = 256, iters = 4, lr = BigDecimal("0.02"),
           maxTrainDocs = docCap); ()
       }))
-    val fns = baseFns ++ cappedFns
+    // DEDUP SERVING vs a growing store: a FIXED daily batch (the sf0.1
+    // corpus's %10 slice — same rows at both scales) probes a signature
+    // store built from the FULL corpus of each scale. The v1 store
+    // (dd_stored_probe) re-runs a collect_set over the whole hashes
+    // table per probe — linear in the STORE; the v2 index
+    // (dd_index_probe) reads pre-aggregated, partition-pruned tables —
+    // the probe should price the BATCH, not the corpus. Stores build
+    // once, untimed (the build is the nightly job; these lines are the
+    // all-day serving cost).
+    val sigBatch = spark.read.parquet(s"$sf01/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+    val sigRoot = java.nio.file.Files
+      .createTempDirectory("graft_sigscale").toString
+    val sigStores: Map[String, (String, String)] =
+      Seq(sf01 -> "small", sf1 -> "big").map { case (dir, tag) =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val v1 = s"$sigRoot/v1_$tag"
+        val v2 = s"$sigRoot/v2_$tag"
+        graft.operators.NearDup.writeReferenceSignatures(docs, v1)
+        graft.operators.NearDup.writeSignatureIndex(docs, v2)
+        dir -> (v1, v2)
+      }.toMap
+    val sigFns: Seq[(String, String => () => Unit)] = Seq(
+      "dd_stored_probe" -> (dir => () => {
+        graft.operators.NearDup.dedupAgainstStored(
+          sigBatch, sigStores(dir)._1).count()
+        spark.catalog.clearCache(); ()
+      }),
+      "dd_index_probe" -> (dir => () => {
+        graft.operators.NearDup.dedupAgainstIndexScoped(
+          sigBatch, sigStores(dir)._2)(_.count()); ()
+      }))
+    val fns = baseFns ++ cappedFns ++ sigFns
     def timeIt(f: () => Unit): Double = {
       // min of 2: first run absorbs codegen/JIT for the shape
       val ts = (0 until 2).map { _ =>
@@ -249,6 +281,16 @@ object ScaleSf1 {
     println(s"""{"metric":"scale_ratio_sf1","copies":10,"ratios":$json,""" +
       f""""recall_at_10":{"ann_ivf_pq_rerank":{"sf0_1":$rrSmall%.3f,""" +
       f""""sf1":$rrBig%.3f}}}""")
+    locally {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(sigRoot)
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+        finally walk.close()
+      }
+    }
     spark.stop()
   }
 }
