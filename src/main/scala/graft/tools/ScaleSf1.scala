@@ -209,13 +209,16 @@ object ScaleSf1 {
       .filter(col("doc_id") % 10 === 0)
     val sigRoot = java.nio.file.Files
       .createTempDirectory("graft_sigscale").toString
-    val sigStores: Map[String, (String, String)] =
+    // lazy: built when the first sig line runs (after the base lines),
+    // so the base lines' JVM environment matches prior rounds' artifacts
+    lazy val sigStores: Map[String, (String, String)] =
       Seq(sf01 -> "small", sf1 -> "big").map { case (dir, tag) =>
         val docs = spark.read.parquet(s"$dir/documents.parquet")
         val v1 = s"$sigRoot/v1_$tag"
         val v2 = s"$sigRoot/v2_$tag"
         graft.operators.NearDup.writeReferenceSignatures(docs, v1)
         graft.operators.NearDup.writeSignatureIndex(docs, v2)
+        spark.catalog.clearCache()
         dir -> (v1, v2)
       }.toMap
     val sigFns: Seq[(String, String => () => Unit)] = Seq(

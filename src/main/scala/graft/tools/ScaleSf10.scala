@@ -40,6 +40,68 @@ import org.apache.spark.sql.functions._
   * /root/testdata/sf0.1). Builds the sf1 twin first if missing. */
 object ScaleSf10 {
 
+  /** The dedup SERVING contrast at this decade (the [[ScaleSf1]] lines,
+    * same fixed sf0.1 daily batch, stores built from the sf1 and sf10
+    * corpora): the v1 stored probe re-aggregates the store per batch —
+    * its ratio reads the corpus; the v2 index probe reads build-once,
+    * partition-pruned tables — its ratio should stay ~1 while the store
+    * grows another decade. Stores build untimed (the nightly job). */
+  /** `(line fns, per-scale v1 hashes-table row counts)` — the row counts
+    * are the v1 probe's PER-PROBE aggregate input (its `collect_set`
+    * consumes the whole table every batch; 10×/decade by construction),
+    * against the v2 probe's corpus-side aggregate input of ZERO (no
+    * store-sized aggregate exists in its plan — `SignatureIndexSpec`
+    * pins the shape). Wall-clock at twin scales is floor-dominated for
+    * both probes (a 25M-row aggregate is sub-second on local[32]); the
+    * row counts are what carry to 100 TB. */
+  private def sigProbeFns(spark: SparkSession, sf1: String, sf10: String,
+                          sf01: String)
+      : (Seq[(String, String => () => Unit)], () => Map[String, Long]) = {
+    val batch = spark.read.parquet(s"$sf01/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sigscale10").toString
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+        finally walk.close()
+      }
+    }))
+    // LAZY store builds: the first sig line (timed LAST in the fns
+    // order) triggers them, so the base lines run in the same JVM
+    // environment as prior rounds' artifacts — an eager build here was
+    // measured perturbing the semdedup lines that follow it
+    lazy val stores: Map[String, (String, String)] =
+      Seq(sf1 -> "sf1", sf10 -> "sf10").map { case (dir, tag) =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val v1 = s"$root/v1_$tag"
+        val v2 = s"$root/v2_$tag"
+        graft.operators.NearDup.writeReferenceSignatures(docs, v1)
+        graft.operators.NearDup.writeSignatureIndex(docs, v2)
+        spark.catalog.clearCache()
+        dir -> (v1, v2)
+      }.toMap
+    val aggRows = () => Seq(sf1 -> "sf1", sf10 -> "sf10")
+      .map { case (dir, tag) =>
+        s"v1_probe_agg_rows_$tag" ->
+          spark.read.parquet(s"${stores(dir)._1}/hashes").count()
+      }.toMap
+    (Seq(
+      "dd_stored_probe" -> ((dir: String) => () => {
+        graft.operators.NearDup.dedupAgainstStored(
+          batch, stores(dir)._1).count()
+        spark.catalog.clearCache(); ()
+      }),
+      "dd_index_probe" -> ((dir: String) => () => {
+        graft.operators.NearDup.dedupAgainstIndexScoped(
+          batch, stores(dir)._2)(_.count()); ()
+      })), aggRows)
+  }
+
   def main(args: Array[String]): Unit = {
     val sf1 = args.headOption.getOrElse("/tmp/graft_sf1")
     val sf10 = args.drop(1).headOption.getOrElse("/tmp/graft_sf10")
@@ -79,7 +141,7 @@ object ScaleSf10 {
     def emb(dir: String) = graft.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
 
-    val fns: Seq[(String, String => () => Unit)] = Seq(
+    val baseFns: Seq[(String, String => () => Unit)] = Seq(
       "dd_semdedup" -> (dir => () => {
         graft.operators.Ann.semanticDedup(emb(dir),
           threshold = 0.35, kCentroids = 0, iters = 5, seed = "ivf",
@@ -120,6 +182,8 @@ object ScaleSf10 {
           buckets = 256, iters = 4, lr = BigDecimal("0.02"),
           maxTrainDocs = docCap); ()
       }))
+    val (sigFns, sigAggThunk) = sigProbeFns(spark, sf1, sf10, sf01)
+    val fns = baseFns ++ sigFns
     def timeIt(f: () => Unit): Double = {
       val ts = (0 until 2).map { _ =>
         spark.catalog.clearCache()
@@ -157,8 +221,12 @@ object ScaleSf10 {
     val json = rows.map { case (n, s, b, r) =>
       f""""$n":{"sf1":$s%.3f,"sf10":$b%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
+    val sigAggRows = sigAggThunk()
+    val aggJson = sigAggRows.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_ratio_sf10","copies":10,"ratios":$json,""" +
-      f""""recall_at_10":{"ann_ivf_pq_rerank_sf10":$rec%.3f}}""")
+      f""""recall_at_10":{"ann_ivf_pq_rerank_sf10":$rec%.3f},""" +
+      s""""dedup_serving":$aggJson}""")
     spark.stop()
   }
 }
