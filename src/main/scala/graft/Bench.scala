@@ -117,6 +117,33 @@ object Bench {
       .filter { case (_, r) => r > ratio }
       .sortBy(-_._2)
 
+  /** SHARED-TOTAL guard for record refreshes: the summed medians over
+    * the lines BOTH runs share (new surface excluded) must stay within
+    * `tol`× of the record's, or the refresh routes aside. Exists because
+    * r18's run-2 profile slipped every per-family guard AT ONCE — a
+    * gradual in-run slowdown measured canary 1.05× (host still fast when
+    * the canary ran first), heavy lines ~1.39× (under the 1.4 gate) and
+    * no single line past the 2× mid-tail bar, yet the headline total —
+    * the number every cross-round comparison reads — was 1.39× the
+    * record's. Guarding the shared-line total directly closes the seam
+    * between the per-family thresholds; a legitimate step change is
+    * SPARK_GRAFT_BENCH_FORCE=1 as everywhere. Returns the ratio when it
+    * exceeds the band (either direction — an anomalously FAST total
+    * re-anchors comparisons just as silently); None under 5 shared
+    * lines. */
+  def sharedTotalShift(recordMeds: Map[String, Double],
+                       curMeds: Map[String, Double],
+                       tol: Double = 1.15): Option[Double] = {
+    val shared = recordMeds.keySet & curMeds.keySet
+    if (shared.size < 5) scala.None
+    else {
+      val rec = shared.toSeq.map(recordMeds).sum
+      val cur = shared.toSeq.map(curMeds).sum
+      val r = cur / math.max(rec, 1e-9)
+      if (r > tol || r < 1.0 / tol) Some(r) else scala.None
+    }
+  }
+
   /** The floor breaches in a recall block: (line, measured, floor). */
   def recallFloorBreaches(recall: Map[String, Double])
       : Seq[(String, Double, Double)] =
@@ -1002,10 +1029,12 @@ object Bench {
     // concentrated in shuffle/JIT-heavy work that the light canary
     // provably misses — r14 shipped a "clean" record whose heavy lines ran
     // 1.5-3× slow behind a 1.07× canary).
-    val (degradedVsRecord, anchorVsRecord, midTailVsRecord)
-        : (Option[(String, Double)], Option[Double], Seq[(String, Double)]) =
+    val (degradedVsRecord, anchorVsRecord, midTailVsRecord, totalVsRecord)
+        : (Option[(String, Double)], Option[Double], Seq[(String, Double)],
+           Option[Double]) =
       if (force || only.isDefined || contended ||
-          !java.nio.file.Files.exists(recordPath)) (scala.None, scala.None, Seq.empty)
+          !java.nio.file.Files.exists(recordPath))
+        (scala.None, scala.None, Seq.empty, scala.None)
       else try {
         import scala.jdk.CollectionConverters._
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -1030,8 +1059,15 @@ object Bench {
           // MID-TAIL check ([[Bench.midTailRegressions]]): individual
           // multi-second lines past 2× the record even when every median
           // sits clean — the r17 blind spot
-          Bench.midTailRegressions(block("queries_min"), curMins))
-      } catch { case _: Throwable => (scala.None, scala.None, Seq.empty) }
+          Bench.midTailRegressions(block("queries_min"), curMins),
+          // SHARED-TOTAL check ([[Bench.sharedTotalShift]]): the summed
+          // shared-line medians vs the record's — the r18 in-run-drift
+          // seam (every per-family guard under threshold at once while
+          // the headline total moved 1.39×)
+          Bench.sharedTotalShift(block("queries"),
+            results.map { case (k, med, _) => k -> med }.toMap))
+      } catch { case _: Throwable =>
+        (scala.None, scala.None, Seq.empty, scala.None) }
     val target =
       if (force) recordPath
       else if (only.isDefined) java.nio.file.Paths.get("bench_last_partial.json")
@@ -1072,6 +1108,15 @@ object Bench {
           "bench_last.json alone (a deliberate algorithmic change " +
           "re-anchors explicitly via SPARK_GRAFT_BENCH_FORCE=1)")
         java.nio.file.Paths.get("bench_last_regressed.json")
+      }
+      else if (totalVsRecord.isDefined) {
+        System.err.println(f"[bench] shared-line total ${totalVsRecord.get}%.2fx " +
+          "the committed record's — outside the ±1.15x band behind clean " +
+          "per-family medians (the in-run-drift profile); writing " +
+          "bench_last_drifted.json, leaving bench_last.json alone " +
+          "(a legitimate step change re-anchors explicitly via " +
+          "SPARK_GRAFT_BENCH_FORCE=1)")
+        java.nio.file.Paths.get("bench_last_drifted.json")
       }
       else if (contended) {
         // unconditional, not "only when the existing record is clean":
@@ -1118,6 +1163,10 @@ object Bench {
           ("regressed", s"${midTailVsRecord.size} multi-second line(s) " +
             "past 2x the record: " + midTailVsRecord.take(8)
               .map { case (k, r) => f"$k $r%.2fx" }.mkString(", "))
+        else if (totalVsRecord.isDefined)
+          ("drifted", f"shared-line total ${totalVsRecord.get}%.2fx the " +
+            "committed record's — outside the ±1.15x band behind clean " +
+            "per-family medians (in-run drift)")
         else if (contended)
           ("contended", s"java_procs=$javaProcs loadavg_start=$loadavgStart")
         else ("clean", "full run, all guards green — record refreshed")

@@ -189,6 +189,47 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.recallFloorBreaches(Map.empty).isEmpty)
   }
 
+  // ---- shared-total shift: the r18 in-run-drift seam
+
+  test("shared-total: the r18 run-2 profile (every per-family guard " +
+    "under threshold, shared total 1.17x) is blocked") {
+    // the measured run-2 shape: light lines near-flat, heavier lines
+    // drifting — per-line medians each under their family gates while
+    // the shared sum moved 1.17x (the band matches the ±1.15 anchor
+    // tolerance; FORCE is the explicit accept for a legitimate step)
+    val rec = Map("a" -> 0.2, "b" -> 0.3, "c" -> 0.25, "d" -> 4.0,
+      "e" -> 5.0, "f" -> 6.0)
+    val cur = Map("a" -> 0.21, "b" -> 0.32, "c" -> 0.26, "d" -> 4.7,
+      "e" -> 5.9, "f" -> 7.0)
+    val r = Bench.sharedTotalShift(rec, cur)
+    assert(r.isDefined && r.get > 1.15, s"got $r")
+  }
+
+  test("shared-total: a clean same-host refresh (~1.05x) passes") {
+    val rec = Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0, "d" -> 4.0, "e" -> 5.0)
+    val cur = rec.map { case (k, v) => k -> v * 1.05 }
+    assert(Bench.sharedTotalShift(rec, cur).isEmpty)
+  }
+
+  test("shared-total: new surface is excluded from the comparison") {
+    val rec = Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0, "d" -> 4.0, "e" -> 5.0)
+    // 20s of brand-new lines must not read as a slowdown
+    val cur = rec ++ Map("new1" -> 10.0, "new2" -> 10.0)
+    assert(Bench.sharedTotalShift(rec, cur).isEmpty)
+  }
+
+  test("shared-total: an anomalously fast total blocks re-anchoring too") {
+    val rec = Map("a" -> 1.0, "b" -> 2.0, "c" -> 3.0, "d" -> 4.0, "e" -> 5.0)
+    val cur = rec.map { case (k, v) => k -> v * 0.6 }
+    assert(Bench.sharedTotalShift(rec, cur).isDefined)
+  }
+
+  test("shared-total: thin evidence -> None") {
+    val rec = Map("a" -> 1.0, "b" -> 2.0)
+    assert(Bench.sharedTotalShift(rec,
+      rec.map { case (k, v) => k -> v * 3 }).isEmpty)
+  }
+
   // ---- tmp-dir sweep scoping: only dirs THIS JVM registered are swept
 
   test("sweepTmpDirs deletes owned dirs only, leaving foreign dirs alone") {
