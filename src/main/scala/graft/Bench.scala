@@ -144,6 +144,24 @@ object Bench {
     }
   }
 
+  /** SF-SCALE gate statistic: the main-SF line's cost over its small-SF
+    * twin's, each taken as the MIN over that side's samples — the
+    * codebase's stated doctrine for cross-measurement comparison (see
+    * [[heavyLineDegradation]]: a min is a lower bound on true cost,
+    * immune to a one-off stall in either measurement). r18's official
+    * driver bench FAILED on exactly the median's blind spot: the two
+    * sides run minutes apart inside one process, so a contention spike
+    * on the large-scale line (cp_qc_train 7.3s vs its clean ~1.6s at
+    * loadavg 7.85) read as an 85× "superlinear growth" over a line whose
+    * honest ratio is 3.4. None when either side has no successful
+    * sample. */
+  def scaleGateRatio(mainSamples: Seq[Double],
+                     smallSamples: Seq[Double]): Option[Double] =
+    for {
+      m <- mainSamples.minOption
+      s <- smallSamples.minOption
+    } yield m / math.max(s, 1e-9)
+
   /** The floor breaches in a recall block: (line, measured, floor). */
   def recallFloorBreaches(recall: Map[String, Double])
       : Seq[(String, Double, Double)] =
@@ -327,7 +345,7 @@ object Bench {
       "ann_ivf_disk_build", "ann_ivf_disk_query", "dd_semdedup_query",
       "ann_ivf_balanced_train", "ann_ivf_balanced_query",
       "ann_ivf_append_delta", "ann_pq_train", "ann_pq_query",
-      "ann_ivf_pq_train", "ann_ivf_pq_query", "ann_ivf_pq_rerank",
+      "ann_ivf_pq_train", "ann_ivf_pq_query", "ann_ivf_pq_rerank_serve",
       "ann_ivf_pq_disk_build", "ann_ivf_pq_disk_query",
       "ann_opq_train", "ann_opq_query")
     val ivfSplitResults: Seq[(String, Double, Double)] =
@@ -361,7 +379,7 @@ object Bench {
           operators.Ann.trainPqCodebooks(e)
         else Array.empty[Array[Array[Double]]]
         val ivfPqModel =
-          if (wanted("ann_ivf_pq_query") || wanted("ann_ivf_pq_rerank"))
+          if (wanted("ann_ivf_pq_query") || wanted("ann_ivf_pq_rerank_serve"))
           operators.Ann.ivfPqTrain(e, kCentroids = 16)
         else (Array.empty[Array[Double]], Array.empty[Array[Array[Double]]])
         val opqModel = if (wanted("ann_opq_query"))
@@ -428,8 +446,15 @@ object Bench {
                 ivfPqModel._1, ivfPqModel._2, 5, 2).count(); () }),
           // exact-rerank serving (IVFx,PQy,RFlat): ADC top-100 at probe 6
           // re-scored with true vectors — the recall harness gates this
-          // operating point's quality; this line prices its latency
-          "ann_ivf_pq_rerank" -> (() =>
+          // operating point's quality; this line prices its latency.
+          // `_serve` suffix since r19: the bare name COLLIDED with the
+          // main-loop oracle query (train+rerank inline), emitting the
+          // key twice in the queries JSON — last-wins parsing hid the
+          // oracle line entirely and made r17→r18's apparent 1.39→2.17
+          // "regression" a comparison of the split line against itself
+          // while the inline line sat flat (2.22→2.16) and the serving
+          // code was diff-identical. One name, one measurement.
+          "ann_ivf_pq_rerank_serve" -> (() =>
             { operators.Ann.ivfPqTopKRerank(e, col("vec_id") < 10,
                 ivfPqModel._1, ivfPqModel._2, 5, nProbe = 6,
                 refine = 100).count(); () }),
@@ -674,12 +699,15 @@ object Bench {
     // designed for linear-ish growth; a ratio far above the 10× data
     // factor means something went quadratic between the two scales — the
     // cheapest local signal for the 100 TB claim. The sf0.1 side reuses
-    // the main loop's median (no double work); only the sf0.01 side runs
-    // here. Fixed per-job overhead inflates the small-SF denominator, so
-    // the ratio UNDERSTATES growth slightly — the gate (12×) is set above
-    // the data factor to match. (The embeddings table grows 4×, not 10×,
-    // between the two SFs, so the ann_* ratios sit naturally lower.)
-    val mainMed = results.map { case (n, med, _) => n -> med }.toMap
+    // the main loop's MIN ([[Bench.scaleGateRatio]] — mins, not medians,
+    // are the cross-measurement comparable statistic; r18's official run
+    // FAILED on a median spike over a line whose min-ratio was honest);
+    // only the sf0.01 side runs here. Fixed per-job overhead inflates the
+    // small-SF denominator, so the ratio UNDERSTATES growth slightly —
+    // the gate (12×) is set above the data factor to match. (The
+    // embeddings table grows 4×, not 10×, between the two SFs, so the
+    // ann_* ratios sit naturally lower.)
+    val mainMin = results.map { case (n, _, mn) => n -> mn }.toMap
     val smallSfDir = sfDir.replace("sf0.1", "sf0.01")
     // name -> (dir => thunk): regular queries rerun their Q fn; split-
     // harness lines (ann_pq_train, cp_qc_train) and skew-rehearsal lines
@@ -708,19 +736,40 @@ object Bench {
       if (only.isDefined || smallSfDir == sfDir ||
           !new java.io.File(smallSfDir).isDirectory) Seq.empty
       else scaleFns.flatMap { case (n, mk) =>
-        // a line whose main-loop median is missing (failed or filtered)
+        // a line whose main-loop min is missing (failed or filtered)
         // has no numerator — skip rather than time the small side for
         // nothing
-        mainMed.get(n).flatMap { m =>
+        mainMin.get(n).flatMap { m0 =>
           timed(s"scale_small_$n", () => mk(smallSfDir)())
-            .map { case (_, smallMed, _) =>
-              val r = m / math.max(smallMed, 1e-9)
-              if (r > 12.0) {
-                noteFail(s"scale_gate_$n",
-                  f"sf0.1/sf0.01 ratio $r%.1f > 12 (10x data) — growth " +
-                  "is superlinear between the two scales")
+            .flatMap { case (_, _, smallMin) =>
+              var m = m0
+              Bench.scaleGateRatio(Seq(m), Seq(smallMin)).map { r0 =>
+                var r = r0
+                if (r > 12.0) {
+                  // ONE retry of the LARGE-side line before declaring
+                  // superlinear growth: the two sides run minutes apart in
+                  // one process, so a late contention spike can inflate
+                  // even the min of the main loop's samples (all three
+                  // taken inside the spike). A fresh sample taken NOW —
+                  // adjacent to the small-side measurement — either
+                  // confirms the growth (a truly superlinear line is slow
+                  // every time) or exposes the spike.
+                  val t0 = System.nanoTime()
+                  try {
+                    mk(sfDir)()
+                    m = math.min(m, (System.nanoTime() - t0) / 1e9)
+                  } catch { case _: Throwable => () }
+                  spark.catalog.clearCache()
+                  r = Bench.scaleGateRatio(Seq(m), Seq(smallMin)).getOrElse(r)
+                  if (r > 12.0) {
+                    noteFail(s"scale_gate_$n",
+                      f"sf0.1/sf0.01 min-ratio $r%.1f > 12 (10x data) after " +
+                      "a retry of the large-scale line — growth is " +
+                      "superlinear between the two scales")
+                  }
+                }
+                n -> r
               }
-              n -> r
             }
         }
       }

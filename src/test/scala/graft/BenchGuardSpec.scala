@@ -38,6 +38,30 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.canaryDegradation(Map.empty, canary(1.0)).isEmpty)
   }
 
+  // ---- sf-scale gate statistic: per-side MINS, not medians (r18's
+  // official run FAILED on a contention spike that inflated the
+  // large-side median to 85x over a line whose honest ratio is 3.4)
+
+  test("scale gate: a median spike on the large side passes via min") {
+    // three large-side samples, one clean + two inside a contention
+    // spike: median reads 7.3s (ratio 14.6 — the r18 false FAILURE),
+    // min reads 1.6s (ratio 3.2 — the honest growth)
+    val r = Bench.scaleGateRatio(Seq(7.3, 1.6, 7.5), Seq(0.5, 0.55))
+    assert(r.exists(v => v > 3.0 && v < 3.5), s"expected ~3.2: $r")
+    assert(r.forall(_ <= 12.0), "the spike must not trip the gate")
+  }
+
+  test("scale gate: a real superlinear profile still fails") {
+    // slow on EVERY large-side sample — no min can rescue it
+    val r = Bench.scaleGateRatio(Seq(50.0, 51.0, 52.0), Seq(0.5))
+    assert(r.exists(_ > 12.0), s"superlinear growth must trip the gate: $r")
+  }
+
+  test("scale gate: empty sides -> None (no evidence, no verdict)") {
+    assert(Bench.scaleGateRatio(Seq.empty, Seq(0.5)).isEmpty)
+    assert(Bench.scaleGateRatio(Seq(1.0), Seq.empty).isEmpty)
+  }
+
   // ---- heavy-line guard: drift concentrated in the heaviest queries_min
   // lines that the light canary misses (r14: 1.07x canary, 1.5-3x heavy)
 
