@@ -1363,16 +1363,41 @@ object Corpus {
     *    pins the paths against each other); `batchPairs` sizes the hot
     *    set per window.
     *
+    * TRAINING-SAMPLE CAP (`maxTrainDocs` — the
+    * [[qualityClassifierTrain]] labeled-slice discipline): when > 0,
+    * merge statistics are learned from at most that many documents — the
+    * N smallest `md5(seed + id)` rows, a seeded uniform draw that is
+    * deterministic and partition-independent (TakeOrdered, never a full
+    * sort). Pair frequencies are corpus-level statistics that converge
+    * on a bounded sample like any trainer's (production BPE trainers
+    * routinely train on a slice); ENCODING (`bpeTokenCounts` /
+    * `bpeTokenIds`) still covers every document, so the only thing the
+    * cap changes is which merge list is learned — and the oracle
+    * capture-injects the merges, so a capped query verifies exactly like
+    * an uncapped one. Measured (r19, sf0.1→sf1 decade): uncapped
+    * training grows ~6× with the corpus (the last uncapped trainer on
+    * the board); capped at the sf0.1 doc count the ratio drops to the
+    * encode scan's. 0 disables (train on everything).
+    *
     * @return learned merges, rank order — each `"left right"`.
     */
   def bpeTrain(docs: DataFrame, maxMerges: Int = 40, minPairCount: Long = 2L,
                textCol: String = "text",
                maxDriverVocab: Int = 1 << 20,
-               batchPairs: Int = 64): Seq[String] = {
+               batchPairs: Int = 64,
+               maxTrainDocs: Long = 0L,
+               idCol: String = "doc_id",
+               trainSeed: String = "bpe"): Seq[String] = {
     require(maxMerges >= 1, "maxMerges must be >= 1")
+    val trainDocs =
+      if (maxTrainDocs <= 0) docs
+      else docs.orderBy(
+        md5(concat(lit(s"${trainSeed}cap_"), col(idCol).cast("string"))),
+        col(idCol)).limit(
+          math.min(maxTrainDocs, Int.MaxValue.toLong).toInt)
     // the ONE corpus-sized scan; checkpointed so sizing + training reuse
     // the materialized dictionary instead of re-aggregating text
-    val words = docs
+    val words = trainDocs
       .select(explode(TF.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)

@@ -33,6 +33,13 @@ object SectionRegistry {
   /** `train_max_vectors` — the quantizer-training sample cap every
     * trained-ANN section forwards (see
     * [[graft.operators.Ann.DefaultMaxTrainVectors]]); 0 disables. */
+  /** `train_max_docs` — bounded-sample cap for the BPE trainer
+    * ([[graft.operators.Corpus.bpeTrain]]'s `maxTrainDocs`): merge
+    * statistics learned from a seeded deterministic sample of at most
+    * this many documents; 0 (the default) trains on everything. */
+  private def trainDocsCap(c: Map[String, String]): Long =
+    c.getOrElse("train_max_docs", "0").toLong
+
   private def trainCap(c: Map[String, String]): Int =
     c.getOrElse("train_max_vectors",
       graft.operators.Ann.DefaultMaxTrainVectors.toString).toInt
@@ -850,7 +857,9 @@ object SectionRegistry {
             minPairCount = c.getOrElse("min_pair_count", "2").toLong,
             textCol = c.getOrElse("text_column", "text"),
             maxDriverVocab = c.getOrElse("max_driver_vocab",
-              (1 << 20).toString).toInt)
+              (1 << 20).toString).toInt,
+            maxTrainDocs = trainDocsCap(c),
+            idCol = c.getOrElse("id_column", "doc_id"))
         }
         Some(graft.operators.Corpus.bpeTokenCounts(frame, merges,
           idCol = c.getOrElse("id_column", "doc_id"),
@@ -875,7 +884,9 @@ object SectionRegistry {
               minPairCount = c.getOrElse("min_pair_count", "2").toLong,
               textCol = textCol,
               maxDriverVocab = c.getOrElse("max_driver_vocab",
-                (1 << 20).toString).toInt)
+                (1 << 20).toString).toInt,
+              maxTrainDocs = trainDocsCap(c),
+              idCol = c.getOrElse("id_column", "doc_id"))
             (m, graft.functions.Bpe.vocabFromMerges(m,
               graft.operators.Corpus.bpeAlphabet(frame, textCol)))
           case _ => throw new IllegalArgumentException(
@@ -901,7 +912,9 @@ object SectionRegistry {
           minPairCount = c.getOrElse("min_pair_count", "2").toLong,
           textCol = textCol,
           maxDriverVocab = c.getOrElse("max_driver_vocab",
-            (1 << 20).toString).toInt)
+            (1 << 20).toString).toInt,
+          maxTrainDocs = trainDocsCap(c),
+          idCol = c.getOrElse("id_column", "doc_id"))
         graft.functions.Bpe.mergesWrite(merges, cfg(c, "path"), s)
         c.get("ids_path").foreach { vp =>
           graft.functions.Bpe.vocabWrite(
@@ -977,7 +990,9 @@ object SectionRegistry {
                 case (scala.None, scala.None) =>
                   val m = graft.operators.Corpus.bpeTrain(frame,
                     maxMerges = c.getOrElse("max_merges", "40").toInt,
-                    textCol = textCol)
+                    textCol = textCol,
+                    maxTrainDocs = trainDocsCap(c),
+                    idCol = idCol)
                   (m, graft.functions.Bpe.vocabFromMerges(m,
                     graft.operators.Corpus.bpeAlphabet(frame, textCol)))
                 case _ => throw new IllegalArgumentException(
@@ -1089,6 +1104,19 @@ object SectionRegistry {
         graft.operators.NearDup.absorbIntoIndex(in(df), cfg(c, "path"),
           idCol = c.getOrElse("id_column", "doc_id"),
           textCol = c.getOrElse("text_column", "text"))
+        scala.None
+      }),
+    // compact a v2 signature index's bucket dirs (each absorb appends
+    // one file per touched bucket — daily cadence means O(days) files
+    // per dir and probes pay the listing): destination-shaped so it
+    // slots after the absorb in the same pipeline; the input frame is
+    // ignored (ordering only)
+    "dedup_index_compact_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
+      (s, c, df) => {
+        in(df) // ordering dependency — the frame itself is not read
+        graft.operators.NearDup.compactSignatureIndex(s, cfg(c, "path"),
+          maxFilesPerBucket =
+            c.getOrElse("max_files_per_bucket", "8").toInt)
         scala.None
       }),
     // SemDeDup: semantic dedup inside trained k-means cells

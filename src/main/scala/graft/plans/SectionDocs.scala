@@ -10,7 +10,7 @@ package graft.plans
   * runtime truth, never parsed — and (b) the registry source text for
   * the config keys each closure reads (`cfg(c, "k")` required,
   * `c.getOrElse("k", d)` optional-with-default, `c.get("k")` /
-  * `c.contains("k")` optional, plus the two shared helpers and the two
+  * `c.contains("k")` optional, plus the shared helpers and the two
   * local idioms the registry uses). `SectionDocsSpec` pins the committed
   * artifact (`graft/ui/sections.md`, served by [[UiAssets]]) against a
   * fresh generation, so the doc can never drift from the code.
@@ -77,7 +77,8 @@ object SectionDocs {
         .flatMap(m => StrLit.findAllMatchIn(m.group(1)).map(_.group(1))).toSeq
     val helper = Seq(
       "train_max_vectors" -> body.contains("trainCap(c)"),
-      "train_max_bytes" -> body.contains("trainBytes(c)"))
+      "train_max_bytes" -> body.contains("trainBytes(c)"),
+      "train_max_docs" -> body.contains("trainDocsCap(c)"))
       .collect { case (k, true) => k }
     val seen = scala.collection.mutable.LinkedHashSet.empty[String]
     val out = Seq.newBuilder[FieldDoc]
@@ -88,6 +89,7 @@ object SectionDocs {
       if (seen.add(k)) out += FieldDoc(k, "optional", Some(k match {
         case "train_max_vectors" =>
           graft.operators.Ann.DefaultMaxTrainVectors.toString
+        case "train_max_docs" => "0"
         case _ => graft.operators.Ann.DefaultMaxTrainBytes.toString
       })) }
     opt.foreach(k => if (seen.add(k)) out += FieldDoc(k, "optional", None))

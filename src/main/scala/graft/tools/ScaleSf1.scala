@@ -149,7 +149,16 @@ object ScaleSf1 {
       "ann_ivf_pq_k16pinned" -> queryFn("ann_ivf_pq"),
       "dd_exact_substr" -> queryFn("dd_exact_substr"),
       "cp_pack_ids" -> queryFn("cp_pack_ids"),
+      // since r19 the gate query trains CAPPED (maxTrainDocs = 2000 —
+      // binding at both these scales), so this line now measures the
+      // production posture: bounded training + full-corpus encode. The
+      // uncapped contrast below keeps the old regime measurable (it was
+      // the last uncapped trainer on the board, sf1 decade ratio 6.1).
       "ta_bpe_ids" -> queryFn("ta_bpe_ids"),
+      "bpe_train_uncapped" -> (dir => () => {
+        graft.operators.Corpus.bpeTrain(
+          graft.Tables.documents(spark, dir), maxMerges = 40); ()
+      }),
       // classifier training: the uncapped line re-prices the labeled
       // slice (10× at sf1 — and past the driver row budget it falls to
       // the distributed per-iteration loop); the capped twin below is
@@ -231,7 +240,47 @@ object ScaleSf1 {
         graft.operators.NearDup.dedupAgainstIndexScoped(
           sigBatch, sigStores(dir)._2)(_.count()); ()
       }))
-    val fns = baseFns ++ cappedFns ++ sigFns
+    // INDEX FRAGMENTATION + COMPACTION: 12 synthetic daily absorbs (every
+    // word salted per batch, so each batch is genuinely fresh text) leave
+    // 12+ files per touched bucket — the probe then pays per-file opens
+    // on every pruned read. `dd_index_probe_fragmented` prices that;
+    // compactSignatureIndex rewrites the buckets to one sorted file each
+    // (timed once per store, reported as dd_index_compact_sec) and
+    // `dd_index_probe_compacted` must land back at ~dd_index_probe —
+    // the evidence that a year of daily absorbs is a compaction away
+    // from build-day serving cost. Runs AFTER the dd_index_probe lines
+    // (the fns seq is ordered), so fragmenting the shared stores cannot
+    // contaminate the base measurement.
+    val fragged = scala.collection.mutable.Set.empty[String]
+    val compactSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def ensureFragmented(dir: String): Unit = if (!fragged.contains(dir)) {
+      (0 until 12).foreach { k =>
+        val batch = sigBatch.select(
+          (col("doc_id") + lit(1000000L * (k + 1))).as("doc_id"),
+          expr(s"array_join(transform(split(text, ' '), " +
+            s"x -> concat('ab$k', x)), ' ')").as("text"))
+        graft.operators.NearDup.absorbIntoIndex(batch, sigStores(dir)._2)
+      }
+      fragged += dir
+      ()
+    }
+    val compactFns: Seq[(String, String => () => Unit)] = Seq(
+      "dd_index_probe_fragmented" -> (dir => () => {
+        ensureFragmented(dir)
+        graft.operators.NearDup.dedupAgainstIndexScoped(
+          sigBatch, sigStores(dir)._2)(_.count()); ()
+      }),
+      "dd_index_probe_compacted" -> (dir => () => {
+        if (!compactSecs.contains(dir)) {
+          val t0 = System.nanoTime()
+          graft.operators.NearDup.compactSignatureIndex(spark,
+            sigStores(dir)._2, maxFilesPerBucket = 4)
+          compactSecs(dir) = (System.nanoTime() - t0) / 1e9
+        }
+        graft.operators.NearDup.dedupAgainstIndexScoped(
+          sigBatch, sigStores(dir)._2)(_.count()); ()
+      }))
+    val fns = baseFns ++ cappedFns ++ sigFns ++ compactFns
     def timeIt(f: () => Unit): Double = {
       // min of 2: first run absorbs codegen/JIT for the shape
       val ts = (0 until 2).map { _ =>
@@ -278,12 +327,57 @@ object ScaleSf1 {
     System.err.println(
       f"[scale-sf1] ann_ivf_pq auto-K 4bit-rerank recall@10: " +
       f"sf0.1 $rrSmall%.2f   sf1 $rrBig%.2f")
+    // TWO-LEVEL SEMDEDUP RECALL PRICE: the boundary-split cost (a pair
+    // must agree on BOTH quantizer levels to share a composite cell) is
+    // the variant's quality risk — measured here with PLANTED twins:
+    // every 20th vector gains a near-copy (deterministic ±1e-3 component
+    // noise, cosine ≈ 0.9999 ≥ any dedup threshold), and a twin is
+    // RECALLED iff dedup removed it (it no longer appears as a cluster
+    // survivor). Same corpus, same caps, same auto-K policy for both
+    // variants — the recall DELTA is what the composite blocking costs.
+    def plantedRecall(dir: String): (Double, Double) = {
+      val e = graft.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val maxId = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
+      val twins = e.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id"), expr(
+          "transform(embedding, (x, i) -> cast(x + " +
+          "(pmod(hash(vec_id, i, 7), 1000) - 500) / 500000.0 as float))")
+          .as("embedding"))
+        .select((col("vec_id") + lit(maxId)).as("vec_id"), col("embedding"))
+      val planted = e.unionByName(twins).persist()
+      val nTwins = twins.count().toDouble
+      def recallOf(surv: org.apache.spark.sql.DataFrame): Double = {
+        val alive = surv.filter(col("vec_id") >= lit(maxId)).count()
+        spark.catalog.clearCache()
+        1.0 - alive / nTwins
+      }
+      val single = recallOf(graft.operators.Ann.semanticDedup(planted,
+        threshold = 0.35, kCentroids = 0, maxTrainVectors = embCap))
+      val two = recallOf(graft.operators.Ann.semanticDedupTwoLevel(planted,
+        threshold = 0.35, maxTrainVectors = embCap))
+      planted.unpersist()
+      (single, two)
+    }
+    val (sdSingleSmall, sdTwoSmall) = plantedRecall(sf01)
+    val (sdSingleBig, sdTwoBig) = plantedRecall(sf1)
+    System.err.println(
+      f"[scale-sf1] semdedup planted-twin recall: single " +
+      f"$sdSingleSmall%.3f/$sdSingleBig%.3f  two-level " +
+      f"$sdTwoSmall%.3f/$sdTwoBig%.3f (sf0.1/sf1)")
     val json = rows.map { case (n, s, b, r) =>
       f""""$n":{"sf0_1":$s%.3f,"sf1":$b%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
+    val compactJson = Seq(sf01 -> "sf0_1", sf1 -> "sf1").flatMap {
+      case (d, tag) => compactSecs.get(d).map(v => f""""$tag":$v%.3f""")
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_ratio_sf1","copies":10,"ratios":$json,""" +
       f""""recall_at_10":{"ann_ivf_pq_rerank":{"sf0_1":$rrSmall%.3f,""" +
-      f""""sf1":$rrBig%.3f}}}""")
+      f""""sf1":$rrBig%.3f}},""" +
+      f""""semdedup_twin_recall":{"single":{"sf0_1":$sdSingleSmall%.4f,""" +
+      f""""sf1":$sdSingleBig%.4f},"two_level":{"sf0_1":$sdTwoSmall%.4f,""" +
+      f""""sf1":$sdTwoBig%.4f}},""" +
+      s""""dd_index_compact_sec":$compactJson}""")
     locally {
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(sigRoot)

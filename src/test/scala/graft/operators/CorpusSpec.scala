@@ -518,6 +518,25 @@ class CorpusSpec extends AnyFunSuite {
     assert(Corpus.bpeTrain(df, maxMerges = 10) == Seq("a a"))
   }
 
+  test("bpeTrain: maxTrainDocs caps the training sample deterministically") {
+    val df = docs((1L to 40L).map(i =>
+      i -> (if (i % 2 == 0) "banana banana band" else "cocoa cocoa coc")): _*)
+    val capped = Corpus.bpeTrain(df, maxMerges = 6, minPairCount = 2L,
+      maxTrainDocs = 8)
+    // deterministic + partition-independent: the seeded draw is a
+    // TakeOrdered over md5(seed + id), not a partition-order head
+    assert(Corpus.bpeTrain(df.repartition(7), maxMerges = 6,
+      minPairCount = 2L, maxTrainDocs = 8) == capped)
+    // a non-binding cap is exactly the uncapped training
+    val uncapped = Corpus.bpeTrain(df, maxMerges = 6, minPairCount = 2L)
+    assert(Corpus.bpeTrain(df, maxMerges = 6, minPairCount = 2L,
+      maxTrainDocs = 1000) == uncapped)
+    // the capped sample is a strict subset, so its merges come from the
+    // sampled docs only — still a valid merge list for full-corpus encode
+    assert(capped.nonEmpty)
+    assert(Corpus.bpeTokenCounts(df, capped).count() == 40L)
+  }
+
   test("bpeTokenCounts: greedy encode under learned merges; partitioning-invariant training") {
     val df = docs(
       1L -> "banana band ban",

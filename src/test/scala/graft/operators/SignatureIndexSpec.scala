@@ -172,4 +172,96 @@ class SignatureIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$path/exact").count() == exactBefore)
     spark.catalog.clearCache()
   }
+
+  private def bucketFileCounts(path: String, table: String): Map[String, Int] =
+    new java.io.File(path, table).listFiles()
+      .filter(d => d.isDirectory && d.getName.contains("="))
+      .map(d => d.getName -> d.listFiles().count { f =>
+        f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
+      }).toMap
+
+  test("compaction collapses fragmented buckets; probe answers unchanged") {
+    val path = java.nio.file.Files.createTempDirectory("sigidx_cmp").toString
+    NearDup.writeSignatureIndex(
+      docs(1L -> ((1 to 30).map(i => s"r$i").mkString(" "))), path,
+      exactBuckets = 2, bandBuckets = 2, setBuckets = 2)
+    // 6 daily absorbs, each one new doc -> each touched bucket dir gains
+    // a file per absorb (the fragmentation the probe pays for)
+    (0 until 6).foreach { d =>
+      NearDup.absorbIntoIndex(
+        docs((100L + d) -> ((1 to 30).map(i => s"day${d}w$i").mkString(" "))),
+        path)
+    }
+    val fragmented = bucketFileCounts(path, "sets")
+    assert(fragmented.values.max > 2,
+      s"absorbs should have fragmented the sets buckets: $fragmented")
+    val probe = docs(
+      200L -> ((1 to 30).map(i => s"day3w$i").mkString(" ")),   // dup of 103
+      201L -> ((1 to 30).map(i => if (i == 9) "Q" else s"r$i")
+        .mkString(" ")),                                         // near of 1
+      202L -> ((1 to 30).map(i => s"fresh$i").mkString(" ")))    // fresh
+    val before = NearDup.dedupAgainstIndex(probe, path)
+      .as[Long].collect().toSet
+    spark.catalog.clearCache()
+    NearDup.compactSignatureIndex(spark, path, maxFilesPerBucket = 1)
+    for (t <- Seq("sets", "bands", "exact")) {
+      val counts = bucketFileCounts(path, t)
+      assert(counts.values.forall(_ == 1),
+        s"$t buckets not compacted to one file: $counts")
+    }
+    val after = NearDup.dedupAgainstIndex(probe, path)
+      .as[Long].collect().toSet
+    assert(after == before && after == Set(202L))
+    // sets keep their zone-map order: each compacted file is id-sorted
+    val anyBucket = new java.io.File(path, "sets").listFiles()
+      .filter(_.getName.startsWith("sb=")).head
+    val ids = spark.read.parquet(anyBucket.toString)
+      .select($"doc_id").as[Long].collect()
+    assert(ids.sameElements(ids.sorted), "within-bucket sort lost")
+    spark.catalog.clearCache()
+  }
+
+  test("bloom saturation: absorb past capacity resizes the filter") {
+    val path = java.nio.file.Files.createTempDirectory("sigidx_sat").toString
+    // capacity 4 texts — the first real absorb blows past it
+    NearDup.writeSignatureIndex(
+      docs(1L -> ((1 to 30).map(i => s"r$i").mkString(" "))), path,
+      bloomItems = 4L)
+    assert(NearDup.signatureIndexParams(spark, path).bloomItems == 4L)
+    val batch = docs((0 until 12).map(d =>
+      (100L + d) -> ((1 to 30).map(i => s"s${d}w$i").mkString(" "))): _*)
+    NearDup.absorbIntoIndex(batch, path)
+    val p2 = NearDup.signatureIndexParams(spark, path)
+    assert(p2.bloomItems >= 4L * 13 && p2.bloomItems >= (1L << 17),
+      s"filter not resized: ${p2.bloomItems}")
+    // the rebuilt filter still guards every text (old and new): all
+    // duplicates drop, fresh survives — and a FURTHER absorb merges
+    // compatibly against the resized bitset
+    val probe = docs(
+      300L -> ((1 to 30).map(i => s"r$i").mkString(" ")),
+      301L -> ((1 to 30).map(i => s"s7w$i").mkString(" ")),
+      302L -> ((1 to 30).map(i => s"fresh$i").mkString(" ")))
+    assert(NearDup.dedupAgainstIndex(probe, path)
+      .as[Long].collect().toSet == Set(302L))
+    NearDup.absorbIntoIndex(
+      docs(400L -> ((1 to 30).map(i => s"t$i").mkString(" "))), path)
+    assert(NearDup.dedupAgainstIndex(
+        docs(500L -> ((1 to 30).map(i => s"t$i").mkString(" "))), path)
+      .as[Long].collect().isEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("cross-process params rewrite is seen via fingerprint revalidation") {
+    val path = java.nio.file.Files.createTempDirectory("sigidx_fp").toString
+    NearDup.writeSignatureIndex(docs(1L -> long), path)
+    assert(NearDup.signatureIndexParams(spark, path).ngram == 3) // warm
+    // simulate ANOTHER process rebuilding with different params: rewrite
+    // the params table directly, bypassing this JVM's cache invalidation
+    val p = NearDup.signatureIndexParams(spark, path)
+    Seq(p.copy(ngram = 5)).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+    assert(NearDup.signatureIndexParams(spark, path).ngram == 5,
+      "a long-running serving JVM must see the rewritten params")
+    spark.catalog.clearCache()
+  }
 }
