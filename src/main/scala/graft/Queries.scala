@@ -1544,6 +1544,43 @@ object Queries {
       WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM dropped)
       ORDER BY doc_id"""))
 
+  /** The daily loop WITH the maintenance pass: build (staged) + absorb
+    * the %3=1 slice, then [[graft.operators.NearDup
+    * .compactSignatureIndex]] at the tightest threshold (every touched
+    * bucket rewritten to one sorted file), then probe the %3=2 slice.
+    * Same oracle as [[ddIndexAbsorb]] BY DESIGN: compaction's contract
+    * is answer-invariance — any row lost (a swap deleting before its
+    * replacement lands) or duplicated into a semantic difference would
+    * hash-mismatch here, making the maintenance pass part of the
+    * driver-verified surface rather than a spec-only claim. */
+  private val ddIndexCompact = Q(
+    (s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val base = sigIdxBaseFor(s, dir)
+      val idx = scratchDir("graft_sigidx_cmp")
+      copyTree(java.nio.file.Paths.get(base), idx)
+      graft.operators.NearDup.absorbIntoIndex(
+        docs.filter($"doc_id" % 3 === 1), idx.toString)
+      graft.operators.NearDup.compactSignatureIndex(s, idx.toString,
+        maxFilesPerBucket = 1)
+      graft.operators.NearDup.dedupAgainstIndex(
+          docs.filter($"doc_id" % 3 === 2), idx.toString)
+        .orderBy($"doc_id")
+    },
+    Some(s"""WITH $minhashPairsCte,
+      exact AS (
+        SELECT DISTINCT i.doc_id FROM documents i JOIN documents r
+          ON i.doc_id % 3 = 2 AND r.doc_id % 3 <> 2
+          AND md5(i.text) = md5(r.text)),
+      near AS (
+        SELECT CASE WHEN a_id % 3 = 2 THEN a_id ELSE b_id END AS doc_id
+        FROM pairs WHERE (a_id % 3 = 2) <> (b_id % 3 = 2)),
+      dropped AS (SELECT doc_id FROM exact UNION SELECT doc_id FROM near)
+      SELECT doc_id FROM documents
+      WHERE doc_id % 3 = 2 AND doc_id NOT IN (SELECT doc_id FROM dropped)
+      ORDER BY doc_id"""))
+
   /** PageRank centrality over the near-dup pair graph
     * ([[graft.operators.Clustering.pageRank]]) — duplication-centrality
     * as a quality signal. 5 power iterations replayed by the oracle as an
@@ -5648,6 +5685,7 @@ object Queries {
     "dd_ref_dedup" -> ddRefDedup,
     "dd_dedup_index" -> ddIndexDedup,
     "dd_dedup_index_absorb" -> ddIndexAbsorb,
+    "dd_dedup_index_compact" -> ddIndexCompact,
     "dd_exact_substr" -> ddExactSubstr,
     "dd_pagerank" -> ddPageRank,
     "ann_topk" -> annTopk,

@@ -1136,7 +1136,24 @@ object Ann {
     * would have, at 2·n^{1/3} instead of n^{2/3} assignment width.
     * Exact duplicates are immune (the pre-collapse merges them before
     * any cell is consulted). Measured across the sf1→sf10 decade as the
-    * `dd_semdedup_two` contrast line in `scale_sf10.json`. */
+    * `dd_semdedup_two` contrast line in `scale_sf10.json`.
+    *
+    * MEASURED recall price (r19, planted-twin audit in
+    * `scale_sf1.json:semdedup_twin_recall` — a twin is recalled iff
+    * dedup removed it): at the near point (cosine ≈ 0.9999) both
+    * variants recall 1.000 at sf0.1 AND sf1 — near-identical residuals
+    * agree on both levels, so the mass-duplicate case pays nothing. At
+    * the mid point (heavy multiplicative noise, cosine just above the
+    * threshold) two-level recalls MORE than single-level (0.77 vs 0.68
+    * at sf0.1; 0.93 vs 0.84 at sf1): the boundary-split cost is real
+    * but SMALLER than what it displaces — single-level's √n cells run
+    * over `maxBlock` and fall into LSH sub-bucketing, which splits
+    * threshold-grade pairs harder than the composite boundary does.
+    * DEFAULT POSTURE from this data: prefer two-level for corpora past
+    * ~10^5 vectors (asymptotically cheaper AND measured-no-worse recall
+    * at both operating points); below that, single-level's one trained
+    * model and simpler plan win on constant factors (the r18 timing
+    * crossover claim stays retracted — within ±30% run noise). */
   def semanticDedupTwoLevel(corpus: DataFrame, threshold: Double = 0.7,
                             k1: Int = 0, k2: Int = 0, iters: Int = 5,
                             seed: String = "ivf", sampleRate: Double = 1.0,

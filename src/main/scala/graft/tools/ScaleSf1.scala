@@ -329,42 +329,57 @@ object ScaleSf1 {
       f"sf0.1 $rrSmall%.2f   sf1 $rrBig%.2f")
     // TWO-LEVEL SEMDEDUP RECALL PRICE: the boundary-split cost (a pair
     // must agree on BOTH quantizer levels to share a composite cell) is
-    // the variant's quality risk — measured here with PLANTED twins:
-    // every 20th vector gains a near-copy (deterministic ±1e-3 component
-    // noise, cosine ≈ 0.9999 ≥ any dedup threshold), and a twin is
-    // RECALLED iff dedup removed it (it no longer appears as a cluster
-    // survivor). Same corpus, same caps, same auto-K policy for both
-    // variants — the recall DELTA is what the composite blocking costs.
-    def plantedRecall(dir: String): (Double, Double) = {
+    // the variant's quality risk — measured here with PLANTED twins at
+    // TWO operating points, and a twin is RECALLED iff dedup removed it
+    // (it no longer appears as a cluster survivor):
+    //  - `near`: ±1e-3 additive component noise, cosine ≈ 0.9999 — the
+    //    mass-duplicate end; residuals nearly coincide, so composite
+    //    cells should agree and any miss is a genuine blocking bug;
+    //  - `mid`: heavy multiplicative noise (x·(1+h), h ∈ ±~2.3 by seeded
+    //    hash), cosine centered ≈ 0.5-0.6 — pairs just above the 0.35
+    //    threshold, where the two vectors genuinely differ and a
+    //    boundary split (different coarse OR fine cell) is plausible.
+    //    This is the point that prices the composite blocking.
+    // Same corpus, same caps, same auto-K policy for both variants — the
+    // single-vs-two-level DELTA at each point is the answer.
+    def plantedRecall(dir: String): ((Double, Double), (Double, Double)) = {
       val e = graft.Tables.embeddings(spark, dir)
         .select(col("vec_id"), col("embedding"))
       val maxId = e.agg(max(col("vec_id"))).head.getLong(0) + 1L
-      val twins = e.filter(col("vec_id") % 20 === 0)
-        .select(col("vec_id"), expr(
-          "transform(embedding, (x, i) -> cast(x + " +
-          "(pmod(hash(vec_id, i, 7), 1000) - 500) / 500000.0 as float))")
-          .as("embedding"))
-        .select((col("vec_id") + lit(maxId)).as("vec_id"), col("embedding"))
-      val planted = e.unionByName(twins).persist()
-      val nTwins = twins.count().toDouble
-      def recallOf(surv: org.apache.spark.sql.DataFrame): Double = {
-        val alive = surv.filter(col("vec_id") >= lit(maxId)).count()
-        spark.catalog.clearCache()
-        1.0 - alive / nTwins
+      def measure(noiseExpr: String): (Double, Double) = {
+        val twins = e.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id"), expr(noiseExpr).as("embedding"))
+          .select((col("vec_id") + lit(maxId)).as("vec_id"),
+            col("embedding"))
+        val planted = e.unionByName(twins).persist()
+        val nTwins = twins.count().toDouble
+        def recallOf(surv: org.apache.spark.sql.DataFrame): Double = {
+          val alive = surv.filter(col("vec_id") >= lit(maxId)).count()
+          spark.catalog.clearCache()
+          1.0 - alive / nTwins
+        }
+        val single = recallOf(graft.operators.Ann.semanticDedup(planted,
+          threshold = 0.35, kCentroids = 0, maxTrainVectors = embCap))
+        val two = recallOf(graft.operators.Ann.semanticDedupTwoLevel(planted,
+          threshold = 0.35, maxTrainVectors = embCap))
+        planted.unpersist()
+        (single, two)
       }
-      val single = recallOf(graft.operators.Ann.semanticDedup(planted,
-        threshold = 0.35, kCentroids = 0, maxTrainVectors = embCap))
-      val two = recallOf(graft.operators.Ann.semanticDedupTwoLevel(planted,
-        threshold = 0.35, maxTrainVectors = embCap))
-      planted.unpersist()
-      (single, two)
+      val near = measure(
+        "transform(embedding, (x, i) -> cast(x + " +
+        "(pmod(hash(vec_id, i, 7), 1000) - 500) / 500000.0 as float))")
+      val mid = measure(
+        "transform(embedding, (x, i) -> cast(x * (1.0 + " +
+        "(pmod(hash(vec_id, i, 13), 1000) - 500) / 217.0) as float))")
+      (near, mid)
     }
-    val (sdSingleSmall, sdTwoSmall) = plantedRecall(sf01)
-    val (sdSingleBig, sdTwoBig) = plantedRecall(sf1)
+    val ((sdNs, sdNt), (sdMs, sdMt)) = plantedRecall(sf01)
+    val ((sdNsB, sdNtB), (sdMsB, sdMtB)) = plantedRecall(sf1)
     System.err.println(
-      f"[scale-sf1] semdedup planted-twin recall: single " +
-      f"$sdSingleSmall%.3f/$sdSingleBig%.3f  two-level " +
-      f"$sdTwoSmall%.3f/$sdTwoBig%.3f (sf0.1/sf1)")
+      f"[scale-sf1] semdedup twin recall near(cos~1): single " +
+      f"$sdNs%.3f/$sdNsB%.3f two $sdNt%.3f/$sdNtB%.3f; " +
+      f"mid(cos~0.5): single $sdMs%.3f/$sdMsB%.3f two " +
+      f"$sdMt%.3f/$sdMtB%.3f (sf0.1/sf1)")
     val json = rows.map { case (n, s, b, r) =>
       f""""$n":{"sf0_1":$s%.3f,"sf1":$b%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
@@ -374,9 +389,11 @@ object ScaleSf1 {
     println(s"""{"metric":"scale_ratio_sf1","copies":10,"ratios":$json,""" +
       f""""recall_at_10":{"ann_ivf_pq_rerank":{"sf0_1":$rrSmall%.3f,""" +
       f""""sf1":$rrBig%.3f}},""" +
-      f""""semdedup_twin_recall":{"single":{"sf0_1":$sdSingleSmall%.4f,""" +
-      f""""sf1":$sdSingleBig%.4f},"two_level":{"sf0_1":$sdTwoSmall%.4f,""" +
-      f""""sf1":$sdTwoBig%.4f}},""" +
+      f""""semdedup_twin_recall":{"near":{"single":{"sf0_1":$sdNs%.4f,""" +
+      f""""sf1":$sdNsB%.4f},"two_level":{"sf0_1":$sdNt%.4f,""" +
+      f""""sf1":$sdNtB%.4f}},"mid":{"single":{"sf0_1":$sdMs%.4f,""" +
+      f""""sf1":$sdMsB%.4f},"two_level":{"sf0_1":$sdMt%.4f,""" +
+      f""""sf1":$sdMtB%.4f}}},""" +
       s""""dd_index_compact_sec":$compactJson}""")
     locally {
       import scala.jdk.CollectionConverters._
