@@ -168,6 +168,140 @@ object Bench {
     RecallFloors.flatMap { case (n, f) =>
       recall.get(n).filter(_ < f).map(r => (n, r, f)) }
 
+  /** WALL-CLOCK BUDGET shed: iterations to use for the NEXT timed line
+    * given the run's elapsed seconds vs its budget. Past the budget the
+    * line runs ONE iteration instead of `iters` — the guards compare
+    * per-line MINS, and a single sample is still a valid min (an upper
+    * bound that only tightens with more samples), so shed lines stay
+    * comparable; what's lost is only the median's robustness to one
+    * stall. Exists because r19's driver window expired (rc=124) while
+    * ~195 lines × 3 iters were still running on a 1.4-2.3× degraded
+    * host, and the all-at-the-end JSON emission lost every number the
+    * run HAD measured. `budgetSec <= 0` disables shedding. */
+  def effectiveIters(iters: Int, elapsedSec: Double,
+                     budgetSec: Double): Int =
+    if (budgetSec > 0 && elapsedSec > budgetSec) 1 else iters
+
+  /** HEAD commit sha, resolved pure-JVM from `.git` (no exec): the bench
+    * record line carries it so every number in a committed record is
+    * traceable to the code-state that produced it. Empty string when the
+    * resolution fails (not a repo, detached workdir, etc.). */
+  def gitHead(repoDir: String = "."): String = try {
+    import java.nio.file.{Files, Paths}
+    val head = new String(Files.readAllBytes(
+      Paths.get(repoDir, ".git", "HEAD")), "UTF-8").trim
+    if (!head.startsWith("ref: ")) head
+    else {
+      val ref = head.stripPrefix("ref: ").trim
+      val loose = Paths.get(repoDir, (".git" +: ref.split("/")): _*)
+      if (Files.exists(loose))
+        new String(Files.readAllBytes(loose), "UTF-8").trim
+      else {
+        val packed = Paths.get(repoDir, ".git", "packed-refs")
+        if (!Files.exists(packed)) ""
+        else new String(Files.readAllBytes(packed), "UTF-8")
+          .linesIterator.map(_.trim)
+          .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+          .map(_.split("\\s+")(0)).getOrElse("")
+      }
+    }
+  } catch { case _: Throwable => "" }
+
+  /** Cumulative host resource counters from /proc and cgroup v2 — the
+    * slow-host instrumentation: four r14/r18/r19 record attempts measured
+    * 1.35-2.29× at clean contention signals (loadavg ~1, java_procs 2),
+    * so WHICH resource degraded (hypervisor steal, IO wait, cgroup CPU
+    * throttling, PSI stall time) must be in the run's own record, not
+    * re-derived a round later. Every read is best-effort (absent files —
+    * non-Linux, cgroup v1 — just omit their keys). PSI totals are
+    * cumulative stall microseconds; cpu_* are jiffies. */
+  def hostCounters(): Map[String, Double] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+        .drop(1).map(_.toDouble)
+      // fields: user nice system idle iowait irq softirq steal
+      m += "cpu_total" -> cpu.sum
+      if (cpu.length > 4) m += "cpu_iowait" -> cpu(4)
+      if (cpu.length > 7) m += "cpu_steal" -> cpu(7)
+    } catch { case _: Throwable => () }
+    Seq("cpu", "io", "memory").foreach { r =>
+      try scala.io.Source.fromFile(s"/proc/pressure/$r").getLines()
+        .foreach { ln =>
+          val parts = ln.trim.split("\\s+")
+          parts.find(_.startsWith("total=")).foreach { t =>
+            m += s"psi_${r}_${parts.head}" ->
+              t.stripPrefix("total=").toDouble }
+        }
+      catch { case _: Throwable => () }
+    }
+    try scala.io.Source.fromFile("/sys/fs/cgroup/cpu.stat").getLines()
+      .foreach { ln =>
+        val parts = ln.trim.split("\\s+")
+        if (parts.length == 2 &&
+            (parts(0) == "nr_throttled" || parts(0) == "throttled_usec"))
+          m += s"cg_${parts(0)}" -> parts(1).toDouble
+      }
+    catch { case _: Throwable => () }
+    m.toMap
+  }
+
+  /** Deltas between two [[hostCounters]] snapshots, with the cpu jiffy
+    * counters normalized to FRACTIONS of total jiffies elapsed
+    * (steal_frac 0.3 = the hypervisor stole ~30% of the window — the
+    * direct "it's external" verdict). PSI/cgroup counters stay raw
+    * cumulative-microsecond/count deltas. */
+  def hostDeltas(start: Map[String, Double],
+                 end: Map[String, Double]): Map[String, Double] = {
+    val d = (start.keySet & end.keySet).toSeq
+      .map(k => k -> (end(k) - start(k))).toMap
+    val tot = d.getOrElse("cpu_total", 0.0)
+    val frac =
+      if (tot <= 0) Map.empty[String, Double]
+      else Map(
+        "steal_frac" -> d.getOrElse("cpu_steal", 0.0) / tot,
+        "iowait_frac" -> d.getOrElse("cpu_iowait", 0.0) / tot)
+    d.view.filterKeys(k => !k.startsWith("cpu_")).toMap ++ frac
+  }
+
+  /** One per-query progress event (JSONL) — emitted to stdout AND
+    * bench_progress.jsonl the moment each line's measurement completes,
+    * so a killed/timed-out run still yields every completed number. */
+  private[graft] def benchLineEvent(name: String, median: Double,
+                                    min: Double, iters: Int,
+                                    elapsedSec: Double): String =
+    f"""{"metric":"bench_line","name":${jstr(name)},"median":$median%.3f,"min":$min%.3f,"iters":$iters,"elapsed_sec":$elapsedSec%.1f}"""
+
+  /** Recover per-query (median, min) maps from a partial progress stream
+    * (the lines of bench_progress.jsonl, or a killed run's stdout) —
+    * non-`bench_line` and malformed lines are skipped, later events for
+    * the same name win (a re-timed line supersedes). */
+  private[graft] def parseProgress(lines: Iterator[String])
+      : Map[String, (Double, Double)] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
+    lines.foreach { ln =>
+      try {
+        val n = om.readTree(ln)
+        if (n.path("metric").asText() == "bench_line")
+          out(n.path("name").asText()) =
+            (n.path("median").asDouble(), n.path("min").asDouble())
+      } catch { case _: Throwable => () }
+    }
+    out.toMap
+  }
+
+  /** JSON string literal (quote + escape) — shared by the record line,
+    * the guard artifact and the incremental progress events. */
+  private[graft] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    } + "\""
+
   /** Temp dirs THIS JVM created through [[ownedTmpDir]] — the only set
     * the default [[sweepTmpDirs]] touches. The harness `finally` blocks
     * used to sweep PREFIX-WIDE, which deletes the live staging of any
@@ -225,6 +359,38 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    // WALL-CLOCK BUDGET (seconds): past it, remaining lines shed to 1
+    // iteration ([[Bench.effectiveIters]]) so the full surface still
+    // completes inside the driver's window on a 2× degraded host — r19's
+    // window expired mid-run and the round's official artifact was empty.
+    // 0 disables. Default 900s: a clean full run takes ~10-12 min of
+    // wall-clock, so a clean run never sheds; a degraded one sheds its
+    // tail instead of timing out.
+    val budgetSec = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_BUDGET_SEC", "900").toDouble
+    val runStartNanos = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - runStartNanos) / 1e9
+    val gitSha = Bench.gitHead()
+    val hostStart = Bench.hostCounters()
+    // INCREMENTAL per-line emission: every completed measurement is
+    // appended to bench_progress.jsonl AND printed as its own stdout
+    // JSONL event the moment it exists — a timeout/kill/crash at any
+    // point leaves every already-measured line parseable (r19's rc=124
+    // destroyed ~25 minutes of completed measurements because the old
+    // emission was one JSON line at the very end).
+    val progressPath = java.nio.file.Paths.get("bench_progress.jsonl")
+    try java.nio.file.Files.deleteIfExists(progressPath)
+    catch { case _: Throwable => () }
+    def emitEvent(json: String): Unit = {
+      println(json)
+      System.out.flush()
+      try java.nio.file.Files.write(progressPath,
+        (json + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
+    }
+    val shedLines = scala.collection.mutable.LinkedHashSet.empty[String]
     // comma-separated allowlist for micro-benching one query while tuning
     // (skips the recall harness too unless an ann_* name is listed)
     val only: Option[Set[String]] =
@@ -266,6 +432,8 @@ object Bench {
         .option("pathGlobFilter", "region.parquet").parquet(sfDir)
         .groupBy("r_name").count()
         .writeStream.format("memory").queryName("bench_warm")
+        .option("checkpointLocation", graft.streaming.StreamingPipelines
+          .scratchCheckpoint(spark, "bench_warm"))
         .outputMode("complete").trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
@@ -287,9 +455,13 @@ object Bench {
     // can't read as a speedup. A query with zero successful samples is
     // omitted from the per-query maps entirely.
     def timed(name: String, action: () => Unit): Option[(String, Double, Double)] = {
+      val effIters = Bench.effectiveIters(iters, elapsedSec, budgetSec)
+      if (effIters < iters && shedLines.add(name))
+        System.err.println(f"[bench] budget ($budgetSec%.0fs) crossed at " +
+          f"$elapsedSec%.0fs — $name sheds to 1 iter")
       val samples = Seq.newBuilder[Double]
       var i = 0
-      while (i < iters && !failed.contains(name)) {
+      while (i < effIters && !failed.contains(name)) {
         val t0 = System.nanoTime()
         var ok = true
         try action()
@@ -305,7 +477,13 @@ object Bench {
         i += 1
       }
       val s = samples.result().sorted
-      if (s.isEmpty) scala.None else Some((name, s(s.size / 2), s.head))
+      if (s.isEmpty) scala.None
+      else {
+        val out = (name, s(s.size / 2), s.head)
+        emitEvent(Bench.benchLineEvent(name, out._2, out._3, effIters,
+          elapsedSec))
+        Some(out)
+      }
     }
     // CANARY: a fixed 20-query cross-family subset timed FIRST in the
     // process, before any other harness block has run. Round 10's audit
@@ -547,11 +725,13 @@ object Bench {
             val ss = spark.newSession()
             ss.conf.set("spark.sql.shuffle.partitions", "8")
             val raw = ss.read.parquet(s"$sfDir/region.parquet")
+            val name = s"bench_st_overhead_${System.nanoTime()}"
             val q = ss.readStream.schema(raw.schema)
               .option("pathGlobFilter", "region.parquet").parquet(sfDir)
               .groupBy(col("r_name")).count()
-              .writeStream.format("memory")
-              .queryName(s"bench_st_overhead_${System.nanoTime()}")
+              .writeStream.format("memory").queryName(name)
+              .option("checkpointLocation", graft.streaming
+                .StreamingPipelines.scratchCheckpoint(ss, name))
               .outputMode("complete").trigger(Trigger.AvailableNow()).start()
             q.awaitTermination()
           })
@@ -693,6 +873,41 @@ object Bench {
       operators.SkewRehearsal.queries(spark, sfDir)
         .filter(q => wanted(q._1)).flatMap { case (name, f) =>
         timed(name, () => { f(); () }) }
+    // MID-RUN CANARY ECHO: re-time a light cross-family subset NOW (one
+    // iter each — these lines ran first in the process) and compare to
+    // the run's own start-of-process canary medians. The four degraded
+    // r19 windows WORSENED through the afternoon; a start-only canary
+    // can't see onset INSIDE a run (r18's in-run drift slipped every
+    // per-family guard at once). The ratio is in the record line
+    // (`canary_echo_ratio`) so a degraded run's artifact says whether
+    // the host was already slow at start or turned slow mid-run.
+    val canaryEchoRatio: Option[Double] =
+      if (only.isDefined || canaryResults.isEmpty) scala.None
+      else {
+        val echoNames = canaryNames.take(5).toSet
+        val echo = Queries.all.filter(q => echoNames.contains(q._1))
+          .flatMap { case (name, q) =>
+            val t0 = System.nanoTime()
+            val ok = try { q.fn(spark, sfDir).count(); true }
+              catch { case scala.util.control.NonFatal(_) => false }
+            spark.catalog.clearCache()
+            if (ok) Some(name -> (System.nanoTime() - t0) / 1e9)
+            else scala.None
+          }.toMap
+        val start = canaryResults
+          .collect { case (n, med, _) if echo.contains(n) => n -> med }
+        if (start.size < 3) scala.None
+        else {
+          val ratios = start
+            .map { case (n, m) => echo(n) / math.max(m, 1e-9) }.sorted
+          val r = ratios(ratios.size / 2)
+          emitEvent(f"""{"metric":"canary_echo","ratio":$r%.2f,"elapsed_sec":$elapsedSec%.1f}""")
+          if (r > 1.4) System.err.println(f"[bench] mid-run canary echo " +
+            f"$r%.2fx the start-of-process medians — the host degraded " +
+            "DURING this run")
+          Some(r)
+        }
+      }
     // SCALE-GROWTH sanity: for EVERY multi-second operator family,
     // wall-time at the main SF over wall-time at sf0.01 (10× less data),
     // in the same process. The capped/blocked candidate generators are
@@ -755,17 +970,28 @@ object Bench {
                   // confirms the growth (a truly superlinear line is slow
                   // every time) or exposes the spike.
                   val t0 = System.nanoTime()
+                  // NonFatal only: an OOM/interrupt in the retry must
+                  // surface, not read as "retry ran, growth confirmed"
+                  var retryErr: Option[String] = scala.None
                   try {
                     mk(sfDir)()
                     m = math.min(m, (System.nanoTime() - t0) / 1e9)
-                  } catch { case _: Throwable => () }
+                  } catch { case scala.util.control.NonFatal(e) =>
+                    retryErr = Some(String.valueOf(e.getMessage)) }
                   spark.catalog.clearCache()
                   r = Bench.scaleGateRatio(Seq(m), Seq(smallMin)).getOrElse(r)
                   if (r > 12.0) {
+                    val how = retryErr match {
+                      case Some(msg) =>
+                        s"a retry of the large-scale line ERRORED ($msg) — " +
+                        "ratio is the stale main-loop min"
+                      case scala.None =>
+                        "a retry of the large-scale line — growth is " +
+                        "superlinear between the two scales"
+                    }
                     noteFail(s"scale_gate_$n",
                       f"sf0.1/sf0.01 min-ratio $r%.1f > 12 (10x data) after " +
-                      "a retry of the large-scale line — growth is " +
-                      "superlinear between the two scales")
+                        how)
                   }
                 }
                 n -> r
@@ -1053,7 +1279,14 @@ object Bench {
       try loadavgStart.split(",").headOption.map(_.toDouble).getOrElse(0.0)
       catch { case _: Throwable => 0.0 }
     val contended = javaProcs > 2 || loadavg1m > 2.0
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"loadavg_start":"$loadavgStart","java_procs":$javaProcs,"contended":$contended,"canary":$cn,"scale_ratio":$sr,"queries":$qs,"queries_min":$mins,"recall_at_10":$rc$dr,"ivf_cell_balance":$cb,"failed":$fl,"sf":"$sfDir"}"""
+    val hostDelta = Bench.hostDeltas(hostStart, Bench.hostCounters())
+    val hostJson = hostDelta.toSeq.sortBy(_._1)
+      .map { case (k, v) => Bench.jstr(k) + f""":$v%.4f""" }
+      .mkString("{", ",", "}")
+    val shedJson = shedLines.map(Bench.jstr).mkString("[", ",", "]")
+    val echoJson = canaryEchoRatio
+      .map(r => f""","canary_echo_ratio":$r%.2f""").getOrElse("")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","iters":$iters,"git":${Bench.jstr(gitSha)},"budget_sec":$budgetSec%.0f,"shed":$shedJson$echoJson,"host":$hostJson,"loadavg_start":"$loadavgStart","java_procs":$javaProcs,"contended":$contended,"canary":$cn,"scale_ratio":$sr,"queries":$qs,"queries_min":$mins,"recall_at_10":$rc$dr,"ivf_cell_balance":$cb,"failed":$fl,"sf":"$sfDir"}"""
     // full-line file artifact: the driver's tail-capture truncates long
     // stdout lines from the FRONT, which in r8 cut off exactly the
     // loadavg/java_procs self-diagnosis fields — the file keeps every field.
@@ -1181,13 +1414,7 @@ object Bench {
     try java.nio.file.Files.write(target, (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $target: ${e.getMessage}") }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"'           => "\\\""
-        case '\\'          => "\\\\"
-        case c if c < ' '  => f"\\u${c.toInt}%04x"
-        case c             => c.toString
-      } + "\""
+    def jstr(s: String): String = Bench.jstr(s)
     // guard-decision artifact for the ops surface (SpecPushServer's
     // GET /bench/guard): which route this run took and WHY — the stderr
     // diagnosis above is lost to tail-capture, and "why didn't the
@@ -1223,6 +1450,8 @@ object Bench {
         s""""target":${jstr(target.toString)},""" +
         s""""written_at_epoch_ms":${System.currentTimeMillis()},""" +
         s""""contended":$contended,"failed_count":${failed.size},""" +
+        s""""git":${jstr(gitSha)},"host":$hostJson,""" +
+        s""""shed":$shedJson$echoJson,""" +
         f""""total_sec":$total%.3f,"sf":${jstr(sfDir)}}"""
       try java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_guard.json"),
@@ -1245,7 +1474,7 @@ object Bench {
     println(line)
     // compact env+total summary printed LAST: short enough that no tail
     // truncation can ever lose the contention evidence again
-    println(f"""{"metric":"bench_env","total":$total%.3f,"loadavg_start":"$loadavgStart","java_procs":$javaProcs,"contended":$contended,"failed":$fl,"sf":"$sfDir"}""")
+    println(f"""{"metric":"bench_env","total":$total%.3f,"git":${Bench.jstr(gitSha)},"host":$hostJson,"shed":$shedJson$echoJson,"loadavg_start":"$loadavgStart","java_procs":$javaProcs,"contended":$contended,"failed":$fl,"sf":"$sfDir"}""")
     if (contended) System.err.println(s"[bench] WARNING: $javaProcs java " +
       "processes at run start (expected 2: sbt + this fork) — timings are " +
       "contention-suspect; the line is tagged \"contended\":true")

@@ -254,6 +254,79 @@ class BenchGuardSpec extends AnyFunSuite {
       rec.map { case (k, v) => k -> v * 3 }).isEmpty)
   }
 
+  // ---- wall-clock budget shed (r20): past the budget, lines run 1 iter
+
+  test("effectiveIters sheds to 1 past the budget, keeps iters under it") {
+    assert(Bench.effectiveIters(3, elapsedSec = 100, budgetSec = 900) == 3)
+    assert(Bench.effectiveIters(3, elapsedSec = 901, budgetSec = 900) == 1)
+    // budget 0 disables shedding entirely
+    assert(Bench.effectiveIters(3, elapsedSec = 1e9, budgetSec = 0) == 3)
+  }
+
+  // ---- incremental progress emission (r20): a killed run's partial
+  // JSONL stream must yield every completed per-query number — r19's
+  // all-at-the-end emission lost ~25 min of measurements to rc=124
+
+  test("per-query timings are recoverable from a partial progress stream") {
+    val lines = Seq(
+      Bench.benchLineEvent("q1_pricing_summary", 0.412, 0.398, 3, 12.3),
+      Bench.benchLineEvent("dd_minhash_lsh", 1.933, 1.801, 3, 40.0),
+      """{"metric":"canary_echo","ratio":1.02,"elapsed_sec":55.0}""",
+      "this line is the kill point garbage",
+      Bench.benchLineEvent("ta_langid", 0.701, 0.650, 1, 60.1)
+      // ... and the final summary line never arrives (killed)
+    )
+    val rec = Bench.parseProgress(lines.iterator)
+    assert(rec.size == 3)
+    assert(rec("q1_pricing_summary") == (0.412, 0.398))
+    assert(rec("dd_minhash_lsh") == (1.933, 1.801))
+    assert(rec("ta_langid") == (0.701, 0.65))
+  }
+
+  test("a re-emitted line supersedes its earlier event") {
+    val rec = Bench.parseProgress(Iterator(
+      Bench.benchLineEvent("x", 2.0, 1.9, 3, 10.0),
+      Bench.benchLineEvent("x", 1.0, 0.9, 1, 20.0)))
+    assert(rec("x") == (1.0, 0.9))
+  }
+
+  test("bench line events escape JSON-hostile names") {
+    val ev = Bench.benchLineEvent("""we"ird\name""", 1.0, 1.0, 3, 1.0)
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(ev)
+    assert(n.path("name").asText() == """we"ird\name""")
+  }
+
+  // ---- host telemetry (r20): WHICH resource degraded must be in the
+  // run's own record (steal/iowait fractions, PSI stall deltas)
+
+  test("hostDeltas normalizes cpu jiffies to fractions, keeps raw deltas") {
+    val start = Map("cpu_total" -> 1000.0, "cpu_steal" -> 10.0,
+      "cpu_iowait" -> 20.0, "psi_cpu_some" -> 5000.0,
+      "cg_nr_throttled" -> 3.0)
+    val end = Map("cpu_total" -> 2000.0, "cpu_steal" -> 310.0,
+      "cpu_iowait" -> 120.0, "psi_cpu_some" -> 9000.0,
+      "cg_nr_throttled" -> 7.0)
+    val d = Bench.hostDeltas(start, end)
+    assert(math.abs(d("steal_frac") - 0.3) < 1e-9)
+    assert(math.abs(d("iowait_frac") - 0.1) < 1e-9)
+    assert(d("psi_cpu_some") == 4000.0)
+    assert(d("cg_nr_throttled") == 4.0)
+    assert(!d.contains("cpu_total") && !d.contains("cpu_steal"))
+  }
+
+  test("hostCounters reads this Linux host's cpu line") {
+    val c = Bench.hostCounters()
+    // /proc/stat exists in this container; steal/iowait may be 0 but the
+    // total must be positive and monotone
+    assert(c.getOrElse("cpu_total", 0.0) > 0.0)
+  }
+
+  test("gitHead resolves this repo's HEAD to a 40-hex sha") {
+    val sha = Bench.gitHead()
+    assert(sha.length == 40 && sha.forall(c =>
+      c.isDigit || ('a' to 'f').contains(c)), s"got '$sha'")
+  }
+
   // ---- tmp-dir sweep scoping: only dirs THIS JVM registered are swept
 
   test("sweepTmpDirs deletes owned dirs only, leaving foreign dirs alone") {
