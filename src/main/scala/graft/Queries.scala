@@ -1283,6 +1283,8 @@ object Queries {
         .streamTable(ss, dir, "documents.parquet", docsRaw.schema)
         .filter($"doc_id" % 3 =!= 0)
       val q = stream.writeStream
+        .option("checkpointLocation", graft.streaming.StreamingPipelines
+          .scratchCheckpoint(ss, s"st_novelty_${System.nanoTime()}"))
         .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>

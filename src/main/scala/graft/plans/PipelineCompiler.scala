@@ -1098,12 +1098,23 @@ object SectionRegistry {
         scala.None
       }),
     // absorb into a v2 signature index: signature params are read from
-    // the store itself (self-describing), so only the path is config
+    // the store itself (self-describing), so only the path is config.
+    // `compact_after: N` makes the daily loop SELF-MAINTAINING: after
+    // the absorb, any bucket dir past N files is compacted to one (each
+    // absorb appends at most one file per touched bucket, so N files ≈
+    // N absorbs since that bucket's last compaction) — a declarative
+    // pipeline keeps its store probe-fast without a separately
+    // sequenced dedup_index_compact_destination; the check no-ops
+    // cheaply (one listing) when every bucket is under the bound
     "dedup_index_absorb_destination" -> Entry(SectionIOSpec(DataFrameIO, None),
-      (_, c, df) => {
+      (s, c, df) => {
         graft.operators.NearDup.absorbIntoIndex(in(df), cfg(c, "path"),
           idCol = c.getOrElse("id_column", "doc_id"),
           textCol = c.getOrElse("text_column", "text"))
+        c.get("compact_after").map(_.toInt).foreach { n =>
+          graft.operators.NearDup.compactSignatureIndex(s, cfg(c, "path"),
+            maxFilesPerBucket = n)
+        }
         scala.None
       }),
     // compact a v2 signature index's bucket dirs (each absorb appends

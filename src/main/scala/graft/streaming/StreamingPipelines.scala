@@ -127,11 +127,25 @@ object StreamingPipelines {
     q.awaitTermination()
   }
 
+  /** Explicit checkpoint dir for a short-lived verify/bench stream,
+    * under the app-id-keyed stage root: a stream started WITHOUT a
+    * checkpointLocation gets a `/tmp/temporary-<uuid>` dir whose
+    * deletion is best-effort (Spark warns so on every start) — the
+    * stage root's shutdown reaper owns these instead, and the app id
+    * keeps concurrent JVMs collision-free. `name` callers already make
+    * unique per query; the counter guards reuse within one query. */
+  def scratchCheckpoint(spark: SparkSession, name: String): String =
+    graft.operators.Staging.defaultStageRoot(spark) + "/ckpt_" +
+      name.map(c => if (c.isLetterOrDigit || c == '-' || c == '_') c
+        else '-') +
+      "_" + graft.operators.Staging.stageCounter.incrementAndGet()
+
   /** Memory-sink helper: materialize a streaming frame synchronously and
     * return the result table. */
   def collectStream(spark: SparkSession, df: DataFrame, name: String,
                     mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", scratchCheckpoint(spark, name))
       .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     spark.table(name)

@@ -353,9 +353,13 @@ object ScaleSf1 {
             col("embedding"))
         val planted = e.unionByName(twins).persist()
         val nTwins = twins.count().toDouble
+        // NO clearCache between the two variants: it would unpersist the
+        // `planted` frame cached above specifically so both measurements
+        // share one materialization (any cache a dedup variant itself
+        // left behind dies with `planted.unpersist()` + the next
+        // measure()'s fresh plan — nothing here rides a survivor cache)
         def recallOf(surv: org.apache.spark.sql.DataFrame): Double = {
           val alive = surv.filter(col("vec_id") >= lit(maxId)).count()
-          spark.catalog.clearCache()
           1.0 - alive / nTwins
         }
         val single = recallOf(graft.operators.Ann.semanticDedup(planted,

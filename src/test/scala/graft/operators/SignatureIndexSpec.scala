@@ -251,6 +251,155 @@ class SignatureIndexSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("saturation check is O(1): it reads params.knownItems, not the " +
+    "exact table's footers") {
+    val path = java.nio.file.Files.createTempDirectory("sigidx_o1").toString
+    // capacity 1000; the store holds ONE distinct text (footer count 1)
+    NearDup.writeSignatureIndex(docs(1L -> long), path, bloomItems = 1000L)
+    val p = NearDup.signatureIndexParams(spark, path)
+    assert(p.knownItems == 1L, "build must persist the running total")
+    // doctor the running total PAST capacity while the footer count stays
+    // tiny: if the next absorb rebuilt from footers (1 + 1 = 2 <= 1000)
+    // it would take the merge path and leave bloomItems at 1000; reading
+    // knownItems (2000 + 1 > 1000) forces the resize
+    Seq(p.copy(knownItems = 2000L)).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+    NearDup.absorbIntoIndex(
+      docs(100L -> ((1 to 30).map(i => s"f$i").mkString(" "))), path)
+    val p2 = NearDup.signatureIndexParams(spark, path)
+    assert(p2.bloomItems >= (1L << 17),
+      s"saturation must have read the O(1) running total: ${p2.bloomItems}")
+    assert(p2.knownItems == 2001L,
+      s"running total must carry forward: ${p2.knownItems}")
+    spark.catalog.clearCache()
+  }
+
+  test("absorb maintains the running total across the merge path") {
+    val path = java.nio.file.Files.createTempDirectory("sigidx_rt").toString
+    NearDup.writeSignatureIndex(docs(1L -> long), path)
+    (0 until 3).foreach { d =>
+      NearDup.absorbIntoIndex(
+        docs((100L + d) -> ((1 to 30).map(i => s"d${d}w$i").mkString(" "))),
+        path)
+    }
+    assert(NearDup.signatureIndexParams(spark, path).knownItems == 4L)
+    // an already-known batch adds nothing
+    NearDup.absorbIntoIndex(docs(200L -> long), path)
+    assert(NearDup.signatureIndexParams(spark, path).knownItems == 4L)
+    spark.catalog.clearCache()
+  }
+
+  test("stale params after a crashed resize: the merge path falls " +
+    "through to a rebuild instead of wedging on IncompatibleMerge") {
+    val path = java.nio.file.Files.createTempDirectory("sigidx_cw").toString
+    NearDup.writeSignatureIndex(docs(1L -> long), path, bloomItems = 4L)
+    // saturating absorb resizes the ON-DISK filter (and params with it)
+    NearDup.absorbIntoIndex(docs((0 until 12).map(d =>
+      (100L + d) -> ((1 to 30).map(i => s"s${d}w$i").mkString(" "))): _*),
+      path)
+    val resized = NearDup.signatureIndexParams(spark, path)
+    assert(resized.bloomItems >= (1L << 17))
+    // simulate the crash window: params roll back to the PRE-resize
+    // capacity (bloom written, params write lost) with a small running
+    // total so the next absorb stays UNDER capacity -> merge path, whose
+    // batch filter (sized at capacity 4) is incompatible with the
+    // resized on-disk bitset
+    Seq(resized.copy(bloomItems = 4L, knownItems = 2L)).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+    // must not throw; must repair params by rebuilding at the new total
+    NearDup.absorbIntoIndex(
+      docs(300L -> ((1 to 30).map(i => s"g$i").mkString(" "))), path)
+    val repaired = NearDup.signatureIndexParams(spark, path)
+    assert(repaired.bloomItems >= (1L << 17),
+      s"fall-through rebuild must repair the stale capacity: $repaired")
+    // the store still answers: old text, resize-era text, and the
+    // crash-window text all guard; fresh survives
+    assert(NearDup.dedupAgainstIndex(docs(
+        400L -> long,
+        401L -> ((1 to 30).map(i => s"s7w$i").mkString(" ")),
+        402L -> ((1 to 30).map(i => s"g$i").mkString(" ")),
+        403L -> ((1 to 30).map(i => s"fresh$i").mkString(" "))), path)
+      .as[Long].collect().toSet == Set(403L))
+    spark.catalog.clearCache()
+  }
+
+  test("compaction recovery: a crash mid-delete's duplicates are " +
+    "repaired by the next compaction regardless of file count") {
+    val path = java.nio.file.Files.createTempDirectory("sigidx_rec").toString
+    NearDup.writeSignatureIndex(
+      docs(1L -> ((1 to 30).map(i => s"r$i").mkString(" "))), path,
+      exactBuckets = 1, bandBuckets = 1, setBuckets = 1)
+    (0 until 3).foreach { d =>
+      NearDup.absorbIntoIndex(
+        docs((100L + d) -> ((1 to 30).map(i => s"d${d}w$i").mkString(" "))),
+        path)
+    }
+    val bucket = new java.io.File(path, "sets").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("sb=")).head
+    val frags = bucket.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(frags.length >= 3)
+    val rowsBefore = spark.read.parquet(s"$path/sets").count()
+    // hand-craft the crash state: the compacted file landed (here: a
+    // copy of the bucket's full contents), the manifest names the swap,
+    // and the delete phase stopped after removing only the FIRST
+    // fragment — the remaining fragments' rows are now duplicated
+    val compactName = "compact-testcrash.parquet"
+    spark.read.parquet(bucket.toString).coalesce(1)
+      .write.parquet(s"$path/_craft")
+    val part = new java.io.File(s"$path/_craft").listFiles()
+      .filter(f => f.getName.startsWith("part-")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(bucket, compactName).toPath)
+    val manifest = ("C\t" + compactName + "\n") +
+      frags.map("R\t" + _.getName).mkString("", "\n", "\n")
+    java.nio.file.Files.write(
+      new java.io.File(bucket, "_retired").toPath,
+      manifest.getBytes("UTF-8"))
+    java.nio.file.Files.delete(frags.head.toPath) // crash after delete #1
+    assert(spark.read.parquet(s"$path/sets").count() > rowsBefore,
+      "the crafted crash state must expose duplicate rows")
+    spark.catalog.clearCache()
+    // file count is at/below any sane threshold — only the manifest says
+    // this bucket needs repair; recovery must finish the swap
+    NearDup.compactSignatureIndex(spark, path, maxFilesPerBucket = 100)
+    assert(!new java.io.File(bucket, "_retired").exists())
+    val filesAfter = bucket.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(filesAfter.map(_.getName).toSet == Set(compactName),
+      s"retired fragments must be gone: ${filesAfter.mkString(",")}")
+    assert(spark.read.parquet(s"$path/sets").count() == rowsBefore,
+      "duplicate rows must not outlive one maintenance cycle")
+    spark.catalog.clearCache()
+  }
+
+  test("compaction recovery: a crash BEFORE the compact file landed " +
+    "rolls back and loses nothing") {
+    val path = java.nio.file.Files.createTempDirectory("sigidx_rb").toString
+    NearDup.writeSignatureIndex(
+      docs(1L -> ((1 to 30).map(i => s"r$i").mkString(" "))), path,
+      exactBuckets = 1, bandBuckets = 1, setBuckets = 1)
+    NearDup.absorbIntoIndex(
+      docs(100L -> ((1 to 30).map(i => s"d0w$i").mkString(" "))), path)
+    val bucket = new java.io.File(path, "sets").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("sb=")).head
+    val frags = bucket.listFiles().filter(f => f.isFile &&
+      !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val rowsBefore = spark.read.parquet(s"$path/sets").count()
+    // manifest written, rename never happened (compact file absent)
+    val manifest = "C\tcompact-neverlanded.parquet\n" +
+      frags.map("R\t" + _.getName).mkString("", "\n", "\n")
+    java.nio.file.Files.write(
+      new java.io.File(bucket, "_retired").toPath,
+      manifest.getBytes("UTF-8"))
+    spark.catalog.clearCache()
+    NearDup.compactSignatureIndex(spark, path, maxFilesPerBucket = 100)
+    assert(!new java.io.File(bucket, "_retired").exists())
+    assert(spark.read.parquet(s"$path/sets").count() == rowsBefore,
+      "rollback must keep every fragment's rows")
+    spark.catalog.clearCache()
+  }
+
   test("cross-process params rewrite is seen via fingerprint revalidation") {
     val path = java.nio.file.Files.createTempDirectory("sigidx_fp").toString
     NearDup.writeSignatureIndex(docs(1L -> long), path)

@@ -483,6 +483,48 @@ class TrainingSectionsSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("dedup index absorb with compact_after: N daily runs keep every " +
+    "bucket dir bounded without an explicit compact section") {
+    val path = java.nio.file.Files.createTempDirectory("sigidx_ca").toString
+    PipelineCompiler.run(spark, PipelineSpec.fromJson(
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"ref","name":"sql","config":{"query":"SELECT * FROM input WHERE doc_id % 7 = 0"}},
+        {"id":"ix","name":"dedup_index_destination","config":{
+          "path":"$path","exact_buckets":"2","band_buckets":"2","set_buckets":"2"}}],
+        "edges":[["src","ref"],["ref","ix"]]}"""))
+    // six daily absorbs through ONE self-maintaining spec (compact_after
+    // 2): without it, each touched bucket dir would accrete ~one file
+    // per absorb (7 by day six)
+    (1 to 6).foreach { day =>
+      PipelineCompiler.run(spark, PipelineSpec.fromJson(
+        s"""{"sections":[
+          {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+          {"id":"inc","name":"sql","config":{"query":"SELECT * FROM input WHERE doc_id % 7 = $day"}},
+          {"id":"ab","name":"dedup_index_absorb_destination","config":{
+            "path":"$path","compact_after":"2"}}],
+          "edges":[["src","inc"],["inc","ab"]]}"""))
+    }
+    for (t <- Seq("sets", "bands", "exact")) {
+      val counts = new java.io.File(path, t).listFiles()
+        .filter(d => d.isDirectory && d.getName.contains("="))
+        .map(d => d.getName -> d.listFiles().count { f =>
+          f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith(".")
+        }).toMap
+      assert(counts.values.forall(_ <= 2),
+        s"$t buckets must stay bounded by compact_after: $counts")
+    }
+    // the self-maintained store still answers: everything was absorbed,
+    // so a full re-probe drops every document
+    val kept = PipelineCompiler.compileFrame(spark, PipelineSpec.fromJson(
+      s"""{"sections":[
+        {"id":"src","name":"parquet_source","config":{"path":"$sf/documents.parquet"}},
+        {"id":"dd","name":"dedup_against","config":{"index_path":"$path"}}],
+        "edges":[["src","dd"]]}""")).count()
+    assert(kept == 0, s"re-probe after six absorbs kept $kept")
+    spark.catalog.clearCache()
+  }
+
   test("ann model sections: train+write via destination spec, serve from the store") {
     val path = java.nio.file.Files.createTempDirectory("ivfpq_sec").toString
     val build =
