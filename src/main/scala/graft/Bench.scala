@@ -236,16 +236,56 @@ object Bench {
         }
       catch { case _: Throwable => () }
     }
-    try scala.io.Source.fromFile("/sys/fs/cgroup/cpu.stat").getLines()
-      .foreach { ln =>
-        val parts = ln.trim.split("\\s+")
-        if (parts.length == 2 &&
-            (parts(0) == "nr_throttled" || parts(0) == "throttled_usec"))
-          m += s"cg_${parts(0)}" -> parts(1).toDouble
+    // cgroup v2 and v1 throttle counters (whichever path this box has)
+    Seq("/sys/fs/cgroup/cpu.stat", "/sys/fs/cgroup/cpu/cpu.stat")
+      .foreach { p =>
+        try scala.io.Source.fromFile(p).getLines().foreach { ln =>
+          val parts = ln.trim.split("\\s+")
+          if (parts.length == 2 && (parts(0) == "nr_throttled" ||
+              parts(0) == "throttled_usec" || parts(0) == "throttled_time"))
+            m += s"cg_${parts(0)}" -> parts(1).toDouble
+        }
+        catch { case _: Throwable => () }
       }
-    catch { case _: Throwable => () }
+    // mean advertised core clock — a hypervisor/thermal frequency drop is
+    // the slowdown mode the steal/iowait/throttle counters CANNOT see
+    // (r20 attempt 1: mid-run echo 1.61x with steal 2.3%, iowait 0,
+    // zero throttling). Snapshot, not cumulative; hostDeltas passes
+    // gauges through as end-minus-start so a mid-run drop reads negative.
+    try {
+      val mhz = scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+        .filter(_.startsWith("cpu MHz")).map(_.split(":")(1).trim.toDouble)
+        .toSeq
+      if (mhz.nonEmpty) m += "cpu_mhz_mean" -> mhz.sum / mhz.size
+    } catch { case _: Throwable => () }
+    // MEMORY-BANDWIDTH gauge (GB/s, one pre-touched 64 MB arraycopy):
+    // the r20 root-cause of the recurring slow-host signature. An idle
+    // box ran Spark lines 2-4.5x slow with steal 2.3%, iowait ~0, zero
+    // throttling, modest PSI and PERFECT 32-way cpu-loop scaling — but
+    // steady-state memcpy measured 0.1 GB/s against a normal host's
+    // 5-20 (hypervisor-level memory ballooning/paging, invisible to
+    // every guest counter). Spark is allocation/shuffle-bound, so THIS
+    // gauge is the one that tracks its slowdown; sub-1 GB/s here is a
+    // degraded window, full stop.
+    try {
+      val n = 64 << 20
+      val src = new Array[Byte](n)
+      val dst = new Array[Byte](n)
+      java.util.Arrays.fill(src, 1.toByte)
+      java.util.Arrays.fill(dst, 2.toByte)
+      val t0 = System.nanoTime()
+      System.arraycopy(src, 0, dst, 0, n)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (dst(n - 1) == 1.toByte) // keep the copy observable (no DCE)
+        m += "membw_gbps" -> (n / 1e9) / math.max(dt, 1e-9)
+    } catch { case _: Throwable => () }
     m.toMap
   }
+
+  /** Counter keys that are GAUGES (instantaneous state), not cumulative
+    * counters: [[hostDeltas]] reports their start and end values rather
+    * than a meaningless difference-of-snapshots. */
+  private val GaugeKeys = Set("cpu_mhz_mean", "membw_gbps")
 
   /** Deltas between two [[hostCounters]] snapshots, with the cpu jiffy
     * counters normalized to FRACTIONS of total jiffies elapsed
@@ -254,15 +294,18 @@ object Bench {
     * cumulative-microsecond/count deltas. */
   def hostDeltas(start: Map[String, Double],
                  end: Map[String, Double]): Map[String, Double] = {
-    val d = (start.keySet & end.keySet).toSeq
+    val shared = (start.keySet & end.keySet).toSeq
+    val d = shared.filterNot(GaugeKeys)
       .map(k => k -> (end(k) - start(k))).toMap
+    val gauges = shared.filter(GaugeKeys).flatMap(k =>
+      Seq(s"${k}_start" -> start(k), s"${k}_end" -> end(k))).toMap
     val tot = d.getOrElse("cpu_total", 0.0)
     val frac =
       if (tot <= 0) Map.empty[String, Double]
       else Map(
         "steal_frac" -> d.getOrElse("cpu_steal", 0.0) / tot,
         "iowait_frac" -> d.getOrElse("cpu_iowait", 0.0) / tot)
-    d.view.filterKeys(k => !k.startsWith("cpu_")).toMap ++ frac
+    d.view.filterKeys(k => !k.startsWith("cpu_")).toMap ++ frac ++ gauges
   }
 
   /** One per-query progress event (JSONL) — emitted to stdout AND

@@ -314,11 +314,22 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!d.contains("cpu_total") && !d.contains("cpu_steal"))
   }
 
-  test("hostCounters reads this Linux host's cpu line") {
+  test("hostCounters reads this Linux host's cpu line and membw gauge") {
     val c = Bench.hostCounters()
     // /proc/stat exists in this container; steal/iowait may be 0 but the
     // total must be positive and monotone
     assert(c.getOrElse("cpu_total", 0.0) > 0.0)
+    // the memory-bandwidth gauge always measures (pure JVM, no /proc)
+    assert(c.getOrElse("membw_gbps", 0.0) > 0.0)
+  }
+
+  test("hostDeltas reports gauges as start/end, not a delta") {
+    val d = Bench.hostDeltas(
+      Map("cpu_total" -> 100.0, "membw_gbps" -> 8.0, "cpu_mhz_mean" -> 2600.0),
+      Map("cpu_total" -> 200.0, "membw_gbps" -> 0.2, "cpu_mhz_mean" -> 2600.0))
+    assert(d("membw_gbps_start") == 8.0 && d("membw_gbps_end") == 0.2)
+    assert(d("cpu_mhz_mean_start") == 2600.0)
+    assert(!d.contains("membw_gbps"))
   }
 
   test("gitHead resolves this repo's HEAD to a 40-hex sha") {
