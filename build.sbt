@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify contract is "print ONE JSON line": with the default
+// LoggedOutput strategy sbt prefixes every forked-stdout line with
+// "[info] ", so a line-oriented JSON parse of the captured output can
+// never succeed (r18: a complete compact summary sat in the driver's
+// tail as `[info] {...}` and still read as unparseable). StdoutOutput
+// passes the forked JVM's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -188,21 +188,42 @@ object Bench {
     * resolution fails (not a repo, detached workdir, etc.). */
   def gitHead(repoDir: String = "."): String = try {
     import java.nio.file.{Files, Paths}
+    // worktree/submodule checkouts have a GITLINK file ("gitdir: <path>")
+    // instead of a .git directory — follow the indirection so the record
+    // still carries its sha there
+    val dotGit = Paths.get(repoDir, ".git")
+    val gitDir =
+      if (Files.isDirectory(dotGit)) dotGit
+      else {
+        val link = new String(Files.readAllBytes(dotGit), "UTF-8").trim
+        val p = Paths.get(link.stripPrefix("gitdir:").trim)
+        if (p.isAbsolute) p else Paths.get(repoDir).resolve(p).normalize()
+      }
     val head = new String(Files.readAllBytes(
-      Paths.get(repoDir, ".git", "HEAD")), "UTF-8").trim
+      gitDir.resolve("HEAD")), "UTF-8").trim
     if (!head.startsWith("ref: ")) head
     else {
       val ref = head.stripPrefix("ref: ").trim
-      val loose = Paths.get(repoDir, (".git" +: ref.split("/")): _*)
-      if (Files.exists(loose))
-        new String(Files.readAllBytes(loose), "UTF-8").trim
-      else {
-        val packed = Paths.get(repoDir, ".git", "packed-refs")
-        if (!Files.exists(packed)) ""
-        else new String(Files.readAllBytes(packed), "UTF-8")
-          .linesIterator.map(_.trim)
-          .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
-          .map(_.split("\\s+")(0)).getOrElse("")
+      val loose = gitDir.resolve(ref)
+      // a worktree's refs live in its commondir (the main .git), not the
+      // per-worktree gitdir
+      val common = {
+        val c = gitDir.resolve("commondir")
+        if (Files.exists(c))
+          gitDir.resolve(new String(Files.readAllBytes(c), "UTF-8").trim)
+            .normalize()
+        else gitDir
+      }
+      val candidates = Seq(loose, common.resolve(ref))
+      candidates.find(Files.exists(_)) match {
+        case Some(f) => new String(Files.readAllBytes(f), "UTF-8").trim
+        case scala.None =>
+          val packed = common.resolve("packed-refs")
+          if (!Files.exists(packed)) ""
+          else new String(Files.readAllBytes(packed), "UTF-8")
+            .linesIterator.map(_.trim)
+            .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+            .map(_.split("\\s+")(0)).getOrElse("")
       }
     }
   } catch { case _: Throwable => "" }
@@ -267,20 +288,32 @@ object Bench {
     // every guest counter). Spark is allocation/shuffle-bound, so THIS
     // gauge is the one that tracks its slowdown; sub-1 GB/s here is a
     // degraded window, full stop.
-    try {
-      val n = 64 << 20
-      val src = new Array[Byte](n)
-      val dst = new Array[Byte](n)
-      java.util.Arrays.fill(src, 1.toByte)
-      java.util.Arrays.fill(dst, 2.toByte)
-      val t0 = System.nanoTime()
-      System.arraycopy(src, 0, dst, 0, n)
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (dst(n - 1) == 1.toByte) // keep the copy observable (no DCE)
-        m += "membw_gbps" -> (n / 1e9) / math.max(dt, 1e-9)
-    } catch { case _: Throwable => () }
+    membwGauge().foreach(g => m += "membw_gbps" -> g)
     m.toMap
   }
+
+  /** One sample of the memory-bandwidth gauge (GB/s, a pre-touched 64 MB
+    * arraycopy) — the r20 slow-host root cause's direct detector, shared
+    * by [[hostCounters]] (run endpoints) and the PER-LINE sampling in the
+    * bench loop: the r20 driver window's post-1100s lines ran 30-137×
+    * while both ENDPOINT gauges read ~5.4 GB/s — a trough between the
+    * endpoints was invisible in the artifact that carried the inflated
+    * numbers, so heavy lines now carry their own gauge reading in the
+    * bench_line JSONL. ~13 ms on a healthy host; None only if the
+    * allocation itself fails. */
+  def membwGauge(): Option[Double] = try {
+    val n = 64 << 20
+    val src = new Array[Byte](n)
+    val dst = new Array[Byte](n)
+    java.util.Arrays.fill(src, 1.toByte)
+    java.util.Arrays.fill(dst, 2.toByte)
+    val t0 = System.nanoTime()
+    System.arraycopy(src, 0, dst, 0, n)
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (dst(n - 1) == 1.toByte) // keep the copy observable (no DCE)
+      Some((n / 1e9) / math.max(dt, 1e-9))
+    else scala.None
+  } catch { case _: Throwable => scala.None }
 
   /** Counter keys that are GAUGES (instantaneous state), not cumulative
     * counters: [[hostDeltas]] reports their start and end values rather
@@ -313,8 +346,15 @@ object Bench {
     * so a killed/timed-out run still yields every completed number. */
   private[graft] def benchLineEvent(name: String, median: Double,
                                     min: Double, iters: Int,
-                                    elapsedSec: Double): String =
-    f"""{"metric":"bench_line","name":${jstr(name)},"median":$median%.3f,"min":$min%.3f,"iters":$iters,"elapsed_sec":$elapsedSec%.1f}"""
+                                    elapsedSec: Double,
+                                    membw: Option[Double] = scala.None)
+      : String = {
+    // membw: the gauge sampled IMMEDIATELY BEFORE this line ran (heavy
+    // lines + every 10th line) — localizes a bandwidth trough in the same
+    // JSONL that carries the inflated timing (r20 finding #3)
+    val mb = membw.map(v => f""","membw":$v%.2f""").getOrElse("")
+    f"""{"metric":"bench_line","name":${jstr(name)},"median":$median%.3f,"min":$min%.3f,"iters":$iters,"elapsed_sec":$elapsedSec%.1f$mb}"""
+  }
 
   /** Recover per-query (median, min) maps from a partial progress stream
     * (the lines of bench_progress.jsonl, or a killed run's stdout) —
@@ -415,6 +455,21 @@ object Bench {
     def elapsedSec: Double = (System.nanoTime() - runStartNanos) / 1e9
     val gitSha = Bench.gitHead()
     val hostStart = Bench.hostCounters()
+    // committed record read ONCE at start: queries_min drives the
+    // per-line membw sampling (heavy lines get a gauge reading), canary
+    // feeds the opt-in early-abort below. Best-effort — a missing or
+    // unparseable record just disables both.
+    val (recordMinsAtStart, recordCanaryAtStart)
+        : (Map[String, Double], Map[String, Double]) = try {
+      import scala.jdk.CollectionConverters._
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_last.json")), "UTF-8"))
+      def block(field: String): Map[String, Double] =
+        root.path(field).properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      (block("queries_min"), block("canary"))
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
     // INCREMENTAL per-line emission: every completed measurement is
     // appended to bench_progress.jsonl AND printed as its own stdout
     // JSONL event the moment it exists — a timeout/kill/crash at any
@@ -497,11 +552,21 @@ object Bench {
     // its elapsed time is never mixed into the stats, so a fast failure
     // can't read as a speedup. A query with zero successful samples is
     // omitted from the per-query maps entirely.
+    var timedLineNo = 0
     def timed(name: String, action: () => Unit): Option[(String, Double, Double)] = {
       val effIters = Bench.effectiveIters(iters, elapsedSec, budgetSec)
       if (effIters < iters && shedLines.add(name))
         System.err.println(f"[bench] budget ($budgetSec%.0fs) crossed at " +
           f"$elapsedSec%.0fs — $name sheds to 1 iter")
+      // membw sampled BEFORE the line runs, for heavy lines (record min
+      // > 1s — the ones a trough inflates most) and every 10th line as a
+      // background rhythm: the r20 driver window's trough sat between the
+      // run-endpoint gauges and was invisible in the per-line artifact
+      timedLineNo += 1
+      val membwHere: Option[Double] =
+        if (recordMinsAtStart.get(name).exists(_ > 1.0) ||
+            timedLineNo % 10 == 1) Bench.membwGauge()
+        else scala.None
       val samples = Seq.newBuilder[Double]
       var i = 0
       while (i < effIters && !failed.contains(name)) {
@@ -524,7 +589,7 @@ object Bench {
       else {
         val out = (name, s(s.size / 2), s.head)
         emitEvent(Bench.benchLineEvent(name, out._2, out._3, effIters,
-          elapsedSec))
+          elapsedSec, membwHere))
         Some(out)
       }
     }
@@ -555,6 +620,48 @@ object Bench {
           timed(s"canary_$name", () => { q.fn(spark, sfDir).count(); () })
             .map { case (_, med, mn) => (name, med, mn) }
         }
+    // OPT-IN EARLY ABORT for record attempts (SPARK_GRAFT_BENCH_ABORT_
+    // DEGRADED=1): five r20 attempts each burned ~20 minutes before the
+    // end-of-run guard routed them aside — the canary block plus a membw
+    // re-probe already carry the verdict two minutes in. When the LIVE
+    // canary runs >1.4× the committed record's, or the re-probed
+    // bandwidth (best of 3 — a single low sample is noise, a capped
+    // hypervisor window is low on ALL of them) sits under 2.5 GB/s, stop
+    // now: the per-line JSONL keeps what was measured, the guard artifact
+    // names the route, and nothing touches bench_last*.json. NEVER set by
+    // the driver — its runs must complete the full surface whatever the
+    // window (shed, don't die).
+    if (sys.env.get("SPARK_GRAFT_BENCH_ABORT_DEGRADED").contains("1") &&
+        canaryResults.nonEmpty) {
+      val curCanaryMeds = canaryResults.map { case (k, m, _) => k -> m }.toMap
+      val liveRatio = Bench.canaryDegradation(recordCanaryAtStart, curCanaryMeds)
+      // 2.5 GB/s: this box's HEALTHY gauge reading ranges 5-10 (the r21
+      // clean-record window measured 5.2-5.3 at 2.1 GHz with every guard
+      // green), while the documented capped-hypervisor troughs read
+      // 0.1-1.2 — the threshold sits between the two regimes
+      val probe = (1 to 3).flatMap(_ => Bench.membwGauge()).maxOption
+      val degraded = liveRatio.exists(_ > 1.4) || probe.exists(_ < 2.5)
+      if (degraded) {
+        val why = f"live canary ${liveRatio.getOrElse(-1.0)}%.2fx record, " +
+          f"membw re-probe ${probe.getOrElse(-1.0)}%.1f GB/s"
+        System.err.println(s"[bench] ABORTING (degraded window): $why — " +
+          "per-line JSONL preserved, records untouched")
+        emitEvent(f"""{"metric":"bench_abort","reason":${Bench.jstr(why)},"elapsed_sec":$elapsedSec%.1f}""")
+        val contendedNow = javaProcs > 2 ||
+          (try loadavgStart.split(",").headOption.exists(_.toDouble > 2.0)
+           catch { case _: Throwable => false })
+        val guard = s"""{"route":"aborted_degraded","reason":${Bench.jstr(why)},""" +
+          s""""target":"none","written_at_epoch_ms":${System.currentTimeMillis()},""" +
+          s""""contended":$contendedNow,"failed_count":0,""" +
+          s""""git":${Bench.jstr(gitSha)},"sf":${Bench.jstr(sfDir)}}"""
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_guard.json"),
+          (guard + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () }
+        spark.stop()
+        return
+      }
+    }
     // index-build vs query-serving SPLIT lines for the trained-IVF family:
     // the full-query lines below (ann_ivf_topk, ann_ivf_disk, dd_semdedup)
     // conflate quantizer training / index write with answering, so a
@@ -569,7 +676,7 @@ object Bench {
       "ann_ivf_pq_train", "ann_ivf_pq_query", "ann_ivf_pq_rerank_serve",
       "ann_ivf_pq_disk_build", "ann_ivf_pq_disk_query",
       "ann_opq_train", "ann_opq_query")
-    val ivfSplitResults: Seq[(String, Double, Double)] =
+    def ivfSplitResults(): Seq[(String, Double, Double)] =
       if (!splitNames.exists(wanted)) Seq.empty else try {
         def rmTree(dir: String): Unit = {
           import java.nio.file.{Files, Paths}
@@ -716,7 +823,7 @@ object Bench {
     // between samples), so a line prices exactly one stage's work.
     val assemblySplitNames = Seq("cp_assembly_clean", "cp_assembly_survivors",
       "cp_assembly_mix", "cp_assembly_pack", "st_overhead")
-    val assemblySplitResults: Seq[(String, Double, Double)] =
+    def assemblySplitResults(): Seq[(String, Double, Double)] =
       if (!assemblySplitNames.exists(wanted)) Seq.empty else try {
         def rmTree(dir: String): Unit = {
           import java.nio.file.{Files, Paths}
@@ -792,7 +899,7 @@ object Bench {
     // against a PREBUILT model — the shape that actually runs at 100 TB
     // (training sees the labeled slice; serving sees everything).
     val qcSplitNames = Seq("cp_qc_train", "cp_qc_score")
-    val qcSplitResults: Seq[(String, Double, Double)] =
+    def qcSplitResults(): Seq[(String, Double, Double)] =
       if (!qcSplitNames.exists(wanted)) Seq.empty else try {
         val docs = Tables.documents(spark, sfDir)
         val pos = col("lang") === "en"
@@ -821,7 +928,7 @@ object Bench {
     // PREBUILT hash rows staged to parquet — so a drift in the full
     // dd_ngram_jaccard line is attributable to exactly one phase.
     val ngramSplitNames = Seq("dd_ngram_hashes", "dd_ngram_candidates")
-    val ngramSplitResults: Seq[(String, Double, Double)] =
+    def ngramSplitResults(): Seq[(String, Double, Double)] =
       if (!ngramSplitNames.exists(wanted)) Seq.empty else try {
         def rmTree(dir: String): Unit = {
           import java.nio.file.{Files, Paths}
@@ -863,7 +970,7 @@ object Bench {
     // daily-crawl claim, like ann_ivf_pq_disk_query for ANN)
     val sigIndexSplitNames =
       Seq("dd_index_build", "dd_index_probe", "dd_stored_probe")
-    val sigIndexSplitResults: Seq[(String, Double, Double)] =
+    def sigIndexSplitResults(): Seq[(String, Double, Double)] =
       if (!sigIndexSplitNames.exists(wanted)) Seq.empty else try {
         def rmTree(dir: String): Unit = {
           import java.nio.file.{Files, Paths}
@@ -905,11 +1012,20 @@ object Bench {
         Seq.empty
       } finally Bench.sweepTmpDirs("bench_sigidx", "bench_sigv1",
         "bench_sigbuild")
+    // EXECUTION ORDER (r21, VERDICT #3): the core declared surface runs
+    // FIRST (right after the canary), the attribution/diagnostic families
+    // (split harnesses, skew rehearsal — and further down the scale
+    // twins) LAST. Budget shedding hits whatever runs latest, so a
+    // degraded window now sheds diagnostics before it degrades any core
+    // line to an unrepresentative 1-iter trough sample (r20 shed 36 core
+    // cp_*/op_*/st_* lines while the skew/scale diagnostics had already
+    // run at 3 iters). ++ evaluates left to right, so the def-wrapped
+    // split harnesses run after the main loop completes.
     val results =
       Queries.all.filter(q => wanted(q._1)).flatMap { case (name, q) =>
         timed(name, () => { q.fn(spark, sfDir).count(); () }) } ++
-      ivfSplitResults ++ assemblySplitResults ++ qcSplitResults ++
-      ngramSplitResults ++ sigIndexSplitResults ++
+      ivfSplitResults() ++ assemblySplitResults() ++ qcSplitResults() ++
+      ngramSplitResults() ++ sigIndexSplitResults() ++
       // scale rehearsal: worst-case skewed corpora through the capped pair
       // generators — each skewed_* line should stay within ~2x of its
       // uniform twin above, or a cap has stopped doing its job
@@ -927,7 +1043,11 @@ object Bench {
     val canaryEchoRatio: Option[Double] =
       if (only.isDefined || canaryResults.isEmpty) scala.None
       else {
-        val echoNames = canaryNames.take(5).toSet
+        // echo subset SPANS FAMILIES (one relational + dedup + text +
+        // corpus) — take(5) was all q* lines, blind to the dedup/text
+        // families the measured bandwidth-degradation mode hits hardest
+        val echoNames = Set("q1_pricing_summary", "dd_exact",
+          "dd_minhash_lsh", "ta_langid", "cp_dedup_lines")
         val echo = Queries.all.filter(q => echoNames.contains(q._1))
           .flatMap { case (name, q) =>
             val t0 = System.nanoTime()
@@ -1369,7 +1489,13 @@ object Bench {
           root.path(field).properties().asScala
             .map(e => e.getKey -> e.getValue.asDouble()).toMap
         val curCanary = canaryResults.map { case (k, med, _) => k -> med }.toMap
-        val curMins = results.map { case (k, _, mn) => k -> mn }.toMap
+        // shed lines (1-iter samples taken AFTER the budget crossed —
+        // i.e. inside the slow part of a degraded window, reading
+        // ~1.5-2x high from un-amortized JIT alone) are excluded from
+        // every record-guard comparison: they are visible in the `shed`
+        // field but must not false-trigger regression detection
+        val curMins = results.collect {
+          case (k, _, mn) if !shedLines.contains(k) => k -> mn }.toMap
         val canaryRatio = Bench.canaryDegradation(block("canary"), curCanary)
           .filter(_ > 1.4).map("canary" -> _)
         val heavyRatio = Bench.heavyLineDegradation(block("queries_min"),
@@ -1388,9 +1514,11 @@ object Bench {
           // SHARED-TOTAL check ([[Bench.sharedTotalShift]]): the summed
           // shared-line medians vs the record's — the r18 in-run-drift
           // seam (every per-family guard under threshold at once while
-          // the headline total moved 1.39×)
+          // the headline total moved 1.39×). Shed lines excluded like
+          // the min-based guards above.
           Bench.sharedTotalShift(block("queries"),
-            results.map { case (k, med, _) => k -> med }.toMap))
+            results.collect {
+              case (k, med, _) if !shedLines.contains(k) => k -> med }.toMap))
       } catch { case _: Throwable =>
         (scala.None, scala.None, Seq.empty, scala.None) }
     val target =
@@ -1515,9 +1643,18 @@ object Bench {
         System.err.println(s"[bench] could not write bench_failed_msgs.json: ${e.getMessage}") }
     }
     println(line)
-    // compact env+total summary printed LAST: short enough that no tail
-    // truncation can ever lose the contention evidence again
-    println(f"""{"metric":"bench_env","total":$total%.3f,"git":${Bench.jstr(gitSha)},"host":$hostJson,"shed":$shedJson$echoJson,"loadavg_start":"$loadavgStart","java_procs":$javaProcs,"contended":$contended,"failed":$fl,"sf":"$sfDir"}""")
+    // compact summary printed LAST, HARD-BOUNDED under the driver's
+    // ~2000-char tail-capture budget (minus sbt's trailing [warn]/
+    // [success] lines). Three consecutive rounds of BENCH parsed:null
+    // came from this line ballooning (r20: a 59-name shed array + the
+    // full host map front-truncated the JSON mid-`host`). Counts and the
+    // two membw gauge readings only — the full detail already lives in
+    // the `line` file artifact, bench_guard.json and bench_progress.jsonl.
+    val mbStart = hostDelta.get("membw_gbps_start")
+      .map(v => f""","membw_start":$v%.2f""").getOrElse("")
+    val mbEnd = hostDelta.get("membw_gbps_end")
+      .map(v => f""","membw_end":$v%.2f""").getOrElse("")
+    println(f"""{"metric":"bench_env","total":$total%.3f,"unit":"sec","git":${Bench.jstr(gitSha.take(8))},"contended":$contended,"failed_count":${failed.size},"shed_count":${shedLines.size}$echoJson$mbStart$mbEnd,"loadavg_start":"$loadavgStart","java_procs":$javaProcs,"sf":"$sfDir"}""")
     if (contended) System.err.println(s"[bench] WARNING: $javaProcs java " +
       "processes at run start (expected 2: sbt + this fork) — timings are " +
       "contention-suspect; the line is tagged \"contended\":true")

@@ -290,6 +290,23 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(rec("x") == (1.0, 0.9))
   }
 
+  test("bench line events carry the pre-line membw gauge when sampled") {
+    val ev = Bench.benchLineEvent("dd_semdedup_two", 5.3, 5.1, 3, 700.0,
+      membw = Some(9.87))
+    val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(ev)
+    assert(math.abs(n.path("membw").asDouble() - 9.87) < 1e-9)
+    // the progress parser still recovers the timing from a gauged line
+    assert(Bench.parseProgress(Iterator(ev))("dd_semdedup_two") == (5.3, 5.1))
+    // unsampled lines omit the field entirely
+    val plain = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.benchLineEvent("x", 1.0, 1.0, 3, 1.0))
+    assert(!plain.has("membw"))
+  }
+
+  test("membwGauge returns a positive GB/s sample on this host") {
+    assert(Bench.membwGauge().exists(_ > 0.0))
+  }
+
   test("bench line events escape JSON-hostile names") {
     val ev = Bench.benchLineEvent("""we"ird\name""", 1.0, 1.0, 3, 1.0)
     val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(ev)

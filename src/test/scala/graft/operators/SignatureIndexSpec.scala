@@ -357,6 +357,12 @@ class SignatureIndexSpec extends AnyFunSuite {
       new java.io.File(bucket, "_retired").toPath,
       manifest.getBytes("UTF-8"))
     java.nio.file.Files.delete(frags.head.toPath) // crash after delete #1
+    // a REAL crashed compaction also leaves the in-flight `compacting`
+    // marker set (written before its first swap) — the r21 fileBound
+    // no-op skip keys off it, so the crafted state must include it
+    val pCrash = NearDup.signatureIndexParams(spark, path)
+    Seq(pCrash.copy(compacting = true)).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
     assert(spark.read.parquet(s"$path/sets").count() > rowsBefore,
       "the crafted crash state must expose duplicate rows")
     spark.catalog.clearCache()
@@ -386,17 +392,134 @@ class SignatureIndexSpec extends AnyFunSuite {
     val frags = bucket.listFiles().filter(f => f.isFile &&
       !f.getName.startsWith("_") && !f.getName.startsWith("."))
     val rowsBefore = spark.read.parquet(s"$path/sets").count()
-    // manifest written, rename never happened (compact file absent)
+    // manifest written, rename never happened (compact file absent);
+    // the crashed pass had set its in-flight marker first
     val manifest = "C\tcompact-neverlanded.parquet\n" +
       frags.map("R\t" + _.getName).mkString("", "\n", "\n")
     java.nio.file.Files.write(
       new java.io.File(bucket, "_retired").toPath,
       manifest.getBytes("UTF-8"))
+    val pCrash = NearDup.signatureIndexParams(spark, path)
+    Seq(pCrash.copy(compacting = true)).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
     spark.catalog.clearCache()
     NearDup.compactSignatureIndex(spark, path, maxFilesPerBucket = 100)
     assert(!new java.io.File(bucket, "_retired").exists())
     assert(spark.read.parquet(s"$path/sets").count() == rowsBefore,
       "rollback must keep every fragment's rows")
+    spark.catalog.clearCache()
+  }
+
+  private def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = src.toPath; val d = dst.toPath
+    val walk = java.nio.file.Files.walk(s)
+    try walk.iterator().asScala.foreach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally walk.close()
+  }
+  private def deleteDir(f: java.io.File): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (f.exists()) {
+      val walk = java.nio.file.Files.walk(f.toPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      finally walk.close()
+    }
+  }
+
+  test("params crash window: a swap cut between delete and rename is " +
+    "recovered on the next read (index never wedges)") {
+    val path = java.nio.file.Files.createTempDirectory("sigidx_pcr").toString
+    NearDup.writeSignatureIndex(docs(1L -> long), path)
+    val before = NearDup.signatureIndexParams(spark, path)
+    // craft the r20-ADVICE crash state: the writer commits the full new
+    // params table to its _params_tmp_ side dir, deletes the old table,
+    // and dies before the rename
+    val params = new java.io.File(path, "params")
+    val tmp = new java.io.File(path, "_params_tmp_crashtest")
+    copyDir(params, tmp)
+    deleteDir(params)
+    // the next read re-fingerprints the params dir, hits FileNotFound,
+    // and must finish the crashed rename before retrying
+    val recovered = NearDup.signatureIndexParams(spark, path)
+    assert(recovered == before,
+      s"recovery must finish the rename: $recovered vs $before")
+    assert(new java.io.File(path, "params").exists() && !tmp.exists())
+    // ... and the store still serves
+    assert(NearDup.dedupAgainstIndex(docs(10L -> long), path)
+      .as[Long].collect().isEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("knownItems truth-up: an absorb-crash replay inflates the running " +
+    "total; compaction restores the true distinct-text count") {
+    val path = java.nio.file.Files.createTempDirectory("sigidx_tu").toString
+    NearDup.writeSignatureIndex(
+      docs(1L -> ((1 to 30).map(i => s"r$i").mkString(" "))), path,
+      exactBuckets = 2, bandBuckets = 2, setBuckets = 2)
+    val batch = docs(
+      100L -> ((1 to 30).map(i => s"a$i").mkString(" ")),
+      101L -> ((1 to 30).map(i => s"b$i").mkString(" ")))
+    // crash window: sets/bands/bloom/params committed, exact append LOST
+    val exactDir = new java.io.File(path, "exact")
+    val snap = new java.io.File(path, "_exact_snap")
+    copyDir(exactDir, snap)
+    NearDup.absorbIntoIndex(batch, path)
+    deleteDir(exactDir)
+    copyDir(snap, exactDir); deleteDir(snap)
+    // replay: the anti-check re-detects both texts as new and re-counts
+    NearDup.absorbIntoIndex(batch, path)
+    val drifted = NearDup.signatureIndexParams(spark, path)
+    assert(drifted.knownItems == 5L,
+      s"replay must drift the total HIGH (1+2+2): ${drifted.knownItems}")
+    spark.catalog.clearCache()
+    NearDup.compactSignatureIndex(spark, path, maxFilesPerBucket = 1)
+    val truthed = NearDup.signatureIndexParams(spark, path)
+    assert(truthed.knownItems == 3L,
+      s"compaction must truth the total to distinct texts: $truthed")
+    // results unchanged through the whole exercise
+    assert(NearDup.dedupAgainstIndex(docs(
+        200L -> ((1 to 30).map(i => s"a$i").mkString(" ")),
+        201L -> ((1 to 30).map(i => s"fresh$i").mkString(" "))), path)
+      .as[Long].collect().toSet == Set(201L))
+    spark.catalog.clearCache()
+  }
+
+  test("compaction no-op skip: an under-bound call lists nothing; the " +
+    "bound re-arms it and a crashed pass always recovers") {
+    val path = java.nio.file.Files.createTempDirectory("sigidx_nb").toString
+    NearDup.writeSignatureIndex(
+      docs(1L -> ((1 to 30).map(i => s"r$i").mkString(" "))), path,
+      exactBuckets = 1, bandBuckets = 1, setBuckets = 1)
+    assert(NearDup.signatureIndexParams(spark, path).fileBound == 1L)
+    NearDup.absorbIntoIndex(
+      docs(100L -> ((1 to 30).map(i => s"d$i").mkString(" "))), path)
+    assert(NearDup.signatureIndexParams(spark, path).fileBound == 2L)
+    // observability plant: a manifest that any listing pass would remove
+    // (its compact file never landed -> pure rollback). bound 2 <= 8 and
+    // no in-flight marker -> the call must return WITHOUT listing, so
+    // the plant survives
+    val bucket = new java.io.File(path, "sets").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("sb=")).head
+    java.nio.file.Files.write(
+      new java.io.File(bucket, "_retired").toPath,
+      "C\tcompact-neverlanded.parquet\n".getBytes("UTF-8"))
+    NearDup.compactSignatureIndex(spark, path, maxFilesPerBucket = 8)
+    assert(new java.io.File(bucket, "_retired").exists(),
+      "an under-bound compaction must skip without touching the store")
+    // over the bound (2 > 1): the pass runs, recovers the manifest,
+    // compacts, and re-arms the bound at the threshold
+    spark.catalog.clearCache()
+    NearDup.compactSignatureIndex(spark, path, maxFilesPerBucket = 1)
+    assert(!new java.io.File(bucket, "_retired").exists())
+    assert(bucketFileCounts(path, "sets").values.forall(_ == 1))
+    val p = NearDup.signatureIndexParams(spark, path)
+    assert(p.fileBound == 1L && !p.compacting)
     spark.catalog.clearCache()
   }
 
