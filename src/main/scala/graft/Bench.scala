@@ -511,13 +511,13 @@ object Bench {
           catch { case _: Throwable => false }
         }
       catch { case _: Throwable => -1 }
-    val spark = SparkSession.builder()
+    val spark = Engine.applyJoinStrategy(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up actions so JVM/codegen/streaming-machinery startup isn't

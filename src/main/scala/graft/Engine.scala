@@ -7,6 +7,36 @@ import org.apache.spark.sql.SparkSession
   * Verify, Bench, user code) starts from the same baseline. */
 object Engine {
 
+  /** Shuffled-hash-join enablement (r21, guide §3.1): Spark prefers
+    * sort-merge by default; allowing the planner to pick SHJ when a
+    * build side fits, and letting AQE convert an SMJ to SHJ at runtime
+    * when every post-shuffle build partition is under the threshold,
+    * removes the per-partition sorts from equi-join chains. Measured on
+    * the declared surface at sf0.1 (min of 3, same JVM A/B):
+    * dd_semdedup 0.51-0.93x, dd_dedup_corpus 0.65x, dd_semdedup_two
+    * 0.74x, dd_pagerank 0.91x, q3/q5/q18/cp_bm25 0.91-0.94x, nothing
+    * past noise in the other direction except full-outer joins (pinned
+    * to MERGE at the query). Scale posture: the threshold bounds the
+    * BUILD side per post-shuffle partition — with AQE advisory
+    * partitions at 64-256 MB a 128m build fits executor memory with
+    * room; on a memory-tight cluster set SPARK_GRAFT_SHJ_THRESHOLD=0 to
+    * restore sort-merge everywhere (spill-graceful), or size it to the
+    * per-task memory you can spare. */
+  def shjThreshold: Option[String] =
+    Some(sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
+      .filter(v => v.nonEmpty && v != "0")
+
+  /** Apply the join-strategy knobs to a session builder (shared by this
+    * factory and the Bench/Verify mains, which build their own sessions
+    * to honor the driver contract's master/partitions exactly). */
+  def applyJoinStrategy(b: SparkSession.Builder): SparkSession.Builder = {
+    shjThreshold.foreach { t =>
+      b.config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", t)
+    }
+    b
+  }
+
   /** Build a session. `master` defaults to `SPARK_MASTER` env or
     * local[SPARK_GRAFT_CPUS]; on a real cluster pass the cluster master (or
     * rely on spark-submit) — shuffle partitions should then be sized to
@@ -16,7 +46,7 @@ object Engine {
               shufflePartitions: Option[Int] = None): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val parts = shufflePartitions.map(_.toString).getOrElse(cpus)
-    val s = SparkSession.builder()
+    val s = applyJoinStrategy(SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .appName(appName)
       .withExtensions(new GraftExtensions) // custom planner strategies at build
@@ -25,7 +55,7 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -602,7 +602,12 @@ object Queries {
         .agg(count(lit(1)).as("n_orders"))
       val c = Tables.customer(s, dir)
         .filter($"c_mktsegment" === "MACHINERY").select($"c_custkey", $"c_name")
-      c.join(buyers, $"c_custkey" === $"o_custkey", "full_outer")
+      // MERGE hint (r21): with shuffled-hash enablement on
+      // ([[Engine.applyJoinStrategy]]), AQE converts this full-outer
+      // join to SHJ whose single-side build + row-marking measured
+      // 1.1-1.2x SLOWER than sort-merge here — full outer is the one
+      // join type where SMJ's streamed both-sides shape wins, so pin it
+      c.hint("MERGE").join(buyers, $"c_custkey" === $"o_custkey", "full_outer")
         .filter($"c_custkey".isNull || $"o_custkey".isNull)
         .select(
           coalesce($"c_custkey", $"o_custkey").as("custkey"),
@@ -5190,9 +5195,14 @@ object Queries {
     (s, dir) => {
       import s.implicits._
       val docs = Tables.documents(s, dir)
+      // eagerly checkpointed (r21): `scored` feeds BOTH the percentile
+      // aggregate and the filter pass — without the checkpoint the regex
+      // feature battery ran twice over the whole corpus (the cp_manifest
+      // pattern; results identical, one text pass instead of two)
       val scored = docs.select($"doc_id",
         round(TF.qualityFeatures($"text").getField("quality_score"), 6)
           .as("q"))
+        .localCheckpoint(true)
       scored
         .crossJoin(broadcast(scored.agg(
           round(expr("percentile(q, 0.1)"), 6).as("q10"))))

@@ -1391,20 +1391,23 @@ object Ann {
       val (e, cent) = indexFrames(corpus, cents)
       val salted = saltAssignments(assignCells(e, cent), cents.length,
         balanceFactor)
-      salted.join(e, "vec_id")
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
-          col("salt"))
-        .write.mode("overwrite").partitionBy("cell", "salt")
-        .parquet(s"$path/cells")
-      cent.write.mode("overwrite").parquet(s"$path/centroids")
+      Jobs.parallel(
+        () => salted.join(e, "vec_id")
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+            col("salt"))
+          .write.mode("overwrite").partitionBy("cell", "salt")
+          .parquet(s"$path/cells"),
+        () => cent.write.mode("overwrite").parquet(s"$path/centroids"))
     }
 
   private def ivfIndexWriteFrom(e: DataFrame, cent: DataFrame,
                                 path: String): Unit = {
     val assigned = assignCells(e, cent).join(e, "vec_id")
-    assigned.select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-    cent.write.mode("overwrite").parquet(s"$path/centroids")
+    Jobs.parallel(
+      () => assigned
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells"),
+      () => cent.write.mode("overwrite").parquet(s"$path/centroids"))
   }
 
   /** INCREMENTAL index maintenance — the daily-arrival path: new vectors
@@ -2111,14 +2114,21 @@ object Ann {
     val e = spread(corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb")))
     val res = residualFrame(e, cents).localCheckpoint(true)
-    pqAssign(subvectorFrame(res, subspaces, dsub), codebookFrame(spark, cb))
-      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
-      .select(col("vec_id"), col("m"), col("code"), col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    centroidFrame(spark, cents).write.mode("overwrite")
-      .parquet(s"$path/centroids")
-    codebookFrame(spark, cb).write.mode("overwrite")
-      .parquet(s"$path/codebooks")
+    // the three store tables are independent (codes off the checkpointed
+    // residuals, the two model tables off driver arrays) — write them as
+    // concurrent jobs (guide §2.6) so the two tiny model writes ride
+    // inside the codes write's tail instead of paying their own job
+    // latency after it
+    Jobs.parallel(
+      () => pqAssign(subvectorFrame(res, subspaces, dsub),
+          codebookFrame(spark, cb))
+        .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+        .select(col("vec_id"), col("m"), col("code"), col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes"),
+      () => centroidFrame(spark, cents).write.mode("overwrite")
+        .parquet(s"$path/centroids"),
+      () => codebookFrame(spark, cb).write.mode("overwrite")
+        .parquet(s"$path/codebooks"))
   }
 
   /** Load a persisted IVF-PQ index's two models back as driver arrays —

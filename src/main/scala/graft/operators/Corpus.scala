@@ -650,9 +650,14 @@ object Corpus {
     require(vocabSize > 0, "vocabSize must be positive")
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(TF.tokens(col(textCol))).as("w"))
-    val total = tok.agg(count(lit(1)).cast("double").as("n"))
-    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).cast("double").as("c"))
-      .orderBy(col("c").desc, col("w")).limit(vocabSize)
+    // total and vocab both derive from ONE word-count aggregate (r21):
+    // computing the total as its own count(*) over `tok` re-tokenized
+    // the whole corpus a third time — sum-of-counts is the same number
+    // (exact in double for any corpus under 2^53 tokens) off a frame of
+    // at most |vocab| rows
+    val wc = tok.groupBy(col("w")).agg(count(lit(1)).cast("double").as("c"))
+    val total = wc.agg(sum(col("c")).as("n"))
+    val vocab = wc.orderBy(col("c").desc, col("w")).limit(vocabSize)
     val scored = tok
       .join(broadcast(vocab), Seq("w"), "left")
       .crossJoin(broadcast(total))

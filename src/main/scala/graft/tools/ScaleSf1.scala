@@ -64,12 +64,12 @@ object ScaleSf1 {
     val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
     val sf1 = args.drop(1).headOption.getOrElse("/tmp/graft_sf1")
     val cpus = Runtime.getRuntime.availableProcessors()
-    val spark = SparkSession.builder()
+    val spark = graft.Engine.applyJoinStrategy(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

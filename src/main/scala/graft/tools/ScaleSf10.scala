@@ -107,12 +107,12 @@ object ScaleSf10 {
     val sf10 = args.drop(1).headOption.getOrElse("/tmp/graft_sf10")
     val sf01 = args.drop(2).headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = Runtime.getRuntime.availableProcessors()
-    val spark = SparkSession.builder()
+    val spark = graft.Engine.applyJoinStrategy(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
