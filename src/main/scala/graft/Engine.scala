@@ -23,8 +23,19 @@ object Engine {
     * restore sort-merge everywhere (spill-graceful), or size it to the
     * per-task memory you can spare. */
   def shjThreshold: Option[String] =
-    Some(sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
-      .filter(v => v.nonEmpty && v != "0")
+    shjThresholdFrom(sys.env.getOrElse("SPARK_GRAFT_SHJ_THRESHOLD", "128m"))
+
+  /** Any off-ish or unparseable value fully disables BOTH knobs (r21
+    * ADVICE: "0m"/"off" used to half-apply — preferSortMergeJoin went
+    * false while the AQE threshold became 0/garbage); only a value Spark
+    * itself can read as a positive byte count enables SHJ. */
+  private[graft] def shjThresholdFrom(raw0: String): Option[String] = {
+    val raw = raw0.trim
+    val bytes: Long =
+      try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      catch { case _: Throwable => 0L }
+    Some(raw).filter(_ => bytes > 0L)
+  }
 
   /** Apply the join-strategy knobs to a session builder (shared by this
     * factory and the Bench/Verify mains, which build their own sessions

@@ -349,6 +349,32 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!d.contains("membw_gbps"))
   }
 
+  // ---- contention tagging (r22): threshold scales with the core count
+  // and the warning names the actual trigger — the flat loadavg>2.0
+  // tagged the driver's clean 0-shed r21 run on a 32-core box at 2.33
+
+  test("contention: loadavg 2.33 on 32 cores is NOT contended") {
+    assert(Bench.contentionTriggers(javaProcs = 2, loadavg1m = 2.33,
+      cpus = 32).isEmpty)
+  }
+
+  test("contention: loadavg above cores/4 trips, and names loadavg") {
+    val t = Bench.contentionTriggers(javaProcs = 2, loadavg1m = 9.1, cpus = 32)
+    assert(t.size == 1 && t.head.contains("loadavg"), t.toString)
+  }
+
+  test("contention: the 2.0 floor still guards small core counts") {
+    // cpus/4 = 1 for a 4-core box; the floor keeps the old threshold
+    assert(Bench.contentionTriggers(2, 1.9, cpus = 4).isEmpty)
+    assert(Bench.contentionTriggers(2, 2.3, cpus = 4).nonEmpty)
+  }
+
+  test("contention: a third java process trips regardless of loadavg, " +
+    "and names java_procs") {
+    val t = Bench.contentionTriggers(javaProcs = 3, loadavg1m = 0.1, cpus = 32)
+    assert(t.size == 1 && t.head.contains("java_procs"), t.toString)
+  }
+
   test("gitHead resolves this repo's HEAD to a 40-hex sha") {
     val sha = Bench.gitHead()
     assert(sha.length == 40 && sha.forall(c =>
