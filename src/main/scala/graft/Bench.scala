@@ -543,7 +543,7 @@ object Bench {
           catch { case _: Throwable => false }
         }
       catch { case _: Throwable => -1 }
-    val spark = Engine.applyJoinStrategy(SparkSession.builder()
+    val spark = Engine.applyTuning(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -4333,13 +4333,20 @@ object Queries {
       val qs = ss.readStream.schema(ss.read.parquet(qDir).schema)
         .option("maxFilesPerTrigger", "1")
         .option("pathGlobFilter", "*.parquet").parquet(qDir)
+      // warm serving (r22): the loop holds ONE open index handle — the
+      // centroid table pinned, the cells relation listed once — instead
+      // of re-opening the store per micro-batch; per-answer rows are
+      // identical ([[graft.operators.Ann.ivfServing]])
+      val serving = graft.operators.Ann.ivfServing(ss, idx)
       val writer = graft.streaming.StreamingPipelines.ackSink(qs, ck,
         org.apache.spark.sql.streaming.OutputMode.Append()) { (batch, _) =>
         graft.sources.Sinks.idempotentParquetAppend(
-          graft.operators.Ann.ivfIndexTopK(batch, idx, k = 5, nProbe = 2),
+          graft.operators.Ann.ivfIndexTopKServe(batch, serving,
+            k = 5, nProbe = 2),
           out, Seq("q_id", "n_id"))
       }
-      graft.streaming.StreamingPipelines.runToCompletion(writer)
+      try graft.streaming.StreamingPipelines.runToCompletion(writer)
+      finally serving.close()
       ss.read.parquet(out)
         .select($"q_id", $"n_id", $"cosine", $"rk")
         .orderBy($"q_id", $"rk")

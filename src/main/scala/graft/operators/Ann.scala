@@ -1454,9 +1454,43 @@ object Ann {
     * (self-matches are excluded by id). Emits `(q_id, n_id, cosine, rk)`
     * like every other variant. */
   def ivfIndexTopK(queries: DataFrame, path: String, k: Int,
-                   nProbe: Int = 2): DataFrame = {
-    val spark = queries.sparkSession
-    val cent = spark.read.parquet(s"$path/centroids")
+                   nProbe: Int = 2): DataFrame =
+    // pin = false: the one-shot path leaves no cache entry behind (the
+    // caller never gets a handle to close)
+    ivfIndexTopKServe(queries,
+      ivfServing(queries.sparkSession, path, pin = false), k, nProbe)
+
+  /** Pre-opened SERVING handle for [[ivfIndexTopK]] — the warm state a
+    * serving loop (an all-day query stream against a nightly index) holds
+    * across batches: the broadcast-sized centroid table pinned in cache
+    * and ONE pinned-schema cells relation, so the file listing and the
+    * footer schema read happen once per index open instead of once per
+    * micro-batch. [[ivfIndexTopKServe]] with this handle returns rows
+    * identical to a fresh [[ivfIndexTopK]] call (same files, same plan
+    * below the scan) — only the per-batch open cost moves out of the
+    * loop. Call [[IvfServingHandle.close]] when the loop ends. */
+  final case class IvfServingHandle(cent: DataFrame, cells: DataFrame) {
+    def close(): Unit = { cent.unpersist(); () }
+  }
+
+  def ivfServing(spark: org.apache.spark.sql.SparkSession,
+                 path: String, pin: Boolean = true): IvfServingHandle = {
+    val cent0 = spark.read.parquet(s"$path/centroids")
+    val cent = if (pin) cent0.persist() else cent0
+    // pin the inferred partition column `cell` to LONG at the source —
+    // same discipline (and reasons) as the per-call path below
+    val inferred = spark.read.parquet(s"$path/cells").schema
+    val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
+      if (f.name == "cell")
+        f.copy(dataType = org.apache.spark.sql.types.LongType)
+      else f))
+    IvfServingHandle(cent, spark.read.schema(pinned).parquet(s"$path/cells"))
+  }
+
+  /** [[ivfIndexTopK]] against a pre-opened [[IvfServingHandle]]. */
+  def ivfIndexTopKServe(queries: DataFrame, handle: IvfServingHandle,
+                        k: Int, nProbe: Int = 2): DataFrame = {
+    val cent = handle.cent
     val q = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
       VF.norm2(col("embedding")).as("q_nrm"))
     val qscored = q.join(broadcast(cent))
@@ -1473,17 +1507,11 @@ object Ann {
     // literal IN-list the parquet source prunes partitions with
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
-    // pin the inferred partition column `cell` to LONG at the source: type
-    // inference yields IntegerType when the ids happen to fit an int, and
-    // the join keys / IN-list literals are LongType — pruning today rides
-    // an implicit up-cast that a Spark upgrade could stop pushing. With the
-    // schema pinned, both sides are exactly LongType and the prune is not
-    // at the mercy of cast-insertion rules.
-    val inferred = spark.read.parquet(s"$path/cells").schema
-    val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
-      if (f.name == "cell") f.copy(dataType = org.apache.spark.sql.types.LongType)
-      else f))
-    val idx = spark.read.schema(pinned).parquet(s"$path/cells")
+    // handle.cells carries the LongType-pinned schema (see [[ivfServing]]:
+    // type inference yields IntegerType when the ids happen to fit an
+    // int, and the join keys / IN-list literals are LongType — pruning
+    // must never ride an implicit up-cast)
+    val idx = handle.cells
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
     val scored = idx.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))

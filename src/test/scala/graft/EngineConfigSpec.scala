@@ -23,4 +23,11 @@ class EngineConfigSpec extends AnyFunSuite {
     for (v <- Seq("-128m", "12 potatoes", "m128"))
       assert(Engine.shjThresholdFrom(v).isEmpty, s"'$v' must disable")
   }
+
+  test("parquet codec: trimmed pass-through, empty keeps Spark's default") {
+    assert(Engine.parquetCodecFrom("zstd").contains("zstd"))
+    assert(Engine.parquetCodecFrom(" snappy ").contains("snappy"))
+    assert(Engine.parquetCodecFrom("").isEmpty)
+    assert(Engine.parquetCodecFrom("   ").isEmpty)
+  }
 }

@@ -187,4 +187,33 @@ class AnnIndexSpec extends AnyFunSuite {
       .as[(Long, Long, Double, Long)].collect().toSet
     assert(disk == mem)
   }
+
+  test("warm serving handle answers exactly like per-call opens, " +
+    "across batches, and close() releases the pin") {
+    val path = java.nio.file.Files.createTempDirectory("ivfserve").toString
+    Ann.ivfIndexWrite(corpus, isCentroid = $"vec_id" < 16, path)
+    val serving = Ann.ivfServing(spark, path)
+    try {
+      // two disjoint "micro-batches", answered against the same handle
+      Seq($"vec_id" < 5, $"vec_id" >= 5 && $"vec_id" < 10).foreach { qf =>
+        val q = corpus.filter(qf)
+        val cold = Ann.ivfIndexTopK(q, path, k = 5, nProbe = 2)
+          .select($"q_id", $"n_id", $"cosine", $"rk")
+          .as[(Long, Long, Double, Long)].collect().toSet
+        val warm = Ann.ivfIndexTopKServe(q, serving, k = 5, nProbe = 2)
+          .select($"q_id", $"n_id", $"cosine", $"rk")
+          .as[(Long, Long, Double, Long)].collect().toSet
+        assert(warm == cold)
+      }
+      // the handle's pinned-schema cells relation must still prune
+      val p = Ann.ivfIndexTopKServe(corpus.filter($"vec_id" < 2), serving,
+          k = 5, nProbe = 2)
+        .queryExecution
+        .explainString(org.apache.spark.sql.execution.SimpleMode)
+      assert(p.contains("PartitionFilters") && p.contains("cell"),
+        s"warm-serve scan must partition-prune:\n$p")
+    } finally serving.close()
+    assert(serving.cent.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE)
+  }
 }
