@@ -2164,13 +2164,18 @@ object Ann {
     * shapes [[ivfPqTrain]] returns. */
   def ivfPqIndexModels(spark: org.apache.spark.sql.SparkSession, path: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select(col("cell"), col("c_vec")).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).map(_._2)
-    val rows = spark.read.parquet(s"$path/codebooks")
-      .select(col("m"), col("code"), col("c_vec")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    // the two model collects are independent driver round-trips over
+    // disjoint tables — overlap them (r22, guide §2.6)
+    var cents: Array[Array[Double]] = null
+    var rows: Array[(Int, Int, Array[Double])] = null
+    Jobs.parallel(
+      () => cents = spark.read.parquet(s"$path/centroids")
+        .select(col("cell"), col("c_vec")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2),
+      () => rows = spark.read.parquet(s"$path/codebooks")
+        .select(col("m"), col("code"), col("c_vec")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray)))
     val subspaces = rows.map(_._1).max + 1
     val codes = rows.map(_._2).max + 1
     val cb = Array.ofDim[Array[Double]](subspaces, codes)
@@ -2188,14 +2193,20 @@ object Ann {
   def ivfPqIndexTopK(queries: DataFrame, path: String, k: Int,
                      nProbe: Int = 2): DataFrame = {
     val spark = queries.sparkSession
-    val (cents, cb) = ivfPqIndexModels(spark, path)
+    // model loads and the codes footer/schema read are independent
+    // driver round-trips — overlap them (r22, guide §2.6)
+    var models: (Array[Array[Double]], Array[Array[Array[Double]]]) = null
+    var inferred: org.apache.spark.sql.types.StructType = null
+    Jobs.parallel(
+      () => models = ivfPqIndexModels(spark, path),
+      () => inferred = spark.read.parquet(s"$path/codes").schema)
+    val (cents, cb) = models
     val q = queries.select(col("vec_id").as("q_id"),
       col("embedding").cast("array<double>").as("q_vec"))
       .withColumn("q_nrm", VF.norm2(col("q_vec")))
     val probes = ivfPqProbes(q, cents, nProbe)
     val cells = probes.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val inferred = spark.read.parquet(s"$path/codes").schema
     val pinned = org.apache.spark.sql.types.StructType(inferred.map(f =>
       if (f.name == "cell")
         f.copy(dataType = org.apache.spark.sql.types.LongType)

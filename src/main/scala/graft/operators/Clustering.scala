@@ -216,7 +216,13 @@ object Clustering {
   def pageRankMicro(nodes: DataFrame, edges: DataFrame, iters: Int = 5,
                     damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val n = nodes.toDF("id").count()
+    // the node-id frame is consumed iters+2 times (count, rank init, one
+    // left join per iteration) — materialize the 8-byte ids ONCE (r22,
+    // guide §2.4: don't re-run the upstream scan per iteration; eager
+    // localCheckpoint cuts the lineage like the edge frames below, and
+    // its blocks are GC-reclaimed, never cache-manager entries)
+    val nodeIds = nodes.toDF("id").localCheckpoint(true)
+    val n = nodeIds.count()
     // canonical undirected edge set, then both directions for out-flow
     val und = edges.toDF("a", "b")
       .select(least(col("a"), col("b")).as("lo"),
@@ -233,7 +239,7 @@ object Clustering {
     // `div` of (2a+b)/(2b) IS round-half-up of a/b)
     val dampMicro = math.round(damping * 1000000L)
     val baseMicro = (2L * (1000000L - dampMicro) + n) / (2L * n)
-    var ranks = nodes.toDF("id")
+    var ranks = nodeIds
       .select(col("id"), lit((2L * 1000000L + n) / (2L * n)).as("rank_micro"))
     for (it <- 1 to iters) {
       val contrib = dirDeg
@@ -241,7 +247,7 @@ object Clustering {
         .select(col("dst").as("id"),
           expr("(2 * rank_micro + deg) div (2 * deg)").as("c"))
       val inflow = contrib.groupBy(col("id")).agg(sum(col("c")).as("inflow"))
-      ranks = nodes.toDF("id")
+      ranks = nodeIds
         .join(inflow, Seq("id"), "left")
         .select(col("id"),
           (lit(baseMicro) + expr(
